@@ -3,36 +3,39 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``python_minerva_etl_spark/queries/`` — one
+DeclaredQuery per SURVEY.md §2 row, each coupling the PySpark plan
+with its DuckDB oracle SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from python_minerva_etl_spark.queries.catalog import all_queries  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7.1): OP-AGG-TIME 1h over events at
+    sf0.001 — Minerva's single most characteristic computation."""
+    q = all_queries()["agg_time_1h"]
+    return q.spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.spark for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in all_queries().items()
+            if q.oracle is not None}

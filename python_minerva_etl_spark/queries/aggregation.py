@@ -1,0 +1,232 @@
+"""Declared queries: time aggregation — the heart of Minerva.
+
+Reference semantics (minerva SQL-gen for aggregations,
+minerva/commands/aggregation.py + instance YAML [U]): group trend rows
+by (entity, granularity-truncated timestamp), apply each trend's
+``time_aggregation`` function, always add ``samples = count(*)`` so
+averages re-aggregate exactly as SUM(sum)/SUM(samples).
+
+Scale notes: each query is ONE hash-aggregate over the fact table —
+a single shuffle on (entity, bucket).  Partial aggregation (map-side
+combine) is automatic; the decimal sums keep the partial/final merge
+exact.  The 1h→1d re-aggregation reads the *hourly* partials, which at
+100 TB is the whole point: the daily rollup touches 1/3600th of the
+raw rows (Minerva's materialization chains 15m→1h→1d→1w the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..determinism import davg, dsum, epoch_bucket, oracle_davg, oracle_dsum
+from .base import DeclaredQuery, t
+
+def _err():
+    # built lazily — Column construction needs an active SparkContext
+    return F.when(F.col("event_type") == "error", 1)
+
+
+def _agg_time_1h(spark, sf_dir):
+    """OP-AGG-TIME at 1h — the flagship (SURVEY.md §7.1)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count("*").alias("samples"),
+            dsum("value", 4, "sum_value"),
+            davg("value", 4, "avg_value"),
+            F.count(_err()).alias("n_error"),
+        )
+    )
+
+
+_AGG_TIME_1H_SQL = f"""
+SELECT user_id,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value,
+       {oracle_davg('value')} AS avg_value,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _agg_time_15m(spark, sf_dir):
+    """OP-AGG-TIME at 15m (fixed-duration epoch bucket, granularity.trunc_col)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", epoch_bucket("ts", 900).alias("bucket"))
+        .agg(F.count("*").alias("samples"), dsum("value", 4, "sum_value"))
+    )
+
+
+_AGG_TIME_15M_SQL = f"""
+SELECT user_id,
+       TIMESTAMP '1970-01-01 00:00:00'
+         + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS bucket,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _agg_time_1d(spark, sf_dir):
+    """OP-AGG-TIME at 1d (calendar bucket, per event_type)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("samples"),
+            dsum("value", 4, "sum_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+    )
+
+
+_AGG_TIME_1D_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _agg_reagg_avg(spark, sf_dir):
+    """OP-AGG-PARTIAL: daily AVG computed from *hourly* (sum, samples)
+    partials — exact because the partials are decimal.  This is
+    Minerva's re-aggregatable-average contract: every aggregate store
+    carries ``samples`` so AVG(1d) = SUM(sum_1h)/SUM(samples_1h)."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("sum_dec"),
+            F.count("value").alias("samples"),
+        )
+    )
+    return (
+        hourly.groupBy("user_id", F.date_trunc("day", "bucket").alias("day"))
+        .agg(
+            (F.sum("sum_dec").cast("double")
+             / F.sum("samples").cast("double")).alias("avg_value"),
+            F.sum("samples").cast("bigint").alias("samples"),
+        )
+    )
+
+
+# Oracle computes the daily average directly — mathematically identical
+# because the hourly decimal partials sum to the same exact total.
+_AGG_REAGG_AVG_SQL = f"""
+SELECT user_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {oracle_davg('value')} AS avg_value,
+       COUNT(value) AS samples
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _agg_count_distinct(spark, sf_dir):
+    """OP-AGG-DISTINCT: exact distinct entities per class."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_AGG_COUNT_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+def _agg_approx_distinct(spark, sf_dir):
+    """OP-AGG-DISTINCT (approx): HLL sketch — the 100 TB path, where an
+    exact distinct would shuffle every (type, user) pair.  Rows-only
+    check: the estimate is engine-specific by design."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+    )
+
+
+def _agg_conditional(spark, sf_dir):
+    """OP-AGG-FILTER: conditional aggregation per entity."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(_err()).alias("n_error"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .cast("decimal(28,4)")
+        ).cast("double").alias("purchase_value"),
+    )
+
+
+_AGG_CONDITIONAL_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE)
+         AS purchase_value
+FROM events
+GROUP BY 1
+"""
+
+
+def _agg_rollup_sets(spark, sf_dir):
+    """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
+    Dims are broadcast — no shuffle for the joins; one shuffle for the
+    grouping-sets expand+agg."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal", 4, "sum_acctbal"),
+    )
+
+
+_AGG_ROLLUP_SETS_SQL = f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       {oracle_dsum('c_acctbal')} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+QUERIES = [
+    DeclaredQuery("agg_time_1h", _agg_time_1h, _AGG_TIME_1H_SQL, "OP-AGG-TIME"),
+    DeclaredQuery("agg_time_15m", _agg_time_15m, _AGG_TIME_15M_SQL, "OP-AGG-TIME"),
+    DeclaredQuery("agg_time_1d", _agg_time_1d, _AGG_TIME_1D_SQL, "OP-AGG-TIME"),
+    DeclaredQuery("agg_reagg_avg", _agg_reagg_avg, _AGG_REAGG_AVG_SQL, "OP-AGG-PARTIAL"),
+    DeclaredQuery("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL, "OP-AGG-DISTINCT"),
+    DeclaredQuery("agg_approx_distinct", _agg_approx_distinct, None, "OP-AGG-DISTINCT"),
+    DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
+    DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),
+]

@@ -1,0 +1,446 @@
+"""Declared queries: projection / filter / scalar functions / joins /
+set ops / sort / top-k (SURVEY.md §2.2, §2.3, §2.6, §2.7).
+
+Scale notes: filters and projections are expressed declaratively so
+Catalyst pushes them into the parquet scan (PushedFilters/ReadSchema —
+see tests/test_plans.py); dimension joins broadcast; the fact-fact
+joins shuffle once on their equi-keys and AQE picks/skew-splits the
+physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..determinism import oracle_dsum
+from .base import DeclaredQuery, t
+
+# --- §2.2 projection / filter / json / dn / entity ---------------------
+
+
+def _project_select(spark, sf_dir):
+    """OP-PROJ: column pruning — the scan should read only 4 columns."""
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+_PROJECT_SELECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+"""
+
+
+def _filter_time_range(spark, sf_dir):
+    """OP-FILT: the canonical Minerva read — WHERE timestamp BETWEEN …
+    AND entity/value predicates.  All four predicates push to parquet.
+    Output ts is second-truncated (ns-vs-µs hash hazard, FIXTURES.md)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+            & F.col("event_type").isin("click", "view")
+            & (F.col("value") > 50.0)
+        )
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.date_trunc("second", "ts").alias("ts_s"),
+        )
+    )
+
+
+_FILTER_TIME_RANGE_SQL = """
+SELECT event_id, user_id, event_type, value,
+       CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type IN ('click', 'view')
+  AND value > 50.0
+"""
+
+
+def _json_extract(spark, sf_dir):
+    """OP-JSON: notification-payload attribute access (events.props)."""
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_id, user_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def _dn_parse(spark, sf_dir):
+    """OP-DIR-DN: distinguished-name build + parse
+    (ref: minerva/directory/distinguishedname.py [U]).  DNs are
+    synthesized from the customer dim (`segment=X,customer=N`) then
+    parsed back into typed components."""
+    dn = F.concat(F.lit("segment="), F.col("c_mktsegment"),
+                  F.lit(",customer="), F.col("c_custkey").cast("string"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey"), dn.alias("dn"))
+        .select(
+            "c_custkey", "dn",
+            F.regexp_extract("dn", r"^([^=]+)=", 1).alias("entity_type"),
+            F.regexp_extract("dn", r"segment=([^,]+)", 1).alias("segment"),
+            F.regexp_extract("dn", r"customer=(\d+)", 1).cast("bigint")
+            .alias("parsed_id"),
+        )
+    )
+
+
+_DN_PARSE_SQL = r"""
+WITH d AS (
+  SELECT c_custkey,
+         'segment=' || c_mktsegment || ',customer=' || CAST(c_custkey AS VARCHAR) AS dn
+  FROM customer
+)
+SELECT c_custkey, dn,
+       regexp_extract(dn, '^([^=]+)=', 1) AS entity_type,
+       regexp_extract(dn, 'segment=([^,]+)', 1) AS segment,
+       CAST(regexp_extract(dn, 'customer=(\d+)', 1) AS BIGINT) AS parsed_id
+FROM d
+"""
+
+
+def _entity_resolve(spark, sf_dir):
+    """OP-DIR-ENTITY: dn -> entity_id resolution with create-if-missing.
+    New ids are content-derived (md5 of the dn) so resolution is
+    deterministic and cluster-parallel — no id-allocator bottleneck at
+    100 TB, unlike sequence-based ids (and unlike
+    monotonically_increasing_id, which is partition-dependent)."""
+    ev = t(spark, sf_dir, "events")
+    dn = F.concat(F.lit("user="), F.col("user_id").cast("string"))
+    return (
+        ev.select("user_id").distinct()
+        .select("user_id", dn.alias("dn"))
+        .select("user_id", "dn", F.expr("md5(dn)").alias("entity_key"))
+    )
+
+
+_ENTITY_RESOLVE_SQL = """
+SELECT DISTINCT user_id,
+       'user=' || CAST(user_id AS VARCHAR) AS dn,
+       md5('user=' || CAST(user_id AS VARCHAR)) AS entity_key
+FROM events
+"""
+
+
+# --- §2.3 joins --------------------------------------------------------
+
+
+def _join_inner(spark, sf_dir):
+    """OP-JOIN-EQ: fact × dim; dim side broadcast."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double").alias("sum_price"),
+        )
+    )
+
+
+_JOIN_INNER_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def _join_left(spark, sf_dir):
+    """OP-JOIN-LEFT: keep entities with no fact rows (count = 0)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+_JOIN_LEFT_SQL = """
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1, 2
+"""
+
+
+def _join_semi(spark, sf_dir):
+    """OP-JOIN-SEMI: existence filter — customers with a large order.
+    left_semi never duplicates or widens the left side (no row
+    explosion at scale, unlike inner-join-then-distinct)."""
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+"""
+
+
+def _join_anti(spark, sf_dir):
+    """OP-JOIN-ANTI: missing-data detection — customers with no orders
+    (Minerva: expected-vs-present entity gap detection)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _rollup_entity(spark, sf_dir):
+    """OP-JOIN-REL + OP-AGG-ENTITY: entity rollup along the relation
+    chain lineitem→orders→customer→nation (Minerva: Cell→Site→Region).
+    The fact side shuffles once on l_orderkey; customer and nation are
+    broadcast so the re-keying to the target entity is shuffle-free."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_ROLLUP_ENTITY_SQL = f"""
+SELECT n_name,
+       {oracle_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# --- §2.6 sort / top-k / set ops --------------------------------------
+
+
+def _sort_report(spark, sf_dir):
+    """OP-SORT: deterministic ordered report with an explicit rank
+    column (the order-insensitive hash can't see row order, so the
+    rank *encodes* it).  25 rows — the single-partition window is fine;
+    large reports would rank via orderBy + zipWithIndex-free
+    row_number over a repartitionByRange."""
+    from pyspark.sql.window import Window
+
+    nat_rev = _rollup_entity(spark, sf_dir)
+    w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
+    return nat_rev.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "n_name", "revenue", "n_items")
+
+
+_SORT_REPORT_SQL = f"""
+WITH r AS (
+  SELECT n_name,
+         {oracle_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue,
+         COUNT(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, n_name ASC) AS BIGINT) AS rank,
+       n_name, revenue, n_items
+FROM r
+"""
+
+
+def _topk_worst(spark, sf_dir):
+    """OP-LIMIT/TOPK: k worst entities by KPI.  orderBy+limit compiles
+    to TakeOrderedAndProject — per-partition top-k then a k-row merge
+    on the driver; no full sort, no full shuffle at any scale.
+    Unique tiebreak (c_custkey) makes the cut deterministic."""
+    return (
+        t(spark, sf_dir, "customer")
+        .orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+_TOPK_WORST_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal ASC, c_custkey ASC LIMIT 10
+"""
+
+
+def _set_union(spark, sf_dir):
+    """OP-UNION: union-by-name with missing columns (Minerva: combining
+    trend-store parts / multi-source loads with differing columns)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value", F.lit("click").alias("src"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("purchase").alias("src"))  # no value col
+    return clicks.unionByName(purchases, allowMissingColumns=True)
+
+
+_SET_UNION_SQL = """
+SELECT event_id, user_id, value, 'click' AS src
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value, 'purchase' AS src
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def _set_except(spark, sf_dir):
+    """OP-EXCEPT: multiset difference — customers in the positive-
+    balance set minus customers in the BUILDING segment."""
+    cust = t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.exceptAll(b)
+
+
+_SET_EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+# --- §2.7 scalar function families ------------------------------------
+
+
+def _fn_date_bucket_series(spark, sf_dir):
+    """OP-F-DATE: granularity.range as a dense time spine —
+    sequence()+explode, then a left join to count per bucket including
+    empty buckets (Minerva gap detection needs the zero rows)."""
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"))
+    days = bounds.select(F.explode(
+        F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    per_day = (orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+               .agg(F.count("*").alias("n")))
+    return (days.join(per_day, "day", "left")
+            .select("day", F.coalesce("n", F.lit(0)).cast("bigint")
+                    .alias("n_orders")))
+
+
+_FN_DATE_BUCKET_SERIES_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', MAX(o_orderdate)) AS TIMESTAMP) AS hi
+  FROM orders
+),
+d AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+c AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1)
+SELECT d.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+FROM d LEFT JOIN c ON d.day = c.day
+"""
+
+
+def _fn_string_dn(spark, sf_dir):
+    """OP-F-STR: split/lower/substring/length over documents."""
+    doc = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return doc.select(
+        "doc_id", "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.lower(F.element_at(toks, 1)).alias("first_token"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.substring("text", 1, 16).alias("head16"),
+    )
+
+
+_FN_STRING_DN_SQL = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       lower(string_split(text, ' ')[1]) AS first_token,
+       CAST(length(text) AS BIGINT) AS text_len,
+       substring(text, 1, 16) AS head16
+FROM documents
+"""
+
+
+def _fn_kpi_math(spark, sf_dir):
+    """OP-F-MATH: Minerva KPI expressions — arithmetic with
+    NULLIF-guarded division (PG idiom for divide-by-zero → NULL).
+    Pure row-local double arithmetic: bit-identical across engines as
+    long as both evaluate the same expression tree."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("revenue"),
+        ((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+         * (F.lit(1.0) + F.col("l_tax"))).alias("charge"),
+        (F.col("l_discount") / F.nullif(F.col("l_tax"), F.lit(0.0)))
+        .alias("disc_tax_ratio"),
+        F.coalesce(
+            F.col("l_quantity") / F.nullif(F.col("l_discount"), F.lit(0.0)),
+            F.lit(-1.0)).alias("qty_per_disc"),
+    )
+
+
+_FN_KPI_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS revenue,
+       (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge,
+       l_discount / NULLIF(l_tax, 0.0) AS disc_tax_ratio,
+       COALESCE(l_quantity / NULLIF(l_discount, 0.0), -1.0) AS qty_per_disc
+FROM lineitem
+"""
+
+
+QUERIES = [
+    DeclaredQuery("project_select", _project_select, _PROJECT_SELECT_SQL, "OP-PROJ"),
+    DeclaredQuery("filter_time_range", _filter_time_range, _FILTER_TIME_RANGE_SQL, "OP-FILT"),
+    DeclaredQuery("json_extract", _json_extract, _JSON_EXTRACT_SQL, "OP-JSON/OP-F-JSON"),
+    DeclaredQuery("dn_parse", _dn_parse, _DN_PARSE_SQL, "OP-DIR-DN"),
+    DeclaredQuery("entity_resolve", _entity_resolve, _ENTITY_RESOLVE_SQL, "OP-DIR-ENTITY"),
+    DeclaredQuery("join_inner", _join_inner, _JOIN_INNER_SQL, "OP-JOIN-EQ"),
+    DeclaredQuery("join_left", _join_left, _JOIN_LEFT_SQL, "OP-JOIN-LEFT"),
+    DeclaredQuery("join_semi", _join_semi, _JOIN_SEMI_SQL, "OP-JOIN-SEMI"),
+    DeclaredQuery("join_anti", _join_anti, _JOIN_ANTI_SQL, "OP-JOIN-ANTI"),
+    DeclaredQuery("rollup_entity", _rollup_entity, _ROLLUP_ENTITY_SQL, "OP-JOIN-REL/OP-AGG-ENTITY"),
+    DeclaredQuery("sort_report", _sort_report, _SORT_REPORT_SQL, "OP-SORT"),
+    DeclaredQuery("topk_worst", _topk_worst, _TOPK_WORST_SQL, "OP-LIMIT/TOPK"),
+    DeclaredQuery("set_union", _set_union, _SET_UNION_SQL, "OP-UNION"),
+    DeclaredQuery("set_except", _set_except, _SET_EXCEPT_SQL, "OP-EXCEPT"),
+    DeclaredQuery("fn_date_bucket_series", _fn_date_bucket_series, _FN_DATE_BUCKET_SERIES_SQL, "OP-F-DATE"),
+    DeclaredQuery("fn_string_dn", _fn_string_dn, _FN_STRING_DN_SQL, "OP-F-STR"),
+    DeclaredQuery("fn_kpi_math", _fn_kpi_math, _FN_KPI_MATH_SQL, "OP-F-MATH"),
+]

@@ -1,0 +1,46 @@
+"""The primary gate: every declared query must match its DuckDB oracle
+bit-for-bit at sf0.01 (mirrors the driver's t2 check)."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_minerva_etl_spark.queries.catalog import all_queries
+
+from .compare import diff_frames, run_oracle
+from .conftest import SF_CORRECT
+
+_QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_declared_query_matches_oracle(spark, name):
+    q = _QUERIES[name]
+    sdf = q.spark(spark, SF_CORRECT)
+    spark_pd = sdf.toPandas()
+    if q.oracle is None:
+        # rows-only contract: runs, stable schema, deterministic count
+        assert spark_pd.shape[0] >= 0
+        again = q.spark(spark, SF_CORRECT).toPandas()
+        assert len(again) == len(spark_pd), "rows-only query is nondeterministic"
+        return
+    oracle_pd = run_oracle(q.oracle, SF_CORRECT)
+    problems = diff_frames(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 2
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    osql = e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 8
