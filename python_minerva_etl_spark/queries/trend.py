@@ -1,0 +1,142 @@
+"""Declared queries: trend-pipeline operators — threshold trigger,
+notification query, sessionization, keyed upsert (SURVEY.md §2.8-2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import sessionize
+from ..operators.trigger import ThresholdRule, evaluate
+from ..operators.upsert import dedup_last_wins
+from .base import DeclaredQuery, t
+
+_RULE = ThresholdRule(
+    name="high_value",
+    kpi="value",
+    thresholds=(("critical", 90.0), ("major", 75.0), ("warning", 50.0)),
+    condition="event_type <> 'error'",
+    weights={"critical": 100, "major": 50, "warning": 10},
+)
+
+
+def _trigger_threshold(spark, sf_dir):
+    """OP-TRIG-THRESH: ordered severity thresholds over a KPI
+    expression, condition-filtered, weighted — emits notification rows
+    (ref: minerva/trigger/__init__.py [U], SQL-gen → Catalyst CASE)."""
+    ev = t(spark, sf_dir, "events")
+    notif = evaluate(ev, _RULE, entity_col="user_id", ts_col="ts")
+    return notif.select(
+        F.col("event_id"),
+        F.col("user_id").alias("entity_id"),
+        F.date_trunc("second", "ts").alias("ts_s"),
+        "severity", "weight", "value", "trigger_name")
+
+
+_TRIGGER_THRESHOLD_SQL = """
+SELECT event_id,
+       user_id AS entity_id,
+       CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+       CASE WHEN value >= 90.0 THEN 'critical'
+            WHEN value >= 75.0 THEN 'major'
+            WHEN value >= 50.0 THEN 'warning' END AS severity,
+       CAST(CASE WHEN value >= 90.0 THEN 100
+                 WHEN value >= 75.0 THEN 50
+                 WHEN value >= 50.0 THEN 10 END AS BIGINT) AS weight,
+       value,
+       'high_value' AS trigger_name
+FROM events
+WHERE event_type <> 'error' AND value >= 50.0
+"""
+
+
+def _notif_window_count(spark, sf_dir):
+    """OP-NOTIF-QUERY: notification-store read — time-range + attribute
+    filter + per-bucket counts (errors per day, distinct entities)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_errors"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_NOTIF_WINDOW_COUNT_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_errors,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type = 'error'
+GROUP BY 1
+"""
+
+
+def _events_sessionize(spark, sf_dir):
+    """EXT-SESS / OP-STR-SESSION (batch form): 30-minute-gap sessions
+    per user; gap compared on integer microseconds in both engines."""
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize(ev, key=["user_id"], ts_col="ts", gap_seconds=1800,
+                      order_tiebreak=["event_id"])
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_trunc("second", F.min("ts")).alias("session_start"),
+            F.date_trunc("second", F.max("ts")).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+       CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+FROM runs GROUP BY 1, 2
+"""
+
+
+def _upsert_last_wins(spark, sf_dir):
+    """OP-SNK-UPSERT (dedup-last step): ON CONFLICT (entity, bucket)
+    DO UPDATE — the highest-sequence write wins per key."""
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.withColumn("bucket", F.date_trunc("hour", "ts"))
+    return dedup_last_wins(
+        keyed, key=["user_id", "bucket"], seq_col="event_id",
+    ).select("user_id", "bucket", "event_id", "value")
+
+
+_UPSERT_LAST_WINS_SQL = """
+SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket, event_id, value
+FROM (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+QUERIES = [
+    DeclaredQuery("trigger_threshold", _trigger_threshold, _TRIGGER_THRESHOLD_SQL, "OP-TRIG-THRESH"),
+    DeclaredQuery("notif_window_count", _notif_window_count, _NOTIF_WINDOW_COUNT_SQL, "OP-NOTIF-QUERY"),
+    DeclaredQuery("events_sessionize", _events_sessionize, _EVENTS_SESSIONIZE_SQL, "EXT-SESS/OP-STR-SESSION"),
+    DeclaredQuery("upsert_last_wins", _upsert_last_wins, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT"),
+]

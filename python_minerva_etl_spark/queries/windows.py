@@ -1,0 +1,194 @@
+"""Declared queries: window functions (SURVEY.md §2.5) and the as-of
+join — the attribute-store family plus analytic windows.
+
+The orders table plays the attribute-history role (o_custkey=entity,
+o_orderdate=validity timestamp, o_orderstatus=attribute), matching the
+reference's SCD shape.  All windows partition on the entity key: one
+shuffle, then narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.attribute import change_detect, compact, curr_view
+from ..operators.joins import asof_join
+from .base import DeclaredQuery, t
+
+
+def _attr_curr(spark, sf_dir):
+    """OP-WIN-LATEST: attribute curr-view — latest order per customer."""
+    orders = t(spark, sf_dir, "orders")
+    return curr_view(
+        orders, key=["o_custkey"], order=["o_orderdate", "o_orderkey"],
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+             "o_totalprice")
+
+
+_ATTR_CURR_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def _attr_change_detect(spark, sf_dir):
+    """OP-WIN-CHANGE: keep rows whose attribute hash differs from the
+    previous row (the reference's store-only-on-change rule)."""
+    orders = t(spark, sf_dir, "orders")
+    return change_detect(
+        orders, key=["o_custkey"], order=["o_orderdate", "o_orderkey"],
+        attr_cols=["o_orderstatus"],
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+
+
+_ATTR_CHANGE_DETECT_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+FROM (
+  SELECT *, LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev_status
+  FROM orders
+) WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+"""
+
+
+def _attr_compact(spark, sf_dir):
+    """OP-WIN-COMPACT: collapse consecutive equal-status runs into
+    validity ranges (entity, status, ts_start, ts_end, n_rows)."""
+    orders = t(spark, sf_dir, "orders")
+    return compact(
+        orders, key=["o_custkey"], ts_col="o_orderdate",
+        order=["o_orderdate", "o_orderkey"], attr_cols=["o_orderstatus"],
+    ).select("o_custkey", "o_orderstatus", "ts_start", "ts_end", "n_rows")
+
+
+_ATTR_COMPACT_SQL = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                OR o_orderstatus <> LAG(o_orderstatus) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *, SUM(changed) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM flagged
+)
+SELECT o_custkey, o_orderstatus,
+       MIN(o_orderdate) AS ts_start, MAX(o_orderdate) AS ts_end,
+       COUNT(*) AS n_rows
+FROM runs GROUP BY o_custkey, run, o_orderstatus
+"""
+
+
+def _win_rank_topn(spark, sf_dir):
+    """OP-WIN-RANK: top-3 customers by balance per nation, total order."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (cust.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= 3)
+            .select("c_nationkey", "rn", "c_custkey", "c_acctbal"))
+
+
+_WIN_RANK_TOPN_SQL = """
+SELECT c_nationkey, CAST(rn AS BIGINT) AS rn, c_custkey, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn <= 3
+"""
+
+
+def _win_delta_prev(spark, sf_dir):
+    """OP-WIN-ANALYTIC: counter delta vs previous period — the
+    rate-from-cumulative-counter pattern of Minerva instances."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"))
+
+
+_WIN_DELTA_PREV_SQL = """
+SELECT event_id, user_id, value,
+       value - LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+"""
+
+
+def _win_moving_avg(spark, sf_dir):
+    """OP-WIN-MOVAVG: 4-row sliding mean per entity (decimal-exact
+    frame sum / frame count, then one double division)."""
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 0))
+    mov_sum = F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+    mov_n = F.count("value").over(w)
+    return ev.select(
+        "event_id", "user_id", "value",
+        (mov_sum / mov_n.cast("double")).alias("mov_avg"),
+        mov_n.alias("mov_n"))
+
+
+_WIN_MOVING_AVG_SQL = """
+SELECT event_id, user_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+         / CAST(COUNT(value) OVER w AS DOUBLE) AS mov_avg,
+       COUNT(value) OVER w AS mov_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _join_asof(spark, sf_dir):
+    """OP-JOIN-ASOF: for each click, the value of the user's latest
+    purchase at-or-before the click (attribute value valid at fact
+    time).  Union-tag + running last(ignorenulls) — see
+    operators/joins.py for why this beats a range join at scale."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("asof_value"))
+    return asof_join(
+        clicks, purchases, key=["user_id"], ts_col="ts",
+        attr_cols=["asof_value"],
+    ).select("event_id", "user_id", "value", "asof_value")
+
+
+_JOIN_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value AS asof_value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.value, p.asof_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+QUERIES = [
+    DeclaredQuery("attr_curr", _attr_curr, _ATTR_CURR_SQL, "OP-WIN-LATEST"),
+    DeclaredQuery("attr_change_detect", _attr_change_detect, _ATTR_CHANGE_DETECT_SQL, "OP-WIN-CHANGE"),
+    DeclaredQuery("attr_compact", _attr_compact, _ATTR_COMPACT_SQL, "OP-WIN-COMPACT"),
+    DeclaredQuery("win_rank_topn", _win_rank_topn, _WIN_RANK_TOPN_SQL, "OP-WIN-RANK"),
+    DeclaredQuery("win_delta_prev", _win_delta_prev, _WIN_DELTA_PREV_SQL, "OP-WIN-ANALYTIC"),
+    DeclaredQuery("win_moving_avg", _win_moving_avg, _WIN_MOVING_AVG_SQL, "OP-WIN-MOVAVG"),
+    DeclaredQuery("join_asof", _join_asof, _JOIN_ASOF_SQL, "OP-JOIN-ASOF"),
+]
