@@ -1,0 +1,207 @@
+"""Deduplication operators (EXT-DEDUP-*).
+
+Five dedup families, each with the exact/oracle-checkable form AND the
+100 TB scale path behind the same API:
+
+- exact: content-hash groupBy — embarrassingly parallel at any scale.
+- near (token Jaccard): exact pairwise via token inverted index
+  (small-n, oracle-checkable) / MinHash+LSH banding (scale path: the
+  candidate set shrinks from O(n²) to near-linear; only candidates get
+  the exact Jaccard verification pass).
+- SimHash: 64-bit fingerprints via token-hash bit voting; near-dups =
+  fingerprints within Hamming distance k, found by pigeonhole band
+  join (deterministic, rows-only check — bit votes aren't ANSI-SQL).
+- n-gram Jaccard: character-shingle variant of near-dup.
+- embedding cosine: near-dup by vector similarity (exact pairwise
+  small-n; LSH/IVF partition pruning at scale — see similarity.py).
+
+All hashing uses Spark built-ins (xxhash64/md5) — JVM-side, no Python
+UDFs anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text", lower: bool = True) -> F.Column:
+    c = F.col(text_col)
+    if lower:
+        c = F.lower(c)
+    return F.split(c, " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """EXT-DEDUP-EXACT: group by content hash, keep the minimum id.
+    One hash-agg shuffle on the digest; at 100 TB pre-partition the
+    write by digest prefix so reruns are shuffle-free."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def near_dup_pairs_exact(docs: DataFrame, threshold: float,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """EXT-DEDUP-NEAR, exact form: token-set Jaccard >= threshold for
+    all id_a < id_b pairs, via an inverted-index self-join on token —
+    never a cross join: only pairs sharing >=1 token materialize.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"))
+    return (
+        common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- MinHash+LSH
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min over tokens of
+    xxhash64(token, seed=i).  Deterministic (fixed seeds), fully
+    JVM-side: explode → groupBy(doc) with an array of min-aggs.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    mins = [F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = toks.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 64,
+                           bands: int = 16, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """LSH banding: split signatures into ``bands`` rows-per-band
+    groups, bucket-join on (band, band-hash).  Candidate pairs are
+    those agreeing on >=1 band — near-linear at 100 TB vs O(n²)
+    pairwise.  Verify candidates with near_dup_pairs_exact on the
+    candidate subset (two-phase: cheap recall, exact precision)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col)
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("signature", bi * rows_per_band + ri + 1)
+                           .cast("string")
+                           for ri in range(rows_per_band)])).alias("bucket"))
+            for bi in range(bands)])).alias("bb"))
+    buckets = banded.select("doc", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per token, xxhash64; per bit, vote +1/-1 across
+    tokens; fingerprint bit = sign of the vote.  Expressed as 64
+    conditional sums over the exploded token table — one shuffle."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_col(text_col)).alias("tok")
+    ).select("doc", F.xxhash64("tok").alias("th"))
+    votes = [
+        F.sum(F.when(F.shiftright("th", i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select("doc", fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= k, via the
+    pigeonhole band trick: split 64 bits into k+1 bands; any pair
+    within distance k agrees exactly on >=1 band → equi-join per band,
+    then exact popcount filter.  Near-linear candidate generation."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    fp = simhash64(docs, id_col, text_col)
+    pieces = fp.select("doc", "simhash", F.explode(F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.shiftright("simhash", bi * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("piece"))
+        for bi in range(bands)])).alias("bp")
+    ).select("doc", "simhash", "bp.band", "bp.piece")
+    a, b = pieces.alias("a"), pieces.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.piece") == F.col("b.piece"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                F.col("a.simhash").alias("fp_a"), F.col("b.simhash").alias("fp_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.select("doc_a", "doc_b",
+                        hamming.cast("bigint").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Character-n-gram Jaccard near-dup (EXT n-gram family): shingle
+    the text into distinct n-grams, then the same inverted-index join
+    as token Jaccard."""
+    grams = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length(text)-{n - 1}, 1)), "
+            f"i -> substring(text, i, {n}))"))).alias("tok"))
+    sizes = grams.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    a, b = grams.alias("a"), grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"))
+    return (common.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (EXT-SIM-TOPK).
+
+Exact brute-force cosine top-k as the oracle-checkable baseline, and
+an LSH-bucketed approximate variant as the 100 TB scale path.
+
+Determinism: the dot product is a *sequential left fold* in double
+(``aggregate(zip_with(...))``), verified bit-identical to DuckDB's
+``list_dot_product`` on DOUBLE[] (see tests/test_determinism.py) — so
+cosine values, and therefore rankings with an id tiebreak, hash-match
+exactly.  No Pandas UDF in this path: the fold is whole-stage-codegen
+JVM work over the Arrow-backed array column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_col(a: str | Column, b: str | Column) -> Column:
+    """Sequential double fold of the element products."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb,
+                       lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0).cast("double"),
+                       lambda acc, x: acc + x)
+
+
+def norm_col(a: str | Column) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(
+        F.transform(ca, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+
+
+def cosine_col(a: str | Column, b: str | Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    The query side is broadcast (queries << corpus); the corpus streams
+    once — at 100 TB this is a single scan with a per-partition top-k
+    (window rank), no corpus shuffle of the raw vectors.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id",
+                cosine_col("q_vec", "c_vec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
+def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                      num_planes: int = 16, num_tables: int = 4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      seed: int = 42) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH (sign sketches).
+
+    Each vector gets ``num_tables`` bucket codes (one per table,
+    ``num_planes`` sign bits each) from deterministic pseudo-random
+    hyperplanes (xxhash64-derived coefficients — no RNG state, fully
+    reproducible across the cluster).  Query/corpus join per (table,
+    bucket); exact cosine + top-k *within the candidate set*.  At
+    100 TB the candidate set is ~1/2^planes of the corpus per table —
+    partition pruning for vectors.
+    """
+    def coeff_fn(t_ix: int, p_ix: int):
+        # deterministic hyperplane: coeff_j = centered hash of
+        # (seed, table, plane, element index) — computed per element
+        def f(_x, i):
+            return (F.xxhash64(F.lit(seed), F.lit(t_ix), F.lit(p_ix), i)
+                    .cast("double") / F.lit(2.0 ** 63))
+        return f
+
+    def bucket_expr(prefix: str) -> Column:
+        tables = []
+        for t_ix in range(num_tables):
+            bits = []
+            for p_ix in range(num_planes):
+                proj = F.aggregate(
+                    F.zip_with(
+                        F.col(prefix),
+                        F.transform(F.col(prefix), coeff_fn(t_ix, p_ix)),
+                        lambda x, h: x.cast("double") * h),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+                            * F.lit(1 << p_ix))
+            code = bits[0]
+            for b in bits[1:]:
+                code = code + b
+            tables.append(F.struct(F.lit(t_ix).alias("tbl"),
+                                   code.alias("bucket")))
+        return F.explode(F.array(*tables))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       bucket_expr(vec_col).alias("qb"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      bucket_expr(vec_col).alias("cb"))
+    cand = (
+        q.join(c, (F.col("qb.tbl") == F.col("cb.tbl"))
+               & (F.col("qb.bucket") == F.col("cb.bucket"))
+               & (F.col("query_id") != F.col("corpus_id")))
+        .select("query_id", "corpus_id", "q_vec", "c_vec").distinct()
+    )
+    scored = cand.select("query_id", "corpus_id",
+                         cosine_col("q_vec", "c_vec").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_pairs(corpus: DataFrame, threshold: float,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """EXT embedding-cosine near-dup: all pairs with cosine >= τ.
+    Exact small-n form (self cross join on id<id); the scale path runs
+    the same threshold filter over lsh_bucketed candidates."""
+    a = corpus.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vec_b"))
+    return (
+        F.broadcast(a).crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col("vec_a", "vec_b").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators (EXT-TEXT-*): language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is Catalyst built-ins over the exploded/array token
+representation — no Python in the hot path; a 100 TB corpus scan stays
+in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword profiles for the n-gram/stopword language-ID
+# heuristic.  Real deployments swap in bigger profiles; the machinery
+# (array_intersect counts + deterministic arg-max) is the operator.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "value"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr": ("le", "la", "de", "et", "un", "en", "que", "pour"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space marks —
+# a public approximation of GPT-style pre-tokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def token_count_ws(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col)).cast("bigint")
+
+
+def token_count_bpe_ish(text_col: str = "text") -> Column:
+    """BPE-ish token count via regexp: counts word/number/punct pieces
+    (regexp_count is JVM-side; no tokenizer library needed)."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
+def stopword_hits(lang: str, text_col: str = "text") -> Column:
+    """Occurrence count (not distinct) of the profile words."""
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return F.expr(
+        f"size(filter(split(lower({text_col}), ' '), x -> x IN ({words})))"
+    ).cast("bigint")
+
+
+def langid_scores(text_col: str = "text") -> list[Column]:
+    return [stopword_hits(lang, text_col).alias(f"score_{lang}")
+            for lang in LANG_PROFILES]
+
+
+def langid_pred() -> Column:
+    """Deterministic arg-max over the score columns (fixed priority
+    order en>de>es>fr>zh on ties)."""
+    langs = list(LANG_PROFILES)
+    pred = F.lit(langs[0])
+    best = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+    return pred
+
+
+def punct_count(text_col: str = "text") -> Column:
+    return F.length(
+        F.regexp_replace(F.col(text_col), r"[^.,!?;:]", "")).cast("bigint")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality heuristic: favors mid-length docs with low
+    punctuation density and a healthy stopword ratio (the standard
+    pretraining-filter features; cf. C4/Gopher rules — public)."""
+    n_tok = token_count_ws(text_col).cast("double")
+    stop_ratio = stopword_hits("en", text_col).cast("double") / n_tok
+    punct_ratio = punct_count(text_col).cast("double") / \
+        F.length(text_col).cast("double")
+    len_score = F.least(n_tok / F.lit(32.0), F.lit(1.0))
+    return (F.lit(0.5) * len_score
+            + F.lit(0.3) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+            + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0),
+                                                 F.lit(1.0))))
+
+
+def normalized_fingerprint(text_col: str = "text") -> Column:
+    """Canonical-form fingerprint: lowercase, collapse whitespace, md5.
+    The exact-dedup key robust to spacing/case differences."""
+    return F.md5(F.concat_ws(
+        " ", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")))
+
+
+def shingle_fingerprint(text_col: str = "text", k: int = 5) -> Column:
+    """Rolling-shingle fingerprint: min over md5 of all k-token
+    shingles — a 1-permutation MinHash; two docs sharing any minimal
+    shingle collide (near-dup blocking key)."""
+    return F.array_min(F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {k - 1}, 1)), "
+        f"i -> md5(concat_ws(' ', slice(split(lower({text_col}), ' '), i, {k}))))"))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature set (used by the declared queries and
+    by pipeline consumers)."""
+    return docs.select(
+        "*",
+        token_count_ws(text_col).alias("n_tokens_ws"),
+        token_count_bpe_ish(text_col).alias("n_tokens_bpe"),
+        punct_count(text_col).alias("n_punct"),
+        quality_score(text_col).alias("quality"),
+        normalized_fingerprint(text_col).alias("fingerprint"),
+        *langid_scores(text_col),
+    ).withColumn("lang_pred", langid_pred())

@@ -1,0 +1,148 @@
+"""Declared queries: similarity search + multimodal passthrough
+(SURVEY.md §2.11) over ``embeddings``.
+
+Oracle note: cosine is computed as dot/(sqrt(dot_aa)*sqrt(dot_bb))
+with *sequential double folds* on both engines — Spark's
+``aggregate(zip_with(...))`` is bit-identical to DuckDB's
+``list_dot_product`` on DOUBLE[] (verified in
+tests/test_determinism.py), so values, thresholds and rankings match
+exactly.  DuckDB's ``list_cosine_similarity`` is NOT used (float32
+accumulation — drifts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..ext.similarity import (brute_force_topk, cosine_pairs,
+                              lsh_bucketed_topk)
+from .base import DeclaredQuery, t
+
+_COS = ("list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+def _sim_topk(spark, sf_dir):
+    """EXT-SIM-TOPK (exact baseline): cosine top-5 per query vector
+    (queries = vec_id < 10), ties broken by corpus id.  The query side
+    broadcasts; the corpus streams once — no corpus shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5).select(
+        "query_id", "corpus_id", "cosine", "rank")
+
+
+_SIM_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, corpus_id,
+         {_COS.format(a='qv', b='cv')} AS cosine
+  FROM q JOIN c ON query_id <> corpus_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _sim_topk_lsh(spark, sf_dir):
+    """EXT-SIM-TOPK (scale path): random-hyperplane LSH buckets →
+    candidate join → exact cosine re-rank.  Deterministic (hash-derived
+    hyperplanes) but approximate → rows-only check."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(queries, emb, k=5,
+                             num_planes=8, num_tables=4).select(
+        "query_id", "corpus_id", "cosine", "rank")
+
+
+def _dedup_embedding_pairs(spark, sf_dir):
+    """EXT-DEDUP (embedding cosine): near-dup pairs with cosine >= 0.4
+    (corpus max pairwise ≈ 0.48 — planted-dup free data, threshold
+    picks the upper tail)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)
+
+
+_DEDUP_EMBEDDING_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS.format(a='a.v', b='b.v')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
+"""
+
+
+def _mm_passthrough(spark, sf_dir):
+    """EXT-MM-COL: opaque array/binary columns ride through relational
+    ops untouched — filter + join + select keep the embedding intact;
+    outputs prove it (dim, first/last elements) without hashing raw
+    float arrays."""
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    joined = (emb.filter(F.col("label") < 5)
+              .join(docs, emb.vec_id == docs.doc_id, "inner"))
+    return joined.select(
+        "vec_id", "label", "lang",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e_first"),
+        F.element_at("embedding", -1).cast("double").alias("e_last"),
+    )
+
+
+_MM_PASSTHROUGH_SQL = """
+SELECT vec_id, label, lang,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS e_first,
+       CAST(embedding[len(embedding)] AS DOUBLE) AS e_last
+FROM embeddings JOIN documents ON vec_id = doc_id
+WHERE label < 5
+"""
+
+
+def _fn_array_ops(spark, sf_dir):
+    """OP-F-ARRAY: array family — size, element access, contains,
+    exact double-fold sums (sum of elements, L2 norm)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e_first"),
+        F.expr("aggregate(embedding, cast(0.0 as double), "
+               "(acc, x) -> acc + cast(x as double))").alias("e_sum"),
+        F.sqrt(F.expr(
+            "aggregate(embedding, cast(0.0 as double), "
+            "(acc, x) -> acc + cast(x as double) * cast(x as double))"))
+        .alias("l2_norm"),
+    )
+
+
+_FN_ARRAY_OPS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS e_first,
+       list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x),
+                   (a, b) -> a + b) AS e_sum,
+       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS l2_norm
+FROM embeddings
+"""
+
+
+QUERIES = [
+    DeclaredQuery("sim_topk", _sim_topk, _SIM_TOPK_SQL, "EXT-SIM-TOPK"),
+    DeclaredQuery("sim_topk_lsh", _sim_topk_lsh, None, "EXT-SIM-TOPK (LSH scale path)"),
+    DeclaredQuery("dedup_embedding_pairs", _dedup_embedding_pairs, _DEDUP_EMBEDDING_PAIRS_SQL, "EXT-DEDUP (embedding)"),
+    DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
+    DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),
+]

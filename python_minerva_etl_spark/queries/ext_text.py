@@ -1,0 +1,230 @@
+"""Declared queries: text-pipeline extensions — dedup + text analysis
+(SURVEY.md §2.11 / BASELINE.json north-star ops) over ``documents``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..ext import dedup as D
+from ..ext import text as X
+from .base import DeclaredQuery, t
+
+# ------------------------------------------------------------------ dedup
+
+def _dedup_exact(spark, sf_dir):
+    """EXT-DEDUP-EXACT: content-hash dedup, keep min doc_id."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def _dedup_near_pairs(spark, sf_dir):
+    """EXT-DEDUP-NEAR (exact form): token-set Jaccard >= 0.9 via the
+    inverted-index self-join (never a cross join).  The MinHash+LSH
+    scale path (rows-only twin below) finds the same pairs at 100 TB
+    with near-linear candidates."""
+    return D.near_dup_pairs_exact(t(spark, sf_dir, "documents"), 0.9)
+
+
+_DEDUP_NEAR_PAIRS_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / CAST(len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.9
+"""
+
+
+def _dedup_minhash_pairs(spark, sf_dir):
+    """EXT-DEDUP-NEAR (scale path): MinHash+LSH candidate pairs
+    (64 hashes, 16 bands).  Deterministic (fixed xxhash64 seeds) but
+    not ANSI-SQL-expressible → rows-only check."""
+    return D.minhash_lsh_candidates(t(spark, sf_dir, "documents"),
+                                    num_hashes=64, bands=16)
+
+
+def _dedup_simhash(spark, sf_dir):
+    """EXT-DEDUP (SimHash): 64-bit fingerprint near-dup pairs within
+    Hamming distance 3 via pigeonhole banding.  Rows-only check."""
+    return D.simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    """EXT-DEDUP (n-gram): character-3-gram Jaccard >= 0.95 pairs —
+    the shingle-level near-dup variant."""
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"),
+                                 n=3, threshold=0.95)
+
+
+_DEDUP_NGRAM_JACCARD_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substring(text, i, 3))) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / CAST(len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.95
+"""
+
+
+# ------------------------------------------------------------- text analysis
+
+def _text_token_stats(spark, sf_dir):
+    """EXT-TEXT-STATS: per-language corpus statistics (docs, token
+    totals — whitespace and BPE-ish — distinct vocabulary)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    vocab = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("distinct_tokens"))
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count_ws()).cast("bigint").alias("total_tokens_ws"),
+        F.sum(X.token_count_bpe_ish()).cast("bigint").alias("total_tokens_bpe"),
+    )
+    return stats.join(vocab, "lang")
+
+
+_TEXT_TOKEN_STATS_SQL = r"""
+WITH vocab AS (
+  SELECT lang, COUNT(DISTINCT tok) AS distinct_tokens
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+  GROUP BY 1
+),
+stats AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS total_tokens_ws,
+         CAST(SUM(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+           AS total_tokens_bpe
+  FROM documents GROUP BY 1
+)
+SELECT stats.lang, n_docs, total_tokens_ws, total_tokens_bpe, distinct_tokens
+FROM stats JOIN vocab ON stats.lang = vocab.lang
+"""
+
+
+def _text_quality_score(spark, sf_dir):
+    """EXT-TEXT quality scoring: length/punctuation/stopword features
+    combined into a pretraining-filter score (C4/Gopher-style rules)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count_ws().alias("n_tokens"),
+        X.token_count_bpe_ish().alias("n_tokens_bpe"),
+        X.punct_count().alias("n_punct"),
+        X.quality_score().alias("quality"),
+    )
+
+
+_TEXT_QUALITY_SCORE_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+           AS n_punct,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','a','of','and','to','in','is','value')))
+              AS BIGINT) AS stop_hits,
+         length(text) AS n_chars_txt
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_tokens_bpe, n_punct,
+       0.5 * least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+       + 0.3 * least(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0)
+       + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars_txt AS DOUBLE) * 10.0, 1.0))
+         AS quality
+FROM f
+"""
+
+
+def _text_langid(spark, sf_dir):
+    """EXT-TEXT language-ID: stopword-profile scores per language with
+    a deterministic arg-max (ties resolve in profile order)."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", F.col("lang").alias("lang_actual"),
+                         *X.langid_scores())
+    return scored.withColumn("lang_pred", X.langid_pred())
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, words in X.LANG_PROFILES.items():
+        quoted = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"x -> x IN ({quoted}))) AS BIGINT) AS score_{lang}")
+    langs = list(X.LANG_PROFILES)
+    greatest = "GREATEST(" + ", ".join(f"score_{c}" for c in langs) + ")"
+    case = ("CASE " + " ".join(
+        f"WHEN score_{c} = {greatest} THEN '{c}'" for c in langs) + " END")
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang AS lang_actual, {', '.join(score_exprs)}
+  FROM documents
+)
+SELECT s.*, {case} AS lang_pred FROM s
+"""
+
+
+def _text_fingerprint(spark, sf_dir):
+    """EXT-TEXT fingerprinting: canonical-form md5 + rolling 5-token
+    min-shingle fingerprint (1-perm MinHash blocking key)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.normalized_fingerprint().alias("fingerprint"),
+        X.shingle_fingerprint(k=5).alias("shingle_fp"),
+    )
+
+
+_TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(
+         string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fingerprint,
+       list_min(list_transform(
+         generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+         i -> md5(array_to_string(
+                string_split(lower(text), ' ')[i:i+4], ' ')))) AS shingle_fp
+FROM documents
+"""
+
+
+QUERIES = [
+    DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),
+    DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
+    DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
+    DeclaredQuery("dedup_simhash", _dedup_simhash, None, "EXT-DEDUP (SimHash)"),
+    DeclaredQuery("dedup_ngram_jaccard", _dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, "EXT-DEDUP (n-gram)"),
+    DeclaredQuery("text_token_stats", _text_token_stats, _TEXT_TOKEN_STATS_SQL, "EXT-TEXT-STATS"),
+    DeclaredQuery("text_quality_score", _text_quality_score, _TEXT_QUALITY_SCORE_SQL, "EXT-TEXT (quality)"),
+    DeclaredQuery("text_langid", _text_langid, _langid_oracle(), "EXT-TEXT (lang-id)"),
+    DeclaredQuery("text_fingerprint", _text_fingerprint, _TEXT_FINGERPRINT_SQL, "EXT-TEXT (fingerprint)"),
+]
