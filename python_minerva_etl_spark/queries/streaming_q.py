@@ -1,0 +1,98 @@
+"""Declared queries: streaming twins + incremental materialization
+(SURVEY.md §2.8, §2.9).
+
+Both are declared WITH oracles: stream-batch parity (availableNow ≡
+batch) and incremental-equals-full are exact by construction, so the
+batch SQL is a valid oracle for the streaming/incremental result.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from ..determinism import oracle_dsum
+from ..operators.materialization import (materialize_incremental,
+                                         read_target)
+from ..streaming.tumble import (read_events_stream, run_available_now,
+                                tumbling_agg)
+from .base import DeclaredQuery, t
+
+_STREAM_SEQ = itertools.count()
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _stream_tumble_parity(spark, sf_dir):
+    """OP-STR-TUMBLE/OP-STR-WATERMARK: the streaming flagship — file
+    stream → watermarked tumbling 1h window → decimal-exact aggregates,
+    executed availableNow into a memory sink.  Equals the batch twin
+    bit-for-bit (the oracle is plain batch SQL)."""
+    stream = read_events_stream(spark, sf_dir)
+    result = tumbling_agg(stream, width="1 hour", watermark="30 minutes")
+    name = f"stream_tumble_{next(_STREAM_SEQ)}"
+    return run_available_now(spark, result, name)
+
+
+_STREAM_TUMBLE_PARITY_SQL = f"""
+SELECT user_id,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _materialize_incremental(spark, sf_dir):
+    """OP-MAT-INC: fingerprint-driven incremental materialization.
+    Runs the state machine twice over a two-phase load (early data,
+    then the full table — simulating late arrivals): run 1 builds
+    partial state, run 2 recomputes only buckets whose fingerprints
+    changed.  The read-back target must equal a full one-shot
+    recompute — which is exactly the oracle SQL."""
+    ev = t(spark, sf_dir, "events")
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"mat_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    target = os.path.join(base, "target")
+    state = os.path.join(base, "state")
+
+    def compute(src):
+        return (
+            src.groupBy("user_id", "__bucket")
+            .agg(F.count("*").alias("samples"),
+                 F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                 .alias("sum_value"))
+            .withColumnRenamed("__bucket", "day").withColumn(
+                "__bucket", F.col("day"))
+        )
+
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    early = ev.filter(F.col("ts") < cutoff)
+    materialize_incremental(spark, early, "ts", "1d", compute, target, state)
+    materialize_incremental(spark, ev, "ts", "1d", compute, target, state)
+    return read_target(spark, target).select(
+        "user_id", "day", "samples", "sum_value")
+
+
+_MATERIALIZE_INCREMENTAL_SQL = f"""
+SELECT user_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = [
+    DeclaredQuery("stream_tumble_parity", _stream_tumble_parity,
+                  _STREAM_TUMBLE_PARITY_SQL, "OP-STR-TUMBLE/OP-STR-WATERMARK"),
+    DeclaredQuery("materialize_incremental", _materialize_incremental,
+                  _MATERIALIZE_INCREMENTAL_SQL, "OP-MAT-INC"),
+]
