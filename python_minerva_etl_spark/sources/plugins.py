@@ -1,0 +1,66 @@
+"""Harvest plugin registry (OP-SRC-PLUGIN).
+
+Reference semantics (minerva/harvest/plugins.py [U]): vendor file
+formats register parsers under the entry-points group
+``minerva.harvest.plugins``; ``get_plugin(file_type)`` returns a
+factory that builds a parser from a parser config.
+
+Spark mapping: a plain registry of reader functions
+``(spark, path, config) -> DataFrame``.  Formats with native Spark
+connectors (csv/parquet/json) are pre-registered; vendor XML/PM
+formats plug in the same way (a DataSource V2 implementation is NOT
+required — a function returning a DataFrame composes identically).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+ReaderFn = Callable[..., DataFrame]
+
+_REGISTRY: dict[str, ReaderFn] = {}
+
+
+def register(file_type: str):
+    def deco(fn: ReaderFn) -> ReaderFn:
+        _REGISTRY[file_type] = fn
+        return fn
+    return deco
+
+
+def get_plugin(file_type: str) -> ReaderFn:
+    try:
+        return _REGISTRY[file_type]
+    except KeyError:
+        raise KeyError(
+            f"no harvest plugin for {file_type!r}; "
+            f"registered: {sorted(_REGISTRY)}") from None
+
+
+def entry_points_plugins() -> None:
+    """Load third-party plugins from the ``minerva.harvest.plugins``
+    entry-points group (parity with the reference's discovery)."""
+    try:
+        from importlib.metadata import entry_points
+        for ep in entry_points(group="minerva.harvest.plugins"):
+            _REGISTRY.setdefault(ep.name, ep.load())
+    except Exception:
+        pass
+
+
+@register("parquet")
+def _read_parquet(spark: SparkSession, path: str, config=None) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+@register("csv")
+def _read_csv(spark: SparkSession, path: str, config=None) -> DataFrame:
+    from .csv import ParserConfig, parse_packages
+    return parse_packages(spark, path, config or ParserConfig())
+
+
+@register("json")
+def _read_json(spark: SparkSession, path: str, config=None) -> DataFrame:
+    return spark.read.json(path)

@@ -1,0 +1,79 @@
+"""Granularity arithmetic — mirrors the reference's
+tests/test_granularity.py [U]: truncate/inc/range incl. month and DST."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from zoneinfo import ZoneInfo
+
+import pytest
+
+from python_minerva_etl_spark.granularity import Granularity, normalize
+
+UTC = ZoneInfo("UTC")
+AMS = ZoneInfo("Europe/Amsterdam")
+
+
+def test_normalize_aliases():
+    assert normalize("900") == "15m"
+    assert normalize("3600") == "1h"
+
+
+def test_truncate_15m():
+    g = Granularity("15m")
+    ts = datetime(2024, 3, 1, 10, 37, 22, tzinfo=UTC)
+    assert g.truncate(ts) == datetime(2024, 3, 1, 10, 30, tzinfo=UTC)
+
+
+def test_truncate_month():
+    g = Granularity("1month")
+    ts = datetime(2024, 2, 15, 13, 0, tzinfo=UTC)
+    assert g.truncate(ts) == datetime(2024, 2, 1, tzinfo=UTC)
+
+
+def test_truncate_week_is_monday():
+    g = Granularity("1w")
+    ts = datetime(2024, 3, 7, 5, 0, tzinfo=UTC)  # Thursday
+    assert g.truncate(ts) == datetime(2024, 3, 4, tzinfo=UTC)  # Monday
+
+
+def test_month_inc_rollover():
+    g = Granularity("1month")
+    assert g.inc(datetime(2024, 12, 1, tzinfo=UTC)) == \
+        datetime(2025, 1, 1, tzinfo=UTC)
+    assert g.decr(datetime(2024, 1, 1, tzinfo=UTC)) == \
+        datetime(2023, 12, 1, tzinfo=UTC)
+
+
+def test_day_inc_across_dst_is_wall_clock():
+    """DST correctness: stepping 1d across the spring-forward boundary
+    keeps local midnight (a 23-real-hour step) — the reference's pytz
+    localize/normalize behavior."""
+    g = Granularity("1d", tz="Europe/Amsterdam")
+    # 2024-03-31 is the spring-forward day (02:00 -> 03:00 CET/CEST)
+    before = datetime(2024, 3, 31, 0, 0, tzinfo=AMS)
+    after = g.inc(before)
+    assert after.hour == 0 and after.day == 1 and after.month == 4
+    # real elapsed time is 23h, not 24h (diff in UTC — python ignores
+    # offsets when both operands share the same tzinfo object)
+    assert (after.astimezone(UTC)
+            - before.astimezone(UTC)).total_seconds() == 23 * 3600
+
+
+def test_range_inclusive():
+    g = Granularity("1d")
+    days = g.range(datetime(2024, 1, 1, 5, 0, tzinfo=UTC),
+                   datetime(2024, 1, 3, 1, 0, tzinfo=UTC))
+    assert [d.day for d in days] == [1, 2, 3]
+
+
+def test_range_month_calendar_lengths():
+    g = Granularity("1month")
+    months = g.range(datetime(2024, 1, 10, tzinfo=UTC),
+                     datetime(2024, 4, 2, tzinfo=UTC))
+    assert [m.month for m in months] == [1, 2, 3, 4]
+
+
+def test_unknown_granularity_rejected():
+    with pytest.raises(ValueError):
+        Granularity("7m")

@@ -1,0 +1,72 @@
+"""Incremental-equals-full property: OP-MAT-INC after arbitrary
+late-arrival replay orders equals a one-shot full recompute
+(SURVEY.md §5.4 — the state machine's safety net)."""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.operators.materialization import (
+    materialize_incremental, read_target)
+from python_minerva_etl_spark.registry import load_table
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scratch", "mat_prop")
+
+
+def _compute(src):
+    return (src.groupBy("user_id", "__bucket")
+            .agg(F.count("*").alias("samples"),
+                 F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                 .alias("sum_value"))
+            .withColumn("day", F.col("__bucket")))
+
+
+def _canon(df):
+    return sorted(map(tuple, df.select(
+        "user_id", "day", "samples", "sum_value").collect()))
+
+
+def test_incremental_equals_full_under_late_arrivals(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    full_dir = os.path.join(SCRATCH, "full")
+    inc_dir = os.path.join(SCRATCH, "inc")
+    for seed in (7, 42):
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        # full one-shot
+        materialize_incremental(
+            spark, ev, "ts", "1d", _compute,
+            os.path.join(full_dir, "t"), os.path.join(full_dir, "s"))
+        expected = _canon(read_target(spark, os.path.join(full_dir, "t")))
+
+        # incremental: replay in 3 random slices (late arrivals jumble
+        # event order arbitrarily across days)
+        rng = random.Random(seed)
+        ids = [r.event_id for r in ev.select("event_id").collect()]
+        rng.shuffle(ids)
+        cut1, cut2 = len(ids) // 3, 2 * len(ids) // 3
+        slices = [set(ids[:cut1]), set(ids[:cut2]), None]  # cumulative
+        n_recomputed = []
+        for s in slices:
+            batch = ev if s is None else ev.filter(F.col("event_id").isin(s))
+            n = materialize_incremental(
+                spark, batch, "ts", "1d", _compute,
+                os.path.join(inc_dir, "t"), os.path.join(inc_dir, "s"))
+            n_recomputed.append(n)
+        got = _canon(read_target(spark, os.path.join(inc_dir, "t")))
+        assert got == expected, f"seed {seed}: incremental != full"
+        # later runs must not recompute every bucket from scratch
+        assert n_recomputed[0] > 0
+
+
+def test_unchanged_rerun_recomputes_nothing(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    t, s = os.path.join(SCRATCH, "t"), os.path.join(SCRATCH, "s")
+    n1 = materialize_incremental(spark, ev, "ts", "1d", _compute, t, s)
+    n2 = materialize_incremental(spark, ev, "ts", "1d", _compute, t, s)
+    assert n1 == 30 and n2 == 0  # 30 days of data; second run is a no-op

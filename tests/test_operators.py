@@ -1,0 +1,154 @@
+"""Operator-library round-trips: CSV harvest parse, upsert write path,
+load pipeline, multimodal decode plumbing — the reference's
+integration-test analog (store → read back → assert), against local
+parquet instead of PostgreSQL."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scratch", "tests")
+
+
+@pytest.fixture()
+def scratch():
+    os.makedirs(SCRATCH, exist_ok=True)
+    yield SCRATCH
+
+
+def test_csv_parse_packages(spark, scratch):
+    from python_minerva_etl_spark.sources.csv import (ParserConfig,
+                                                      parse_packages)
+
+    path = os.path.join(scratch, "harvest.csv")
+    with open(path, "w") as fh:
+        fh.write("node;timestamp;pkts;bytes\n"
+                 "cell=1;2024-01-01 10:00:00;5;100\n"
+                 "cell=2;2024-01-01 10:00:00;;200\n")
+    cfg = ParserConfig(delimiter=";", timestamp_column="timestamp",
+                       entity_expression="concat('network=g1,', node)",
+                       value_columns=("pkts", "bytes"),
+                       value_types={"pkts": "integer", "bytes": "bigint"})
+    out = parse_packages(spark, path, cfg).orderBy("dn").collect()
+    assert out[0].dn == "network=g1,cell=1"
+    assert out[0].timestamp.hour == 10
+    assert out[0].pkts == 5 and out[0].bytes == 100
+    assert out[1].pkts is None  # empty string -> typed NULL
+
+
+def test_plugin_registry(spark):
+    from python_minerva_etl_spark.sources.plugins import get_plugin
+
+    reader = get_plugin("parquet")
+    df = reader(spark, "/root/testdata/sf0.001/region.parquet")
+    assert df.count() == 5
+    with pytest.raises(KeyError):
+        get_plugin("vendor-xml-unknown")
+
+
+def test_upsert_last_wins_across_batches(spark, scratch):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.upsert import upsert_parquet
+
+    path = os.path.join(scratch, "upsert_store")
+    shutil.rmtree(path, ignore_errors=True)
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, 1), (2, "2024-01-01", 20.0, 1)],
+        "entity bigint, bucket string, value double, seq int")
+    b2 = spark.createDataFrame(
+        [(1, "2024-01-01", 99.0, 2), (3, "2024-01-02", 30.0, 2)],
+        "entity bigint, bucket string, value double, seq int")
+    upsert_parquet(spark, b1, path, key=["entity", "bucket"],
+                   seq_col="seq", partition_col="bucket")
+    upsert_parquet(spark, b2, path, key=["entity", "bucket"],
+                   seq_col="seq", partition_col="bucket")
+    # partition values read back type-inferred (dates) — compare as str
+    got = {(r.entity, str(r.bucket)): r.value
+           for r in spark.read.parquet(path).collect()}
+    assert got[(1, "2024-01-01")] == 99.0   # batch 2 won
+    assert got[(2, "2024-01-01")] == 20.0   # untouched key survives
+    assert got[(3, "2024-01-02")] == 30.0   # new partition appended
+
+
+def test_load_pipeline_end_to_end(spark, scratch):
+    """§3.1 flagship: csv → normalize → entity resolve → upsert →
+    read back; a re-load of corrected data wins."""
+    from python_minerva_etl_spark.plans.load import load_data
+    from python_minerva_etl_spark.sources.csv import ParserConfig
+
+    src = os.path.join(scratch, "load1.csv")
+    store = os.path.join(scratch, "trend_store")
+    mlog = os.path.join(scratch, "modified_log")
+    for p in (store, mlog):
+        shutil.rmtree(p, ignore_errors=True)
+    with open(src, "w") as fh:
+        fh.write("entity,timestamp,v\n"
+                 "cell=1,2024-01-01 10:00:00,5\n"
+                 "cell=2,2024-01-02 10:00:00,7\n")
+    cfg = ParserConfig(entity_expression="entity", value_columns=("v",),
+                       value_types={"v": "integer"})
+    out = load_data(spark, "csv", src, store, cfg,
+                    modified_log_path=mlog)
+    assert out.count() == 2
+    # corrected re-load of the same key
+    with open(src, "w") as fh:
+        fh.write("entity,timestamp,v\n"
+                 "cell=1,2024-01-01 10:00:00,6\n")
+    out2 = load_data(spark, "csv", src, store, cfg,
+                     modified_log_path=mlog)
+    vals = {r.dn: r.v for r in out2.collect()}
+    assert vals["cell=1"] == 6 and vals["cell=2"] == 7
+    assert spark.read.parquet(mlog).count() >= 2  # modified log appended
+
+
+def test_multimodal_decode_plumbing(spark):
+    """EXT-MM-COL: Arrow-batched decode stage — schema, batch shape and
+    determinism are real; the codec itself is a deterministic fake."""
+    from python_minerva_etl_spark.ext.multimodal import (attach_asset_meta,
+                                                         decode_assets)
+
+    rows = [(i, bytes([i % 251] * (16 + i))) for i in range(40)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    with_meta = attach_asset_meta(df, "payload", "image/png")
+    assert "asset_meta" in with_meta.columns
+    checksums = with_meta.select("asset_meta.checksum").distinct().count()
+    assert checksums == 40
+    decoded = decode_assets(df.repartition(4), "asset_id", "payload", dim=8)
+    got = decoded.orderBy("asset_id").collect()
+    assert len(got) == 40
+    assert all(len(r.feature) == 8 for r in got)
+    assert got[0].n_bytes == 16
+    # deterministic across partitionings
+    again = decode_assets(df.repartition(2), "asset_id", "payload",
+                          dim=8).orderBy("asset_id").collect()
+    assert [r.feature for r in got] == [r.feature for r in again]
+
+
+def test_instance_aggregation_compile(spark):
+    """§3.3: declarative trend-store spec compiles to the same result
+    as the hand-written flagship aggregation."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.plans.instance import (Trend,
+                                                         TrendStorePart,
+                                                         aggregate_time,
+                                                         reaggregate_avg)
+    from python_minerva_etl_spark.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    part = TrendStorePart("main", (Trend("value", "double", "avg", "avg"),))
+    hourly = aggregate_time(ev, part, "user_id", "ts", "1h")
+    assert set(hourly.columns) == {"user_id", "ts", "value", "samples"}
+    daily = reaggregate_avg(hourly, "value", "user_id", "ts", "1d")
+    # exact re-aggregation invariant: AVG(1d from 1h partials) == direct AVG
+    direct = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts"))
+              .agg((F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                    / F.count("value").cast("double")).alias("avg_direct")))
+    merged = daily.join(direct, ["user_id", "ts"])
+    assert daily.count() == direct.count() == merged.count()
+    assert merged.filter(F.col("avg_value") != F.col("avg_direct")).count() == 0
