@@ -51,10 +51,12 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 
 def _dedup_minhash_pairs(spark, sf_dir):
     """EXT-DEDUP-NEAR (scale path): MinHash+LSH candidate pairs
-    (64 hashes, 16 bands).  Deterministic (fixed xxhash64 seeds) but
-    not ANSI-SQL-expressible → rows-only check."""
+    (64 hashes, 8 bands x 8 rows — the threshold curve s^8 keeps the
+    candidate set near-linear even on this mutually-similar corpus).
+    Deterministic (fixed xxhash64 seeds) but not ANSI-SQL-expressible
+    → rows-only check."""
     return D.minhash_lsh_candidates(t(spark, sf_dir, "documents"),
-                                    num_hashes=64, bands=16)
+                                    num_hashes=64, bands=8)
 
 
 def _dedup_simhash(spark, sf_dir):
