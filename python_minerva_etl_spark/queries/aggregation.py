@@ -98,6 +98,27 @@ GROUP BY 1, 2
 """
 
 
+def _agg_time_1month(spark, sf_dir):
+    """OP-AGG-TIME at 1month — *calendar* bucket: date_trunc under the
+    session tz, never window() (fixed-duration windows are wrong for
+    months/DST — SURVEY.md §4)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("month"), "event_type")
+        .agg(F.count("*").alias("samples"), dsum("value", 4, "sum_value"))
+    )
+
+
+_AGG_TIME_1MONTH_SQL = f"""
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       event_type,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _agg_reagg_avg(spark, sf_dir):
     """OP-AGG-PARTIAL: daily AVG computed from *hourly* (sum, samples)
     partials — exact because the partials are decimal.  This is
@@ -224,6 +245,7 @@ QUERIES = [
     DeclaredQuery("agg_time_1h", _agg_time_1h, _AGG_TIME_1H_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_15m", _agg_time_15m, _AGG_TIME_15M_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_1d", _agg_time_1d, _AGG_TIME_1D_SQL, "OP-AGG-TIME"),
+    DeclaredQuery("agg_time_1month", _agg_time_1month, _AGG_TIME_1MONTH_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_reagg_avg", _agg_reagg_avg, _AGG_REAGG_AVG_SQL, "OP-AGG-PARTIAL"),
     DeclaredQuery("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL, "OP-AGG-DISTINCT"),
     DeclaredQuery("agg_approx_distinct", _agg_approx_distinct, None, "OP-AGG-DISTINCT"),

@@ -340,6 +340,22 @@ SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 # --- §2.7 scalar function families ------------------------------------
 
 
+def _set_intersect(spark, sf_dir):
+    """OP-INTERSECT: customers appearing in both the positive-balance
+    and the MACHINERY-segment sets (distinct intersection)."""
+    cust = t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return a.intersect(b)
+
+
+_SET_INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
 def _fn_date_bucket_series(spark, sf_dir):
     """OP-F-DATE: granularity.range as a dense time spine —
     sequence()+explode, then a left join to count per bucket including
@@ -440,6 +456,7 @@ QUERIES = [
     DeclaredQuery("topk_worst", _topk_worst, _TOPK_WORST_SQL, "OP-LIMIT/TOPK"),
     DeclaredQuery("set_union", _set_union, _SET_UNION_SQL, "OP-UNION"),
     DeclaredQuery("set_except", _set_except, _SET_EXCEPT_SQL, "OP-EXCEPT"),
+    DeclaredQuery("set_intersect", _set_intersect, _SET_INTERSECT_SQL, "OP-INTERSECT"),
     DeclaredQuery("fn_date_bucket_series", _fn_date_bucket_series, _FN_DATE_BUCKET_SERIES_SQL, "OP-F-DATE"),
     DeclaredQuery("fn_string_dn", _fn_string_dn, _FN_STRING_DN_SQL, "OP-F-STR"),
     DeclaredQuery("fn_kpi_math", _fn_kpi_math, _FN_KPI_MATH_SQL, "OP-F-MATH"),
