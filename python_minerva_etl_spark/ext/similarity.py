@@ -48,15 +48,21 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     once — at 100 TB this is a single scan with a per-partition top-k
     (window rank), no corpus shuffle of the raw vectors.
     """
+    # norms are precomputed once per vector (not per pair) — same fold
+    # expression, so the cosine value stays bit-identical to the
+    # per-pair formulation the oracle uses
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       norm_col(vec_col).alias("q_norm"))
     c = corpus.select(F.col(id_col).alias("corpus_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      F.col(vec_col).alias("c_vec"),
+                      norm_col(vec_col).alias("c_norm"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id",
-                cosine_col("q_vec", "c_vec").alias("cosine"))
+                (dot_col("q_vec", "c_vec")
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id"))
