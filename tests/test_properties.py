@@ -1,0 +1,83 @@
+"""Hypothesis property tests for the pure-python core (type lattice,
+granularity algebra) — the invariants the dynamic-schema ingest and the
+materialization scheduler rely on."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from python_minerva_etl_spark.datatype import (deduce_from_string,
+                                               generalize)
+from python_minerva_etl_spark.granularity import Granularity
+
+TYPES = ["smallint", "integer", "bigint", "double", "text",
+         "boolean", "timestamp"]
+
+
+@given(st.sampled_from(TYPES), st.sampled_from(TYPES))
+def test_generalize_commutative(a, b):
+    assert generalize(a, b) == generalize(b, a)
+
+
+@given(st.sampled_from(TYPES), st.sampled_from(TYPES), st.sampled_from(TYPES))
+def test_generalize_associative(a, b, c):
+    assert generalize(generalize(a, b), c) == generalize(a, generalize(b, c))
+
+
+@given(st.sampled_from(TYPES))
+def test_generalize_idempotent(a):
+    assert generalize(a, a) == a
+    assert generalize(a, "text") == "text"  # text absorbs
+
+
+@given(st.text(max_size=30))
+def test_deduce_total(s):
+    assert deduce_from_string(s) in TYPES
+
+
+@given(st.integers(min_value=-(2 ** 70), max_value=2 ** 70))
+def test_deduce_int_roundtrip_widens_only(n):
+    t = deduce_from_string(str(n))
+    assert t in ("smallint", "integer", "bigint", "double")
+    # the deduced domain always contains the value
+    bounds = {"smallint": 2 ** 15, "integer": 2 ** 31, "bigint": 2 ** 63}
+    if t in bounds:
+        assert abs(n) < bounds[t]
+
+
+_TS = st.datetimes(min_value=datetime(2000, 1, 2),
+                   max_value=datetime(2030, 12, 30)).map(
+    lambda d: d.replace(tzinfo=timezone.utc))
+_GRAN = st.sampled_from(["15m", "1h", "1d", "1w", "1month"])
+
+
+@settings(max_examples=200)
+@given(_TS, _GRAN)
+def test_truncate_idempotent(ts, g):
+    gran = Granularity(g)
+    once = gran.truncate(ts)
+    assert gran.truncate(once) == once
+    assert once <= ts
+
+
+@settings(max_examples=200)
+@given(_TS, _GRAN)
+def test_inc_decr_inverse_on_bucket_starts(ts, g):
+    gran = Granularity(g)
+    b = gran.truncate(ts)
+    assert gran.decr(gran.inc(b)) == b
+    assert gran.inc(b) > b
+
+
+@settings(max_examples=100)
+@given(_TS, _GRAN)
+def test_range_covers_and_steps(ts, g):
+    gran = Granularity(g)
+    end = gran.inc(gran.inc(gran.truncate(ts)))
+    buckets = gran.range(ts, end)
+    assert buckets[0] == gran.truncate(ts)
+    assert buckets[-1] == end
+    assert all(gran.inc(a) == b for a, b in zip(buckets, buckets[1:]))

@@ -1,0 +1,81 @@
+"""Streaming paths beyond the declared parity query: the stateful
+trigger evaluation over micro-batches (OP-STR-STATEFUL: Minerva's
+per-bucket trigger polling → foreachBatch) and the notification
+append-only sink it feeds (OP-SNK-NOTIF)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.operators.notification import (
+    append_notifications, query_notifications)
+from python_minerva_etl_spark.operators.trigger import (ThresholdRule,
+                                                        evaluate)
+from python_minerva_etl_spark.registry import load_table
+from python_minerva_etl_spark.streaming.tumble import read_events_stream
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scratch", "streaming")
+
+RULE = ThresholdRule(
+    name="high_value",
+    kpi="value",
+    thresholds=(("critical", 90.0), ("major", 75.0), ("warning", 50.0)),
+    condition="event_type <> 'error'",
+    weights={"critical": 100, "major": 50, "warning": 10},
+)
+
+
+def test_foreachbatch_trigger_to_notification_sink(spark):
+    """Stream → trigger rules per micro-batch → append-only
+    notification store; result equals batch trigger evaluation."""
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    sink = os.path.join(SCRATCH, "notifications")
+
+    def process(batch_df, batch_id):
+        notif = evaluate(batch_df, RULE, entity_col="user_id", ts_col="ts")
+        append_notifications(
+            notif.select("event_id", "user_id", "ts", "severity", "weight"),
+            sink)
+
+    stream = read_events_stream(spark, sf)
+    q = (stream.writeStream.foreachBatch(process)
+         .option("checkpointLocation", os.path.join(SCRATCH, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(sink)
+    want = evaluate(load_table(spark, sf, "events"), RULE,
+                    entity_col="user_id", ts_col="ts")
+    assert got.count() == want.count() > 0
+    assert (got.agg(F.sum("weight")).collect()[0][0]
+            == want.agg(F.sum("weight")).collect()[0][0])
+
+
+def test_notification_query_time_range(spark):
+    """OP-NOTIF-QUERY over the appended store: range + attribute filter
+    + ordering; appends never rewrite existing files."""
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    sink = os.path.join(SCRATCH, "notifications")
+    ev = load_table(spark, sf, "events")
+    notif = evaluate(ev, RULE, entity_col="user_id", ts_col="ts").select(
+        "event_id", "user_id", "ts", "severity", "weight")
+    append_notifications(notif, sink)
+    n_files_1 = sum(len(fs) for _, _, fs in os.walk(sink))
+    append_notifications(notif.limit(5), sink)  # second append
+    n_files_2 = sum(len(fs) for _, _, fs in os.walk(sink))
+    assert n_files_2 > n_files_1  # append-only: strictly more files
+
+    out = query_notifications(
+        spark, sink, "2024-01-05 00:00:00", "2024-01-10 00:00:00",
+        predicate="severity = 'critical'").collect()
+    assert len(out) > 0
+    assert all(r.severity == "critical" for r in out)
+    ts = [r.ts for r in out]
+    assert ts == sorted(ts)
+    assert all("2024-01-05" <= str(r.ts)[:10] < "2024-01-10" for r in out)
