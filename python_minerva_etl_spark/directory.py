@@ -1,0 +1,83 @@
+"""Directory — entities, entity types, distinguished names.
+
+Reference semantics (minerva/directory/distinguishedname.py,
+entity.py, entityref.py [U]): a distinguished name is an ordered list
+of ``type=value`` components (``network=g1,cell=301``); the entity
+type is the last component's type; entities resolve dn -> entity_id
+with create-if-missing against the ``directory`` schema.
+
+Spark mapping: DNs are plain string columns; parse/build are Catalyst
+string functions; the entity registry is a dimension DataFrame and
+resolution is a broadcast join; *new* ids are content-derived
+(md5(dn)) so creation is deterministic and cluster-parallel — no
+sequence allocator round-trip per row (the reference's main ingest
+bottleneck).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- python side
+
+
+def split_parts(dn: str) -> list[tuple[str, str]]:
+    """'a=1,b=2' -> [('a','1'), ('b','2')] (driver-side planning use)."""
+    out = []
+    for part in dn.split(","):
+        k, _, v = part.partition("=")
+        out.append((k, v))
+    return out
+
+
+def entity_type_of(dn: str) -> str:
+    return split_parts(dn)[-1][0]
+
+
+def build_dn(*parts: tuple[str, str]) -> str:
+    return ",".join(f"{k}={v}" for k, v in parts)
+
+
+# ---------------------------------------------------------------- column side
+
+
+def dn_component(dn: Column | str, type_name: str) -> Column:
+    """Value of the ``type_name=`` component (empty string if absent)."""
+    c = F.col(dn) if isinstance(dn, str) else dn
+    return F.regexp_extract(c, rf"(?:^|,){type_name}=([^,]*)", 1)
+
+
+def dn_entity_type(dn: Column | str) -> Column:
+    """Type of the last component (the entity's own type)."""
+    c = F.col(dn) if isinstance(dn, str) else dn
+    return F.regexp_extract(c, r"([^,=]+)=[^,=]*$", 1)
+
+
+def dn_build(**parts: Column | str) -> Column:
+    """Build a DN column from type=column pairs (kwarg order kept)."""
+    pieces = []
+    for k, v in parts.items():
+        col = F.col(v) if isinstance(v, str) else v
+        pieces.append(F.concat(F.lit(f"{k}="), col.cast("string")))
+    return F.concat_ws(",", *pieces)
+
+
+def entity_key(dn: Column | str) -> Column:
+    """Deterministic content-derived entity key (OP-DIR-ENTITY)."""
+    c = F.col(dn) if isinstance(dn, str) else dn
+    return F.md5(c.cast("binary"))
+
+
+def resolve(df: DataFrame, registry: DataFrame, dn_col: str = "dn",
+            registry_dn: str = "dn") -> DataFrame:
+    """Resolve against an entity registry dim with create-if-missing:
+    broadcast-join the registry; rows with no match get the
+    content-derived key (which IS the id scheme of the registry, so
+    new and existing rows agree)."""
+    reg = registry.select(F.col(registry_dn).alias("__dn"),
+                          F.col("entity_key").alias("__existing"))
+    joined = df.join(F.broadcast(reg), df[dn_col] == F.col("__dn"), "left")
+    return (joined.withColumn(
+        "entity_key", F.coalesce(F.col("__existing"), entity_key(dn_col)))
+        .drop("__dn", "__existing"))

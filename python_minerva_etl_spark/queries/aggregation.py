@@ -119,6 +119,26 @@ GROUP BY 1, 2
 """
 
 
+def _agg_time_1w(spark, sf_dir):
+    """OP-AGG-TIME at 1w — ISO-week calendar bucket (Monday start in
+    both engines)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", "ts").alias("week"), "user_id")
+        .agg(F.count("*").alias("samples"), dsum("value", 4, "sum_value"))
+    )
+
+
+_AGG_TIME_1W_SQL = f"""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       user_id,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _agg_reagg_avg(spark, sf_dir):
     """OP-AGG-PARTIAL: daily AVG computed from *hourly* (sum, samples)
     partials — exact because the partials are decimal.  This is
@@ -246,6 +266,7 @@ QUERIES = [
     DeclaredQuery("agg_time_15m", _agg_time_15m, _AGG_TIME_15M_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_1d", _agg_time_1d, _AGG_TIME_1D_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_1month", _agg_time_1month, _AGG_TIME_1MONTH_SQL, "OP-AGG-TIME"),
+    DeclaredQuery("agg_time_1w", _agg_time_1w, _AGG_TIME_1W_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_reagg_avg", _agg_reagg_avg, _AGG_REAGG_AVG_SQL, "OP-AGG-PARTIAL"),
     DeclaredQuery("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL, "OP-AGG-DISTINCT"),
     DeclaredQuery("agg_approx_distinct", _agg_approx_distinct, None, "OP-AGG-DISTINCT"),

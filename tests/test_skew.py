@@ -1,0 +1,66 @@
+"""Salted aggregation: bit-identical to unsalted on skewed data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.operators.skew import salted_agg
+from python_minerva_etl_spark.registry import load_table
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    # make user 1 pathologically hot (unioned copies of its rows)
+    hot = ev.filter(F.col("user_id") == 1)
+    skewed = ev.union(hot).union(hot).union(hot)
+
+    aggs = {
+        "samples": (F.count("*"), F.sum("samples")),
+        "sum_value": (F.sum(F.col("value").cast("decimal(28,4)")),
+                      F.sum("sum_value")),
+        "max_value": (F.max("value"), F.max("max_value")),
+    }
+    salted = salted_agg(skewed, ["user_id"], 32, aggs).withColumn(
+        "sum_value", F.col("sum_value").cast("double"))
+    plain = (skewed.groupBy("user_id")
+             .agg(F.count("*").alias("samples"),
+                  F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                  .alias("sum_value"),
+                  F.max("value").alias("max_value")))
+
+    a = {r.user_id: (r.samples, r.sum_value, r.max_value)
+         for r in salted.collect()}
+    b = {r.user_id: (r.samples, r.sum_value, r.max_value)
+         for r in plain.collect()}
+    assert a == b  # exact, including the decimal-summed doubles
+
+
+def test_directory_dn_roundtrip(spark):
+    from python_minerva_etl_spark import directory as D
+
+    assert D.entity_type_of("network=g1,cell=301") == "cell"
+    assert D.build_dn(("network", "g1"), ("cell", "3")) == "network=g1,cell=3"
+
+    df = spark.createDataFrame(
+        [("network=g1,cell=301",), ("network=g2,node=17",)], "dn string")
+    got = df.select(
+        D.dn_component("dn", "network").alias("net"),
+        D.dn_entity_type("dn").alias("etype"),
+        D.entity_key("dn").alias("key")).collect()
+    assert [r.net for r in got] == ["g1", "g2"]
+    assert [r.etype for r in got] == ["cell", "node"]
+    assert len({r.key for r in got}) == 2 and all(len(r.key) == 32 for r in got)
+
+
+def test_directory_resolve_create_if_missing(spark):
+    from python_minerva_etl_spark import directory as D
+
+    registry = spark.createDataFrame(
+        [("network=g1,cell=1", "known-key-1")], "dn string, entity_key string")
+    facts = spark.createDataFrame(
+        [("network=g1,cell=1", 10.0), ("network=g1,cell=2", 20.0)],
+        "dn string, value double")
+    out = {r.dn: r.entity_key
+           for r in D.resolve(facts, registry).collect()}
+    assert out["network=g1,cell=1"] == "known-key-1"       # existing id kept
+    assert len(out["network=g1,cell=2"]) == 32             # new content id
