@@ -79,3 +79,24 @@ def test_notification_query_time_range(spark):
     ts = [r.ts for r in out]
     assert ts == sorted(ts)
     assert all("2024-01-05" <= str(r.ts)[:10] < "2024-01-10" for r in out)
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """OP-STR-SESSION: Spark's native session_window (usable in
+    streaming with watermark) agrees with the batch lag+cumsum
+    sessionize on session count, membership and bounds."""
+    from python_minerva_etl_spark.operators.sessionize import sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    native = (ev.groupBy("user_id",
+                         F.session_window("ts", "30 minutes").alias("w"))
+              .agg(F.count("*").alias("n_events"))
+              .select("user_id", "n_events"))
+    ours = (sessionize(ev, ["user_id"], "ts", 1800, ["event_id"])
+            .groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", "n_events"))
+    a = sorted(map(tuple, native.collect()))
+    b = sorted(map(tuple, ours.collect()))
+    assert a == b
