@@ -1,0 +1,155 @@
+"""CLI — the reference's ``minerva`` command surface, Spark-backed.
+
+Reference commands (minerva/commands/* [U]) → subcommands here:
+
+    initialize            load + validate a YAML instance directory
+    load-data             harvest a file into a trend store (§3.1)
+    materialize           incremental materialization run (§3.2)
+    create-notifications  evaluate a trigger, append notifications
+    bench                 run the headline benchmark
+
+Usage: ``python -m python_minerva_etl_spark.cli <command> …``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+    s = get_spark(app_name="minerva-cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_initialize(args) -> int:
+    from .plans.yaml_instance import MinervaInstance
+    inst = MinervaInstance.load(args.instance_dir)
+    summary = {
+        "trend_stores": [
+            {"data_source": ts.data_source, "entity_type": ts.entity_type,
+             "granularity": ts.granularity,
+             "parts": {p.name: len(p.trends) for p in ts.parts}}
+            for ts in inst.trend_stores],
+        "relations": [r.name for r in inst.relations],
+        "triggers": [t.name for t in inst.triggers],
+        "materializations": [m.name for m in inst.materializations],
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_load_data(args) -> int:
+    from .plans.load import load_data
+    from .sources.csv import ParserConfig
+    spark = _spark()
+    cfg = ParserConfig(
+        delimiter=args.delimiter,
+        timestamp_column=args.timestamp_column,
+        timestamp_format=args.timestamp_format,
+        entity_expression=args.entity_expression)
+    out = load_data(spark, args.file_type, args.path, args.target, cfg,
+                    granularity=args.granularity,
+                    modified_log_path=args.modified_log)
+    print(json.dumps({"loaded_rows": out.count(), "target": args.target}))
+    return 0
+
+
+def cmd_materialize(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.materialization import materialize_incremental
+    spark = _spark()
+    source = spark.read.parquet(args.source)
+
+    def compute(src):
+        aggs = [F.count("*").alias("samples")]
+        for c in args.sum_columns or []:
+            aggs.append(F.sum(F.col(c).cast("decimal(28,6)")).cast("double")
+                        .alias(f"sum_{c}"))
+        return src.groupBy(args.entity_column, "__bucket").agg(*aggs)
+
+    n = materialize_incremental(
+        spark, source, args.timestamp_column, args.granularity,
+        compute, args.target, args.state)
+    print(json.dumps({"recomputed_buckets": n}))
+    return 0
+
+
+def cmd_create_notifications(args) -> int:
+    from .operators.notification import append_notifications
+    from .operators.trigger import evaluate
+    from .plans.yaml_instance import MinervaInstance
+    spark = _spark()
+    inst = MinervaInstance.load(args.instance_dir)
+    rules = {t.name: t for t in inst.triggers}
+    if args.trigger not in rules:
+        print(f"unknown trigger {args.trigger!r}; have {sorted(rules)}",
+              file=sys.stderr)
+        return 2
+    source = spark.read.parquet(args.source)
+    notif = evaluate(source, rules[args.trigger],
+                     entity_col=args.entity_column,
+                     ts_col=args.timestamp_column)
+    append_notifications(notif, args.target, ts_col=args.timestamp_column)
+    print(json.dumps({"notifications": notif.count(), "target": args.target}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="minerva-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("initialize", help="load a YAML instance directory")
+    s.add_argument("instance_dir")
+    s.set_defaults(fn=cmd_initialize)
+
+    s = sub.add_parser("load-data", help="harvest a file into a trend store")
+    s.add_argument("--file-type", default="csv")
+    s.add_argument("--path", required=True)
+    s.add_argument("--target", required=True)
+    s.add_argument("--delimiter", default=",")
+    s.add_argument("--timestamp-column", default="timestamp")
+    s.add_argument("--timestamp-format", default="yyyy-MM-dd HH:mm:ss")
+    s.add_argument("--entity-expression", default="entity")
+    s.add_argument("--granularity", default="1d")
+    s.add_argument("--modified-log", default=None)
+    s.set_defaults(fn=cmd_load_data)
+
+    s = sub.add_parser("materialize", help="incremental materialization run")
+    s.add_argument("--source", required=True)
+    s.add_argument("--target", required=True)
+    s.add_argument("--state", required=True)
+    s.add_argument("--granularity", default="1h")
+    s.add_argument("--entity-column", default="entity_key")
+    s.add_argument("--timestamp-column", default="timestamp")
+    s.add_argument("--sum-columns", nargs="*", default=[])
+    s.set_defaults(fn=cmd_materialize)
+
+    s = sub.add_parser("create-notifications",
+                       help="evaluate a trigger, append notifications")
+    s.add_argument("--instance-dir", required=True)
+    s.add_argument("--trigger", required=True)
+    s.add_argument("--source", required=True)
+    s.add_argument("--target", required=True)
+    s.add_argument("--entity-column", default="entity_key")
+    s.add_argument("--timestamp-column", default="timestamp")
+    s.set_defaults(fn=cmd_create_notifications)
+
+    s = sub.add_parser("bench", help="run the headline benchmark")
+    s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 class ThresholdRule:
     """Ordered severity thresholds over a KPI expression.
 
-    ``thresholds``: list of (severity, lower_bound) in DESCENDING bound
-    order — first match wins, like the reference's ordered CASE.
+    ``thresholds``: (severity, lower_bound) pairs in any order — the
+    highest matching bound wins, like the reference's ordered CASE
+    (bounds are canonicalized here, so YAML declaration order is free).
     """
 
     name: str
@@ -37,7 +38,9 @@ class ThresholdRule:
     def severity_col(self) -> Column:
         kpi = F.expr(self.kpi)
         out = F.lit(None).cast("string")
-        for severity, bound in reversed(self.thresholds):
+        # build the CASE from the lowest bound up: each higher bound
+        # wraps the previous, so the highest matching bound wins
+        for severity, bound in sorted(self.thresholds, key=lambda sv: sv[1]):
             out = F.when(kpi >= F.lit(bound), F.lit(severity)).otherwise(out)
         return out
 

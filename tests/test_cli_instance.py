@@ -1,0 +1,133 @@
+"""YAML instance loading (§3.3) + the CLI end-to-end flow:
+initialize → load-data → materialize → create-notifications."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = os.path.join(REPO, ".scratch", "cli")
+
+TREND_YAML = """\
+data_source: vendor
+entity_type: Cell
+granularity: 15m
+partition_size: 86400
+parts:
+  - name: main
+    trends:
+      - name: pkts
+        data_type: integer
+        time_aggregation: SUM
+        entity_aggregation: SUM
+      - name: latency
+        data_type: double
+        time_aggregation: AVG
+        entity_aggregation: AVG
+"""
+
+TRIGGER_YAML = """\
+name: high_latency
+kpi: latency
+condition: "true"
+thresholds:
+  - severity: warning
+    value: 10.0
+    weight: 10
+  - severity: critical
+    value: 50.0
+    weight: 100
+"""
+
+RELATION_YAML = """\
+name: cell_to_site
+source: cell_id
+target: site_id
+"""
+
+
+@pytest.fixture(scope="module")
+def instance_dir():
+    base = os.path.join(SCRATCH, "instance")
+    shutil.rmtree(base, ignore_errors=True)
+    for sub, name, text in (("trend", "vendor.yaml", TREND_YAML),
+                            ("trigger", "high_latency.yaml", TRIGGER_YAML),
+                            ("relation", "cell_to_site.yaml", RELATION_YAML)):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+        with open(os.path.join(base, sub, name), "w") as fh:
+            fh.write(text)
+    return base
+
+
+def test_yaml_instance_load(instance_dir):
+    from python_minerva_etl_spark.plans.yaml_instance import MinervaInstance
+
+    inst = MinervaInstance.load(instance_dir)
+    assert len(inst.trend_stores) == 1
+    store = inst.trend_stores[0]
+    assert store.granularity == "15m"
+    assert [t.name for t in store.parts[0].trends] == ["pkts", "latency"]
+    assert store.parts[0].trends[1].time_aggregation == "avg"
+    trig = inst.triggers[0]
+    # thresholds preserved; descending check order applied at compile
+    assert trig.weights == {"warning": 10, "critical": 100}
+    assert inst.relations[0].source_col == "cell_id"
+
+
+def test_trigger_threshold_order_from_yaml(spark, instance_dir):
+    """YAML lists thresholds ascending; severity must still resolve by
+    highest matching bound."""
+    from python_minerva_etl_spark.operators.trigger import evaluate
+    from python_minerva_etl_spark.plans.yaml_instance import MinervaInstance
+
+    rule = MinervaInstance.load(instance_dir).triggers[0]
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 20.0), (3, 80.0)], "entity bigint, latency double")
+    got = {r.entity: r.severity
+           for r in evaluate(df, rule, "entity", "ts").collect()}
+    assert got == {2: "warning", 3: "critical"}
+
+
+def _run_cli(*args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-m", "python_minerva_etl_spark.cli", *args],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_initialize(instance_dir):
+    summary = _run_cli("initialize", instance_dir)
+    assert summary["trend_stores"][0]["parts"] == {"main": 2}
+    assert summary["triggers"] == ["high_latency"]
+
+
+def test_cli_load_materialize_notify(instance_dir):
+    """The reference's operational loop, end-to-end through the CLI."""
+    work = os.path.join(SCRATCH, "flow")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    csv = os.path.join(work, "in.csv")
+    with open(csv, "w") as fh:
+        fh.write("entity,timestamp,latency\n")
+        for i in range(48):
+            fh.write(f"cell={i % 4},2024-01-0{1 + i // 24} "
+                     f"{i % 24:02d}:00:00,{float(i)}\n")
+    store = os.path.join(work, "store")
+    r = _run_cli("load-data", "--path", csv, "--target", store)
+    assert r["loaded_rows"] == 48
+    r = _run_cli("materialize", "--source", store,
+                 "--target", os.path.join(work, "mat"),
+                 "--state", os.path.join(work, "state"),
+                 "--granularity", "1d", "--sum-columns", "latency")
+    assert r["recomputed_buckets"] == 2
+    r = _run_cli("create-notifications", "--instance-dir", instance_dir,
+                 "--trigger", "high_latency", "--source", store,
+                 "--target", os.path.join(work, "notifications"))
+    assert r["notifications"] > 0
