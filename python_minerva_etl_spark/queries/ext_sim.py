@@ -62,7 +62,7 @@ def _sim_topk_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(queries, emb, k=5,
-                             num_planes=8, num_tables=4).select(
+                             num_planes=4, num_tables=16).select(
         "query_id", "corpus_id", "cosine", "rank")
 
 

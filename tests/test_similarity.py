@@ -1,0 +1,47 @@
+"""Similarity-search variants agree: the codegen-fold contract path,
+the Arrow/numpy fast path, and the LSH approximate path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.ext.similarity import (brute_force_topk,
+                                                     brute_force_topk_arrow,
+                                                     lsh_bucketed_topk)
+from python_minerva_etl_spark.registry import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out: dict[int, set] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.corpus_id)
+    return out
+
+
+def test_arrow_path_matches_fold_path(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    fold = brute_force_topk(q, emb, k=5)
+    arrow = brute_force_topk_arrow(q, emb, k=5)
+    assert _topk_sets(fold) == _topk_sets(arrow)
+    # cosine values agree to float tolerance (BLAS reassociates)
+    a = {(r.query_id, r.corpus_id): r.cosine for r in fold.collect()}
+    b = {(r.query_id, r.corpus_id): r.cosine for r in arrow.collect()}
+    assert all(abs(a[k2] - b[k2]) < 1e-12 for k2 in a)
+
+
+def test_lsh_recall_on_top1(spark):
+    """LSH is approximate; its contract is recall on the strongest
+    neighbors. Check top-1 recall >= 60% on this corpus."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact_top1 = {r.query_id: r.corpus_id
+                  for r in brute_force_topk(q, emb, k=1).collect()}
+    lsh = lsh_bucketed_topk(q, emb, k=5, num_planes=4, num_tables=16)
+    lsh_sets = _topk_sets(lsh)
+    hits = sum(1 for qid, cid in exact_top1.items()
+               if cid in lsh_sets.get(qid, set()))
+    assert hits >= int(0.6 * len(exact_top1))
