@@ -27,7 +27,11 @@ def _spark():
 
 def cmd_initialize(args) -> int:
     from .plans.yaml_instance import MinervaInstance
-    inst = MinervaInstance.load(args.instance_dir)
+    try:
+        inst = MinervaInstance.load(args.instance_dir)
+    except FileNotFoundError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
     summary = {
         "trend_stores": [
             {"data_source": ts.data_source, "entity_type": ts.entity_type,

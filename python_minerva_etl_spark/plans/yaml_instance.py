@@ -46,6 +46,9 @@ class MinervaInstance:
 
     @classmethod
     def load(cls, instance_dir: str) -> "MinervaInstance":
+        if not os.path.isdir(instance_dir):
+            raise FileNotFoundError(
+                f"instance directory {instance_dir!r} does not exist")
         inst = cls()
         for sub, loader in (("trend", inst._load_trend_store),
                             ("relation", inst._load_relation),
