@@ -134,7 +134,66 @@ FROM (
 """
 
 
+def _reshape_wide(spark, sf_dir):
+    """Long → wide pivot: the DataPackage-to-trend-store transform.
+    events is the long form (event_type = trend name); the wide row is
+    (user, day) with one column per event class."""
+    from ..operators.reshape import long_to_wide
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts"))
+    return long_to_wide(
+        ev, key=["user_id", "day"], name_col="event_type",
+        value_col="value",
+        trend_names=["click", "view", "purchase", "error", "signup"],
+        agg="sum")
+
+
+_RESHAPE_WIDE_SQL = """
+SELECT user_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'error'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error,
+       CAST(SUM(CASE WHEN event_type = 'signup'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS signup
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _reshape_long(spark, sf_dir):
+    """Wide → long unpivot (stack): round-trips the wide form back to
+    (key, trend, value) rows, dropping the NULL holes."""
+    from ..operators.reshape import wide_to_long
+
+    wide = _reshape_wide(spark, sf_dir)
+    return wide_to_long(
+        wide, key=["user_id", "day"],
+        trend_names=["click", "view", "purchase", "error", "signup"],
+    ).filter(F.col("value").isNotNull())
+
+
+_RESHAPE_LONG_SQL = """
+WITH wide AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT user_id, day, event_type AS trend, value FROM wide
+"""
+
+
 QUERIES = [
+    DeclaredQuery("reshape_wide", _reshape_wide, _RESHAPE_WIDE_SQL, "OP-TYPE/loader pivot"),
+    DeclaredQuery("reshape_long", _reshape_long, _RESHAPE_LONG_SQL, "OP-TYPE/loader unpivot"),
     DeclaredQuery("trigger_threshold", _trigger_threshold, _TRIGGER_THRESHOLD_SQL, "OP-TRIG-THRESH"),
     DeclaredQuery("notif_window_count", _notif_window_count, _NOTIF_WINDOW_COUNT_SQL, "OP-NOTIF-QUERY"),
     DeclaredQuery("events_sessionize", _events_sessionize, _EVENTS_SESSIONIZE_SQL, "EXT-SESS/OP-STR-SESSION"),
