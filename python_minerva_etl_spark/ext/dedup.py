@@ -122,6 +122,29 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 64,
     )
 
 
+def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
+                       num_hashes: int = 64, bands: int = 8,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """EXT-DEDUP-NEAR, complete scale pipeline: MinHash+LSH candidate
+    generation (near-linear) followed by exact Jaccard verification on
+    the candidates only.  Same output contract as
+    ``near_dup_pairs_exact`` minus LSH recall misses (recall measured
+    in tests/test_dedup.py)."""
+    cand = minhash_lsh_candidates(docs, num_hashes, bands, id_col, text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(tokens_col(text_col)).alias("toks"))
+    a = toks.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b"))
+    n_common = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = (n_common.cast("double")
+           / (F.size("toks_a") + F.size("toks_b") - n_common).cast("double"))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",

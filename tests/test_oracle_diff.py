@@ -44,3 +44,11 @@ def test_contract_shapes():
     osql = e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 8
+
+
+def test_all_queries_run_at_smoke_scale(spark):
+    """Scale-independence smoke: every declared query must run at
+    sf0.001 too (no hidden assumptions about fixture sizes)."""
+    for name, q in sorted(_QUERIES.items()):
+        n = q.spark(spark, "/root/testdata/sf0.001").count()
+        assert n >= 0, name
