@@ -101,6 +101,21 @@ def deduce_many(values) -> str:
     return out
 
 
+def deduce_column_types(df: DataFrame, columns: list[str],
+                        sample_rows: int = 1000) -> dict[str, str]:
+    """OP-TYPE-DEDUCE over a string-typed DataFrame: deduce the lattice
+    type of each column from a bounded sample (the reference deduces
+    from every value during parse; a bounded sample keeps the driver
+    O(1) — a wrong-too-narrow guess is corrected later by the widening
+    path, exactly like the reference's ALTER-on-error retry)."""
+    sample = df.select(*columns).limit(sample_rows).collect()
+    out: dict[str, str] = {}
+    for c in columns:
+        out[c] = deduce_many([None if row[c] is None else str(row[c])
+                              for row in sample])
+    return out
+
+
 def widen_to(df: DataFrame, target: T.StructType) -> DataFrame:
     """OP-TYPE-WIDEN: cast/extend ``df`` to the target schema.
 

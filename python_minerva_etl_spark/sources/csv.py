@@ -57,20 +57,22 @@ def parse_packages(spark: SparkSession, path: str,
     The typed-DataPackage analog: one declarative projection, no
     row-at-a-time Python.
     """
+    from ..datatype import deduce_column_types
+
     raw = read_csv(spark, path, config)
+    value_cols = [c for c in (config.value_columns or raw.columns)
+                  if c != config.timestamp_column]
+    # reference behavior: types not declared in the parser config are
+    # deduced from the observed strings (storage/datatype.py [U])
+    types = dict(config.value_types)
+    undeclared = [c for c in value_cols if c not in types]
+    if undeclared:
+        types.update(deduce_column_types(raw, undeclared))
     cols = [
         F.expr(config.entity_expression).alias("dn"),
         F.to_timestamp(F.col(config.timestamp_column),
                        config.timestamp_format).alias("timestamp"),
     ]
-    for c in (config.value_columns or
-              [c for c in raw.columns
-               if c not in (config.timestamp_column,)]):
-        if c == config.timestamp_column:
-            continue
-        target = config.value_types.get(c)
-        col = F.col(c)
-        if target is not None:
-            col = col.cast(SPARK_TYPES[target])
-        cols.append(col.alias(c))
+    for c in value_cols:
+        cols.append(F.col(c).cast(SPARK_TYPES[types[c]]).alias(c))
     return raw.select(*cols)

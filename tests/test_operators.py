@@ -152,3 +152,61 @@ def test_instance_aggregation_compile(spark):
     merged = daily.join(direct, ["user_id", "ts"])
     assert daily.count() == direct.count() == merged.count()
     assert merged.filter(F.col("avg_value") != F.col("avg_direct")).count() == 0
+
+
+def test_csv_type_deduction_automatic(spark, scratch):
+    """Columns without declared types get lattice-deduced types from
+    the data (OP-TYPE-DEDUCE wired into ingest)."""
+    from python_minerva_etl_spark.sources.csv import (ParserConfig,
+                                                      parse_packages)
+
+    path = os.path.join(scratch, "deduce.csv")
+    with open(path, "w") as fh:
+        fh.write("entity,timestamp,small,big,ratio,label\n"
+                 "a,2024-01-01 00:00:00,5,3000000000,2.5,x\n"
+                 "b,2024-01-01 01:00:00,900,1,7,y\n")
+    cfg = ParserConfig(entity_expression="entity")
+    out = parse_packages(spark, path, cfg)
+    dtypes = dict(out.dtypes)
+    assert dtypes["small"] == "smallint"
+    assert dtypes["big"] == "bigint"
+    assert dtypes["ratio"] == "double"   # generalize(double, smallint)
+    assert dtypes["label"] == "string"
+    rows = out.orderBy("dn").collect()
+    assert rows[0].big == 3000000000 and rows[1].ratio == 7.0
+
+
+def test_entity_aggregation_relation_rollup(spark):
+    """plans.aggregate_entity: declared entity rollup along a relation
+    equals the hand-written join+group."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.plans.instance import (Relation, Trend,
+                                                         TrendStorePart,
+                                                         aggregate_entity)
+    from python_minerva_etl_spark.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.date_trunc("day", "o_orderdate").alias("ts"),
+        F.col("o_totalprice").alias("price"))
+    relation = (load_table(spark, sf, "customer")
+                .select(F.col("c_custkey").alias("source_id"),
+                        F.col("c_nationkey").alias("target_id")))
+    part = TrendStorePart("p", (Trend("price", "double", "sum", "sum"),))
+    rolled = aggregate_entity(
+        orders, part, relation, Relation("cust_to_nation",
+                                         "source_id", "target_id"),
+        "entity_id", "ts")
+    direct = (orders.join(relation,
+                          orders.entity_id == relation.source_id)
+              .groupBy(F.col("target_id"), "ts")
+              .agg(F.sum(F.col("price").cast("decimal(28,6)"))
+                   .alias("price_dec"),
+                   F.count("*").alias("samples")))
+    a = {(r.entity_id, r.ts): (float(r.price), r.samples)
+         for r in rolled.collect()}
+    b = {(r.target_id, r.ts): (float(r.price_dec), r.samples)
+         for r in direct.collect()}
+    assert a == b
