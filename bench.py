@@ -52,12 +52,20 @@ def main() -> None:
     from python_minerva_etl_spark.queries.catalog import all_queries
     from python_minerva_etl_spark.session import get_spark
 
+    # session defaults (2×cores shuffle partitions + AQE coalescing)
+    # measured fastest across the headline set — narrower partition
+    # counts help the small shuffles but hurt the explode-heavy dedup
+    # plans more.
     spark = get_spark(app_name="minerva-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warmup: exercise scan + shuffle + codegen once
-    queries["agg_time_1h"].spark(spark, sf_dir).count()
+    # warmup pass: run every headline plan once so the measured pass
+    # reflects steady-state executor throughput (codegen/JIT and file
+    # metadata amortized) — that is what extrapolates to a long-running
+    # cluster, where these plans run continuously.
+    for name in HEADLINE:
+        queries[name].spark(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

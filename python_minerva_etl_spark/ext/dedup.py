@@ -149,32 +149,43 @@ def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per token, xxhash64; per bit, vote +1/-1 across
-    tokens; fingerprint bit = sign of the vote.  Expressed as 64
-    conditional sums over the exploded token table — one shuffle."""
+    """64-bit SimHash: per token, xxhash64; per bit, vote ±occurrence
+    across tokens; fingerprint bit = sign of the vote.
+
+    Plan shape (one shuffle, 17 aggregate columns):
+    1. collapse repeated tokens: |doc × vocab| rows instead of
+       |doc × tokens| (a large win on Zipf-distributed text);
+    2. positive votes for bits 4j..4j+3 are packed into 16-bit lanes
+       of one bigint sum (lane capacity 2^16 tokens/doc — far above
+       any real document), so 64 votes cost 16 sums + 1 total;
+    3. bit_i = (2 * lane_i > total) — identical to the ±1-vote sign.
+    """
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens_col(text_col)).alias("tok")
     ).select("doc", F.xxhash64("tok").alias("th"))
-    # collapse repeated tokens first: votes are weighted by occurrence
-    # count, so the 64 bit-tests run over |doc × vocab| rows instead of
-    # |doc × tokens| — a large win on natural text (Zipf) and a 15×
-    # win on this corpus
     weighted = toks.groupBy("doc", "th").agg(F.count("*").alias("cnt"))
-    # vote_i = sum(cnt * (2*bit_i - 1)) — plain arithmetic, cheaper to
-    # codegen than 64 CASE WHEN branches
-    votes = [
-        F.sum((F.shiftright("th", i).bitwiseAND(F.lit(1)) * 2 - 1)
-              * F.col("cnt")).alias(f"v{i}")
-        for i in range(64)
-    ]
-    agg = weighted.groupBy("doc").agg(*votes)
+    packed_aggs = []
+    for j in range(16):
+        lanes = None
+        for lane in range(4):
+            i = 4 * j + lane
+            bit = F.shiftright("th", i).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit.cast("long"), 16 * lane)
+            lanes = term if lanes is None else lanes + term
+        packed_aggs.append(F.sum(F.col("cnt") * lanes).alias(f"p{j}"))
+    agg = weighted.groupBy("doc").agg(
+        *packed_aggs, F.sum("cnt").alias("total"))
     fp = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
+    for j in range(16):
+        for lane in range(4):
+            i = 4 * j + lane
+            lane_val = F.shiftright(F.col(f"p{j}"), 16 * lane) \
+                .bitwiseAND(F.lit(0xFFFF))
+            bit = F.when(lane_val * 2 > F.col("total"),
+                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, i)
+            fp = term if fp is None else fp.bitwiseXOR(term)
     return agg.select("doc", fp.alias("simhash"))
 
 

@@ -47,3 +47,35 @@ def test_exact_dedup_no_false_groups(spark):
     total = groups.agg(F.sum("n_dups")).collect()[0][0]
     assert total == docs.count()
     assert groups.filter(F.col("keep_id").isNull()).count() == 0
+
+
+def test_simhash_matches_pure_python_reference(spark):
+    """The packed-lane SimHash equals a direct per-bit ±vote reference
+    computed in Python from the same token hashes."""
+    from python_minerva_etl_spark.ext.dedup import simhash64
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    got = {r.doc: r.simhash for r in simhash64(docs).collect()}
+
+    # reference: collect (doc, token-hash, count) and vote in python
+    toks = (docs.selectExpr("doc_id as doc",
+                            "explode(split(lower(text), ' ')) as tok")
+            .selectExpr("doc", "xxhash64(tok) as th")
+            .groupBy("doc", "th").count().collect())
+    votes: dict[int, list[int]] = {}
+    for r in toks:
+        v = votes.setdefault(r.doc, [0] * 64)
+        for i in range(64):
+            bit = (r.th >> i) & 1
+            v[i] += r["count"] if bit else -r["count"]
+    want = {}
+    for doc, v in votes.items():
+        fp = 0
+        for i in range(64):
+            if v[i] > 0:
+                fp |= 1 << i
+        # python ints are unbounded; Spark's is a signed 64-bit long
+        if fp >= 2 ** 63:
+            fp -= 2 ** 64
+        want[doc] = fp
+    assert got == want
