@@ -113,6 +113,46 @@ FROM runs GROUP BY 1, 2
 """
 
 
+def _events_session_window(spark, sf_dir):
+    """OP-STR-SESSION via Spark's native session_window (batch form —
+    the same operator drives the streaming variant with a watermark).
+    Note the boundary difference vs the lag+cumsum form: session_window
+    starts a NEW session when gap >= 30min (merge condition is
+    next.ts < prev.ts + gap), so the oracle uses >=."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+             .alias("sum_value"))
+        .select("user_id",
+                F.date_trunc("second", F.col("w.start")).alias("session_start"),
+                "n_events", "sum_value")
+    )
+
+
+_EVENTS_SESSION_WINDOW_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id,
+       CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+FROM runs GROUP BY user_id, session_seq
+"""
+
+
 def _upsert_last_wins(spark, sf_dir):
     """OP-SNK-UPSERT (dedup-last step): ON CONFLICT (entity, bucket)
     DO UPDATE — the highest-sequence write wins per key."""
@@ -197,5 +237,6 @@ QUERIES = [
     DeclaredQuery("trigger_threshold", _trigger_threshold, _TRIGGER_THRESHOLD_SQL, "OP-TRIG-THRESH"),
     DeclaredQuery("notif_window_count", _notif_window_count, _NOTIF_WINDOW_COUNT_SQL, "OP-NOTIF-QUERY"),
     DeclaredQuery("events_sessionize", _events_sessionize, _EVENTS_SESSIONIZE_SQL, "EXT-SESS/OP-STR-SESSION"),
+    DeclaredQuery("events_session_window", _events_session_window, _EVENTS_SESSION_WINDOW_SQL, "OP-STR-SESSION (native)"),
     DeclaredQuery("upsert_last_wins", _upsert_last_wins, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT"),
 ]
