@@ -24,6 +24,51 @@ def _w(key: list[str], order: list[str | Column]):
     return Window.partitionBy(*key).orderBy(*order)
 
 
+def attribute_fingerprint(attr_cols: list[str]) -> Column:
+    """Stable hash of the attribute tuple (the reference stores a hash
+    column per history row to cheapen change detection)."""
+    return F.md5(F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        for c in attr_cols]))
+
+
+def store_attributes(spark, batch: DataFrame, path: str,
+                     key: list[str], ts_col: str,
+                     attr_cols: list[str]) -> int:
+    """Attribute-store write: append only rows that CHANGE an entity's
+    current attribute state (ref: attributestore.store + compacting
+    [U]) — re-loading identical attribute data is a no-op, so history
+    stays minimal without a rewrite.
+
+    Returns the number of appended rows.  The batch is first reduced
+    to its own change points (multiple updates per entity in one batch
+    keep only transitions), then rows equal to the stored *current*
+    state are dropped via a broadcast join on (key, hash).
+    """
+    import os
+
+    batch = batch.withColumn("__hash", attribute_fingerprint(attr_cols))
+    # collapse within-batch: keep only transition rows
+    batch = change_detect(batch, key, [ts_col], attr_cols)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        curr = curr_view(existing, key, [ts_col]).select(
+            *key, F.col("__hash").alias("__curr_hash"))
+        # first batch row per entity that equals the current state is
+        # redundant; later transition rows always append
+        w = Window.partitionBy(*key).orderBy(ts_col)
+        first = F.row_number().over(w) == 1
+        batch = (batch.join(F.broadcast(curr), key, "left")
+                 .withColumn("__rn1", first)
+                 .filter(~(F.col("__rn1")
+                           & (F.col("__hash") == F.col("__curr_hash"))))
+                 .drop("__curr_hash", "__rn1"))
+    appended = batch.count()
+    if appended:
+        batch.write.mode("append").parquet(path)
+    return appended
+
+
 def curr_view(df: DataFrame, key: list[str], order: list) -> DataFrame:
     """Latest row per entity (OP-WIN-LATEST).  ``order`` must be a total
     order (include a unique tiebreak) for determinism."""
