@@ -55,12 +55,15 @@ def normalize(name: str) -> str:
     return SECONDS_ALIASES.get(name, name)
 
 
-def trunc_col(ts: Column, granularity: str) -> Column:
+def trunc_col(ts: Column, granularity: str, tz: str | None = None) -> Column:
     """Bucket-floor a timestamp Column to the granularity.
 
     Fixed-duration: epoch-floor (identical to the oracle's
     ``to_timestamp(floor(epoch(ts)/N)*N)``).  Calendar: ``date_trunc``
-    in the session tz (pinned UTC).
+    in the session tz (pinned UTC) — or, with ``tz``, in that zone:
+    the instant is shifted to local wall time, truncated, and shifted
+    back, so a "day" is the deployment zone's civil day (23/25 h across
+    DST), matching the reference's pytz behavior.
     """
     g = normalize(granularity)
     if g not in _GRANULARITIES:
@@ -70,7 +73,10 @@ def trunc_col(ts: Column, granularity: str) -> Column:
         return F.timestamp_seconds(
             (F.floor(F.unix_timestamp(ts) / secs) * secs).cast("long")
         )
-    return F.date_trunc(unit, ts)
+    if tz is None:
+        return F.date_trunc(unit, ts)
+    local = F.from_utc_timestamp(ts, tz)
+    return F.to_utc_timestamp(F.date_trunc(unit, local), tz)
 
 
 def series_col(start: Column, stop: Column, granularity: str) -> Column:

@@ -77,3 +77,25 @@ def test_range_month_calendar_lengths():
 def test_unknown_granularity_rejected():
     with pytest.raises(ValueError):
         Granularity("7m")
+
+
+def test_trunc_col_tz_aware_matches_python(spark):
+    """Column-side calendar truncation in a deployment tz equals the
+    python Granularity across a DST boundary."""
+    from datetime import datetime, timedelta
+    from zoneinfo import ZoneInfo
+
+    from python_minerva_etl_spark.granularity import trunc_col
+    from pyspark.sql import functions as F
+
+    # hourly instants crossing the 2024-03-31 Amsterdam spring-forward
+    base = datetime(2024, 3, 30, 12, 0, tzinfo=ZoneInfo("UTC"))
+    instants = [base + timedelta(hours=h) for h in range(48)]
+    df = spark.createDataFrame([(t,) for t in instants], "ts timestamp")
+    got = [r.day for r in df.select(
+        trunc_col(F.col("ts"), "1d", tz="Europe/Amsterdam").alias("day"))
+        .collect()]
+    g = Granularity("1d", tz="Europe/Amsterdam")
+    want = [g.truncate(t).astimezone(ZoneInfo("UTC")).replace(tzinfo=None)
+            for t in instants]
+    assert got == want

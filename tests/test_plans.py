@@ -72,3 +72,13 @@ def test_whole_stage_codegen_covers_flagship(spark):
         df.explain(mode="formatted")
     plan = buf.getvalue()
     assert "codegen id" in plan, plan
+
+
+def test_lsh_band_joins_are_not_cross_joins(spark):
+    """The dedup scale paths must bucket-join, never cartesian: a
+    refactor that degrades the band join to a cross join would still
+    pass rows-only checks but melt at 100 TB."""
+    for name in ("dedup_minhash_pairs", "dedup_simhash"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
