@@ -69,6 +69,35 @@ def entity_key(dn: Column | str) -> Column:
     return F.md5(c.cast("binary"))
 
 
+def build_registry(dns: DataFrame, dn_col: str = "dn") -> DataFrame:
+    """Entity registry dimension from a DN set: key, type, per-component
+    aliases (array) and tags (map) — the directory schema's
+    entity/alias/tag tables as one dimension DataFrame (§1.1).
+
+    Aliases: every component value plus the full dn (the reference's
+    name + alias lookup).  Tags: component type -> value map
+    (``element_at(tags, 'network')``)."""
+    c = F.col(dn_col)
+    parts = F.split(c, ",")
+    values = F.transform(parts, lambda p: F.element_at(F.split(p, "="), -1))
+    entries = F.transform(
+        parts, lambda p: F.struct(
+            F.element_at(F.split(p, "="), 1).alias("key"),
+            F.element_at(F.split(p, "="), -1).alias("value")))
+    return dns.select(
+        c.alias("dn"),
+        entity_key(c).alias("entity_key"),
+        dn_entity_type(c).alias("entity_type"),
+        F.array_union(values, F.array(c)).alias("aliases"),
+        F.map_from_entries(entries).alias("tags"),
+    )
+
+
+def lookup_by_alias(registry: DataFrame, alias: str) -> DataFrame:
+    """Entities matching an alias (name, component value, or full dn)."""
+    return registry.filter(F.array_contains("aliases", alias))
+
+
 def resolve(df: DataFrame, registry: DataFrame, dn_col: str = "dn",
             registry_dn: str = "dn") -> DataFrame:
     """Resolve against an entity registry dim with create-if-missing:

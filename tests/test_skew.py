@@ -64,3 +64,26 @@ def test_directory_resolve_create_if_missing(spark):
            for r in D.resolve(facts, registry).collect()}
     assert out["network=g1,cell=1"] == "known-key-1"       # existing id kept
     assert len(out["network=g1,cell=2"]) == 32             # new content id
+
+
+def test_directory_registry_aliases_tags(spark):
+    """§1.1 entity registry: aliases array + tags map (OP-F-MAP in
+    service of the directory model)."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark import directory as D
+
+    dns = spark.createDataFrame(
+        [("network=g1,cell=301",), ("network=g2,node=17",)], "dn string")
+    reg = D.build_registry(dns)
+    rows = {r.dn: r for r in reg.collect()}
+    r1 = rows["network=g1,cell=301"]
+    assert r1.entity_type == "cell"
+    assert set(r1.aliases) == {"g1", "301", "network=g1,cell=301"}
+    assert r1.tags == {"network": "g1", "cell": "301"}
+    # map access + alias lookup
+    nets = reg.select(F.element_at("tags", "network").alias("net")).collect()
+    assert {r.net for r in nets} == {"g1", "g2"}
+    assert D.lookup_by_alias(reg, "301").count() == 1
+    assert D.lookup_by_alias(reg, "network=g2,node=17").count() == 1
+    assert D.lookup_by_alias(reg, "nope").count() == 0
