@@ -77,19 +77,30 @@ def build_registry(dns: DataFrame, dn_col: str = "dn") -> DataFrame:
     Aliases: every component value plus the full dn (the reference's
     name + alias lookup).  Tags: component type -> value map
     (``element_at(tags, 'network')``)."""
-    c = F.col(dn_col)
+    distinct_dns = dns.select(F.col(dn_col).alias("dn")).distinct()
+    c = F.col("dn")
     parts = F.split(c, ",")
-    values = F.transform(parts, lambda p: F.element_at(F.split(p, "="), -1))
-    entries = F.transform(
-        parts, lambda p: F.struct(
-            F.element_at(F.split(p, "="), 1).alias("key"),
-            F.element_at(F.split(p, "="), -1).alias("value")))
-    return dns.select(
-        c.alias("dn"),
-        entity_key(c).alias("entity_key"),
-        dn_entity_type(c).alias("entity_type"),
-        F.array_union(values, F.array(c)).alias("aliases"),
-        F.map_from_entries(entries).alias("tags"),
+
+    def _kv(p):
+        # split on the FIRST '=' only (limit=2) — component values may
+        # themselves contain '=' (matches split_parts/dn_component)
+        kv = F.split(p, "=", 2)
+        return F.struct(F.get(kv, 0).alias("key"),
+                        F.coalesce(F.get(kv, 1), F.lit("")).alias("value"))
+
+    entries = F.transform(parts, _kv)
+    # tags keep the LAST occurrence per component type — repeated types
+    # (hierarchical DNs) must not crash map_from_entries
+    deduped = F.filter(entries, lambda e, i: ~F.exists(
+        F.slice(entries, i + F.lit(2), F.size(entries)),
+        lambda later: later["key"] == e["key"]))
+    values = F.transform(entries, lambda e: e["value"])
+    return distinct_dns.select(
+        F.col("dn"),
+        entity_key("dn").alias("entity_key"),
+        dn_entity_type("dn").alias("entity_type"),
+        F.array_union(values, F.array(F.col("dn"))).alias("aliases"),
+        F.map_from_entries(deduped).alias("tags"),
     )
 
 

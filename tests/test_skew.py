@@ -87,3 +87,23 @@ def test_directory_registry_aliases_tags(spark):
     assert D.lookup_by_alias(reg, "301").count() == 1
     assert D.lookup_by_alias(reg, "network=g2,node=17").count() == 1
     assert D.lookup_by_alias(reg, "nope").count() == 0
+
+
+def test_directory_registry_edge_cases(spark):
+    """Repeated component types (no map crash, last wins), '=' inside
+    values (first-'=' split), duplicate input DNs (deduped)."""
+    from python_minerva_etl_spark import directory as D
+
+    dns = spark.createDataFrame(
+        [("network=g1,node=2,node=7",),
+         ("network=g1,desc=a=b",),
+         ("network=g1,desc=a=b",)], "dn string")  # dup input row
+    reg = D.build_registry(dns)
+    rows = {r.dn: r for r in reg.collect()}
+    assert len(rows) == 2  # input deduped
+    hier = rows["network=g1,node=2,node=7"]
+    assert hier.tags == {"network": "g1", "node": "7"}  # last wins
+    assert {"2", "7"} <= set(hier.aliases)  # both values remain aliases
+    eq = rows["network=g1,desc=a=b"]
+    assert eq.tags["desc"] == "a=b"  # split on first '=' only
+    assert "a=b" in eq.aliases
