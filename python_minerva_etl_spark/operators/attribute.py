@@ -52,16 +52,22 @@ def store_attributes(spark, batch: DataFrame, path: str,
     batch = change_detect(batch, key, [ts_col], attr_cols)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
+        # exact replay of already-stored rows is a no-op regardless of
+        # batch shape (idempotent reload)
+        seen = existing.select(*key, ts_col, "__hash")
+        batch = batch.join(F.broadcast(seen), [*key, ts_col, "__hash"],
+                           "left_anti")
         curr = curr_view(existing, key, [ts_col]).select(
             *key, F.col("__hash").alias("__curr_hash"))
-        # first batch row per entity that equals the current state is
-        # redundant; later transition rows always append
+        # the first remaining batch row per entity is redundant iff it
+        # equals the stored current state; eqNullSafe — a NEW entity has
+        # no curr row and must not be dropped by NULL three-valued logic
         w = Window.partitionBy(*key).orderBy(ts_col)
         first = F.row_number().over(w) == 1
         batch = (batch.join(F.broadcast(curr), key, "left")
                  .withColumn("__rn1", first)
                  .filter(~(F.col("__rn1")
-                           & (F.col("__hash") == F.col("__curr_hash"))))
+                           & F.col("__hash").eqNullSafe(F.col("__curr_hash"))))
                  .drop("__curr_hash", "__rn1"))
     appended = batch.count()
     if appended:
@@ -83,8 +89,7 @@ def change_detect(df: DataFrame, key: list[str], order: list,
     (OP-WIN-CHANGE).  The reference compares an md5 hash of the attr
     tuple; comparing a concat-hash keeps NULL semantics simple."""
     w = _w(key, order)
-    fingerprint = F.md5(F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attr_cols]))
+    fingerprint = attribute_fingerprint(attr_cols)
     prev = F.lag(fingerprint).over(w)
     changed = prev.isNull() | (fingerprint != prev)
     return df.withColumn("__changed", changed).filter("__changed").drop("__changed")
@@ -96,8 +101,7 @@ def compact(df: DataFrame, key: list[str], ts_col: str, order: list,
     (OP-WIN-COMPACT): run-id = running count of change points, then
     min/max timestamp per run."""
     w = _w(key, order)
-    fingerprint = F.md5(F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attr_cols]))
+    fingerprint = attribute_fingerprint(attr_cols)
     prev = F.lag(fingerprint).over(w)
     changed = F.when(prev.isNull() | (fingerprint != prev), 1).otherwise(0)
     run = F.sum(changed).over(

@@ -30,15 +30,24 @@ def asof_join(facts: DataFrame, history: DataFrame, key: list[str],
     must not collide with fact column names (rename before calling).
     """
     f = facts.withColumn("__is_fact", F.lit(1 if inclusive else 0))
-    h = history.select(*key, ts_col, *attr_cols).withColumn(
-        "__is_fact", F.lit(0 if inclusive else 1))
+    # history attrs ride in ONE struct, non-null on every history row:
+    # last(ignorenulls) then skips only fact-row filler, never a
+    # genuinely-NULL attribute value inside the latest history row
+    h = history.select(
+        *key, ts_col,
+        F.struct(*[F.col(c) for c in attr_cols]).alias("__attrs")
+    ).withColumn("__is_fact", F.lit(0 if inclusive else 1))
     unioned = f.unionByName(h, allowMissingColumns=True)
     # ties at the same ts: history sorts before facts when inclusive,
-    # after when exclusive — encoding <= vs < in the sort key.
-    w = (Window.partitionBy(*key).orderBy(ts_col, "__is_fact")
+    # after when exclusive — encoding <= vs < in the sort key; the
+    # struct itself is the final tiebreak so duplicate-ts history rows
+    # resolve deterministically (max attr tuple wins)
+    w = (Window.partitionBy(*key).orderBy(ts_col, "__is_fact", "__attrs")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for c in attr_cols:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    unioned = unioned.withColumn(
+        "__attrs", F.last("__attrs", ignorenulls=True).over(w))
     fact_flag = 1 if inclusive else 0
-    return (unioned.filter(F.col("__is_fact") == fact_flag)
-            .drop("__is_fact"))
+    out = unioned.filter(F.col("__is_fact") == fact_flag)
+    for c in attr_cols:
+        out = out.withColumn(c, F.col("__attrs").getField(c))
+    return out.drop("__is_fact", "__attrs")

@@ -68,6 +68,19 @@ def changed_buckets(spark: SparkSession, fingerprints: DataFrame,
             .select("__bucket", "fingerprint"))
 
 
+def _deleted_buckets(spark: SparkSession, fingerprints: DataFrame,
+                     state_path: str) -> list:
+    """Buckets present in state but absent from the current source —
+    their data was purged (retention/GDPR) and the target partitions
+    must go too, or incremental != full under deletions."""
+    if not os.path.exists(state_path):
+        return []
+    state = spark.read.parquet(state_path).select("__bucket")
+    gone = state.join(fingerprints.select("__bucket"), "__bucket",
+                      "left_anti")
+    return [r["__bucket"] for r in gone.collect()]
+
+
 def materialize_incremental(
         spark: SparkSession, source: DataFrame, ts_col: str,
         granularity: str,
@@ -77,9 +90,20 @@ def materialize_incremental(
     buckets.  ``compute`` maps the (bucket-filtered) source to the
     target rows and must emit a ``__bucket`` column (the partition
     key of the target)."""
+    import shutil
+
     fps = bucket_fingerprints(source, ts_col, granularity)
     changed = changed_buckets(spark, fps, state_path)
     buckets = [r["__bucket"] for r in changed.collect()]
+    deleted = _deleted_buckets(spark, fps, state_path)
+    for b in deleted:
+        part_dir = os.path.join(
+            target_path, f"__bucket={b.strftime('%Y-%m-%d-%H-%M')}")
+        shutil.rmtree(part_dir, ignore_errors=True)
+    if deleted and not buckets:
+        # state must still drop the purged buckets
+        fps.localCheckpoint(eager=True).write.mode("overwrite") \
+            .parquet(state_path)
     if buckets:
         bucketed = source.withColumn(
             "__bucket", trunc_col(F.col(ts_col), granularity))

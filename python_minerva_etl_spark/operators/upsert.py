@@ -33,10 +33,13 @@ def upsert_parquet(spark: SparkSession, batch: DataFrame, path: str,
                    partition_col: str | None = None) -> None:
     """Upsert ``batch`` into the parquet table at ``path``.
 
-    Existing rows for the touched partitions are unioned in with lower
-    priority than the batch (existing seq ranks below any batch seq of
-    equal value via a source tag), then last-wins dedup + dynamic
-    partition overwrite.
+    Conflict resolution matches the reference's ``ON CONFLICT DO
+    UPDATE``: the INCOMING batch always replaces the stored row for the
+    same key, regardless of sequence numbers (the source tag outranks
+    ``seq_col``).  ``seq_col`` breaks ties *within* one batch only —
+    it need not be comparable across loads (load_data uses a per-batch
+    monotonic id).  Replaying an old batch therefore re-applies it,
+    exactly as re-running a COPY+upsert does in the reference.
     """
     import os
 

@@ -168,13 +168,19 @@ def _join_asof(spark, sf_dir):
     ).select("event_id", "user_id", "value", "asof_value")
 
 
+# ts is truncated to µs in BOTH CTEs so the asof inequality compares
+# exactly what Spark compares (parquet ns -> µs, FIXTURES.md hazard)
 _JOIN_ASOF_SQL = """
 WITH clicks AS (
-  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+  SELECT event_id, user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'click'
 ),
 purchases AS (
-  SELECT user_id, ts, value AS asof_value FROM events
-  WHERE event_type = 'purchase'
+  SELECT user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+         value AS asof_value
+  FROM events WHERE event_type = 'purchase'
 )
 SELECT c.event_id, c.user_id, c.value, p.asof_value
 FROM clicks c

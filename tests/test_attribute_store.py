@@ -64,3 +64,34 @@ def test_store_collapses_within_batch_transitions(spark):
         (7, "2024-01-01 03:00:00", "b", "x"),   # no change -> dropped
     ]), path, key=["entity"], ts_col="ts", attr_cols=["status", "plan"])
     assert n == 2
+
+
+def test_store_new_entity_into_existing_store(spark):
+    """A previously-unseen entity must append (regression: NULL
+    three-valued logic in the curr-hash filter dropped it)."""
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    path = os.path.join(SCRATCH, "attrs3")
+    cols = dict(key=["entity"], ts_col="ts", attr_cols=["status", "plan"])
+    store_attributes(spark, _batch(spark, [
+        (1, "2024-01-01 00:00:00", "active", "gold")]), path, **cols)
+    n = store_attributes(spark, _batch(spark, [
+        (2, "2024-01-02 00:00:00", "active", "basic")]), path, **cols)
+    assert n == 1
+    curr = {r.entity for r in spark.read.parquet(path).collect()}
+    assert curr == {1, 2}
+
+
+def test_store_replay_of_multi_transition_batch_is_noop(spark):
+    """Re-loading an already-stored multi-transition batch appends
+    nothing (regression: only the first row was curr-checked)."""
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    path = os.path.join(SCRATCH, "attrs4")
+    cols = dict(key=["entity"], ts_col="ts", attr_cols=["status", "plan"])
+    batch = _batch(spark, [
+        (1, "2024-01-01 00:00:00", "a", "x"),
+        (1, "2024-01-02 00:00:00", "b", "x"),
+    ])
+    n1 = store_attributes(spark, batch, path, **cols)
+    n2 = store_attributes(spark, batch, path, **cols)
+    assert n1 == 2 and n2 == 0
+    assert spark.read.parquet(path).count() == 2

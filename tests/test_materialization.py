@@ -70,3 +70,26 @@ def test_unchanged_rerun_recomputes_nothing(spark):
     n1 = materialize_incremental(spark, ev, "ts", "1d", _compute, t, s)
     n2 = materialize_incremental(spark, ev, "ts", "1d", _compute, t, s)
     assert n1 == 30 and n2 == 0  # 30 days of data; second run is a no-op
+
+
+def test_deleted_buckets_are_removed_from_target(spark):
+    """Retention/GDPR purge: buckets that vanish from the source must
+    vanish from the target (incremental == full under deletions)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    t, s = os.path.join(SCRATCH, "t"), os.path.join(SCRATCH, "s")
+    materialize_incremental(spark, ev, "ts", "1d", _compute, t, s)
+    purged = ev.filter(F.date_trunc("day", "ts")
+                       != F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    materialize_incremental(spark, purged, "ts", "1d", _compute, t, s)
+    got = _canon(read_target(spark, t))
+    # full recompute over the purged source
+    full_dir = os.path.join(SCRATCH, "full2")
+    materialize_incremental(spark, purged, "ts", "1d", _compute,
+                            os.path.join(full_dir, "t"),
+                            os.path.join(full_dir, "s"))
+    want = _canon(read_target(spark, os.path.join(full_dir, "t")))
+    assert got == want
+    assert all(str(r[1])[:10] != "2024-01-05" for r in got)

@@ -210,3 +210,23 @@ def test_entity_aggregation_relation_rollup(spark):
     b = {(r.target_id, r.ts): (float(r.price_dec), r.samples)
          for r in direct.collect()}
     assert a == b
+
+
+def test_asof_join_null_attribute_not_skipped(spark):
+    """A genuinely-NULL attribute in the latest history row must be
+    returned, not skipped for an older non-null value (regression:
+    raw last(ignorenulls) conflated fact filler with real NULLs)."""
+    from datetime import datetime
+
+    from python_minerva_etl_spark.operators.joins import asof_join
+
+    hist = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 5.0), (1, datetime(2024, 1, 2), None)],
+        "k bigint, ts timestamp, attr_v double")
+    facts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 3), "f1"), (1, datetime(2024, 1, 1, 12), "f0")],
+        "k bigint, ts timestamp, tag string")
+    out = {r.tag: r.attr_v for r in asof_join(
+        facts, hist, key=["k"], ts_col="ts", attr_cols=["attr_v"]).collect()}
+    assert out["f0"] == 5.0      # before the NULL row: old value
+    assert out["f1"] is None     # latest row's value IS NULL
