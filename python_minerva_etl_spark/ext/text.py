@@ -104,6 +104,52 @@ def shingle_fingerprint(text_col: str = "text", k: int = 5) -> Column:
         f"i -> md5(concat_ws(' ', slice(split(lower({text_col}), ' '), i, {k}))))"))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pretraining/RAG chunking op.  Pure array expressions
+    (sequence + slice + posexplode): scan-local, no shuffle, no UDF.
+
+    Output: (id, chunk_ix, chunk_text, n_chunk_tokens)."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)),
+        F.lit(step))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens)))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_ix", "chunk_text"))
+    return exploded.select(
+        id_col,
+        F.col("chunk_ix").cast("bigint").alias("chunk_ix"),
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("bigint")
+        .alias("n_chunk_tokens"))
+
+
+def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.9,
+               salt: str = "split-v1") -> DataFrame:
+    """Deterministic train/holdout assignment by content hash — stable
+    across runs, partitionings and cluster sizes (never rand(): a
+    resampled split silently leaks holdout into training).
+
+    Uses the first 8 hex digits of md5(salt || id) as a uniform
+    32-bit draw; engine-portable (md5 is identical everywhere)."""
+    draw = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    threshold = int(train_frac * 0xFFFFFFFF)
+    return df.withColumn(
+        "split",
+        F.when(draw <= F.lit(threshold), F.lit("train"))
+        .otherwise(F.lit("holdout")))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set (used by the declared queries and
     by pipeline consumers)."""

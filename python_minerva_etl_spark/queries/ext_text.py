@@ -219,7 +219,58 @@ FROM documents
 """
 
 
+def _text_chunk(spark, sf_dir):
+    """EXT-TEXT chunking: 64-token windows with 16-token overlap —
+    pretraining/RAG document splitting, scan-local."""
+    return X.chunk_documents(t(spark, sf_dir, "documents"),
+                             chunk_tokens=64, overlap=16)
+
+
+_TEXT_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+starts AS (
+  SELECT doc_id, tk,
+         generate_series(1, greatest(len(tk) - 16, 1), 48) AS ss
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, tk,
+         unnest(ss) AS s,
+         generate_subscripts(ss, 1) AS chunk_ix
+  FROM starts
+)
+SELECT doc_id,
+       CAST(chunk_ix - 1 AS BIGINT) AS chunk_ix,
+       array_to_string(tk[s:s+63], ' ') AS chunk_text,
+       CAST(len(string_split(array_to_string(tk[s:s+63], ' '), ' '))
+            AS BIGINT) AS n_chunk_tokens
+FROM chunks
+"""
+
+
+def _dataset_hash_split(spark, sf_dir):
+    """EXT dataset split: deterministic md5-draw train/holdout tags —
+    stable across runs/partitionings (never rand())."""
+    docs = t(spark, sf_dir, "documents")
+    return X.hash_split(docs, "doc_id", train_frac=0.9).select(
+        "doc_id", "lang", "split")
+
+
+_DATASET_HASH_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST(('0x' || substring(md5('split-v1' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 <= {int(0.9 * 0xFFFFFFFF)}
+            THEN 'train' ELSE 'holdout' END AS split
+FROM documents
+"""
+
+
 QUERIES = [
+    DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),
+    DeclaredQuery("dataset_hash_split", _dataset_hash_split, _DATASET_HASH_SPLIT_SQL, "EXT dataset split"),
     DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
