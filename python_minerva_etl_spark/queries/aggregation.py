@@ -233,6 +233,32 @@ GROUP BY 1
 """
 
 
+def _agg_percentiles(spark, sf_dir):
+    """Exact percentiles per class (KPI distribution reporting).
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the same linear-interpolation formula — verified bit-identical
+    (unlike approx_percentile, which is sketch-based → rows-only)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"),
+             F.expr("percentile(value, 0.9)").alias("p90"),
+             F.expr("percentile(value, 0.99)").alias("p99"),
+             F.count("*").alias("samples"))
+    )
+
+
+_AGG_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       COUNT(*) AS samples
+FROM events
+GROUP BY 1
+"""
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -271,5 +297,6 @@ QUERIES = [
     DeclaredQuery("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL, "OP-AGG-DISTINCT"),
     DeclaredQuery("agg_approx_distinct", _agg_approx_distinct, None, "OP-AGG-DISTINCT"),
     DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
+    DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),
     DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),
 ]
