@@ -259,6 +259,61 @@ GROUP BY 1
 """
 
 
+def _agg_variance_exact(spark, sf_dir):
+    """Sample variance/stddev per class — computed from exact decimal
+    partials (Σx, Σx²) then one identical double formula in both
+    engines: built-in var_samp is FP-order-sensitive across engines,
+    this formulation is not."""
+    ev = t(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    sq = F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")) \
+        .cast("double")
+    n = F.count("value").cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    return (ev.groupBy("event_type")
+            .agg(var.alias("var_value"),
+                 F.sqrt(var).alias("std_value"),
+                 F.count("*").alias("samples")))
+
+
+_AGG_VARIANCE_EXACT_SQL = """
+SELECT event_type,
+       (CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+        - CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+          * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+          / CAST(COUNT(value) AS DOUBLE))
+       / (CAST(COUNT(value) AS DOUBLE) - 1.0) AS var_value,
+       sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+        - CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+          * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+          / CAST(COUNT(value) AS DOUBLE))
+       / (CAST(COUNT(value) AS DOUBLE) - 1.0)) AS std_value,
+       COUNT(*) AS samples
+FROM events
+GROUP BY 1
+"""
+
+
+def _agg_string_concat(spark, sf_dir):
+    """Ordered distinct string aggregation (report labels): sorted
+    collect_set ≡ string_agg(DISTINCT … ORDER BY …)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+             .alias("event_types"))
+    )
+
+
+_AGG_STRING_CONCAT_SQL = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+         AS event_types
+FROM events
+GROUP BY 1
+"""
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -298,5 +353,7 @@ QUERIES = [
     DeclaredQuery("agg_approx_distinct", _agg_approx_distinct, None, "OP-AGG-DISTINCT"),
     DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
     DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),
+    DeclaredQuery("agg_variance_exact", _agg_variance_exact, _AGG_VARIANCE_EXACT_SQL, "OP-AGG (variance)"),
+    DeclaredQuery("agg_string_concat", _agg_string_concat, _AGG_STRING_CONCAT_SQL, "OP-AGG (string agg)"),
     DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),
 ]
