@@ -314,6 +314,110 @@ GROUP BY 1
 """
 
 
+def _agg_corr_exact(spark, sf_dir):
+    """Pearson correlation between the value trend and the JSON ``k``
+    attribute, from exact decimal partials (Σx, Σy, Σxy, Σx², Σy²) —
+    built-in corr() drifts across engines; this formulation is
+    bit-identical."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"))
+    y = F.col("k").cast("double")
+    sx = F.sum(F.col("x").cast("decimal(28,4)")).cast("double")
+    sy = F.sum(y.cast("decimal(28,4)")).cast("double")
+    sxy = F.sum((F.col("x") * y).cast("decimal(28,6)")).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).cast("double")
+    syy = F.sum((y * y).cast("decimal(28,6)")).cast("double")
+    n = F.count("x").cast("double")
+    corr = ((n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return (ev.groupBy("event_type")
+            .agg(corr.alias("corr_value_k"), F.count("*").alias("samples")))
+
+
+_AGG_CORR_EXACT_SQL = """
+WITH e AS (
+  SELECT event_type, value AS x,
+         CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE) AS y
+  FROM events
+)
+SELECT event_type,
+       (CAST(COUNT(x) AS DOUBLE)
+          * CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE)
+        - CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE)
+          * CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE))
+       / sqrt((CAST(COUNT(x) AS DOUBLE)
+                 * CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE)
+               - CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE)
+                 * CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE))
+              * (CAST(COUNT(x) AS DOUBLE)
+                 * CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE)
+               - CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE)
+                 * CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE)))
+         AS corr_value_k,
+       COUNT(*) AS samples
+FROM e
+GROUP BY 1
+"""
+
+
+def _agg_histogram(spark, sf_dir):
+    """Value-distribution histogram: fixed-width bins (25.0), top bin
+    open-ended — integer bin arithmetic is engine-portable."""
+    ev = t(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 25.0), F.lit(9)).cast("bigint")
+    return (ev.groupBy(bin_.alias("bin"))
+            .agg(F.count("*").alias("n"),
+                 F.min("value").alias("lo"),
+                 F.max("value").alias("hi")))
+
+
+_AGG_HISTOGRAM_SQL = """
+SELECT CAST(least(floor(value / 25.0), 9) AS BIGINT) AS bin,
+       COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM events
+GROUP BY 1
+"""
+
+
+def _gap_detect(spark, sf_dir):
+    """Minerva missing-data detection: per entity, which daily buckets
+    in its active span have NO data (dense spine anti-join) — the
+    existence check behind trend gap alarms."""
+    ev = t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"))
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day")))
+        .alias("day"))
+    present = (ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+               .distinct())
+    return spine.join(present, ["user_id", "day"], "left_anti")
+
+
+_GAP_DETECT_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+  FROM spans
+),
+present AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+)
+SELECT s.user_id, s.day FROM spine s
+WHERE NOT EXISTS (SELECT 1 FROM present p
+                  WHERE p.user_id = s.user_id AND p.day = s.day)
+"""
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -355,5 +459,8 @@ QUERIES = [
     DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),
     DeclaredQuery("agg_variance_exact", _agg_variance_exact, _AGG_VARIANCE_EXACT_SQL, "OP-AGG (variance)"),
     DeclaredQuery("agg_string_concat", _agg_string_concat, _AGG_STRING_CONCAT_SQL, "OP-AGG (string agg)"),
+    DeclaredQuery("agg_corr_exact", _agg_corr_exact, _AGG_CORR_EXACT_SQL, "OP-AGG (correlation)"),
+    DeclaredQuery("agg_histogram", _agg_histogram, _AGG_HISTOGRAM_SQL, "OP-AGG (histogram)"),
+    DeclaredQuery("gap_detect", _gap_detect, _GAP_DETECT_SQL, "OP-JOIN-ANTI/OP-F-DATE (gap detection)"),
     DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),
 ]
