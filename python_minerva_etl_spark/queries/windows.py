@@ -198,3 +198,101 @@ QUERIES = [
     DeclaredQuery("win_moving_avg", _win_moving_avg, _WIN_MOVING_AVG_SQL, "OP-WIN-MOVAVG"),
     DeclaredQuery("join_asof", _join_asof, _JOIN_ASOF_SQL, "OP-JOIN-ASOF"),
 ]
+
+
+def _win_running_total(spark, sf_dir):
+    """Cumulative counter per entity (Minerva's counters ARE cumulative
+    in many vendors): running decimal-exact sum + running count."""
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+        .alias("running_sum"),
+        F.count("*").over(w).alias("running_n"))
+
+
+_WIN_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+         AS running_sum,
+       COUNT(*) OVER w AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _win_distribution(spark, sf_dir):
+    """Distribution ranks per nation: percent_rank / cume_dist / ntile
+    over a total order — all rational-count arithmetic, engine-exact."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"))
+
+
+_WIN_DISTRIBUTION_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def _win_first_last(spark, sf_dir):
+    """first/last/nth value over a total-ordered full-partition frame:
+    each entity's first order date, latest status, second order key."""
+    orders = t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_date"),
+        F.last("o_orderstatus").over(w).alias("latest_status"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"))
+
+
+_WIN_FIRST_LAST_SQL = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderdate) OVER w AS first_date,
+       last_value(o_orderstatus) OVER w AS latest_status,
+       nth_value(o_orderkey, 2) OVER w AS second_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def _win_next_event_gap(spark, sf_dir):
+    """Time-to-next-event per entity (lead on integer microseconds —
+    engine-portable; NULL for each entity's last event)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id", "user_id",
+        (F.lead(micros).over(w) - micros).alias("gap_us"))
+
+
+_WIN_NEXT_EVENT_GAP_SQL = """
+SELECT event_id, user_id,
+       LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+         - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("win_running_total", _win_running_total, _WIN_RUNNING_TOTAL_SQL, "OP-WIN-ANALYTIC (running)"),
+    DeclaredQuery("win_distribution", _win_distribution, _WIN_DISTRIBUTION_SQL, "OP-WIN-RANK (distribution)"),
+    DeclaredQuery("win_first_last", _win_first_last, _WIN_FIRST_LAST_SQL, "OP-WIN (first/last/nth)"),
+    DeclaredQuery("win_next_event_gap", _win_next_event_gap, _WIN_NEXT_EVENT_GAP_SQL, "OP-WIN-ANALYTIC (lead)"),
+])
