@@ -150,6 +150,26 @@ def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.9,
         .otherwise(F.lit("holdout")))
 
 
+# deliberately simple, engine-portable patterns (no \b / lookaround —
+# identical under Java regex and RE2)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_PATTERN = r"[0-9][0-9 ()+.-]{6,}[0-9]"
+
+
+def redact(text_col: str = "text") -> Column:
+    """PII scrubbing for training corpora: mask emails and long digit
+    runs (phone/account numbers).  Single scan-local projection."""
+    c = F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(c, LONG_DIGITS_PATTERN, "<NUM>")
+
+
+def pii_counts(text_col: str = "text") -> tuple[Column, Column]:
+    return (F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN))
+            .cast("bigint"),
+            F.regexp_count(F.col(text_col), F.lit(LONG_DIGITS_PATTERN))
+            .cast("bigint"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set (used by the declared queries and
     by pipeline consumers)."""

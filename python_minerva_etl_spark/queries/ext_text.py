@@ -268,7 +268,37 @@ FROM documents
 """
 
 
+def _text_redact(spark, sf_dir):
+    """EXT-TEXT PII redaction: mask emails and long digit runs; emit
+    the redacted text hash (not the text — keeps the compare compact)
+    plus per-doc PII counts."""
+    docs = t(spark, sf_dir, "documents")
+    emails, digits = X.pii_counts()
+    return docs.select(
+        "doc_id",
+        F.md5(X.redact()).alias("redacted_hash"),
+        emails.alias("n_emails"),
+        digits.alias("n_long_digit_runs"))
+
+
+_TEXT_REDACT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUM>', 'g')) AS redacted_hash,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '[0-9][0-9 ()+.-]{6,}[0-9]')) AS BIGINT) AS n_long_digit_runs
+FROM documents
+"""
+
+
 QUERIES = [
+    DeclaredQuery("text_redact", _text_redact, _TEXT_REDACT_SQL, "EXT-TEXT (PII redaction)"),
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),
     DeclaredQuery("dataset_hash_split", _dataset_hash_split, _DATASET_HASH_SPLIT_SQL, "EXT dataset split"),
     DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),
