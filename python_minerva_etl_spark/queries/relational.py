@@ -411,6 +411,111 @@ FROM documents
 """
 
 
+def _fn_map_ops(spark, sf_dir):
+    """OP-F-MAP: the directory tag/alias surface as a declared query —
+    ``build_registry`` turns DNs into a ``tags`` map + ``aliases``
+    array (ref: minerva/directory/ entity tags & aliases [U]), then
+    map/array functions (element_at, map_keys, array_contains) read
+    them back.  All Catalyst built-ins, scan-local, no shuffle beyond
+    the registry distinct."""
+    from ..directory import build_registry
+
+    cust = t(spark, sf_dir, "customer")
+    dn = F.concat(F.lit("segment="), F.col("c_mktsegment"),
+                  F.lit(",customer="), F.col("c_custkey").cast("string"))
+    reg = build_registry(cust.select(dn.alias("dn")))
+    return reg.select(
+        "dn", "entity_type",
+        F.element_at("tags", F.lit("segment")).alias("tag_segment"),
+        F.element_at("tags", F.lit("customer")).alias("tag_customer"),
+        F.size(F.map_keys("tags")).cast("bigint").alias("n_tags"),
+        F.size("aliases").cast("bigint").alias("n_aliases"),
+        F.expr("array_contains(aliases, dn)").alias("dn_is_alias"),
+    )
+
+
+_FN_MAP_OPS_SQL = r"""
+WITH d AS (
+  SELECT DISTINCT
+         'segment=' || c_mktsegment || ',customer=' || CAST(c_custkey AS VARCHAR) AS dn,
+         c_mktsegment AS seg, CAST(c_custkey AS VARCHAR) AS cid
+  FROM customer
+), m AS (
+  SELECT dn, MAP(['segment', 'customer'], [seg, cid]) AS tags,
+         list_distinct([seg, cid]) || [dn] AS aliases
+  FROM d
+)
+SELECT dn,
+       regexp_extract(dn, '([^,=]+)=[^,=]*$', 1) AS entity_type,
+       tags['segment'][1] AS tag_segment,
+       tags['customer'][1] AS tag_customer,
+       CAST(len(map_keys(tags)) AS BIGINT) AS n_tags,
+       CAST(len(aliases) AS BIGINT) AS n_aliases,
+       list_contains(aliases, dn) AS dn_is_alias
+FROM m
+"""
+
+
+def _rollup_relation(spark, sf_dir):
+    """OP-JOIN-REL + OP-AGG-ENTITY over a *relation table* — the
+    reference's ``relation/*.yaml`` m:n entity mapping (minerva/
+    relation/ [U]) as data, driven through the declared-aggregation
+    compiler (``plans.instance.aggregate_entity``).
+
+    The relation here is genuinely many-to-many: every customer maps
+    to TWO target groups (its market segment and its nation), so fact
+    rows legitimately contribute to multiple rollup targets — the
+    double-counting semantics relation rollups exist for.  The
+    relation broadcasts (entity dims are MB-scale at any SF); the fact
+    side shuffles once on (group, month)."""
+    from ..plans.instance import (Relation, Trend, TrendStorePart,
+                                  aggregate_entity)
+
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    rel_seg = cust.select(
+        F.col("c_custkey").alias("source_id"),
+        F.concat(F.lit("segment:"), F.col("c_mktsegment")).alias("target_id"))
+    rel_nat = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(F.col("c_custkey").alias("source_id"),
+                F.concat(F.lit("nation:"), F.col("n_name")).alias("target_id")))
+    relation_df = rel_seg.unionByName(rel_nat)
+
+    fact = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("ts"),
+        F.col("o_totalprice"))
+    part = TrendStorePart(
+        "order_kpis", (Trend("o_totalprice", entity_aggregation="sum"),))
+    rolled = aggregate_entity(
+        fact, part, relation_df,
+        Relation("customer_groups", "source_id", "target_id"),
+        entity_col="o_custkey", ts_col="ts")
+    return rolled.select(
+        F.col("o_custkey").alias("group_id"),
+        F.col("ts").alias("month"),
+        F.col("o_totalprice").cast("double").alias("sum_price"),
+        "samples")
+
+
+_ROLLUP_RELATION_SQL = f"""
+WITH rel AS (
+  SELECT c_custkey AS source_id, 'segment:' || c_mktsegment AS target_id
+  FROM customer
+  UNION ALL
+  SELECT c_custkey AS source_id, 'nation:' || n_name AS target_id
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT target_id AS group_id,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       {oracle_dsum('o_totalprice', 6)} AS sum_price,
+       COUNT(*) AS samples
+FROM orders JOIN rel ON o_custkey = source_id
+GROUP BY 1, 2
+"""
+
+
 def _fn_kpi_math(spark, sf_dir):
     """OP-F-MATH: Minerva KPI expressions — arithmetic with
     NULLIF-guarded division (PG idiom for divide-by-zero → NULL).
@@ -460,4 +565,6 @@ QUERIES = [
     DeclaredQuery("fn_date_bucket_series", _fn_date_bucket_series, _FN_DATE_BUCKET_SERIES_SQL, "OP-F-DATE"),
     DeclaredQuery("fn_string_dn", _fn_string_dn, _FN_STRING_DN_SQL, "OP-F-STR"),
     DeclaredQuery("fn_kpi_math", _fn_kpi_math, _FN_KPI_MATH_SQL, "OP-F-MATH"),
+    DeclaredQuery("fn_map_ops", _fn_map_ops, _FN_MAP_OPS_SQL, "OP-F-MAP"),
+    DeclaredQuery("rollup_relation", _rollup_relation, _ROLLUP_RELATION_SQL, "OP-JOIN-REL/OP-AGG-ENTITY (relation table)"),
 ]
