@@ -5,15 +5,25 @@ Reference semantics (trendstorepart store logic [U]):
 loads replace earlier values for the same key.
 
 Spark mapping (OP-SNK-UPSERT) on plain parquet:
-1. dedup-last within the combined batch: ``row_number() over
-   (partition by key order by seq desc) = 1``;
-2. write with *dynamic partition overwrite* — only the time partitions
-   present in the batch are rewritten.  At 100 TB a load touches a few
-   recent partitions; the table is never rewritten.  (A table format
-   with MERGE — Delta/Iceberg — slots in behind the same function.)
+1. resolve last-writer-wins against only the *touched* partitions:
+   ``row_number() over (partition by key order by src desc, seq desc)
+   = 1``;
+2. stage the resolved output to a sibling ``path.__staging__`` dir,
+   then swap directories into place (per touched partition when
+   partitioned, whole table otherwise).  The swap is two renames —
+   the stored table is never deleted before its replacement exists,
+   and nothing is pinned in executor memory.  At 100 TB a load
+   touches a few recent partitions; the table is never rewritten.
+   (A table format with MERGE — Delta/Iceberg — slots in behind the
+   same function and is the answer for concurrent writers / object
+   stores where rename is not atomic.)
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,28 +50,61 @@ def upsert_parquet(spark: SparkSession, batch: DataFrame, path: str,
     it need not be comparable across loads (load_data uses a per-batch
     monotonic id).  Replaying an old batch therefore re-applies it,
     exactly as re-running a COPY+upsert does in the reference.
-    """
-    import os
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if os.path.exists(path):
-        existing = spark.read.parquet(path)
-        if partition_col is not None:
-            parts = [r[0] for r in
-                     batch.select(partition_col).distinct().collect()]
-            existing = existing.filter(F.col(partition_col).isin(parts))
-        combined = existing.withColumn("__src", F.lit(0)).unionByName(
-            batch.withColumn("__src", F.lit(1)), allowMissingColumns=True)
-        w = Window.partitionBy(*key).orderBy(
-            F.desc("__src"), F.desc(seq_col))
-        resolved = (combined.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1).drop("__rn", "__src"))
-        # materialize before writing — Spark refuses to overwrite a
-        # path that is an input of the (lazy) plan being written
-        resolved = resolved.localCheckpoint(eager=True)
-    else:
+    The resolved output is written to a staging dir and swapped in with
+    directory renames, because the resolve plan *reads* ``path`` — a
+    direct overwrite would delete its own input (and a mid-write crash
+    would lose the table).  The stored table stays intact until its
+    replacement is fully written; no whole-table ``localCheckpoint``.
+    """
+    if not os.path.exists(path):
         resolved = dedup_last_wins(batch, key, seq_col)
-    writer = resolved.write.mode("overwrite")
+        writer = resolved.write.mode("overwrite")
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        return
+
+    existing = spark.read.parquet(path)
     if partition_col is not None:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(path)
+        parts = [r[0] for r in
+                 batch.select(partition_col).distinct().collect()]
+        existing = existing.filter(F.col(partition_col).isin(parts))
+    combined = existing.withColumn("__src", F.lit(0)).unionByName(
+        batch.withColumn("__src", F.lit(1)), allowMissingColumns=True)
+    w = Window.partitionBy(*key).orderBy(F.desc("__src"), F.desc(seq_col))
+    resolved = (combined.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+
+    staging = f"{path}.__staging__{uuid.uuid4().hex[:8]}"
+    try:
+        writer = resolved.write.mode("overwrite")
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(staging)
+
+        if partition_col is None:
+            retired = f"{path}.__retired__{uuid.uuid4().hex[:8]}"
+            os.rename(path, retired)
+            os.rename(staging, path)
+            shutil.rmtree(retired)
+        else:
+            # swap only the partition dirs the batch touched; untouched
+            # partitions are never read, rewritten, or moved
+            for entry in os.listdir(staging):
+                if not entry.startswith(f"{partition_col}="):
+                    continue
+                src = os.path.join(staging, entry)
+                dst = os.path.join(path, entry)
+                if os.path.exists(dst):
+                    # retire OUTSIDE the table dir so a reader racing
+                    # the swap never partition-discovers the old copy
+                    retired = (f"{path}.__retired__{uuid.uuid4().hex[:8]}")
+                    os.rename(dst, retired)
+                    os.rename(src, dst)
+                    shutil.rmtree(retired)
+                else:
+                    os.rename(src, dst)
+            shutil.rmtree(staging)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -80,6 +80,34 @@ def test_yaml_instance_load(instance_dir):
     assert inst.relations[0].source_col == "cell_id"
 
 
+def test_relation_rollup_from_yaml(spark, instance_dir):
+    """A relation declared in relation/*.yaml drives aggregate_entity
+    end-to-end: many-to-many membership rows multiply into each target
+    group exactly once per membership."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.plans.instance import (Trend,
+                                                         TrendStorePart,
+                                                         aggregate_entity)
+    from python_minerva_etl_spark.plans.yaml_instance import MinervaInstance
+
+    rel = MinervaInstance.load(instance_dir).relations[0]
+    assert (rel.source_col, rel.target_col) == ("cell_id", "site_id")
+    # cell 1 belongs to BOTH sites (m:n), cell 2 to site B only
+    relation_df = spark.createDataFrame(
+        [(1, "siteA"), (1, "siteB"), (2, "siteB")],
+        f"{rel.source_col} int, {rel.target_col} string")
+    fact = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:00:00", 20.0),
+         (2, "2024-01-01 00:00:00", 5.0)],
+        "cell int, ts string, pkts double").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    part = TrendStorePart("main", (Trend("pkts", "double", "sum", "sum"),))
+    rolled = aggregate_entity(fact, part, relation_df, rel, "cell", "ts")
+    got = {r.cell: (float(r.pkts), r.samples) for r in rolled.collect()}
+    assert got == {"siteA": (30.0, 2), "siteB": (35.0, 3)}
+
+
 def test_trigger_threshold_order_from_yaml(spark, instance_dir):
     """YAML lists thresholds ascending; severity must still resolve by
     highest matching bound."""

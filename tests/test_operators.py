@@ -75,6 +75,60 @@ def test_upsert_last_wins_across_batches(spark, scratch):
     assert got[(3, "2024-01-02")] == 30.0   # new partition appended
 
 
+def test_upsert_unpartitioned_staging_swap(spark, scratch):
+    """partition_col=None path: resolve + stage + swap — no
+    localCheckpoint, table intact through the swap, second batch wins
+    on conflicting keys, no staging/retired debris left behind."""
+    from python_minerva_etl_spark.operators.upsert import upsert_parquet
+
+    path = os.path.join(scratch, "upsert_flat")
+    shutil.rmtree(path, ignore_errors=True)
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0, 1), (2, "a", 20.0, 1)],
+        "entity bigint, bucket string, value double, seq int")
+    b2 = spark.createDataFrame(
+        [(1, "a", 99.0, 2), (3, "b", 30.0, 2)],
+        "entity bigint, bucket string, value double, seq int")
+    upsert_parquet(spark, b1, path, key=["entity", "bucket"],
+                   seq_col="seq", partition_col=None)
+    upsert_parquet(spark, b2, path, key=["entity", "bucket"],
+                   seq_col="seq", partition_col=None)
+    got = {(r.entity, r.bucket): r.value
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"): 99.0, (2, "a"): 20.0, (3, "b"): 30.0}
+    debris = [p for p in os.listdir(scratch)
+              if "__staging__" in p or "__retired__" in p]
+    assert debris == []
+
+
+def test_upsert_larger_unpartitioned(spark):
+    """The unpartitioned swap at a non-toy size: upsert a 10k-row batch
+    over a 60k-row stored table twice (second time as a replay) —
+    counts stay stable, replayed values win."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.upsert import upsert_parquet
+    from python_minerva_etl_spark.registry import load_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "value", F.lit(1).alias("seq"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "store")
+        upsert_parquet(spark, ev, path, key=["event_id"], seq_col="seq")
+        n0 = spark.read.parquet(path).count()
+        patch = (ev.filter(F.col("event_id") % 6 == 0)
+                 .withColumn("value", F.lit(-1.0))
+                 .withColumn("seq", F.lit(2)))
+        upsert_parquet(spark, patch, path, key=["event_id"], seq_col="seq")
+        after = spark.read.parquet(path)
+        assert after.count() == n0
+        assert (after.filter("event_id % 6 = 0")
+                .agg(F.max("value"), F.min("value")).first()) == (-1.0, -1.0)
+
+
 def test_load_pipeline_end_to_end(spark, scratch):
     """§3.1 flagship: csv → normalize → entity resolve → upsert →
     read back; a re-load of corrected data wins."""
