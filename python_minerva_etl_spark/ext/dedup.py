@@ -148,75 +148,107 @@ def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
 # ------------------------------------------------------------------- SimHash
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", max_tokens: int = 65535,
+              parallelism: int | None = None) -> DataFrame:
     """64-bit SimHash: per token, xxhash64; per bit, vote ±occurrence
     across tokens; fingerprint bit = sign of the vote.
 
-    Plan shape (one shuffle, 17 aggregate columns):
-    1. collapse repeated tokens: |doc × vocab| rows instead of
-       |doc × tokens| (a large win on Zipf-distributed text);
-    2. positive votes for bits 4j..4j+3 are packed into 16-bit lanes
-       of one bigint sum (lane capacity 2^16 tokens/doc — far above
-       any real document), so 64 votes cost 16 sums + 1 total;
-    3. bit_i = (2 * lane_i > total) — identical to the ±1-vote sign.
+    Plan shape — entirely scan-local, ZERO shuffle: the token array is
+    hashed once per row (``transform``), then 16 ``aggregate`` folds
+    compute the 64 bit votes packed 4-per-column into 16-bit lanes
+    (bits 4j..4j+3 at lane offsets 0/16/32/48), and
+    bit_i = (2 * lane_i > total) — identical to the ±1-vote sign.
+    Fingerprinting 100 TB therefore costs exactly one pass over the
+    text with no exchange; only the downstream pair join shuffles.
+
+    Lane capacity: a lane's vote count is bounded by the per-doc token
+    count, so docs are hard-capped at ``max_tokens`` (= 2^16 - 1)
+    tokens via ``slice`` — a lane can never carry into its neighbor.
+    Longer documents are fingerprinted on their first 65535 tokens
+    (deterministic; split such corpora upstream with text_chunk if
+    full coverage matters).
+
+    ``parallelism``: the folds are CPU-bound and higher-order
+    functions evaluate outside whole-stage codegen, so when the
+    source is a few big files (scan parallelism < cores) pass the
+    core count to hash-repartition the (id, hashes) projection first
+    — a tiny shuffle that also lets the self-join in
+    ``simhash_near_pairs`` reuse one exchange for both sides.  Leave
+    ``None`` when the scan is already wide (the 100 TB case).
     """
-    toks = docs.select(
+    if not 0 < max_tokens < 1 << 16:
+        raise ValueError("max_tokens must keep lane votes below 2^16")
+    # every expression is ONE F.expr string — building the unrolled
+    # tree with pyspark Column operators costs thousands of py4j
+    # round-trips (~3 s of pure driver time per call); parsing the
+    # same tree JVM-side is milliseconds.
+    hashed = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
-        F.explode(tokens_col(text_col)).alias("tok")
-    ).select("doc", F.xxhash64("tok").alias("th"))
-    weighted = toks.groupBy("doc", "th").agg(F.count("*").alias("cnt"))
-    packed_aggs = []
-    for j in range(16):
-        lanes = None
-        for lane in range(4):
-            i = 4 * j + lane
-            bit = F.shiftright("th", i).bitwiseAND(F.lit(1))
-            term = F.shiftleft(bit.cast("long"), 16 * lane)
-            lanes = term if lanes is None else lanes + term
-        packed_aggs.append(F.sum(F.col("cnt") * lanes).alias(f"p{j}"))
-    agg = weighted.groupBy("doc").agg(
-        *packed_aggs, F.sum("cnt").alias("total"))
-    fp = None
-    for j in range(16):
-        for lane in range(4):
-            i = 4 * j + lane
-            lane_val = F.shiftright(F.col(f"p{j}"), 16 * lane) \
-                .bitwiseAND(F.lit(0xFFFF))
-            bit = F.when(lane_val * 2 > F.col("total"),
-                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            term = F.shiftleft(bit, i)
-            fp = term if fp is None else fp.bitwiseXOR(term)
-    return agg.select("doc", fp.alias("simhash"))
+        F.expr(f"slice(transform(split(lower({text_col}), ' '), "
+               f"tk -> xxhash64(tk)), 1, {max_tokens})").alias("__hs"))
+    if parallelism:
+        hashed = hashed.repartition(parallelism, "doc")
+
+    def lane_terms(j: int) -> str:
+        return " + ".join(
+            f"shiftleft(CAST(shiftright(h, {4 * j + lane}) & 1 AS BIGINT),"
+            f" {16 * lane})"
+            for lane in range(4))
+
+    packed = [
+        F.expr(f"aggregate(__hs, CAST(0 AS BIGINT), "
+               f"(acc, h) -> acc + ({lane_terms(j)}))").alias(f"p{j}")
+        for j in range(16)]
+    agg = hashed.select(
+        "doc", *packed,
+        F.expr("CAST(size(__hs) AS BIGINT)").alias("total"))
+    fp = " ^ ".join(
+        f"shiftleft(CAST(CASE WHEN (shiftright(p{j}, {16 * lane}) & 65535)"
+        f" * 2 > total THEN 1 ELSE 0 END AS BIGINT), {4 * j + lane})"
+        for j in range(16) for lane in range(4))
+    return agg.select("doc", F.expr(fp).alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       parallelism: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, via the
     pigeonhole band trick: split 64 bits into k+1 bands; any pair
     within distance k agrees exactly on >=1 band → equi-join per band,
     then exact popcount filter.  Near-linear candidate generation."""
     bands = max_hamming + 1
     width = 64 // bands
-    fp = simhash64(docs, id_col, text_col)
-    pieces = fp.select("doc", "simhash", F.explode(F.array(*[
-        F.struct(F.lit(bi).alias("band"),
-                 F.shiftright("simhash", bi * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).alias("piece"))
-        for bi in range(bands)])).alias("bp")
+    mask = (1 << width) - 1
+    fp = simhash64(docs, id_col, text_col, parallelism=parallelism)
+    pieces = fp.select("doc", "simhash", F.expr(
+        f"explode(transform(sequence(0, {bands - 1}), bi -> "
+        f"struct(bi AS band, shiftright(simhash, bi * {width}) & {mask}"
+        f" AS piece)))").alias("bp")
     ).select("doc", "simhash", "bp.band", "bp.piece")
     a, b = pieces.alias("a"), pieces.alias("b")
-    cand = (
+    joined = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.piece") == F.col("b.piece"))
                & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                F.col("a.simhash").alias("fp_a"), F.col("b.simhash").alias("fp_b"))
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (cand.select("doc_a", "doc_b",
-                        hamming.cast("bigint").alias("hamming"))
+                F.col("a.simhash").alias("fp_a"),
+                F.col("b.simhash").alias("fp_b"),
+                F.col("a.band").alias("band")))
+    # a pair agreeing on several bands would hit once per band; emit it
+    # only from the FIRST agreeing band — a scan-local filter, so no
+    # dedup shuffle at all (the old .distinct() was the plan's last
+    # exchange).  band 0 has no earlier bands; sequence() descends for
+    # stop < start, hence the explicit guard.
+    first_band_only = F.expr(
+        f"band = 0 OR size(filter(sequence(0, CAST(band AS INT) - 1), "
+        f"k -> (shiftright(fp_a, k * {width}) & {mask}) = "
+        f"(shiftright(fp_b, k * {width}) & {mask}))) = 0")
+    hamming = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
+    return (joined
+            .filter(first_band_only)
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
 
 

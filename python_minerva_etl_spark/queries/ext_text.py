@@ -61,8 +61,12 @@ def _dedup_minhash_pairs(spark, sf_dir):
 
 def _dedup_simhash(spark, sf_dir):
     """EXT-DEDUP (SimHash): 64-bit fingerprint near-dup pairs within
-    Hamming distance 3 via pigeonhole banding.  Rows-only check."""
-    return D.simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+    Hamming distance 3 via pigeonhole banding.  Rows-only check.
+    The fixture is a single small file (scan parallelism 1), so the
+    CPU-bound fingerprint folds fan out to the session's core count."""
+    return D.simhash_near_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=3,
+        parallelism=spark.sparkContext.defaultParallelism)
 
 
 def _dedup_ngram_jaccard(spark, sf_dir):
