@@ -72,12 +72,21 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def decode_assets(df: DataFrame, id_col: str, binary_col: str,
-                  dim: int = 8) -> DataFrame:
+                  dim: int = 8, codec=None) -> DataFrame:
     """mapInPandas decode stage: Arrow batches in, feature rows out.
 
     Runs one python worker per partition, vectorized over record
     batches — the canonical multimodal pattern at scale (the bytes
-    never hit the driver)."""
+    never hit the driver).
+
+    ``codec`` is any callable ``(payload: bytes, dim: int) ->
+    list[float]``; it is shipped to the executors inside the
+    mapInPandas closure, so a production deployment passes its real
+    decoder (PIL/torchaudio/ffmpeg wrapper) without touching this
+    module.  The default is the documented deterministic stub —
+    this container has no media libraries.
+    """
+    decode = codec if codec is not None else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,7 +95,7 @@ def decode_assets(df: DataFrame, id_col: str, binary_col: str,
                 "n_bytes": pdf[binary_col].map(
                     lambda b: len(b) if b is not None else 0).astype("int64"),
                 "feature": pdf[binary_col].map(
-                    lambda b: _fake_decode(bytes(b), dim)
+                    lambda b: decode(bytes(b), dim)
                     if b is not None else [0.0] * dim),
             })
 

@@ -64,9 +64,10 @@ def load_tables(spark: SparkSession, sf_dir: str,
                 register_views: bool = False) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for name in names:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
+        if os.path.exists(table_path(sf_dir, name)):
+            # via load_table so the ns-timestamp normalization and
+            # UTC/legacy confs apply uniformly however a table is read
+            df = load_table(spark, sf_dir, name)
             out[name] = df
             if register_views:
                 df.createOrReplaceTempView(name)

@@ -64,3 +64,9 @@ def _read_csv(spark: SparkSession, path: str, config=None) -> DataFrame:
 @register("json")
 def _read_json(spark: SparkSession, path: str, config=None) -> DataFrame:
     return spark.read.json(path)
+
+
+@register("xml-pm")
+def _read_xml_pm(spark: SparkSession, path: str, config=None) -> DataFrame:
+    from .xml_pm import parse_pm
+    return parse_pm(spark, path, config)

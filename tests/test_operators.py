@@ -230,6 +230,23 @@ def test_csv_type_deduction_automatic(spark, scratch):
     assert rows[0].big == 3000000000 and rows[1].ratio == 7.0
 
 
+def test_multimodal_custom_codec(spark):
+    """decode_assets(codec=...): a caller-supplied decoder ships inside
+    the mapInPandas closure — the production slot-in for PIL/ffmpeg."""
+    from python_minerva_etl_spark.ext.multimodal import decode_assets
+
+    def byte_sum_codec(payload: bytes, dim: int) -> list[float]:
+        s = float(sum(payload))
+        return [s] + [0.0] * (dim - 1)
+
+    rows = [(1, b"\x01\x02"), (2, b"\x05")]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r.asset_id: r.feature
+           for r in decode_assets(df, "asset_id", "payload", dim=2,
+                                  codec=byte_sum_codec).collect()}
+    assert got == {1: [3.0, 0.0], 2: [5.0, 0.0]}
+
+
 def test_entity_aggregation_relation_rollup(spark):
     """plans.aggregate_entity: declared entity rollup along a relation
     equals the hand-written join+group."""
