@@ -148,60 +148,63 @@ def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
 # ------------------------------------------------------------------- SimHash
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text", max_tokens: int = 65535,
+              text_col: str = "text", max_tokens: int = 32767,
               parallelism: int | None = None) -> DataFrame:
     """64-bit SimHash: per token, xxhash64; per bit, vote ±occurrence
     across tokens; fingerprint bit = sign of the vote.
 
-    Plan shape — entirely scan-local, ZERO shuffle: the token array is
-    hashed once per row (``transform``), then 16 ``aggregate`` folds
-    compute the 64 bit votes packed 4-per-column into 16-bit lanes
-    (bits 4j..4j+3 at lane offsets 0/16/32/48), and
-    bit_i = (2 * lane_i > total) — identical to the ±1-vote sign.
-    Fingerprinting 100 TB therefore costs exactly one pass over the
-    text with no exchange; only the downstream pair join shuffles.
+    Plan shape (one narrow explode + two hash-agg exchanges, all
+    inside whole-stage codegen — measured faster than scan-local
+    ``aggregate()`` folds, which evaluate interpreted):
 
-    Lane capacity: a lane's vote count is bounded by the per-doc token
-    count, so docs are hard-capped at ``max_tokens`` (= 2^16 - 1)
-    tokens via ``slice`` — a lane can never carry into its neighbor.
-    Longer documents are fingerprinted on their first 65535 tokens
-    (deterministic; split such corpora upstream with text_chunk if
-    full coverage matters).
+    1. slice the token array to ``max_tokens`` *before* exploding —
+       this is the lane-capacity guard: a lane's vote count is
+       bounded by the per-doc token cap, so a 16-bit lane can never
+       carry into its neighbor, and the cap is 2^15 - 1 so even an
+       adversarial doc (every token voting the top lane at offset
+       48) stays below the signed-int64 ceiling under ANSI mode.
+       Longer documents are fingerprinted on their first 32767
+       tokens (deterministic; split such corpora upstream with
+       text_chunk if full coverage matters);
+    2. collapse repeated tokens: ``groupBy(doc, token_hash)`` makes
+       the vote stage run over |doc × vocab|, not |doc × tokens|, on
+       Zipf-distributed text;
+    3. positive votes for bits 4j..4j+3 are packed into 16-bit lanes
+       of one bigint sum (16 sums + 1 total instead of 64), and
+       bit_i = (2 * lane_i > total) — identical to the ±1-vote sign.
 
-    ``parallelism``: the folds are CPU-bound and higher-order
-    functions evaluate outside whole-stage codegen, so when the
-    source is a few big files (scan parallelism < cores) pass the
-    core count to hash-repartition the (id, hashes) projection first
-    — a tiny shuffle that also lets the self-join in
-    ``simhash_near_pairs`` reuse one exchange for both sides.  Leave
-    ``None`` when the scan is already wide (the 100 TB case).
+    Every unrolled expression is built as ONE F.expr string — the
+    Column-operator construction costs thousands of py4j round-trips
+    (~3 s of pure driver time per call); parsing the same tree
+    JVM-side is milliseconds.
+
+    ``parallelism`` hash-repartitions the exploded tokens when the
+    source scan is narrower than the core count (single-file
+    fixtures); leave ``None`` when the scan is already wide (the
+    100 TB case — the agg exchanges parallelize regardless).
     """
-    if not 0 < max_tokens < 1 << 16:
-        raise ValueError("max_tokens must keep lane votes below 2^16")
-    # every expression is ONE F.expr string — building the unrolled
-    # tree with pyspark Column operators costs thousands of py4j
-    # round-trips (~3 s of pure driver time per call); parsing the
-    # same tree JVM-side is milliseconds.
-    hashed = docs.filter(F.col(text_col).isNotNull()).select(
+    if not 0 < max_tokens < 1 << 15:
+        raise ValueError(
+            "max_tokens must keep packed lane sums below 2^63 (< 2^15)")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
-        F.expr(f"slice(transform(split(lower({text_col}), ' '), "
-               f"tk -> xxhash64(tk)), 1, {max_tokens})").alias("__hs"))
+        F.expr(f"explode(slice(split(lower({text_col}), ' '), "
+               f"1, {max_tokens}))").alias("tok")
+    ).select("doc", F.expr("xxhash64(tok)").alias("th"))
     if parallelism:
-        hashed = hashed.repartition(parallelism, "doc")
+        toks = toks.repartition(parallelism, "doc")
+    weighted = toks.groupBy("doc", "th").agg(F.count("*").alias("cnt"))
 
     def lane_terms(j: int) -> str:
         return " + ".join(
-            f"shiftleft(CAST(shiftright(h, {4 * j + lane}) & 1 AS BIGINT),"
-            f" {16 * lane})"
+            f"shiftleft(shiftright(th, {4 * j + lane}) & 1, {16 * lane})"
             for lane in range(4))
 
     packed = [
-        F.expr(f"aggregate(__hs, CAST(0 AS BIGINT), "
-               f"(acc, h) -> acc + ({lane_terms(j)}))").alias(f"p{j}")
+        F.expr(f"sum(cnt * ({lane_terms(j)}))").alias(f"p{j}")
         for j in range(16)]
-    agg = hashed.select(
-        "doc", *packed,
-        F.expr("CAST(size(__hs) AS BIGINT)").alias("total"))
+    agg = weighted.groupBy("doc").agg(
+        *packed, F.expr("sum(cnt)").alias("total"))
     fp = " ^ ".join(
         f"shiftleft(CAST(CASE WHEN (shiftright(p{j}, {16 * lane}) & 65535)"
         f" * 2 > total THEN 1 ELSE 0 END AS BIGINT), {4 * j + lane})"
