@@ -1,0 +1,82 @@
+"""Duplicate clustering: connected components over near-dup pairs.
+
+Pair lists (``dedup_*_pairs``) aren't actionable on their own — a
+training-data pipeline needs *clusters* so it can keep one canonical
+document per group.  This is connected components on the similarity
+graph.
+
+Spark mapping: iterative min-label propagation expressed as DataFrame
+joins — the standard open-source formulation for Pregel-free engines
+(GraphX/GraphFrames implement the same alternating-join scheme).
+Each iteration: every node adopts the minimum label in its closed
+neighborhood; convergence when no label changes.  Iteration count is
+bounded by the graph diameter of the largest component, which for
+near-dup clusters is tiny (dup groups are dense, diameter 2-3);
+``max_iter`` guards pathological chains.
+
+Scale shape per iteration: one shuffle on node id (groupBy) over the
+edge list — no driver-side data, only a scalar convergence check
+(an aggregated count).  At 100 TB the edge list is the near-dup pair
+output, orders of magnitude below corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Pairs ``(a, b)`` → ``(doc, cluster)`` with cluster = min node id
+    of the component.  Nodes not in any pair are absent (singletons
+    are implicit — left-join the corpus afterwards if needed).
+    """
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+             .union(pairs.select(F.col(b_col).alias("u"),
+                                 F.col(a_col).alias("v")))
+             .distinct())
+    # min label in the closed neighborhood, iterated to fixpoint;
+    # explicit column renames everywhere — labels derives from edges,
+    # so attribute-based join conditions would be ambiguous self-joins
+    labels = (edges.groupBy("u").agg(F.min("v").alias("lbl"))
+              .select(F.col("u").alias("node"),
+                      F.least("u", "lbl").alias("lbl")))
+    for _ in range(max_iter):
+        neigh = (edges
+                 .join(labels.select(F.col("node").alias("__nbr"), "lbl"),
+                       F.col("v") == F.col("__nbr"))
+                 .groupBy("u").agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels
+                      .join(neigh.select(F.col("u").alias("__n"), "nlbl"),
+                            F.col("node") == F.col("__n"), "left")
+                      .select("node",
+                              F.least("lbl", F.coalesce("nlbl", "lbl"))
+                              .alias("lbl")))
+        # cut the iteration's lineage: the label table is |V(pairs)|
+        # rows (near-dup nodes only, far below corpus size), and
+        # without this the plan doubles every round
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels
+                   .join(labels.select(F.col("node").alias("__o"),
+                                       F.col("lbl").alias("old_lbl")),
+                         F.col("node") == F.col("__o"))
+                   .filter(F.col("lbl") != F.col("old_lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"),
+                         F.col("lbl").alias("cluster"))
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """The end-to-end dedup decision: every doc mapped to its cluster
+    (singletons keep themselves) and flagged ``keep`` iff it is the
+    cluster's canonical (minimum-id) member."""
+    cc = connected_components(pairs)
+    return (docs.join(cc, docs[id_col] == cc.doc, "left")
+            .select(docs[id_col],
+                    F.coalesce("cluster", docs[id_col]).alias("cluster"))
+            .withColumn("keep", F.col(id_col) == F.col("cluster")))

@@ -102,6 +102,7 @@ _DEPTH = [
     "win_next_event_gap",
     "reshape_wide",
     "reshape_long",
+    "dedup_clusters",
     "agg_approx_distinct",
     "dedup_minhash_pairs",
     "dedup_simhash",

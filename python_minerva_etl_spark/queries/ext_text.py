@@ -76,6 +76,47 @@ def _dedup_ngram_jaccard(spark, sf_dir):
                                  n=3, threshold=0.95)
 
 
+def _dedup_clusters(spark, sf_dir):
+    """EXT-DEDUP (clustering): connected components over the n-gram
+    near-dup pairs — the step that turns pair lists into keep-one-per-
+    cluster decisions.  Iterative min-label propagation (DataFrame
+    joins, one shuffle per round, scalar-only convergence check);
+    oracle = transitive closure via recursive CTE."""
+    from ..ext.clusters import connected_components
+
+    pairs = D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"),
+                                  n=3, threshold=0.95)
+    return connected_components(pairs)
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substring(text, i, 3))) AS grams
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / CAST(len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.95
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT u AS doc, LEAST(u, MIN(v)) AS cluster
+FROM reach GROUP BY u
+"""
+
+
 _DEDUP_NGRAM_JACCARD_SQL = """
 WITH g AS (
   SELECT doc_id,
@@ -310,6 +351,7 @@ QUERIES = [
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
     DeclaredQuery("dedup_simhash", _dedup_simhash, None, "EXT-DEDUP (SimHash)"),
     DeclaredQuery("dedup_ngram_jaccard", _dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, "EXT-DEDUP (n-gram)"),
+    DeclaredQuery("dedup_clusters", _dedup_clusters, _DEDUP_CLUSTERS_SQL, "EXT-DEDUP (connected components)"),
     DeclaredQuery("text_token_stats", _text_token_stats, _TEXT_TOKEN_STATS_SQL, "EXT-TEXT-STATS"),
     DeclaredQuery("text_quality_score", _text_quality_score, _TEXT_QUALITY_SCORE_SQL, "EXT-TEXT (quality)"),
     DeclaredQuery("text_langid", _text_langid, _langid_oracle(), "EXT-TEXT (lang-id)"),

@@ -79,3 +79,29 @@ def test_simhash_matches_pure_python_reference(spark):
             fp -= 2 ** 64
         want[doc] = fp
     assert got == want
+
+
+def test_connected_components_clusters(spark):
+    """Chain, triangle, isolated edge, and a node bridging two label
+    waves — min-label propagation must converge to component minima."""
+    from python_minerva_etl_spark.ext.clusters import (
+        connected_components, dedup_keep_canonical)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                       # isolated edge
+        "doc_a bigint, doc_b bigint")
+    got = {r.doc: r.cluster
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 20, 21]],
+                                 "doc_id bigint")
+    dec = {r.doc_id: (r.cluster, r.keep)
+           for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert dec[1] == (1, True) and dec[4] == (1, False)
+    assert dec[5] == (5, True)   # singleton keeps itself
+    assert dec[21] == (20, False)
