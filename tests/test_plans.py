@@ -82,3 +82,82 @@ def test_lsh_band_joins_are_not_cross_joins(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key into the same bucket count
+    must sort-merge join with ZERO Exchange — the co-located join that
+    replaces terabyte shuffles in nightly rollups at scale."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.bucketing import (read_bucketed,
+                                                              write_bucketed)
+    from python_minerva_etl_spark.registry import load_table
+
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+                   "b_orders", ["custkey"], 8, sort_cols=["custkey"])
+    write_bucketed(cust.withColumnRenamed("c_custkey", "custkey"),
+                   "b_customer", ["custkey"], 8, sort_cols=["custkey"])
+    try:
+        bo, bc = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_customer")
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(bc, "custkey").select(
+                "custkey", "o_totalprice", "c_mktsegment")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain(mode="formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            # correctness unchanged vs the plain-table join
+            expect = (load_table(spark, SF, "orders")
+                      .join(load_table(spark, SF, "customer"),
+                            F.col("o_custkey") == F.col("c_custkey"))
+                      .count())
+            assert joined.count() == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(64 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    """groupBy on the bucket key aggregates in place — no exchange."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.bucketing import (read_bucketed,
+                                                              write_bucketed)
+    from python_minerva_etl_spark.registry import load_table
+
+    write_bucketed(load_table(spark, SF, "orders"), "b_orders_g",
+                   ["o_custkey"], 8)
+    try:
+        agged = (read_bucketed(spark, "b_orders_g")
+                 .groupBy("o_custkey").agg(F.count("*").alias("n")))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agged.explain(mode="formatted")
+        assert "Exchange" not in buf.getvalue()
+        assert agged.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders_g")
+
+
+def test_relation_rollup_broadcasts_relation(spark):
+    """rollup_relation: the m:n relation table must broadcast (entity
+    dims are MB-scale); the fact side shuffles once for the agg."""
+    plan = _plan(spark, "rollup_relation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
