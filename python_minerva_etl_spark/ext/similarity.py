@@ -133,6 +133,98 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             num_cells: int = 16, nprobe: int = 4, lloyd_iters: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the classic ANN structure next to LSH: partition the corpus into
+    ``num_cells`` Voronoi cells, probe only the ``nprobe`` cells
+    nearest each query.
+
+    Deterministic throughout: seed centroids are the ``num_cells``
+    corpus vectors with the smallest ``xxhash64(id)`` (a reproducible
+    pseudo-random sample), refined by ``lloyd_iters`` k-means steps.
+    The centroid table is K × d doubles — bounded *metadata*, so it
+    rides into the plan as a literal and cell assignment is entirely
+    scan-local (no shuffle, no crossJoin).  At 100 TB: corpus
+    assignment is one pass; each query touches ~nprobe/num_cells of
+    the corpus via the (cell) equi-join.
+    """
+    seeds = (corpus.orderBy(F.xxhash64(F.col(id_col)))
+             .limit(num_cells).select(vec_col).collect())
+    cents = [[float(x) for x in r[0]] for r in seeds]
+
+    def cent_lit(cs) -> str:
+        entries = []
+        for i, v in enumerate(cs):
+            vals = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in v)
+            n = sum(x * x for x in v) ** 0.5
+            entries.append(f"struct({i} AS cell, array({vals}) AS v, "
+                           f"CAST('{n!r}' AS DOUBLE) AS n)")
+        return "array(" + ", ".join(entries) + ")"
+
+    def dot(vec: str, cvec: str) -> str:
+        return (f"aggregate(zip_with({vec}, {cvec}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), "
+                f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+
+    def with_cell(df: DataFrame, cs) -> DataFrame:
+        """(id, vec, vnorm, cell): scan-local nearest-centroid argmax."""
+        lit = cent_lit(cs)
+        score = f"({dot('__v', 'ct.v')} / (__vn * ct.n))"
+        best = (f"aggregate({lit}, "
+                f"struct(CAST(-2.0 AS DOUBLE) AS s, -1 AS cell), "
+                f"(acc, ct) -> if({score} > acc.s, "
+                f"struct({score} AS s, ct.cell AS cell), acc)).cell")
+        return (df.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("__v"),
+                          norm_col(vec_col).alias("__vn"))
+                .withColumn("cell", F.expr(best)))
+
+    for _ in range(lloyd_iters):
+        assigned = with_cell(corpus, cents)
+        means = (assigned
+                 .select("cell", F.posexplode("__v").alias("pos", "x"))
+                 .groupBy("cell", "pos")
+                 .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                 .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        cents = [
+            [by_cell[i][p] for p in sorted(by_cell[i])]
+            if i in by_cell else cents[i]          # empty cell keeps seed
+            for i in range(num_cells)]
+
+    lit = cent_lit(cents)
+    c_assigned = with_cell(corpus, cents).select(
+        F.col("id").alias("corpus_id"), F.col("__v").alias("c_vec"),
+        F.col("__vn").alias("c_norm"), "cell")
+    probe_score = f"({dot('__v', 'ct.v')} / (__vn * ct.n))"
+    probes = (f"slice(array_sort(transform({lit}, "
+              f"ct -> struct({probe_score} AS s, ct.cell AS cell)), "
+              f"(l, r) -> if(l.s > r.s, -1, if(l.s < r.s, 1, 0))), "
+              f"1, {nprobe})")
+    q_probed = (queries.select(F.col(id_col).alias("query_id"),
+                               F.col(vec_col).alias("__v"),
+                               norm_col(vec_col).alias("__vn"))
+                .withColumn("pc", F.explode(F.expr(probes)))
+                .select("query_id", F.col("__v").alias("q_vec"),
+                        F.col("__vn").alias("q_norm"),
+                        F.col("pc.cell").alias("cell")))
+    scored = (
+        F.broadcast(q_probed)
+        .join(c_assigned, "cell")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id",
+                (dot_col("q_vec", "c_vec")
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
 def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:

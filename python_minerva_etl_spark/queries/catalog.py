@@ -107,6 +107,7 @@ _DEPTH = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "sim_topk_arrow",
 ]
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..ext.similarity import (brute_force_topk, brute_force_topk_arrow,
-                              cosine_pairs, lsh_bucketed_topk)
+                              cosine_pairs, ivf_topk, lsh_bucketed_topk)
 from .base import DeclaredQuery, t
 
 _COS = ("list_dot_product({a}, {b}) / "
@@ -63,6 +63,17 @@ def _sim_topk_lsh(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(queries, emb, k=5,
                              num_planes=4, num_tables=16).select(
+        "query_id", "corpus_id", "cosine", "rank")
+
+
+def _sim_topk_ivf(spark, sf_dir):
+    """EXT-SIM-TOPK (IVF scale path): hash-seeded k-means cells, probe
+    the 4 nearest of 8 — deterministic (no RNG) but approximate →
+    rows-only check; recall measured in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, num_cells=8, nprobe=4,
+                    lloyd_iters=1).select(
         "query_id", "corpus_id", "cosine", "rank")
 
 
@@ -153,6 +164,7 @@ FROM embeddings
 QUERIES = [
     DeclaredQuery("sim_topk", _sim_topk, _SIM_TOPK_SQL, "EXT-SIM-TOPK"),
     DeclaredQuery("sim_topk_lsh", _sim_topk_lsh, None, "EXT-SIM-TOPK (LSH scale path)"),
+    DeclaredQuery("sim_topk_ivf", _sim_topk_ivf, None, "EXT-SIM-TOPK (IVF scale path)"),
     DeclaredQuery("sim_topk_arrow", _sim_topk_arrow, None, "EXT-SIM-TOPK (Arrow fast path)"),
     DeclaredQuery("dedup_embedding_pairs", _dedup_embedding_pairs, _DEDUP_EMBEDDING_PAIRS_SQL, "EXT-DEDUP (embedding)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),

@@ -45,3 +45,24 @@ def test_lsh_recall_on_top1(spark):
     hits = sum(1 for qid, cid in exact_top1.items()
                if cid in lsh_sets.get(qid, set()))
     assert hits >= int(0.6 * len(exact_top1))
+
+
+def test_ivf_recall_and_determinism(spark):
+    """IVF probes nprobe of num_cells Voronoi cells; contract is
+    top-1 recall on this corpus plus bit-stable output across runs
+    (hash-seeded centroids, no RNG state)."""
+    from python_minerva_etl_spark.ext.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact_top1 = {r.query_id: r.corpus_id
+                  for r in brute_force_topk(q, emb, k=1).collect()}
+    ivf = ivf_topk(q, emb, k=5, num_cells=8, nprobe=4, lloyd_iters=1)
+    ivf_sets = _topk_sets(ivf)
+    hits = sum(1 for qid, cid in exact_top1.items()
+               if cid in ivf_sets.get(qid, set()))
+    assert hits >= int(0.6 * len(exact_top1))
+    again = ivf_topk(q, emb, k=5, num_cells=8, nprobe=4, lloyd_iters=1)
+    a = sorted((r.query_id, r.corpus_id, r.rank) for r in ivf.collect())
+    b = sorted((r.query_id, r.corpus_id, r.rank) for r in again.collect())
+    assert a == b
