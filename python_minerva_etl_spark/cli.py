@@ -6,6 +6,9 @@ Reference commands (minerva/commands/* [U]) → subcommands here:
     load-data             harvest a file into a trend store (§3.1)
     materialize           incremental materialization run (§3.2)
     create-notifications  evaluate a trigger, append notifications
+    aggregate             run a declared part aggregation (the
+                          ``minerva aggregation create`` analog —
+                          compiled and executed, not SQL-generated)
     bench                 run the headline benchmark
 
 Usage: ``python -m python_minerva_etl_spark.cli <command> …``
@@ -103,6 +106,47 @@ def cmd_create_notifications(args) -> int:
     return 0
 
 
+def cmd_aggregate(args) -> int:
+    """The reference's ``minerva aggregation create`` analog: compile a
+    declared part's aggregation (time and/or entity-relation) and run
+    it source → target, instead of generating SQL files."""
+    from .plans.instance import aggregate_entity, aggregate_time
+    from .plans.yaml_instance import MinervaInstance
+
+    inst = MinervaInstance.load(args.instance_dir)
+    stores = {ts.data_source: ts for ts in inst.trend_stores}
+    if args.data_source not in stores:
+        print(f"unknown data source {args.data_source!r}; "
+              f"have {sorted(stores)}", file=sys.stderr)
+        return 2
+    parts = {p.name: p for p in stores[args.data_source].parts}
+    if args.part not in parts:
+        print(f"unknown part {args.part!r}; have {sorted(parts)}",
+              file=sys.stderr)
+        return 2
+    part = parts[args.part]
+
+    spark = _spark()
+    df = spark.read.parquet(args.source)
+    if args.target_granularity:
+        df = aggregate_time(df, part, args.entity_column,
+                            args.timestamp_column, args.target_granularity)
+    if args.relation:
+        relations = {r.name: r for r in inst.relations}
+        if args.relation not in relations:
+            print(f"unknown relation {args.relation!r}; "
+                  f"have {sorted(relations)}", file=sys.stderr)
+            return 2
+        relation_df = spark.read.parquet(args.relation_table)
+        df = aggregate_entity(df, part, relation_df,
+                              relations[args.relation],
+                              args.entity_column, args.timestamp_column)
+    df.write.mode("overwrite").parquet(args.target)
+    print(json.dumps({"rows": spark.read.parquet(args.target).count(),
+                      "target": args.target}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     return subprocess.call([sys.executable, "bench.py"])
@@ -147,6 +191,21 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--entity-column", default="entity_key")
     s.add_argument("--timestamp-column", default="timestamp")
     s.set_defaults(fn=cmd_create_notifications)
+
+    s = sub.add_parser("aggregate",
+                       help="run a declared part aggregation "
+                            "(time and/or entity relation)")
+    s.add_argument("--instance-dir", required=True)
+    s.add_argument("--data-source", required=True)
+    s.add_argument("--part", required=True)
+    s.add_argument("--source", required=True)
+    s.add_argument("--target", required=True)
+    s.add_argument("--target-granularity", default=None)
+    s.add_argument("--relation", default=None)
+    s.add_argument("--relation-table", default=None)
+    s.add_argument("--entity-column", default="entity_key")
+    s.add_argument("--timestamp-column", default="timestamp")
+    s.set_defaults(fn=cmd_aggregate)
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     s.set_defaults(fn=cmd_bench)

@@ -130,6 +130,47 @@ def _run_cli(*args: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def test_cli_aggregate_time_and_relation(spark, instance_dir):
+    """`aggregate`: the declared part (pkts SUM, latency AVG) rolls
+    15m -> 1h then up the YAML relation — values follow the
+    re-aggregation invariant (sum of sums; avg partials stay sums)."""
+    import pyspark.sql.functions as F
+
+    base = os.path.join(SCRATCH, "agg")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    src = os.path.join(base, "src")
+    rel = os.path.join(base, "rel")
+    tgt = os.path.join(base, "tgt")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, 4.0),
+         (1, "2024-01-01 00:15:00", 20, 6.0),
+         (2, "2024-01-01 00:30:00", 5, 2.0),
+         (1, "2024-01-01 01:00:00", 7, 1.0)],
+        "cell_id int, timestamp string, pkts int, latency double"
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp")
+                 ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1, "siteA"), (2, "siteA")],
+        "cell_id int, site_id string").write.mode("overwrite").parquet(rel)
+
+    out = _run_cli(
+        "aggregate", "--instance-dir", instance_dir,
+        "--data-source", "vendor", "--part", "main",
+        "--source", src, "--target", tgt,
+        "--target-granularity", "1h",
+        "--relation", "cell_to_site", "--relation-table", rel,
+        "--entity-column", "cell_id", "--timestamp-column", "timestamp")
+    assert out["rows"] == 2  # siteA x 2 hour buckets
+    got = {str(r.cell_id) + "|" + str(r.timestamp):
+           (float(r.pkts), float(r.latency), r.samples)
+           for r in spark.read.parquet(tgt).collect()}
+    # hour 0: pkts 10+20+5, latency partial-sums 4+6+2, over the two
+    # per-cell hourly partials rolled into siteA
+    assert got["siteA|2024-01-01 00:00:00"] == (35.0, 12.0, 2)
+    assert got["siteA|2024-01-01 01:00:00"] == (7.0, 1.0, 1)
+
+
 def test_cli_initialize(instance_dir):
     summary = _run_cli("initialize", instance_dir)
     assert summary["trend_stores"][0]["parts"] == {"main": 2}
