@@ -60,12 +60,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warmup pass: run every headline plan once so the measured pass
-    # reflects steady-state executor throughput (codegen/JIT and file
-    # metadata amortized) — that is what extrapolates to a long-running
-    # cluster, where these plans run continuously.
-    for name in HEADLINE:
-        queries[name].spark(spark, sf_dir).count()
+    # warmup passes: run every headline plan twice so the measured pass
+    # reflects steady-state executor throughput (codegen + JIT C2
+    # compilation and file metadata amortized; one pass leaves the
+    # heavier plans still tiering up) — that is what extrapolates to a
+    # long-running cluster, where these plans run continuously.
+    for _ in range(2):
+        for name in HEADLINE:
+            queries[name].spark(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
