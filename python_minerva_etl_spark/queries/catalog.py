@@ -103,6 +103,7 @@ _DEPTH = [
     "reshape_wide",
     "reshape_long",
     "dedup_clusters",
+    "dedup_keep_canonical",
     "agg_approx_distinct",
     "dedup_minhash_pairs",
     "dedup_simhash",

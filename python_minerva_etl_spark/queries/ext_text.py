@@ -117,6 +117,53 @@ FROM reach GROUP BY u
 """
 
 
+def _dedup_keep_canonical(spark, sf_dir):
+    """EXT-DEDUP (decision surface): every doc mapped to its near-dup
+    cluster (singletons keep themselves), flagged keep iff it is the
+    cluster's canonical minimum-id member — the column a training-data
+    pipeline actually filters on."""
+    from ..ext.clusters import dedup_keep_canonical
+    from ..ext.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.95)
+    return dedup_keep_canonical(docs, pairs)
+
+
+_DEDUP_KEEP_CANONICAL_SQL = """
+WITH RECURSIVE
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substring(text, i, 3))) AS grams
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / CAST(len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.95
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS doc, LEAST(u, MIN(v)) AS cluster
+  FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(cc.cluster, d.doc_id) AS cluster,
+       d.doc_id = COALESCE(cc.cluster, d.doc_id) AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc
+"""
+
+
 _DEDUP_NGRAM_JACCARD_SQL = """
 WITH g AS (
   SELECT doc_id,
@@ -352,6 +399,7 @@ QUERIES = [
     DeclaredQuery("dedup_simhash", _dedup_simhash, None, "EXT-DEDUP (SimHash)"),
     DeclaredQuery("dedup_ngram_jaccard", _dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, "EXT-DEDUP (n-gram)"),
     DeclaredQuery("dedup_clusters", _dedup_clusters, _DEDUP_CLUSTERS_SQL, "EXT-DEDUP (connected components)"),
+    DeclaredQuery("dedup_keep_canonical", _dedup_keep_canonical, _DEDUP_KEEP_CANONICAL_SQL, "EXT-DEDUP (keep decision)"),
     DeclaredQuery("text_token_stats", _text_token_stats, _TEXT_TOKEN_STATS_SQL, "EXT-TEXT-STATS"),
     DeclaredQuery("text_quality_score", _text_quality_score, _TEXT_QUALITY_SCORE_SQL, "EXT-TEXT (quality)"),
     DeclaredQuery("text_langid", _text_langid, _langid_oracle(), "EXT-TEXT (lang-id)"),
