@@ -22,32 +22,52 @@ from pyspark.sql.window import Window
 
 def asof_join(facts: DataFrame, history: DataFrame, key: list[str],
               ts_col: str, attr_cols: list[str],
-              inclusive: bool = True) -> DataFrame:
-    """For each fact row, attach the latest ``attr_cols`` from history
-    with ``history.ts <= fact.ts`` (inclusive) per ``key``.
+              inclusive: bool = True,
+              direction: str = "backward") -> DataFrame:
+    """For each fact row, attach ``attr_cols`` from the nearest history
+    row per ``key``: the latest with ``history.ts <= fact.ts``
+    (``direction="backward"``, the attribute-at-fact-time semantics)
+    or the earliest with ``history.ts >= fact.ts``
+    (``direction="forward"``, next-reading-after).  ``inclusive``
+    controls whether equality counts.
 
     ``history`` must contain ``key + [ts_col] + attr_cols``; attr_cols
     must not collide with fact column names (rename before calling).
+    Both directions are ONE shuffle on the entity key + one linear
+    window pass — never a range join (O(facts × history-per-key)
+    intermediates).
     """
-    f = facts.withColumn("__is_fact", F.lit(1 if inclusive else 0))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, "
+                         f"got {direction!r}")
+    backward = direction == "backward"
+    # sort position of history rows vs fact rows at the SAME ts
+    # encodes <= vs < (backward) and >= vs > (forward):
+    #   backward inclusive:  history first  (in frame [start, current])
+    #   forward  inclusive:  history after  (in frame [current, end])
+    hist_first = inclusive if backward else not inclusive
+    f = facts.withColumn("__is_fact", F.lit(1)) \
+        .withColumn("__ord", F.lit(1 if hist_first else 0))
     # history attrs ride in ONE struct, non-null on every history row:
-    # last(ignorenulls) then skips only fact-row filler, never a
-    # genuinely-NULL attribute value inside the latest history row
+    # last/first(ignorenulls) then skips only fact-row filler, never a
+    # genuinely-NULL attribute value inside the matched history row
     h = history.select(
         *key, ts_col,
         F.struct(*[F.col(c) for c in attr_cols]).alias("__attrs")
-    ).withColumn("__is_fact", F.lit(0 if inclusive else 1))
+    ).withColumn("__is_fact", F.lit(0)) \
+        .withColumn("__ord", F.lit(0 if hist_first else 1))
     unioned = f.unionByName(h, allowMissingColumns=True)
-    # ties at the same ts: history sorts before facts when inclusive,
-    # after when exclusive — encoding <= vs < in the sort key; the
-    # struct itself is the final tiebreak so duplicate-ts history rows
-    # resolve deterministically (max attr tuple wins)
-    w = (Window.partitionBy(*key).orderBy(ts_col, "__is_fact", "__attrs")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    unioned = unioned.withColumn(
-        "__attrs", F.last("__attrs", ignorenulls=True).over(w))
-    fact_flag = 1 if inclusive else 0
-    out = unioned.filter(F.col("__is_fact") == fact_flag)
+    # the struct is the final tiebreak so duplicate-ts history rows
+    # resolve deterministically (max attrs win backward, min forward)
+    w = Window.partitionBy(*key).orderBy(ts_col, "__ord", "__attrs")
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        picked = F.last("__attrs", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        picked = F.first("__attrs", ignorenulls=True).over(w)
+    unioned = unioned.withColumn("__attrs", picked)
+    out = unioned.filter(F.col("__is_fact") == 1)
     for c in attr_cols:
         out = out.withColumn(c, F.col("__attrs").getField(c))
-    return out.drop("__is_fact", "__attrs")
+    return out.drop("__is_fact", "__ord", "__attrs")

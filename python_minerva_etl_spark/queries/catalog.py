@@ -96,6 +96,7 @@ _DEPTH = [
     "agg_histogram",
     "gap_detect",
     "set_intersect",
+    "join_asof_forward",
     "win_running_total",
     "win_distribution",
     "win_first_last",

@@ -189,6 +189,43 @@ ASOF LEFT JOIN purchases p
 """
 
 
+def _join_asof_forward(spark, sf_dir):
+    """OP-JOIN-ASOF (forward): for each click, the user's NEXT purchase
+    at-or-after the click — time-to-conversion semantics.  Purchases
+    collapse to one row per (user, ts) first so nearest-row ties
+    cannot arise (engines may break them differently)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("next_value")))
+    return asof_join(
+        clicks, purchases, key=["user_id"], ts_col="ts",
+        attr_cols=["next_value"], direction="forward",
+    ).select("event_id", "user_id", "value", "next_value")
+
+
+_JOIN_ASOF_FORWARD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+         MAX(value) AS next_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.value, p.next_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 QUERIES = [
     DeclaredQuery("attr_curr", _attr_curr, _ATTR_CURR_SQL, "OP-WIN-LATEST"),
     DeclaredQuery("attr_change_detect", _attr_change_detect, _ATTR_CHANGE_DETECT_SQL, "OP-WIN-CHANGE"),
@@ -197,6 +234,7 @@ QUERIES = [
     DeclaredQuery("win_delta_prev", _win_delta_prev, _WIN_DELTA_PREV_SQL, "OP-WIN-ANALYTIC"),
     DeclaredQuery("win_moving_avg", _win_moving_avg, _WIN_MOVING_AVG_SQL, "OP-WIN-MOVAVG"),
     DeclaredQuery("join_asof", _join_asof, _JOIN_ASOF_SQL, "OP-JOIN-ASOF"),
+    DeclaredQuery("join_asof_forward", _join_asof_forward, _JOIN_ASOF_FORWARD_SQL, "OP-JOIN-ASOF (forward)"),
 ]
 
 

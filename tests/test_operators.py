@@ -301,3 +301,30 @@ def test_asof_join_null_attribute_not_skipped(spark):
         facts, hist, key=["k"], ts_col="ts", attr_cols=["attr_v"]).collect()}
     assert out["f0"] == 5.0      # before the NULL row: old value
     assert out["f1"] is None     # latest row's value IS NULL
+
+
+def test_asof_join_forward(spark):
+    """direction='forward': earliest history at-or-after the fact ts;
+    exclusive skips the equal-ts row; facts past the last history row
+    get NULL."""
+    from datetime import datetime
+
+    from python_minerva_etl_spark.operators.joins import asof_join
+
+    hist = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2), 5.0), (1, datetime(2024, 1, 4), 7.0)],
+        "k bigint, ts timestamp, attr_v double")
+    facts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "before"),
+         (1, datetime(2024, 1, 2), "at"),
+         (1, datetime(2024, 1, 3), "between"),
+         (1, datetime(2024, 1, 5), "after")],
+        "k bigint, ts timestamp, tag string")
+    fwd = {r.tag: r.attr_v for r in asof_join(
+        facts, hist, key=["k"], ts_col="ts", attr_cols=["attr_v"],
+        direction="forward").collect()}
+    assert fwd == {"before": 5.0, "at": 5.0, "between": 7.0, "after": None}
+    excl = {r.tag: r.attr_v for r in asof_join(
+        facts, hist, key=["k"], ts_col="ts", attr_cols=["attr_v"],
+        direction="forward", inclusive=False).collect()}
+    assert excl["at"] == 7.0     # equal ts excluded, next row wins
