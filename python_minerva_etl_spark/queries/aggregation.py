@@ -446,7 +446,39 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def _agg_time_sliding(spark, sf_dir):
+    """OP-AGG-TIME (hopping windows): 1h windows sliding every 15m —
+    every event lands in exactly size/slide = 4 overlapping windows.
+    Spark's native F.window(slide) materializes the window struct
+    scan-locally (an explode by 4), then one hash-agg shuffle; the
+    oracle reconstructs the same 4 epoch-aligned window starts."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("samples"), dsum("value", 4, "sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type",
+                "samples", "sum_value"))
+
+
+_AGG_TIME_SLIDING_SQL = f"""
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+w AS (
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(CAST(floor(epoch(ts) / 900) * 900 - k * 900
+                             AS BIGINT)) AS wstart,
+         event_type, value
+  FROM events CROSS JOIN k
+)
+SELECT wstart, event_type,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value
+FROM w
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
+    DeclaredQuery("agg_time_sliding", _agg_time_sliding, _AGG_TIME_SLIDING_SQL, "OP-AGG-TIME (hopping)"),
     DeclaredQuery("agg_time_1h", _agg_time_1h, _AGG_TIME_1H_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_15m", _agg_time_15m, _AGG_TIME_15M_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_1d", _agg_time_1d, _AGG_TIME_1D_SQL, "OP-AGG-TIME"),

@@ -86,6 +86,7 @@ _DEPTH = [
     "rollup_entity",
     "agg_rollup_sets",
     "agg_time_15m",
+    "agg_time_sliding",
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",
