@@ -70,12 +70,16 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
-def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int,
+def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame,
+                      k: int | None,
                       num_planes: int = 16, num_tables: int = 4,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       seed: int = 42) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH (sign sketches).
+    ``k=None`` skips the per-query ranking and returns ALL scored
+    candidate pairs — the building block for threshold-style near-dup
+    (``cosine_pairs_lsh``).
 
     Each vector gets ``num_tables`` bucket codes (one per table,
     ``num_planes`` sign bits each) from deterministic pseudo-random
@@ -125,6 +129,9 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int,
                & (F.col("query_id") != F.col("corpus_id")))
         .select("query_id", "corpus_id", "q_vec", "c_vec").distinct()
     )
+    if k is None:
+        return cand.select("query_id", "corpus_id",
+                           cosine_col("q_vec", "c_vec").alias("cosine"))
     scored = cand.select("query_id", "corpus_id",
                          cosine_col("q_vec", "c_vec").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
@@ -275,12 +282,34 @@ def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def cosine_pairs_lsh(corpus: DataFrame, threshold: float,
+                     num_planes: int = 4, num_tables: int = 16,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     seed: int = 42) -> DataFrame:
+    """EXT embedding near-dup, scale path: the same sign-bucket LSH as
+    ``lsh_bucketed_topk`` generates candidate pairs (id_a < id_b, any
+    shared (table, bucket)), then the exact cosine threshold verifies
+    candidates only — never all pairs.  Same output contract as
+    ``cosine_pairs`` minus LSH recall misses (recall measured in
+    tests/test_similarity.py)."""
+    half = corpus.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("vec"))
+    joined = lsh_bucketed_topk(
+        half, half, k=None, num_planes=num_planes,
+        num_tables=num_tables, id_col="id", vec_col="vec", seed=seed)
+    return (joined.filter(F.col("query_id") < F.col("corpus_id"))
+            .select(F.col("query_id").alias("id_a"),
+                    F.col("corpus_id").alias("id_b"), "cosine")
+            .filter(F.col("cosine") >= threshold))
+
+
 def cosine_pairs(corpus: DataFrame, threshold: float,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """EXT embedding-cosine near-dup: all pairs with cosine >= τ.
-    Exact small-n form (self cross join on id<id); the scale path runs
-    the same threshold filter over lsh_bucketed candidates."""
+    Exact small-n form (self cross join on id<id); the scale path is
+    ``cosine_pairs_lsh`` (same threshold filter over LSH candidates)."""
     a = corpus.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("vec_a"))
     b = corpus.select(F.col(id_col).alias("id_b"),

@@ -109,6 +109,7 @@ _DEPTH = [
     "agg_approx_distinct",
     "dedup_minhash_pairs",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_arrow",

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..ext.similarity import (brute_force_topk, brute_force_topk_arrow,
-                              cosine_pairs, ivf_topk, lsh_bucketed_topk)
+                              cosine_pairs, cosine_pairs_lsh, ivf_topk,
+                              lsh_bucketed_topk)
 from .base import DeclaredQuery, t
 
 _COS = ("list_dot_product({a}, {b}) / "
@@ -105,6 +106,16 @@ WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
 """
 
 
+def _dedup_embedding_lsh(spark, sf_dir):
+    """EXT-DEDUP (embedding, scale path): the cosine >= 0.4 threshold
+    verified only on sign-bucket LSH candidates — never all pairs.
+    Deterministic but approximate (recall misses) → rows-only;
+    recall vs the exact twin measured in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_pairs_lsh(emb, threshold=0.4,
+                            num_planes=4, num_tables=16)
+
+
 def _mm_passthrough(spark, sf_dir):
     """EXT-MM-COL: opaque array/binary columns ride through relational
     ops untouched — filter + join + select keep the embedding intact;
@@ -167,6 +178,7 @@ QUERIES = [
     DeclaredQuery("sim_topk_ivf", _sim_topk_ivf, None, "EXT-SIM-TOPK (IVF scale path)"),
     DeclaredQuery("sim_topk_arrow", _sim_topk_arrow, None, "EXT-SIM-TOPK (Arrow fast path)"),
     DeclaredQuery("dedup_embedding_pairs", _dedup_embedding_pairs, _DEDUP_EMBEDDING_PAIRS_SQL, "EXT-DEDUP (embedding)"),
+    DeclaredQuery("dedup_embedding_lsh", _dedup_embedding_lsh, None, "EXT-DEDUP (embedding LSH scale path)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
     DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),
 ]

@@ -66,3 +66,21 @@ def test_ivf_recall_and_determinism(spark):
     a = sorted((r.query_id, r.corpus_id, r.rank) for r in ivf.collect())
     b = sorted((r.query_id, r.corpus_id, r.rank) for r in again.collect())
     assert a == b
+
+
+def test_embedding_lsh_pairs_recall(spark):
+    """cosine_pairs_lsh: every returned pair must be a true pair (the
+    threshold is verified exactly on candidates — precision 1.0) and
+    recall of the exact pair set stays useful on this corpus."""
+    from python_minerva_etl_spark.ext.similarity import (cosine_pairs,
+                                                         cosine_pairs_lsh)
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_pairs(emb, threshold=0.4).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              cosine_pairs_lsh(emb, threshold=0.4,
+                               num_planes=4, num_tables=16).collect()}
+    assert approx <= exact                     # precision 1.0
+    if exact:
+        assert len(approx) >= int(0.5 * len(exact))
