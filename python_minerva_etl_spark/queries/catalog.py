@@ -87,6 +87,7 @@ _DEPTH = [
     "agg_rollup_sets",
     "agg_time_15m",
     "agg_time_sliding",
+    "stream_sliding_parity",
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",

@@ -48,6 +48,36 @@ GROUP BY 1, 2
 """
 
 
+def _stream_sliding_parity(spark, sf_dir):
+    """OP-STR-TUMBLE (hopping variant): watermarked 1h windows sliding
+    every 15m in Structured Streaming, availableNow — equals the batch
+    hopping query bit-for-bit (same oracle family as
+    agg_time_sliding, keyed by event_type)."""
+    stream = read_events_stream(spark, sf_dir)
+    result = tumbling_agg(stream, width="1 hour",
+                          watermark="30 minutes", slide="15 minutes",
+                          key_col="event_type")
+    name = f"stream_sliding_{next(_STREAM_SEQ)}"
+    return run_available_now(spark, result, name)
+
+
+_STREAM_SLIDING_PARITY_SQL = f"""
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+w AS (
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(CAST(floor(epoch(ts) / 900) * 900 - k * 900
+                             AS BIGINT)) AS bucket,
+         event_type, value
+  FROM events CROSS JOIN k
+)
+SELECT event_type, bucket,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value
+FROM w
+GROUP BY 1, 2
+"""
+
+
 def _materialize_incremental(spark, sf_dir):
     """OP-MAT-INC: fingerprint-driven incremental materialization.
     Runs the state machine twice over a two-phase load (early data,
@@ -95,4 +125,6 @@ QUERIES = [
                   _STREAM_TUMBLE_PARITY_SQL, "OP-STR-TUMBLE/OP-STR-WATERMARK"),
     DeclaredQuery("materialize_incremental", _materialize_incremental,
                   _MATERIALIZE_INCREMENTAL_SQL, "OP-MAT-INC"),
+    DeclaredQuery("stream_sliding_parity", _stream_sliding_parity,
+                  _STREAM_SLIDING_PARITY_SQL, "OP-STR-TUMBLE (hopping)"),
 ]

@@ -53,18 +53,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour",
-                 watermark: str = "30 minutes") -> DataFrame:
-    """Per-(user, window) aggregates with the same decimal-exact
-    arithmetic as the batch flagship."""
+                 watermark: str = "30 minutes",
+                 slide: str | None = None,
+                 key_col: str = "user_id") -> DataFrame:
+    """Per-(key, window) aggregates with the same decimal-exact
+    arithmetic as the batch flagship.  ``slide`` turns the tumbling
+    window into a hopping one (each event then lands in width/slide
+    overlapping windows) — state size grows by the same factor, which
+    is the knob to mind at 100 TB."""
+    win = (F.window("ts", width, slide) if slide
+           else F.window("ts", width)).alias("win")
     return (
         events.withWatermark("ts", watermark)
-        .groupBy("user_id", F.window("ts", width).alias("win"))
+        .groupBy(key_col, win)
         .agg(
             F.count("*").alias("samples"),
             F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
             .alias("sum_value"),
         )
-        .select("user_id", F.col("win.start").alias("bucket"),
+        .select(key_col, F.col("win.start").alias("bucket"),
                 "samples", "sum_value")
     )
 
