@@ -205,10 +205,20 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         for j in range(16)]
     agg = weighted.groupBy("doc").agg(
         *packed, F.expr("sum(cnt)").alias("total"))
-    fp = " ^ ".join(
-        f"shiftleft(CAST(CASE WHEN (shiftright(p{j}, {16 * lane}) & 65535)"
-        f" * 2 > total THEN 1 ELSE 0 END AS BIGINT), {4 * j + lane})"
-        for j in range(16) for lane in range(4))
+    # fingerprint assembly as a compact runtime fold over the 16
+    # packed columns rather than 64 unrolled CASE terms: this stage
+    # runs once per *document* (post-agg), so interpreted HOF cost is
+    # negligible, while the smaller generated class cuts JIT work and
+    # codegen-cache pressure (the measured recompile tax when many
+    # plans share one JVM)
+    ps = ", ".join(f"p{j}" for j in range(16))
+    lanes = " | ".join(
+        f"shiftleft(CAST((shiftright(s.p, {16 * lane}) & 65535) * 2 > total"
+        f" AS BIGINT), s.j * 4 + {lane})"
+        for lane in range(4))
+    fp = (f"aggregate(zip_with(array({ps}), sequence(0, 15), "
+          f"(p, j) -> struct(p, j)), CAST(0 AS BIGINT), "
+          f"(acc, s) -> acc ^ ({lanes}))")
     return agg.select("doc", F.expr(fp).alias("simhash"))
 
 
