@@ -105,3 +105,43 @@ def test_connected_components_clusters(spark):
     assert dec[1] == (1, True) and dec[4] == (1, False)
     assert dec[5] == (5, True)   # singleton keeps itself
     assert dec[21] == (20, False)
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized (fixed-seed) graphs vs a pure-python union-find:
+    labels must be exactly the component minimum for every node,
+    including long chains that need several propagation rounds."""
+    import random
+
+    from python_minerva_etl_spark.ext.clusters import connected_components
+
+    for seed, n_nodes, n_edges in [(7, 40, 25), (13, 60, 80), (29, 30, 15)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        in_pairs = {x for e in edges for x in e}
+        want = {}
+        roots: dict[int, int] = {}
+        for x in sorted(in_pairs):
+            roots.setdefault(find(x), x)   # min node per component
+        for x in in_pairs:
+            want[x] = roots[find(x)]
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a bigint, doc_b bigint")
+        got = {r.doc: r.cluster
+               for r in connected_components(pairs).collect()}
+        assert got == want, f"seed={seed}"
