@@ -150,6 +150,28 @@ def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.9,
         .otherwise(F.lit("holdout")))
 
 
+def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
+                      fractions: dict[str, float],
+                      default_frac: float = 0.0,
+                      salt: str = "strata-v1") -> DataFrame:
+    """Deterministic per-stratum sampling — the dataset-mixing
+    primitive (e.g. keep 50% of English, 20% of everything else).
+
+    Same md5-draw scheme as :func:`hash_split` (stable across runs,
+    partitionings and cluster sizes, never ``rand()``/``sampleBy``),
+    with the per-row threshold chosen by the stratum column — one
+    scan-local projection + filter, no shuffle, exact oracle twin.
+    """
+    draw = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    thr = F.lit(int(default_frac * 0xFFFFFFFF))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == value,
+                     F.lit(int(frac * 0xFFFFFFFF))).otherwise(thr)
+    return df.filter(draw <= thr)
+
+
 # deliberately simple, engine-portable patterns (no \b / lookaround —
 # identical under Java regex and RE2)
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -105,6 +105,7 @@ _DEPTH = [
     "win_next_event_gap",
     "reshape_wide",
     "reshape_long",
+    "dataset_stratified_sample",
     "dedup_clusters",
     "dedup_keep_canonical",
     "agg_approx_distinct",

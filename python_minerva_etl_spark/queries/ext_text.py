@@ -360,6 +360,32 @@ FROM documents
 """
 
 
+_STRATA = {"en": 0.5, "de": 0.3}
+
+
+def _dataset_stratified_sample(spark, sf_dir):
+    """EXT dataset mixing: keep 50% of English, 30% of German, 10% of
+    every other language — deterministic per-stratum hash draws (the
+    upsample/downsample step of corpus mixing; never rand())."""
+    docs = t(spark, sf_dir, "documents")
+    return X.stratified_sample(
+        docs, id_col="doc_id", stratum_col="lang",
+        fractions=_STRATA, default_frac=0.1).select("doc_id", "lang")
+
+
+def _strata_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(f * 0xFFFFFFFF)}"
+        for v, f in sorted(_STRATA.items()))
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substring(md5('strata-v1' ||
+           CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      <= CASE {cases} ELSE {int(0.1 * 0xFFFFFFFF)} END
+"""
+
+
 def _text_redact(spark, sf_dir):
     """EXT-TEXT PII redaction: mask emails and long digit runs; emit
     the redacted text hash (not the text — keeps the compare compact)
@@ -393,6 +419,7 @@ QUERIES = [
     DeclaredQuery("text_redact", _text_redact, _TEXT_REDACT_SQL, "EXT-TEXT (PII redaction)"),
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),
     DeclaredQuery("dataset_hash_split", _dataset_hash_split, _DATASET_HASH_SPLIT_SQL, "EXT dataset split"),
+    DeclaredQuery("dataset_stratified_sample", _dataset_stratified_sample, _strata_sql(), "EXT dataset mixing (stratified sample)"),
     DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
