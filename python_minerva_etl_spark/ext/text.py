@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny built-in stopword profiles for the n-gram/stopword language-ID
 # heuristic.  Real deployments swap in bigger profiles; the machinery
@@ -148,6 +149,43 @@ def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.9,
         "split",
         F.when(draw <= F.lit(threshold), F.lit("train"))
         .otherwise(F.lit("holdout")))
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_count_col: Column,
+                   seq_len: int = 2048, n_shards: int = 32,
+                   salt: str = "pack-v1") -> DataFrame:
+    """Assign documents to fixed-budget training sequences — the
+    packing step that turns a shuffled corpus into ~``seq_len``-token
+    concatenation groups.
+
+    Deterministic greedy-by-hash-order packing: docs are dealt into
+    ``n_shards`` pseudo-random shards (md5 draw — stable, engine-
+    portable), ordered within the shard by the same draw, and cut
+    into sequences wherever the running token total crosses the
+    budget (a doc that crosses the boundary starts in its sequence —
+    the standard first-fit-in-order approximation).  One window pass
+    per shard: shards are hash partitions, so packing 100 TB
+    parallelizes across n_shards × executors with no global sort.
+
+    Output: id, shard, seq (per-shard sequence number), n_tokens.
+    """
+    draw = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, 12), 16, 10).cast("bigint")
+    shard = (draw % n_shards).cast("int")
+    w = (Window.partitionBy("shard")
+         .orderBy("__draw", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.select(F.col(id_col),
+                     draw.alias("__draw"),
+                     shard.alias("shard"),
+                     token_count_col.cast("bigint").alias("n_tokens"))
+           .withColumn("__cum", F.sum("n_tokens").over(w))
+           .withColumn("seq", F.floor(
+               (F.col("__cum") - F.col("n_tokens"))
+               / F.lit(float(seq_len))).cast("bigint"))
+           .drop("__draw", "__cum"))
+    return out
 
 
 def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,

@@ -106,6 +106,7 @@ _DEPTH = [
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",
+    "dataset_pack_sequences",
     "dedup_clusters",
     "dedup_keep_canonical",
     "agg_approx_distinct",

@@ -360,6 +360,36 @@ FROM documents
 """
 
 
+def _dataset_pack_sequences(spark, sf_dir):
+    """EXT dataset packing: deal docs into 8 hash shards, order by the
+    draw, cut into ~512-token training sequences (first-fit-in-order).
+    One window pass per shard — packing parallelizes across shards."""
+    docs = t(spark, sf_dir, "documents")
+    return X.pack_sequences(docs, id_col="doc_id",
+                            token_count_col=X.token_count_ws(),
+                            seq_len=512, n_shards=8)
+
+
+_DATASET_PACK_SEQUENCES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('pack-v1' ||
+              CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS draw,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(draw % 8 AS INTEGER) AS shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY draw % 8 ORDER BY draw, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq
+FROM c
+"""
+
+
 _STRATA = {"en": 0.5, "de": 0.3}
 
 
@@ -420,6 +450,7 @@ QUERIES = [
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),
     DeclaredQuery("dataset_hash_split", _dataset_hash_split, _DATASET_HASH_SPLIT_SQL, "EXT dataset split"),
     DeclaredQuery("dataset_stratified_sample", _dataset_stratified_sample, _strata_sql(), "EXT dataset mixing (stratified sample)"),
+    DeclaredQuery("dataset_pack_sequences", _dataset_pack_sequences, _DATASET_PACK_SEQUENCES_SQL, "EXT dataset packing (sequence groups)"),
     DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
