@@ -132,6 +132,9 @@ def cmd_aggregate(args) -> int:
         df = aggregate_time(df, part, args.entity_column,
                             args.timestamp_column, args.target_granularity)
     if args.relation:
+        if not args.relation_table:
+            print("--relation requires --relation-table", file=sys.stderr)
+            return 2
         relations = {r.name: r for r in inst.relations}
         if args.relation not in relations:
             print(f"unknown relation {args.relation!r}; "

@@ -66,6 +66,12 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations (component diameter exceeds max_iter); "
+            f"raise max_iter — silent partial labels would split true "
+            f"clusters and let duplicates through")
     return labels.select(F.col("node").alias("doc"),
                          F.col("lbl").alias("cluster"))
 

@@ -188,7 +188,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
             "max_tokens must keep packed lane sums below 2^63 (< 2^15)")
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
-        F.expr(f"explode(slice(split(lower({text_col}), ' '), "
+        F.expr(f"explode(slice(split(lower(`{text_col}`), ' '), "
                f"1, {max_tokens}))").alias("tok")
     ).select("doc", F.expr("xxhash64(tok)").alias("th"))
     if parallelism:

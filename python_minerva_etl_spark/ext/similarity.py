@@ -160,6 +160,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     seeds = (corpus.orderBy(F.xxhash64(F.col(id_col)))
              .limit(num_cells).select(vec_col).collect())
     cents = [[float(x) for x in r[0]] for r in seeds]
+    if not cents:
+        raise ValueError("ivf_topk: empty corpus")
+    num_cells = min(num_cells, len(cents))  # corpus smaller than K
 
     def cent_lit(cs) -> str:
         entries = []
@@ -176,13 +179,14 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
 
     def with_cell(df: DataFrame, cs) -> DataFrame:
-        """(id, vec, vnorm, cell): scan-local nearest-centroid argmax."""
+        """(id, vec, vnorm, cell): scan-local nearest-centroid argmax.
+        array_max over (score, cell) structs — structs compare by
+        leading field, so each centroid's dot product is evaluated
+        exactly once (ties break to the larger cell id)."""
         lit = cent_lit(cs)
         score = f"({dot('__v', 'ct.v')} / (__vn * ct.n))"
-        best = (f"aggregate({lit}, "
-                f"struct(CAST(-2.0 AS DOUBLE) AS s, -1 AS cell), "
-                f"(acc, ct) -> if({score} > acc.s, "
-                f"struct({score} AS s, ct.cell AS cell), acc)).cell")
+        best = (f"array_max(transform({lit}, "
+                f"ct -> struct({score} AS s, ct.cell AS cell))).cell")
         return (df.select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("__v"),
                           norm_col(vec_col).alias("__vn"))

@@ -141,14 +141,25 @@ def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.9,
 
     Uses the first 8 hex digits of md5(salt || id) as a uniform
     32-bit draw; engine-portable (md5 is identical everywhere)."""
-    draw = F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-        1, 8), 16, 10).cast("bigint")
+    draw = hash_draw(id_col, salt, n_hex=8)
     threshold = int(train_frac * 0xFFFFFFFF)
     return df.withColumn(
         "split",
         F.when(draw <= F.lit(threshold), F.lit("train"))
         .otherwise(F.lit("holdout")))
+
+
+def hash_draw(id_col: str, salt: str, n_hex: int = 8) -> Column:
+    """Deterministic uniform draw in ``[0, 16^n_hex)``: the first
+    ``n_hex`` hex digits of ``md5(salt || id)``.  Engine-portable —
+    the DuckDB twin is ``CAST(('0x' || substring(md5(...), 1, n))
+    AS BIGINT)`` — and stable across runs, partitionings and cluster
+    sizes (never ``rand()``).  Single source of truth for every
+    sampling/splitting/packing draw below: the hex width and salt are
+    part of each oracle's contract."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, n_hex), 16, 10).cast("bigint")
 
 
 def pack_sequences(df: DataFrame, id_col: str, token_count_col: Column,
@@ -169,9 +180,7 @@ def pack_sequences(df: DataFrame, id_col: str, token_count_col: Column,
 
     Output: id, shard, seq (per-shard sequence number), n_tokens.
     """
-    draw = F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-        1, 12), 16, 10).cast("bigint")
+    draw = hash_draw(id_col, salt, n_hex=12)
     shard = (draw % n_shards).cast("int")
     w = (Window.partitionBy("shard")
          .orderBy("__draw", id_col)
@@ -199,15 +208,16 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
     partitionings and cluster sizes, never ``rand()``/``sampleBy``),
     with the per-row threshold chosen by the stratum column — one
     scan-local projection + filter, no shuffle, exact oracle twin.
+    The comparison is STRICT against ``frac * 2^32`` so 0.0 keeps
+    nothing (a zero threshold must not leak draw==0 rows) and 1.0
+    keeps everything.
     """
-    draw = F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-        1, 8), 16, 10).cast("bigint")
-    thr = F.lit(int(default_frac * 0xFFFFFFFF))
+    draw = hash_draw(id_col, salt, n_hex=8)
+    thr = F.lit(int(default_frac * 0x100000000))
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(stratum_col) == value,
-                     F.lit(int(frac * 0xFFFFFFFF))).otherwise(thr)
-    return df.filter(draw <= thr)
+                     F.lit(int(frac * 0x100000000))).otherwise(thr)
+    return df.filter(draw < thr)
 
 
 # deliberately simple, engine-portable patterns (no \b / lookaround —

@@ -103,9 +103,17 @@ def aggregate_entity(df: DataFrame, part: TrendStorePart,
                      entity_col: str, ts_col: str) -> DataFrame:
     """OP-AGG-ENTITY compiled from the declaration: broadcast the
     relation (entity dims are small), re-key to the target, one
-    hash-agg shuffle on (target, bucket)."""
+    hash-agg shuffle on (target, bucket).
+
+    ``samples`` follows the re-aggregation invariant: when the input
+    already carries a ``samples`` column (it is a time-aggregated
+    partial), samples SUM — so AVG trends stored as (sum, samples)
+    stay exact through the entity stage; over raw rows it counts."""
     aggs = [_agg_col(t.entity_aggregation, t) for t in part.trends]
-    aggs.append(F.count("*").alias("samples"))
+    if "samples" in df.columns:
+        aggs.append(F.sum("samples").cast("bigint").alias("samples"))
+    else:
+        aggs.append(F.count("*").alias("samples"))
     joined = df.join(
         F.broadcast(relation_df),
         df[entity_col] == relation_df[relation.source_col])

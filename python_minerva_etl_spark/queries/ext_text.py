@@ -405,14 +405,14 @@ def _dataset_stratified_sample(spark, sf_dir):
 
 def _strata_sql() -> str:
     cases = " ".join(
-        f"WHEN lang = '{v}' THEN {int(f * 0xFFFFFFFF)}"
+        f"WHEN lang = '{v}' THEN {int(f * 0x100000000)}"
         for v, f in sorted(_STRATA.items()))
     return f"""
 SELECT doc_id, lang
 FROM documents
 WHERE CAST(('0x' || substring(md5('strata-v1' ||
            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-      <= CASE {cases} ELSE {int(0.1 * 0xFFFFFFFF)} END
+      < CASE {cases} ELSE {int(0.1 * 0x100000000)} END
 """
 
 

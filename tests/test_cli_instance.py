@@ -165,9 +165,9 @@ def test_cli_aggregate_time_and_relation(spark, instance_dir):
     got = {str(r.cell_id) + "|" + str(r.timestamp):
            (float(r.pkts), float(r.latency), r.samples)
            for r in spark.read.parquet(tgt).collect()}
-    # hour 0: pkts 10+20+5, latency partial-sums 4+6+2, over the two
-    # per-cell hourly partials rolled into siteA
-    assert got["siteA|2024-01-01 00:00:00"] == (35.0, 12.0, 2)
+    # hour 0: pkts 10+20+5, latency partial-sums 4+6+2, samples SUM
+    # through the entity stage (3 raw rows) so AVG = 12/3 stays exact
+    assert got["siteA|2024-01-01 00:00:00"] == (35.0, 12.0, 3)
     assert got["siteA|2024-01-01 01:00:00"] == (7.0, 1.0, 1)
 
 

@@ -328,3 +328,22 @@ def test_asof_join_forward(spark):
         facts, hist, key=["k"], ts_col="ts", attr_cols=["attr_v"],
         direction="forward", inclusive=False).collect()}
     assert excl["at"] == 7.0     # equal ts excluded, next row wins
+
+
+def test_stratified_sample_zero_fraction_keeps_nothing(spark):
+    """A 0.0 stratum (and 0.0 default) must keep zero rows — the
+    strict threshold cannot leak draw==0 rows into an excluded
+    language."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.ext.text import stratified_sample
+    from python_minerva_etl_spark.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    out = stratified_sample(docs, "doc_id", "lang",
+                            fractions={langs[0]: 0.0}, default_frac=0.0)
+    assert out.count() == 0
+    everything = stratified_sample(docs, "doc_id", "lang",
+                                   fractions={}, default_frac=1.0)
+    assert everything.count() == docs.count()

@@ -84,3 +84,13 @@ def test_embedding_lsh_pairs_recall(spark):
     assert approx <= exact                     # precision 1.0
     if exact:
         assert len(approx) >= int(0.5 * len(exact))
+
+
+def test_ivf_small_corpus_clamps_cells(spark):
+    """num_cells larger than the corpus must clamp, not IndexError."""
+    from python_minerva_etl_spark.ext.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 10)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(q, emb, k=3, num_cells=64, nprobe=4, lloyd_iters=1)
+    assert out.count() > 0
