@@ -220,6 +220,69 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
     return df.filter(draw < thr)
 
 
+def repetition_stats(text_col: str = "text") -> list[Column]:
+    """Gopher-style intra-document repetition signals: total tokens,
+    distinct tokens and the duplicate-token ratio
+    ``1 - distinct/total`` (0 = no repetition, →1 = one token repeated
+    throughout).  Scan-local array expressions — no shuffle, no UDF;
+    the 100 TB corpus pass stays in whole-stage codegen."""
+    w = tokens(text_col)
+    total = F.size(w).cast("bigint")
+    distinct = F.size(F.array_distinct(w)).cast("bigint")
+    # IEEE ops over exact integers — bit-identical across engines
+    ratio = (F.lit(1.0) - distinct.cast("double") / total.cast("double"))
+    return [total.alias("n_tokens"), distinct.alias("n_distinct"),
+            ratio.alias("rep_ratio")]
+
+
+def vocab_topk(docs: DataFrame, k: int = 20, text_col: str = "text",
+               lang_col: str = "lang") -> DataFrame:
+    """Corpus vocabulary: top-``k`` tokens per language by frequency
+    (the BPE-training / tokenizer-audit primitive).  explode →
+    partial-agg count (map-side combine collapses each partition to
+    its local vocabulary before the single shuffle) → per-language
+    window rank.  Ties break lexicographically so the result is
+    deterministic and oracle-exact."""
+    toks = docs.select(F.col(lang_col).alias("lang"),
+                       F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("lang", "tok", "n", "rank"))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str,
+                          salt: str = "shuffle-v1",
+                          n_buckets: int = 64) -> DataFrame:
+    """Deterministic global shuffle for training-batch ordering: every
+    row gets a stable ``position`` equal to its rank under
+    ``(hash_draw(id), id)`` — reproducible across runs, partitionings
+    and cluster sizes (never ``rand()``), so a resumed training job
+    sees the identical order.
+
+    Scale shape (no global single-partition sort): range-bucket the
+    uniform draw into ``n_buckets``, rank within each bucket
+    (parallel windows), and add per-bucket offsets computed by a
+    cumulative sum over the tiny ``n_buckets``-row count table
+    (broadcast back).  Two shuffles total, one of them over
+    ``n_buckets`` rows; position is exact and contiguous from 0."""
+    draw = hash_draw(id_col, salt, n_hex=8)
+    bucket = F.floor(draw / F.lit(0x100000000 / n_buckets)).cast("int")
+    keyed = df.withColumn("__draw", draw).withColumn("__b", bucket)
+    counts = keyed.groupBy("__b").agg(F.count("*").alias("__n"))
+    # n_buckets rows: the single-partition window is over a tiny frame
+    off_w = (Window.orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"))
+    in_b = F.row_number().over(
+        Window.partitionBy("__b").orderBy("__draw", id_col))
+    return (keyed.join(F.broadcast(offsets), "__b")
+            .withColumn("position", (F.col("__off") + in_b - 1).cast("bigint"))
+            .drop("__draw", "__b", "__off"))
+
+
 # deliberately simple, engine-portable patterns (no \b / lookaround —
 # identical under Java regex and RE2)
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -107,6 +107,10 @@ _DEPTH = [
     "reshape_long",
     "dataset_stratified_sample",
     "dataset_pack_sequences",
+    "dataset_shuffle",
+    "dataset_contamination",
+    "text_repetition",
+    "text_vocab_topk",
     "dedup_clusters",
     "dedup_keep_canonical",
     "agg_approx_distinct",

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..ext import contamination as C
 from ..ext import dedup as D
 from ..ext import text as X
 from .base import DeclaredQuery, t
@@ -445,6 +446,111 @@ FROM documents
 """
 
 
+def _text_repetition(spark, sf_dir):
+    """EXT-TEXT (repetition): Gopher-style duplicate-token ratio per
+    document — the intra-doc repetition quality filter."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *X.repetition_stats())
+
+
+_TEXT_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       CAST(1 AS DOUBLE)
+         - CAST(len(list_distinct(w)) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) AS rep_ratio
+FROM w
+"""
+
+
+def _text_vocab_topk(spark, sf_dir):
+    """EXT-TEXT (vocabulary): top-15 tokens per language by frequency
+    — the tokenizer-audit / BPE-training primitive.  Map-side combine
+    collapses each partition to its local vocab before the one
+    shuffle; ties break lexicographically for determinism."""
+    return X.vocab_topk(t(spark, sf_dir, "documents"), k=15)
+
+
+_TEXT_VOCAB_TOPK_SQL = """
+WITH c AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+n AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2
+)
+SELECT lang, tok, n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok)
+            AS INT) AS rank
+FROM n QUALIFY rank <= 15
+"""
+
+
+def _dataset_shuffle(spark, sf_dir):
+    """EXT dataset shuffle: deterministic global training order —
+    rank under (md5 draw, doc_id), computed scalably via range-bucketed
+    parallel windows + a broadcast offset table (never a global
+    single-partition sort, never rand())."""
+    docs = t(spark, sf_dir, "documents")
+    return (X.deterministic_shuffle(docs, "doc_id", n_buckets=16)
+            .select("doc_id", "position"))
+
+
+_DATASET_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY
+              CAST(('0x' || substring(md5('shuffle-v1' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+              doc_id) - 1 AS BIGINT) AS position
+FROM documents
+"""
+
+
+_BENCH_FRAC_THR = int(0.04 * 0x100000000)   # ~4% of docs act as "benchmark"
+
+
+def _dataset_contamination(spark, sf_dir):
+    """EXT dataset contamination: word-4-gram overlap of every corpus
+    document against the benchmark set (a deterministic 4% hash-draw
+    of documents stands in for the eval suite).  Benchmark gram set
+    broadcasts; the corpus side is one scan + map-side join — no
+    corpus shuffle until the tiny per-doc aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    draw = X.hash_draw("doc_id", "bench-v1", n_hex=8)
+    bench = docs.filter(draw < _BENCH_FRAC_THR)
+    corpus = docs.filter(~(draw < _BENCH_FRAC_THR))
+    return C.ngram_overlap(corpus, bench, n=4)
+
+
+_DATASET_CONTAMINATION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         CAST(('0x' || substring(md5('bench-v1' ||
+              CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           < {_BENCH_FRAC_THR} AS is_bench
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_bench,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 3, 1)),
+           i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS grams
+  FROM w
+),
+b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench),
+c AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      FROM g WHERE NOT is_bench)
+SELECT c.doc_id, CAST(c.n_grams AS INT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) AS DOUBLE) / CAST(c.n_grams AS DOUBLE) AS contamination
+FROM c JOIN b USING (gram)
+GROUP BY c.doc_id, c.n_grams
+"""
+
+
 QUERIES = [
     DeclaredQuery("text_redact", _text_redact, _TEXT_REDACT_SQL, "EXT-TEXT (PII redaction)"),
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),
@@ -462,4 +568,8 @@ QUERIES = [
     DeclaredQuery("text_quality_score", _text_quality_score, _TEXT_QUALITY_SCORE_SQL, "EXT-TEXT (quality)"),
     DeclaredQuery("text_langid", _text_langid, _langid_oracle(), "EXT-TEXT (lang-id)"),
     DeclaredQuery("text_fingerprint", _text_fingerprint, _TEXT_FINGERPRINT_SQL, "EXT-TEXT (fingerprint)"),
+    DeclaredQuery("text_repetition", _text_repetition, _TEXT_REPETITION_SQL, "EXT-TEXT (repetition filter)"),
+    DeclaredQuery("text_vocab_topk", _text_vocab_topk, _TEXT_VOCAB_TOPK_SQL, "EXT-TEXT (vocabulary top-k)"),
+    DeclaredQuery("dataset_shuffle", _dataset_shuffle, _DATASET_SHUFFLE_SQL, "EXT dataset shuffle (deterministic order)"),
+    DeclaredQuery("dataset_contamination", _dataset_contamination, _DATASET_CONTAMINATION_SQL, "EXT dataset contamination (benchmark n-gram overlap)"),
 ]

@@ -1,0 +1,102 @@
+"""Training-data pipeline operator invariants: repetition stats,
+vocabulary top-k, deterministic shuffle, benchmark contamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.ext.contamination import ngram_overlap
+from python_minerva_etl_spark.ext.text import (deterministic_shuffle,
+                                               repetition_stats, vocab_topk)
+from python_minerva_etl_spark.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_repetition_stats_bounds(spark):
+    docs = load_table(spark, SF, "documents")
+    out = docs.select("doc_id", *repetition_stats()).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 1 <= r.n_distinct <= r.n_tokens
+        assert 0.0 <= r.rep_ratio < 1.0
+
+
+def test_repetition_detects_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.rep_ratio
+           for r in df.select("doc_id", *repetition_stats()).collect()}
+    assert got[1] == 0.75 and got[2] == 0.0
+
+
+def test_vocab_topk_rank_and_monotonic_counts(spark):
+    docs = load_table(spark, SF, "documents")
+    out = vocab_topk(docs, k=10)
+    rows = out.collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        # counts non-increasing with rank
+        assert all(a.n >= b.n for a, b in zip(rs, rs[1:]))
+    # top-1 overall must be the corpus-wide modal token for that lang
+    toks = docs.select("lang", F.explode(F.split(F.lower("text"), " "))
+                       .alias("tok")).groupBy("lang", "tok").count()
+    for lang, rs in by_lang.items():
+        top = max(toks.filter(F.col("lang") == lang).collect(),
+                  key=lambda r: (r["count"], ), default=None)
+        assert rs[0].n == top["count"]
+
+
+def test_deterministic_shuffle_is_permutation_and_stable(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    a = deterministic_shuffle(docs, "doc_id", n_buckets=8)
+    pos_a = {r.doc_id: r.position for r in a.collect()}
+    assert sorted(pos_a.values()) == list(range(n))     # exact permutation
+    # independent of bucketing granularity and repartitioning
+    b = deterministic_shuffle(docs.repartition(13), "doc_id", n_buckets=3)
+    pos_b = {r.doc_id: r.position for r in b.collect()}
+    assert pos_a == pos_b
+
+
+def test_contamination_self_overlap_is_total(spark):
+    """A document checked against a benchmark containing itself is
+    100% contaminated; disjoint vocab docs never hit."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_hit, r.contamination)
+           for r in ngram_overlap(corpus, bench, n=4).collect()}
+    assert set(got) == {1}
+    n_hit, frac = got[1]
+    assert n_hit == 3 and frac == 1.0    # 6 tokens -> 3 distinct 4-grams
+
+
+def test_contamination_short_doc_clamps_to_full_text(spark):
+    """Docs shorter than n fall back to their single full-text gram on
+    both sides (slice clamps) — a 2-token doc still matches itself."""
+    corpus = spark.createDataFrame([(1, "tiny doc")],
+                                   "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "tiny doc")],
+                                  "doc_id long, text string")
+    got = ngram_overlap(corpus, bench, n=4).collect()
+    assert len(got) == 1 and got[0].contamination == 1.0
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must reach the corpus as a broadcast
+    join — a 100 TB corpus cannot shuffle on gram."""
+    docs = load_table(spark, SF, "documents")
+    plan = ngram_overlap(docs, docs.limit(20), n=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
