@@ -88,6 +88,7 @@ _DEPTH = [
     "agg_time_15m",
     "agg_time_sliding",
     "stream_sliding_parity",
+    "stream_dedup_parity",
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",

@@ -78,6 +78,24 @@ GROUP BY 1, 2
 """
 
 
+def _stream_dedup_parity(spark, sf_dir):
+    """OP-STR × EXT-DEDUP: watermarked first-seen-per-key streaming
+    dedup on the (user_id, event_type) natural key, availableNow —
+    equals batch SELECT DISTINCT exactly (append mode emits each key
+    once)."""
+    from ..streaming.dedup import run_append_available_now, stream_dedup
+
+    stream = read_events_stream(spark, sf_dir)
+    result = stream_dedup(stream, ["user_id", "event_type"])
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    return run_append_available_now(spark, result, name)
+
+
+_STREAM_DEDUP_PARITY_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def _materialize_incremental(spark, sf_dir):
     """OP-MAT-INC: fingerprint-driven incremental materialization.
     Runs the state machine twice over a two-phase load (early data,
@@ -127,4 +145,6 @@ QUERIES = [
                   _MATERIALIZE_INCREMENTAL_SQL, "OP-MAT-INC"),
     DeclaredQuery("stream_sliding_parity", _stream_sliding_parity,
                   _STREAM_SLIDING_PARITY_SQL, "OP-STR-TUMBLE (hopping)"),
+    DeclaredQuery("stream_dedup_parity", _stream_dedup_parity,
+                  _STREAM_DEDUP_PARITY_SQL, "OP-STR × EXT-DEDUP (ingest dedup)"),
 ]

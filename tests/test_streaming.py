@@ -100,3 +100,38 @@ def test_session_window_matches_batch_sessionize(spark):
     a = sorted(map(tuple, native.collect()))
     b = sorted(map(tuple, ours.collect()))
     assert a == b
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    from python_minerva_etl_spark.streaming.dedup import (
+        run_append_available_now, stream_dedup)
+
+    sf = "/root/testdata/sf0.001"
+    batch = load_table(spark, sf, "events") \
+        .select("user_id", "event_type").distinct()
+    want = {(r.user_id, r.event_type) for r in batch.collect()}
+    # run twice in one session: memory-sink names must not collide
+    for tag in ("a", "b"):
+        stream = read_events_stream(spark, sf)
+        out = run_append_available_now(
+            spark, stream_dedup(stream, ["user_id", "event_type"]),
+            f"t_dedup_{tag}")
+        got = {(r.user_id, r.event_type) for r in out.collect()}
+        assert got == want
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark):
+    """The state-bounded variant still yields a subset-free result on
+    a single static batch (every duplicate is inside one microbatch)."""
+    from python_minerva_etl_spark.streaming.dedup import (
+        run_append_available_now, stream_dedup)
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf)
+    out = run_append_available_now(
+        spark, stream_dedup(stream, ["user_id", "event_type"],
+                            within_watermark=True),
+        "t_dedup_ww")
+    batch = load_table(spark, sf, "events") \
+        .select("user_id", "event_type").distinct()
+    assert out.count() == batch.count()
