@@ -324,3 +324,39 @@ def cosine_pairs(corpus: DataFrame, threshold: float,
         .select("id_a", "id_b", cosine_col("vec_a", "vec_b").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def label_centroids(corpus: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    scale_bits: int = 24) -> DataFrame:
+    """Per-label mean embedding (the IVF-training / cluster-profile
+    primitive): posexplode -> one hash-agg shuffle on (label, pos) ->
+    reassemble the centroid array ordered by position.
+
+    Determinism at scale: float addition is not associative, so a
+    naive distributed SUM of coordinates depends on partitioning.
+    Coordinates are instead accumulated FIXED-POINT — ``floor(x *
+    2^scale_bits)`` as BIGINT (exact: a float32 scaled by a power of
+    two is exact in double, floor is exact, integer sums commute) —
+    and divided back out once at the end.  The centroid is therefore
+    bit-identical on any cluster size, and an exact SQL oracle exists.
+    Mantissa: 2^24 captures every bit of a float32 in [-1, 1].
+
+    Returns ``(label, n, centroid array<double>)``.
+    """
+    scale = 1 << scale_bits
+    q = (corpus.select(F.col(label_col).alias("label"),
+                       F.posexplode(F.col(vec_col)).alias("pos", "val"))
+         .select("label", "pos",
+                 F.floor(F.col("val").cast("double") * scale)
+                 .cast("bigint").alias("q")))
+    sums = q.groupBy("label", "pos").agg(
+        F.sum("q").alias("c"), F.count("*").alias("n"))
+    return (sums.groupBy("label")
+            .agg(F.max("n").alias("n"),
+                 F.array_sort(F.collect_list(F.struct("pos", "c")))
+                 .alias("__cs"))
+            .select("label", "n",
+                    F.expr(f"transform(__cs, s -> CAST(s.c AS DOUBLE) "
+                           f"/ (n * CAST({scale} AS DOUBLE)))")
+                    .alias("centroid")))

@@ -118,6 +118,7 @@ _DEPTH = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "embedding_centroids",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_arrow",

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..ext.similarity import (brute_force_topk, brute_force_topk_arrow,
                               cosine_pairs, cosine_pairs_lsh, ivf_topk,
-                              lsh_bucketed_topk)
+                              label_centroids, lsh_bucketed_topk)
 from .base import DeclaredQuery, t
 
 _COS = ("list_dot_product({a}, {b}) / "
@@ -172,6 +172,33 @@ FROM embeddings
 """
 
 
+def _embedding_centroids(spark, sf_dir):
+    """EXT-SIM (centroids): per-label mean embedding via fixed-point
+    (2^24-scaled bigint) accumulation — distributed float sums made
+    order-independent, so the centroid is bit-exact on any cluster.
+    Output exploded to (label, pos, coord, n) rows for the compare."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    return cents.select(
+        "label", "n",
+        F.posexplode("centroid").alias("pos", "coord"))
+
+
+_EMBEDDING_CENTROIDS_SQL = """
+WITH x AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n, CAST(pos AS INT) AS pos,
+       CAST(SUM(CAST(floor(val * 16777216) AS BIGINT)) AS DOUBLE)
+         / (COUNT(*) * CAST(16777216 AS DOUBLE)) AS coord
+FROM x
+GROUP BY label, pos
+"""
+
+
 QUERIES = [
     DeclaredQuery("sim_topk", _sim_topk, _SIM_TOPK_SQL, "EXT-SIM-TOPK"),
     DeclaredQuery("sim_topk_lsh", _sim_topk_lsh, None, "EXT-SIM-TOPK (LSH scale path)"),
@@ -181,4 +208,5 @@ QUERIES = [
     DeclaredQuery("dedup_embedding_lsh", _dedup_embedding_lsh, None, "EXT-DEDUP (embedding LSH scale path)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
     DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),
+    DeclaredQuery("embedding_centroids", _embedding_centroids, _EMBEDDING_CENTROIDS_SQL, "EXT-SIM (label centroids)"),
 ]

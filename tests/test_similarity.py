@@ -94,3 +94,27 @@ def test_ivf_small_corpus_clamps_cells(spark):
     q = emb.filter(F.col("vec_id") < 3)
     out = ivf_topk(q, emb, k=3, num_cells=64, nprobe=4, lloyd_iters=1)
     assert out.count() > 0
+
+
+def test_label_centroids_partition_invariant_and_close_to_mean(spark):
+    """Fixed-point accumulation: bit-identical under any partitioning,
+    and within 2^-24 per coordinate of the float mean."""
+    import numpy as np
+
+    from python_minerva_etl_spark.ext.similarity import label_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    a = {r.label: (r.n, list(r.centroid))
+         for r in label_centroids(emb).collect()}
+    b = {r.label: (r.n, list(r.centroid))
+         for r in label_centroids(emb.repartition(17)).collect()}
+    assert a == b                                   # bit-identical
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding,
+                                                         dtype=np.float64))
+    for label, (n, cent) in a.items():
+        ref = np.mean(by_label[label], axis=0)
+        assert n == len(by_label[label])
+        assert np.abs(np.array(cent) - ref).max() < 2 ** -23
