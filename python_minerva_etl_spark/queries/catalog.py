@@ -83,6 +83,7 @@ _WINDOW = [
 # rigor (tests/test_oracle_diff.py runs ALL queries), just outside the
 # driver's window because their family already has a green row above.
 _DEPTH = [
+    "upsert_merge_table",
     "rollup_entity",
     "agg_rollup_sets",
     "agg_time_15m",

@@ -4,12 +4,18 @@ notification query, sessionization, keyed upsert (SURVEY.md §2.8-2.9).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import functions as F
 
 from ..operators.sessionize import sessionize
 from ..operators.trigger import ThresholdRule, evaluate
 from ..operators.upsert import dedup_last_wins
 from .base import DeclaredQuery, t
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
 _RULE = ThresholdRule(
     name="high_value",
@@ -174,6 +180,31 @@ FROM (
 """
 
 
+def _upsert_merge_table(spark, sf_dir):
+    """OP-SNK-UPSERT via the snapshot-committed table format
+    (storage/snaptable): a two-phase load through MERGE — the second
+    batch replaces the first per (user, hour) key with file-pruned
+    rewrites and atomic manifest commits.  Equals plain last-wins
+    because batch 2 holds the globally highest event_id for every key
+    it touches (the split is on event_id)."""
+    from ..storage.snaptable import SnapTable
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts"))
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"snap_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = SnapTable(base)
+    key, cols = ["user_id", "bucket"], ["user_id", "bucket", "event_id",
+                                        "value"]
+    tbl.merge(spark, ev.filter(F.col("event_id") <= mid).select(cols),
+              key, "event_id")
+    tbl.merge(spark, ev.filter(F.col("event_id") > mid).select(cols),
+              key, "event_id")
+    return tbl.read(spark).select(*cols)
+
+
 def _reshape_wide(spark, sf_dir):
     """Long → wide pivot: the DataPackage-to-trend-store transform.
     events is the long form (event_type = trend name); the wide row is
@@ -239,4 +270,5 @@ QUERIES = [
     DeclaredQuery("events_sessionize", _events_sessionize, _EVENTS_SESSIONIZE_SQL, "EXT-SESS/OP-STR-SESSION"),
     DeclaredQuery("events_session_window", _events_session_window, _EVENTS_SESSION_WINDOW_SQL, "OP-STR-SESSION (native)"),
     DeclaredQuery("upsert_last_wins", _upsert_last_wins, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT"),
+    DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
 ]

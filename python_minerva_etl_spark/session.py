@@ -54,6 +54,10 @@ def get_spark(app_name: str = "python_minerva_etl_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (the legacy default) writes no usable min/max stats, which
+        # kills row-group pushdown AND snaptable's file-level merge pruning
+        # on timestamp keys; micros is the modern interoperable encoding.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,295 @@
+"""Snapshot-committed parquet tables with file-pruned MERGE.
+
+The reference resolves concurrent keyed writes with PostgreSQL's
+``INSERT … ON CONFLICT DO UPDATE`` inside a transaction
+(trendstorepart store logic [U]).  Plain parquet has no transaction,
+so ``operators/upsert.py`` swaps directories — safe for one writer,
+but at 100 TB with concurrent loaders you want what Delta/Iceberg
+provide: an atomic commit log over immutable data files, optimistic
+concurrency, and a MERGE that rewrites only the files whose key range
+overlaps the incoming batch.  This module is that, Spark-native and
+dependency-free:
+
+* **Layout** — ``<root>/data/c-<id>/part-*.parquet`` (immutable commit
+  dirs written once by Spark) + ``<root>/_manifests/v<NNNNNNNN>.json``
+  (each manifest is a FULL snapshot: the list of data files that make
+  up that version, with per-file min/max stats of the merge keys read
+  from the parquet footers via pyarrow).
+* **Atomic commit** — the manifest is staged to a temp name and
+  published with ``os.link`` (fails with ``EEXIST`` if a concurrent
+  writer took the version number — POSIX gives test-and-set for free).
+  Readers see either the old snapshot or the new one, never a partial
+  write; a crashed writer leaves only an unreferenced data dir that
+  ``vacuum()`` removes.
+* **MERGE** — last-writer-wins on a key, incoming batch outranks
+  stored rows (the reference's DO UPDATE), ``seq_col`` breaks ties
+  within the batch.  Only files whose per-column [min,max] overlaps
+  the batch's key envelope are read and rewritten; everything else is
+  carried into the new manifest by reference.  A 100 TB table with a
+  few hot partitions rewrites a few files, not the table.
+* **Conflict detection** — a merge that loses the commit race re-reads
+  the manifests it missed; if none of the newly-added files overlaps
+  the batch envelope the merge result is still valid and the commit is
+  retried on top, otherwise :class:`CommitConflict` is raised for the
+  caller to re-run (Delta's write-conflict semantics).
+* **Time travel** — ``read(spark, version=N)`` reads any retained
+  snapshot; ``history()`` lists them.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit added files overlapping this merge's keys."""
+
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _canon(v: Any) -> Any:
+    """Canonicalize a stats value into a JSON-able, comparable form.
+    Timestamps become epoch microseconds (UTC) — never ``timestamp()``,
+    which would reinterpret naive values in the process-local zone."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return (v - _EPOCH) // datetime.timedelta(microseconds=1)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _canon_col(df: DataFrame, col: str):
+    """Spark expression mirroring :func:`_canon` for envelope bounds —
+    timestamp/date key columns are compared in the same integer space
+    as the parquet footer stats, independent of any session/local tz."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp"):
+        return F.unix_micros(F.col(col))
+    if dt == "date":
+        # datetime.date.toordinal(): 1970-01-01 is day 719163
+        return F.datediff(F.col(col), F.lit("1970-01-01")) + F.lit(719163)
+    return F.col(col)
+
+
+def _file_stats(path: str, key: list[str]) -> tuple[int, dict[str, list[Any]]]:
+    """(num_rows, per-key-column min/max) from the parquet footer —
+    no data pages are read."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list[Any]] = {}
+    for col in key:
+        if col not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            mn, mx = _canon(st.min), _canon(st.max)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if lo is not None:
+            out[col] = [lo, hi]
+    return md.num_rows, out
+
+
+def _overlaps(stats: dict[str, list[Any]],
+              envelope: dict[str, list[Any]]) -> bool:
+    """Conservative range-overlap test — missing stats count as overlap."""
+    for col, (blo, bhi) in envelope.items():
+        if col not in stats:
+            continue
+        flo, fhi = stats[col]
+        try:
+            if fhi < blo or bhi < flo:
+                return False
+        except TypeError:  # incomparable stat forms: stay conservative
+            continue
+    return True
+
+
+class SnapTable:
+    """A snapshot-versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._mdir = os.path.join(path, "_manifests")
+
+    # ---------------- snapshot bookkeeping ----------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._mdir):
+            return []
+        return sorted(int(os.path.basename(p)[1:-5])
+                      for p in glob.glob(os.path.join(self._mdir, "v*.json")))
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._mdir, f"v{version:08d}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        return [{k: m[k] for k in ("version", "op", "n_files")}
+                for m in (self._manifest(v) for v in self.versions())]
+
+    def files(self, version: int | None = None) -> list[dict]:
+        version = self.latest_version() if version is None else version
+        if version is None:
+            return []
+        return self._manifest(version)["files"]
+
+    # ---------------- read ----------------
+
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame:
+        entries = self.files(version)
+        if not entries:
+            raise FileNotFoundError(f"snaptable {self.path}: no snapshot")
+        paths = [os.path.join(self.path, e["path"]) for e in entries]
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    # ---------------- write ----------------
+
+    def _write_data(self, df: DataFrame, key: list[str]) -> list[dict]:
+        cdir = f"c-{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.path, "data", cdir)
+        df.write.mode("error").parquet(full)
+        entries = []
+        for p in sorted(glob.glob(os.path.join(full, "*.parquet"))):
+            rows, stats = _file_stats(p, key)
+            if rows == 0:  # empty shuffle partitions carry no snapshot data
+                os.unlink(p)
+                continue
+            rel = os.path.join("data", cdir, os.path.basename(p))
+            entries.append({"path": rel, "bytes": os.path.getsize(p),
+                            "rows": rows, "stats": stats})
+        return entries
+
+    def _publish(self, manifest: dict, version: int) -> bool:
+        """Atomically publish ``manifest`` as ``version``; False if a
+        concurrent writer took that version number first."""
+        os.makedirs(self._mdir, exist_ok=True)
+        tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, os.path.join(self._mdir, f"v{version:08d}.json"))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def append(self, spark: SparkSession, df: DataFrame,
+               key: list[str] = ()) -> int:
+        """Append-only commit (OP-SNK-COPY/OP-SNK-NOTIF shape)."""
+        new = self._write_data(df, list(key))
+        while True:
+            v = (self.latest_version() or 0) + 1
+            files = self.files(v - 1) if v > 1 else []
+            ok = self._publish({"version": v, "op": "append",
+                                "files": files + new,
+                                "n_files": len(files) + len(new)}, v)
+            if ok:
+                return v
+
+    def merge(self, spark: SparkSession, batch: DataFrame, key: list[str],
+              seq_col: str) -> int:
+        """Keyed MERGE: incoming batch replaces stored rows per key
+        (``ON CONFLICT DO UPDATE``); ``seq_col`` resolves duplicates
+        within the batch.  Rewrites only key-range-overlapping files."""
+        if self.latest_version() is None:
+            w = Window.partitionBy(*key).orderBy(F.desc(seq_col))
+            resolved = (batch.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+            return self.append(spark, resolved, key)
+
+        env_row = batch.select(
+            *[F.min(_canon_col(batch, c)).alias(f"lo_{c}") for c in key],
+            *[F.max(_canon_col(batch, c)).alias(f"hi_{c}") for c in key],
+        ).collect()[0]
+        envelope = {c: [_canon(env_row[f"lo_{c}"]), _canon(env_row[f"hi_{c}"])]
+                    for c in key if env_row[f"lo_{c}"] is not None}
+
+        base = self.latest_version()
+        entries = self.files(base)
+        touched = [e for e in entries if _overlaps(e["stats"], envelope)]
+        carried = [e for e in entries if not _overlaps(e["stats"], envelope)]
+
+        if touched:
+            stored = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, e["path"]) for e in touched])
+            combined = stored.withColumn("__src", F.lit(0)).unionByName(
+                batch.withColumn("__src", F.lit(1)),
+                allowMissingColumns=True)
+        else:
+            combined = batch.withColumn("__src", F.lit(1))
+        w = Window.partitionBy(*key).orderBy(F.desc("__src"),
+                                             F.desc(seq_col))
+        resolved = (combined.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+        new = self._write_data(resolved, key)
+
+        del carried  # recomputed from the current snapshot each attempt
+        t_paths = {e["path"] for e in touched}
+        base_paths = {e["path"] for e in entries}
+        while True:
+            v = (self.latest_version() or 0) + 1
+            cur = self.files(v - 1) if v > 1 else []
+            if v - 1 != base:  # lost the race: check the commits we missed
+                for e in cur:
+                    if (e["path"] not in base_paths
+                            and _overlaps(e["stats"], envelope)):
+                        raise CommitConflict(
+                            f"concurrent commit touched merge key range: "
+                            f"{e['path']}")
+            files = [e for e in cur if e["path"] not in t_paths] + new
+            if self._publish({"version": v, "op": "merge", "files": files,
+                              "n_files": len(files)}, v):
+                return v
+
+    # ---------------- maintenance ----------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Drop manifests beyond the newest ``keep_versions`` and delete
+        data files no retained snapshot references (including orphans
+        from crashed commits).  Returns removed file paths."""
+        import shutil
+
+        vs = self.versions()
+        keep = set(vs[-keep_versions:]) if vs else set()
+        referenced = {e["path"] for v in keep for e in self.files(v)}
+        removed: list[str] = []
+        for v in vs:
+            if v not in keep:
+                os.unlink(os.path.join(self._mdir, f"v{v:08d}.json"))
+        droot = os.path.join(self.path, "data")
+        for cdir in sorted(glob.glob(os.path.join(droot, "c-*"))):
+            rels = {os.path.join("data", os.path.basename(cdir),
+                                 os.path.basename(p))
+                    for p in glob.glob(os.path.join(cdir, "*.parquet"))}
+            if rels and rels & referenced:
+                continue
+            removed.extend(sorted(rels))
+            shutil.rmtree(cdir)
+        return removed

@@ -1,0 +1,205 @@
+"""Snapshot-committed table format (storage/snaptable.py).
+
+Covers the Delta/Iceberg-shaped guarantees the plain-parquet upsert
+cannot give: atomic versioned commits, file-pruned MERGE, optimistic
+concurrency with conflict detection, time travel, and vacuum of
+crash orphans.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.operators.upsert import dedup_last_wins
+from python_minerva_etl_spark.storage.snaptable import (CommitConflict,
+                                                        SnapTable)
+
+KEY = ["entity_id", "bucket"]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "entity_id long, bucket string, seq long, value double")
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in
+            df.select("entity_id", "bucket", "seq", "value")
+            .orderBy("entity_id", "bucket").collect()]
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(spark, _mk(spark, [(1, "a", 1, 1.0), (2, "a", 2, 2.0)]), KEY)
+    v2 = tbl.append(spark, _mk(spark, [(3, "b", 3, 3.0)]), KEY)
+    assert v2 == 2
+    assert tbl.read(spark).count() == 3
+    assert [h["op"] for h in tbl.history()] == ["append", "append"]
+
+
+def test_merge_last_wins_parity(spark, tmp_path):
+    """Snapshot MERGE result == dedup_last_wins over the same stream of
+    batches (batch2's seqs outrank batch1's for every shared key)."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    b1 = _mk(spark, [(e, "a", e, float(e)) for e in range(20)]
+             + [(e, "b", 100 + e, float(e)) for e in range(10)])
+    b2 = _mk(spark, [(e, "a", 1000 + e, 99.0) for e in range(5, 15)])
+    tbl.merge(spark, b1, KEY, "seq")
+    tbl.merge(spark, b2, KEY, "seq")
+    expect = dedup_last_wins(b1.unionByName(b2), KEY, "seq")
+    assert _sorted_rows(tbl.read(spark)) == _sorted_rows(expect)
+
+
+def test_merge_batch_outranks_stored(spark, tmp_path):
+    """Replaying a batch with LOWER seqs still replaces stored rows —
+    the reference's ON CONFLICT DO UPDATE, not a seq comparison."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.merge(spark, _mk(spark, [(1, "a", 100, 1.0)]), KEY, "seq")
+    tbl.merge(spark, _mk(spark, [(1, "a", 5, 42.0)]), KEY, "seq")
+    assert _sorted_rows(tbl.read(spark)) == [(1, "a", 5, 42.0)]
+
+
+def test_merge_prunes_disjoint_files(spark, tmp_path):
+    """Files whose key-range stats do not overlap the batch envelope
+    are carried into the new snapshot by reference, never rewritten;
+    files containing the merge key are replaced."""
+    from python_minerva_etl_spark.storage.snaptable import _overlaps
+
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(spark, _mk(spark, [(e, "a", e, 0.0) for e in range(100)]),
+               KEY)
+    tbl.append(spark,
+               _mk(spark, [(e, "a", e, 0.0) for e in range(1000, 1100)]),
+               KEY)
+    env = {"entity_id": [1050, 1050], "bucket": ["a", "a"]}
+    before = tbl.files()
+    hit = {e["path"] for e in before if _overlaps(e["stats"], env)}
+    carry = {e["path"] for e in before} - hit
+    assert hit and carry, "fixture must produce both kinds of file"
+
+    tbl.merge(spark, _mk(spark, [(1050, "a", 9999, 7.0)]), KEY, "seq")
+    after = {e["path"] for e in tbl.files()}
+    assert carry <= after, "disjoint files must be carried by reference"
+    assert not (hit & after), "overlapping files must be rewritten"
+    got = tbl.read(spark).filter(F.col("entity_id") == 1050).collect()
+    assert [(r.seq, r.value) for r in got] == [(9999, 7.0)]
+    assert tbl.read(spark).count() == 200
+
+
+def test_merge_prunes_on_timestamp_key(spark, tmp_path):
+    """Timestamp keys prune via epoch-micros canonical stats — immune
+    to the process-local timezone."""
+    tbl = SnapTable(str(tmp_path / "t"))
+
+    def mk_ts(day_lo, day_hi, seq0):
+        rows = [(e, datetime.datetime(2024, 1, d, 12, 0), seq0 + e, 1.0)
+                for e in range(10) for d in range(day_lo, day_hi)]
+        return spark.createDataFrame(
+            rows, "entity_id long, ts timestamp, seq long, value double")
+
+    key = ["entity_id", "ts"]
+    tbl.append(spark, mk_ts(1, 5, 0), key)
+    early = {e["path"] for e in tbl.files()}
+    tbl.append(spark, mk_ts(20, 25, 1000), key)
+
+    tbl.merge(spark, mk_ts(21, 22, 5000), key, "seq")
+    after = {e["path"] for e in tbl.files()}
+    assert early <= after, "files outside the ts envelope must be carried"
+    assert tbl.read(spark).count() == 90
+    hit = tbl.read(spark).filter(
+        F.col("ts") == datetime.datetime(2024, 1, 21, 12, 0))
+    assert all(r.seq >= 5000 for r in hit.collect())
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    v1 = tbl.append(spark, _mk(spark, [(1, "a", 1, 1.0)]), KEY)
+    tbl.merge(spark, _mk(spark, [(1, "a", 2, 2.0)]), KEY, "seq")
+    assert _sorted_rows(tbl.read(spark, version=v1)) == [(1, "a", 1, 1.0)]
+    assert _sorted_rows(tbl.read(spark)) == [(1, "a", 2, 2.0)]
+
+
+def test_crash_orphan_invisible_and_vacuumed(spark, tmp_path):
+    """A data dir without a manifest (crashed writer) is invisible to
+    readers and removed by vacuum; retained snapshots are untouched."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(spark, _mk(spark, [(1, "a", 1, 1.0)]), KEY)
+    tbl.merge(spark, _mk(spark, [(1, "a", 2, 2.0)]), KEY, "seq")
+
+    orphan = tmp_path / "t" / "data" / "c-deadbeef0000"
+    orphan.mkdir(parents=True)
+    (orphan / "part-0.parquet").write_bytes(b"not a real file")
+
+    assert _sorted_rows(tbl.read(spark)) == [(1, "a", 2, 2.0)]
+    removed = tbl.vacuum(keep_versions=1)
+    assert any("deadbeef" in p for p in removed)
+    assert tbl.versions() == [tbl.latest_version()]
+    assert _sorted_rows(tbl.read(spark)) == [(1, "a", 2, 2.0)]
+    # every surviving data file is referenced by the kept manifest
+    on_disk = {os.path.relpath(p, tbl.path) for p in glob.glob(
+        os.path.join(tbl.path, "data", "c-*", "*.parquet"))}
+    assert on_disk == {e["path"] for e in tbl.files()}
+
+
+def test_concurrent_append_during_merge_is_detected(spark, tmp_path):
+    """A commit that lands mid-merge and overlaps the merge key range
+    raises CommitConflict; a disjoint one is absorbed transparently."""
+    path = str(tmp_path / "t")
+    tbl = SnapTable(path)
+    tbl.append(spark, _mk(spark, [(e, "a", e, 0.0) for e in range(10)]),
+               KEY)
+
+    def racy_publish(make_racer):
+        orig = SnapTable._publish
+        state = {"fired": False}
+
+        def hook(self, manifest, version):
+            if not state["fired"] and manifest["op"] == "merge":
+                state["fired"] = True
+                make_racer()
+            return orig(self, manifest, version)
+
+        return hook
+
+    # overlapping racer → conflict
+    def overlap_racer():
+        SnapTable(path).append(
+            spark, _mk(spark, [(5, "a", 777, 7.0)]), KEY)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(SnapTable, "_publish", racy_publish(overlap_racer))
+        with pytest.raises(CommitConflict):
+            tbl.merge(spark, _mk(spark, [(5, "a", 888, 8.0)]), KEY, "seq")
+
+    # disjoint racer → merge retries onto the new snapshot and keeps it
+    def disjoint_racer():
+        SnapTable(path).append(
+            spark, _mk(spark, [(500, "z", 1, 1.0)]), KEY)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(SnapTable, "_publish", racy_publish(disjoint_racer))
+        tbl.merge(spark, _mk(spark, [(3, "a", 999, 9.0)]), KEY, "seq")
+    rows = {tuple(r) for r in _sorted_rows(tbl.read(spark))}
+    assert (3, "a", 999, 9.0) in rows and (500, "z", 1, 1.0) in rows
+
+
+def test_manifest_is_full_snapshot(spark, tmp_path):
+    """Each manifest lists the complete file set (no log replay needed
+    to read) and survives a JSON round-trip."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(spark, _mk(spark, [(1, "a", 1, 1.0)]), KEY)
+    tbl.append(spark, _mk(spark, [(2, "a", 2, 2.0)]), KEY)
+    with open(os.path.join(
+            tbl.path, "_manifests",
+            f"v{tbl.latest_version():08d}.json")) as f:
+        m = json.load(f)
+    assert m["n_files"] == len(m["files"]) >= 2
+    for e in m["files"]:
+        assert os.path.exists(os.path.join(tbl.path, e["path"]))
+        assert "entity_id" in e["stats"]
