@@ -90,6 +90,7 @@ _DEPTH = [
     "agg_time_sliding",
     "stream_sliding_parity",
     "stream_dedup_parity",
+    "stream_session_parity",
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",
@@ -101,6 +102,7 @@ _DEPTH = [
     "gap_detect",
     "set_intersect",
     "join_asof_forward",
+    "win_counter_rate",
     "win_running_total",
     "win_distribution",
     "win_first_last",
@@ -120,6 +122,7 @@ _DEPTH = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "embedding_centroids",
+    "embedding_quantize",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_arrow",

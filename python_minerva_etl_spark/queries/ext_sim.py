@@ -199,8 +199,52 @@ GROUP BY label, pos
 """
 
 
+def _embedding_quantize(spark, sf_dir):
+    """EXT-SIM / EXT-MM (compression): per-vector max-abs int8 scalar
+    quantization — the standard ANN memory trick (4x smaller corpus,
+    SIMD int dot products).  Scan-local (transform/aggregate HOFs, no
+    shuffle, no UDF); float32 coords widen to double before any
+    arithmetic so both engines quantize identical values.  Output is
+    the quantized codes as CSV plus the L1 checksum of the codes."""
+    emb = t(spark, sf_dir, "embeddings")
+    qexpr = ("transform(embedding, x -> "
+             "cast(round(cast(x as double) * scale) as int))")
+    return (
+        emb.withColumn("maxabs", F.expr(
+            "aggregate(embedding, cast(0.0 as double), "
+            "(acc, x) -> greatest(acc, abs(cast(x as double))))"))
+        .filter(F.col("maxabs") > 0)
+        .withColumn("scale", F.lit(127.0) / F.col("maxabs"))
+        .select(
+            "vec_id", "scale",
+            F.concat_ws(",", F.expr(qexpr)).alias("q_csv"),
+            F.expr(f"aggregate({qexpr}, cast(0 as bigint), "
+                   "(acc, q) -> acc + abs(cast(q as bigint)))")
+            .alias("l1_q"))
+    )
+
+
+_EMBEDDING_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+       127.0 / maxabs AS scale,
+       array_to_string(list_transform(e,
+         x -> CAST(round(x * (127.0 / maxabs)) AS INTEGER)), ',') AS q_csv,
+       list_reduce(list_transform(e,
+         x -> abs(CAST(round(x * (127.0 / maxabs)) AS BIGINT))),
+         (a, b) -> a + b) AS l1_q
+FROM s WHERE maxabs > 0
+"""
+
+
 QUERIES = [
     DeclaredQuery("sim_topk", _sim_topk, _SIM_TOPK_SQL, "EXT-SIM-TOPK"),
+    DeclaredQuery("embedding_quantize", _embedding_quantize, _EMBEDDING_QUANTIZE_SQL, "EXT-SIM/EXT-MM (int8 quantization)"),
     DeclaredQuery("sim_topk_lsh", _sim_topk_lsh, None, "EXT-SIM-TOPK (LSH scale path)"),
     DeclaredQuery("sim_topk_ivf", _sim_topk_ivf, None, "EXT-SIM-TOPK (IVF scale path)"),
     DeclaredQuery("sim_topk_arrow", _sim_topk_arrow, None, "EXT-SIM-TOPK (Arrow fast path)"),

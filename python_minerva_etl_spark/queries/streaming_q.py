@@ -95,6 +95,44 @@ _STREAM_DEDUP_PARITY_SQL = """
 SELECT DISTINCT user_id, event_type FROM events
 """
 
+# The batch session_window oracle (trend.py's events_session_window):
+# a new session starts when the gap is >= 30 minutes.
+_STREAM_SESSION_PARITY_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id,
+       CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+FROM runs GROUP BY user_id, session_seq
+"""
+
+
+def _stream_session_parity(spark, sf_dir):
+    """OP-STR-SESSION (streaming, native session_window): watermarked
+    gap-merged sessions per user, availableNow into a memory sink —
+    equals the batch session_window query bit-for-bit (complete output
+    mode emits every session regardless of watermark progress).  The
+    oracle is the batch gap>=30min run-id SQL."""
+    from ..streaming.session import stream_sessionize
+
+    stream = read_events_stream(spark, sf_dir)
+    result = stream_sessionize(stream, gap="30 minutes",
+                               watermark="30 minutes")
+    name = f"stream_session_{next(_STREAM_SEQ)}"
+    return run_available_now(spark, result, name)
+
 
 def _materialize_incremental(spark, sf_dir):
     """OP-MAT-INC: fingerprint-driven incremental materialization.
@@ -147,4 +185,6 @@ QUERIES = [
                   _STREAM_SLIDING_PARITY_SQL, "OP-STR-TUMBLE (hopping)"),
     DeclaredQuery("stream_dedup_parity", _stream_dedup_parity,
                   _STREAM_DEDUP_PARITY_SQL, "OP-STR × EXT-DEDUP (ingest dedup)"),
+    DeclaredQuery("stream_session_parity", _stream_session_parity,
+                  _STREAM_SESSION_PARITY_SQL, "OP-STR-SESSION (streaming)"),
 ]

@@ -127,6 +127,32 @@ FROM events
 """
 
 
+def _win_counter_rate(spark, sf_dir):
+    """OP-WIN-ANALYTIC (counter-reset form): rate from a cumulative
+    counter with wrap/reset detection — the telecom PM pattern the
+    reference's KPI instances compute.  A negative delta means the
+    counter reset (node restart); the rate is then the raw value (the
+    counter restarted from zero), matching the PM convention."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    rate = F.when(delta < 0, F.col("value")).otherwise(delta)
+    return ev.select("event_id", "user_id", "value",
+                     delta.alias("delta"), rate.alias("rate"))
+
+
+_WIN_COUNTER_RATE_SQL = """
+SELECT event_id, user_id, value,
+       value - prev AS delta,
+       CASE WHEN value - prev < 0 THEN value ELSE value - prev END AS rate
+FROM (
+  SELECT event_id, user_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+"""
+
+
 def _win_moving_avg(spark, sf_dir):
     """OP-WIN-MOVAVG: 4-row sliding mean per entity (decimal-exact
     frame sum / frame count, then one double division)."""
@@ -232,6 +258,7 @@ QUERIES = [
     DeclaredQuery("attr_compact", _attr_compact, _ATTR_COMPACT_SQL, "OP-WIN-COMPACT"),
     DeclaredQuery("win_rank_topn", _win_rank_topn, _WIN_RANK_TOPN_SQL, "OP-WIN-RANK"),
     DeclaredQuery("win_delta_prev", _win_delta_prev, _WIN_DELTA_PREV_SQL, "OP-WIN-ANALYTIC"),
+    DeclaredQuery("win_counter_rate", _win_counter_rate, _WIN_COUNTER_RATE_SQL, "OP-WIN-ANALYTIC (counter reset)"),
     DeclaredQuery("win_moving_avg", _win_moving_avg, _WIN_MOVING_AVG_SQL, "OP-WIN-MOVAVG"),
     DeclaredQuery("join_asof", _join_asof, _JOIN_ASOF_SQL, "OP-JOIN-ASOF"),
     DeclaredQuery("join_asof_forward", _join_asof_forward, _JOIN_ASOF_FORWARD_SQL, "OP-JOIN-ASOF (forward)"),
