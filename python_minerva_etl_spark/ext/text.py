@@ -283,6 +283,77 @@ def deterministic_shuffle(df: DataFrame, id_col: str,
             .drop("__draw", "__b", "__off"))
 
 
+def boilerplate_shingles(docs: DataFrame, n: int = 4, min_docs: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Corpus-level boilerplate detection (the CCNet/RefinedWeb move):
+    a word-``n``-gram that recurs across many *distinct* documents is
+    template chrome (headers, footers, nav bars), not content — list
+    it with its document frequency so a cleaning pass can strip it.
+
+    Scale shape: shingling is scan-local Catalyst array expressions
+    (per-doc distinct, so count(*) == distinct-doc frequency), then ONE
+    hash aggregation over (shingle) — map-side partial counts collapse
+    the overwhelmingly-unique tail before the shuffle, and the
+    ``min_docs`` filter keeps the output to the tiny recurring head.
+    """
+    from .contamination import _grams_expr
+
+    per_doc = docs.select(
+        F.col(id_col), F.explode(F.expr(_grams_expr(text_col, n)))
+        .alias("shingle"))
+    return (per_doc.groupBy("shingle")
+            .agg(F.count("*").alias("doc_freq"))
+            .filter(F.col("doc_freq") >= min_docs))
+
+
+def interleave_weighted(df: DataFrame, id_col: str, source_col: str,
+                        weights: dict[str, int], default_weight: int = 1,
+                        salt: str = "interleave-v1",
+                        n_buckets: int = 64) -> DataFrame:
+    """Deterministic weighted corpus mixing — stride scheduling over
+    integer virtual time, the training-mix analog of weighted fair
+    queuing.  A source with weight ``w`` contributes its ``i``-th
+    (hash-shuffled) document at ``vtime = i * (L / w)`` where ``L`` is
+    the lcm of all weights: sorting by ``vtime`` yields a smooth
+    interleave where each source appears proportionally to its weight,
+    exactly and reproducibly (pure integer arithmetic — no float
+    priorities, no rand(), no epoch boundaries).
+
+    Scale shape: per-source ranks come from the same range-bucketed
+    parallel-window trick as :func:`deterministic_shuffle` (the draw is
+    uniform, so bucket counts are balanced; the only single-partition
+    window runs over the tiny ``sources x n_buckets`` count table).
+    Consumers range-partition by ``vtime`` to write ordered shards —
+    no global sort here.
+    """
+    import math
+
+    lcm = math.lcm(default_weight, *weights.values())
+    draw = hash_draw(id_col, salt, n_hex=8)
+    bucket = F.floor(draw / F.lit(0x100000000 / n_buckets)).cast("int")
+    keyed = df.withColumn("__draw", draw).withColumn("__b", bucket)
+    counts = keyed.groupBy(source_col, "__b").agg(F.count("*").alias("__n"))
+    off_w = (Window.partitionBy(source_col).orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        source_col, "__b",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"))
+    in_b = F.row_number().over(
+        Window.partitionBy(source_col, "__b").orderBy("__draw", id_col))
+    stride = None
+    for s, w in sorted(weights.items()):
+        cond = F.col(source_col) == s
+        stride = (F.when(cond, F.lit(lcm // w)) if stride is None
+                  else stride.when(cond, F.lit(lcm // w)))
+    stride = (F.lit(lcm // default_weight) if stride is None
+              else stride.otherwise(F.lit(lcm // default_weight)))
+    return (keyed.join(F.broadcast(offsets), [source_col, "__b"])
+            .withColumn("src_rank", (F.col("__off") + in_b).cast("bigint"))
+            .withColumn("vtime", (F.col("src_rank") * stride).cast("bigint"))
+            .drop("__draw", "__b", "__off"))
+
+
 # deliberately simple, engine-portable patterns (no \b / lookaround —
 # identical under Java regex and RE2)
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

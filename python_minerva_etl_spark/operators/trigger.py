@@ -62,3 +62,38 @@ def evaluate(df: DataFrame, rule: ThresholdRule,
         .withColumn("weight", rule.weight_col())
         .withColumn("trigger_name", F.lit(rule.name))
     )
+
+
+def zscore_outliers(df: DataFrame, entity_col: str, value_col: str,
+                    z_threshold: float = 3.0,
+                    min_samples: int = 10) -> DataFrame:
+    """Dynamic-baseline trigger: flag rows whose value deviates more
+    than ``z_threshold`` sample standard deviations from the entity's
+    own mean — the adaptive complement of the static
+    :class:`ThresholdRule` (a fleet-wide constant threshold misfires
+    when entities have wildly different baselines, the normal case in
+    telecom KPIs).
+
+    Scale shape: one aggregation pass builds the per-entity baseline
+    (Σx, Σx², n — decimal partials, so mean/std are bit-exact and
+    order-independent), then the fact stream joins the tiny baseline
+    table (AQE broadcasts it when it fits) and filters scan-locally.
+    Two jobs, one shuffle each; no window over the fact table.
+    Entities with fewer than ``min_samples`` rows are skipped (their
+    std estimate is noise).
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(entity_col).agg(
+        F.sum(v.cast("decimal(28,4)")).cast("double").alias("__s"),
+        F.sum((v * v).cast("decimal(28,6)")).cast("double").alias("__sq"),
+        F.count(value_col).cast("double").alias("__n"))
+    base = stats.filter(F.col("__n") >= min_samples).select(
+        entity_col,
+        (F.col("__s") / F.col("__n")).alias("__mean"),
+        F.sqrt((F.col("__sq") - F.col("__s") * F.col("__s") / F.col("__n"))
+               / (F.col("__n") - F.lit(1.0))).alias("__std"))
+    z = (v - F.col("__mean")) / F.col("__std")
+    return (df.join(base, entity_col)
+            .withColumn("z", z)
+            .filter(F.abs(F.col("z")) > F.lit(z_threshold))
+            .drop("__mean", "__std"))

@@ -418,6 +418,52 @@ WHERE NOT EXISTS (SELECT 1 FROM present p
 """
 
 
+def _gap_fill(spark, sf_dir):
+    """Constructive complement of gap_detect: densify the per-user
+    daily series and carry the last known value forward across gaps
+    (dashboard/counter-rate input).  Daily sums use decimal partials
+    so the carried double is bit-identical to the oracle's."""
+    from ..operators.gapfill import fill_gaps
+
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(28,4)"))
+                  .cast("double").alias("day_value"),
+                  F.count("*").alias("samples")))
+    filled = fill_gaps(daily, "user_id", "day", "1 day", ["day_value"])
+    return filled.select(
+        "user_id", "day", "day_value",
+        F.coalesce("samples", F.lit(0).cast("bigint")).alias("samples"),
+        "was_gap")
+
+
+_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS day_value,
+         COUNT(*) AS samples
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+          FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+  FROM spans
+),
+j AS (
+  SELECT s.user_id, s.day, d.day_value, d.samples
+  FROM spine s LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day,
+       last_value(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
+       COALESCE(samples, 0) AS samples,
+       day_value IS NULL AS was_gap
+FROM j
+"""
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -494,5 +540,6 @@ QUERIES = [
     DeclaredQuery("agg_corr_exact", _agg_corr_exact, _AGG_CORR_EXACT_SQL, "OP-AGG (correlation)"),
     DeclaredQuery("agg_histogram", _agg_histogram, _AGG_HISTOGRAM_SQL, "OP-AGG (histogram)"),
     DeclaredQuery("gap_detect", _gap_detect, _GAP_DETECT_SQL, "OP-JOIN-ANTI/OP-F-DATE (gap detection)"),
+    DeclaredQuery("gap_fill", _gap_fill, _GAP_FILL_SQL, "OP-AGG-TIME (gap fill / carry-forward)"),
     DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),
 ]

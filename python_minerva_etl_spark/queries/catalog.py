@@ -100,6 +100,10 @@ _DEPTH = [
     "agg_corr_exact",
     "agg_histogram",
     "gap_detect",
+    "gap_fill",
+    "anomaly_zscore",
+    "text_boilerplate",
+    "dataset_interleave",
     "set_intersect",
     "join_asof_forward",
     "win_counter_rate",

@@ -361,6 +361,63 @@ FROM documents
 """
 
 
+def _text_boilerplate(spark, sf_dir):
+    """EXT-TEXT (boilerplate): word-4-grams recurring in >= 3 distinct
+    documents — template chrome a cleaning pass strips (CCNet-style
+    corpus-level line/fragment frequency)."""
+    return X.boilerplate_shingles(t(spark, sf_dir, "documents"),
+                                  n=4, min_docs=3)
+
+
+_TEXT_BOILERPLATE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 3, 1)),
+           i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS grams
+  FROM w
+),
+e AS (SELECT doc_id, unnest(grams) AS shingle FROM g)
+SELECT shingle, COUNT(*) AS doc_freq
+FROM e GROUP BY 1 HAVING COUNT(*) >= 3
+"""
+
+
+# training-mix weights for the declared interleave: upsample src0 3x,
+# src1 2x, everything else 1x -> lcm 6, strides 2 / 3 / 6
+_INTERLEAVE_WEIGHTS = {"src0": 3, "src1": 2}
+
+
+def _dataset_interleave(spark, sf_dir):
+    """EXT dataset mixing (weighted interleave): stride-scheduled
+    virtual time — sorting by vtime yields each source proportionally
+    to its weight, via pure integer arithmetic (reproducible across
+    engines, runs and partitionings)."""
+    docs = t(spark, sf_dir, "documents")
+    return (X.interleave_weighted(docs, "doc_id", "source",
+                                  _INTERLEAVE_WEIGHTS)
+            .select("doc_id", "source", "src_rank", "vtime"))
+
+
+_DATASET_INTERLEAVE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY
+           CAST(('0x' || substring(md5('interleave-v1' ||
+                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+           doc_id) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(src_rank * (CASE source WHEN 'src0' THEN 2
+                                    WHEN 'src1' THEN 3
+                                    ELSE 6 END) AS BIGINT) AS vtime
+FROM r
+"""
+
+
 def _dataset_pack_sequences(spark, sf_dir):
     """EXT dataset packing: deal docs into 8 hash shards, order by the
     draw, cut into ~512-token training sequences (first-fit-in-order).
@@ -555,6 +612,8 @@ QUERIES = [
     DeclaredQuery("text_redact", _text_redact, _TEXT_REDACT_SQL, "EXT-TEXT (PII redaction)"),
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),
     DeclaredQuery("dataset_hash_split", _dataset_hash_split, _DATASET_HASH_SPLIT_SQL, "EXT dataset split"),
+    DeclaredQuery("text_boilerplate", _text_boilerplate, _TEXT_BOILERPLATE_SQL, "EXT-TEXT (boilerplate detection)"),
+    DeclaredQuery("dataset_interleave", _dataset_interleave, _DATASET_INTERLEAVE_SQL, "EXT dataset mixing (weighted interleave)"),
     DeclaredQuery("dataset_stratified_sample", _dataset_stratified_sample, _strata_sql(), "EXT dataset mixing (stratified sample)"),
     DeclaredQuery("dataset_pack_sequences", _dataset_pack_sequences, _DATASET_PACK_SEQUENCES_SQL, "EXT dataset packing (sequence groups)"),
     DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),

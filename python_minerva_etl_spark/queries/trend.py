@@ -10,7 +10,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from ..operators.sessionize import sessionize
-from ..operators.trigger import ThresholdRule, evaluate
+from ..operators.trigger import ThresholdRule, evaluate, zscore_outliers
 from ..operators.upsert import dedup_last_wins
 from .base import DeclaredQuery, t
 
@@ -37,6 +37,36 @@ def _trigger_threshold(spark, sf_dir):
         F.col("user_id").alias("entity_id"),
         F.date_trunc("second", "ts").alias("ts_s"),
         "severity", "weight", "value", "trigger_name")
+
+
+def _anomaly_zscore(spark, sf_dir):
+    """OP-TRIG (dynamic baseline): per-user z-score outliers — rows
+    more than 3 sample-stddevs from the user's own mean.  Baselines
+    from decimal partials; the z expression is written identically in
+    both engines, so the double compares exactly."""
+    ev = t(spark, sf_dir, "events")
+    return (zscore_outliers(ev, "user_id", "value",
+                            z_threshold=3.0, min_samples=10)
+            .select("event_id", "user_id", "value", "z"))
+
+
+_ANOMALY_ZSCORE_SQL = """
+WITH st AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+         CAST(COUNT(value) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT user_id, s / n AS mean, sqrt((sq - s * s / n) / (n - 1.0)) AS std
+  FROM st WHERE n >= 10
+)
+SELECT e.event_id, e.user_id, e.value,
+       (e.value - b.mean) / b.std AS z
+FROM events e JOIN base b USING (user_id)
+WHERE abs((e.value - b.mean) / b.std) > 3.0
+"""
 
 
 _TRIGGER_THRESHOLD_SQL = """
@@ -266,6 +296,7 @@ QUERIES = [
     DeclaredQuery("reshape_wide", _reshape_wide, _RESHAPE_WIDE_SQL, "OP-TYPE/loader pivot"),
     DeclaredQuery("reshape_long", _reshape_long, _RESHAPE_LONG_SQL, "OP-TYPE/loader unpivot"),
     DeclaredQuery("trigger_threshold", _trigger_threshold, _TRIGGER_THRESHOLD_SQL, "OP-TRIG-THRESH"),
+    DeclaredQuery("anomaly_zscore", _anomaly_zscore, _ANOMALY_ZSCORE_SQL, "OP-TRIG (dynamic z-score baseline)"),
     DeclaredQuery("notif_window_count", _notif_window_count, _NOTIF_WINDOW_COUNT_SQL, "OP-NOTIF-QUERY"),
     DeclaredQuery("events_sessionize", _events_sessionize, _EVENTS_SESSIONIZE_SQL, "EXT-SESS/OP-STR-SESSION"),
     DeclaredQuery("events_session_window", _events_session_window, _EVENTS_SESSION_WINDOW_SQL, "OP-STR-SESSION (native)"),

@@ -347,3 +347,51 @@ def test_stratified_sample_zero_fraction_keeps_nothing(spark):
     everything = stratified_sample(docs, "doc_id", "lang",
                                    fractions={}, default_frac=1.0)
     assert everything.count() == docs.count()
+
+
+def test_gap_fill_carries_forward_and_flags(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.gapfill import fill_gaps
+
+    series = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-04", 40.0),
+         (2, "2024-01-02", 5.0)],
+        "entity long, day string, v double").select(
+            "entity", F.col("day").cast("timestamp").alias("day"), "v")
+    out = {(r.entity, str(r.day)): (r.v, r.was_gap)
+           for r in fill_gaps(series, "entity", "day", "1 day", ["v"])
+           .collect()}
+    # dense spine per entity span
+    assert len(out) == 4 + 1
+    # gaps carry the last known value and are flagged
+    assert out[(1, "2024-01-02 00:00:00")] == (10.0, True)
+    assert out[(1, "2024-01-03 00:00:00")] == (10.0, True)
+    assert out[(1, "2024-01-04 00:00:00")] == (40.0, False)
+
+
+def test_gap_fill_leading_gap_stays_null(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.gapfill import fill_gaps
+
+    series = spark.createDataFrame(
+        [(1, "2024-01-01", None), (1, "2024-01-02", 7.0)],
+        "entity long, day string, v double").select(
+            "entity", F.col("day").cast("timestamp").alias("day"), "v")
+    rows = (fill_gaps(series, "entity", "day", "1 day", ["v"])
+            .orderBy("day").collect())
+    assert rows[0].v is None and rows[0].was_gap
+    assert rows[1].v == 7.0
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    from python_minerva_etl_spark.operators.trigger import zscore_outliers
+
+    rows = ([(1, float(v)) for v in [10] * 20 + [11] * 20 + [500]]
+            + [(2, float(v)) for v in range(5)])  # entity 2: < min_samples
+    df = spark.createDataFrame(rows, "entity long, value double")
+    got = zscore_outliers(df, "entity", "value",
+                          z_threshold=3.0, min_samples=10).collect()
+    assert [(r.entity, r.value) for r in got] == [(1, 500.0)]
+    assert got[0].z > 3.0

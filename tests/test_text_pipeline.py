@@ -100,3 +100,61 @@ def test_contamination_benchmark_side_broadcasts(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_counts_distinct_docs(spark):
+    """A shingle repeated many times inside ONE doc is not boilerplate;
+    one shared across >= min_docs distinct docs is."""
+    from python_minerva_etl_spark.ext.text import boilerplate_shingles
+
+    df = spark.createDataFrame(
+        [(1, "visit our site today " * 5),
+         (2, "visit our site today please"),
+         (3, "visit our site today thanks"),
+         (4, "totally unrelated content here")],
+        "doc_id long, text string")
+    got = {r.shingle: r.doc_freq
+           for r in boilerplate_shingles(df, n=4, min_docs=3).collect()}
+    assert got.get("visit our site today") == 3
+    # the intra-doc repeat in doc 1 must not inflate doc_freq past 3
+    assert all(f <= 4 for f in got.values())
+
+
+def test_interleave_weighted_proportions(spark):
+    """Sorting by vtime interleaves sources proportionally to weight:
+    in any prefix of k*L virtual time, source with weight w has ~w*k
+    docs (exact stride-scheduling invariant, +/- 1 at boundaries)."""
+    from python_minerva_etl_spark.ext.text import interleave_weighted
+
+    rows = [(i, f"s{i % 2}") for i in range(600)]  # 300 docs per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = (interleave_weighted(df, "doc_id", "source", {"s0": 2, "s1": 1})
+           .orderBy("vtime", "source").collect())
+    # lcm=2 -> s0 stride 1, s1 stride 2: first 90 vtime units hold
+    # ~90 s0 docs and ~45 s1 docs
+    prefix = [r for r in out if r.vtime <= 90]
+    n0 = sum(1 for r in prefix if r.source == "s0")
+    n1 = sum(1 for r in prefix if r.source == "s1")
+    assert n0 == 90 and n1 == 45
+    # ranks are contiguous per source starting at 1
+    ranks0 = sorted(r.src_rank for r in out if r.source == "s0")
+    assert ranks0 == list(range(1, 301))
+
+
+def test_interleave_matches_single_partition_ranks(spark):
+    """The bucketed parallel-window rank equals the naive global
+    per-source row_number (the scale path changes nothing)."""
+    from pyspark.sql.window import Window
+
+    from python_minerva_etl_spark.ext.text import (hash_draw,
+                                                   interleave_weighted)
+
+    docs = load_table(spark, SF, "documents")
+    got = interleave_weighted(docs, "doc_id", "source", {"src0": 3})
+    naive = docs.withColumn(
+        "expect_rank",
+        F.row_number().over(
+            Window.partitionBy("source")
+            .orderBy(hash_draw("doc_id", "interleave-v1"), "doc_id")))
+    joined = got.join(naive.select("doc_id", "expect_rank"), "doc_id")
+    assert joined.filter(F.col("src_rank") != F.col("expect_rank")).count() == 0
