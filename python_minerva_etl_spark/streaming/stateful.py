@@ -53,3 +53,71 @@ def running_totals(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+ANOMALY_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("z", T.DoubleType()),
+])
+
+# Welford running-moment state: (n, mean, M2) — numerically stable
+# online variance, O(1) per event, no raw history retained.
+_WELFORD_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("m2", T.DoubleType()),
+])
+
+
+def _make_anomaly_fn(z_threshold: float, min_samples: int):
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_ids, out_vals, out_z = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                # score against the baseline BEFORE this event — an
+                # outlier must not dilute the baseline it is judged by
+                # until after judgment
+                if n >= min_samples:
+                    std = (m2 / (n - 1)) ** 0.5
+                    if std > 0.0:
+                        z = (v - mean) / std
+                        if abs(z) > z_threshold:
+                            out_ids.append(int(eid))
+                            out_vals.append(v)
+                            out_z.append(z)
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame({"user_id": [key[0]] * len(out_ids),
+                            "event_id": out_ids, "value": out_vals,
+                            "z": out_z})
+    return update
+
+
+def streaming_anomalies(events: DataFrame, z_threshold: float = 3.0,
+                        min_samples: int = 10) -> DataFrame:
+    """Streaming twin of ``operators.trigger.zscore_outliers``: flag
+    events more than ``z_threshold`` stddevs from their entity's
+    *running* baseline (Welford mean/M2 held as per-key engine state).
+
+    Where the batch trigger judges against the full-history baseline,
+    the stream judges each event against everything seen *before* it —
+    the real-time alarm semantic (no lookahead).  State is three
+    numbers per entity regardless of stream length; events inside a
+    micro-batch are processed in (ts, event_id) order so replaying the
+    same batches reproduces the identical flags (asserted in tests).
+    """
+    return (events.groupBy("user_id").applyInPandasWithState(
+        _make_anomaly_fn(z_threshold, min_samples),
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_WELFORD_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -92,3 +92,61 @@ def test_file_source_processes_only_new_files(spark):
     total = load_table(spark, "/root/testdata/sf0.001", "events").count()
     assert 0 < n1 < total
     assert n2 == total  # second run added exactly the new file's rows
+
+
+def test_streaming_anomalies_carry_baseline_across_batches(spark):
+    """The streaming z-score twin judges each event against the
+    running Welford baseline (no lookahead), carrying state across
+    micro-batches: a pure-python replay over the same batches in the
+    same order must reproduce the identical flag set bit-for-bit."""
+    from python_minerva_etl_spark.streaming.stateful import \
+        streaming_anomalies
+
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    inbox = os.path.join(SCRATCH, "inbox3")
+    paths = _stage_split(spark, inbox, parts=2)
+
+    schema = load_table(spark, "/root/testdata/sf0.001", "events").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(inbox, "*")))
+    result = streaming_anomalies(
+        stream.select("user_id", "event_id", "ts", "value"),
+        z_threshold=2.5, min_samples=5)
+    q = (result.writeStream.format("memory").queryName("stream_anom")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    got = {(r.user_id, r.event_id): r.z
+           for r in spark.sql("SELECT * FROM stream_anom").collect()}
+
+    # replay: same batches (mtime order = staging order), same
+    # within-batch (ts, event_id) order, same Welford updates
+    state: dict[int, tuple[int, float, float]] = {}
+    want = {}
+    for p in paths:
+        batch = (spark.read.parquet(p)
+                 .select("user_id", "event_id", "ts", "value")
+                 .orderBy("ts", "event_id").collect())
+        by_user: dict[int, list] = {}
+        for r in batch:
+            by_user.setdefault(r.user_id, []).append(r)
+        for uid, rows in by_user.items():
+            n, mean, m2 = state.get(uid, (0, 0.0, 0.0))
+            for r in rows:
+                v = float(r.value)
+                if n >= 5:
+                    std = (m2 / (n - 1)) ** 0.5
+                    if std > 0.0:
+                        z = (v - mean) / std
+                        if abs(z) > 2.5:
+                            want[(uid, r.event_id)] = z
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+            state[uid] = (n, mean, m2)
+
+    assert set(got) == set(want)
+    assert all(got[k] == want[k] for k in got)  # bit-identical z
+    assert len(got) > 0  # the fixture does produce outliers
