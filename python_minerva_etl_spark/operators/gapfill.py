@@ -40,8 +40,9 @@ def fill_gaps(series: DataFrame, entity_col: str, bucket_col: str,
 
     Every bucket in ``[min(bucket), max(bucket)]`` per entity (stepped
     by ``step``, e.g. ``"1 day"``) appears exactly once in the output.
-    ``was_gap`` marks buckets that had no source row; when ``carry``
-    is set, ``value_cols`` are forward-filled from the last non-gap
+    ``was_gap`` marks buckets that had no source row (a present row
+    whose values happen to be NULL is NOT a gap); when ``carry`` is
+    set, ``value_cols`` are forward-filled from the last non-NULL
     bucket (leading gaps stay NULL — there is nothing to carry).
     Other columns of ``series`` are passed through (NULL on gap rows).
     """
@@ -51,8 +52,10 @@ def fill_gaps(series: DataFrame, entity_col: str, bucket_col: str,
         entity_col,
         F.explode(F.sequence("__lo", "__hi", F.expr(f"interval {step}")))
         .alias(bucket_col))
-    joined = spine.join(series, [entity_col, bucket_col], "left")
-    out = joined.withColumn("was_gap", F.col(value_cols[0]).isNull())
+    joined = spine.join(series.withColumn("__present", F.lit(True)),
+                        [entity_col, bucket_col], "left")
+    out = (joined.withColumn("was_gap", F.col("__present").isNull())
+           .drop("__present"))
     if carry:
         w = (Window.partitionBy(entity_col).orderBy(bucket_col)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -92,6 +92,11 @@ def zscore_outliers(df: DataFrame, entity_col: str, value_col: str,
         (F.col("__s") / F.col("__n")).alias("__mean"),
         F.sqrt((F.col("__sq") - F.col("__s") * F.col("__s") / F.col("__n"))
                / (F.col("__n") - F.lit(1.0))).alias("__std"))
+    # constant-baseline entities (std == 0, or NaN from a tiny negative
+    # under the sqrt) would score every row z = NaN, and NaN orders
+    # above any threshold — drop them, matching the streaming twin's
+    # `if std > 0.0` guard
+    base = base.filter(F.col("__std") > 0)
     z = (v - F.col("__mean")) / F.col("__std")
     return (df.join(base, entity_col)
             .withColumn("z", z)

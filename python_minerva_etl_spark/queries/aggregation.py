@@ -459,7 +459,7 @@ SELECT user_id, day,
          PARTITION BY user_id ORDER BY day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
        COALESCE(samples, 0) AS samples,
-       day_value IS NULL AS was_gap
+       samples IS NULL AS was_gap
 FROM j
 """
 

@@ -61,10 +61,11 @@ WITH st AS (
 base AS (
   SELECT user_id, s / n AS mean, sqrt((sq - s * s / n) / (n - 1.0)) AS std
   FROM st WHERE n >= 10
-)
+),
+base_ok AS (SELECT * FROM base WHERE std > 0)
 SELECT e.event_id, e.user_id, e.value,
        (e.value - b.mean) / b.std AS z
-FROM events e JOIN base b USING (user_id)
+FROM events e JOIN base_ok b USING (user_id)
 WHERE abs((e.value - b.mean) / b.std) > 3.0
 """
 

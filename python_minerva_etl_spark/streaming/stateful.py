@@ -76,7 +76,13 @@ def _make_anomaly_fn(z_threshold: float, min_samples: int):
                state: GroupState) -> Iterator[pd.DataFrame]:
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out_ids, out_vals, out_z = [], [], []
-        for pdf in pdfs:
+        # Materialize every Arrow chunk before sorting: Spark splits a
+        # key's micro-batch into multiple chunks (arrow
+        # maxRecordsPerBatch) in arbitrary order — sorting per-chunk
+        # would make the no-lookahead baseline nondeterministic for
+        # keys with more rows than one chunk.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             for eid, v in zip(pdf["event_id"], pdf["value"]):
                 v = float(v)
