@@ -386,3 +386,49 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         normalized_fingerprint(text_col).alias("fingerprint"),
         *langid_scores(text_col),
     ).withColumn("lang_pred", langid_pred())
+
+
+def corpus_filter_funnel(docs: DataFrame, min_tokens: int = 24,
+                         min_quality: float = 0.55, lang: str = "en",
+                         text_col: str = "text") -> DataFrame:
+    """Composed pretraining-filter funnel — length -> lang-id ->
+    quality -> exact-dedup — with per-stage survivor counts, computed
+    in ONE pass as conditional aggregation.  At 100 TB this is the
+    shape that matters: one scan + one (tiny) aggregate, instead of
+    re-scanning the corpus once per filter stage.  Returns a single
+    row: n_raw >= n_len >= n_lang >= n_quality >= n_unique.
+    """
+    d = docs.select(
+        F.col(text_col),
+        token_count_ws(text_col).alias("__tok"),
+        quality_score(text_col).alias("__q"),
+        normalized_fingerprint(text_col).alias("__fp"),
+        *langid_scores(text_col))
+    d = d.withColumn("__pred", langid_pred())
+    tok_ok = F.col("__tok") >= F.lit(min_tokens)
+    lang_ok = tok_ok & (F.col("__pred") == F.lit(lang))
+    q_ok = lang_ok & (F.col("__q") >= F.lit(min_quality))
+    return d.agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(tok_ok, 1)).alias("n_len"),
+        F.count(F.when(lang_ok, 1)).alias("n_lang"),
+        F.count(F.when(q_ok, 1)).alias("n_quality"),
+        F.countDistinct(F.when(q_ok, F.col("__fp"))).alias("n_unique"))
+
+
+def length_buckets(df: DataFrame, bucket_tokens: int = 64,
+                   text_col: str = "text") -> DataFrame:
+    """Token-length bucketing for batch packing / curriculum
+    scheduling: docs grouped into fixed-width token-count buckets
+    (integer arithmetic only — exact on any engine).  One scan + one
+    aggregate on the bucket key."""
+    d = df.select(token_count_ws(text_col).alias("__tok"))
+    return (d.withColumn(
+                "bucket_start",
+                F.expr(f"(__tok div {int(bucket_tokens)}) "
+                       f"* {int(bucket_tokens)}"))
+            .groupBy("bucket_start")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("__tok").alias("sum_tokens"),
+                 F.min("__tok").alias("min_tokens"),
+                 F.max("__tok").alias("max_tokens")))

@@ -1,4 +1,5 @@
-"""Join operators beyond plain equi-joins — point-in-time (as-of).
+"""Join operators beyond plain equi-joins — point-in-time (as-of) and
+banded range joins.
 
 Reference semantics (attribute_directory ``at_func`` usage via
 attributestore [U]): the attribute value valid at a fact timestamp is
@@ -71,3 +72,52 @@ def asof_join(facts: DataFrame, history: DataFrame, key: list[str],
     for c in attr_cols:
         out = out.withColumn(c, F.col("__attrs").getField(c))
     return out.drop("__is_fact", "__ord", "__attrs")
+
+
+def range_join(left: DataFrame, right: DataFrame, key: list[str],
+               left_ts: str, right_ts: str,
+               lower_us: int, upper_us: int,
+               lower_inclusive: bool = False,
+               upper_inclusive: bool = True) -> DataFrame:
+    """Banded range join (OP-JOIN-RANGE): pair rows sharing ``key``
+    where ``right_ts - left_ts`` lies in the band
+    ``[lower_us, upper_us]`` microseconds (bound inclusivity per the
+    flags).  Column names must be pre-disambiguated (rename before
+    calling); both ts columns must be timestamps.
+
+    Catalyst plans a raw ``a.ts < b.ts AND b.ts <= a.ts + delta``
+    condition as BroadcastNestedLoopJoin / cartesian — O(n*m) per key
+    and a non-starter at 100 TB.  This instead buckets both sides into
+    fixed windows of ``width = upper_us - lower_us`` (>= 1s) and
+    equi-joins on (key, bucket): each left row can only match right
+    rows in the 2 buckets spanned by ``[t+lower, t+upper]``, so the
+    left side explodes to exactly <= 2 candidate rows, the join is a
+    plain shuffled/broadcast hash join on (key, bucket), and the exact
+    band predicate refines the candidates.  Work is O(matches +
+    candidates-in-adjacent-buckets), one shuffle per side.
+    """
+    if upper_us <= lower_us:
+        raise ValueError("upper_us must exceed lower_us")
+    width = max(upper_us - lower_us, 1_000_000)
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    lo = l_us + F.lit(lower_us)
+    hi = l_us + F.lit(upper_us)
+    l = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            F.floor(lo / F.lit(width)), F.floor(hi / F.lit(width)))))
+    r = right.withColumn("__bucket", F.floor(r_us / F.lit(width)))
+    gap = (F.unix_micros(F.col(right_ts))
+           - F.unix_micros(F.col(left_ts)))
+    lo_pred = (gap >= F.lit(lower_us)) if lower_inclusive \
+        else (gap > F.lit(lower_us))
+    hi_pred = (gap <= F.lit(upper_us)) if upper_inclusive \
+        else (gap < F.lit(upper_us))
+    cond = l["__bucket"] == r["__bucket"]
+    for k in key:
+        cond = cond & (l[k] == r[k])
+    joined = l.join(r, cond & lo_pred & hi_pred, "inner")
+    for k in key:
+        joined = joined.drop(r[k])
+    return joined.drop(l["__bucket"]).drop(r["__bucket"])

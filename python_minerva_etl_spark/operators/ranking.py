@@ -1,0 +1,76 @@
+"""Partition-parallel global ordering/ranking (OP-SORT/OP-RPT at scale).
+
+A global ``row_number() OVER (ORDER BY ...)`` forces every row through
+ONE partition — the classic scale-killer in ranked report generation
+(Minerva's ranked KPI reports over all entities).  The scalable form is
+the two-phase ranking every MPP engine uses: range-bucket the data,
+rank inside each bucket in parallel, then add per-bucket prefix-sum
+offsets (#buckets longs to the driver — never row data).
+
+Determinism trap this implementation avoids: ``repartitionByRange``
+seeds its range-bound sampling from the RDD id, which CHANGES between
+the count job and the ranking job, so two executions of the same plan
+can split rows differently and corrupt the offsets.  Instead the bucket
+bounds are computed ONCE (deterministic ``percentile_approx``) and
+baked into the plan as literals — every job that evaluates the bucket
+expression assigns identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_row_number(df: DataFrame, split_col: str,
+                      order_by: list[Column],
+                      rank_col: str = "rank",
+                      descending: bool = False,
+                      num_buckets: int | None = None) -> DataFrame:
+    """Attach a 1-based global ``rank_col`` ordered by ``order_by``
+    without ever collapsing the data to one partition.
+
+    ``split_col`` is the leading sort column (numeric or string);
+    ``descending`` its direction.  ``order_by`` is the FULL ordering —
+    it must be total (include a tiebreaker) and must order NULLs LAST
+    (``asc_nulls_last`` / ``desc_nulls_last``) to match the bucket
+    assignment.  Rows with equal ``split_col`` always land in the same
+    bucket, so bucket boundaries can never split an order-equivalence
+    class (a pathologically hot single value degrades that one bucket
+    only — same failure shape as any range partitioning).
+
+    Cost: one tiny percentile job + one count job + one windowed pass,
+    each a single shuffle on the bucket key.
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = spark.sparkContext.defaultParallelism
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    qrow = df.agg(F.percentile_approx(
+        split_col, probs, 10_000).alias("q")).first()
+    bounds = sorted({x for x in (qrow["q"] or []) if x is not None},
+                    reverse=descending)
+    col = F.col(split_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        ahead = (F.lit(b) > col) if descending else (F.lit(b) < col)
+        bucket = bucket + F.when(ahead, 1).otherwise(0)
+    bucket = F.when(col.isNull(), F.lit(len(bounds) + 1)).otherwise(bucket)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    sizes = {r["__bucket"]: r["n"] for r in
+             bucketed.groupBy("__bucket").agg(F.count("*").alias("n"))
+             .collect()}
+    offsets, acc = {}, 0
+    for bid in range(len(bounds) + 2):
+        offsets[bid] = acc
+        acc += sizes.get(bid, 0)
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__bucket"))
+    w = Window.partitionBy("__bucket").orderBy(*order_by)
+    return (bucketed
+            .withColumn(rank_col,
+                        (F.row_number().over(w) + offset_expr).cast("long"))
+            .drop("__bucket"))

@@ -523,6 +523,33 @@ GROUP BY 1, 2
 """
 
 
+def _agg_salted_hot_keys(spark, sf_dir):
+    """Skew-resilient aggregation (operators/skew.py): events grouped
+    by event_type — 5 pathologically hot keys.  Two-phase salted
+    aggregation fans each hot key over 32 reducers; the decimal
+    partials make the salted result bit-identical to the plain
+    GROUP BY the oracle runs."""
+    from ..operators.skew import salted_agg
+    ev = t(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], 32, {
+        "samples": (F.count("*"), F.sum("samples")),
+        "sum_value": (F.sum(F.col("value").cast("decimal(28,4)")),
+                      F.sum("sum_value")),
+        "max_value": (F.max("value"), F.max("max_value")),
+    })
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+_AGG_SALTED_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = [
     DeclaredQuery("agg_time_sliding", _agg_time_sliding, _AGG_TIME_SLIDING_SQL, "OP-AGG-TIME (hopping)"),
     DeclaredQuery("agg_time_1h", _agg_time_1h, _AGG_TIME_1H_SQL, "OP-AGG-TIME"),
@@ -539,6 +566,7 @@ QUERIES = [
     DeclaredQuery("agg_string_concat", _agg_string_concat, _AGG_STRING_CONCAT_SQL, "OP-AGG (string agg)"),
     DeclaredQuery("agg_corr_exact", _agg_corr_exact, _AGG_CORR_EXACT_SQL, "OP-AGG (correlation)"),
     DeclaredQuery("agg_histogram", _agg_histogram, _AGG_HISTOGRAM_SQL, "OP-AGG (histogram)"),
+    DeclaredQuery("agg_salted_hot_keys", _agg_salted_hot_keys, _AGG_SALTED_SQL, "OP-AGG-TIME (skew/salting)"),
     DeclaredQuery("gap_detect", _gap_detect, _GAP_DETECT_SQL, "OP-JOIN-ANTI/OP-F-DATE (gap detection)"),
     DeclaredQuery("gap_fill", _gap_fill, _GAP_FILL_SQL, "OP-AGG-TIME (gap fill / carry-forward)"),
     DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),

@@ -99,12 +99,15 @@ _DEPTH = [
     "agg_string_concat",
     "agg_corr_exact",
     "agg_histogram",
+    "agg_salted_hot_keys",
     "gap_detect",
     "gap_fill",
     "anomaly_zscore",
     "text_boilerplate",
     "dataset_interleave",
     "set_intersect",
+    "rank_global",
+    "join_range",
     "join_asof_forward",
     "win_counter_rate",
     "win_running_total",
@@ -119,6 +122,8 @@ _DEPTH = [
     "dataset_contamination",
     "text_repetition",
     "text_vocab_topk",
+    "corpus_filter_funnel",
+    "dataset_length_buckets",
     "dedup_clusters",
     "dedup_keep_canonical",
     "agg_approx_distinct",

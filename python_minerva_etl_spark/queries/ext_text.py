@@ -608,8 +608,82 @@ GROUP BY c.doc_id, c.n_grams
 """
 
 
+def _corpus_filter_funnel(spark, sf_dir):
+    """EXT corpus curation: the composed length -> lang-id -> quality
+    -> exact-dedup funnel as ONE conditional-aggregation scan
+    (ext/text.corpus_filter_funnel)."""
+    return X.corpus_filter_funnel(t(spark, sf_dir, "documents"))
+
+
+def _funnel_oracle() -> str:
+    score_exprs = []
+    for lang, words in X.LANG_PROFILES.items():
+        quoted = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"x -> x IN ({quoted}))) AS BIGINT) AS score_{lang}")
+    langs = list(X.LANG_PROFILES)
+    greatest = "GREATEST(" + ", ".join(f"score_{c}" for c in langs) + ")"
+    case = ("CASE " + " ".join(
+        f"WHEN score_{c} = {greatest} THEN '{c}'" for c in langs) + " END")
+    en = ", ".join(f"'{w}'" for w in X.LANG_PROFILES["en"])
+    return rf"""
+WITH f AS (
+  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+           AS n_punct,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ({en}))) AS BIGINT) AS stop_hits,
+         length(text) AS n_chars_txt,
+         md5(array_to_string(
+           string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp,
+         {', '.join(score_exprs)}
+  FROM documents
+), g AS (
+  SELECT *,
+         0.5 * least(CAST(n_tok AS DOUBLE) / 32.0, 1.0)
+         + 0.3 * least(CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) * 4.0, 1.0)
+         + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars_txt AS DOUBLE) * 10.0, 1.0))
+           AS q,
+         {case} AS pred
+  FROM f
+)
+SELECT COUNT(*) AS n_raw,
+       COUNT(*) FILTER (n_tok >= 24) AS n_len,
+       COUNT(*) FILTER (n_tok >= 24 AND pred = 'en') AS n_lang,
+       COUNT(*) FILTER (n_tok >= 24 AND pred = 'en' AND q >= 0.55)
+         AS n_quality,
+       COUNT(DISTINCT CASE WHEN n_tok >= 24 AND pred = 'en' AND q >= 0.55
+                           THEN fp END) AS n_unique
+FROM g
+"""
+
+
+def _dataset_length_buckets(spark, sf_dir):
+    """EXT dataset batching: 64-token-wide length buckets for batch
+    packing / curriculum scheduling (integer-exact bucketing)."""
+    return X.length_buckets(t(spark, sf_dir, "documents"), 64)
+
+
+_DATASET_LENGTH_BUCKETS_SQL = """
+WITH f AS (
+  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT (n_tok // 64) * 64 AS bucket_start,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       MIN(n_tok) AS min_tokens,
+       MAX(n_tok) AS max_tokens
+FROM f
+GROUP BY 1
+"""
+
+
 QUERIES = [
     DeclaredQuery("text_redact", _text_redact, _TEXT_REDACT_SQL, "EXT-TEXT (PII redaction)"),
+    DeclaredQuery("corpus_filter_funnel", _corpus_filter_funnel, _funnel_oracle(), "EXT corpus curation (one-pass filter funnel)"),
+    DeclaredQuery("dataset_length_buckets", _dataset_length_buckets, _DATASET_LENGTH_BUCKETS_SQL, "EXT dataset batching (length buckets)"),
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),
     DeclaredQuery("dataset_hash_split", _dataset_hash_split, _DATASET_HASH_SPLIT_SQL, "EXT dataset split"),
     DeclaredQuery("text_boilerplate", _text_boilerplate, _TEXT_BOILERPLATE_SQL, "EXT-TEXT (boilerplate detection)"),

@@ -546,6 +546,60 @@ FROM lineitem
 """
 
 
+def _join_range(spark, sf_dir):
+    """OP-JOIN-RANGE: banded self-join — same-user event pairs at most
+    15 minutes apart, via ``operators.joins.range_join`` (bucketed
+    equi-join + band refine; never a nested-loop/cartesian plan).
+    Gap sums are exact integer microseconds, so parity with the
+    DuckDB interval-join oracle is bit-level."""
+    from ..operators.joins import range_join
+    ev = t(spark, sf_dir, "events")
+    a = ev.select("user_id", F.col("ts").alias("a_ts"),
+                  F.col("event_id").alias("a_id"))
+    b = ev.select("user_id", F.col("ts").alias("b_ts"),
+                  F.col("event_id").alias("b_id"))
+    pairs = range_join(a, b, ["user_id"], "a_ts", "b_ts",
+                       0, 900 * 1_000_000)
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum(F.unix_micros("b_ts") - F.unix_micros("a_ts"))
+             .alias("sum_gap_us"))
+    )
+
+
+def _rank_global(spark, sf_dir):
+    """OP-SORT/OP-RPT: global ranked report over ALL events without a
+    single-partition window — two-phase range-partitioned ranking
+    (operators/ranking.py).  Bit-identical to the oracle's
+    ROW_NUMBER() because (value DESC, event_id) is a total order."""
+    from ..operators.ranking import global_row_number
+    ev = t(spark, sf_dir, "events")
+    return global_row_number(
+        ev.select("event_id", "value"), "value",
+        [F.col("value").desc_nulls_last(), F.col("event_id").asc()],
+        "rank", descending=True)
+
+
+_RANK_GLOBAL_SQL = """
+SELECT event_id, value,
+       ROW_NUMBER() OVER (ORDER BY value DESC NULLS LAST, event_id) AS rank
+FROM events
+"""
+
+
+_JOIN_RANGE_SQL = """
+SELECT a.user_id AS user_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS sum_gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 15 MINUTE
+GROUP BY 1
+"""
+
+
 QUERIES = [
     DeclaredQuery("project_select", _project_select, _PROJECT_SELECT_SQL, "OP-PROJ"),
     DeclaredQuery("filter_time_range", _filter_time_range, _FILTER_TIME_RANGE_SQL, "OP-FILT"),
@@ -567,4 +621,6 @@ QUERIES = [
     DeclaredQuery("fn_kpi_math", _fn_kpi_math, _FN_KPI_MATH_SQL, "OP-F-MATH"),
     DeclaredQuery("fn_map_ops", _fn_map_ops, _FN_MAP_OPS_SQL, "OP-F-MAP"),
     DeclaredQuery("rollup_relation", _rollup_relation, _ROLLUP_RELATION_SQL, "OP-JOIN-REL/OP-AGG-ENTITY (relation table)"),
+    DeclaredQuery("join_range", _join_range, _JOIN_RANGE_SQL, "OP-JOIN-RANGE/THETA"),
+    DeclaredQuery("rank_global", _rank_global, _RANK_GLOBAL_SQL, "OP-SORT/OP-RPT (two-phase global rank)"),
 ]

@@ -56,6 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # µs-precision NTZ parquet (isAdjustedToUTC=false): interpret
+            # the wall-clock value as UTC.  Under the pinned UTC session
+            # zone this cast is instant-preserving, and downstream code
+            # (unix_micros, window(), watermarks) requires TIMESTAMP.
+            df = df.withColumn(field.name,
+                               F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -47,8 +47,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(staged):
         shutil.copyfile(path, staged)
     stream = spark.readStream.schema(schema).parquet(inbox)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # µs NTZ fixture — same UTC reinterpretation as registry.load_table
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -381,7 +381,10 @@ def test_gap_fill_leading_gap_stays_null(spark):
             "entity", F.col("day").cast("timestamp").alias("day"), "v")
     rows = (fill_gaps(series, "entity", "day", "1 day", ["v"])
             .orderBy("day").collect())
-    assert rows[0].v is None and rows[0].was_gap
+    # the day-1 row EXISTS in the source with a NULL value: it is not a
+    # gap (presence-marker semantics), and with nothing earlier to
+    # carry, the value stays NULL
+    assert rows[0].v is None and not rows[0].was_gap
     assert rows[1].v == 7.0
 
 
@@ -395,3 +398,55 @@ def test_zscore_outliers_flags_only_extremes(spark):
                           z_threshold=3.0, min_samples=10).collect()
     assert [(r.entity, r.value) for r in got] == [(1, 500.0)]
     assert got[0].z > 3.0
+
+
+def test_compact_store_partitioned(spark, scratch):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.compaction import compact_store
+    from python_minerva_etl_spark.registry import load_table
+
+    path = os.path.join(scratch, "compact_t")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .withColumn("day", F.to_date("ts").cast("string"))
+    # simulate many tiny incremental loads: 8 files per partition
+    ev.repartition(8).write.partitionBy("day").mode("overwrite").parquet(path)
+    before = ev.groupBy("day").count().orderBy("day").collect()
+    n_before = len(glob.glob(os.path.join(path, "day=*", "*.parquet")))
+    assert n_before >= 16, "fixture did not fragment — test is vacuous"
+
+    stats = compact_store(spark, path, "day", target_file_bytes=1 << 30)
+    n_after = len(glob.glob(os.path.join(path, "day=*", "*.parquet")))
+    assert stats["units_compacted"] == stats["units_seen"] > 0
+    assert n_after == stats["units_seen"], "expected 1 file per partition"
+    after = spark.read.parquet(path).groupBy("day").count() \
+        .orderBy("day").collect()
+    # partition values read back type-inferred (dates) — compare as str
+    assert [(str(r[0]), r[1]) for r in before] == \
+        [(str(r[0]), r[1]) for r in after]
+
+    again = compact_store(spark, path, "day", target_file_bytes=1 << 30)
+    assert again["units_compacted"] == 0, "recompaction must be a no-op"
+
+
+def test_compact_store_unpartitioned_respects_target(spark, scratch):
+    from python_minerva_etl_spark.operators.compaction import compact_store
+    from python_minerva_etl_spark.registry import load_table
+
+    path = os.path.join(scratch, "compact_flat")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(12).write.mode("overwrite").parquet(path)
+    n_rows = ev.count()
+    _files, n_bytes = __import__(
+        "python_minerva_etl_spark.operators.compaction",
+        fromlist=["_dir_stats"])._dir_stats(path)
+    # pick a target that should land ~3 output files
+    stats = compact_store(spark, path, None,
+                          target_file_bytes=max(n_bytes // 3, 1))
+    assert stats["units_compacted"] == 1
+    assert 1 <= stats["files_after"] <= 6
+    assert spark.read.parquet(path).count() == n_rows

@@ -1,0 +1,95 @@
+"""Unit tests for the round-3 scale operators: bucketized range join
+and two-phase global ranking (plus the one-pass corpus funnel)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.operators.joins import range_join
+from python_minerva_etl_spark.operators.ranking import global_row_number
+from python_minerva_etl_spark.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_pair_frames(spark):
+    ev = load_table(spark, SF, "events")
+    a = ev.select("user_id", F.col("ts").alias("a_ts"),
+                  F.col("event_id").alias("a_id"))
+    b = ev.select("user_id", F.col("ts").alias("b_ts"),
+                  F.col("event_id").alias("b_id"))
+    return a, b
+
+
+def test_range_join_equals_naive(spark):
+    """Bucketized band join == the naive theta-join filter (which
+    Catalyst would execute as a nested-loop — fine at sf0.001 as the
+    test oracle, catastrophic at scale)."""
+    a, b = _events_pair_frames(spark)
+    band = 900 * 1_000_000
+    got = {(r.a_id, r.b_id) for r in
+           range_join(a, b, ["user_id"], "a_ts", "b_ts", 0, band)
+           .select("a_id", "b_id").collect()}
+    naive = a.join(b, "user_id").filter(
+        (F.unix_micros("b_ts") > F.unix_micros("a_ts"))
+        & (F.unix_micros("b_ts") <= F.unix_micros("a_ts") + band))
+    want = {(r.a_id, r.b_id) for r in naive.select("a_id", "b_id").collect()}
+    assert got == want
+    assert len(got) > 0, "band too narrow for the fixture — test is vacuous"
+
+
+def test_range_join_inclusivity_bounds(spark):
+    """Lower-inclusive picks up gap == 0 pairs (distinct events at the
+    identical timestamp), exclusive drops them."""
+    a, b = _events_pair_frames(spark)
+    incl = range_join(a, b, ["user_id"], "a_ts", "b_ts", 0, 10 ** 9,
+                      lower_inclusive=True)
+    n_self = incl.filter(F.col("a_id") == F.col("b_id")).count()
+    assert n_self == a.count(), "gap==0 must include every self-pair"
+    excl = range_join(a, b, ["user_id"], "a_ts", "b_ts", 0, 10 ** 9)
+    assert excl.filter(F.col("a_id") == F.col("b_id")).count() == 0
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    a, b = _events_pair_frames(spark)
+    plan = range_join(a, b, ["user_id"], "a_ts", "b_ts",
+                      0, 900_000_000)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_row_number_equals_single_partition_window(spark):
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    order = [F.col("value").desc_nulls_last(), F.col("event_id").asc()]
+    got = global_row_number(ev, "value", order, "rank", descending=True,
+                            num_buckets=7).toPandas()
+    want = ev.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))).toPandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert (got["rank"].values == want["rank"].values).all()
+
+
+def test_global_row_number_is_stable_across_runs(spark):
+    """The bounds are plan literals — re-executing the SAME returned
+    frame (two jobs inside, plus this re-run) must reproduce ranks."""
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    order = [F.col("value").desc_nulls_last(), F.col("event_id").asc()]
+    frame = global_row_number(ev, "value", order, "rank", descending=True,
+                              num_buckets=5)
+    first = frame.orderBy("event_id").toPandas()
+    second = frame.orderBy("event_id").toPandas()
+    assert (first["rank"].values == second["rank"].values).all()
+
+
+def test_corpus_funnel_monotone(spark):
+    from python_minerva_etl_spark.ext.text import corpus_filter_funnel
+
+    docs = load_table(spark, SF, "documents")
+    row = corpus_filter_funnel(docs).collect()[0]
+    assert (row.n_raw >= row.n_len >= row.n_lang
+            >= row.n_quality >= row.n_unique)
+    assert row.n_raw == docs.count()
