@@ -9,6 +9,7 @@ Reference commands (minerva/commands/* [U]) → subcommands here:
     aggregate             run a declared part aggregation (the
                           ``minerva aggregation create`` analog —
                           compiled and executed, not SQL-generated)
+    compact               bin-pack small files in a parquet store
     bench                 run the headline benchmark
 
 Usage: ``python -m python_minerva_etl_spark.cli <command> …``
@@ -150,6 +151,16 @@ def cmd_aggregate(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .operators.compaction import compact_store
+
+    spark = _spark()
+    stats = compact_store(spark, args.path, args.partition_col,
+                          target_file_bytes=args.target_file_mb << 20)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     return subprocess.call([sys.executable, "bench.py"])
@@ -209,6 +220,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--entity-column", default="entity_key")
     s.add_argument("--timestamp-column", default="timestamp")
     s.set_defaults(fn=cmd_aggregate)
+
+    s = sub.add_parser("compact",
+                       help="bin-pack small files in a parquet store")
+    s.add_argument("--path", required=True)
+    s.add_argument("--partition-col", default=None)
+    s.add_argument("--target-file-mb", type=int, default=128)
+    s.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     s.set_defaults(fn=cmd_bench)

@@ -37,6 +37,12 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
              .union(pairs.select(F.col(b_col).alias("u"),
                                  F.col(a_col).alias("v")))
              .distinct())
+    # pin the edge list: every iteration's plan references it, and
+    # without this each round re-derives the full near-dup pair join
+    # (the expensive upstream) instead of re-reading |E| rows —
+    # measured 55s -> ~15s on the sf0.01 cluster queries.  Bounded by
+    # the near-dup pair output, far below corpus size.
+    edges = edges.localCheckpoint(eager=True)
     # min label in the closed neighborhood, iterated to fixpoint;
     # explicit column renames everywhere — labels derives from edges,
     # so attribute-based join conditions would be ambiguous self-joins

@@ -523,6 +523,26 @@ GROUP BY 1, 2
 """
 
 
+def _agg_hll_reagg(spark, sf_dir):
+    """OP-AGG-DISTINCT at scale: mergeable HLL sketch partials.
+    Minerva's re-aggregation invariant (avg re-aggregates as
+    SUM(sum)/SUM(samples)) extended to COUNT DISTINCT: daily sketch
+    partials union losslessly into weekly estimates — the only way a
+    distinct count re-aggregates at 100 TB without re-scanning raw
+    data.  The merged path equals a direct weekly sketch exactly
+    (same lgConfigK; HLL union is lossless — asserted in
+    tests/test_properties.py).  Rows-only: DuckDB's approx_count_
+    distinct uses a different sketch, so no SQL oracle exists."""
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (daily
+            .groupBy(F.date_trunc("week", "day").alias("week"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_users"))
+            .orderBy("week"))
+
+
 def _agg_salted_hot_keys(spark, sf_dir):
     """Skew-resilient aggregation (operators/skew.py): events grouped
     by event_type — 5 pathologically hot keys.  Two-phase salted
@@ -560,6 +580,7 @@ QUERIES = [
     DeclaredQuery("agg_reagg_avg", _agg_reagg_avg, _AGG_REAGG_AVG_SQL, "OP-AGG-PARTIAL"),
     DeclaredQuery("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL, "OP-AGG-DISTINCT"),
     DeclaredQuery("agg_approx_distinct", _agg_approx_distinct, None, "OP-AGG-DISTINCT"),
+    DeclaredQuery("agg_hll_reagg", _agg_hll_reagg, None, "OP-AGG-DISTINCT/OP-AGG-PARTIAL (mergeable sketches)"),
     DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
     DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),
     DeclaredQuery("agg_variance_exact", _agg_variance_exact, _AGG_VARIANCE_EXACT_SQL, "OP-AGG (variance)"),

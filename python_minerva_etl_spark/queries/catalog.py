@@ -127,6 +127,7 @@ _DEPTH = [
     "dedup_clusters",
     "dedup_keep_canonical",
     "agg_approx_distinct",
+    "agg_hll_reagg",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_embedding_lsh",

@@ -200,29 +200,65 @@ class SnapTable:
         finally:
             os.unlink(tmp)
 
+    def txns(self, version: int | None = None) -> dict[str, int]:
+        """Writer-app -> last committed batch id, carried forward in
+        every manifest (the Delta `txn` action analog): the idempotence
+        ledger that makes streaming foreachBatch delivery exactly-once
+        (streaming/sink.py)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return dict(self._manifest(v).get("txns", {}))
+
+    def _txn_seen(self, txn: tuple[str, int] | None,
+                  version: int | None) -> bool:
+        return (txn is not None and version is not None
+                and self.txns(version).get(txn[0], -1) >= txn[1])
+
+    def _with_txn(self, manifest: dict, txn: tuple[str, int] | None,
+                  prev_version: int) -> dict:
+        txns = self.txns(prev_version) if prev_version >= 1 else {}
+        if txn is not None:
+            txns[txn[0]] = txn[1]
+        if txns:
+            manifest["txns"] = txns
+        return manifest
+
     def append(self, spark: SparkSession, df: DataFrame,
-               key: list[str] = ()) -> int:
-        """Append-only commit (OP-SNK-COPY/OP-SNK-NOTIF shape)."""
+               key: list[str] = (),
+               txn: tuple[str, int] | None = None) -> int:
+        """Append-only commit (OP-SNK-COPY/OP-SNK-NOTIF shape).
+        ``txn=(app_id, batch_id)``: skip if this batch already
+        committed (idempotent re-delivery)."""
+        if self._txn_seen(txn, self.latest_version()):
+            return self.latest_version()
         new = self._write_data(df, list(key))
         while True:
             v = (self.latest_version() or 0) + 1
+            if self._txn_seen(txn, v - 1 if v > 1 else None):
+                return v - 1
             files = self.files(v - 1) if v > 1 else []
-            ok = self._publish({"version": v, "op": "append",
-                                "files": files + new,
-                                "n_files": len(files) + len(new)}, v)
+            ok = self._publish(self._with_txn(
+                {"version": v, "op": "append", "files": files + new,
+                 "n_files": len(files) + len(new)}, txn, v - 1), v)
             if ok:
                 return v
 
     def merge(self, spark: SparkSession, batch: DataFrame, key: list[str],
-              seq_col: str) -> int:
+              seq_col: str, txn: tuple[str, int] | None = None) -> int:
         """Keyed MERGE: incoming batch replaces stored rows per key
         (``ON CONFLICT DO UPDATE``); ``seq_col`` resolves duplicates
-        within the batch.  Rewrites only key-range-overlapping files."""
+        within the batch.  Rewrites only key-range-overlapping files.
+        ``txn=(app_id, batch_id)``: already-committed batches are
+        skipped, making re-delivered streaming micro-batches
+        exactly-once."""
+        if self._txn_seen(txn, self.latest_version()):
+            return self.latest_version()
         if self.latest_version() is None:
             w = Window.partitionBy(*key).orderBy(F.desc(seq_col))
             resolved = (batch.withColumn("__rn", F.row_number().over(w))
                         .filter(F.col("__rn") == 1).drop("__rn"))
-            return self.append(spark, resolved, key)
+            return self.append(spark, resolved, key, txn=txn)
 
         env_row = batch.select(
             *[F.min(_canon_col(batch, c)).alias(f"lo_{c}") for c in key],
@@ -255,6 +291,8 @@ class SnapTable:
         base_paths = {e["path"] for e in entries}
         while True:
             v = (self.latest_version() or 0) + 1
+            if self._txn_seen(txn, v - 1 if v > 1 else None):
+                return v - 1
             cur = self.files(v - 1) if v > 1 else []
             if v - 1 != base:  # lost the race: check the commits we missed
                 for e in cur:
@@ -264,8 +302,9 @@ class SnapTable:
                             f"concurrent commit touched merge key range: "
                             f"{e['path']}")
             files = [e for e in cur if e["path"] not in t_paths] + new
-            if self._publish({"version": v, "op": "merge", "files": files,
-                              "n_files": len(files)}, v):
+            if self._publish(self._with_txn(
+                    {"version": v, "op": "merge", "files": files,
+                     "n_files": len(files)}, txn, v - 1), v):
                 return v
 
     # ---------------- maintenance ----------------

@@ -93,3 +93,27 @@ def test_corpus_funnel_monotone(spark):
     assert (row.n_raw >= row.n_len >= row.n_lang
             >= row.n_quality >= row.n_unique)
     assert row.n_raw == docs.count()
+
+
+def test_hll_union_is_lossless(spark):
+    """agg_hll_reagg's contract: daily sketch partials unioned to
+    weeks produce the SAME estimate as sketching each week directly —
+    HLL union at equal lgConfigK loses nothing, so the re-aggregation
+    chain (day -> week -> ...) never re-reads raw data."""
+    ev = load_table(spark, SF, "events")
+    via_daily = {r.week: r.approx_users for r in (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+             .alias("approx_users")).collect())}
+    direct = {r.week: r.approx_users for r in (
+        ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+             .alias("approx_users")).collect())}
+    assert via_daily == direct
+    exact = {r.week: r.n for r in (
+        ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n")).collect())}
+    for wk, est in via_daily.items():
+        assert abs(est - exact[wk]) / exact[wk] < 0.05

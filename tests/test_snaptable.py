@@ -203,3 +203,56 @@ def test_manifest_is_full_snapshot(spark, tmp_path):
     for e in m["files"]:
         assert os.path.exists(os.path.join(tbl.path, e["path"]))
         assert "entity_id" in e["stats"]
+
+
+def test_merge_txn_idempotent_redelivery(spark, tmp_path):
+    """The txn ledger: re-delivering a committed (app, batch_id) is a
+    no-op; the next batch id commits normally."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    b0 = _mk(spark, [(1, "a", 1, 1.0), (2, "a", 1, 2.0)])
+    v1 = tbl.merge(spark, b0, KEY, "seq", txn=("q", 0))
+    v_again = tbl.merge(spark, b0, KEY, "seq", txn=("q", 0))
+    assert v_again == v1, "re-delivered batch must not commit"
+    assert tbl.read(spark).count() == 2
+    b1 = _mk(spark, [(1, "a", 2, 9.0)])
+    v2 = tbl.merge(spark, b1, KEY, "seq", txn=("q", 1))
+    assert v2 == v1 + 1
+    got = {(r.entity_id): r.value for r in tbl.read(spark).collect()}
+    assert got == {1: 9.0, 2: 2.0}
+    # ledger carries forward and tracks per-app ids independently
+    assert tbl.txns() == {"q": 1}
+    tbl.append(spark, _mk(spark, [(3, "b", 1, 3.0)]), KEY, txn=("other", 7))
+    assert tbl.txns() == {"q": 1, "other": 7}
+
+
+def test_stream_merge_sink_exactly_once(spark, tmp_path):
+    """End-to-end: file stream -> foreachBatch MERGE -> snapshot table
+    equals the batch last-wins resolution; restarting the finished
+    stream from its checkpoint re-delivers nothing new."""
+    from python_minerva_etl_spark.registry import load_table
+    from python_minerva_etl_spark.streaming.sink import merge_stream
+    from python_minerva_etl_spark.streaming.tumble import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf).select(
+        "event_id", "ts", "user_id", "value",
+        F.lit(1).alias("seq"))
+    path = str(tmp_path / "stream_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    q = merge_stream(stream, path, ["event_id"], "seq",
+                     "stream_merge_test", ckpt)
+    q.awaitTermination()
+
+    tbl = SnapTable(path)
+    got = tbl.read(spark).count()
+    want = load_table(spark, sf, "events").count()
+    assert got == want
+    v = tbl.latest_version()
+
+    # restart from the same checkpoint: no new input -> no new commits
+    q2 = merge_stream(read_events_stream(spark, sf).select(
+        "event_id", "ts", "user_id", "value", F.lit(1).alias("seq")),
+        path, ["event_id"], "seq", "stream_merge_test", ckpt)
+    q2.awaitTermination()
+    assert tbl.latest_version() == v
+    assert tbl.read(spark).count() == want
