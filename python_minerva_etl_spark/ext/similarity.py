@@ -13,6 +13,8 @@ JVM work over the Arrow-backed array column.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -140,60 +142,51 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame,
             .filter(F.col("rank") <= k))
 
 
-def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
-             num_cells: int = 16, nprobe: int = 4, lloyd_iters: int = 1,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
-    the classic ANN structure next to LSH: partition the corpus into
-    ``num_cells`` Voronoi cells, probe only the ``nprobe`` cells
-    nearest each query.
+def _cent_lit(cs) -> str:
+    entries = []
+    for i, v in enumerate(cs):
+        vals = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in v)
+        n = sum(x * x for x in v) ** 0.5
+        entries.append(f"struct({i} AS cell, array({vals}) AS v, "
+                       f"CAST('{n!r}' AS DOUBLE) AS n)")
+    return "array(" + ", ".join(entries) + ")"
 
-    Deterministic throughout: seed centroids are the ``num_cells``
+
+def _ivf_dot(vec: str, cvec: str) -> str:
+    return (f"aggregate(zip_with({vec}, {cvec}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+
+
+def _with_cell(df: DataFrame, cs, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, vnorm, cell): scan-local nearest-centroid argmax.
+    array_max over (score, cell) structs — structs compare by
+    leading field, so each centroid's dot product is evaluated
+    exactly once (ties break to the larger cell id)."""
+    lit = _cent_lit(cs)
+    score = f"({_ivf_dot('__v', 'ct.v')} / (__vn * ct.n))"
+    best = (f"array_max(transform({lit}, "
+            f"ct -> struct({score} AS s, ct.cell AS cell))).cell")
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("__v"),
+                      norm_col(vec_col).alias("__vn"))
+            .withColumn("cell", F.expr(best)))
+
+
+def _ivf_centroids(corpus: DataFrame, num_cells: int, lloyd_iters: int,
+                   id_col: str, vec_col: str) -> list[list[float]]:
+    """Deterministic k-means centroids: seeds are the ``num_cells``
     corpus vectors with the smallest ``xxhash64(id)`` (a reproducible
-    pseudo-random sample), refined by ``lloyd_iters`` k-means steps.
-    The centroid table is K × d doubles — bounded *metadata*, so it
-    rides into the plan as a literal and cell assignment is entirely
-    scan-local (no shuffle, no crossJoin).  At 100 TB: corpus
-    assignment is one pass; each query touches ~nprobe/num_cells of
-    the corpus via the (cell) equi-join.
-    """
+    pseudo-random sample), refined by ``lloyd_iters`` Lloyd steps.
+    K × d doubles — bounded metadata, safe to collect."""
     seeds = (corpus.orderBy(F.xxhash64(F.col(id_col)))
              .limit(num_cells).select(vec_col).collect())
     cents = [[float(x) for x in r[0]] for r in seeds]
     if not cents:
-        raise ValueError("ivf_topk: empty corpus")
+        raise ValueError("ivf: empty corpus")
     num_cells = min(num_cells, len(cents))  # corpus smaller than K
-
-    def cent_lit(cs) -> str:
-        entries = []
-        for i, v in enumerate(cs):
-            vals = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in v)
-            n = sum(x * x for x in v) ** 0.5
-            entries.append(f"struct({i} AS cell, array({vals}) AS v, "
-                           f"CAST('{n!r}' AS DOUBLE) AS n)")
-        return "array(" + ", ".join(entries) + ")"
-
-    def dot(vec: str, cvec: str) -> str:
-        return (f"aggregate(zip_with({vec}, {cvec}, "
-                f"(x, y) -> CAST(x AS DOUBLE) * y), "
-                f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
-
-    def with_cell(df: DataFrame, cs) -> DataFrame:
-        """(id, vec, vnorm, cell): scan-local nearest-centroid argmax.
-        array_max over (score, cell) structs — structs compare by
-        leading field, so each centroid's dot product is evaluated
-        exactly once (ties break to the larger cell id)."""
-        lit = cent_lit(cs)
-        score = f"({dot('__v', 'ct.v')} / (__vn * ct.n))"
-        best = (f"array_max(transform({lit}, "
-                f"ct -> struct({score} AS s, ct.cell AS cell))).cell")
-        return (df.select(F.col(id_col).alias("id"),
-                          F.col(vec_col).alias("__v"),
-                          norm_col(vec_col).alias("__vn"))
-                .withColumn("cell", F.expr(best)))
-
     for _ in range(lloyd_iters):
-        assigned = with_cell(corpus, cents)
+        assigned = _with_cell(corpus, cents, id_col, vec_col)
         means = (assigned
                  .select("cell", F.posexplode("__v").alias("pos", "x"))
                  .groupBy("cell", "pos")
@@ -206,16 +199,27 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
             [by_cell[i][p] for p in sorted(by_cell[i])]
             if i in by_cell else cents[i]          # empty cell keeps seed
             for i in range(num_cells)]
+    return cents
 
-    lit = cent_lit(cents)
-    c_assigned = with_cell(corpus, cents).select(
-        F.col("id").alias("corpus_id"), F.col("__v").alias("c_vec"),
-        F.col("__vn").alias("c_norm"), "cell")
-    probe_score = f"({dot('__v', 'ct.v')} / (__vn * ct.n))"
-    probes = (f"slice(array_sort(transform({lit}, "
-              f"ct -> struct({probe_score} AS s, ct.cell AS cell)), "
-              f"(l, r) -> if(l.s > r.s, -1, if(l.s < r.s, 1, 0))), "
-              f"1, {nprobe})")
+
+def _probes_expr(cents, nprobe: int) -> str:
+    """SQL expr: the ``nprobe`` (score, cell) structs nearest to the
+    vector bound as ``__v`` (with norm ``__vn``)."""
+    lit = _cent_lit(cents)
+    probe_score = f"({_ivf_dot('__v', 'ct.v')} / (__vn * ct.n))"
+    return (f"slice(array_sort(transform({lit}, "
+            f"ct -> struct({probe_score} AS s, ct.cell AS cell)), "
+            f"(l, r) -> if(l.s > r.s, -1, if(l.s < r.s, 1, 0))), "
+            f"1, {nprobe})")
+
+
+def _ivf_scored(queries: DataFrame, c_assigned: DataFrame,
+                cents, k: int, nprobe: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells per query and rank the exact
+    cosine within the candidate set.  ``c_assigned`` must have columns
+    (corpus_id, c_vec, c_norm, cell)."""
+    probes = _probes_expr(cents, nprobe)
     q_probed = (queries.select(F.col(id_col).alias("query_id"),
                                F.col(vec_col).alias("__v"),
                                norm_col(vec_col).alias("__vn"))
@@ -234,6 +238,80 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
         F.desc("cosine"), F.asc("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= k))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             num_cells: int = 16, nprobe: int = 4, lloyd_iters: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the classic ANN structure next to LSH: partition the corpus into
+    ``num_cells`` Voronoi cells, probe only the ``nprobe`` cells
+    nearest each query.
+
+    Deterministic throughout; the centroid table rides into the plan
+    as a literal and cell assignment is entirely scan-local (no
+    shuffle, no crossJoin).  At 100 TB: corpus assignment is one pass;
+    each query touches ~nprobe/num_cells of the corpus via the (cell)
+    equi-join.  For a standing corpus, build the index ONCE with
+    :func:`build_ivf_index` and query with :func:`ivf_topk_indexed`
+    instead of re-deriving centroids + assignment per call.
+    """
+    cents = _ivf_centroids(corpus, num_cells, lloyd_iters, id_col, vec_col)
+    c_assigned = _with_cell(corpus, cents, id_col, vec_col).select(
+        F.col("id").alias("corpus_id"), F.col("__v").alias("c_vec"),
+        F.col("__vn").alias("c_norm"), "cell")
+    return _ivf_scored(queries, c_assigned, cents, k, nprobe,
+                       id_col, vec_col)
+
+
+def build_ivf_index(corpus: DataFrame, path: str,
+                    num_cells: int = 16, lloyd_iters: int = 1,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist an IVF index: centroids at ``<path>/centroids`` and the
+    cell-assigned corpus at ``<path>/corpus``, hive-partitioned on
+    ``cell`` so a query's probe set prunes whole partition directories
+    at the parquet scan (physical nprobe/num_cells I/O, not just a
+    logical filter).  Build once per corpus snapshot; at 100 TB this
+    is the difference between one assignment pass total and one per
+    query batch."""
+    spark = corpus.sparkSession
+    cents = _ivf_centroids(corpus, num_cells, lloyd_iters, id_col, vec_col)
+    cent_rows = [(i, v, float(sum(x * x for x in v) ** 0.5))
+                 for i, v in enumerate(cents)]
+    (spark.createDataFrame(cent_rows, "cell int, v array<double>, n double")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "centroids")))
+    (_with_cell(corpus, cents, id_col, vec_col)
+     .select(F.col("id").alias("corpus_id"), F.col("__v").alias("c_vec"),
+             F.col("__vn").alias("c_norm"), "cell")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(path, "corpus")))
+
+
+def ivf_topk_indexed(spark, queries: DataFrame, index_path: str, k: int,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Query a :func:`build_ivf_index` index.  The union of the batch's
+    probe cells (bounded by nprobe × |queries|, and the query side is
+    broadcast anyway) is collected and pushed as a LITERAL partition
+    filter on the indexed corpus — the scan lists and reads only the
+    probed ``cell=`` directories.  (Spark's dynamic partition pruning
+    does not fire here: the probe side is an exploded expression, not
+    the selective-dimension shape its heuristic recognizes.)"""
+    cent_rows = (spark.read.parquet(os.path.join(index_path, "centroids"))
+                 .orderBy("cell").collect())
+    cents = [[float(x) for x in r.v] for r in cent_rows]
+    probed = sorted({r.cell for r in (
+        queries.select(F.col(vec_col).alias("__v"),
+                       norm_col(vec_col).alias("__vn"))
+        .select(F.explode(F.expr(_probes_expr(cents, nprobe)))
+                .alias("pc"))
+        .select(F.col("pc.cell").alias("cell")).distinct().collect())})
+    c_assigned = (spark.read.parquet(os.path.join(index_path, "corpus"))
+                  .filter(F.col("cell").isin(probed)))
+    return _ivf_scored(queries, c_assigned, cents, k, nprobe,
+                       id_col, vec_col)
 
 
 def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,

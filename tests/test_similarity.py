@@ -118,3 +118,31 @@ def test_label_centroids_partition_invariant_and_close_to_mean(spark):
         ref = np.mean(by_label[label], axis=0)
         assert n == len(by_label[label])
         assert np.abs(np.array(cent) - ref).max() < 2 ** -23
+
+
+def test_ivf_index_build_query_matches_direct(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed == ivf_topk with the same
+    parameters (same deterministic centroids), and the indexed scan
+    prunes to the probed cell directories."""
+    from python_minerva_etl_spark.ext.similarity import (build_ivf_index,
+                                                         ivf_topk,
+                                                         ivf_topk_indexed)
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.limit(8)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, num_cells=16, lloyd_iters=1)
+    indexed = ivf_topk_indexed(spark, queries, idx, k=5, nprobe=3)
+    direct = ivf_topk(queries, emb, k=5, num_cells=16, nprobe=3,
+                      lloyd_iters=1)
+    pa = {(r.query_id, r.rank): r.corpus_id for r in indexed.collect()}
+    pb = {(r.query_id, r.rank): r.corpus_id for r in direct.collect()}
+    assert pa == pb and len(pa) == 40
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[cell[^\]]*?"
+                  r"(?: IN \(([^)]*)\)| INSET ([0-9, ]+))", plan)
+    assert m, f"probed-cell partition filter missing from the scan"
+    cells = (m.group(1) or m.group(2)).split(",")
+    assert len(cells) < 16, "no cells pruned"
