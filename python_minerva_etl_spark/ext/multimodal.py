@@ -100,3 +100,60 @@ def decode_assets(df: DataFrame, id_col: str, binary_col: str,
             })
 
     return df.select(id_col, binary_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def _fake_split_frames(payload: bytes, frame_bytes: int,
+                       every_n: int) -> list[bytes]:
+    """Deterministic stand-in for a container demuxer (ffmpeg): treats
+    the payload as fixed-size frames and keeps every ``every_n``-th.
+    Swap for a real demuxer in production — the 1:N row shape,
+    schema, and batch behavior are what this module exercises."""
+    frames = [payload[i:i + frame_bytes]
+              for i in range(0, len(payload), frame_bytes)]
+    return frames[::every_n]
+
+
+def sample_frames(df: DataFrame, id_col: str, binary_col: str,
+                  frame_bytes: int = 16, every_n: int = 2,
+                  splitter=None) -> DataFrame:
+    """1:N frame-sampling stage (video/audio → frames/windows):
+    mapInPandas where each input row EXPLODES into a variable number
+    of output rows — the shape a UDTF would have, kept Arrow-batched.
+
+    Unlike ``explode`` this never materializes the full frame list as
+    one array value: frames stream out row-by-row inside the batch,
+    so a long video with thousands of frames cannot blow a single
+    array cell past Arrow limits.  ``splitter`` is any callable
+    ``(payload, frame_bytes, every_n) -> list[bytes]``; production
+    passes an ffmpeg wrapper, the default is the documented
+    deterministic stub (no media libs in this container)."""
+    split = splitter if splitter is not None else _fake_split_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                for i, fr in enumerate(split(bytes(payload),
+                                             frame_bytes, every_n)):
+                    ids.append(int(aid))
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": pd.Series(frames, dtype="object"),
+                "n_bytes": pd.Series([len(f) for f in frames],
+                                     dtype="int64"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, FRAME_SCHEMA)

@@ -17,6 +17,7 @@ raw rows (Minerva's materialization chains 15m→1h→1d→1w the same way).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..determinism import davg, dsum, epoch_bucket, oracle_davg, oracle_dsum
 from .base import DeclaredQuery, t
@@ -523,6 +524,57 @@ GROUP BY 1, 2
 """
 
 
+def _agg_pctl_from_hist(spark, sf_dir):
+    """Re-aggregatable percentiles: exact quantiles don't merge, but
+    fixed-width histogram partials do — per-day bin counts sum into
+    the global histogram, and quantiles read off the cumulative
+    counts.  The error is bounded by the bin width; the arithmetic
+    (integer bins, integer ranks) is engine-exact, so this IS
+    oracle-checkable, unlike sketch quantiles.  At 100 TB the daily
+    partials are the materialized artifact; any window's percentile
+    is a re-aggregation over bins-per-day rows, never raw data."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
+                        F.floor(F.col("value") / F.lit(10.0)).alias("bin"))
+             .agg(F.count("*").alias("n")))
+    merged = daily.groupBy("bin").agg(F.sum("n").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (merged.withColumn("cum", F.sum("n").over(w))
+           .withColumn("total", F.sum("n").over(
+               Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+    return cum.agg(
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("total") * 0.5),
+                     F.col("bin") * 10.0)).alias("p50_lo"),
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("total") * 0.95),
+                     F.col("bin") * 10.0)).alias("p95_lo"),
+        F.max("total").alias("n_values"))
+
+
+_AGG_PCTL_FROM_HIST_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(floor(value / 10.0) AS BIGINT) AS bin,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), merged AS (
+  SELECT bin, SUM(n) AS n FROM daily GROUP BY 1
+), cum AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin) AS cum,
+         SUM(n) OVER () AS total
+  FROM merged
+)
+SELECT MIN(CASE WHEN cum >= CEIL(total * 0.5) THEN bin * 10.0 END)
+         AS p50_lo,
+       MIN(CASE WHEN cum >= CEIL(total * 0.95) THEN bin * 10.0 END)
+         AS p95_lo,
+       CAST(MAX(total) AS BIGINT) AS n_values
+FROM cum
+"""
+
+
 def _agg_hll_reagg(spark, sf_dir):
     """OP-AGG-DISTINCT at scale: mergeable HLL sketch partials.
     Minerva's re-aggregation invariant (avg re-aggregates as
@@ -581,6 +633,7 @@ QUERIES = [
     DeclaredQuery("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL, "OP-AGG-DISTINCT"),
     DeclaredQuery("agg_approx_distinct", _agg_approx_distinct, None, "OP-AGG-DISTINCT"),
     DeclaredQuery("agg_hll_reagg", _agg_hll_reagg, None, "OP-AGG-DISTINCT/OP-AGG-PARTIAL (mergeable sketches)"),
+    DeclaredQuery("agg_pctl_from_hist", _agg_pctl_from_hist, _AGG_PCTL_FROM_HIST_SQL, "OP-AGG-PARTIAL (mergeable histogram quantiles)"),
     DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
     DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),
     DeclaredQuery("agg_variance_exact", _agg_variance_exact, _AGG_VARIANCE_EXACT_SQL, "OP-AGG (variance)"),

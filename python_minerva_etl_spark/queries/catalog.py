@@ -99,6 +99,7 @@ _DEPTH = [
     "agg_string_concat",
     "agg_corr_exact",
     "agg_histogram",
+    "agg_pctl_from_hist",
     "agg_salted_hot_keys",
     "gap_detect",
     "gap_fill",

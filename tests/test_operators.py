@@ -450,3 +450,30 @@ def test_compact_store_unpartitioned_respects_target(spark, scratch):
     assert stats["units_compacted"] == 1
     assert 1 <= stats["files_after"] <= 6
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_multimodal_frame_sampling(spark):
+    """1:N mapInPandas explode shape: deterministic frame counts,
+    custom splitter injection, frames re-decodable downstream."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.ext.multimodal import (decode_assets,
+                                                         sample_frames)
+
+    rows = [(i, bytes(range(max(i % 7, 1) * 16))) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    frames = sample_frames(df.repartition(4), "asset_id", "payload",
+                           frame_bytes=16, every_n=2)
+    got = frames.groupBy("asset_id").count().collect()
+    want = {i: (max(i % 7, 1) + 1) // 2 for i in range(1, 30)}
+    assert {r.asset_id: r["count"] for r in got} == want
+    # frames chain into the decode stage (frame -> feature pipeline)
+    feats = decode_assets(
+        frames.withColumnRenamed("frame", "payload")
+        .withColumn("fid", F.monotonically_increasing_id()),
+        "asset_id", "payload", dim=4)
+    assert feats.count() == frames.count()
+    # custom splitter injects cleanly
+    one = sample_frames(df, "asset_id", "payload",
+                        splitter=lambda p, fb, en: [p]).count()
+    assert one == len(rows)
