@@ -291,3 +291,59 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .join(F.broadcast(sb), "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def span_dedup(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """EXT-DEDUP (span level): remove duplicated n-token spans across
+    the corpus, keeping only the first occurrence (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    their suffix-array ExactSubstr dedup, re-expressed as the
+    distributed n-gram-hash two-phase form).
+
+    Semantics (deterministic, oracle-checkable):
+
+    1. tokens = split(text, ' '); every start position ``p`` (1-based,
+       ``p + n - 1 <= len``) yields the span ``tokens[p .. p+n-1]``.
+    2. The *canonical* occurrence of each distinct span value is the
+       smallest ``(doc_id, p)`` across the corpus; every other
+       occurrence is a duplicate.
+    3. Token positions covered by any duplicate occurrence are
+       removed; the surviving tokens are re-joined in order.
+
+    Scale shape: one explode to |corpus tokens| rows, one hash-agg
+    shuffle on the span hash (map-side combine shrinks it to distinct
+    spans per map task), one explode of duplicate windows bounded by
+    duplicated volume, and a scan-local lambda rebuild — never a
+    suffix array, never all-pairs.  Returns
+    (doc_id, clean_text, n_tokens, n_removed).
+    """
+    did, seq = F.col(id_col), f"sequence(1, size(toks) - {n} + 1)"
+    toks = docs.select(did.alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("toks"))
+    occ = (toks.filter(F.size("toks") >= n)
+           .select("doc_id", F.explode(F.expr(
+               f"transform({seq}, p -> struct(p AS p, "
+               f"xxhash64(array_join(slice(toks, p, {n}), ' ')) AS h))"))
+               .alias("o"))
+           .select("doc_id", "o.p", "o.h"))
+    canon = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "p")).alias("first"),
+        F.count("*").alias("cnt"))
+    dup_occ = (occ.join(canon.filter(F.col("cnt") > 1), "h")
+               .filter((F.col("doc_id") != F.col("first.doc_id"))
+                       | (F.col("p") != F.col("first.p"))))
+    removed = (dup_occ
+               .select("doc_id",
+                       F.explode(F.expr(f"sequence(p, p + {n} - 1)"))
+                       .alias("i"))
+               .groupBy("doc_id")
+               .agg(F.array_sort(F.collect_set("i")).alias("removed")))
+    return (toks.join(removed, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.expr("array_join(filter(toks, (t, i) -> removed IS NULL "
+                       "OR NOT array_contains(removed, i + 1)), ' ')")
+                .alias("clean_text"),
+                F.size("toks").alias("n_tokens"),
+                F.coalesce(F.size("removed"), F.lit(0)).alias("n_removed")))

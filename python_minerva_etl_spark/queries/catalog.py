@@ -91,6 +91,7 @@ _DEPTH = [
     "stream_sliding_parity",
     "stream_dedup_parity",
     "stream_session_parity",
+    "stream_join_parity",
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",
@@ -127,6 +128,7 @@ _DEPTH = [
     "dataset_length_buckets",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "dedup_spans",
     "agg_approx_distinct",
     "agg_hll_reagg",
     "dedup_minhash_pairs",

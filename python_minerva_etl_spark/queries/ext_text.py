@@ -680,8 +680,52 @@ GROUP BY 1
 """
 
 
+def _dedup_spans(spark, sf_dir):
+    """EXT-DEDUP (span level): remove duplicated 8-token spans across
+    the corpus, keeping the first (doc_id, position) occurrence — the
+    distributed n-gram-hash form of Lee et al.'s ExactSubstr
+    training-data dedup."""
+    return D.span_dedup(t(spark, sf_dir, "documents"), n=8)
+
+
+# Spark hashes the span (xxhash64) where the oracle groups the literal
+# n-gram string — identical semantics short of a 2^-64 hash collision.
+_DEDUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(toks) - 7)) AS g(p)
+  WHERE len(toks) >= 8
+),
+marked AS (
+  SELECT doc_id, p,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+  FROM occ
+),
+removed AS (
+  SELECT DISTINCT doc_id, p + k AS i
+  FROM marked, UNNEST(generate_series(0, 7)) AS u(k)
+  WHERE rn > 1
+),
+pos AS (
+  SELECT doc_id, i, toks[i] AS tok, len(toks) AS n_tokens
+  FROM toks, UNNEST(generate_series(1, len(toks))) AS s(i)
+)
+SELECT pos.doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY pos.i)
+                FILTER (WHERE r.doc_id IS NULL), '') AS clean_text,
+       CAST(MAX(pos.n_tokens) AS INT) AS n_tokens,
+       CAST(COUNT(r.doc_id) AS INT) AS n_removed
+FROM pos LEFT JOIN removed r ON r.doc_id = pos.doc_id AND r.i = pos.i
+GROUP BY pos.doc_id
+"""
+
+
 QUERIES = [
     DeclaredQuery("text_redact", _text_redact, _TEXT_REDACT_SQL, "EXT-TEXT (PII redaction)"),
+    DeclaredQuery("dedup_spans", _dedup_spans, _DEDUP_SPANS_SQL, "EXT-DEDUP (duplicated-span removal)"),
     DeclaredQuery("corpus_filter_funnel", _corpus_filter_funnel, _funnel_oracle(), "EXT corpus curation (one-pass filter funnel)"),
     DeclaredQuery("dataset_length_buckets", _dataset_length_buckets, _DATASET_LENGTH_BUCKETS_SQL, "EXT dataset batching (length buckets)"),
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),

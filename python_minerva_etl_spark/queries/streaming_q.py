@@ -134,6 +134,36 @@ def _stream_session_parity(spark, sf_dir):
     return run_available_now(spark, result, name)
 
 
+def _stream_join_parity(spark, sf_dir):
+    """OP-STR (stream-stream interval join): every error within 10
+    minutes after a click by the same user, both sides watermarked
+    streams, availableNow append — equals the batch interval-join SQL
+    exactly (inner joins emit each match in the completing batch)."""
+    from ..streaming.join import run_append_available_now, stream_interval_join
+
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click")
+    errors = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "error")
+    result = stream_interval_join(clicks, errors, key="user_id",
+                                  interval="10 minutes",
+                                  watermark="30 minutes")
+    name = f"stream_join_{next(_STREAM_SEQ)}"
+    return run_append_available_now(spark, result, name)
+
+
+_STREAM_JOIN_PARITY_SQL = """
+SELECT c.user_id,
+       c.event_id AS left_id,
+       e.event_id AS right_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
+
 def _materialize_incremental(spark, sf_dir):
     """OP-MAT-INC: fingerprint-driven incremental materialization.
     Runs the state machine twice over a two-phase load (early data,
@@ -187,4 +217,7 @@ QUERIES = [
                   _STREAM_DEDUP_PARITY_SQL, "OP-STR × EXT-DEDUP (ingest dedup)"),
     DeclaredQuery("stream_session_parity", _stream_session_parity,
                   _STREAM_SESSION_PARITY_SQL, "OP-STR-SESSION (streaming)"),
+    DeclaredQuery("stream_join_parity", _stream_join_parity,
+                  _STREAM_JOIN_PARITY_SQL,
+                  "OP-STR (stream-stream interval join)"),
 ]

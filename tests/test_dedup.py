@@ -145,3 +145,31 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         got = {r.doc: r.cluster
                for r in connected_components(pairs).collect()}
         assert got == want, f"seed={seed}"
+
+
+def test_span_dedup_exact_substr_semantics(spark):
+    """Duplicated 8-token spans are removed at every non-canonical
+    occurrence (cross-doc, whole-doc, and within-doc repeats), and the
+    first (doc_id, p) occurrence survives verbatim."""
+    from python_minerva_etl_spark.ext.dedup import span_dedup
+
+    base = "t0 t1 t2 t3 t4 t5 t6 t7"
+    docs = spark.createDataFrame(
+        [(0, base + " tail0"),
+         (1, "pre " + base + " post"),
+         (2, "short doc"),
+         (3, base),
+         (5, " ".join(f"u{i}" for i in range(8)) + " "
+             + " ".join(f"u{i}" for i in range(8)))],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup(docs, n=8).collect()}
+    assert got[0].clean_text == base + " tail0" and got[0].n_removed == 0
+    assert got[1].clean_text == "pre post" and got[1].n_removed == 8
+    assert got[2].clean_text == "short doc" and got[2].n_removed == 0
+    assert got[3].clean_text == "" and got[3].n_removed == 8
+    # within-doc repeat: second copy removed, first kept
+    assert got[5].clean_text == " ".join(f"u{i}" for i in range(8))
+    assert got[5].n_removed == 8
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert all(r.n_tokens == len(orig[d].split(" "))
+               for d, r in got.items())

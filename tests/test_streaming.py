@@ -135,3 +135,37 @@ def test_stream_dedup_within_watermark_bounds_state(spark):
     batch = load_table(spark, sf, "events") \
         .select("user_id", "event_type").distinct()
     assert out.count() == batch.count()
+
+
+def test_stream_interval_join_equals_batch_join(spark):
+    """Watermarked stream-stream interval join == the batch interval
+    join over the same events (inner joins emit each match in the
+    completing micro-batch; one availableNow pass sees everything)."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.streaming.join import (
+        run_append_available_now, stream_interval_join)
+
+    sf = "/root/testdata/sf0.001"
+    clicks = read_events_stream(spark, sf).filter(
+        F.col("event_type") == "click")
+    errors = read_events_stream(spark, sf).filter(
+        F.col("event_type") == "error")
+    out = run_append_available_now(
+        spark, stream_interval_join(clicks, errors, interval="10 minutes"),
+        "t_sjoin")
+
+    ev = load_table(spark, sf, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("left_id"),
+        F.col("ts").alias("l_ts"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_id"), F.col("ts").alias("r_ts"))
+    batch = c.join(e, (F.col("user_id") == F.col("r_user"))
+                   & (F.col("r_ts") >= F.col("l_ts"))
+                   & (F.col("r_ts") <= F.col("l_ts")
+                      + F.expr("INTERVAL 10 minutes")))
+    want = {(r.user_id, r.left_id, r.right_id) for r in batch.collect()}
+    got = {(r.user_id, r.left_id, r.right_id) for r in out.collect()}
+    assert got == want
