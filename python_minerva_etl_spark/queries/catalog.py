@@ -139,6 +139,7 @@ _DEPTH = [
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_arrow",
+    "sim_topk_pq",
 ]
 
 

@@ -89,6 +89,20 @@ def _sim_topk_arrow(spark, sf_dir):
         "query_id", "corpus_id", "cosine", "rank")
 
 
+def _sim_topk_pq(spark, sf_dir):
+    """EXT-SIM-TOPK (PQ scale path): product-quantization ADC over the
+    compressed corpus (32 sub-spaces × 16 codewords ≈ 16× smaller than
+    the raw vectors), exact re-rank of the ADC top-50 shortlist.
+    Deterministic (hash-seeded codebooks) but approximate → rows-only
+    check; recall measured in tests/test_similarity.py."""
+    from ..ext.similarity import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, k=5, rerank=50).select(
+        "query_id", "corpus_id", "cosine", "rank")
+
+
 def _dedup_embedding_pairs(spark, sf_dir):
     """EXT-DEDUP (embedding cosine): near-dup pairs with cosine >= 0.4
     (corpus max pairwise ≈ 0.48 — planted-dup free data, threshold
@@ -248,6 +262,7 @@ QUERIES = [
     DeclaredQuery("sim_topk_lsh", _sim_topk_lsh, None, "EXT-SIM-TOPK (LSH scale path)"),
     DeclaredQuery("sim_topk_ivf", _sim_topk_ivf, None, "EXT-SIM-TOPK (IVF scale path)"),
     DeclaredQuery("sim_topk_arrow", _sim_topk_arrow, None, "EXT-SIM-TOPK (Arrow fast path)"),
+    DeclaredQuery("sim_topk_pq", _sim_topk_pq, None, "EXT-SIM-TOPK (PQ/ADC scale path)"),
     DeclaredQuery("dedup_embedding_pairs", _dedup_embedding_pairs, _DEDUP_EMBEDDING_PAIRS_SQL, "EXT-DEDUP (embedding)"),
     DeclaredQuery("dedup_embedding_lsh", _dedup_embedding_lsh, None, "EXT-DEDUP (embedding LSH scale path)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
