@@ -161,3 +161,51 @@ def test_relation_rollup_broadcasts_relation(spark):
     plan = _plan(spark, "rollup_relation")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """A selective dim-side predicate injects a runtime bloom filter on
+    the fact side of a shuffle join (Spark's row-group-level runtime
+    pruning).  The fixture is far below the default 10 GB application
+    -side threshold, so the test lowers it — on a real 100 TB fact scan
+    the defaults fire without tuning; this locks in that nothing in our
+    session/config posture suppresses the rewrite."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.registry import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_totalprice") > 400000)
+        j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select("l_orderkey", "l_quantity", "o_totalprice"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan      # built on the dim side
+        assert "might_contain" in plan         # applied on the fact scan
+        # and the rewrite did not change results
+        n = j.count()
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        assert n == (li.join(load_table(spark, SF, "orders").filter(
+            F.col("o_totalprice") > 400000),
+            F.col("l_orderkey") == F.col("o_orderkey")).count())
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
