@@ -84,6 +84,7 @@ _WINDOW = [
 # driver's window because their family already has a green row above.
 _DEPTH = [
     "upsert_merge_table",
+    "table_changes",
     "rollup_entity",
     "agg_rollup_sets",
     "agg_time_15m",

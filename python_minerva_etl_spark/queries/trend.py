@@ -236,6 +236,72 @@ def _upsert_merge_table(spark, sf_dir):
     return tbl.read(spark).select(*cols)
 
 
+def _table_changes(spark, sf_dir):
+    """Snapshot change feed (the Delta CDF ``table_changes`` analog):
+    the row-level diff between the two-phase load's snapshots v1 and
+    v2, each row tagged insert / update_preimage / update_postimage
+    (deletes can't arise from MERGE).  Reads only files present in
+    exactly one manifest; value-equal rewrites are dropped."""
+    from ..storage.snaptable import SnapTable
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts"))
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"cdc_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = SnapTable(base)
+    key, cols = ["user_id", "bucket"], ["user_id", "bucket", "event_id",
+                                        "value"]
+    tbl.merge(spark, ev.filter(F.col("event_id") <= mid).select(cols),
+              key, "event_id")
+    tbl.merge(spark, ev.filter(F.col("event_id") > mid).select(cols),
+              key, "event_id")
+    return tbl.changes(spark, 1, 2)
+
+
+# v1 = last-wins over the first half, v2 = last-wins over everything;
+# the diff is inserts (keys only in v2) plus pre/post images where the
+# resolved row changed.  Batch 2 always carries the higher event_id,
+# so every matched key with a batch-2 row is an update.
+_TABLE_CHANGES_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         event_id, value
+  FROM events
+),
+m AS (SELECT MAX(event_id) // 2 AS mid FROM ev),
+v1 AS (
+  SELECT user_id, bucket, event_id, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                 ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_id <= (SELECT mid FROM m)
+  ) WHERE rn = 1
+),
+v2 AS (
+  SELECT user_id, bucket, event_id, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                 ORDER BY event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+SELECT v2.user_id, v2.bucket, v2.event_id, v2.value,
+       'insert' AS _change_type
+FROM v2 LEFT JOIN v1 USING (user_id, bucket)
+WHERE v1.event_id IS NULL
+UNION ALL
+SELECT v1.user_id, v1.bucket, v1.event_id, v1.value,
+       'update_preimage' AS _change_type
+FROM v1 JOIN v2 USING (user_id, bucket)
+WHERE v1.event_id <> v2.event_id OR v1.value <> v2.value
+UNION ALL
+SELECT v2.user_id, v2.bucket, v2.event_id, v2.value,
+       'update_postimage' AS _change_type
+FROM v1 JOIN v2 USING (user_id, bucket)
+WHERE v1.event_id <> v2.event_id OR v1.value <> v2.value
+"""
+
+
 def _reshape_wide(spark, sf_dir):
     """Long → wide pivot: the DataPackage-to-trend-store transform.
     events is the long form (event_type = trend name); the wide row is
@@ -303,4 +369,5 @@ QUERIES = [
     DeclaredQuery("events_session_window", _events_session_window, _EVENTS_SESSION_WINDOW_SQL, "OP-STR-SESSION (native)"),
     DeclaredQuery("upsert_last_wins", _upsert_last_wins, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT"),
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
+    DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
 ]

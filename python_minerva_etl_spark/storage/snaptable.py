@@ -238,9 +238,11 @@ class SnapTable:
             if self._txn_seen(txn, v - 1 if v > 1 else None):
                 return v - 1
             files = self.files(v - 1) if v > 1 else []
-            ok = self._publish(self._with_txn(
-                {"version": v, "op": "append", "files": files + new,
-                 "n_files": len(files) + len(new)}, txn, v - 1), v)
+            manifest = {"version": v, "op": "append", "files": files + new,
+                        "n_files": len(files) + len(new)}
+            if key:
+                manifest["key"] = list(key)
+            ok = self._publish(self._with_txn(manifest, txn, v - 1), v)
             if ok:
                 return v
 
@@ -304,8 +306,80 @@ class SnapTable:
             files = [e for e in cur if e["path"] not in t_paths] + new
             if self._publish(self._with_txn(
                     {"version": v, "op": "merge", "files": files,
-                     "n_files": len(files)}, txn, v - 1), v):
+                     "n_files": len(files), "key": list(key)},
+                    txn, v - 1), v):
                 return v
+
+    # ---------------- change feed ----------------
+
+    def changes(self, spark: SparkSession, from_version: int,
+                to_version: int | None = None,
+                key: list[str] | None = None) -> DataFrame:
+        """Row-level change feed between two snapshots (the Delta CDF
+        ``table_changes`` analog): every row tagged ``insert`` /
+        ``delete`` / ``update_preimage`` / ``update_postimage``.
+
+        Cost is proportional to the CHANGED data, never the table:
+        files carried between manifests by reference are bit-identical
+        and skipped outright; only files present in exactly one of the
+        two manifests are read, full-outer-joined on the merge key, and
+        value-equal rows (pure file rewrites, e.g. compaction) are
+        dropped.  At 100 TB a merge that touched 3 files yields a diff
+        that reads 3 old + 3 new files."""
+        to_version = (self.latest_version() if to_version is None
+                      else to_version)
+        mf_to = self._manifest(to_version)
+        key = list(key) if key else list(mf_to.get("key") or ())
+        if not key:
+            raise ValueError("changes: no merge key recorded or given")
+        paths_from = {e["path"] for e in self.files(from_version)}
+        paths_to = {e["path"] for e in self.files(to_version)}
+        removed = sorted(paths_from - paths_to)
+        added = sorted(paths_to - paths_from)
+
+        def _read(rels):
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, r) for r in rels])
+
+        if not removed and not added:
+            empty = self.read(spark, to_version).limit(0)
+            return empty.withColumn("_change_type", F.lit(""))
+        if not removed:
+            return _read(added).withColumn("_change_type", F.lit("insert"))
+        if not added:
+            return _read(removed).withColumn("_change_type",
+                                             F.lit("delete"))
+
+        old = _read(removed).withColumn("__op", F.lit(1))
+        new = _read(added).withColumn("__on", F.lit(1))
+        cols = [c for c in self.read(spark, to_version).columns]
+        val_cols = [c for c in cols if c not in key]
+        cond = None
+        for c in key:
+            eq = old[c].eqNullSafe(new[c])
+            cond = eq if cond is None else cond & eq
+        j = old.alias("o").join(new.alias("n"), cond, "full_outer")
+
+        def _row(side):
+            return F.struct(*[F.col(f"{side}.{c}").alias(c) for c in cols])
+
+        differ = ~_row("o").eqNullSafe(_row("n")) if val_cols else F.lit(False)
+        tagged = (F.when(F.col("o.__op").isNull(),
+                         F.array(F.struct(_row("n").alias("row"),
+                                          F.lit("insert").alias("ct"))))
+                  .when(F.col("n.__on").isNull(),
+                        F.array(F.struct(_row("o").alias("row"),
+                                         F.lit("delete").alias("ct"))))
+                  .when(differ, F.array(
+                      F.struct(_row("o").alias("row"),
+                               F.lit("update_preimage").alias("ct")),
+                      F.struct(_row("n").alias("row"),
+                               F.lit("update_postimage").alias("ct")))))
+        # no otherwise(): value-equal rows (pure rewrites) leave the
+        # array NULL and explode() emits nothing for them
+        return (j.select(F.explode(tagged).alias("chg"))
+                .select([F.col(f"chg.row.{c}").alias(c) for c in cols]
+                        + [F.col("chg.ct").alias("_change_type")]))
 
     # ---------------- maintenance ----------------
 

@@ -256,3 +256,50 @@ def test_stream_merge_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination()
     assert tbl.latest_version() == v
     assert tbl.read(spark).count() == want
+
+
+def test_changes_tags_insert_update_and_drops_equal(spark, tmp_path):
+    """The change feed between two merge snapshots: new keys are
+    inserts, replaced keys yield pre+post images, and rows rewritten
+    with identical values (same-file collateral) disappear."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.merge(spark, spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long"), ["k"], "v")
+    tbl.merge(spark, spark.createDataFrame(
+        [(2, "b", 99), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v long"), ["k"], "v")
+    got = {(r.k, r.v, r._change_type)
+           for r in tbl.changes(spark, 1, 2).collect()}
+    assert got == {(2, 20, "update_preimage"), (2, 99, "update_postimage"),
+                   (4, 40, "insert")}
+
+
+def test_changes_key_defaults_from_manifest(spark, tmp_path):
+    """merge() records its key in the manifest; changes() picks it up
+    without the caller restating it (asserted by the test above calling
+    changes() with no key)."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.merge(spark, spark.createDataFrame([(1, 10)], "k long, v long"),
+              ["k"], "v")
+    assert tbl._manifest(tbl.latest_version())["key"] == ["k"]
+
+
+def test_changes_pure_append_is_all_inserts(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(spark, spark.createDataFrame([(1, 10)], "k long, v long"),
+               key=["k"])
+    tbl.append(spark, spark.createDataFrame([(2, 20)], "k long, v long"),
+               key=["k"])
+    got = {(r.k, r.v, r._change_type)
+           for r in tbl.changes(spark, 1, 2).collect()}
+    assert got == {(2, 20, "insert")}
+
+
+def test_changes_same_version_is_empty(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.merge(spark, spark.createDataFrame([(1, 10)], "k long, v long"),
+              ["k"], "v")
+    ch = tbl.changes(spark, 1, 1)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
