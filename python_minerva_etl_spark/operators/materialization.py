@@ -121,3 +121,43 @@ def materialize_incremental(
 
 def read_target(spark: SparkSession, target_path: str) -> DataFrame:
     return spark.read.parquet(target_path).drop("__bucket")
+
+
+def apply_changes_to_agg(stored_agg: DataFrame, changes: DataFrame,
+                         group_cols: list[str], value_col: str,
+                         n_col: str = "samples",
+                         sum_col: str = "sum_value") -> DataFrame:
+    """Maintain a (count, decimal-exact sum) aggregate from a row-level
+    change feed (storage/snaptable.py::SnapTable.changes) instead of
+    recomputing it: inserts/update-postimages add, deletes/update-
+    preimages retract, and the signed per-group deltas full-outer-merge
+    into the stored aggregate.  Groups whose count reaches zero drop
+    out.
+
+    COUNT and SUM are self-maintainable views (retraction = signed
+    re-aggregation); the sums accumulate in DECIMAL so maintained ==
+    recomputed bit-for-bit regardless of the order changes arrive in.
+    At 100 TB the delta aggregation runs over |changed rows| and the
+    merge join over |changed groups| — rerun cost is O(change volume),
+    never O(table).
+    """
+    sign = (F.when(F.col("_change_type").isin("insert",
+                                              "update_postimage"), 1)
+            .when(F.col("_change_type").isin("delete",
+                                             "update_preimage"), -1))
+    delta = (changes.withColumn("__sign", sign)
+             .groupBy(*group_cols)
+             .agg(F.sum("__sign").cast("bigint").alias("__dn"),
+                  F.sum(F.col("__sign")
+                        * F.col(value_col).cast("decimal(28,4)"))
+                  .alias("__dv")))
+    merged = stored_agg.join(delta, group_cols, "full_outer")
+    n = (F.coalesce(F.col(n_col), F.lit(0))
+         + F.coalesce(F.col("__dn"), F.lit(0)))
+    s = (F.coalesce(F.col(sum_col).cast("decimal(28,4)"),
+                    F.lit(0).cast("decimal(28,4)"))
+         + F.coalesce(F.col("__dv"), F.lit(0).cast("decimal(28,4)")))
+    return (merged.select(*group_cols,
+                          n.cast("bigint").alias(n_col),
+                          s.cast("decimal(28,4)").alias(sum_col))
+            .filter(F.col(n_col) > 0))

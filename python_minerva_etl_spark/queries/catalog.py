@@ -85,6 +85,7 @@ _WINDOW = [
 _DEPTH = [
     "upsert_merge_table",
     "table_changes",
+    "cdc_incremental_agg",
     "rollup_entity",
     "agg_rollup_sets",
     "agg_time_15m",

@@ -236,19 +236,17 @@ def _upsert_merge_table(spark, sf_dir):
     return tbl.read(spark).select(*cols)
 
 
-def _table_changes(spark, sf_dir):
-    """Snapshot change feed (the Delta CDF ``table_changes`` analog):
-    the row-level diff between the two-phase load's snapshots v1 and
-    v2, each row tagged insert / update_preimage / update_postimage
-    (deletes can't arise from MERGE).  Reads only files present in
-    exactly one manifest; value-equal rewrites are dropped."""
+def _two_phase_snaptable(spark, sf_dir, prefix):
+    """Build a (user, hour)-keyed snapshot table from events in two
+    MERGE batches split on event_id — v1 is the early state, v2 the
+    final one.  Shared scaffolding for the CDC queries."""
     from ..storage.snaptable import SnapTable
 
     ev = t(spark, sf_dir, "events").withColumn(
         "bucket", F.date_trunc("hour", "ts"))
     mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
     tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
-    base = os.path.join(_SCRATCH, f"cdc_{tag}")
+    base = os.path.join(_SCRATCH, f"{prefix}_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     tbl = SnapTable(base)
     key, cols = ["user_id", "bucket"], ["user_id", "bucket", "event_id",
@@ -257,7 +255,16 @@ def _table_changes(spark, sf_dir):
               key, "event_id")
     tbl.merge(spark, ev.filter(F.col("event_id") > mid).select(cols),
               key, "event_id")
-    return tbl.changes(spark, 1, 2)
+    return tbl
+
+
+def _table_changes(spark, sf_dir):
+    """Snapshot change feed (the Delta CDF ``table_changes`` analog):
+    the row-level diff between the two-phase load's snapshots v1 and
+    v2, each row tagged insert / update_preimage / update_postimage
+    (deletes can't arise from MERGE).  Reads only files present in
+    exactly one manifest; value-equal rewrites are dropped."""
+    return _two_phase_snaptable(spark, sf_dir, "cdc").changes(spark, 1, 2)
 
 
 # v1 = last-wins over the first half, v2 = last-wins over everything;
@@ -299,6 +306,48 @@ SELECT v2.user_id, v2.bucket, v2.event_id, v2.value,
        'update_postimage' AS _change_type
 FROM v1 JOIN v2 USING (user_id, bucket)
 WHERE v1.event_id <> v2.event_id OR v1.value <> v2.value
+"""
+
+
+def _cdc_incremental_agg(spark, sf_dir):
+    """CDC-maintained aggregate: the per-user (bucket-count, decimal
+    sum) rollup is computed once over snapshot v1, then MAINTAINED to
+    the v2 state purely from the change feed — signed re-aggregation
+    over |changed rows|, never a table rescan.  Equals a direct rollup
+    of the final state bit-for-bit (the oracle recomputes from
+    scratch)."""
+    from ..operators.materialization import apply_changes_to_agg
+
+    tbl = _two_phase_snaptable(spark, sf_dir, "cdcagg")
+    stored = (tbl.read(spark, 1)
+              .groupBy("user_id")
+              .agg(F.count("*").alias("samples"),
+                   F.sum(F.col("value").cast("decimal(28,4)"))
+                   .cast("decimal(28,4)").alias("sum_value")))
+    maintained = apply_changes_to_agg(
+        stored, tbl.changes(spark, 1, 2), ["user_id"], "value")
+    return maintained.select(
+        "user_id", "samples",
+        F.col("sum_value").cast("double").alias("sum_value"))
+
+
+# the maintained aggregate must equal a from-scratch rollup of the
+# final (v2) last-wins state
+_CDC_INCREMENTAL_AGG_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, event_id, value
+  FROM events
+),
+v2 AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                 ORDER BY event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+SELECT user_id, COUNT(*) AS samples,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+FROM v2 GROUP BY user_id
 """
 
 
@@ -370,4 +419,5 @@ QUERIES = [
     DeclaredQuery("upsert_last_wins", _upsert_last_wins, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT"),
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
+    DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
 ]

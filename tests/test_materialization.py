@@ -93,3 +93,26 @@ def test_deleted_buckets_are_removed_from_target(spark):
     want = _canon(read_target(spark, os.path.join(full_dir, "t")))
     assert got == want
     assert all(str(r[1])[:10] != "2024-01-05" for r in got)
+
+
+def test_apply_changes_to_agg_retracts_and_drops_empty_groups(spark):
+    """Signed re-aggregation from a change feed: deletes retract,
+    update pre+post pairs net out, and a group whose count reaches
+    zero disappears — maintained equals recomputed."""
+    from python_minerva_etl_spark.operators.materialization import (
+        apply_changes_to_agg)
+
+    stored = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0), ("c", 1, 7.0)],
+        "g string, samples long, sum_value double")
+    changes = spark.createDataFrame(
+        [("a", 10.0, "update_preimage"),   # a: 30 - 10 + 12 = 32
+         ("a", 12.0, "update_postimage"),
+         ("b", 5.0, "delete"),             # b: count 0 -> dropped
+         ("c", 3.0, "insert"),             # c: 7 + 3 = 10, n = 2
+         ("d", 9.0, "insert")],            # d: new group
+        "g string, value double, _change_type string")
+    got = {r.g: (r.samples, float(r.sum_value))
+           for r in apply_changes_to_agg(
+               stored, changes, ["g"], "value").collect()}
+    assert got == {"a": (2, 32.0), "c": (2, 10.0), "d": (1, 9.0)}
