@@ -310,6 +310,56 @@ class SnapTable:
                     txn, v - 1), v):
                 return v
 
+    def delete(self, spark: SparkSession, keys: DataFrame,
+               key: list[str],
+               txn: tuple[str, int] | None = None) -> int:
+        """Keyed DELETE (the 100 TB right-to-erasure path): remove every
+        stored row matching a key in ``keys``.  Same file discipline as
+        MERGE — only files whose [min,max] key stats overlap the delete
+        set's envelope are read, anti-joined, and rewritten; the rest
+        of the table is carried by reference.  Deleted rows surface as
+        ``delete`` in :meth:`changes`."""
+        if self._txn_seen(txn, self.latest_version()):
+            return self.latest_version()
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"snaptable {self.path}: no snapshot")
+        kdf = keys.select(*key).distinct()
+        env_row = kdf.select(
+            *[F.min(_canon_col(kdf, c)).alias(f"lo_{c}") for c in key],
+            *[F.max(_canon_col(kdf, c)).alias(f"hi_{c}") for c in key],
+        ).collect()[0]
+        envelope = {c: [_canon(env_row[f"lo_{c}"]), _canon(env_row[f"hi_{c}"])]
+                    for c in key if env_row[f"lo_{c}"] is not None}
+        entries = self.files(base)
+        touched = [e for e in entries if _overlaps(e["stats"], envelope)]
+        new: list[dict] = []
+        if touched:
+            stored = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, e["path"]) for e in touched])
+            kept = stored.join(F.broadcast(kdf), key, "left_anti")
+            new = self._write_data(kept, key)
+        t_paths = {e["path"] for e in touched}
+        base_paths = {e["path"] for e in entries}
+        while True:
+            v = (self.latest_version() or 0) + 1
+            if self._txn_seen(txn, v - 1 if v > 1 else None):
+                return v - 1
+            cur = self.files(v - 1) if v > 1 else []
+            if v - 1 != base:  # lost the race: check the commits we missed
+                for e in cur:
+                    if (e["path"] not in base_paths
+                            and _overlaps(e["stats"], envelope)):
+                        raise CommitConflict(
+                            f"concurrent commit touched delete key range: "
+                            f"{e['path']}")
+            files = [e for e in cur if e["path"] not in t_paths] + new
+            if self._publish(self._with_txn(
+                    {"version": v, "op": "delete", "files": files,
+                     "n_files": len(files), "key": list(key)},
+                    txn, v - 1), v):
+                return v
+
     # ---------------- change feed ----------------
 
     def changes(self, spark: SparkSession, from_version: int,

@@ -303,3 +303,44 @@ def test_changes_same_version_is_empty(spark, tmp_path):
     ch = tbl.changes(spark, 1, 1)
     assert ch.count() == 0
     assert "_change_type" in ch.columns
+
+
+def test_delete_removes_keys_and_feeds_changes(spark, tmp_path):
+    """Keyed DELETE rewrites only overlapping files; removed rows show
+    up as `delete` in the change feed, and the delete is idempotent
+    under txn re-delivery."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.merge(spark, spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long"), ["k"], "v")
+    v = tbl.delete(spark, spark.createDataFrame([(2,)], "k long"), ["k"],
+                   txn=("eraser", 1))
+    assert v == 2
+    assert ({(r.k, r.v) for r in tbl.read(spark).collect()}
+            == {(1, 10), (3, 30)})
+    got = {(r.k, r.v, r._change_type)
+           for r in tbl.changes(spark, 1, 2).collect()}
+    assert got == {(2, 20, "delete")}
+    # re-delivered batch: no new version
+    assert tbl.delete(spark, spark.createDataFrame([(2,)], "k long"),
+                      ["k"], txn=("eraser", 1)) == 2
+    assert tbl.latest_version() == 2
+
+
+def test_delete_prunes_disjoint_files(spark, tmp_path):
+    """A delete whose key envelope misses a file's [min,max] carries
+    that file by reference (same path string, no rewrite)."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    low = spark.range(0, 100).select(F.col("id").alias("k"),
+                                     F.lit(1).alias("v")).coalesce(1)
+    high = spark.range(10_000, 10_100).select(F.col("id").alias("k"),
+                                              F.lit(2).alias("v")).coalesce(1)
+    tbl.merge(spark, low, ["k"], "v")
+    tbl.merge(spark, high, ["k"], "v")
+    before = {e["path"] for e in tbl.files()}
+    tbl.delete(spark, spark.createDataFrame([(10_050,)], "k long"), ["k"])
+    after = {e["path"] for e in tbl.files()}
+    # the low file survived untouched; something in the high range was rewritten
+    assert any(p in after for p in before)
+    assert tbl.read(spark).filter(F.col("k") == 10_050).count() == 0
+    assert tbl.read(spark).count() == 199
