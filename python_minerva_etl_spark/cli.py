@@ -166,6 +166,30 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_list_queries(args) -> int:
+    from .queries.catalog import all_queries
+
+    for name, q in all_queries().items():
+        oracle = "oracle" if q.oracle else "rows-only"
+        print(f"{name}\t{oracle}\t{q.survey_id}")
+    return 0
+
+
+def cmd_explain(args) -> int:
+    """Print the optimized/physical plan of a declared query — the
+    plan-review loop (`.explain("formatted")`) as a user command."""
+    from .queries.catalog import all_queries
+
+    qs = all_queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; see list-queries",
+              file=sys.stderr)
+        return 2
+    df = qs[args.query].spark(_spark(), args.sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="minerva-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -230,6 +254,19 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("list-queries",
+                       help="list the declared query catalog")
+    s.set_defaults(fn=cmd_list_queries)
+
+    s = sub.add_parser("explain",
+                       help="print a declared query's physical plan")
+    s.add_argument("query")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "formatted", "cost",
+                            "codegen"])
+    s.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

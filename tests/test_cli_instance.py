@@ -200,3 +200,17 @@ def test_cli_load_materialize_notify(instance_dir):
                  "--trigger", "high_latency", "--source", store,
                  "--target", os.path.join(work, "notifications"))
     assert r["notifications"] > 0
+
+
+def test_cli_list_queries_and_explain():
+    """list-queries enumerates the catalog (no Spark session needed);
+    explain prints a physical plan for a declared query."""
+    from python_minerva_etl_spark.queries.catalog import all_queries
+
+    out = subprocess.run(
+        [sys.executable, "-m", "python_minerva_etl_spark.cli",
+         "list-queries"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    names = [ln.split("\t")[0] for ln in out.stdout.splitlines() if ln]
+    assert set(names) == set(all_queries())

@@ -344,3 +344,17 @@ def test_delete_prunes_disjoint_files(spark, tmp_path):
     assert any(p in after for p in before)
     assert tbl.read(spark).filter(F.col("k") == 10_050).count() == 0
     assert tbl.read(spark).count() == 199
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """A batch carrying a new column merges cleanly: stored rows get
+    NULL for it (unionByName allowMissingColumns + mergeSchema reads),
+    and later reads see the widened schema."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.merge(spark, spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"), ["k"], "v")
+    tbl.merge(spark, spark.createDataFrame(
+        [(2, 99, "new"), (3, 30, "col")],
+        "k long, v long, extra string"), ["k"], "v")
+    rows = {r.k: (r.v, r.extra) for r in tbl.read(spark).collect()}
+    assert rows == {1: (10, None), 2: (99, "new"), 3: (30, "col")}
