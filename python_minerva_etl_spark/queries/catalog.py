@@ -57,22 +57,22 @@ _WINDOW = [
     # §2.8 trigger / notification
     "trigger_threshold",
     "notif_window_count",
-    # §2.9 sessionize / streaming / materialization / upsert
+    # §2.9 sessionize / streaming / materialization / upsert / CDC
     "events_sessionize",
-    "events_session_window",
+    "stream_join_parity",
     "upsert_last_wins",
     "stream_tumble_parity",
     "materialize_incremental",
+    "table_changes",
     # §2.11 dedup / similarity / text / multimodal extensions
     "dedup_exact",
     "dedup_near_pairs",
-    "dedup_ngram_jaccard",
+    "dedup_spans",
     "dedup_embedding_pairs",
     "sim_topk",
     "text_token_stats",
     "text_quality_score",
     "text_langid",
-    "text_fingerprint",
     "text_chunk",
     "text_redact",
     "dataset_hash_split",
@@ -84,7 +84,6 @@ _WINDOW = [
 # driver's window because their family already has a green row above.
 _DEPTH = [
     "upsert_merge_table",
-    "table_changes",
     "cdc_incremental_agg",
     "rollup_entity",
     "agg_rollup_sets",
@@ -93,7 +92,7 @@ _DEPTH = [
     "stream_sliding_parity",
     "stream_dedup_parity",
     "stream_session_parity",
-    "stream_join_parity",
+    "events_session_window",
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",
@@ -130,7 +129,8 @@ _DEPTH = [
     "dataset_length_buckets",
     "dedup_clusters",
     "dedup_keep_canonical",
-    "dedup_spans",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
     "agg_approx_distinct",
     "agg_hll_reagg",
     "dedup_minhash_pairs",
