@@ -432,3 +432,32 @@ def length_buckets(df: DataFrame, bucket_tokens: int = 64,
                  F.sum("__tok").alias("sum_tokens"),
                  F.min("__tok").alias("min_tokens"),
                  F.max("__tok").alias("max_tokens")))
+
+
+def simpson_diversity(text_col: str = "text") -> list[Column]:
+    """Distribution-weighted lexical diversity: the Gini–Simpson index
+    ``1 - Σ (c_t / n)²`` over per-document token frequencies (1 =
+    perfectly diverse, 0 = one token repeated).  Complements the
+    type-token ``rep_ratio``: two docs with equal distinct counts but
+    different skew separate here.
+
+    Scan-local: token counts come from ``aggregate`` over the sorted
+    token array — Σ c_t² and n are exact integers, so the single
+    double division is bit-identical across engines (no log() in the
+    formula by design; log ulp differences break oracle hashing)."""
+    w = F.array_sort(tokens(text_col))
+    n = F.size(w).cast("bigint")
+    # runs in the sorted array: c_t² summed by counting run boundaries
+    # — aggregate fold carrying (prev token, run length, Σ c²)
+    c2 = F.expr(
+        "aggregate(array_sort(split(lower(text), ' ')), "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS acc), "
+        "(s, x) -> IF(s.prev IS NULL OR x != s.prev, "
+        "  struct(x AS prev, CAST(1 AS BIGINT) AS run, "
+        "         s.acc + s.run * s.run AS acc), "
+        "  struct(x AS prev, s.run + 1 AS run, s.acc AS acc)), "
+        "s -> s.acc + s.run * s.run)")
+    simpson = (F.lit(1.0) - c2.cast("double")
+               / (n.cast("double") * n.cast("double")))
+    return [n.alias("n_tokens"), simpson.alias("simpson")]

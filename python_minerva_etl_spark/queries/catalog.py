@@ -114,6 +114,7 @@ _DEPTH = [
     "join_asof_forward",
     "win_counter_rate",
     "win_running_total",
+    "win_time_range_avg",
     "win_distribution",
     "win_first_last",
     "win_next_event_gap",
@@ -127,6 +128,7 @@ _DEPTH = [
     "text_vocab_topk",
     "corpus_filter_funnel",
     "dataset_length_buckets",
+    "text_diversity",
     "dedup_clusters",
     "dedup_keep_canonical",
     "dedup_ngram_jaccard",

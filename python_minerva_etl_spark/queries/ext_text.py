@@ -546,6 +546,27 @@ FROM n QUALIFY rank <= 15
 """
 
 
+def _text_diversity(spark, sf_dir):
+    """EXT-TEXT (lexical diversity): Gini–Simpson index over per-doc
+    token frequencies — distribution-weighted repetition (two docs
+    with equal distinct counts but different skew separate here).
+    Log-free by design so the oracle hashes bit-for-bit."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *X.simpson_diversity())
+
+
+_TEXT_DIVERSITY_SQL = """
+WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       1.0 - CAST(SUM(c*c) AS DOUBLE)
+           / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson
+FROM c GROUP BY doc_id
+"""
+
+
 def _dataset_shuffle(spark, sf_dir):
     """EXT dataset shuffle: deterministic global training order —
     rank under (md5 draw, doc_id), computed scalably via range-bucketed
@@ -746,6 +767,7 @@ QUERIES = [
     DeclaredQuery("text_langid", _text_langid, _langid_oracle(), "EXT-TEXT (lang-id)"),
     DeclaredQuery("text_fingerprint", _text_fingerprint, _TEXT_FINGERPRINT_SQL, "EXT-TEXT (fingerprint)"),
     DeclaredQuery("text_repetition", _text_repetition, _TEXT_REPETITION_SQL, "EXT-TEXT (repetition filter)"),
+    DeclaredQuery("text_diversity", _text_diversity, _TEXT_DIVERSITY_SQL, "EXT-TEXT (Gini-Simpson diversity)"),
     DeclaredQuery("text_vocab_topk", _text_vocab_topk, _TEXT_VOCAB_TOPK_SQL, "EXT-TEXT (vocabulary top-k)"),
     DeclaredQuery("dataset_shuffle", _dataset_shuffle, _DATASET_SHUFFLE_SQL, "EXT dataset shuffle (deterministic order)"),
     DeclaredQuery("dataset_contamination", _dataset_contamination, _DATASET_CONTAMINATION_SQL, "EXT dataset contamination (benchmark n-gram overlap)"),

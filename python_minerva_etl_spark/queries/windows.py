@@ -252,6 +252,37 @@ ASOF LEFT JOIN purchases p
 """
 
 
+def _win_time_range_avg(spark, sf_dir):
+    """OP-WIN-MOVAVG (time-based RANGE frame): per-entity mean over
+    the trailing 1-hour event-time window — the frame is defined by
+    TIME distance, not row count, so bursty and sparse entities get
+    the same semantics.  The order key is integer epoch seconds
+    (identical RANGE arithmetic in both engines); decimal frame sums
+    keep the division bit-exact."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_s", (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint"))
+    w = (Window.partitionBy("user_id").orderBy("ts_s")
+         .rangeBetween(-3600, 0))
+    rng_sum = (F.sum(F.col("value").cast("decimal(28,4)")).over(w)
+               .cast("double"))
+    rng_n = F.count("value").over(w)
+    return ev.select(
+        "event_id", "user_id", "value",
+        (rng_sum / rng_n.cast("double")).alias("rng_avg"),
+        rng_n.alias("rng_n"))
+
+
+_WIN_TIME_RANGE_AVG_SQL = """
+SELECT event_id, user_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+         / CAST(COUNT(value) OVER w AS DOUBLE) AS rng_avg,
+       COUNT(value) OVER w AS rng_n
+FROM (SELECT *, epoch_us(ts) // 1000000 AS ts_s FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = [
     DeclaredQuery("attr_curr", _attr_curr, _ATTR_CURR_SQL, "OP-WIN-LATEST"),
     DeclaredQuery("attr_change_detect", _attr_change_detect, _ATTR_CHANGE_DETECT_SQL, "OP-WIN-CHANGE"),
@@ -260,6 +291,7 @@ QUERIES = [
     DeclaredQuery("win_delta_prev", _win_delta_prev, _WIN_DELTA_PREV_SQL, "OP-WIN-ANALYTIC"),
     DeclaredQuery("win_counter_rate", _win_counter_rate, _WIN_COUNTER_RATE_SQL, "OP-WIN-ANALYTIC (counter reset)"),
     DeclaredQuery("win_moving_avg", _win_moving_avg, _WIN_MOVING_AVG_SQL, "OP-WIN-MOVAVG"),
+    DeclaredQuery("win_time_range_avg", _win_time_range_avg, _WIN_TIME_RANGE_AVG_SQL, "OP-WIN-MOVAVG (time RANGE frame)"),
     DeclaredQuery("join_asof", _join_asof, _JOIN_ASOF_SQL, "OP-JOIN-ASOF"),
     DeclaredQuery("join_asof_forward", _join_asof_forward, _JOIN_ASOF_FORWARD_SQL, "OP-JOIN-ASOF (forward)"),
 ]
