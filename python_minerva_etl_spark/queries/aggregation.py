@@ -622,12 +622,85 @@ GROUP BY 1
 """
 
 
+def _agg_busy_hour(spark, sf_dir):
+    """Telecom busy-hour profile: for each user, the UTC hour-of-day
+    with the highest mean value (tie → earliest hour).  Hour-of-day is
+    INTEGER arithmetic on the epoch (``(s // 3600) % 24``) — identical
+    in any engine under any session timezone, which is the whole
+    determinism story for calendar profiles."""
+    ev = t(spark, sf_dir, "events")
+    hod = ((F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint")
+           / F.lit(3600)).cast("bigint") % 24
+    per = (ev.groupBy("user_id", hod.alias("busy_hour"))
+           .agg(F.count("*").alias("samples"),
+                dsum("value").alias("__s")))
+    avg = (F.col("__s") / F.col("samples").cast("double"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("avg_value"), F.asc("busy_hour"))
+    return (per.select("user_id", "busy_hour", "samples",
+                       avg.alias("avg_value"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+_AGG_BUSY_HOUR_SQL = f"""
+WITH a AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000 // 3600) % 24 AS busy_hour,
+         COUNT(*) AS samples,
+         {oracle_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY avg_value DESC, busy_hour ASC) AS rn
+  FROM a
+)
+SELECT user_id, busy_hour, samples, avg_value FROM r WHERE rn = 1
+"""
+
+
+def _agg_time_localtz(spark, sf_dir):
+    """Calendar bucketing in a DEPLOYMENT timezone (Minerva's telecom
+    stores aggregate per local day, not UTC day): UTC event times are
+    shifted to Europe/Amsterdam wall time and truncated to the local
+    day.  The conversion runs on TIMESTAMP_NTZ with explicit source
+    and target zones (``convert_timezone('UTC', zone, ntz)``) so the
+    result is independent of the Spark session timezone — the raw
+    fixture's µs-NTZ ``ts`` is read directly (bypassing the
+    registry's NTZ→UTC cast ON PURPOSE; the oracle mirrors with
+    ``timezone(zone, timezone('UTC', ts))``)."""
+    from ..registry import table_path
+
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    local = F.expr("convert_timezone('UTC', 'Europe/Amsterdam', ts)")
+    return (ev.select("user_id", "value",
+                      F.date_trunc("day", local).cast("timestamp_ntz")
+                      .alias("local_day"))
+            .groupBy("user_id", "local_day")
+            .agg(F.count("*").alias("samples"),
+                 dsum("value").alias("sum_value")))
+
+
+_AGG_TIME_LOCALTZ_SQL = f"""
+SELECT user_id,
+       date_trunc('day', timezone('Europe/Amsterdam',
+                                  timezone('UTC', ts))) AS local_day,
+       COUNT(*) AS samples,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     DeclaredQuery("agg_time_sliding", _agg_time_sliding, _AGG_TIME_SLIDING_SQL, "OP-AGG-TIME (hopping)"),
     DeclaredQuery("agg_time_1h", _agg_time_1h, _AGG_TIME_1H_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_15m", _agg_time_15m, _AGG_TIME_15M_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_1d", _agg_time_1d, _AGG_TIME_1D_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_time_1month", _agg_time_1month, _AGG_TIME_1MONTH_SQL, "OP-AGG-TIME"),
+    DeclaredQuery("agg_busy_hour", _agg_busy_hour, _AGG_BUSY_HOUR_SQL, "OP-AGG-TIME (busy-hour profile)"),
+    DeclaredQuery("agg_time_localtz", _agg_time_localtz, _AGG_TIME_LOCALTZ_SQL, "OP-AGG-TIME (deployment-timezone calendar)"),
     DeclaredQuery("agg_time_1w", _agg_time_1w, _AGG_TIME_1W_SQL, "OP-AGG-TIME"),
     DeclaredQuery("agg_reagg_avg", _agg_reagg_avg, _AGG_REAGG_AVG_SQL, "OP-AGG-PARTIAL"),
     DeclaredQuery("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL, "OP-AGG-DISTINCT"),

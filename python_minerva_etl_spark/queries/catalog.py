@@ -96,6 +96,8 @@ _DEPTH = [
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",
+    "agg_busy_hour",
+    "agg_time_localtz",
     "agg_percentiles",
     "agg_variance_exact",
     "agg_string_concat",
