@@ -433,6 +433,51 @@ class SnapTable:
 
     # ---------------- maintenance ----------------
 
+    def optimize(self, spark: SparkSession,
+                 small_file_bytes: int = 32 << 20,
+                 target_file_bytes: int = 128 << 20) -> int | None:
+        """Bin-pack small data files into ~``target_file_bytes`` files
+        (the Delta OPTIMIZE analog).  Pure layout change: rows are
+        bit-identical, so :meth:`changes` across an optimize commit
+        emits NOTHING (value-equal rewrites drop out) and readers keep
+        snapshot isolation throughout.  Files already at a healthy
+        size are carried by reference; returns the new version, or
+        None when fewer than two small files exist (nothing to do).
+
+        At 100 TB this is the nightly job that keeps merge-heavy key
+        ranges from degrading into thousands of row-group-sized files
+        (file-pruned MERGE rewrites only what it touches, so hot keys
+        fragment over time)."""
+        base = self.latest_version()
+        if base is None:
+            return None
+        entries = self.files(base)
+        small = [e for e in entries if e["bytes"] < small_file_bytes]
+        if len(small) < 2:
+            return None
+        key = list(self._manifest(base).get("key") or ())
+        packed = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, e["path"]) for e in small])
+        total = sum(e["bytes"] for e in small)
+        n_out = max(1, -(-total // target_file_bytes))
+        new = self._write_data(packed.repartition(n_out), key)
+        s_paths = {e["path"] for e in small}
+        while True:
+            v = (self.latest_version() or 0) + 1
+            cur = self.files(v - 1) if v > 1 else []
+            if any(e["path"] not in {x["path"] for x in entries}
+                   for e in cur):
+                # a concurrent commit landed: packing a stale file set
+                # could resurrect replaced rows — bail, caller retries
+                raise CommitConflict("concurrent commit during optimize")
+            files = [e for e in cur if e["path"] not in s_paths] + new
+            manifest = {"version": v, "op": "optimize", "files": files,
+                        "n_files": len(files)}
+            if key:
+                manifest["key"] = key
+            if self._publish(self._with_txn(manifest, None, v - 1), v):
+                return v
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop manifests beyond the newest ``keep_versions`` and delete
         data files no retained snapshot references (including orphans

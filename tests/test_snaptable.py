@@ -358,3 +358,28 @@ def test_merge_schema_evolution_adds_column(spark, tmp_path):
         "k long, v long, extra string"), ["k"], "v")
     rows = {r.k: (r.v, r.extra) for r in tbl.read(spark).collect()}
     assert rows == {1: (10, None), 2: (99, "new"), 3: (30, "col")}
+
+
+def test_optimize_packs_small_files_and_is_cdc_invisible(spark, tmp_path):
+    """OPTIMIZE bin-packs fragmented commits into fewer files without
+    changing a single row: reads agree before/after, the change feed
+    across the optimize version is EMPTY, and time travel still reads
+    the pre-optimize snapshot."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    # three tiny commits -> three+ small files
+    for lo in (0, 100, 200):
+        tbl.merge(spark, spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1), ["k"], "v")
+    before = {(r.k, r.v) for r in tbl.read(spark).collect()}
+    n_before = len(tbl.files())
+    v = tbl.optimize(spark, small_file_bytes=32 << 20,
+                     target_file_bytes=128 << 20)
+    assert v == 4
+    assert len(tbl.files()) < n_before
+    assert {(r.k, r.v) for r in tbl.read(spark).collect()} == before
+    assert tbl.changes(spark, 3, 4).count() == 0
+    assert {(r.k, r.v) for r in tbl.read(spark, version=3).collect()} \
+        == before
+    # nothing further to pack: a second optimize is a no-op
+    assert tbl.optimize(spark) is None or len(tbl.files()) == 1
