@@ -383,3 +383,66 @@ def test_optimize_packs_small_files_and_is_cdc_invisible(spark, tmp_path):
         == before
     # nothing further to pack: a second optimize is a no-op
     assert tbl.optimize(spark) is None or len(tbl.files()) == 1
+
+
+def test_cdc_maintained_agg_equals_recompute_random(spark, tmp_path):
+    """Randomized end-to-end CDC invariant: across random MERGE and
+    DELETE sequences, an aggregate maintained purely from each
+    version's change feed equals a from-scratch recompute of that
+    version — the self-maintaining-view contract under arbitrary
+    interleavings."""
+    import random
+
+    from python_minerva_etl_spark.operators.materialization import (
+        apply_changes_to_agg)
+
+    rng = random.Random(7)
+    tbl = SnapTable(str(tmp_path / "t"))
+
+    def recompute(version):
+        return {(r.g, r.samples, float(r.sum_value)) for r in (
+            tbl.read(spark, version).groupBy("g")
+            .agg(F.count("*").alias("samples"),
+                 F.sum(F.col("v").cast("decimal(28,4)")).cast("double")
+                 .alias("sum_value"))).collect()}
+
+    # seed state
+    rows = [(k, f"g{k % 3}", float(rng.randint(0, 50)), 0)
+            for k in range(12)]
+    tbl.merge(spark, spark.createDataFrame(
+        rows, "k long, g string, v double, seq long"), ["k"], "seq")
+    maintained = (tbl.read(spark, 1).groupBy("g")
+                  .agg(F.count("*").alias("samples"),
+                       F.sum(F.col("v").cast("decimal(28,4)"))
+                       .cast("decimal(28,4)").alias("sum_value")))
+
+    for step in range(1, 5):
+        if step % 2 == 1:   # merge: mix of updates and new keys
+            batch = [(rng.randint(0, 19), f"g{rng.randint(0, 2)}",
+                      float(rng.randint(0, 50)), step)
+                     for _ in range(rng.randint(2, 6))]
+            # one row per key (last wins within batch by seq anyway)
+            batch = list({b[0]: b for b in batch}.values())
+            tbl.merge(spark, spark.createDataFrame(
+                batch, "k long, g string, v double, seq long"),
+                ["k"], "seq")
+        else:               # delete some existing keys
+            keys = [r.k for r in tbl.read(spark).select("k").collect()]
+            doomed = rng.sample(keys, min(2, len(keys)))
+            tbl.delete(spark, spark.createDataFrame(
+                [(k,) for k in doomed], "k long"), ["k"])
+        v = tbl.latest_version()
+        feed = tbl.changes(spark, v - 1, v)
+        maintained = apply_changes_to_agg(maintained, feed, ["g"], "v")
+        got = {(r.g, r.samples, float(r.sum_value))
+               for r in maintained.select(
+                   "g", "samples",
+                   F.col("sum_value").cast("double").alias("sum_value"))
+               .collect()}
+        assert got == recompute(v), f"divergence at version {v}"
+        # re-anchor maintained as a concrete frame for the next round
+        maintained = spark.createDataFrame(
+            [(g, n, s) for g, n, s in sorted(got)],
+            "g string, samples long, sum_value double").select(
+            "g", "samples",
+            F.col("sum_value").cast("decimal(28,4)").alias("sum_value"))
