@@ -99,3 +99,27 @@ def test_trunc_col_tz_aware_matches_python(spark):
     want = [g.truncate(t).astimezone(ZoneInfo("UTC")).replace(tzinfo=None)
             for t in instants]
     assert got == want
+
+
+def test_localtz_bucketing_handles_dst_transition(spark):
+    """Europe/Amsterdam local-day bucketing across the 2024-03-31 DST
+    jump: the UTC wall-clock offset moves from +1 (CET) to +2 (CEST),
+    so the same 22:30 UTC time lands on different local days before
+    and after the transition.  Session-timezone-independent by
+    construction (NTZ + explicit source/target zones)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-30 22:30:00"),   # CET +1  -> Mar 30 23:30 local
+         (2, "2024-03-31 01:30:00"),   # spring-forward night, +2 from 01:00 UTC
+         (3, "2024-03-31 22:30:00")],  # CEST +2 -> Apr 1 00:30 local
+        "id long, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    local_day = F.date_trunc("day", F.expr(
+        "convert_timezone('UTC', 'Europe/Amsterdam', ts)")) \
+        .cast("timestamp_ntz")
+    got = {r.id: str(r.d) for r in
+           df.select("id", local_day.alias("d")).collect()}
+    assert got == {1: "2024-03-30 00:00:00",
+                   2: "2024-03-31 00:00:00",
+                   3: "2024-04-01 00:00:00"}
