@@ -82,6 +82,74 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          F.col("lbl").alias("cluster"))
 
 
+def semantic_dedup(emb: DataFrame, k: int = 8, tau: float = 0.4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then drop
+    near-duplicates only *within* a cluster — the cluster assignment
+    bounds the pair search so the quadratic step never sees the whole
+    corpus.
+
+    Deterministic & oracle-exact by construction:
+
+    - centroids = the embeddings of the ``k`` smallest ids (no
+      iterative k-means in the declared query; the Lloyd-refined
+      scale twin is the persisted IVF index in
+      ``similarity.build_ivf_index``);
+    - assignment = argmax cosine with centroid-id tiebreak, computed
+      as one map-side-combined ``max(struct(...))`` aggregation (the
+      k-way scored rows for a vector never leave their scan
+      partition);
+    - intra-cluster pairs (id_a < id_b) with cosine >= ``tau`` mark
+      the higher id as dropped; the canonical (lowest-id) member of
+      every dup group survives.
+
+    Scale shape: the centroid set is broadcast; assignment is one
+    shuffle of (id, cluster) with map-side combine; the pair join
+    shuffles by cluster id only.  At 100 TB, k grows with the corpus
+    (SemDeDup uses ~100k clusters) so per-cluster membership — and
+    with it the quadratic verify — stays bounded.
+
+    Returns ``(vec_id, cluster_id, kept)``.
+    """
+    from .similarity import dot_col, norm_col
+
+    v = emb.select(F.col(id_col).alias("vid"),
+                   F.col(vec_col).alias("vec"),
+                   norm_col(vec_col).alias("vn"))
+    cents = (v.orderBy("vid").limit(k)
+             .select(F.col("vid").alias("cid"),
+                     F.col("vec").alias("cvec"),
+                     F.col("vn").alias("cn")))
+    scored = (v.join(F.broadcast(cents))
+              .withColumn("cos", dot_col("vec", "cvec")
+                          / (F.col("vn") * F.col("cn")))
+              .withColumn("ncid", -F.col("cid")))
+    # argmax via struct-max: (cos, -cid) is unique per vid (cid is
+    # unique), so vn/vec ride along without ever being compared
+    assign = (scored.groupBy("vid")
+              .agg(F.max(F.struct("cos", "ncid", "vn", "vec")).alias("m"))
+              .select("vid", (-F.col("m.ncid")).alias("cluster_id"),
+                      F.col("m.vn").alias("vn"), F.col("m.vec").alias("vec")))
+    a = assign.select(F.col("vid").alias("id_a"), "cluster_id",
+                      F.col("vec").alias("va"), F.col("vn").alias("na"))
+    b = assign.select(F.col("vid").alias("id_b"),
+                      F.col("cluster_id").alias("cb"),
+                      F.col("vec").alias("vb"), F.col("vn").alias("nb"))
+    dropped = (a.join(b, (F.col("cluster_id") == F.col("cb"))
+                      & (F.col("id_a") < F.col("id_b")))
+               .withColumn("cos", dot_col("va", "vb")
+                           / (F.col("na") * F.col("nb")))
+               .filter(F.col("cos") >= tau)
+               .select(F.col("id_b").alias("vid")).distinct()
+               .withColumn("__d", F.lit(True)))
+    return (assign.join(dropped, "vid", "left")
+            .select(F.col("vid").alias(id_col), "cluster_id",
+                    F.col("__d").isNull().alias("kept")))
+
+
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """The end-to-end dedup decision: every doc mapped to its cluster

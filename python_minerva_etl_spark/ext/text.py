@@ -162,6 +162,54 @@ def hash_draw(id_col: str, salt: str, n_hex: int = 8) -> Column:
         1, n_hex), 16, 10).cast("bigint")
 
 
+def temperature_sample(df: DataFrame, id_col: str, group_col: str,
+                       target_frac: float = 0.5,
+                       salt: str = "temp-v1") -> DataFrame:
+    """Temperature-weighted source mixing at T = 0.5 — the standard
+    LLM-pretraining rebalancing step (mixture weight per source
+    ``w_g ∝ n_g^T``, so over-represented sources are down-sampled and
+    small sources up-weighted relative to proportional sampling).
+
+    Per-group acceptance probability for an expected sample of
+    ``target_frac * N`` docs::
+
+        p_g = min(1, target_frac * N * (sqrt(n_g) / Z) / n_g),
+        Z = sum_g sqrt(n_g)
+
+    Determinism contract (the oracle hashes values, not just rows):
+
+    - T is fixed at 0.5 so the weight is ``sqrt`` — IEEE-correctly-
+      rounded and bit-identical across engines; ``pow(x, 0.7)`` is
+      NOT (Math.pow vs libm differ in the last ulp).
+    - ``Z`` is summed in DECIMAL(38,18) (exact, order-independent),
+      then cast to double — a double sum would depend on group order.
+    - The per-doc draw is the md5 ``hash_draw`` / 2^32, never rand().
+
+    Scale shape: the group stats are a tiny aggregation (source
+    cardinality); the totals row and the per-group probabilities are
+    broadcast; the sample itself is one scan-local filter — no
+    shuffle of the corpus at all.
+    """
+    n = F.col("__n")
+    stats = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    tot = stats.agg(
+        F.sum(F.sqrt(n.cast("double")).cast("decimal(38,18)"))
+        .cast("double").alias("__z"),
+        F.sum(n).alias("__tot_n"))
+    p = (stats.crossJoin(F.broadcast(tot))
+         .withColumn(
+             "p_keep",
+             F.least(F.lit(1.0),
+                     F.lit(target_frac) * F.col("__tot_n").cast("double")
+                     * (F.sqrt(n.cast("double")) / F.col("__z"))
+                     / n.cast("double")))
+         .select(group_col, "p_keep"))
+    u = (hash_draw(id_col, salt, n_hex=8).cast("double")
+         / F.lit(4294967296.0))
+    return (df.join(F.broadcast(p), group_col)
+            .filter(u < F.col("p_keep")))
+
+
 def pack_sequences(df: DataFrame, id_col: str, token_count_col: Column,
                    seq_len: int = 2048, n_shards: int = 32,
                    salt: str = "pack-v1") -> DataFrame:

@@ -123,6 +123,8 @@ _DEPTH = [
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",
+    "dataset_temperature_sample",
+    "dedup_semantic",
     "dataset_pack_sequences",
     "dataset_shuffle",
     "dataset_contamination",

@@ -130,6 +130,48 @@ def _dedup_embedding_lsh(spark, sf_dir):
                             num_planes=4, num_tables=16)
 
 
+def _dedup_semantic(spark, sf_dir):
+    """EXT-DEDUP (semantic, SemDeDup-style): cluster the embedding
+    space (centroids = k lowest-id vectors — deterministic; the
+    Lloyd-refined twin is the IVF index), then drop near-dups with
+    cosine >= tau only *within* a cluster.  The cluster assignment
+    bounds the quadratic verify — the 100 TB shape from Abbas et al.
+    2023 (SemDeDup), distinct from the hash-bucket LSH families."""
+    from ..ext.clusters import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, tau=0.4)
+
+
+_DEDUP_SEMANTIC_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         {_COS.format(a='v.vec', b='c.cvec')} AS cos
+  FROM v CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM assign a
+  JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE {_COS.format(a='va.vec', b='vb.vec')} >= 0.4
+)
+SELECT a.vec_id, a.cluster_id, (d.vid IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vid
+"""
+
+
 def _mm_passthrough(spark, sf_dir):
     """EXT-MM-COL: opaque array/binary columns ride through relational
     ops untouched — filter + join + select keep the embedding intact;
@@ -265,6 +307,7 @@ QUERIES = [
     DeclaredQuery("sim_topk_pq", _sim_topk_pq, None, "EXT-SIM-TOPK (PQ/ADC scale path)"),
     DeclaredQuery("dedup_embedding_pairs", _dedup_embedding_pairs, _DEDUP_EMBEDDING_PAIRS_SQL, "EXT-DEDUP (embedding)"),
     DeclaredQuery("dedup_embedding_lsh", _dedup_embedding_lsh, None, "EXT-DEDUP (embedding LSH scale path)"),
+    DeclaredQuery("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL, "EXT-DEDUP (semantic, SemDeDup-style)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
     DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),
     DeclaredQuery("embedding_centroids", _embedding_centroids, _EMBEDDING_CENTROIDS_SQL, "EXT-SIM (label centroids)"),

@@ -361,6 +361,42 @@ FROM documents
 """
 
 
+def _dataset_temperature_sample(spark, sf_dir):
+    """EXT dataset mixing (temperature sampling): T = 0.5 source
+    rebalancing — acceptance p_g = min(1, frac*N*(sqrt(n_g)/Z)/n_g)
+    with an md5 draw, so over-represented sources are down-sampled.
+    sqrt (not pow) + DECIMAL-summed Z keep it bit-identical across
+    engines; the corpus itself is filtered scan-local, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return X.temperature_sample(docs, "doc_id", "source",
+                                target_frac=0.5).select(
+        "doc_id", "source", "p_keep")
+
+
+_DATASET_TEMPERATURE_SAMPLE_SQL = """
+WITH stats AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
+              AS DOUBLE) AS z,
+         SUM(n) AS big_n
+  FROM stats
+),
+p AS (
+  SELECT source,
+         least(1.0, 0.5 * CAST(big_n AS DOUBLE)
+                    * (sqrt(CAST(n AS DOUBLE)) / z)
+                    / CAST(n AS DOUBLE)) AS p_keep
+  FROM stats CROSS JOIN tot
+)
+SELECT d.doc_id, d.source, p.p_keep
+FROM documents d JOIN p ON d.source = p.source
+WHERE CAST(('0x' || substring(md5('temp-v1' || CAST(d.doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) / 4294967296.0 < p.p_keep
+"""
+
+
 def _text_boilerplate(spark, sf_dir):
     """EXT-TEXT (boilerplate): word-4-grams recurring in >= 3 distinct
     documents — template chrome a cleaning pass strips (CCNet-style
@@ -754,6 +790,7 @@ QUERIES = [
     DeclaredQuery("text_boilerplate", _text_boilerplate, _TEXT_BOILERPLATE_SQL, "EXT-TEXT (boilerplate detection)"),
     DeclaredQuery("dataset_interleave", _dataset_interleave, _DATASET_INTERLEAVE_SQL, "EXT dataset mixing (weighted interleave)"),
     DeclaredQuery("dataset_stratified_sample", _dataset_stratified_sample, _strata_sql(), "EXT dataset mixing (stratified sample)"),
+    DeclaredQuery("dataset_temperature_sample", _dataset_temperature_sample, _DATASET_TEMPERATURE_SAMPLE_SQL, "EXT dataset mixing (temperature sampling)"),
     DeclaredQuery("dataset_pack_sequences", _dataset_pack_sequences, _DATASET_PACK_SEQUENCES_SQL, "EXT dataset packing (sequence groups)"),
     DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),

@@ -173,3 +173,53 @@ def test_span_dedup_exact_substr_semantics(spark):
     orig = {r.doc_id: r.text for r in docs.collect()}
     assert all(r.n_tokens == len(orig[d].split(" "))
                for d, r in got.items())
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    """A vector duplicated verbatim must land in the same cluster and
+    lose to the lower id; everything else in this corpus sits below
+    the tau=0.99 near-identity threshold and survives."""
+    from python_minerva_etl_spark.ext.clusters import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    dup = (emb.filter(F.col("vec_id") == 3)
+           .select((F.lit(max_id + 1)).alias("vec_id"), "embedding",
+                   "label"))
+    got = semantic_dedup(emb.unionByName(dup), k=8, tau=0.99)
+    rows = {r.vec_id: r for r in got.collect()}
+    assert rows[3].kept is True
+    assert rows[max_id + 1].kept is False
+    assert rows[3].cluster_id == rows[max_id + 1].cluster_id
+    # every cluster keeps at least its canonical member
+    kept_per_cluster = {}
+    for r in rows.values():
+        kept_per_cluster.setdefault(r.cluster_id, 0)
+        if r.kept:
+            kept_per_cluster[r.cluster_id] += 1
+    assert all(v >= 1 for v in kept_per_cluster.values())
+
+
+def test_semantic_dedup_cluster_scoped_pairs(spark):
+    """Dropping is cluster-scoped: a doc is dropped iff some lower-id
+    SAME-CLUSTER doc has cosine >= tau — cross-cluster near-dups are
+    intentionally invisible (that locality is the scale contract)."""
+    from python_minerva_etl_spark.ext.clusters import semantic_dedup
+    from python_minerva_etl_spark.ext.similarity import cosine_col
+
+    emb = load_table(spark, SF, "embeddings")
+    tau = 0.45
+    got = semantic_dedup(emb, k=4, tau=tau)
+    assign = {r.vec_id: r.cluster_id for r in got.collect()}
+    kept = {r.vec_id: r.kept for r in got.collect()}
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", cosine_col("va", "vb"))
+             .filter(F.col("cos") >= tau)
+             .select("id_a", "id_b").collect())
+    expect_dropped = {p.id_b for p in pairs
+                      if assign[p.id_a] == assign[p.id_b]}
+    assert {v for v, k in kept.items() if not k} == expect_dropped

@@ -158,3 +158,37 @@ def test_interleave_matches_single_partition_ranks(spark):
             .orderBy(hash_draw("doc_id", "interleave-v1"), "doc_id")))
     joined = got.join(naive.select("doc_id", "expect_rank"), "doc_id")
     assert joined.filter(F.col("src_rank") != F.col("expect_rank")).count() == 0
+
+
+def test_temperature_sample_rebalances_sources(spark):
+    from python_minerva_etl_spark.ext.text import temperature_sample
+
+    docs = load_table(spark, SF, "documents")
+    out = temperature_sample(docs, "doc_id", "source", target_frac=0.5)
+    rows = out.select("doc_id", "source", "p_keep").collect()
+    n_total = docs.count()
+    # expected sample size = 0.5 * N; md5 draws are near-uniform, so
+    # a generous binomial band suffices at sf0.001 (~600 docs)
+    assert abs(len(rows) - 0.5 * n_total) < 0.15 * n_total
+    # p_keep must be monotone non-increasing in source size: the
+    # whole point of T < 1 is to down-sample the big sources harder
+    sizes = {r.source: r.cnt for r in
+             docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    p = {r.source: r.p_keep for r in rows}
+    by_size = sorted(p, key=lambda s: sizes[s])
+    for small, big in zip(by_size, by_size[1:]):
+        assert p[small] >= p[big] - 1e-12
+    for v in p.values():
+        assert 0.0 < v <= 1.0
+
+
+def test_temperature_sample_partitioning_invariant(spark):
+    from python_minerva_etl_spark.ext.text import temperature_sample
+
+    docs = load_table(spark, SF, "documents")
+    a = {r.doc_id for r in
+         temperature_sample(docs, "doc_id", "source").select("doc_id").collect()}
+    b = {r.doc_id for r in
+         temperature_sample(docs.repartition(13), "doc_id", "source")
+         .select("doc_id").collect()}
+    assert a == b
