@@ -66,6 +66,23 @@ def _read_json(spark: SparkSession, path: str, config=None) -> DataFrame:
     return spark.read.json(path)
 
 
+@register("orc")
+def _read_orc(spark: SparkSession, path: str, config=None) -> DataFrame:
+    return spark.read.orc(path)
+
+
+@register("jsonl")
+def _read_jsonl(spark: SparkSession, path: str, config=None) -> DataFrame:
+    """Newline-delimited JSON — the de-facto web-corpus interchange
+    format (one document object per line).  Spark's json reader is
+    already line-oriented; multiline stays off so a 100 TB dump splits
+    by line across executors instead of one task per file."""
+    reader = spark.read
+    if config and getattr(config, "schema", None) is not None:
+        reader = reader.schema(config.schema)
+    return reader.json(path)
+
+
 @register("xml-pm")
 def _read_xml_pm(spark: SparkSession, path: str, config=None) -> DataFrame:
     from .xml_pm import parse_pm

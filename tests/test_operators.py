@@ -50,6 +50,23 @@ def test_plugin_registry(spark):
         get_plugin("vendor-xml-unknown")
 
 
+def test_plugin_orc_and_jsonl_roundtrip(spark, scratch):
+    from python_minerva_etl_spark.sources.plugins import get_plugin
+
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    orc_path = f"{scratch}/region_orc"
+    src.write.mode("overwrite").orc(orc_path)
+    assert get_plugin("orc")(spark, orc_path).count() == 5
+
+    jl_path = f"{scratch}/docs_jsonl"
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .write.mode("overwrite").json(jl_path))
+    got = get_plugin("jsonl")(spark, jl_path)
+    assert got.count() == spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
+    assert "text" in got.columns
+
+
 def test_upsert_last_wins_across_batches(spark, scratch):
     from pyspark.sql import functions as F
 
