@@ -1,0 +1,116 @@
+"""Incremental (continuous-ingest) near-dup dedup against persisted
+fingerprint state.
+
+Batch dedup (``dedup.py``) assumes the whole corpus is in hand.  A
+production 100 TB pipeline ingests continuously and must answer "is
+this NEW document a near-dup of anything we already accepted?" without
+re-scanning accepted text.  The state kept here is the MinHash
+*signature* table — ``num_hashes`` longs per accepted doc (512 bytes
+at 64 hashes), orders of magnitude below the text itself — and the
+verify phase estimates Jaccard from signature agreement (the standard
+signature-verify used by SlimPajama-style dedup; the estimator's
+stderr is ~sqrt(s(1-s)/k), so 64 hashes resolve a 0.8 threshold to
+±0.05).
+
+Per batch the work is:
+
+1. signatures of the new batch (explode + groupBy — one shuffle over
+   the batch, never the corpus);
+2. LSH band join of new-batch bands against state bands — shuffle
+   keyed by (band, bucket), linear in candidates, never all-pairs;
+3. within-batch greedy: a new doc also drops if a LOWER-id batch mate
+   matches it (exact-dup cliques keep exactly their canonical);
+4. survivors' signatures are unioned into the returned state.
+
+First-seen-wins across batches: once a doc is accepted its signature
+stays in state, and every later near-dup of it is dropped.  Processing
+id-ordered batches of a corpus whose dup groups are cliques (exact
+duplicates) yields exactly the batch-mode ``dedup_keep_canonical``
+keep set (locked by test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import minhash_signatures
+
+#: state schema: (doc long, signature array<long>)
+STATE_COLS = ("doc", "signature")
+
+
+def signature_jaccard_est(sig_a, sig_b) -> F.Column:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    agree = F.size(F.filter(
+        F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
+    return agree.cast("double") / F.size(sig_a).cast("double")
+
+
+def _bands(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bucket, signature) — banding is derived from the
+    signature on the fly (cheap, scan-local), so state stores only the
+    signature and never goes stale against band-count changes."""
+    rows_per_band = num_hashes // bands
+    return (sig.select(
+        "doc", "signature",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("signature",
+                                        bi * rows_per_band + ri + 1)
+                           .cast("string")
+                           for ri in range(rows_per_band)])).alias("bucket"))
+            for bi in range(bands)])).alias("bb"))
+        .select("doc", "signature", "bb.band", "bb.bucket"))
+
+
+def incremental_dedup(state: DataFrame | None, batch: DataFrame,
+                      threshold: float = 0.8, num_hashes: int = 64,
+                      bands: int = 16, id_col: str = "doc_id",
+                      text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Dedup ``batch`` against accepted ``state`` (and itself).
+
+    Returns ``(accepted, new_state)``: the accepted batch rows (all
+    original columns) and the signature state grown by them.  Pass
+    ``state=None`` for the first batch.  Persist ``new_state``
+    (parquet/SnapTable) between runs; the caller owns storage.
+    """
+    sig_new = minhash_signatures(batch, num_hashes, id_col, text_col)
+    new_b = _bands(sig_new, num_hashes, bands)
+
+    dropped_vs_state = None
+    if state is not None:
+        st_b = _bands(state.select(*STATE_COLS), num_hashes, bands)
+        dropped_vs_state = (
+            new_b.alias("n")
+            .join(st_b.alias("s"),
+                  (F.col("n.band") == F.col("s.band"))
+                  & (F.col("n.bucket") == F.col("s.bucket")))
+            .filter(signature_jaccard_est(
+                F.col("n.signature"), F.col("s.signature")) >= threshold)
+            .select(F.col("n.doc").alias("doc")).distinct())
+
+    # within-batch: lower-id batch mate in the same bucket wins
+    dropped_in_batch = (
+        new_b.alias("a")
+        .join(new_b.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.doc") < F.col("b.doc")))
+        .filter(signature_jaccard_est(
+            F.col("a.signature"), F.col("b.signature")) >= threshold)
+        .select(F.col("b.doc").alias("doc")).distinct())
+
+    dropped = dropped_in_batch if dropped_vs_state is None else \
+        dropped_in_batch.unionByName(dropped_vs_state).distinct()
+
+    accepted = (batch.join(
+        dropped.withColumnRenamed("doc", id_col), id_col, "left_anti"))
+    accepted_sigs = sig_new.join(
+        dropped, sig_new["doc"] == dropped["doc"], "left_anti")
+    new_state = accepted_sigs.select(*STATE_COLS) if state is None else \
+        state.select(*STATE_COLS).unionByName(
+            accepted_sigs.select(*STATE_COLS))
+    return accepted, new_state

@@ -140,6 +140,7 @@ _DEPTH = [
     "agg_approx_distinct",
     "agg_hll_reagg",
     "dedup_minhash_pairs",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_embedding_lsh",
     "embedding_centroids",

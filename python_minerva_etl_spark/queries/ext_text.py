@@ -361,6 +361,27 @@ FROM documents
 """
 
 
+def _dedup_incremental(spark, sf_dir):
+    """EXT-DEDUP (incremental/continuous-ingest): the corpus arrives
+    as two id-ordered batches; each is deduped against the persisted
+    MinHash-signature state of everything accepted so far (LSH band
+    join + signature-estimate verify — never re-reads accepted text).
+    Deterministic (fixed hash seeds) but the verify is a signature
+    estimate → rows-only; batch-vs-incremental equivalence and
+    first-seen-wins are locked by tests/test_dedup.py."""
+    from ..ext.incremental_dedup import incremental_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    mid = 250  # sf-proportional split would need a count(); fixed id
+    b1 = docs.filter(F.col("doc_id") < mid)
+    b2 = docs.filter(F.col("doc_id") >= mid)
+    acc1, state = incremental_dedup(None, b1, threshold=0.9)
+    acc2, _ = incremental_dedup(state, b2, threshold=0.9)
+    return (acc1.withColumn("batch", F.lit(1))
+            .unionByName(acc2.withColumn("batch", F.lit(2)))
+            .select("doc_id", "batch"))
+
+
 def _dataset_temperature_sample(spark, sf_dir):
     """EXT dataset mixing (temperature sampling): T = 0.5 source
     rebalancing — acceptance p_g = min(1, frac*N*(sqrt(n_g)/Z)/n_g)
@@ -796,6 +817,7 @@ QUERIES = [
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
     DeclaredQuery("dedup_simhash", _dedup_simhash, None, "EXT-DEDUP (SimHash)"),
+    DeclaredQuery("dedup_incremental", _dedup_incremental, None, "EXT-DEDUP (incremental ingest)"),
     DeclaredQuery("dedup_ngram_jaccard", _dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, "EXT-DEDUP (n-gram)"),
     DeclaredQuery("dedup_clusters", _dedup_clusters, _DEDUP_CLUSTERS_SQL, "EXT-DEDUP (connected components)"),
     DeclaredQuery("dedup_keep_canonical", _dedup_keep_canonical, _DEDUP_KEEP_CANONICAL_SQL, "EXT-DEDUP (keep decision)"),

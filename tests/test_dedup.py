@@ -223,3 +223,61 @@ def test_semantic_dedup_cluster_scoped_pairs(spark):
     expect_dropped = {p.id_b for p in pairs
                       if assign[p.id_a] == assign[p.id_b]}
     assert {v for v, k in kept.items() if not k} == expect_dropped
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_matches_batch_on_exact_dup_cliques(spark):
+    """Id-ordered incremental processing of a corpus whose dup groups
+    are exact-duplicate cliques keeps exactly the canonical (first)
+    member of every group — same answer in 1 batch or 3."""
+    from python_minerva_etl_spark.ext.incremental_dedup import \
+        incremental_dedup
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "one two three four five six seven",
+        3: "alpha beta gamma delta epsilon zeta",      # dup of 1
+        4: "totally different words appear here now",
+        5: "one two three four five six seven",        # dup of 2
+        6: "alpha beta gamma delta epsilon zeta",      # dup of 1
+        7: "lorem ipsum dolor sit amet consectetur",
+    }
+    rows = sorted(texts.items())
+    expect = {1, 2, 4, 7}
+
+    # one batch
+    acc, st = incremental_dedup(None, _mk_docs(spark, rows))
+    assert {r.doc_id for r in acc.collect()} == expect
+    assert st.count() == len(expect)
+
+    # three id-ordered batches, state threaded through
+    state = None
+    got = set()
+    for lo, hi in ((1, 3), (4, 5), (6, 7)):
+        batch = _mk_docs(spark, [r for r in rows if lo <= r[0] <= hi])
+        acc, state = incremental_dedup(state, batch)
+        got |= {r.doc_id for r in acc.collect()}
+    assert got == expect
+    assert state.count() == len(expect)
+
+
+def test_incremental_dedup_near_dup_first_seen_wins(spark):
+    """A later batch's near-duplicate (not byte-identical) of an
+    accepted doc is dropped by the signature-estimate verify."""
+    from python_minerva_etl_spark.ext.incremental_dedup import \
+        incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(40))  # 40 distinct tokens
+    near = base + " extra tail"                  # Jaccard 40/42 ~ 0.95
+    acc1, st = incremental_dedup(
+        None, _mk_docs(spark, [(1, base),
+                               (2, "completely unrelated content words")]))
+    assert acc1.count() == 2
+    acc2, st2 = incremental_dedup(
+        st, _mk_docs(spark, [(3, near),
+                             (4, "fresh material nothing like before")]))
+    assert {r.doc_id for r in acc2.collect()} == {4}
+    assert st2.count() == 3
