@@ -62,3 +62,45 @@ def fill_gaps(series: DataFrame, entity_col: str, bucket_col: str,
         for c in value_cols:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def interpolate_gaps(series: DataFrame, entity_col: str, bucket_col: str,
+                     step: str, value_cols: list[str]) -> DataFrame:
+    """Densify like :func:`fill_gaps` but *linearly interpolate*
+    interior gaps between the neighbouring known values instead of
+    carrying the last one forward — the imputation KPI consumers want
+    for continuous measurements (a carried-forward gauge flatlines;
+    an interpolated one trends).  Leading/trailing gaps have only one
+    neighbour and stay NULL.
+
+    Scale shape: identical to ``fill_gaps`` — one (entity, bucket)
+    shuffle for the spine join, then BOTH direction windows (last
+    non-null before, first non-null after) share one entity-partitioned
+    bucket-ordered sort; Spark evaluates the following-frame window
+    over the same sort, so interpolation costs no extra exchange.
+
+    The abscissa is epoch microseconds as double (exact for any real
+    timestamp — |µs| < 2^53), so the interpolation weight
+    ``(x - x_prev) / (x_next - x_prev)`` is bit-portable across
+    engines (DuckDB twin: ``CAST(epoch_us(...) AS DOUBLE)``).
+    """
+    dense = fill_gaps(series, entity_col, bucket_col, step, value_cols,
+                      carry=False)
+    wb = (Window.partitionBy(entity_col).orderBy(bucket_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(entity_col).orderBy(bucket_col)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    x = F.unix_micros(F.col(bucket_col)).cast("double")
+    out = dense
+    for c in value_cols:
+        xv = F.when(F.col(c).isNotNull(), x)
+        pv = F.last(c, ignorenulls=True).over(wb)
+        px = F.last(xv, ignorenulls=True).over(wb)
+        nv = F.first(c, ignorenulls=True).over(wf)
+        nx = F.first(xv, ignorenulls=True).over(wf)
+        interp = pv + (nv - pv) * ((x - px) / (nx - px))
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(pv.isNotNull() & nv.isNotNull(), interp))
+    return out

@@ -465,6 +465,65 @@ FROM j
 """
 
 
+def _gap_interpolate(spark, sf_dir):
+    """Linear-interpolation twin of gap_fill: interior gaps in the
+    per-user daily series take the straight line between neighbouring
+    known days (leading/trailing gaps stay NULL).  Epoch-µs-as-double
+    abscissa keeps the interpolation weight bit-portable."""
+    from ..operators.gapfill import interpolate_gaps
+
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(28,4)"))
+                  .cast("double").alias("day_value")))
+    filled = interpolate_gaps(daily, "user_id", "day", "1 day",
+                              ["day_value"])
+    return filled.select("user_id", "day", "day_value", "was_gap")
+
+
+_GAP_INTERPOLATE_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS day_value,
+         TRUE AS present
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+          FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+  FROM spans
+),
+j AS (
+  SELECT s.user_id, s.day, d.day_value,
+         d.present IS NULL AS was_gap,
+         CAST(epoch_us(s.day) AS DOUBLE) AS xb,
+         CASE WHEN d.day_value IS NOT NULL
+              THEN CAST(epoch_us(s.day) AS DOUBLE) END AS xv
+  FROM spine s LEFT JOIN daily d USING (user_id, day)
+),
+w AS (
+  SELECT user_id, day, day_value, was_gap, xb,
+         last_value(day_value IGNORE NULLS) OVER wprev AS pv,
+         last_value(xv IGNORE NULLS) OVER wprev AS px,
+         first_value(day_value IGNORE NULLS) OVER wnext AS nv,
+         first_value(xv IGNORE NULLS) OVER wnext AS nx
+  FROM j
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wnext AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE WHEN day_value IS NOT NULL THEN day_value
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * ((xb - px) / (nx - px))
+       END AS day_value,
+       was_gap
+FROM w
+"""
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -716,5 +775,6 @@ QUERIES = [
     DeclaredQuery("agg_salted_hot_keys", _agg_salted_hot_keys, _AGG_SALTED_SQL, "OP-AGG-TIME (skew/salting)"),
     DeclaredQuery("gap_detect", _gap_detect, _GAP_DETECT_SQL, "OP-JOIN-ANTI/OP-F-DATE (gap detection)"),
     DeclaredQuery("gap_fill", _gap_fill, _GAP_FILL_SQL, "OP-AGG-TIME (gap fill / carry-forward)"),
+    DeclaredQuery("gap_interpolate", _gap_interpolate, _GAP_INTERPOLATE_SQL, "OP-AGG-TIME (gap fill / linear interpolation)"),
     DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),
 ]

@@ -107,6 +107,7 @@ _DEPTH = [
     "agg_salted_hot_keys",
     "gap_detect",
     "gap_fill",
+    "gap_interpolate",
     "anomaly_zscore",
     "text_boilerplate",
     "dataset_interleave",

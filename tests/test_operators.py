@@ -494,3 +494,27 @@ def test_multimodal_frame_sampling(spark):
     one = sample_frames(df, "asset_id", "payload",
                         splitter=lambda p, fb, en: [p]).count()
     assert one == len(rows)
+
+
+def test_gap_interpolate_linear_interior_null_edges(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.gapfill import interpolate_gaps
+
+    series = spark.createDataFrame(
+        [(1, "2024-01-02", 10.0), (1, "2024-01-05", 40.0),
+         (1, "2024-01-06", 0.0)],
+        "entity long, day string, v double").select(
+            "entity", F.col("day").cast("timestamp").alias("day"), "v")
+    out = {str(r.day): (r.v, r.was_gap)
+           for r in interpolate_gaps(series, "entity", "day", "1 day",
+                                     ["v"]).collect()}
+    # interior gaps take the straight line between (01-02, 10) and
+    # (01-05, 40): +10/day
+    assert out["2024-01-03 00:00:00"] == (20.0, True)
+    assert out["2024-01-04 00:00:00"] == (30.0, True)
+    # present rows untouched
+    assert out["2024-01-02 00:00:00"] == (10.0, False)
+    assert out["2024-01-06 00:00:00"] == (0.0, False)
+    # spine spans min..max only: no leading/trailing rows fabricated
+    assert len(out) == 5
