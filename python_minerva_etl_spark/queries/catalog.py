@@ -91,6 +91,7 @@ _DEPTH = [
     "agg_time_sliding",
     "stream_sliding_parity",
     "stream_dedup_parity",
+    "stream_enrich_parity",
     "stream_session_parity",
     "events_session_window",
     "agg_time_1d",

@@ -78,6 +78,29 @@ GROUP BY 1, 2
 """
 
 
+def _stream_enrich_parity(spark, sf_dir):
+    """OP-STR-INGEST (stream-static enrichment): the event stream
+    joined to the static customer dimension (broadcast — each
+    micro-batch enriches scan-local, no stream-side shuffle and no
+    streaming state at all).  availableNow append == the batch join
+    bit-for-bit; at 100 TB the dim is re-broadcast per batch, so dim
+    updates between batches are picked up without restarting."""
+    stream = read_events_stream(spark, sf_dir)
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    enriched = (stream.join(F.broadcast(dim), "user_id")
+                .select("event_id", "user_id", "segment", "value"))
+    name = f"stream_enrich_{next(_STREAM_SEQ)}"
+    return run_available_now(spark, enriched, name, output_mode="append")
+
+
+_STREAM_ENRICH_PARITY_SQL = """
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def _stream_dedup_parity(spark, sf_dir):
     """OP-STR × EXT-DEDUP: watermarked first-seen-per-key streaming
     dedup on the (user_id, event_type) natural key, availableNow —
@@ -220,4 +243,7 @@ QUERIES = [
     DeclaredQuery("stream_join_parity", _stream_join_parity,
                   _STREAM_JOIN_PARITY_SQL,
                   "OP-STR (stream-stream interval join)"),
+    DeclaredQuery("stream_enrich_parity", _stream_enrich_parity,
+                  _STREAM_ENRICH_PARITY_SQL,
+                  "OP-STR-INGEST (stream-static enrichment)"),
 ]

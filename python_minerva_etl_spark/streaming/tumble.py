@@ -81,15 +81,17 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour",
 
 
 def run_available_now(spark: SparkSession, result: DataFrame,
-                      query_name: str) -> DataFrame:
+                      query_name: str,
+                      output_mode: str = "complete") -> DataFrame:
     """Execute the streaming plan over all currently-available input
     (batch-parity mode) into an in-memory sink; returns the final
     table.  ``complete`` output mode emits every window regardless of
-    watermark progress — required for exact batch parity (append mode
-    would hold back the last windows)."""
+    watermark progress — required for exact batch parity of
+    aggregations (append would hold back the last windows); row-level
+    plans (stream-static enrichment) pass ``append``."""
     q = (result.writeStream.format("memory")
          .queryName(query_name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
