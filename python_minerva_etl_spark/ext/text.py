@@ -162,6 +162,71 @@ def hash_draw(id_col: str, salt: str, n_hex: int = 8) -> Column:
         1, n_hex), 16, 10).cast("bigint")
 
 
+def quality_prune(docs: DataFrame, keep_frac: float = 0.5,
+                  by: str = "lang", id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Quality-percentile pruning: keep the top ``keep_frac`` of each
+    group by quality score — the standard "filter to the best half"
+    pretraining curation step, per language so a low-resource language
+    is pruned against its own distribution, not English's.
+
+    The cut is a per-group exact quantile *threshold* joined back and
+    applied as a scan-local filter — NOT a per-group global sort: the
+    threshold table is |groups| rows (broadcast), so the corpus itself
+    never shuffles.  Exact ``percentile`` buffers each group's values
+    in the agg; at 100 TB swap in ``approx_percentile`` (same shape,
+    sketch-mergeable) — the threshold join/filter stays identical.
+    Ties at the threshold are kept (deterministic, may slightly exceed
+    ``keep_frac``).
+    """
+    scored = docs.select(id_col, by, quality_score(text_col).alias("quality"))
+    thr = scored.groupBy(by).agg(
+        F.expr(f"percentile(quality, {1.0 - keep_frac!r})").alias("q_thr"))
+    return (scored.join(F.broadcast(thr), by)
+            .filter(F.col("quality") >= F.col("q_thr"))
+            .select(id_col, by, "quality", "q_thr"))
+
+
+def mix_epochs(docs: DataFrame, budget_tokens: int,
+               group_col: str = "source", max_epochs: int = 4,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-source epoch (repeat) planning: split a total token budget
+    equally across sources and repeat each source's documents enough
+    whole epochs to fill its share, capped at ``max_epochs`` (repeating
+    a small high-quality source a few times is standard pretraining
+    practice; repeating it dozens of times degrades, hence the cap).
+
+    All-integer arithmetic (token counts, integer division) — the
+    plan is bit-portable by construction.  Each doc is emitted once
+    per epoch with ``repeat_ix`` 0..epochs-1; downstream shuffling
+    (``deterministic_shuffle`` salts by id) spreads the repeats.
+
+    Scale shape: per-source token totals are a tiny aggregation; the
+    repeat factor joins back broadcast; the explode multiplies rows
+    scan-local with no shuffle.
+    """
+    toks = docs.select(id_col, group_col,
+                       token_count_ws(text_col).alias("__t"))
+    totals = toks.groupBy(group_col).agg(
+        F.sum("__t").cast("bigint").alias("__tok_total"))
+    n_src = totals.agg(F.count("*").alias("__n_src"))
+    plan = (totals.crossJoin(F.broadcast(n_src))
+            .withColumn("__share",
+                        F.expr(f"{int(budget_tokens)} div __n_src"))
+            .withColumn(
+                "epochs",
+                F.least(F.lit(max_epochs),
+                        F.greatest(F.lit(1),
+                                   F.expr("__share div __tok_total")))
+                .cast("int"))
+            .select(group_col, "__tok_total", "epochs"))
+    return (toks.join(F.broadcast(plan), group_col)
+            .select(id_col, group_col, "epochs",
+                    F.explode(F.sequence(
+                        F.lit(0), F.col("epochs") - 1)).alias("repeat_ix")))
+
+
 def temperature_sample(df: DataFrame, id_col: str, group_col: str,
                        target_frac: float = 0.5,
                        salt: str = "temp-v1") -> DataFrame:

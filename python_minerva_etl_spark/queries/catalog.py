@@ -133,6 +133,8 @@ _DEPTH = [
     "text_repetition",
     "text_vocab_topk",
     "corpus_filter_funnel",
+    "corpus_quality_prune",
+    "dataset_mix_epochs",
     "dataset_length_buckets",
     "text_diversity",
     "dedup_clusters",

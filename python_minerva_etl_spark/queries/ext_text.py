@@ -361,6 +361,77 @@ FROM documents
 """
 
 
+def _corpus_quality_prune(spark, sf_dir):
+    """EXT corpus curation (quality pruning): keep each language's top
+    half by quality score via a per-group exact-quantile THRESHOLD
+    broadcast back — the corpus never shuffles (vs a per-group rank
+    sort).  At 100 TB the threshold agg switches to approx_percentile;
+    join and filter stay identical."""
+    return X.quality_prune(t(spark, sf_dir, "documents"), keep_frac=0.5)
+
+
+_CORPUS_QUALITY_PRUNE_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+           AS n_punct,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','a','of','and','to','in','is','value')))
+              AS BIGINT) AS stop_hits,
+         length(text) AS n_chars_txt
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         0.5 * least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+         + 0.3 * least(CAST(stop_hits AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE) * 4.0, 1.0)
+         + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE)
+                              / CAST(n_chars_txt AS DOUBLE) * 10.0, 1.0))
+           AS quality
+  FROM f
+),
+thr AS (SELECT lang, quantile_cont(quality, 0.5) AS q_thr FROM q GROUP BY 1)
+SELECT q.doc_id, q.lang, q.quality, thr.q_thr
+FROM q JOIN thr ON q.lang = thr.lang
+WHERE q.quality >= thr.q_thr
+"""
+
+
+def _dataset_mix_epochs(spark, sf_dir):
+    """EXT dataset mixing (epoch planning): the token budget splits
+    equally across sources; each source repeats whole epochs to fill
+    its share, capped at 4 (standard small-source upsampling).  All
+    integer arithmetic — bit-portable by construction; the repeat
+    explode is scan-local."""
+    return X.mix_epochs(t(spark, sf_dir, "documents"),
+                        budget_tokens=100_000, max_epochs=4)
+
+
+_DATASET_MIX_EPOCHS_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS t
+  FROM documents
+),
+totals AS (
+  SELECT source, CAST(SUM(t) AS BIGINT) AS tok_total
+  FROM toks GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_src FROM totals),
+plan AS (
+  SELECT source,
+         CAST(least(4, greatest(1, (100000 // n_src) // tok_total))
+              AS INTEGER) AS epochs
+  FROM totals CROSS JOIN n
+)
+SELECT tk.doc_id, tk.source, p.epochs,
+       unnest(generate_series(0, p.epochs - 1)) AS repeat_ix
+FROM toks tk JOIN plan p ON tk.source = p.source
+"""
+
+
 def _dedup_incremental(spark, sf_dir):
     """EXT-DEDUP (incremental/continuous-ingest): the corpus arrives
     as two id-ordered batches; each is deduped against the persisted
@@ -804,6 +875,8 @@ GROUP BY pos.doc_id
 QUERIES = [
     DeclaredQuery("text_redact", _text_redact, _TEXT_REDACT_SQL, "EXT-TEXT (PII redaction)"),
     DeclaredQuery("dedup_spans", _dedup_spans, _DEDUP_SPANS_SQL, "EXT-DEDUP (duplicated-span removal)"),
+    DeclaredQuery("corpus_quality_prune", _corpus_quality_prune, _CORPUS_QUALITY_PRUNE_SQL, "EXT corpus curation (quality-percentile pruning)"),
+    DeclaredQuery("dataset_mix_epochs", _dataset_mix_epochs, _DATASET_MIX_EPOCHS_SQL, "EXT dataset mixing (epoch planning)"),
     DeclaredQuery("corpus_filter_funnel", _corpus_filter_funnel, _funnel_oracle(), "EXT corpus curation (one-pass filter funnel)"),
     DeclaredQuery("dataset_length_buckets", _dataset_length_buckets, _DATASET_LENGTH_BUCKETS_SQL, "EXT dataset batching (length buckets)"),
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),

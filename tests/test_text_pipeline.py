@@ -192,3 +192,43 @@ def test_temperature_sample_partitioning_invariant(spark):
          temperature_sample(docs.repartition(13), "doc_id", "source")
          .select("doc_id").collect()}
     assert a == b
+
+
+def test_quality_prune_keeps_top_half_per_lang(spark):
+    from python_minerva_etl_spark.ext.text import quality_prune
+
+    docs = load_table(spark, SF, "documents")
+    kept = quality_prune(docs, keep_frac=0.5)
+    per_lang = {r.lang: r.cnt for r in
+                kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    totals = {r.lang: r.cnt for r in
+              docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, n in totals.items():
+        # >= half (ties at the threshold are kept), < everything
+        assert per_lang[lang] >= n // 2
+        assert per_lang[lang] < n or n <= 2
+    # every kept doc really clears its own language's threshold
+    assert kept.filter(F.col("quality") < F.col("q_thr")).count() == 0
+
+
+def test_mix_epochs_caps_and_favors_small_sources(spark):
+    from python_minerva_etl_spark.ext.text import mix_epochs
+
+    docs = load_table(spark, SF, "documents")
+    out = mix_epochs(docs, budget_tokens=50_000, max_epochs=4)
+    plan = {r.source: r.epochs for r in
+            out.select("source", "epochs").distinct().collect()}
+    toks = {r.source: r.t for r in
+            docs.groupBy("source").agg(
+                F.sum(F.size(F.split(F.lower("text"), " "))).alias("t"))
+            .collect()}
+    assert all(1 <= e <= 4 for e in plan.values())
+    # epochs is monotone non-increasing in source token mass
+    by_mass = sorted(plan, key=lambda s: toks[s])
+    for small, big in zip(by_mass, by_mass[1:]):
+        assert plan[small] >= plan[big]
+    # each doc appears exactly `epochs` times
+    bad = (out.groupBy("doc_id", "epochs")
+           .agg(F.count("*").alias("n"))
+           .filter(F.col("n") != F.col("epochs")).count())
+    assert bad == 0
