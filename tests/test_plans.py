@@ -209,3 +209,31 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_temperature_sample_filters_scan_local(spark):
+    """The per-group probabilities must BROADCAST back onto the corpus:
+    the sample is a scan-local filter, never a corpus shuffle."""
+    plan = _plan(spark, "dataset_temperature_sample")
+    assert "BroadcastHashJoin" in plan
+    # the docs side of the join must come straight from the scan —
+    # no Exchange between Scan parquet and the broadcast join's
+    # streamed side (the only exchanges allowed feed the tiny
+    # stats/totals aggregations)
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_quality_prune_threshold_is_broadcast(spark):
+    plan = _plan(spark, "corpus_quality_prune")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_and_dropset(spark):
+    """Centroid scoring and the dropped-id anti side must broadcast;
+    the only sort-merge-scale shuffles allowed are the cluster-scoped
+    pair join and the argmax aggregation."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # argmax is a real partial->final aggregate, not a window sort
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Window" not in plan
