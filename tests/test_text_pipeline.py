@@ -232,3 +232,24 @@ def test_mix_epochs_caps_and_favors_small_sources(spark):
            .agg(F.count("*").alias("n"))
            .filter(F.col("n") != F.col("epochs")).count())
     assert bad == 0
+
+
+def test_corpus_pipeline_example_runs(spark):
+    """The end-to-end curation example stays runnable and monotone:
+    every destructive stage can only shrink the corpus, and the split
+    partitions the sampled set exactly."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "corpus_pipeline.py")
+    spec = importlib.util.spec_from_file_location("corpus_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    c = mod.run(spark, SF)
+    chain = ["raw", "gated", "exact_dedup", "near_dedup",
+             "semantic_dedup", "quality_pruned", "temperature_sampled"]
+    for a, b in zip(chain, chain[1:]):
+        assert c[a] >= c[b] > 0
+    assert c["epoch_rows"] >= c["temperature_sampled"]
+    assert c["train"] + c["holdout"] == c["temperature_sampled"]
