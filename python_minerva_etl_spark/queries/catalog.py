@@ -110,6 +110,8 @@ _DEPTH = [
     "gap_fill",
     "gap_interpolate",
     "anomaly_zscore",
+    "cohort_retention",
+    "funnel_conversion",
     "text_boilerplate",
     "dataset_interleave",
     "set_intersect",

@@ -408,6 +408,80 @@ SELECT user_id, day, event_type AS trend, value FROM wide
 """
 
 
+def _cohort_retention(spark, sf_dir):
+    """OP-NOTIF analytics (cohort retention): users grouped by
+    first-activity week; per later week, actives and the fraction of
+    the cohort's week-0 size.  Output cardinality = cohorts x weeks —
+    tiny at any input scale; one entity-keyed shuffle feeds it."""
+    from ..operators.analytics import cohort_retention
+
+    return cohort_retention(t(spark, sf_dir, "events"),
+                            entity_col="user_id", bucket="week")
+
+
+_COHORT_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS b
+  FROM events
+),
+counts AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, a.b) // 7 AS INTEGER)
+           AS bucket_ix,
+         COUNT(*) AS n_active
+  FROM active a JOIN firsts f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort, bucket_ix, n_active,
+       CAST(n_active AS DOUBLE)
+         / CAST(MAX(CASE WHEN bucket_ix = 0 THEN n_active END)
+                  OVER (PARTITION BY cohort) AS DOUBLE) AS retention
+FROM counts
+"""
+
+
+def _funnel_conversion(spark, sf_dir):
+    """OP-NOTIF analytics (ordered funnel): signup -> click ->
+    purchase, each step strictly after the previous step's first
+    completion.  Single-row counts + step conversions; every join
+    after the first shuffle is co-partitioned on user_id."""
+    from ..operators.analytics import funnel_conversion
+
+    return funnel_conversion(t(spark, sf_dir, "events"),
+                             steps=["signup", "click", "purchase"])
+
+
+_FUNNEL_CONVERSION_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+       (SELECT COUNT(*) FROM s2) AS n_click,
+       (SELECT COUNT(*) FROM s3) AS n_purchase,
+       CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS conv_click,
+       CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) AS conv_purchase
+"""
+
+
 QUERIES = [
     DeclaredQuery("reshape_wide", _reshape_wide, _RESHAPE_WIDE_SQL, "OP-TYPE/loader pivot"),
     DeclaredQuery("reshape_long", _reshape_long, _RESHAPE_LONG_SQL, "OP-TYPE/loader unpivot"),
@@ -420,4 +494,6 @@ QUERIES = [
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
+    DeclaredQuery("cohort_retention", _cohort_retention, _COHORT_RETENTION_SQL, "OP-NOTIF (cohort retention)"),
+    DeclaredQuery("funnel_conversion", _funnel_conversion, _FUNNEL_CONVERSION_SQL, "OP-NOTIF (ordered funnel)"),
 ]

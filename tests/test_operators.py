@@ -518,3 +518,60 @@ def test_gap_interpolate_linear_interior_null_edges(spark):
     assert out["2024-01-06 00:00:00"] == (0.0, False)
     # spine spans min..max only: no leading/trailing rows fabricated
     assert len(out) == 5
+
+
+def test_funnel_requires_strict_order(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.analytics import \
+        funnel_conversion
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "2024-01-01 10:00:00", "signup"),
+        (1, "2024-01-02 10:00:00", "click"),
+        (1, "2024-01-03 10:00:00", "purchase"),
+        # u2: purchase BEFORE the first click -> reaches click only
+        (2, "2024-01-01 10:00:00", "signup"),
+        (2, "2024-01-02 10:00:00", "purchase"),
+        (2, "2024-01-03 10:00:00", "click"),
+        # u3: signup only
+        (3, "2024-01-01 10:00:00", "signup"),
+        # u4: click/purchase but never signed up -> not in funnel
+        (4, "2024-01-01 10:00:00", "click"),
+        (4, "2024-01-02 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    got = funnel_conversion(ev, ["signup", "click", "purchase"]).first()
+    assert got.n_signup == 3
+    assert got.n_click == 2          # u1, u2
+    assert got.n_purchase == 1       # u1 only (u2's purchase predates click)
+    assert abs(got.conv_click - 2 / 3) < 1e-12
+    assert got.conv_purchase == 0.5
+
+
+def test_cohort_retention_tracks_cohort_base(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.analytics import \
+        cohort_retention
+
+    rows = [
+        # cohort week of 2024-01-01 (Mon): users 1,2; user 2 churns
+        (1, "2024-01-02 08:00:00"), (1, "2024-01-09 08:00:00"),
+        (2, "2024-01-03 08:00:00"),
+        # cohort week of 2024-01-08: user 3, active both weeks
+        (3, "2024-01-10 08:00:00"), (3, "2024-01-16 08:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")).withColumn(
+        "event_type", F.lit("view"))
+    got = {(str(r.cohort), r.bucket_ix): (r.n_active, r.retention)
+           for r in cohort_retention(ev).collect()}
+    assert got[("2024-01-01 00:00:00", 0)] == (2, 1.0)
+    assert got[("2024-01-01 00:00:00", 1)] == (1, 0.5)
+    assert got[("2024-01-08 00:00:00", 0)] == (1, 1.0)
+    assert got[("2024-01-08 00:00:00", 1)] == (1, 1.0)
+    assert len(got) == 4
