@@ -107,6 +107,7 @@ _DEPTH = [
     "agg_pctl_from_hist",
     "agg_salted_hot_keys",
     "gap_detect",
+    "data_quality_report",
     "gap_fill",
     "gap_interpolate",
     "anomaly_zscore",

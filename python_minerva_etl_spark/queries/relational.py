@@ -600,7 +600,62 @@ GROUP BY 1
 """
 
 
+def _data_quality_report(spark, sf_dir):
+    """OP-SNK data contracts: declarative load-time validation — value
+    ranges + PK uniqueness + referential integrity in one report (the
+    lake-side stand-in for the reference's PostgreSQL constraints).
+    All predicate rules share ONE scan; l_tax <= 0.05 is intentionally
+    violated by TPC-H data so the report shape is non-degenerate."""
+    from ..operators.validation import Rule, validate
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    rules = [
+        Rule("qty_range", predicate="l_quantity BETWEEN 1 AND 50"),
+        Rule("shipdate_not_null", predicate="l_shipdate IS NOT NULL"),
+        Rule("tax_low", predicate="l_tax <= 0.05"),
+        Rule("pk_unique", unique=("l_orderkey", "l_linenumber")),
+        Rule("fk_orders",
+             foreign_key=(("l_orderkey",), orders, ("o_orderkey",))),
+    ]
+    return validate(li, rules)
+
+
+_DATA_QUALITY_REPORT_SQL = """
+SELECT 'qty_range' AS rule,
+       COUNT(*) AS n_checked,
+       COUNT(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                  THEN 1 END) AS n_violations,
+       COUNT(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                  THEN 1 END) = 0 AS pass
+FROM lineitem
+UNION ALL
+SELECT 'shipdate_not_null', COUNT(*),
+       COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END),
+       COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'tax_low', COUNT(*),
+       COUNT(CASE WHEN NOT coalesce(l_tax <= 0.05, FALSE) THEN 1 END),
+       COUNT(CASE WHEN NOT coalesce(l_tax <= 0.05, FALSE) THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'pk_unique', CAST(SUM(c) AS BIGINT), CAST(SUM(c - 1) AS BIGINT),
+       SUM(c - 1) = 0
+FROM (SELECT COUNT(*) AS c FROM lineitem
+      GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'fk_orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+"""
+
+
 QUERIES = [
+    DeclaredQuery("data_quality_report", _data_quality_report, _DATA_QUALITY_REPORT_SQL, "OP-SNK (data contracts / validation)"),
     DeclaredQuery("project_select", _project_select, _PROJECT_SELECT_SQL, "OP-PROJ"),
     DeclaredQuery("filter_time_range", _filter_time_range, _FILTER_TIME_RANGE_SQL, "OP-FILT"),
     DeclaredQuery("json_extract", _json_extract, _JSON_EXTRACT_SQL, "OP-JSON/OP-F-JSON"),

@@ -575,3 +575,43 @@ def test_cohort_retention_tracks_cohort_base(spark):
     assert got[("2024-01-08 00:00:00", 0)] == (1, 1.0)
     assert got[("2024-01-08 00:00:00", 1)] == (1, 1.0)
     assert len(got) == 4
+
+
+def test_validate_rules_and_quarantine_split(spark):
+    from python_minerva_etl_spark.operators.validation import (Rule,
+                                                               quarantine,
+                                                               validate)
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, -5, "b"), (2, 7, None), (3, 200, "c")],
+        "id long, qty long, tag string")
+    ref = spark.createDataFrame([("a",), ("b",), ("c",)], "tag string")
+    rules = [
+        Rule("qty_pos", predicate="qty > 0"),
+        Rule("qty_max", predicate="qty <= 100"),
+        Rule("id_unique", unique=("id",)),
+        Rule("tag_fk", foreign_key=(("tag",), ref, ("tag",))),
+    ]
+    rep = {r.rule: (r.n_checked, r.n_violations, r["pass"])
+           for r in validate(df, rules).collect()}
+    assert rep["qty_pos"] == (4, 1, False)       # -5
+    assert rep["qty_max"] == (4, 1, False)       # 200
+    assert rep["id_unique"] == (4, 1, False)     # id=2 twice
+    assert rep["tag_fk"] == (4, 1, False)        # NULL tag not in ref
+
+    clean, bad = quarantine(df, [r for r in rules if r.predicate])
+    assert {r.id for r in clean.collect()} == {1, 2}  # rows passing both
+    flagged = {(r.id, r.qty): set(r.failed_rules) for r in bad.collect()}
+    assert flagged[(2, -5)] == {"qty_pos"}
+    assert flagged[(3, 200)] == {"qty_max"}
+
+
+def test_validate_rule_requires_exactly_one_form():
+    import pytest as _pytest
+
+    from python_minerva_etl_spark.operators.validation import Rule
+
+    with _pytest.raises(ValueError):
+        Rule("bad", predicate="x > 0", unique=("x",))
+    with _pytest.raises(ValueError):
+        Rule("empty")
