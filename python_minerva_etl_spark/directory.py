@@ -121,3 +121,50 @@ def resolve(df: DataFrame, registry: DataFrame, dn_col: str = "dn",
     return (joined.withColumn(
         "entity_key", F.coalesce(F.col("__existing"), entity_key(dn_col)))
         .drop("__dn", "__existing"))
+
+
+def fuzzy_match(dirty: DataFrame, registry: DataFrame,
+                dirty_id: str, dirty_col: str,
+                reg_id: str, reg_col: str,
+                max_dist: int = 2) -> DataFrame:
+    """Fuzzy alias resolution: map each dirty name to the registry
+    entry with the smallest Levenshtein distance <= ``max_dist``
+    (ties broken by registry id; unmatched rows are absent).
+
+    The reference resolves entities by exact dn/alias lookup
+    (minerva/directory/entityref.py [U]); vendor exports misspell —
+    this is the recovery path.
+
+    Scale shape: the registry is a directory-class dimension →
+    broadcast.  Candidate generation is an EQUI-join on name length
+    (registry rows replicated over lengths l-k..l+k — sound: edit
+    distance <= k implies a length difference <= k), so the plan is a
+    BroadcastHashJoin, never a nested loop over the whole registry;
+    the exact distance runs only on length-compatible candidates, and
+    the argmin is one map-side-combined struct-min aggregation.
+    Tighter blocking (entity_type, PassJoin segments) composes by
+    adding columns to the join key.
+    """
+    reg = registry.select(
+        F.col(reg_id).alias("match_id"),
+        F.col(reg_col).alias("match_name"),
+        F.explode(F.sequence(
+            F.length(reg_col) - max_dist,
+            F.length(reg_col) + max_dist)).alias("__bl"))
+    d = dirty.select(
+        F.col(dirty_id).alias("src_id"),
+        F.col(dirty_col).alias("src_name"),
+        F.length(dirty_col).alias("__bl"))
+    cand = (d.join(F.broadcast(reg), "__bl")
+            .withColumn("dist", F.levenshtein("src_name", "match_name"))
+            .filter(F.col("dist") <= max_dist))
+    best = (cand.groupBy("src_id")
+            .agg(F.max(F.struct(
+                (-F.col("dist")).alias("nd"),
+                (-F.col("match_id")).alias("nm"),
+                F.col("src_name"), F.col("match_name"))).alias("m")))
+    return best.select(
+        "src_id", F.col("m.src_name").alias("src_name"),
+        (-F.col("m.nm")).alias("match_id"),
+        F.col("m.match_name").alias("match_name"),
+        (-F.col("m.nd")).alias("dist"))

@@ -108,6 +108,7 @@ _DEPTH = [
     "agg_salted_hot_keys",
     "gap_detect",
     "data_quality_report",
+    "entity_fuzzy_match",
     "gap_fill",
     "gap_interpolate",
     "anomaly_zscore",

@@ -654,7 +654,50 @@ SELECT 'fk_orders',
 """
 
 
+def _entity_fuzzy_match(spark, sf_dir):
+    """OP-DIR-ENTITY (fuzzy alias recovery): customer names corrupted
+    by deleting their 2nd character are matched back to the registry
+    by minimum Levenshtein distance (<= 2, id tiebreak) — broadcast
+    registry, length-blocked equi-join candidates, never a nested
+    loop.  Every corrupted name must recover its own entity (distance
+    1 beats the >= 2 of any sibling)."""
+    from ..directory import fuzzy_match
+
+    cust = t(spark, sf_dir, "customer")
+    registry = cust.select("c_custkey", "c_name")
+    dirty = (cust.filter(F.col("c_custkey") <= 200)
+             .select("c_custkey",
+                     F.concat(F.substring("c_name", 1, 1),
+                              F.substring("c_name", 3, 10000))
+                     .alias("dirty_name")))
+    return fuzzy_match(dirty, registry, "c_custkey", "dirty_name",
+                       "c_custkey", "c_name", max_dist=2)
+
+
+_ENTITY_FUZZY_MATCH_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS src_id,
+         concat(substring(c_name, 1, 1), substring(c_name, 3, 10000))
+           AS src_name
+  FROM customer WHERE c_custkey <= 200
+),
+cand AS (
+  SELECT d.src_id, d.src_name, r.c_custkey AS match_id,
+         r.c_name AS match_name,
+         CAST(levenshtein(d.src_name, r.c_name) AS BIGINT) AS dist
+  FROM dirty d JOIN customer r
+    ON abs(length(d.src_name) - length(r.c_name)) <= 2
+  WHERE levenshtein(d.src_name, r.c_name) <= 2
+)
+SELECT src_id, src_name, match_id, match_name, dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY dist, match_id) AS rn
+  FROM cand) WHERE rn = 1
+"""
+
+
 QUERIES = [
+    DeclaredQuery("entity_fuzzy_match", _entity_fuzzy_match, _ENTITY_FUZZY_MATCH_SQL, "OP-DIR-ENTITY (fuzzy alias recovery)"),
     DeclaredQuery("data_quality_report", _data_quality_report, _DATA_QUALITY_REPORT_SQL, "OP-SNK (data contracts / validation)"),
     DeclaredQuery("project_select", _project_select, _PROJECT_SELECT_SQL, "OP-PROJ"),
     DeclaredQuery("filter_time_range", _filter_time_range, _FILTER_TIME_RANGE_SQL, "OP-FILT"),

@@ -615,3 +615,45 @@ def test_validate_rule_requires_exactly_one_form():
         Rule("bad", predicate="x > 0", unique=("x",))
     with _pytest.raises(ValueError):
         Rule("empty")
+
+
+def test_fuzzy_match_blocking_tiebreak_and_no_match(spark):
+    from python_minerva_etl_spark.directory import fuzzy_match
+
+    reg = spark.createDataFrame(
+        [(1, "cell=A1"), (2, "cell=B1"), (3, "cell=AB1")],
+        "id long, name string")
+    dirty = spark.createDataFrame(
+        [(10, "cell=A1"),      # exact: dist 0 to id 1
+         (11, "cell=X1"),      # dist 1 to BOTH A1 and B1 -> min id 1
+         (12, "node=zzzzzz")],  # nothing within dist 2 -> absent
+        "id long, name string")
+    got = {r.src_id: (r.match_id, r.dist)
+           for r in fuzzy_match(dirty, reg, "id", "name",
+                                "id", "name", max_dist=2).collect()}
+    assert got[10] == (1, 0)
+    assert got[11] == (1, 1)   # id tiebreak on equal distance
+    assert 12 not in got
+
+
+def test_fuzzy_match_plan_is_broadcast_hash_join(spark):
+    """Length blocking must surface as an EQUI join (BroadcastHashJoin)
+    — a BroadcastNestedLoopJoin here means the abs(len-diff) predicate
+    leaked into the join condition and every registry row is scanned
+    per dirty row."""
+    import contextlib
+    import io
+
+    from python_minerva_etl_spark.directory import fuzzy_match
+    from python_minerva_etl_spark.registry import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    out = fuzzy_match(cust.select("c_custkey", "c_name"),
+                      cust.select("c_custkey", "c_name"),
+                      "c_custkey", "c_name", "c_custkey", "c_name")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
