@@ -151,3 +151,47 @@ def generalize_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
             nb = _to_name.get(f.dataType, "text")
             fields[f.name] = SPARK_TYPES[generalize(na, nb)]
     return T.StructType([T.StructField(k, v, True) for k, v in fields.items()])
+
+
+def schema_diff(old: T.StructType, new: T.StructType) -> list[dict]:
+    """Schema-drift report between two schema versions: what a loader
+    did to the store (the reference logs this as ALTER TABLE events;
+    a lake table records it across snapshot versions).
+
+    Returns one dict per changed column:
+    ``{"column", "change": added|removed|widened|narrowed|changed,
+    "from", "to"}`` — ``widened`` when the new type is reachable by
+    the deduction lattice (safe, what add-unknown-trends loading
+    does), ``narrowed``/``changed`` when it is not (requires operator
+    intervention, exactly like the reference's manual migrations).
+    """
+    _to_name = {
+        T.ShortType(): "smallint", T.IntegerType(): "integer",
+        T.LongType(): "bigint", T.FloatType(): "double",
+        T.DoubleType(): "double", T.BooleanType(): "boolean",
+        T.TimestampType(): "timestamp", T.StringType(): "text",
+    }
+    o = {f.name: f.dataType for f in old.fields}
+    n = {f.name: f.dataType for f in new.fields}
+    report: list[dict] = []
+    for name in o:
+        if name not in n:
+            report.append({"column": name, "change": "removed",
+                           "from": o[name].simpleString(), "to": None})
+        elif o[name] != n[name]:
+            na, nb = _to_name.get(o[name], "text"), _to_name.get(
+                n[name], "text")
+            if generalize(na, nb) == nb:
+                change = "widened"
+            elif generalize(na, nb) == na:
+                change = "narrowed"
+            else:
+                change = "changed"
+            report.append({"column": name, "change": change,
+                           "from": o[name].simpleString(),
+                           "to": n[name].simpleString()})
+    for name in n:
+        if name not in o:
+            report.append({"column": name, "change": "added",
+                           "from": None, "to": n[name].simpleString()})
+    return report

@@ -168,6 +168,17 @@ class SnapTable:
         paths = [os.path.join(self.path, e["path"]) for e in entries]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def schema_drift(self, spark: SparkSession, from_version: int,
+                     to_version: int | None = None) -> list[dict]:
+        """Schema-drift report between two snapshot versions —
+        added/removed/widened/narrowed columns classified against the
+        type-deduction lattice (``datatype.schema_diff``); reads only
+        parquet footers, never data."""
+        from ..datatype import schema_diff
+
+        return schema_diff(self.read(spark, from_version).schema,
+                           self.read(spark, to_version).schema)
+
     # ---------------- write ----------------
 
     def _write_data(self, df: DataFrame, key: list[str]) -> list[dict]:

@@ -56,3 +56,29 @@ def test_widen_to_adds_and_casts(spark):
         ["bigint", "double", "string"]
     row = out.collect()[0]
     assert row.a == 1 and row.b == 2.0 and row.c is None
+
+
+def test_schema_diff_classifies_drift():
+    from pyspark.sql import types as T
+
+    from python_minerva_etl_spark.datatype import schema_diff
+
+    old = T.StructType([
+        T.StructField("a", T.IntegerType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("gone", T.StringType()),
+        T.StructField("t", T.TimestampType()),
+    ])
+    new = T.StructType([
+        T.StructField("a", T.LongType()),      # widened (int -> bigint)
+        T.StructField("b", T.IntegerType()),   # narrowed
+        T.StructField("t", T.StringType()),    # widened to text (lattice top)
+        T.StructField("fresh", T.BooleanType()),
+    ])
+    rep = {r["column"]: r for r in schema_diff(old, new)}
+    assert rep["a"]["change"] == "widened"
+    assert rep["b"]["change"] == "narrowed"
+    assert rep["gone"]["change"] == "removed"
+    assert rep["t"]["change"] == "widened"
+    assert rep["fresh"]["change"] == "added" and rep["fresh"]["from"] is None
+    assert "c" not in rep

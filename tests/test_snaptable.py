@@ -446,3 +446,18 @@ def test_cdc_maintained_agg_equals_recompute_random(spark, tmp_path):
             "g string, samples long, sum_value double").select(
             "g", "samples",
             F.col("sum_value").cast("decimal(28,4)").alias("sum_value"))
+
+
+def test_schema_drift_across_versions(spark, tmp_path):
+    from python_minerva_etl_spark.storage.snaptable import SnapTable
+
+    t = SnapTable(str(tmp_path / "drift"))
+    b1 = spark.createDataFrame([(1, 10, 1)], "k long, v int, seq int")
+    t.merge(spark, b1, key=["k"], seq_col="seq")
+    b2 = spark.createDataFrame([(2, 20, "x", 2)],
+                               "k long, v int, tag string, seq int")
+    t.merge(spark, b2, key=["k"], seq_col="seq")
+    rep = {r["column"]: r for r in
+           t.schema_drift(spark, from_version=1, to_version=2)}
+    assert rep["tag"]["change"] == "added"
+    assert "k" not in rep and "v" not in rep
