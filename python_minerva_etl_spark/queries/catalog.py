@@ -152,6 +152,7 @@ _DEPTH = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "embedding_centroids",
+    "mm_frame_sample",
     "embedding_quantize",
     "sim_topk_lsh",
     "sim_topk_ivf",

@@ -199,6 +199,44 @@ WHERE label < 5
 """
 
 
+def _mm_frame_sample(spark, sf_dir):
+    """EXT-MM-COL (1:N frame sampling, Arrow path): every doc's bytes
+    demuxed into 32-byte frames, every 2nd kept — the mapInPandas
+    explode-shape stage oracle-verified end to end (the codec is the
+    documented deterministic stub; the Spark-side plumbing — schema,
+    Arrow batching, 1:N row fan-out — is the real thing).  Frames are
+    hex-encoded in the output so both engines hash identical values."""
+    from ..ext.multimodal import sample_frames
+
+    docs = t(spark, sf_dir, "documents")
+    b = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = sample_frames(b, "doc_id", "payload",
+                           frame_bytes=32, every_n=2)
+    return frames.select("asset_id", "frame_idx",
+                         F.hex("frame").alias("frame_hex"), "n_bytes")
+
+
+_MM_FRAME_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS len
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, h,
+         unnest(generate_series(
+           0, CAST(ceil(len / 32.0) AS BIGINT) - 1)) AS orig_ix
+  FROM b WHERE len > 0
+)
+SELECT doc_id AS asset_id,
+       CAST(orig_ix // 2 AS INTEGER) AS frame_idx,
+       substring(h, CAST(orig_ix * 64 + 1 AS BIGINT), 64) AS frame_hex,
+       CAST(length(substring(h, CAST(orig_ix * 64 + 1 AS BIGINT), 64)) // 2
+            AS BIGINT) AS n_bytes
+FROM idx WHERE orig_ix % 2 = 0
+"""
+
+
 def _fn_array_ops(spark, sf_dir):
     """OP-F-ARRAY: array family — size, element access, contains,
     exact double-fold sums (sum of elements, L2 norm)."""
@@ -309,6 +347,7 @@ QUERIES = [
     DeclaredQuery("dedup_embedding_lsh", _dedup_embedding_lsh, None, "EXT-DEDUP (embedding LSH scale path)"),
     DeclaredQuery("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL, "EXT-DEDUP (semantic, SemDeDup-style)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
+    DeclaredQuery("mm_frame_sample", _mm_frame_sample, _MM_FRAME_SAMPLE_SQL, "EXT-MM-COL (1:N frame sampling, mapInPandas)"),
     DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),
     DeclaredQuery("embedding_centroids", _embedding_centroids, _EMBEDDING_CENTROIDS_SQL, "EXT-SIM (label centroids)"),
 ]
