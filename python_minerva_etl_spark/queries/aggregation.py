@@ -465,6 +465,36 @@ FROM j
 """
 
 
+def _agg_mode(spark, sf_dir):
+    """OP-AGG (mode): most frequent event_type per user (ties broken
+    to the lexicographically last type) — two partial-aggregatable
+    hash aggs (count per (user, type), then struct-max per user);
+    never a per-group sort."""
+    ev = t(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count("*").alias("__c")))
+    return (counts
+            .groupBy("user_id")
+            .agg(F.max(F.struct(F.col("__c").alias("c"),
+                                F.col("event_type"))).alias("m"))
+            .select("user_id",
+                    F.col("m.event_type").alias("mode_type"),
+                    F.col("m.c").alias("n_occurrences")))
+
+
+_AGG_MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, n AS n_occurrences FROM (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type DESC) AS rn
+  FROM c) WHERE rn = 1
+"""
+
+
 def _gap_interpolate(spark, sf_dir):
     """Linear-interpolation twin of gap_fill: interior gaps in the
     per-user daily series take the straight line between neighbouring
@@ -767,6 +797,7 @@ QUERIES = [
     DeclaredQuery("agg_hll_reagg", _agg_hll_reagg, None, "OP-AGG-DISTINCT/OP-AGG-PARTIAL (mergeable sketches)"),
     DeclaredQuery("agg_pctl_from_hist", _agg_pctl_from_hist, _AGG_PCTL_FROM_HIST_SQL, "OP-AGG-PARTIAL (mergeable histogram quantiles)"),
     DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
+    DeclaredQuery("agg_mode", _agg_mode, _AGG_MODE_SQL, "OP-AGG (mode / most-frequent)"),
     DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),
     DeclaredQuery("agg_variance_exact", _agg_variance_exact, _AGG_VARIANCE_EXACT_SQL, "OP-AGG (variance)"),
     DeclaredQuery("agg_string_concat", _agg_string_concat, _AGG_STRING_CONCAT_SQL, "OP-AGG (string agg)"),

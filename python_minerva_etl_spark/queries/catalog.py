@@ -99,6 +99,7 @@ _DEPTH = [
     "agg_time_1month",
     "agg_busy_hour",
     "agg_time_localtz",
+    "agg_mode",
     "agg_percentiles",
     "agg_variance_exact",
     "agg_string_concat",
@@ -126,6 +127,7 @@ _DEPTH = [
     "win_distribution",
     "win_first_last",
     "win_next_event_gap",
+    "win_streaks",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",
@@ -141,6 +143,7 @@ _DEPTH = [
     "dataset_mix_epochs",
     "dataset_length_buckets",
     "text_diversity",
+    "text_bigram_score",
     "dedup_clusters",
     "dedup_keep_canonical",
     "dedup_ngram_jaccard",

@@ -343,6 +343,62 @@ FROM chunks
 """
 
 
+def _text_bigram_score(spark, sf_dir):
+    """EXT-TEXT (statistical LM scoring): corpus-familiarity score per
+    doc — the mass-weighted average conditional bigram probability
+    sum(c(w1,w2)) / sum(c(w1)), a perplexity proxy built purely from
+    corpus statistics (the KenLM-filter stand-in that needs no model
+    artifact).  Log-free BY DESIGN: both masses are exact integer
+    sums, one double division at the end, so the score hashes
+    bit-for-bit across engines (ln() would differ in the last ulp).
+    Scale shape: bigrams are built scan-local from the token array
+    (no shuffle); one agg keyed by bigram, one join back, one agg by
+    doc."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    bg = (toks.filter(F.size("w") >= 2)
+          .select("doc_id", F.explode(F.arrays_zip(
+              F.slice("w", 1, F.size("w") - 1).alias("w1"),
+              F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2")))
+              .alias("p"))
+          .select("doc_id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cp"))
+    pref = pc.groupBy("w1").agg(F.sum("cp").cast("bigint").alias("cw"))
+    return (bg.join(pc, ["w1", "w2"]).join(pref, "w1")
+            .groupBy("doc_id")
+            .agg(F.sum("cp").cast("bigint").alias("pair_mass"),
+                 F.sum("cw").cast("bigint").alias("prefix_mass"))
+            .select("doc_id", "pair_mass", "prefix_mass",
+                    (F.col("pair_mass").cast("double")
+                     / F.col("prefix_mass").cast("double"))
+                    .alias("familiarity")))
+
+
+_TEXT_BIGRAM_SCORE_SQL = """
+WITH tk AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+flat AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM tk, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+pc AS (SELECT w1, w2, COUNT(*) AS cp FROM flat GROUP BY 1, 2),
+pref AS (SELECT w1, CAST(SUM(cp) AS BIGINT) AS cw FROM pc GROUP BY 1)
+SELECT f.doc_id,
+       CAST(SUM(pc.cp) AS BIGINT) AS pair_mass,
+       CAST(SUM(pref.cw) AS BIGINT) AS prefix_mass,
+       CAST(SUM(pc.cp) AS DOUBLE) / CAST(SUM(pref.cw) AS DOUBLE)
+         AS familiarity
+FROM flat f
+JOIN pc ON f.w1 = pc.w1 AND f.w2 = pc.w2
+JOIN pref ON f.w1 = pref.w1
+GROUP BY 1
+"""
+
+
+
 def _dataset_hash_split(spark, sf_dir):
     """EXT dataset split: deterministic md5-draw train/holdout tags —
     stable across runs/partitionings (never rand())."""
@@ -899,6 +955,7 @@ QUERIES = [
     DeclaredQuery("text_langid", _text_langid, _langid_oracle(), "EXT-TEXT (lang-id)"),
     DeclaredQuery("text_fingerprint", _text_fingerprint, _TEXT_FINGERPRINT_SQL, "EXT-TEXT (fingerprint)"),
     DeclaredQuery("text_repetition", _text_repetition, _TEXT_REPETITION_SQL, "EXT-TEXT (repetition filter)"),
+    DeclaredQuery("text_bigram_score", _text_bigram_score, _TEXT_BIGRAM_SCORE_SQL, "EXT-TEXT (statistical LM familiarity score)"),
     DeclaredQuery("text_diversity", _text_diversity, _TEXT_DIVERSITY_SQL, "EXT-TEXT (Gini-Simpson diversity)"),
     DeclaredQuery("text_vocab_topk", _text_vocab_topk, _TEXT_VOCAB_TOPK_SQL, "EXT-TEXT (vocabulary top-k)"),
     DeclaredQuery("dataset_shuffle", _dataset_shuffle, _DATASET_SHUFFLE_SQL, "EXT dataset shuffle (deterministic order)"),

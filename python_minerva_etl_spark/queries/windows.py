@@ -283,7 +283,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
 """
 
 
+def _win_streaks(spark, sf_dir):
+    """OP-WIN (gaps-and-islands): longest consecutive-active-day
+    streak per user.  Island id = day minus the day's per-user rank
+    (consecutive days share it); two hash aggs around one
+    entity-partitioned window sort — the standard streak plan, linear
+    per entity, no self-join."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w)))
+    streaks = (isl.groupBy("user_id", "grp")
+               .agg(F.count("*").alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("max_streak"),
+                 F.count("*").alias("n_streaks")))
+
+
+_WIN_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM days
+),
+s AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks
+FROM s GROUP BY 1
+"""
+
+
+
 QUERIES = [
+    DeclaredQuery("win_streaks", _win_streaks, _WIN_STREAKS_SQL, "OP-WIN (gaps-and-islands streaks)"),
     DeclaredQuery("attr_curr", _attr_curr, _ATTR_CURR_SQL, "OP-WIN-LATEST"),
     DeclaredQuery("attr_change_detect", _attr_change_detect, _ATTR_CHANGE_DETECT_SQL, "OP-WIN-CHANGE"),
     DeclaredQuery("attr_compact", _attr_compact, _ATTR_COMPACT_SQL, "OP-WIN-COMPACT"),
