@@ -161,6 +161,32 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Run a YAML-declared data-quality check set against a parquet
+    table; prints the per-rule report as JSON lines and exits 1 if
+    any rule fails (CI-gate semantics)."""
+    from .operators.validation import validate
+    from .plans.yaml_instance import MinervaInstance
+
+    inst = MinervaInstance.load(args.instance_dir)
+    sets = {c.name: c for c in inst.checks}
+    if args.check not in sets:
+        print(f"unknown check set {args.check!r}; "
+              f"available: {sorted(sets)}", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = spark.read.parquet(args.table)
+    report = validate(df, sets[args.check].compile(spark)).collect()
+    failed = False
+    for r in report:
+        print(json.dumps({"rule": r["rule"],
+                          "n_checked": r["n_checked"],
+                          "n_violations": r["n_violations"],
+                          "pass": r["pass"]}))
+        failed = failed or not r["pass"]
+    return 1 if failed else 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     return subprocess.call([sys.executable, "bench.py"])
@@ -251,6 +277,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--partition-col", default=None)
     s.add_argument("--target-file-mb", type=int, default=128)
     s.set_defaults(fn=cmd_compact)
+
+    s = sub.add_parser("validate",
+                       help="run a YAML check set against a parquet table")
+    s.add_argument("--instance", dest="instance_dir", required=True)
+    s.add_argument("--check", required=True)
+    s.add_argument("--table", required=True)
+    s.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     s.set_defaults(fn=cmd_bench)

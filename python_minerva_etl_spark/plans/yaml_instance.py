@@ -38,11 +38,41 @@ class MaterializationDef:
 
 
 @dataclass
+class CheckSet:
+    """A named data-quality contract (check/*.yaml): raw rule dicts,
+    compiled to operators/validation.Rule at run time (FK references
+    need a live SparkSession to read)."""
+    name: str
+    rules: list[dict] = field(default_factory=list)
+
+    def compile(self, spark):
+        from ..operators.validation import Rule
+
+        out = []
+        for r in self.rules:
+            if "predicate" in r:
+                out.append(Rule(r["name"], predicate=r["predicate"]))
+            elif "unique" in r:
+                out.append(Rule(r["name"], unique=tuple(r["unique"])))
+            elif "foreign_key" in r:
+                fk = r["foreign_key"]
+                ref = spark.read.parquet(fk["ref_table"])
+                out.append(Rule(r["name"], foreign_key=(
+                    tuple(fk["columns"]), ref, tuple(fk["ref_columns"]))))
+            else:
+                raise ValueError(
+                    f"check rule {r.get('name')!r}: needs one of "
+                    f"predicate/unique/foreign_key")
+        return out
+
+
+@dataclass
 class MinervaInstance:
     trend_stores: list[TrendStore] = field(default_factory=list)
     relations: list[Relation] = field(default_factory=list)
     triggers: list[ThresholdRule] = field(default_factory=list)
     materializations: list[MaterializationDef] = field(default_factory=list)
+    checks: list[CheckSet] = field(default_factory=list)
 
     @classmethod
     def load(cls, instance_dir: str) -> "MinervaInstance":
@@ -53,7 +83,8 @@ class MinervaInstance:
         for sub, loader in (("trend", inst._load_trend_store),
                             ("relation", inst._load_relation),
                             ("trigger", inst._load_trigger),
-                            ("materialization", inst._load_materialization)):
+                            ("materialization", inst._load_materialization),
+                            ("check", inst._load_check)):
             d = os.path.join(instance_dir, sub)
             if not os.path.isdir(d):
                 continue
@@ -113,3 +144,7 @@ class MinervaInstance:
             processing_delay=str(doc.get("processing_delay", "30m")),
             stability_delay=str(doc.get("stability_delay", "5m")),
             reprocessing_period=str(doc.get("reprocessing_period", "3 days"))))
+
+    def _load_check(self, doc: dict) -> None:
+        self.checks.append(CheckSet(
+            name=doc["name"], rules=list(doc.get("rules", ()))))

@@ -214,3 +214,33 @@ def test_cli_list_queries_and_explain():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     names = [ln.split("\t")[0] for ln in out.stdout.splitlines() if ln]
     assert set(names) == set(all_queries())
+
+
+def test_cli_validate_check_set(tmp_path, capsys):
+    import json as _json
+    import os
+
+    from python_minerva_etl_spark.cli import main
+
+    inst = tmp_path / "instance" / "check"
+    os.makedirs(inst)
+    (inst / "store.yaml").write_text("""
+name: region_checks
+rules:
+  - name: key_nonneg
+    predicate: "r_regionkey >= 0"
+  - name: key_unique
+    unique: [r_regionkey]
+  - name: impossible
+    predicate: "r_regionkey > 100"
+""")
+    rc = main(["validate",
+               "--instance", str(tmp_path / "instance"),
+               "--check", "region_checks",
+               "--table", "/root/testdata/sf0.001/region.parquet"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rep = {r["rule"]: r for r in map(_json.loads, out)}
+    assert rc == 1                       # the impossible rule fails
+    assert rep["key_nonneg"]["pass"] is True
+    assert rep["key_unique"]["pass"] is True
+    assert rep["impossible"]["n_violations"] == 5
