@@ -81,3 +81,61 @@ def test_range_covers_and_steps(ts, g):
     assert buckets[0] == gran.truncate(ts)
     assert buckets[-1] == end
     assert all(gran.inc(a) == b for a, b in zip(buckets, buckets[1:]))
+
+
+_SPARK_TYPES = st.sampled_from(
+    ["smallint", "integer", "bigint", "double", "text", "boolean",
+     "timestamp"])
+
+
+def _schema(names_types):
+    from pyspark.sql import types as T
+
+    from python_minerva_etl_spark.datatype import SPARK_TYPES
+    return T.StructType([
+        T.StructField(n, SPARK_TYPES[t], True) for n, t in names_types])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(st.sampled_from("abcdef"), _SPARK_TYPES,
+                       min_size=0, max_size=6),
+       st.dictionaries(st.sampled_from("abcdef"), _SPARK_TYPES,
+                       min_size=0, max_size=6))
+def test_schema_diff_properties(old, new):
+    from python_minerva_etl_spark.datatype import generalize, schema_diff
+
+    so, sn = _schema(sorted(old.items())), _schema(sorted(new.items()))
+    rep = schema_diff(so, sn)
+    # self-diff is empty
+    assert schema_diff(so, so) == []
+    by_col = {r["column"]: r for r in rep}
+    assert len(by_col) == len(rep)  # one row per column
+    for name in set(old) | set(new):
+        if name not in old:
+            assert by_col[name]["change"] == "added"
+        elif name not in new:
+            assert by_col[name]["change"] == "removed"
+        elif old[name] == new[name]:
+            assert name not in by_col
+        else:
+            change = by_col[name]["change"]
+            if change == "widened":
+                assert generalize(old[name], new[name]) == new[name]
+            elif change == "narrowed":
+                assert generalize(old[name], new[name]) == old[name]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200), st.integers(min_value=1, max_value=32),
+       st.integers(min_value=1, max_value=5))
+def test_fake_frame_splitter_properties(payload, frame_bytes, every_n):
+    from python_minerva_etl_spark.ext.multimodal import _fake_split_frames
+
+    all_frames = _fake_split_frames(payload, frame_bytes, 1)
+    kept = _fake_split_frames(payload, frame_bytes, every_n)
+    # demux with every_n=1 reconstructs the payload exactly
+    assert b"".join(all_frames) == payload
+    # sampling keeps exactly the [::every_n] subsequence
+    assert kept == all_frames[::every_n]
+    # every frame except possibly the last is full-size
+    assert all(len(f) == frame_bytes for f in all_frames[:-1])
