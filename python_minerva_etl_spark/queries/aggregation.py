@@ -554,6 +554,58 @@ FROM w
 """
 
 
+def _agg_time_weighted_avg(spark, sf_dir):
+    """OP-AGG (time-weighted average): the gauge KPI — each sample
+    weighted by how long it was current (until the entity's next
+    sample), the standard irregular-sampling average a plain AVG gets
+    wrong.  One entity-partitioned window sort for the lead; weights
+    are integer microseconds and the weighted mass accumulates in
+    DECIMAL.  The ratio is rounded to 6 dp in the declared output:
+    DuckDB converts hugeint-backed decimals to double via two-step
+    float arithmetic (not correctly rounded), so the raw ratio can
+    differ in the last ulp across engines even though both decimal
+    integrands are identical (verified) — the rounding pins the
+    comparable surface, the mass itself is exact."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (F.lead(F.unix_micros("ts")).over(w)
+          - F.unix_micros("ts")).alias("dt_us")
+    seg = (ev.select("user_id", "event_id", "value", dt)
+           .filter(F.col("dt_us").isNotNull()))
+    return (seg.groupBy("user_id")
+            .agg(F.sum(F.col("value").cast("decimal(14,4)")
+                       * F.col("dt_us").cast("decimal(14,0)"))
+                 .cast("decimal(38,4)").alias("weighted_mass"),
+                 F.sum("dt_us").cast("bigint").alias("span_us"),
+                 F.count("*").alias("n_segments"))
+            .select("user_id", "span_us", "n_segments",
+                    F.round(F.col("weighted_mass").cast("double")
+                            / F.col("span_us").cast("double"), 6)
+                    .alias("twa_value")))
+
+
+_AGG_TIME_WEIGHTED_AVG_SQL = """
+WITH seg AS (
+  SELECT user_id, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       COUNT(*) AS n_segments,
+       round(CAST(SUM(CAST(value AS DECIMAL(14,4))
+                      * CAST(dt_us AS DECIMAL(14,0))) AS DOUBLE)
+             / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa_value
+FROM seg WHERE dt_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -797,6 +849,7 @@ QUERIES = [
     DeclaredQuery("agg_hll_reagg", _agg_hll_reagg, None, "OP-AGG-DISTINCT/OP-AGG-PARTIAL (mergeable sketches)"),
     DeclaredQuery("agg_pctl_from_hist", _agg_pctl_from_hist, _AGG_PCTL_FROM_HIST_SQL, "OP-AGG-PARTIAL (mergeable histogram quantiles)"),
     DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
+    DeclaredQuery("agg_time_weighted_avg", _agg_time_weighted_avg, _AGG_TIME_WEIGHTED_AVG_SQL, "OP-AGG (time-weighted average)"),
     DeclaredQuery("agg_mode", _agg_mode, _AGG_MODE_SQL, "OP-AGG (mode / most-frequent)"),
     DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),
     DeclaredQuery("agg_variance_exact", _agg_variance_exact, _AGG_VARIANCE_EXACT_SQL, "OP-AGG (variance)"),

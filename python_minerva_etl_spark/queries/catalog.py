@@ -100,6 +100,7 @@ _DEPTH = [
     "agg_busy_hour",
     "agg_time_localtz",
     "agg_mode",
+    "agg_time_weighted_avg",
     "agg_percentiles",
     "agg_variance_exact",
     "agg_string_concat",
