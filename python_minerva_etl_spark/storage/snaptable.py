@@ -160,13 +160,43 @@ class SnapTable:
 
     # ---------------- read ----------------
 
-    def read(self, spark: SparkSession,
-             version: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, version: int | None = None,
+             where: dict[str, tuple] | None = None) -> DataFrame:
+        """Read a snapshot.  ``where`` maps column -> (lo, hi) range
+        bounds (inclusive; use the same value twice for a point
+        lookup): files whose manifest min/max stats cannot overlap
+        the bounds are skipped BEFORE Spark ever lists them — the
+        manifest-level analog of partition pruning, and the read-path
+        twin of MERGE/DELETE file pruning.  The bounds are metadata
+        hints only: apply the real `.filter()` on the result for row
+        precision (stats pruning is file-granular and conservative —
+        missing stats are read, never skipped)."""
         entries = self.files(version)
         if not entries:
             raise FileNotFoundError(f"snaptable {self.path}: no snapshot")
+        if where:
+            envelope = {c: [_canon(lo), _canon(hi)]
+                        for c, (lo, hi) in where.items()}
+            entries = [e for e in entries
+                       if _overlaps(e["stats"], envelope)]
+            if not entries:
+                # preserve schema even when every file prunes away
+                head = self.files(version)[0]
+                return (spark.read.option("mergeSchema", "true")
+                        .parquet(os.path.join(self.path, head["path"]))
+                        .limit(0))
         paths = [os.path.join(self.path, e["path"]) for e in entries]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def pruned_file_count(self, where: dict[str, tuple],
+                          version: int | None = None) -> tuple[int, int]:
+        """(files read, files total) for a ``where`` envelope —
+        observability for the pruning decision (and test surface)."""
+        entries = self.files(version)
+        envelope = {c: [_canon(lo), _canon(hi)]
+                    for c, (lo, hi) in where.items()}
+        kept = sum(1 for e in entries if _overlaps(e["stats"], envelope))
+        return kept, len(entries)
 
     def schema_drift(self, spark: SparkSession, from_version: int,
                      to_version: int | None = None) -> list[dict]:

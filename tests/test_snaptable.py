@@ -461,3 +461,31 @@ def test_schema_drift_across_versions(spark, tmp_path):
            t.schema_drift(spark, from_version=1, to_version=2)}
     assert rep["tag"]["change"] == "added"
     assert "k" not in rep and "v" not in rep
+
+
+def test_read_stats_pruning_skips_disjoint_files(spark, tmp_path):
+    """Point/range reads skip files whose manifest min/max cannot
+    match — without losing any qualifying row, and falling back to
+    read-everything when stats are absent for the column."""
+    from python_minerva_etl_spark.storage.snaptable import SnapTable
+
+    t = SnapTable(str(tmp_path / "pruned"))
+    # three appends -> three disjoint key-range files
+    for lo in (0, 100, 200):
+        batch = spark.createDataFrame(
+            [(k, f"v{k}") for k in range(lo, lo + 50)],
+            "k long, payload string")
+        t.append(spark, batch, key=["k"])
+    kept, total = t.pruned_file_count({"k": (120, 130)})
+    assert total >= 3 and kept < total
+    got = t.read(spark, where={"k": (120, 130)}).filter(
+        "k BETWEEN 120 AND 130")
+    assert got.count() == 11
+    # full read unaffected
+    assert t.read(spark).count() == 150
+    # unknown column: conservative, nothing pruned
+    kept2, total2 = t.pruned_file_count({"nope": (1, 2)})
+    assert kept2 == total2
+    # empty result keeps the schema
+    empty = t.read(spark, where={"k": (9999, 99999)})
+    assert empty.count() == 0 and set(empty.columns) == {"k", "payload"}
