@@ -114,6 +114,7 @@ _DEPTH = [
     "gap_fill",
     "gap_interpolate",
     "anomaly_zscore",
+    "anomaly_mad",
     "cohort_retention",
     "funnel_conversion",
     "text_boilerplate",

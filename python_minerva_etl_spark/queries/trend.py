@@ -408,6 +408,61 @@ SELECT user_id, day, event_type AS trend, value FROM wide
 """
 
 
+def _anomaly_mad(spark, sf_dir):
+    """OP-TRIG (robust baseline): median-absolute-deviation outlier
+    stats per class — the robust twin of anomaly_zscore (a few wild
+    values cannot drag the baseline the way they drag mean/stddev).
+    Exact percentile both passes (Spark percentile == DuckDB
+    quantile_cont, bit-identical interpolation); the 1.4826
+    normal-consistency constant is the same double literal in both
+    engines.  Two grouped aggs + one broadcast join back — the
+    row-level flagging is a scan-local comparison."""
+    ev = t(spark, sf_dir, "events")
+    med = (ev.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("__ad", F.abs(F.col("value") - F.col("med"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.first("med").alias("med"),
+                F.expr("percentile(__ad, 0.5)").alias("mad")))
+    flagged = (dev.join(F.broadcast(mad.select(
+        "event_type", F.col("mad").alias("__mad"))), "event_type")
+        .filter(F.col("__ad") > 3.0 * 1.4826 * F.col("__mad")))
+    out = (flagged.groupBy("event_type")
+           .agg(F.count("*").alias("n_outliers")))
+    return (mad.join(out, "event_type", "left")
+            .select("event_type", "med", "mad",
+                    F.coalesce("n_outliers", F.lit(0)).cast("bigint")
+                    .alias("n_outliers")))
+
+
+_ANOMALY_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, MIN(med) AS med,
+         quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY 1
+),
+fl AS (
+  SELECT d.event_type, COUNT(*) AS n_outliers
+  FROM dev d JOIN mad m ON d.event_type = m.event_type
+  WHERE d.ad > 3.0 * 1.4826 * m.mad
+  GROUP BY 1
+)
+SELECT mad.event_type, mad.med, mad.mad,
+       COALESCE(fl.n_outliers, 0) AS n_outliers
+FROM mad LEFT JOIN fl ON mad.event_type = fl.event_type
+"""
+
+
+
 def _cohort_retention(spark, sf_dir):
     """OP-NOTIF analytics (cohort retention): users grouped by
     first-activity week; per later week, actives and the fraction of
@@ -494,6 +549,7 @@ QUERIES = [
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
+    DeclaredQuery("anomaly_mad", _anomaly_mad, _ANOMALY_MAD_SQL, "OP-TRIG (robust MAD baseline)"),
     DeclaredQuery("cohort_retention", _cohort_retention, _COHORT_RETENTION_SQL, "OP-NOTIF (cohort retention)"),
     DeclaredQuery("funnel_conversion", _funnel_conversion, _FUNNEL_CONVERSION_SQL, "OP-NOTIF (ordered funnel)"),
 ]
