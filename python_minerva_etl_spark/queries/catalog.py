@@ -135,11 +135,13 @@ _DEPTH = [
     "dataset_stratified_sample",
     "dataset_temperature_sample",
     "dedup_semantic",
+    "dataset_cluster_balance",
     "dataset_pack_sequences",
     "dataset_shuffle",
     "dataset_contamination",
     "text_repetition",
     "text_vocab_topk",
+    "text_fertility",
     "corpus_filter_funnel",
     "corpus_quality_prune",
     "dataset_mix_epochs",

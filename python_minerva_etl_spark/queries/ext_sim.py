@@ -172,6 +172,81 @@ FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vid
 """
 
 
+def _dataset_cluster_balance(spark, sf_dir):
+    """EXT dataset mixing (cluster-balanced sampling): assign each
+    embedding to its nearest deterministic centroid (same assignment
+    contract as dedup_semantic), then hash-downsample every cluster to
+    the size of the smallest — topic-balancing a skewed corpus
+    (DCLM-style cluster rebalancing).  The per-cluster quotas are a
+    tiny broadcast; acceptance is the md5 draw ranked within cluster,
+    so the sample is stable across partitionings."""
+    from pyspark.sql.window import Window
+
+    from ..ext.clusters import semantic_dedup  # noqa: F401 (same family)
+    from ..ext.similarity import dot_col, norm_col
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("vec_id").alias("vid"),
+                   F.col("embedding").alias("vec"),
+                   norm_col("embedding").alias("vn"))
+    cents = (v.orderBy("vid").limit(8)
+             .select(F.col("vid").alias("cid"),
+                     F.col("vec").alias("cvec"),
+                     F.col("vn").alias("cn")))
+    scored = (v.join(F.broadcast(cents))
+              .withColumn("cos", dot_col("vec", "cvec")
+                          / (F.col("vn") * F.col("cn")))
+              .withColumn("ncid", -F.col("cid")))
+    assign = (scored.groupBy("vid")
+              .agg(F.max(F.struct("cos", "ncid")).alias("m"))
+              .select("vid", (-F.col("m.ncid")).alias("cluster_id")))
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    quota = sizes.agg(F.min("n").alias("q"))
+    draw = F.conv(F.substring(
+        F.md5(F.concat(F.lit("balance-v1"),
+                       F.col("vid").cast("string"))), 1, 8), 16, 10)         .cast("bigint")
+    w = Window.partitionBy("cluster_id").orderBy(draw.asc(),
+                                                 F.col("vid").asc())
+    ranked = assign.withColumn("rk", F.row_number().over(w))
+    return (ranked.crossJoin(F.broadcast(quota))
+            .filter(F.col("rk") <= F.col("q"))
+            .select(F.col("vid").alias("vec_id"), "cluster_id"))
+
+
+_DATASET_CLUSTER_BALANCE_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         {_COS.format(a='v.vec', b='c.cvec')} AS cos
+  FROM v CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+quota AS (
+  SELECT MIN(n) AS q FROM (
+    SELECT cluster_id, COUNT(*) AS n FROM assign GROUP BY 1)
+),
+ranked AS (
+  SELECT vec_id, cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY CAST(('0x' || substring(md5('balance-v1' ||
+                     CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+                    vec_id ASC) AS rk
+  FROM assign
+)
+SELECT vec_id, cluster_id FROM ranked, quota WHERE rk <= q
+"""
+
+
+
 def _mm_passthrough(spark, sf_dir):
     """EXT-MM-COL: opaque array/binary columns ride through relational
     ops untouched — filter + join + select keep the embedding intact;
@@ -345,6 +420,7 @@ QUERIES = [
     DeclaredQuery("sim_topk_pq", _sim_topk_pq, None, "EXT-SIM-TOPK (PQ/ADC scale path)"),
     DeclaredQuery("dedup_embedding_pairs", _dedup_embedding_pairs, _DEDUP_EMBEDDING_PAIRS_SQL, "EXT-DEDUP (embedding)"),
     DeclaredQuery("dedup_embedding_lsh", _dedup_embedding_lsh, None, "EXT-DEDUP (embedding LSH scale path)"),
+    DeclaredQuery("dataset_cluster_balance", _dataset_cluster_balance, _DATASET_CLUSTER_BALANCE_SQL, "EXT dataset mixing (cluster-balanced sampling)"),
     DeclaredQuery("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL, "EXT-DEDUP (semantic, SemDeDup-style)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
     DeclaredQuery("mm_frame_sample", _mm_frame_sample, _MM_FRAME_SAMPLE_SQL, "EXT-MM-COL (1:N frame sampling, mapInPandas)"),

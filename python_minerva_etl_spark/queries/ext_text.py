@@ -399,6 +399,40 @@ GROUP BY 1
 
 
 
+def _text_fertility(spark, sf_dir):
+    """EXT-TEXT (tokenizer fertility): BPE-ish pieces per whitespace
+    word, per language — the standard metric for how well a tokenizer
+    serves each language (fertility >> 1 means the language pays more
+    compute per word).  Integer token sums, one closing division —
+    bit-portable; one tiny per-lang aggregation."""
+    docs = t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.sum(X.token_count_ws()).cast("bigint")
+                 .alias("ws_tokens"),
+                 F.sum(X.token_count_bpe_ish()).cast("bigint")
+                 .alias("bpe_tokens"))
+            .select("lang", "ws_tokens", "bpe_tokens",
+                    (F.col("bpe_tokens").cast("double")
+                     / F.col("ws_tokens").cast("double"))
+                    .alias("fertility")))
+
+
+_TEXT_FERTILITY_SQL = r"""
+SELECT lang,
+       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+         AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+         / CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+         AS fertility
+FROM documents GROUP BY 1
+"""
+
+
+
 def _dataset_hash_split(spark, sf_dir):
     """EXT dataset split: deterministic md5-draw train/holdout tags —
     stable across runs/partitionings (never rand())."""
@@ -957,6 +991,7 @@ QUERIES = [
     DeclaredQuery("text_repetition", _text_repetition, _TEXT_REPETITION_SQL, "EXT-TEXT (repetition filter)"),
     DeclaredQuery("text_bigram_score", _text_bigram_score, _TEXT_BIGRAM_SCORE_SQL, "EXT-TEXT (statistical LM familiarity score)"),
     DeclaredQuery("text_diversity", _text_diversity, _TEXT_DIVERSITY_SQL, "EXT-TEXT (Gini-Simpson diversity)"),
+    DeclaredQuery("text_fertility", _text_fertility, _TEXT_FERTILITY_SQL, "EXT-TEXT (tokenizer fertility)"),
     DeclaredQuery("text_vocab_topk", _text_vocab_topk, _TEXT_VOCAB_TOPK_SQL, "EXT-TEXT (vocabulary top-k)"),
     DeclaredQuery("dataset_shuffle", _dataset_shuffle, _DATASET_SHUFFLE_SQL, "EXT dataset shuffle (deterministic order)"),
     DeclaredQuery("dataset_contamination", _dataset_contamination, _DATASET_CONTAMINATION_SQL, "EXT dataset contamination (benchmark n-gram overlap)"),
