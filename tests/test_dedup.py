@@ -281,3 +281,24 @@ def test_incremental_dedup_near_dup_first_seen_wins(spark):
                              (4, "fresh material nothing like before")]))
     assert {r.doc_id for r in acc2.collect()} == {4}
     assert st2.count() == 3
+
+
+def test_semantic_dedup_k_exceeds_corpus(spark):
+    from python_minerva_etl_spark.ext.clusters import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 5)
+    got = semantic_dedup(emb, k=50, tau=0.99)
+    assert got.count() == 5
+    assert all(r.kept for r in got.collect())  # nothing near-identical
+
+
+def test_incremental_dedup_empty_batch_is_noop(spark):
+    from python_minerva_etl_spark.ext.incremental_dedup import \
+        incremental_dedup
+
+    first = _mk_docs(spark, [(1, "alpha beta gamma delta")])
+    acc, st = incremental_dedup(None, first)
+    assert acc.count() == 1
+    empty = _mk_docs(spark, [])
+    acc2, st2 = incremental_dedup(st, empty)
+    assert acc2.count() == 0 and st2.count() == 1

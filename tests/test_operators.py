@@ -657,3 +657,36 @@ def test_fuzzy_match_plan_is_broadcast_hash_join(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interpolate_single_point_entity(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.operators.gapfill import interpolate_gaps
+
+    series = spark.createDataFrame(
+        [(1, "2024-01-01", 5.0)], "entity long, day string, v double"
+    ).select("entity", F.col("day").cast("timestamp").alias("day"), "v")
+    rows = interpolate_gaps(series, "entity", "day", "1 day", ["v"]).collect()
+    assert len(rows) == 1 and rows[0].v == 5.0 and not rows[0].was_gap
+
+
+def test_fuzzy_match_empty_dirty_side(spark):
+    from python_minerva_etl_spark.directory import fuzzy_match
+
+    reg = spark.createDataFrame([(1, "cell=A1")], "id long, name string")
+    dirty = spark.createDataFrame([], "id long, name string")
+    assert fuzzy_match(dirty, reg, "id", "name", "id", "name").count() == 0
+
+
+def test_validate_composite_foreign_key(spark):
+    from python_minerva_etl_spark.operators.validation import Rule, validate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+        "g long, s string, v long")
+    ref = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "g long, s string")
+    rep = validate(df, [Rule("fk2", foreign_key=(
+        ("g", "s"), ref, ("g", "s")))]).collect()[0]
+    assert rep["n_violations"] == 1 and rep["n_checked"] == 3

@@ -253,3 +253,27 @@ def test_corpus_pipeline_example_runs(spark):
         assert c[a] >= c[b] > 0
     assert c["epoch_rows"] >= c["temperature_sampled"]
     assert c["train"] + c["holdout"] == c["temperature_sampled"]
+
+
+def test_temperature_sample_single_source_is_plain_rate(spark):
+    """With one source the temperature reweighting must reduce to a
+    plain target_frac bernoulli: p_keep == target_frac exactly."""
+    from python_minerva_etl_spark.ext.text import temperature_sample
+
+    docs = (load_table(spark, SF, "documents")
+            .withColumn("source", F.lit("only")))
+    got = temperature_sample(docs, "doc_id", "source", target_frac=0.5)
+    ps = {r.p_keep for r in got.select("p_keep").distinct().collect()}
+    assert ps == {0.5}
+
+
+def test_mix_epochs_budget_extremes(spark):
+    from python_minerva_etl_spark.ext.text import mix_epochs
+
+    docs = load_table(spark, SF, "documents")
+    tiny = mix_epochs(docs, budget_tokens=10, max_epochs=4)
+    assert {r.epochs for r in tiny.select("epochs").distinct().collect()} \
+        == {1}
+    huge = mix_epochs(docs, budget_tokens=10**12, max_epochs=4)
+    assert {r.epochs for r in huge.select("epochs").distinct().collect()} \
+        == {4}
