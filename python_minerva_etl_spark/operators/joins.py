@@ -24,7 +24,8 @@ from pyspark.sql.window import Window
 def asof_join(facts: DataFrame, history: DataFrame, key: list[str],
               ts_col: str, attr_cols: list[str],
               inclusive: bool = True,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance_us: int | None = None) -> DataFrame:
     """For each fact row, attach ``attr_cols`` from the nearest history
     row per ``key``: the latest with ``history.ts <= fact.ts``
     (``direction="backward"``, the attribute-at-fact-time semantics)
@@ -37,6 +38,11 @@ def asof_join(facts: DataFrame, history: DataFrame, key: list[str],
     Both directions are ONE shuffle on the entity key + one linear
     window pass — never a range join (O(facts × history-per-key)
     intermediates).
+
+    ``tolerance_us`` caps staleness: a match further than that many
+    microseconds from the fact is nulled out (the pandas
+    ``merge_asof(tolerance=...)`` semantics) — applied scan-local
+    after the window pass, so it costs nothing.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, "
@@ -52,9 +58,12 @@ def asof_join(facts: DataFrame, history: DataFrame, key: list[str],
     # history attrs ride in ONE struct, non-null on every history row:
     # last/first(ignorenulls) then skips only fact-row filler, never a
     # genuinely-NULL attribute value inside the matched history row
+    # __h_ts rides first in the struct: same-ts history rows share it,
+    # so the duplicate-ts tiebreak (struct comparison) is unchanged
     h = history.select(
         *key, ts_col,
-        F.struct(*[F.col(c) for c in attr_cols]).alias("__attrs")
+        F.struct(F.unix_micros(F.col(ts_col)).alias("__h_ts"),
+                 *[F.col(c) for c in attr_cols]).alias("__attrs")
     ).withColumn("__is_fact", F.lit(0)) \
         .withColumn("__ord", F.lit(0 if hist_first else 1))
     unioned = f.unionByName(h, allowMissingColumns=True)
@@ -69,6 +78,12 @@ def asof_join(facts: DataFrame, history: DataFrame, key: list[str],
         picked = F.first("__attrs", ignorenulls=True).over(w)
     unioned = unioned.withColumn("__attrs", picked)
     out = unioned.filter(F.col("__is_fact") == 1)
+    if tolerance_us is not None:
+        gap = F.abs(F.unix_micros(F.col(ts_col))
+                    - F.col("__attrs").getField("__h_ts"))
+        out = out.withColumn(
+            "__attrs", F.when(gap <= F.lit(int(tolerance_us)),
+                              F.col("__attrs")))
     for c in attr_cols:
         out = out.withColumn(c, F.col("__attrs").getField(c))
     return out.drop("__is_fact", "__ord", "__attrs")

@@ -123,6 +123,7 @@ _DEPTH = [
     "rank_global",
     "join_range",
     "join_asof_forward",
+    "join_asof_tolerance",
     "win_counter_rate",
     "win_running_total",
     "win_time_range_avg",

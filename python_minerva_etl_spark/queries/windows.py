@@ -283,6 +283,44 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
 """
 
 
+def _join_asof_tolerance(spark, sf_dir):
+    """OP-JOIN-ASOF (bounded staleness): latest purchase at-or-before
+    each click, but only if it happened within the last hour — stale
+    matches null out (pandas merge_asof tolerance semantics).  The cap
+    is a scan-local filter after the same one-shuffle window pass."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("asof_value"))
+    return asof_join(
+        clicks, purchases, key=["user_id"], ts_col="ts",
+        attr_cols=["asof_value"], tolerance_us=3_600_000_000,
+    ).select("event_id", "user_id", "value", "asof_value")
+
+
+_JOIN_ASOF_TOLERANCE_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+         value AS asof_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.value,
+       CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+            THEN p.asof_value END AS asof_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+
 def _win_streaks(spark, sf_dir):
     """OP-WIN (gaps-and-islands): longest consecutive-active-day
     streak per user.  Island id = day minus the day's per-user rank
@@ -331,6 +369,7 @@ QUERIES = [
     DeclaredQuery("win_moving_avg", _win_moving_avg, _WIN_MOVING_AVG_SQL, "OP-WIN-MOVAVG"),
     DeclaredQuery("win_time_range_avg", _win_time_range_avg, _WIN_TIME_RANGE_AVG_SQL, "OP-WIN-MOVAVG (time RANGE frame)"),
     DeclaredQuery("join_asof", _join_asof, _JOIN_ASOF_SQL, "OP-JOIN-ASOF"),
+    DeclaredQuery("join_asof_tolerance", _join_asof_tolerance, _JOIN_ASOF_TOLERANCE_SQL, "OP-JOIN-ASOF (bounded staleness)"),
     DeclaredQuery("join_asof_forward", _join_asof_forward, _JOIN_ASOF_FORWARD_SQL, "OP-JOIN-ASOF (forward)"),
 ]
 
