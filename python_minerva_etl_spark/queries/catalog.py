@@ -143,6 +143,7 @@ _DEPTH = [
     "text_repetition",
     "text_vocab_topk",
     "text_fertility",
+    "text_tfidf_topk",
     "corpus_filter_funnel",
     "corpus_quality_prune",
     "dataset_mix_epochs",

@@ -433,6 +433,61 @@ FROM documents GROUP BY 1
 
 
 
+def _text_tfidf_topk(spark, sf_dir):
+    """EXT-TEXT (keyword extraction): top-3 terms per doc by
+    tf x rarity, rarity = N/df (the log-free tf-idf variant — ln()
+    differs in the last ulp across engines, a plain ratio does not;
+    the ranking is order-isomorphic to log-idf for df >= 1).  Scale
+    shape: one (doc, term) count agg, one term-keyed df agg joined
+    back (broadcast at dictionary scale), one per-doc window top-k."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (toks.distinct().groupBy("term")
+             .agg(F.count("*").alias("df")))
+    n_docs = docs.agg(F.count("*").alias("__n"))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.col("tf").cast("double")
+                          * (F.col("__n").cast("double")
+                             / F.col("df").cast("double"))))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "tf", "df",
+                    "score", F.col("rk").cast("int").alias("rk")))
+
+
+_TEXT_TFIDF_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM (
+    SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+           AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM scored) WHERE rk <= 3
+"""
+
+
+
 def _dataset_hash_split(spark, sf_dir):
     """EXT dataset split: deterministic md5-draw train/holdout tags —
     stable across runs/partitionings (never rand())."""
@@ -991,6 +1046,7 @@ QUERIES = [
     DeclaredQuery("text_repetition", _text_repetition, _TEXT_REPETITION_SQL, "EXT-TEXT (repetition filter)"),
     DeclaredQuery("text_bigram_score", _text_bigram_score, _TEXT_BIGRAM_SCORE_SQL, "EXT-TEXT (statistical LM familiarity score)"),
     DeclaredQuery("text_diversity", _text_diversity, _TEXT_DIVERSITY_SQL, "EXT-TEXT (Gini-Simpson diversity)"),
+    DeclaredQuery("text_tfidf_topk", _text_tfidf_topk, _TEXT_TFIDF_TOPK_SQL, "EXT-TEXT (tf-idf keyword extraction)"),
     DeclaredQuery("text_fertility", _text_fertility, _TEXT_FERTILITY_SQL, "EXT-TEXT (tokenizer fertility)"),
     DeclaredQuery("text_vocab_topk", _text_vocab_topk, _TEXT_VOCAB_TOPK_SQL, "EXT-TEXT (vocabulary top-k)"),
     DeclaredQuery("dataset_shuffle", _dataset_shuffle, _DATASET_SHUFFLE_SQL, "EXT dataset shuffle (deterministic order)"),
