@@ -606,6 +606,33 @@ GROUP BY 1
 
 
 
+def _agg_arg_extremes(spark, sf_dir):
+    """OP-AGG (argmin/argmax): per user, WHICH event carried the
+    extreme value (max_by/min_by) — one partial-aggregatable hash agg,
+    never a rank-then-filter window.  event_id tiebreak keeps the
+    answer deterministic under value ties."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.max(F.struct("value", "event_id")).alias("__mx"),
+                 F.min(F.struct("value", "event_id")).alias("__mn"))
+            .select("user_id",
+                    F.col("__mx.event_id").alias("max_event_id"),
+                    F.col("__mx.value").alias("max_value"),
+                    F.col("__mn.event_id").alias("min_event_id"),
+                    F.col("__mn.value").alias("min_value")))
+
+
+_AGG_ARG_EXTREMES_SQL = """
+SELECT user_id,
+       (MAX(struct_pack(v := value, e := event_id))).e AS max_event_id,
+       (MAX(struct_pack(v := value, e := event_id))).v AS max_value,
+       (MIN(struct_pack(v := value, e := event_id))).e AS min_event_id,
+       (MIN(struct_pack(v := value, e := event_id))).v AS min_value
+FROM events GROUP BY 1
+"""
+
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -850,6 +877,7 @@ QUERIES = [
     DeclaredQuery("agg_pctl_from_hist", _agg_pctl_from_hist, _AGG_PCTL_FROM_HIST_SQL, "OP-AGG-PARTIAL (mergeable histogram quantiles)"),
     DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
     DeclaredQuery("agg_time_weighted_avg", _agg_time_weighted_avg, _AGG_TIME_WEIGHTED_AVG_SQL, "OP-AGG (time-weighted average)"),
+    DeclaredQuery("agg_arg_extremes", _agg_arg_extremes, _AGG_ARG_EXTREMES_SQL, "OP-AGG (argmin/argmax)"),
     DeclaredQuery("agg_mode", _agg_mode, _AGG_MODE_SQL, "OP-AGG (mode / most-frequent)"),
     DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),
     DeclaredQuery("agg_variance_exact", _agg_variance_exact, _AGG_VARIANCE_EXACT_SQL, "OP-AGG (variance)"),

@@ -100,6 +100,7 @@ _DEPTH = [
     "agg_busy_hour",
     "agg_time_localtz",
     "agg_mode",
+    "agg_arg_extremes",
     "agg_time_weighted_avg",
     "agg_percentiles",
     "agg_variance_exact",
@@ -115,6 +116,7 @@ _DEPTH = [
     "gap_interpolate",
     "anomaly_zscore",
     "anomaly_mad",
+    "notif_escalation",
     "cohort_retention",
     "funnel_conversion",
     "text_boilerplate",

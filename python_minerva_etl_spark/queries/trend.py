@@ -408,6 +408,55 @@ SELECT user_id, day, event_type AS trend, value FROM wide
 """
 
 
+def _notif_escalation(spark, sf_dir):
+    """OP-TRIG (escalation): alert only after >= 3 CONSECUTIVE
+    threshold breaches per user — single spikes stay un-escalated
+    (the reference's trigger weight/severity ladder models one-shot
+    rules; consecutive-breach suppression is the standard pager
+    hygiene on top).  Runs found by the gaps-and-islands difference of
+    two row_numbers over ONE (user, ts, id) sort."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.withColumn("__seq", F.row_number().over(w_all))
+           .filter(F.col("value") >= 75.0))
+    w_b = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = (seq.withColumn("__bseq", F.row_number().over(w_b))
+           .withColumn("__grp", F.col("__seq") - F.col("__bseq")))
+    runs = (grp.groupBy("user_id", "__grp")
+            .agg(F.count("*").alias("run_len"),
+                 F.min("ts").alias("run_start"),
+                 F.max("ts").alias("run_end")))
+    return (runs.filter(F.col("run_len") >= 3)
+            .select("user_id", "run_start", "run_end", "run_len"))
+
+
+_NOTIF_ESCALATION_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS s
+  FROM events
+),
+b AS (
+  SELECT user_id, ts,
+         s - ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS grp
+  FROM seq WHERE value >= 75.0
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*) AS run_len,
+         MIN(ts) AS run_start, MAX(ts) AS run_end
+  FROM b GROUP BY 1, 2
+)
+SELECT user_id, CAST(run_start AS TIMESTAMP) AS run_start,
+       CAST(run_end AS TIMESTAMP) AS run_end, run_len
+FROM runs WHERE run_len >= 3
+"""
+
+
+
 def _anomaly_mad(spark, sf_dir):
     """OP-TRIG (robust baseline): median-absolute-deviation outlier
     stats per class — the robust twin of anomaly_zscore (a few wild
@@ -549,6 +598,7 @@ QUERIES = [
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
+    DeclaredQuery("notif_escalation", _notif_escalation, _NOTIF_ESCALATION_SQL, "OP-TRIG (consecutive-breach escalation)"),
     DeclaredQuery("anomaly_mad", _anomaly_mad, _ANOMALY_MAD_SQL, "OP-TRIG (robust MAD baseline)"),
     DeclaredQuery("cohort_retention", _cohort_retention, _COHORT_RETENTION_SQL, "OP-NOTIF (cohort retention)"),
     DeclaredQuery("funnel_conversion", _funnel_conversion, _FUNNEL_CONVERSION_SQL, "OP-NOTIF (ordered funnel)"),
