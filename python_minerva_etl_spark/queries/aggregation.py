@@ -633,6 +633,52 @@ FROM events GROUP BY 1
 
 
 
+def _agg_user_growth(spark, sf_dir):
+    """OP-AGG (growth accounting): per day — first-seen (new) users,
+    active users, and the cumulative unique-user count.  Two
+    entity-keyed aggs collapse the corpus to |days| rows; the running
+    total's single-partition window is over that tiny frame only
+    (days, not events), so it is scale-free."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.date_trunc("day", "ts")).alias("day")))
+    new_d = first.groupBy("day").agg(F.count("*").alias("n_new"))
+    active = (ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+              .distinct().groupBy("day")
+              .agg(F.count("*").alias("n_active")))
+    joined = (active.join(new_d, "day", "left")
+              .select("day", F.coalesce("n_new", F.lit(0)).cast("bigint")
+                      .alias("n_new"), "n_active"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.withColumn(
+        "cum_users", F.sum("n_new").over(w).cast("bigint"))
+
+
+_AGG_USER_GROWTH_SQL = """
+WITH first AS (
+  SELECT user_id,
+         CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS day
+  FROM events GROUP BY 1
+),
+new_d AS (SELECT day, COUNT(*) AS n_new FROM first GROUP BY 1),
+active AS (
+  SELECT day, COUNT(*) AS n_active FROM (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           user_id FROM events) GROUP BY 1
+)
+SELECT a.day, COALESCE(n.n_new, 0) AS n_new, a.n_active,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+         ORDER BY a.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM active a LEFT JOIN new_d n ON a.day = n.day
+"""
+
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -877,6 +923,7 @@ QUERIES = [
     DeclaredQuery("agg_pctl_from_hist", _agg_pctl_from_hist, _AGG_PCTL_FROM_HIST_SQL, "OP-AGG-PARTIAL (mergeable histogram quantiles)"),
     DeclaredQuery("agg_conditional", _agg_conditional, _AGG_CONDITIONAL_SQL, "OP-AGG-FILTER"),
     DeclaredQuery("agg_time_weighted_avg", _agg_time_weighted_avg, _AGG_TIME_WEIGHTED_AVG_SQL, "OP-AGG (time-weighted average)"),
+    DeclaredQuery("agg_user_growth", _agg_user_growth, _AGG_USER_GROWTH_SQL, "OP-AGG (growth accounting)"),
     DeclaredQuery("agg_arg_extremes", _agg_arg_extremes, _AGG_ARG_EXTREMES_SQL, "OP-AGG (argmin/argmax)"),
     DeclaredQuery("agg_mode", _agg_mode, _AGG_MODE_SQL, "OP-AGG (mode / most-frequent)"),
     DeclaredQuery("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, "OP-AGG (percentiles)"),

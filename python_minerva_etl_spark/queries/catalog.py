@@ -92,6 +92,7 @@ _DEPTH = [
     "stream_sliding_parity",
     "stream_dedup_parity",
     "stream_enrich_parity",
+    "stream_trigger_parity",
     "stream_session_parity",
     "events_session_window",
     "agg_time_1d",
@@ -101,6 +102,7 @@ _DEPTH = [
     "agg_time_localtz",
     "agg_mode",
     "agg_arg_extremes",
+    "agg_user_growth",
     "agg_time_weighted_avg",
     "agg_percentiles",
     "agg_variance_exact",

@@ -20,6 +20,7 @@ from ..operators.materialization import (materialize_incremental,
 from ..streaming.tumble import (read_events_stream, run_available_now,
                                 tumbling_agg)
 from .base import DeclaredQuery, t
+from .trend import _TRIGGER_THRESHOLD_SQL as _STREAM_TRIGGER_PARITY_SQL
 
 _STREAM_SEQ = itertools.count()
 
@@ -187,6 +188,28 @@ FROM events c JOIN events e
 """
 
 
+def _stream_trigger_parity(spark, sf_dir):
+    """OP-TRIG x OP-STR: the threshold trigger evaluated ON THE STREAM
+    — severity CASE + condition filter are stateless row ops, so the
+    alert feed needs no watermark or state at all; availableNow append
+    equals the batch trigger bit-for-bit (same oracle).  This is the
+    deploy shape: alerts fire in the micro-batch the breach arrives
+    in, not at the next batch run."""
+    from ..operators.trigger import evaluate
+    from .trend import _RULE
+
+    stream = read_events_stream(spark, sf_dir)
+    notif = evaluate(stream, _RULE, entity_col="user_id", ts_col="ts")
+    out = notif.select(
+        F.col("event_id"),
+        F.col("user_id").alias("entity_id"),
+        F.date_trunc("second", "ts").alias("ts_s"),
+        "severity", "weight", "value", "trigger_name")
+    name = f"stream_trigger_{next(_STREAM_SEQ)}"
+    return run_available_now(spark, out, name, output_mode="append")
+
+
+
 def _materialize_incremental(spark, sf_dir):
     """OP-MAT-INC: fingerprint-driven incremental materialization.
     Runs the state machine twice over a two-phase load (early data,
@@ -246,4 +269,7 @@ QUERIES = [
     DeclaredQuery("stream_enrich_parity", _stream_enrich_parity,
                   _STREAM_ENRICH_PARITY_SQL,
                   "OP-STR-INGEST (stream-static enrichment)"),
+    DeclaredQuery("stream_trigger_parity", _stream_trigger_parity,
+                  _STREAM_TRIGGER_PARITY_SQL,
+                  "OP-TRIG x OP-STR (streaming alert feed)"),
 ]
