@@ -135,6 +135,7 @@ _DEPTH = [
     "win_first_last",
     "win_next_event_gap",
     "win_streaks",
+    "win_ratio_to_report",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",
@@ -156,6 +157,7 @@ _DEPTH = [
     "text_bigram_score",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "dataset_leakage_safe_split",
     "dedup_ngram_jaccard",
     "text_fingerprint",
     "agg_approx_distinct",

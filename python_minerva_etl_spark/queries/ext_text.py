@@ -598,6 +598,63 @@ def _dedup_incremental(spark, sf_dir):
             .select("doc_id", "batch"))
 
 
+def _dataset_leakage_safe_split(spark, sf_dir):
+    """EXT dataset split (leakage-safe): the md5 train/holdout draw is
+    taken on the NEAR-DUP CLUSTER id, not the doc id — a near-copy of
+    a training document can never land in holdout (the leak a plain
+    per-doc split silently allows).  Composition: n-gram near-dup
+    pairs -> connected components -> cluster-keyed hash split."""
+    from ..ext.clusters import dedup_keep_canonical
+    from ..ext.text import hash_draw
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.95)
+    cc = dedup_keep_canonical(docs, pairs).select("doc_id", "cluster")
+    draw = hash_draw("cluster", "split-v1", n_hex=8)
+    thr = int(0.9 * 0xFFFFFFFF)
+    return cc.withColumn(
+        "split", F.when(draw <= F.lit(thr), F.lit("train"))
+        .otherwise(F.lit("holdout")))
+
+
+_DATASET_LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substring(text, i, 3))) AS grams
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / CAST(len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.95
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS doc, LEAST(u, MIN(v)) AS cluster
+  FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(cc.cluster, d.doc_id) AS cluster,
+       CASE WHEN CAST(('0x' || substring(md5('split-v1' ||
+                 CAST(COALESCE(cc.cluster, d.doc_id) AS VARCHAR)), 1, 8))
+                 AS BIGINT) <= {int(0.9 * 0xFFFFFFFF)}
+            THEN 'train' ELSE 'holdout' END AS split
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc
+"""
+
+
+
 def _dataset_temperature_sample(spark, sf_dir):
     """EXT dataset mixing (temperature sampling): T = 0.5 source
     rebalancing — acceptance p_g = min(1, frac*N*(sqrt(n_g)/Z)/n_g)
@@ -1025,6 +1082,7 @@ QUERIES = [
     DeclaredQuery("corpus_filter_funnel", _corpus_filter_funnel, _funnel_oracle(), "EXT corpus curation (one-pass filter funnel)"),
     DeclaredQuery("dataset_length_buckets", _dataset_length_buckets, _DATASET_LENGTH_BUCKETS_SQL, "EXT dataset batching (length buckets)"),
     DeclaredQuery("text_chunk", _text_chunk, _TEXT_CHUNK_SQL, "EXT-TEXT (chunking)"),
+    DeclaredQuery("dataset_leakage_safe_split", _dataset_leakage_safe_split, _DATASET_LEAKAGE_SAFE_SPLIT_SQL, "EXT dataset split (leakage-safe, cluster-keyed)"),
     DeclaredQuery("dataset_hash_split", _dataset_hash_split, _DATASET_HASH_SPLIT_SQL, "EXT dataset split"),
     DeclaredQuery("text_boilerplate", _text_boilerplate, _TEXT_BOILERPLATE_SQL, "EXT-TEXT (boilerplate detection)"),
     DeclaredQuery("dataset_interleave", _dataset_interleave, _DATASET_INTERLEAVE_SQL, "EXT dataset mixing (weighted interleave)"),

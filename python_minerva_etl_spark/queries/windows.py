@@ -321,6 +321,41 @@ ASOF LEFT JOIN purchases p
 
 
 
+def _win_ratio_to_report(spark, sf_dir):
+    """OP-WIN (ratio-to-report): each class's share of its user's
+    total — the classic OLAP percent-of-total.  Numerator and
+    denominator are decimal partials (denominator = window sum over
+    the already-aggregated per-class rows, |classes| per user), so the
+    single share division is the only float op."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    per_class = (ev.groupBy("user_id", "event_type")
+                 .agg(F.sum(F.col("value").cast("decimal(28,4)"))
+                      .alias("__sum")))
+    w = Window.partitionBy("user_id")
+    return per_class.select(
+        "user_id", "event_type",
+        F.col("__sum").cast("double").alias("class_value"),
+        (F.col("__sum").cast("double")
+         / F.sum("__sum").over(w).cast("double")).alias("share"))
+
+
+_WIN_RATIO_TO_REPORT_SQL = """
+WITH per_class AS (
+  SELECT user_id, event_type,
+         SUM(CAST(value AS DECIMAL(28,4))) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type,
+       CAST(s AS DOUBLE) AS class_value,
+       CAST(s AS DOUBLE)
+         / CAST(SUM(s) OVER (PARTITION BY user_id) AS DOUBLE) AS share
+FROM per_class
+"""
+
+
+
 def _win_streaks(spark, sf_dir):
     """OP-WIN (gaps-and-islands): longest consecutive-active-day
     streak per user.  Island id = day minus the day's per-user rank
@@ -359,6 +394,7 @@ FROM s GROUP BY 1
 
 
 QUERIES = [
+    DeclaredQuery("win_ratio_to_report", _win_ratio_to_report, _WIN_RATIO_TO_REPORT_SQL, "OP-WIN (ratio-to-report)"),
     DeclaredQuery("win_streaks", _win_streaks, _WIN_STREAKS_SQL, "OP-WIN (gaps-and-islands streaks)"),
     DeclaredQuery("attr_curr", _attr_curr, _ATTR_CURR_SQL, "OP-WIN-LATEST"),
     DeclaredQuery("attr_change_detect", _attr_change_detect, _ATTR_CHANGE_DETECT_SQL, "OP-WIN-CHANGE"),
