@@ -114,6 +114,7 @@ _DEPTH = [
     "gap_detect",
     "data_quality_report",
     "entity_fuzzy_match",
+    "dn_reparent",
     "gap_fill",
     "gap_interpolate",
     "anomaly_zscore",
@@ -136,6 +137,7 @@ _DEPTH = [
     "win_next_event_gap",
     "win_streaks",
     "win_ratio_to_report",
+    "win_rolling_zscore",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -654,6 +654,51 @@ SELECT 'fk_orders',
 """
 
 
+def _dn_reparent(spark, sf_dir):
+    """OP-DIR-DN (subtree migration): rename/reparent a directory
+    subtree — every dn under segment=BUILDING moves under the renamed
+    segment=CONSTRUCTION parent, others pass through; old and new dn
+    plus a moved flag are emitted (the audit shape a directory
+    migration writes).  Scan-local string rewrite, no shuffle —
+    reference analog: dn rewrites in directory admin tooling
+    (minerva/directory/distinguishedname.py [U])."""
+    cust = t(spark, sf_dir, "customer")
+    dn = F.concat(F.lit("segment="), F.col("c_mktsegment"),
+                  F.lit(",customer="), F.col("c_custkey").cast("string"))
+    prefix = "segment=BUILDING,"
+    new_dn = F.when(
+        F.col("dn").startswith(prefix),
+        F.concat(F.lit("segment=CONSTRUCTION,"),
+                 F.substring(F.col("dn"), len(prefix) + 1, 10_000))
+    ).otherwise(F.col("dn"))
+    return (cust.select("c_custkey", dn.alias("dn"))
+            .withColumn("new_dn", new_dn)
+            .withColumn("moved", F.col("new_dn") != F.col("dn")))
+
+
+_DN_REPARENT_SQL = """
+WITH d AS (
+  SELECT c_custkey,
+         concat('segment=', c_mktsegment, ',customer=',
+                CAST(c_custkey AS VARCHAR)) AS dn
+  FROM customer
+)
+SELECT c_custkey, dn,
+       CASE WHEN starts_with(dn, 'segment=BUILDING,')
+            THEN concat('segment=CONSTRUCTION,',
+                        substring(dn, length('segment=BUILDING,') + 1,
+                                  10000))
+            ELSE dn END AS new_dn,
+       CASE WHEN starts_with(dn, 'segment=BUILDING,')
+            THEN concat('segment=CONSTRUCTION,',
+                        substring(dn, length('segment=BUILDING,') + 1,
+                                  10000))
+            ELSE dn END <> dn AS moved
+FROM d
+"""
+
+
+
 def _entity_fuzzy_match(spark, sf_dir):
     """OP-DIR-ENTITY (fuzzy alias recovery): customer names corrupted
     by deleting their 2nd character are matched back to the registry
@@ -697,6 +742,7 @@ SELECT src_id, src_name, match_id, match_name, dist FROM (
 
 
 QUERIES = [
+    DeclaredQuery("dn_reparent", _dn_reparent, _DN_REPARENT_SQL, "OP-DIR-DN (subtree reparenting)"),
     DeclaredQuery("entity_fuzzy_match", _entity_fuzzy_match, _ENTITY_FUZZY_MATCH_SQL, "OP-DIR-ENTITY (fuzzy alias recovery)"),
     DeclaredQuery("data_quality_report", _data_quality_report, _DATA_QUALITY_REPORT_SQL, "OP-SNK (data contracts / validation)"),
     DeclaredQuery("project_select", _project_select, _PROJECT_SELECT_SQL, "OP-PROJ"),

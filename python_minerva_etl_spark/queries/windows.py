@@ -356,6 +356,50 @@ FROM per_class
 
 
 
+def _win_rolling_zscore(spark, sf_dir):
+    """OP-WIN x OP-TRIG (rolling baseline): z-score of each reading
+    against its own TRAILING-20 window (self-adapting baseline vs the
+    whole-history z of anomaly_zscore).  Frame sums are decimal (Σx,
+    Σx² exact — a sliding double sum would drift between engines'
+    add/remove strategies), then one shared double formula; rows with
+    fewer than 5 trailing samples or zero variance emit NULL z."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    s = F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+    sq = F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))         .over(w).cast("double")
+    n = F.count("value").over(w).cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    z = F.when((n >= 5.0) & (var > 0.0),
+               (F.col("value") - s / n) / F.sqrt(var))
+    return ev.select("event_id", "user_id", "value",
+                     n.cast("bigint").alias("n_window"),
+                     z.alias("z"))
+
+
+_WIN_ROLLING_ZSCORE_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+           AS sq,
+         CAST(COUNT(value) OVER w AS DOUBLE) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value,
+       CAST(n AS BIGINT) AS n_window,
+       CASE WHEN n >= 5.0 AND (sq - s * s / n) / (n - 1.0) > 0.0
+            THEN (value - s / n) / sqrt((sq - s * s / n) / (n - 1.0))
+       END AS z
+FROM f
+"""
+
+
+
 def _win_streaks(spark, sf_dir):
     """OP-WIN (gaps-and-islands): longest consecutive-active-day
     streak per user.  Island id = day minus the day's per-user rank
@@ -394,6 +438,7 @@ FROM s GROUP BY 1
 
 
 QUERIES = [
+    DeclaredQuery("win_rolling_zscore", _win_rolling_zscore, _WIN_ROLLING_ZSCORE_SQL, "OP-WIN x OP-TRIG (rolling z-score baseline)"),
     DeclaredQuery("win_ratio_to_report", _win_ratio_to_report, _WIN_RATIO_TO_REPORT_SQL, "OP-WIN (ratio-to-report)"),
     DeclaredQuery("win_streaks", _win_streaks, _WIN_STREAKS_SQL, "OP-WIN (gaps-and-islands streaks)"),
     DeclaredQuery("attr_curr", _attr_curr, _ATTR_CURR_SQL, "OP-WIN-LATEST"),
