@@ -679,6 +679,76 @@ FROM active a LEFT JOIN new_d n ON a.day = n.day
 
 
 
+def _agg_cube(spark, sf_dir):
+    """OP-GROUPSETS (CUBE): every subtotal combination over
+    (region, segment) with GROUPING flags — the full-cube depth twin
+    of agg_rollup_sets' hierarchy ROLLUP.  Dims broadcast; one
+    expand+agg shuffle."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    joined = (cust.join(F.broadcast(nat),
+                        cust.c_nationkey == nat.n_nationkey)
+              .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey))
+    return (joined.cube("r_name", "c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast("decimal(28,2)"))
+                 .cast("double").alias("total_balance"),
+                 F.grouping("r_name").cast("int").alias("g_region"),
+                 F.grouping("c_mktsegment").cast("int")
+                 .alias("g_segment")))
+
+
+_AGG_CUBE_SQL = """
+SELECT r_name, c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+         AS total_balance,
+       CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_segment
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+"""
+
+
+def _seq_gap_ranges(spark, sf_dir):
+    """OP-AGG (sequence integrity): contiguous gap ranges in the
+    event_id sequence — the load-completeness check a batch pipeline
+    runs after every harvest (missing-id ranges name exactly what to
+    re-request).  Exercised on the 'click' sub-feed — its ids are a
+    strict subset of the global sequence, so real ranges come back.
+    One global sort of the *ids only* (bigint column, not rows); each
+    gap is derived scan-local from lead()."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click")
+    w = Window.orderBy("event_id")
+    ids = ev.select("event_id").withColumn(
+        "__next", F.lead("event_id").over(w))
+    return (ids.filter(F.col("__next") > F.col("event_id") + 1)
+            .select((F.col("event_id") + 1).alias("gap_start"),
+                    (F.col("__next") - 1).alias("gap_end"),
+                    (F.col("__next") - F.col("event_id") - 1)
+                    .alias("n_missing")))
+
+
+_SEQ_GAP_RANGES_SQL = """
+WITH ids AS (
+  SELECT event_id,
+         LEAD(event_id) OVER (ORDER BY event_id) AS nxt
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id + 1 AS gap_start,
+       nxt - 1 AS gap_end,
+       nxt - event_id - 1 AS n_missing
+FROM ids WHERE nxt > event_id + 1
+"""
+
+
+
 def _agg_rollup_sets(spark, sf_dir):
     """OP-GROUPSETS: ROLLUP(region, nation) over the customer dimension.
     Dims are broadcast — no shuffle for the joins; one shuffle for the
@@ -935,5 +1005,7 @@ QUERIES = [
     DeclaredQuery("gap_detect", _gap_detect, _GAP_DETECT_SQL, "OP-JOIN-ANTI/OP-F-DATE (gap detection)"),
     DeclaredQuery("gap_fill", _gap_fill, _GAP_FILL_SQL, "OP-AGG-TIME (gap fill / carry-forward)"),
     DeclaredQuery("gap_interpolate", _gap_interpolate, _GAP_INTERPOLATE_SQL, "OP-AGG-TIME (gap fill / linear interpolation)"),
+    DeclaredQuery("agg_cube", _agg_cube, _AGG_CUBE_SQL, "OP-GROUPSETS (CUBE)"),
+    DeclaredQuery("seq_gap_ranges", _seq_gap_ranges, _SEQ_GAP_RANGES_SQL, "OP-AGG (id-sequence integrity)"),
     DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),
 ]

@@ -87,6 +87,8 @@ _DEPTH = [
     "cdc_incremental_agg",
     "rollup_entity",
     "agg_rollup_sets",
+    "agg_cube",
+    "seq_gap_ranges",
     "agg_time_15m",
     "agg_time_sliding",
     "stream_sliding_parity",
@@ -160,6 +162,7 @@ _DEPTH = [
     "dedup_clusters",
     "dedup_keep_canonical",
     "dataset_leakage_safe_split",
+    "text_dup_rate",
     "dedup_ngram_jaccard",
     "text_fingerprint",
     "agg_approx_distinct",

@@ -655,6 +655,42 @@ FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc
 
 
 
+def _text_dup_rate(spark, sf_dir):
+    """EXT-DEDUP (reporting): per-source exact-duplicate share — the
+    corpus-health number a curation dashboard tracks per crawl/source
+    (a rising dup rate flags a broken scraper).  Non-canonical = any
+    doc whose content hash has a lower-id twin; one hash agg + one
+    source agg."""
+    docs = t(spark, sf_dir, "documents")
+    keep = (docs.groupBy(F.md5("text").alias("__h"))
+            .agg(F.min("doc_id").alias("__keep")))
+    tagged = (docs.withColumn("__h", F.md5("text"))
+              .join(keep, "__h")
+              .withColumn("__dup", F.col("doc_id") != F.col("__keep")))
+    return (tagged.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count(F.when(F.col("__dup"), 1)).alias("n_dups"))
+            .select("source", "n_docs", "n_dups",
+                    (F.col("n_dups").cast("double")
+                     / F.col("n_docs").cast("double")).alias("dup_rate")))
+
+
+_TEXT_DUP_RATE_SQL = """
+WITH keep AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+  FROM documents GROUP BY 1
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN d.doc_id <> k.keep_id THEN 1 END) AS n_dups,
+       CAST(COUNT(CASE WHEN d.doc_id <> k.keep_id THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM documents d JOIN keep k ON md5(d.text) = k.h
+GROUP BY 1
+"""
+
+
+
 def _dataset_temperature_sample(spark, sf_dir):
     """EXT dataset mixing (temperature sampling): T = 0.5 source
     rebalancing — acceptance p_g = min(1, frac*N*(sqrt(n_g)/Z)/n_g)
@@ -1089,6 +1125,7 @@ QUERIES = [
     DeclaredQuery("dataset_stratified_sample", _dataset_stratified_sample, _strata_sql(), "EXT dataset mixing (stratified sample)"),
     DeclaredQuery("dataset_temperature_sample", _dataset_temperature_sample, _DATASET_TEMPERATURE_SAMPLE_SQL, "EXT dataset mixing (temperature sampling)"),
     DeclaredQuery("dataset_pack_sequences", _dataset_pack_sequences, _DATASET_PACK_SEQUENCES_SQL, "EXT dataset packing (sequence groups)"),
+    DeclaredQuery("text_dup_rate", _text_dup_rate, _TEXT_DUP_RATE_SQL, "EXT-DEDUP (per-source dup-rate report)"),
     DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
