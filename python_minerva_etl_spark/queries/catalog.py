@@ -131,6 +131,8 @@ _DEPTH = [
     "join_range",
     "join_asof_forward",
     "join_asof_tolerance",
+    "join_asof_nearest",
+    "win_drawdown",
     "win_counter_rate",
     "win_running_total",
     "win_time_range_avg",
@@ -165,6 +167,7 @@ _DEPTH = [
     "text_dup_rate",
     "dedup_ngram_jaccard",
     "text_fingerprint",
+    "text_langid_confusion",
     "agg_approx_distinct",
     "agg_hll_reagg",
     "dedup_minhash_pairs",

@@ -289,6 +289,44 @@ SELECT s.*, {case} AS lang_pred FROM s
 """
 
 
+def _text_langid_confusion(spark, sf_dir):
+    """EXT-TEXT (classifier evaluation): confusion matrix of the
+    stopword-profile language-ID against the labeled language, with
+    per-cell share of the actual class — the quality readout that
+    decides whether the cheap n-gram classifier is good enough to
+    gate a crawl.  Two tiny aggs over the scored corpus."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = (docs.select("doc_id", F.col("lang").alias("lang_actual"),
+                          *X.langid_scores())
+              .withColumn("lang_pred", X.langid_pred()))
+    cm = (scored.groupBy("lang_actual", "lang_pred")
+          .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("lang_actual")
+    return cm.select(
+        "lang_actual", "lang_pred", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(w).cast("double")).alias("share_of_actual"))
+
+
+def _langid_confusion_oracle() -> str:
+    base = _langid_oracle()
+    return f"""
+WITH scored AS ({base}),
+cm AS (
+  SELECT lang_actual, lang_pred, COUNT(*) AS n
+  FROM scored GROUP BY 1, 2
+)
+SELECT lang_actual, lang_pred, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY lang_actual) AS DOUBLE)
+         AS share_of_actual
+FROM cm
+"""
+
+
+
 def _text_fingerprint(spark, sf_dir):
     """EXT-TEXT fingerprinting: canonical-form md5 + rolling 5-token
     min-shingle fingerprint (1-perm MinHash blocking key)."""
@@ -1137,6 +1175,7 @@ QUERIES = [
     DeclaredQuery("text_token_stats", _text_token_stats, _TEXT_TOKEN_STATS_SQL, "EXT-TEXT-STATS"),
     DeclaredQuery("text_quality_score", _text_quality_score, _TEXT_QUALITY_SCORE_SQL, "EXT-TEXT (quality)"),
     DeclaredQuery("text_langid", _text_langid, _langid_oracle(), "EXT-TEXT (lang-id)"),
+    DeclaredQuery("text_langid_confusion", _text_langid_confusion, _langid_confusion_oracle(), "EXT-TEXT (classifier confusion matrix)"),
     DeclaredQuery("text_fingerprint", _text_fingerprint, _TEXT_FINGERPRINT_SQL, "EXT-TEXT (fingerprint)"),
     DeclaredQuery("text_repetition", _text_repetition, _TEXT_REPETITION_SQL, "EXT-TEXT (repetition filter)"),
     DeclaredQuery("text_bigram_score", _text_bigram_score, _TEXT_BIGRAM_SCORE_SQL, "EXT-TEXT (statistical LM familiarity score)"),

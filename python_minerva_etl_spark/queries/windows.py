@@ -400,6 +400,107 @@ FROM f
 
 
 
+def _win_drawdown(spark, sf_dir):
+    """OP-WIN (running-max drawdown): distance of each reading below
+    its entity's running peak — the recovery/degradation readout for
+    gauge KPIs.  Running max is pure comparison (no FP accumulation),
+    one entity-partitioned sort."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run_max = F.max("value").over(w)
+    return ev.select("event_id", "user_id", "value",
+                     run_max.alias("run_max"),
+                     (run_max - F.col("value")).alias("drawdown"))
+
+
+_WIN_DRAWDOWN_SQL = """
+SELECT event_id, user_id, value,
+       MAX(value) OVER w AS run_max,
+       MAX(value) OVER w - value AS drawdown
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _join_asof_nearest(spark, sf_dir):
+    """OP-JOIN-ASOF (nearest-in-time): the purchase closest to each
+    click in EITHER direction — compose the backward and forward
+    passes (each one shuffle + one window) and pick the smaller
+    absolute gap, ties to the backward match.  Purchases collapse per
+    (user, ts) first so same-ts ties cannot differ across engines."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("p_value"))
+                 .select("user_id", "ts",
+                         F.col("ts").alias("p_ts"), "p_value"))
+    back = asof_join(clicks, purchases.select(
+        "user_id", "ts", F.col("p_ts").alias("b_ts"),
+        F.col("p_value").alias("b_value")),
+        key=["user_id"], ts_col="ts", attr_cols=["b_ts", "b_value"])
+    both = asof_join(back, purchases.select(
+        "user_id", "ts", F.col("p_ts").alias("f_ts"),
+        F.col("p_value").alias("f_value")),
+        key=["user_id"], ts_col="ts", attr_cols=["f_ts", "f_value"],
+        direction="forward")
+    b_gap = F.unix_micros("ts") - F.unix_micros("b_ts")
+    f_gap = F.unix_micros("f_ts") - F.unix_micros("ts")
+    pick_back = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (b_gap <= f_gap))
+    return both.select(
+        "event_id", "user_id",
+        F.when(pick_back, F.col("b_value")).otherwise(F.col("f_value"))
+        .alias("nearest_value"),
+        F.when(pick_back, -b_gap).otherwise(f_gap).alias("gap_us"))
+
+
+_JOIN_ASOF_NEAREST_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+         MAX(value) AS p_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         p.ts AS b_ts, p.p_value AS b_value
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+),
+f AS (
+  SELECT c.event_id, p.ts AS f_ts, p.p_value AS f_value
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN f.f_ts IS NULL
+              OR (b.b_ts IS NOT NULL
+                  AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                      <= epoch_us(f.f_ts) - epoch_us(b.ts))
+            THEN b.b_value ELSE f.f_value END AS nearest_value,
+       CASE WHEN f.f_ts IS NULL
+              OR (b.b_ts IS NOT NULL
+                  AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                      <= epoch_us(f.f_ts) - epoch_us(b.ts))
+            THEN -(epoch_us(b.ts) - epoch_us(b.b_ts))
+            ELSE epoch_us(f.f_ts) - epoch_us(b.ts) END AS gap_us
+FROM b JOIN f ON b.event_id = f.event_id
+"""
+
+
+
 def _win_streaks(spark, sf_dir):
     """OP-WIN (gaps-and-islands): longest consecutive-active-day
     streak per user.  Island id = day minus the day's per-user rank
@@ -450,6 +551,8 @@ QUERIES = [
     DeclaredQuery("win_moving_avg", _win_moving_avg, _WIN_MOVING_AVG_SQL, "OP-WIN-MOVAVG"),
     DeclaredQuery("win_time_range_avg", _win_time_range_avg, _WIN_TIME_RANGE_AVG_SQL, "OP-WIN-MOVAVG (time RANGE frame)"),
     DeclaredQuery("join_asof", _join_asof, _JOIN_ASOF_SQL, "OP-JOIN-ASOF"),
+    DeclaredQuery("win_drawdown", _win_drawdown, _WIN_DRAWDOWN_SQL, "OP-WIN (running-max drawdown)"),
+    DeclaredQuery("join_asof_nearest", _join_asof_nearest, _JOIN_ASOF_NEAREST_SQL, "OP-JOIN-ASOF (nearest either direction)"),
     DeclaredQuery("join_asof_tolerance", _join_asof_tolerance, _JOIN_ASOF_TOLERANCE_SQL, "OP-JOIN-ASOF (bounded staleness)"),
     DeclaredQuery("join_asof_forward", _join_asof_forward, _JOIN_ASOF_FORWARD_SQL, "OP-JOIN-ASOF (forward)"),
 ]
