@@ -351,6 +351,37 @@ class SnapTable:
                     txn, v - 1), v):
                 return v
 
+    def apply_changes(self, spark: SparkSession, changes: DataFrame,
+                      key: list[str], seq_col: str,
+                      txn: tuple[str, int] | None = None) -> int:
+        """Replicate another table's :meth:`changes` feed into THIS
+        table (the Delta APPLY CHANGES INTO analog — downstream
+        replicas and conformed marts chain off the upstream CDC feed
+        instead of re-reading the upstream table).
+
+        ``insert`` and ``update_postimage`` rows upsert via
+        :meth:`merge`; ``delete`` rows erase via :meth:`delete`;
+        ``update_preimage`` rows are ignored (the postimage carries
+        the truth).  Cost is O(feed), never O(upstream table); the
+        same txn ledger makes re-delivered feeds exactly-once (pass
+        ``txn=(app, feed_version)``).  Returns the new version (or the
+        current one for an empty feed)."""
+        if self._txn_seen(txn, self.latest_version()):
+            return self.latest_version()
+        upserts = (changes.filter(F.col("_change_type")
+                                  .isin("insert", "update_postimage"))
+                   .drop("_change_type"))
+        deletes = (changes.filter(F.col("_change_type") == "delete")
+                   .select(*key).distinct())
+        version = self.latest_version()
+        if not upserts.isEmpty():
+            version = self.merge(spark, upserts, key=key,
+                                 seq_col=seq_col, txn=txn)
+            txn = None  # ledger already advanced; don't skip the delete
+        if not deletes.isEmpty():
+            version = self.delete(spark, deletes, key=key, txn=txn)
+        return version
+
     def delete(self, spark: SparkSession, keys: DataFrame,
                key: list[str],
                txn: tuple[str, int] | None = None) -> int:

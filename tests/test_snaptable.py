@@ -489,3 +489,41 @@ def test_read_stats_pruning_skips_disjoint_files(spark, tmp_path):
     # empty result keeps the schema
     empty = t.read(spark, where={"k": (9999, 99999)})
     assert empty.count() == 0 and set(empty.columns) == {"k", "payload"}
+
+
+def test_apply_changes_replicates_upstream(spark, tmp_path):
+    """A replica fed only the upstream CDC feed converges to the
+    upstream table through merge, update, and delete — and a
+    re-delivered feed is a no-op (txn ledger)."""
+    from python_minerva_etl_spark.storage.snaptable import SnapTable
+
+    up = SnapTable(str(tmp_path / "up"))
+    rep = SnapTable(str(tmp_path / "rep"))
+    b1 = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)],
+        "k long, v double, seq int")
+    up.merge(spark, b1, key=["k"], seq_col="seq")
+    # seed the replica: initial state as a pure-insert feed
+    seed = b1.withColumn("_change_type", F.lit("insert"))
+    rep.apply_changes(spark, seed, key=["k"], seq_col="seq",
+                      txn=("cdc", 1))
+
+    # upstream: update k=2, delete k=3
+    b2 = spark.createDataFrame([(2, 99.0, 2)], "k long, v double, seq int")
+    up.merge(spark, b2, key=["k"], seq_col="seq")
+    up.delete(spark, spark.createDataFrame([(3,)], "k long"), key=["k"])
+    feed = up.changes(spark, 1, 3)
+    rep.apply_changes(spark, feed, key=["k"], seq_col="seq",
+                      txn=("cdc", 3))
+
+    def rows(t):
+        return {(r.k, r.v) for r in
+                t.read(spark).select("k", "v").collect()}
+    assert rows(rep) == rows(up) == {(1, 10.0), (2, 99.0)}
+
+    # re-delivery of the same feed version: exactly-once, no new data
+    v_before = rep.latest_version()
+    rep.apply_changes(spark, feed, key=["k"], seq_col="seq",
+                      txn=("cdc", 3))
+    assert rep.latest_version() == v_before
+    assert rows(rep) == {(1, 10.0), (2, 99.0)}
