@@ -187,6 +187,25 @@ def cmd_validate(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_history(args) -> int:
+    """Print a snapshot table's commit history as JSON lines."""
+    from .storage.snaptable import SnapTable
+
+    for entry in SnapTable(args.path).history():
+        print(json.dumps(entry, default=str))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Roll a snapshot table back to an earlier version (published as
+    a new commit — history and time travel are preserved)."""
+    from .storage.snaptable import SnapTable
+
+    new_v = SnapTable(args.path).restore(args.version)
+    print(json.dumps({"restored_to": args.version, "new_version": new_v}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     return subprocess.call([sys.executable, "bench.py"])
@@ -284,6 +303,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--check", required=True)
     s.add_argument("--table", required=True)
     s.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("history", help="snapshot table commit history")
+    s.add_argument("path")
+    s.set_defaults(fn=cmd_history)
+
+    s = sub.add_parser("restore",
+                       help="roll a snapshot table back to a version")
+    s.add_argument("path")
+    s.add_argument("version", type=int)
+    s.set_defaults(fn=cmd_restore)
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     s.set_defaults(fn=cmd_bench)

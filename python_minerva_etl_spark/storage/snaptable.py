@@ -550,6 +550,25 @@ class SnapTable:
             if self._publish(self._with_txn(manifest, None, v - 1), v):
                 return v
 
+    def restore(self, to_version: int) -> int:
+        """Roll the table back to ``to_version`` AS A NEW COMMIT (the
+        Delta RESTORE analog): the old manifest's file list is
+        re-published under the next version number, so history is
+        preserved, time travel still reaches the undone versions, and
+        :meth:`changes` across the restore shows exactly the rows the
+        rollback changed.  Pure metadata — no data file is read or
+        written; concurrent-writer safety via the same atomic
+        publish."""
+        old = self._manifest(to_version)  # raises on unknown version
+        while True:
+            latest = self.latest_version() or 0
+            if to_version == latest:
+                return latest  # restoring to the tip is a no-op
+            manifest = dict(old)
+            manifest["restored_from"] = to_version
+            if self._publish(manifest, latest + 1):
+                return latest + 1
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop manifests beyond the newest ``keep_versions`` and delete
         data files no retained snapshot references (including orphans

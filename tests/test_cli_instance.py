@@ -244,3 +244,26 @@ rules:
     assert rep["key_nonneg"]["pass"] is True
     assert rep["key_unique"]["pass"] is True
     assert rep["impossible"]["n_violations"] == 5
+
+
+def test_cli_history_and_restore(spark, tmp_path, capsys):
+    import json as _json
+
+    from python_minerva_etl_spark.cli import main
+    from python_minerva_etl_spark.storage.snaptable import SnapTable
+
+    t = SnapTable(str(tmp_path / "snap"))
+    t.merge(spark, spark.createDataFrame([(1, 1.0, 1)],
+                                         "k long, v double, seq int"),
+            key=["k"], seq_col="seq")
+    t.merge(spark, spark.createDataFrame([(1, 2.0, 2)],
+                                         "k long, v double, seq int"),
+            key=["k"], seq_col="seq")
+    assert main(["history", str(tmp_path / "snap")]) == 0
+    hist = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(hist) == 2
+    assert main(["restore", str(tmp_path / "snap"), "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out == {"restored_to": 1, "new_version": 3}
+    assert {r.v for r in t.read(spark).collect()} == {1.0}

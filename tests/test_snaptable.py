@@ -527,3 +527,34 @@ def test_apply_changes_replicates_upstream(spark, tmp_path):
                       txn=("cdc", 3))
     assert rep.latest_version() == v_before
     assert rows(rep) == {(1, 10.0), (2, 99.0)}
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE re-publishes an old snapshot as a new version: data
+    matches the restored version, history keeps the undone commits,
+    and the CDC feed across the restore names the rolled-back rows."""
+    from python_minerva_etl_spark.storage.snaptable import SnapTable
+
+    t = SnapTable(str(tmp_path / "restore"))
+    t.merge(spark, spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1)], "k long, v double, seq int"),
+        key=["k"], seq_col="seq")                       # v1
+    t.merge(spark, spark.createDataFrame(
+        [(2, 99.0, 2), (3, 30.0, 2)], "k long, v double, seq int"),
+        key=["k"], seq_col="seq")                       # v2
+    v3 = t.restore(1)
+    assert v3 == 3 and t.versions() == [1, 2, 3]
+    got = {(r.k, r.v) for r in t.read(spark).select("k", "v").collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
+    # time travel still reaches the undone version
+    v2_rows = {(r.k, r.v)
+               for r in t.read(spark, 2).select("k", "v").collect()}
+    assert v2_rows == {(1, 10.0), (2, 99.0), (3, 30.0)}
+    # CDC across the restore: k=2 reverts, k=3 disappears
+    chg = {(r.k, r._change_type)
+           for r in t.changes(spark, 2, 3).collect()}
+    assert ("3", "delete") in {(str(k), c) for k, c in chg} or \
+        (3, "delete") in chg
+    assert (2, "update_postimage") in chg
+    # restoring to the tip is a no-op
+    assert t.restore(3) == 3 and t.latest_version() == 3
