@@ -550,6 +550,33 @@ class SnapTable:
             if self._publish(self._with_txn(manifest, None, v - 1), v):
                 return v
 
+    def sync_from(self, spark: SparkSession, upstream: "SnapTable",
+                  key: list[str], seq_col: str) -> int:
+        """Incrementally replicate ``upstream`` into this table: apply
+        the change feed of every upstream version not yet applied,
+        one :meth:`apply_changes` commit per upstream version.  The
+        replication BOOKMARK is this table's own txn ledger (app id =
+        ``sync:<upstream path>``), so a crashed or re-run sync resumes
+        exactly where it stopped — at-least-once scheduling, exactly-
+        once application.  A fresh replica bootstraps from the full
+        first snapshot as a pure-insert feed.  Returns the number of
+        upstream versions applied."""
+        app = f"sync:{os.path.abspath(upstream.path)}"
+        done = self.txns(self.latest_version()).get(app, 0)
+        applied = 0
+        for v in upstream.versions():
+            if v <= done:
+                continue
+            if v == 1:
+                feed = upstream.read(spark, 1).withColumn(
+                    "_change_type", F.lit("insert"))
+            else:
+                feed = upstream.changes(spark, v - 1, v, key=key)
+            self.apply_changes(spark, feed, key=key, seq_col=seq_col,
+                               txn=(app, v))
+            applied += 1
+        return applied
+
     def restore(self, to_version: int) -> int:
         """Roll the table back to ``to_version`` AS A NEW COMMIT (the
         Delta RESTORE analog): the old manifest's file list is

@@ -558,3 +558,35 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     assert (2, "update_postimage") in chg
     # restoring to the tip is a no-op
     assert t.restore(3) == 3 and t.latest_version() == 3
+
+
+def test_sync_from_incremental_replication(spark, tmp_path):
+    """sync_from bootstraps a fresh replica, applies only unseen
+    upstream versions on later runs (txn-ledger bookmark), and
+    converges through updates and deletes."""
+    from python_minerva_etl_spark.storage.snaptable import SnapTable
+
+    up = SnapTable(str(tmp_path / "up"))
+    rep = SnapTable(str(tmp_path / "rep"))
+    up.merge(spark, spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1)], "k long, v double, seq int"),
+        key=["k"], seq_col="seq")                       # v1
+    up.merge(spark, spark.createDataFrame(
+        [(2, 99.0, 2)], "k long, v double, seq int"),
+        key=["k"], seq_col="seq")                       # v2
+
+    assert rep.sync_from(spark, up, key=["k"], seq_col="seq") == 2
+
+    def rows(t):
+        return {(r.k, r.v) for r in t.read(spark).select("k", "v").collect()}
+    assert rows(rep) == rows(up) == {(1, 10.0), (2, 99.0)}
+
+    # nothing new -> no versions applied, replica untouched
+    v = rep.latest_version()
+    assert rep.sync_from(spark, up, key=["k"], seq_col="seq") == 0
+    assert rep.latest_version() == v
+
+    # upstream delete -> one more version applied on the next sync
+    up.delete(spark, spark.createDataFrame([(1,)], "k long"), key=["k"])
+    assert rep.sync_from(spark, up, key=["k"], seq_col="seq") == 1
+    assert rows(rep) == rows(up) == {(2, 99.0)}
