@@ -121,6 +121,8 @@ _DEPTH = [
     "gap_interpolate",
     "anomaly_zscore",
     "anomaly_mad",
+    "anomaly_prefix_zscore",
+    "stream_anomaly_feed",
     "notif_escalation",
     "cohort_retention",
     "funnel_conversion",

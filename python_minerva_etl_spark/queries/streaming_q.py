@@ -210,6 +210,24 @@ def _stream_trigger_parity(spark, sf_dir):
 
 
 
+def _stream_anomaly_feed(spark, sf_dir):
+    """OP-STR-STATEFUL (applyInPandasWithState): the running-Welford
+    anomaly feed — each event judged against its user's state BEFORE
+    it, three numbers of engine state per key.  Deterministic replay
+    (in-batch (ts, event_id) ordering) but the Welford float path
+    differs from decimal prefix sums in the last ulp → rows-only;
+    flag-set agreement with the oracle-backed batch twin
+    (anomaly_prefix_zscore) is locked in tests/test_streaming_stateful.py."""
+    from ..streaming.stateful import streaming_anomalies
+
+    stream = read_events_stream(spark, sf_dir)
+    result = streaming_anomalies(stream, z_threshold=3.0,
+                                 min_samples=10)
+    name = f"stream_anomaly_{next(_STREAM_SEQ)}"
+    return run_available_now(spark, result, name, output_mode="append")
+
+
+
 def _materialize_incremental(spark, sf_dir):
     """OP-MAT-INC: fingerprint-driven incremental materialization.
     Runs the state machine twice over a two-phase load (early data,
@@ -272,4 +290,6 @@ QUERIES = [
     DeclaredQuery("stream_trigger_parity", _stream_trigger_parity,
                   _STREAM_TRIGGER_PARITY_SQL,
                   "OP-TRIG x OP-STR (streaming alert feed)"),
+    DeclaredQuery("stream_anomaly_feed", _stream_anomaly_feed, None,
+                  "OP-STR-STATEFUL (running-Welford anomaly feed)"),
 ]

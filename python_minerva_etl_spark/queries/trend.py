@@ -408,6 +408,50 @@ SELECT user_id, day, event_type AS trend, value FROM wide
 """
 
 
+def _anomaly_prefix_zscore(spark, sf_dir):
+    """OP-TRIG (no-lookahead baseline, batch form): each event judged
+    against its user's PREFIX stats only (everything strictly before
+    it) — the batch twin of the streaming Welford feed, so alerts are
+    reproducible offline.  Prefix Σ/Σx² are decimal (exact), one
+    shared closing formula; needs >= 10 prior samples and positive
+    variance."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    s_ = F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+    sq = F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))         .over(w).cast("double")
+    n = F.count("value").over(w).cast("double")
+    var = (sq - s_ * s_ / n) / (n - F.lit(1.0))
+    z = (F.col("value") - s_ / n) / F.sqrt(var)
+    return (ev.select("event_id", "user_id", "value",
+                      n.alias("__n"), var.alias("__var"), z.alias("z"))
+            .filter((F.col("__n") >= 10.0) & (F.col("__var") > 0.0)
+                    & (F.abs(F.col("z")) > 3.0))
+            .select("event_id", "user_id", "value", "z"))
+
+
+_ANOMALY_PREFIX_ZSCORE_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+           AS sq,
+         CAST(COUNT(value) OVER w AS DOUBLE) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value,
+       (value - s / n) / sqrt((sq - s * s / n) / (n - 1.0)) AS z
+FROM f
+WHERE n >= 10.0 AND (sq - s * s / n) / (n - 1.0) > 0.0
+  AND abs((value - s / n) / sqrt((sq - s * s / n) / (n - 1.0))) > 3.0
+"""
+
+
+
 def _notif_escalation(spark, sf_dir):
     """OP-TRIG (escalation): alert only after >= 3 CONSECUTIVE
     threshold breaches per user — single spikes stay un-escalated
@@ -598,6 +642,7 @@ QUERIES = [
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
+    DeclaredQuery("anomaly_prefix_zscore", _anomaly_prefix_zscore, _ANOMALY_PREFIX_ZSCORE_SQL, "OP-TRIG (no-lookahead prefix baseline)"),
     DeclaredQuery("notif_escalation", _notif_escalation, _NOTIF_ESCALATION_SQL, "OP-TRIG (consecutive-breach escalation)"),
     DeclaredQuery("anomaly_mad", _anomaly_mad, _ANOMALY_MAD_SQL, "OP-TRIG (robust MAD baseline)"),
     DeclaredQuery("cohort_retention", _cohort_retention, _COHORT_RETENTION_SQL, "OP-NOTIF (cohort retention)"),

@@ -150,3 +150,20 @@ def test_streaming_anomalies_carry_baseline_across_batches(spark):
     assert set(got) == set(want)
     assert all(got[k] == want[k] for k in got)  # bit-identical z
     assert len(got) > 0  # the fixture does produce outliers
+
+
+def test_stream_anomaly_flags_match_batch_prefix_twin(spark):
+    """The declared rows-only streaming feed and the oracle-backed
+    batch prefix z-score flag the SAME events at sf0.001 — the
+    Welford float path and the decimal prefix sums disagree only in
+    ulps, never across the |z|>3 boundary on this data."""
+    from python_minerva_etl_spark.queries.catalog import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    batch = {r.event_id for r in
+             qs["anomaly_prefix_zscore"].spark(spark, sf).collect()}
+    stream = {r.event_id for r in
+              qs["stream_anomaly_feed"].spark(spark, sf).collect()}
+    assert batch == stream
+    assert len(batch) > 0
