@@ -133,6 +133,7 @@ _DEPTH = [
     "join_range",
     "join_asof_forward",
     "join_asof_tolerance",
+    "join_anti_null_aware",
     "join_asof_nearest",
     "win_drawdown",
     "win_counter_rate",

@@ -654,6 +654,36 @@ SELECT 'fk_orders',
 """
 
 
+def _join_anti_null_aware(spark, sf_dir):
+    """OP-JOIN-ANTI (null-aware, NOT IN semantics): rows whose key is
+    NULL never qualify — SQL's three-valued NOT IN, a different
+    operator from the NULL-blind left-anti join (Catalyst plans it as
+    a null-aware anti join).  Key = nullif(user_id, 7): user 7's rows
+    carry a NULL key and are excluded even though 7 is not in the
+    exclusion list."""
+    ev = t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_na")
+    return spark.sql("""
+        SELECT event_id, user_id FROM __ev_na
+        WHERE nullif(user_id, 7) NOT IN (
+          SELECT c_custkey FROM __cust_na WHERE c_custkey <= 50)
+    """)
+
+
+def _join_anti_null_aware_wrapped(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__cust_na")
+    return _join_anti_null_aware(spark, sf_dir)
+
+
+_JOIN_ANTI_NULL_AWARE_SQL = """
+SELECT event_id, user_id FROM events
+WHERE nullif(user_id, 7) NOT IN (
+  SELECT c_custkey FROM customer WHERE c_custkey <= 50)
+"""
+
+
+
 def _dn_reparent(spark, sf_dir):
     """OP-DIR-DN (subtree migration): rename/reparent a directory
     subtree — every dn under segment=BUILDING moves under the renamed
@@ -742,6 +772,7 @@ SELECT src_id, src_name, match_id, match_name, dist FROM (
 
 
 QUERIES = [
+    DeclaredQuery("join_anti_null_aware", _join_anti_null_aware_wrapped, _JOIN_ANTI_NULL_AWARE_SQL, "OP-JOIN-ANTI (null-aware / NOT IN)"),
     DeclaredQuery("dn_reparent", _dn_reparent, _DN_REPARENT_SQL, "OP-DIR-DN (subtree reparenting)"),
     DeclaredQuery("entity_fuzzy_match", _entity_fuzzy_match, _ENTITY_FUZZY_MATCH_SQL, "OP-DIR-ENTITY (fuzzy alias recovery)"),
     DeclaredQuery("data_quality_report", _data_quality_report, _DATA_QUALITY_REPORT_SQL, "OP-SNK (data contracts / validation)"),
