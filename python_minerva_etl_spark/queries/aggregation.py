@@ -1009,3 +1009,75 @@ QUERIES = [
     DeclaredQuery("seq_gap_ranges", _seq_gap_ranges, _SEQ_GAP_RANGES_SQL, "OP-AGG (id-sequence integrity)"),
     DeclaredQuery("agg_rollup_sets", _agg_rollup_sets, _AGG_ROLLUP_SETS_SQL, "OP-GROUPSETS"),
 ]
+
+
+def _agg_moments(spark, sf_dir):
+    """Exact higher-moment statistics (skewness, excess kurtosis) per
+    class, from decimal power sums Σx..Σx⁴ — built-in skewness() /
+    kurtosis() differ across engines in both summation order and
+    sample-adjustment convention, so both sides compute the identical
+    population (g1, g2) formula over exact partials.  One map-side
+    combinable hash agg; power sums are mergeable, so this re-aggs
+    across partitions/granularities the same way Σ/count do."""
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value")
+    n = F.count("value").cast("double")
+    s1 = F.sum(v.cast("decimal(28,4)")).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,6)")).cast("double")
+    s3 = F.sum((v * v * v).cast("decimal(38,6)")).cast("double")
+    s4 = F.sum((v * v * v * v).cast("decimal(38,6)")).cast("double")
+    agg = ev.groupBy("event_type").agg(
+        n.alias("n"), s1.alias("s1"), s2.alias("s2"),
+        s3.alias("s3"), s4.alias("s4"))
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (F.col("s3") / F.col("n")
+          - F.lit(3.0) * mean * (F.col("s2") / F.col("n"))
+          + F.lit(2.0) * mean * mean * mean)
+    m4 = (F.col("s4") / F.col("n")
+          - F.lit(4.0) * mean * (F.col("s3") / F.col("n"))
+          + F.lit(6.0) * mean * mean * (F.col("s2") / F.col("n"))
+          - F.lit(3.0) * mean * mean * mean * mean)
+    # 9-dp round: DuckDB's hugeint-decimal -> double cast is doubly
+    # rounded (value/10^scale), off by 1 ulp from Spark's correctly
+    # rounded BigDecimal cast for wide s4 sums — same note as
+    # agg_time_weighted_avg.
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("samples"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 9).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 9).alias("kurtosis"))
+
+
+_AGG_MOMENTS_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(COUNT(value) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(value * value * value AS DECIMAL(38,6)))
+              AS DOUBLE) AS s3,
+         CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6)))
+              AS DOUBLE) AS s4
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT event_type, CAST(n AS BIGINT) AS samples,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM p
+)
+SELECT event_type, samples,
+       ROUND(m3 / (m2 * sqrt(m2)), 9) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 9) AS kurtosis
+FROM m
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("agg_moments", _agg_moments, _AGG_MOMENTS_SQL,
+                  "OP-AGG (exact skewness/kurtosis from mergeable power sums)"))

@@ -145,6 +145,10 @@ _DEPTH = [
     "win_streaks",
     "win_ratio_to_report",
     "win_rolling_zscore",
+    "win_ewma",
+    "event_transitions",
+    "agg_moments",
+    "graph_reach",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

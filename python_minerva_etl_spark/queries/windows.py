@@ -654,3 +654,90 @@ QUERIES.extend([
     DeclaredQuery("win_first_last", _win_first_last, _WIN_FIRST_LAST_SQL, "OP-WIN (first/last/nth)"),
     DeclaredQuery("win_next_event_gap", _win_next_event_gap, _WIN_NEXT_EVENT_GAP_SQL, "OP-WIN-ANALYTIC (lead)"),
 ])
+
+def _event_transitions(spark, sf_dir):
+    """Markov transition matrix over the event stream: for each
+    (src → dst) consecutive event-type pair per user, the transition
+    count and the number of distinct users making it.  One
+    entity-partitioned window sort (lead), then one hash agg — the
+    same shuffle key serves both, so the plan is sort + agg with a
+    single exchange on user_id, then a second small exchange on the
+    (src, dst) matrix (bounded by |event_type|²)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return (trans.groupBy("src", "dst")
+            .agg(F.count("*").alias("n_transitions"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, COUNT(*) AS n_transitions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM s WHERE dst IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def _win_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (alpha = 1/2, depth 8)
+    per entity — the standard smoothing baseline for noisy gauges.
+
+    Formulated as a bounded lag-chain (8 lag terms, weights 2^-d)
+    rather than a recursive state fold: every weight is an exact
+    binary power so each product is a pure exponent shift, and both
+    engines sum the terms in the identical written order —
+    bit-identical cross-engine without decimal staging.  The frame
+    depth bounds the weight tail at 2^-7 (< 1% influence), the usual
+    truncated-EWMA justification.  Plan: one entity-partitioned
+    window sort shared by all 8 lags — single exchange, linear."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for d in range(8):
+        lv = F.col("value") if d == 0 else F.lag("value", d).over(w)
+        wt = F.lit(float(2.0 ** -d))
+        term = F.when(lv.isNotNull(), lv * wt).otherwise(F.lit(0.0))
+        pres = F.when(lv.isNotNull(), wt).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    return ev.select("event_id", "user_id",
+                     (num / den).alias("ewma"))
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    nums, dens = [], []
+    for d in range(8):
+        lv = "value" if d == 0 else f"LAG(value, {d}) OVER w"
+        wt = repr(float(2.0 ** -d))
+        nums.append(f"CASE WHEN ({lv}) IS NOT NULL "
+                    f"THEN ({lv}) * {wt} ELSE 0.0 END")
+        dens.append(f"CASE WHEN ({lv}) IS NOT NULL "
+                    f"THEN {wt} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+_WIN_EWMA_SQL = f"""
+SELECT event_id, user_id,
+       ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("event_transitions", _event_transitions, _EVENT_TRANSITIONS_SQL, "OP-WIN-ANALYTIC (markov transitions)"),
+    DeclaredQuery("win_ewma", _win_ewma, _WIN_EWMA_SQL, "OP-WIN-MOVAVG (exponential smoothing)"),
+])
