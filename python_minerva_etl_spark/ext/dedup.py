@@ -347,3 +347,44 @@ def span_dedup(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
                 .alias("clean_text"),
                 F.size("toks").alias("n_tokens"),
                 F.coalesce(F.size("removed"), F.lit(0)).alias("n_removed")))
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 1.0,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """EXT-DEDUP-NEAR (asymmetric): token-set containment
+    C(A in B) = |A∩B| / |A| — catches sub-document duplication
+    (quoting, boilerplate inclusion, page-in-page) that symmetric
+    Jaccard misses when the host document is much larger.  Emits
+    id_a < id_b pairs where EITHER direction's containment reaches
+    the threshold, with both ratios.
+
+    Same inverted-index self-join shape as near_dup_pairs_exact:
+    candidates are pairs sharing >= 1 token (never a cross join), one
+    shuffle on token then one on the pair key; doc sizes broadcast.
+    At 100 TB, swap the candidate stage for minhash_lsh_candidates —
+    containment >= t implies Jaccard >= t/(2-t), so LSH banding at
+    that weaker threshold keeps full recall."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b",
+                c_ab.alias("containment_a_in_b"),
+                c_ba.alias("containment_b_in_a"))
+        .filter(F.greatest("containment_a_in_b", "containment_b_in_a")
+                >= threshold)
+    )

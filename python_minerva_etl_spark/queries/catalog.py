@@ -149,6 +149,9 @@ _DEPTH = [
     "event_transitions",
     "agg_moments",
     "graph_reach",
+    "notif_storm_collapse",
+    "store_staleness",
+    "dedup_containment",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -1186,3 +1186,36 @@ QUERIES = [
     DeclaredQuery("dataset_shuffle", _dataset_shuffle, _DATASET_SHUFFLE_SQL, "EXT dataset shuffle (deterministic order)"),
     DeclaredQuery("dataset_contamination", _dataset_contamination, _DATASET_CONTAMINATION_SQL, "EXT dataset contamination (benchmark n-gram overlap)"),
 ]
+
+
+def _dedup_containment(spark, sf_dir):
+    """EXT-DEDUP-NEAR (asymmetric containment): |A∩B|/|A| = 1.0 —
+    full sub-document inclusion, the quote/boilerplate case symmetric
+    Jaccard misses.  Inverted-index candidates; LSH at the implied
+    Jaccard bound is the scale path (see containment_pairs)."""
+    return D.containment_pairs(t(spark, sf_dir, "documents"), 1.0)
+
+
+_DEDUP_CONTAINMENT_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / CAST(len(a.toks) AS DOUBLE) AS containment_a_in_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / CAST(len(b.toks) AS DOUBLE) AS containment_b_in_a
+FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+WHERE greatest(
+        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / CAST(len(a.toks) AS DOUBLE),
+        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / CAST(len(b.toks) AS DOUBLE)) >= 1.0
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("dedup_containment", _dedup_containment,
+                  _DEDUP_CONTAINMENT_SQL,
+                  "EXT-DEDUP-NEAR (asymmetric containment)"))

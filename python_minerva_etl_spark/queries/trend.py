@@ -648,3 +648,106 @@ QUERIES = [
     DeclaredQuery("cohort_retention", _cohort_retention, _COHORT_RETENTION_SQL, "OP-NOTIF (cohort retention)"),
     DeclaredQuery("funnel_conversion", _funnel_conversion, _FUNNEL_CONVERSION_SQL, "OP-NOTIF (ordered funnel)"),
 ]
+
+
+def _notif_storm_collapse(spark, sf_dir):
+    """Alert-storm suppression: consecutive threshold breaches per
+    entity closer than a 15-minute cooldown collapse into ONE storm
+    row (first/last breach time, count, peak) — the noise-suppression
+    pass a notification sink runs before paging.  Gaps-and-islands on
+    the breach stream: lag → new-storm flag → running sum as storm id
+    (two windows sharing one entity sort), then a hash agg.  Linear
+    per entity, single shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    breaches = ev.filter(F.col("value") > 75.0).select(
+        "user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w))
+    flagged = breaches.withColumn(
+        "new_storm",
+        F.when(gap_us.isNull() | (gap_us > 15 * 60 * 1_000_000), 1)
+        .otherwise(0))
+    storms = flagged.withColumn(
+        "storm_id",
+        F.sum("new_storm").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (storms.groupBy("user_id", "storm_id")
+            .agg(F.min("ts").alias("storm_start"),
+                 F.max("ts").alias("storm_end"),
+                 F.count("*").alias("n_alerts"),
+                 F.max("value").alias("peak_value")))
+
+
+_NOTIF_STORM_COLLAPSE_SQL = """
+WITH breaches AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM events WHERE value > 75.0
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 900000000
+              THEN 1 ELSE 0 END AS new_storm
+  FROM breaches
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+storms AS (
+  SELECT *,
+         CAST(SUM(new_storm)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS storm_id
+  FROM flagged
+)
+SELECT user_id, storm_id,
+       MIN(ts) AS storm_start, MAX(ts) AS storm_end,
+       COUNT(*) AS n_alerts, MAX(value) AS peak_value
+FROM storms GROUP BY 1, 2
+"""
+
+
+def _store_staleness(spark, sf_dir):
+    """Trend-store freshness report: per entity, the last sample time,
+    its age against the store's high-water mark, and a staleness tier
+    (fresh < 1 d, stale < 7 d, else dead) — the health check run
+    before trusting a materialized store.  Per-entity agg, then the
+    global high-water mark joined back as a broadcast scalar (no
+    second pass over the facts)."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"), F.count("*").alias("samples"))
+    hwm = per.agg(F.max("last_seen").alias("hwm"))
+    age_us = F.unix_micros(F.col("hwm")) - F.unix_micros(F.col("last_seen"))
+    tier = (F.when(age_us < F.lit(86_400_000_000), "fresh")
+            .when(age_us < F.lit(7 * 86_400_000_000), "stale")
+            .otherwise("dead"))
+    return (per.crossJoin(F.broadcast(hwm))
+            .select("user_id", "last_seen", "samples",
+                    age_us.alias("age_us"), tier.alias("staleness")))
+
+
+_STORE_STALENESS_SQL = """
+WITH per AS (
+  SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+         COUNT(*) AS samples
+  FROM events GROUP BY 1
+),
+h AS (SELECT MAX(last_seen) AS hwm FROM per)
+SELECT user_id, last_seen, samples,
+       epoch_us(hwm) - epoch_us(last_seen) AS age_us,
+       CASE WHEN epoch_us(hwm) - epoch_us(last_seen) < 86400000000
+              THEN 'fresh'
+            WHEN epoch_us(hwm) - epoch_us(last_seen) < 604800000000
+              THEN 'stale'
+            ELSE 'dead' END AS staleness
+FROM per, h
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("notif_storm_collapse", _notif_storm_collapse, _NOTIF_STORM_COLLAPSE_SQL, "OP-TRIG/OP-NOTIF (alert-storm suppression)"),
+    DeclaredQuery("store_staleness", _store_staleness, _STORE_STALENESS_SQL, "OP-RPT (store freshness / high-water mark)"),
+])
