@@ -152,6 +152,9 @@ _DEPTH = [
     "notif_storm_collapse",
     "store_staleness",
     "dedup_containment",
+    "anomaly_cusum",
+    "path_signatures",
+    "dataset_reservoir_sample",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -1219,3 +1219,33 @@ QUERIES.append(
     DeclaredQuery("dedup_containment", _dedup_containment,
                   _DEDUP_CONTAINMENT_SQL,
                   "EXT-DEDUP-NEAR (asymmetric containment)"))
+
+
+def _dataset_reservoir_sample(spark, sf_dir):
+    """Deterministic fixed-k uniform sample (distributed reservoir):
+    rank every doc by a content-independent hash draw and keep the
+    global k smallest — statistically the same guarantee as reservoir
+    sampling, but mergeable and rerun-stable (no RNG state).  Plan is
+    TakeOrderedAndProject: per-partition top-k then a k-row merge on
+    the driver side of the exchange — no full sort, no full shuffle,
+    exactly how a reservoir merges at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    draw = F.md5(F.concat_ws("|", F.lit("reservoir"),
+                             F.col("doc_id").cast("string")))
+    return (docs.select("doc_id", "source", "lang", draw.alias("draw"))
+            .orderBy("draw", "doc_id").limit(100))
+
+
+_DATASET_RESERVOIR_SAMPLE_SQL = """
+SELECT doc_id, source, lang,
+       md5(concat_ws('|', 'reservoir', CAST(doc_id AS VARCHAR))) AS draw
+FROM documents
+ORDER BY draw, doc_id
+LIMIT 100
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("dataset_reservoir_sample", _dataset_reservoir_sample,
+                  _DATASET_RESERVOIR_SAMPLE_SQL,
+                  "EXT dataset sampling (deterministic reservoir / hash-rank top-k)"))

@@ -751,3 +751,129 @@ QUERIES.extend([
     DeclaredQuery("notif_storm_collapse", _notif_storm_collapse, _NOTIF_STORM_COLLAPSE_SQL, "OP-TRIG/OP-NOTIF (alert-storm suppression)"),
     DeclaredQuery("store_staleness", _store_staleness, _STORE_STALENESS_SQL, "OP-RPT (store freshness / high-water mark)"),
 ])
+
+
+def _anomaly_cusum(spark, sf_dir):
+    """CUSUM change-point detection per entity: one-sided cumulative
+    sum of deviations from the entity baseline, reset-at-zero.  The
+    textbook recursive reset S+_n = max(0, S+_{n-1} + dev_n) equals
+    the window-expressible cumsum(dev) - running_min(cumsum(dev)) —
+    the drawdown identity — so no recursive state is needed: two
+    frames over ONE entity sort.  Baseline mean/std come from exact
+    decimal partials (cross-engine bit parity); the running double
+    sums then accumulate in the identical (ts, event_id) order on
+    both engines.  Flags S+ > 5σ."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    sq = F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")) \
+        .cast("double")
+    n = F.count("value").cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    base = (ev.groupBy("user_id")
+            .agg(s.alias("s"), sq.alias("sq"), n.alias("n"))
+            .select("user_id",
+                    (F.col("s") / F.col("n")).alias("mean"),
+                    F.sqrt((F.col("sq") - F.col("s") * F.col("s")
+                            / F.col("n")) / (F.col("n") - F.lit(1.0)))
+                    .alias("std")))
+    joined = ev.join(F.broadcast(base), "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # deviations staged in decimal: window SUM association differs
+    # across engines (segment tree vs sequential), so the running sum
+    # must be exact, not floating
+    dev = (F.col("value") - F.col("mean")).cast("decimal(28,10)")
+    # narrow the running sum back to (28,10) before subtracting: a
+    # (38,10) - (38,10) would overflow precision 38 and Spark trims
+    # the SCALE to fit (silent 9-dp truncation)
+    cum = F.sum(dev).over(run).cast("decimal(28,10)")
+    cusum_pos = (cum - F.min(cum).over(run)).cast("double")
+    return joined.select(
+        "event_id", "user_id",
+        cusum_pos.alias("cusum_pos"),
+        (cusum_pos > F.lit(5.0) * F.col("std")).alias("is_shift"))
+
+
+_ANOMALY_CUSUM_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+           / CAST(COUNT(value) AS DOUBLE) AS mean,
+         sqrt((CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               - CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                 * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                 / CAST(COUNT(value) AS DOUBLE))
+              / (CAST(COUNT(value) AS DOUBLE) - 1.0)) AS std
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT e.event_id, e.user_id, e.ts, b.std,
+         CAST(SUM(CAST(e.value - b.mean AS DECIMAL(28,10))) OVER w
+              AS DECIMAL(28,10)) AS cum
+  FROM events e JOIN base b ON e.user_id = b.user_id
+  WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT event_id, user_id, std,
+         CAST(cum - MIN(cum) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+              AS DOUBLE) AS cusum_pos
+  FROM cum
+)
+SELECT event_id, user_id, cusum_pos, cusum_pos > 5.0 * std AS is_shift
+FROM c
+"""
+
+
+def _path_signatures(spark, sf_dir):
+    """Top user journeys: the ordered first-5-event-type path per
+    entity, counted across entities — the notification-store "what do
+    sessions look like" report.  Ordered collect over an explicit
+    window frame (groupBy collect_list order is NOT guaranteed —
+    the frame-ordered form is), then one small agg on the path
+    string."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 5))
+    wf = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    paths = (firstk
+             .withColumn("path", F.array_join(
+                 F.collect_list("event_type").over(wf), ">"))
+             .select("user_id", "path").distinct())
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_users"))
+            .filter(F.col("n_users") >= 2))
+
+
+_PATH_SIGNATURES_SQL = """
+WITH firstk AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM events) s
+  WHERE rn <= 5
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM firstk GROUP BY 1
+)
+SELECT path, COUNT(*) AS n_users
+FROM paths GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("anomaly_cusum", _anomaly_cusum, _ANOMALY_CUSUM_SQL, "OP-TRIG (CUSUM change-point, reset-free form)"),
+    DeclaredQuery("path_signatures", _path_signatures, _PATH_SIGNATURES_SQL, "OP-NOTIF (top user journeys)"),
+])
