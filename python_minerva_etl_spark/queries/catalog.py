@@ -155,6 +155,8 @@ _DEPTH = [
     "anomaly_cusum",
     "path_signatures",
     "dataset_reservoir_sample",
+    "report_abc_class",
+    "embedding_health",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

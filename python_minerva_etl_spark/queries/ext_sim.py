@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..ext import similarity as S
 from ..ext.similarity import (brute_force_topk, brute_force_topk_arrow,
                               cosine_pairs, cosine_pairs_lsh, ivf_topk,
                               label_centroids, lsh_bucketed_topk)
@@ -427,3 +428,55 @@ QUERIES = [
     DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),
     DeclaredQuery("embedding_centroids", _embedding_centroids, _EMBEDDING_CENTROIDS_SQL, "EXT-SIM (label centroids)"),
 ]
+
+
+def _embedding_health(spark, sf_dir):
+    """EXT-SIM (vector-column data quality): per label, vector count,
+    dimensionality check, zero-vector count, and the average L2 norm —
+    the sanity report run before trusting an embedding table (a broken
+    encoder ships zeros or wrong dims long before cosine search
+    notices).  Norms use the same sequential-double fold as the
+    search path (bit-identical to the oracle's list_dot_product);
+    their SUM is decimal-staged so the per-label average cannot drift
+    with partition merge order."""
+    emb = t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(S.dot_col("embedding", "embedding"))
+    return (emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"),
+             F.countDistinct("dim").alias("n_dims"),
+             F.min("dim").alias("min_dim"),
+             F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0))
+             .alias("n_zero"),
+             (F.sum(F.col("norm").cast("decimal(28,10)"))
+              .cast("double") / F.count("*").cast("double"))
+             .alias("avg_norm")))
+
+
+_EMBEDDING_HEALTH_SQL = """
+WITH n AS (
+  SELECT label,
+         len(embedding) AS dim,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       COUNT(DISTINCT dim) AS n_dims,
+       MIN(dim) AS min_dim,
+       CAST(SUM(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero,
+       CAST(SUM(CAST(norm AS DECIMAL(28,10))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_norm
+FROM n GROUP BY 1
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("embedding_health", _embedding_health,
+                  _EMBEDDING_HEALTH_SQL,
+                  "EXT-SIM (embedding-column health report)"))

@@ -867,3 +867,69 @@ FROM reach GROUP BY 1, 2
 QUERIES.append(
     DeclaredQuery("graph_reach", _graph_reach, _GRAPH_REACH_SQL,
                   "OP-JOIN-REL (iterative graph closure / frontier BFS)"))
+
+
+def _report_abc_class(spark, sf_dir):
+    """OP-RPT (Pareto / ABC classification): rank parts by revenue,
+    cumulative revenue share, class A (first 80% of spend) / B (next
+    15%) / C (tail) — the standard inventory-analysis report.
+
+    Revenue partials are decimal-exact (the cumulative sum must not
+    drift between engines), the share is one double division per row.
+    The window runs over the AGGREGATED part table (|parts|, not
+    |lineitem|), so the single-partition cumulative pass is bounded;
+    for dimension tables too big for one partition, swap in the
+    two-phase range-partitioned ranking (operators/ranking.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount")))
+                      .cast("decimal(28,6)")).alias("rev")))
+    w = (Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = rev.agg(F.sum("rev").alias("total"))
+    cum = (rev.crossJoin(F.broadcast(total))
+           .withColumn("cum", F.sum("rev").over(w)))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    klass = (F.when(share <= 0.80, "A")
+             .when(share <= 0.95, "B").otherwise("C"))
+    return cum.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        klass.alias("abc_class"))
+
+
+_REPORT_ABC_CLASS_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(28,6))) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS total FROM rev),
+cum AS (
+  SELECT l_partkey, rev, total,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM rev, tot
+)
+SELECT l_partkey AS partkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80
+              THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+              THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("report_abc_class", _report_abc_class,
+                  _REPORT_ABC_CLASS_SQL,
+                  "OP-RPT (Pareto / ABC cumulative-share classification)"))
