@@ -42,3 +42,29 @@ def salted_agg(df: DataFrame, key: list[str], salt_buckets: int,
               .agg(*[a1.alias(name) for name, (a1, _) in aggs.items()]))
     return (phase1.groupBy(*key)
             .agg(*[a2.alias(name) for name, (_, a2) in aggs.items()]))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: list[str],
+                salt_buckets: int, row_col: str) -> DataFrame:
+    """Salted equi-join for hot join keys too large for AQE's runtime
+    skew splitting (or when the small side must shuffle anyway):
+
+      big side:   salt = xxhash64(row_col) % N — a hot key's rows
+                  spread across N reducer partitions;
+      small side: each row replicated N times (one per salt value);
+      join on (key..., salt).
+
+    Result is row-identical to the unsalted join — the salt only
+    changes the partitioning.  Replication multiplies the small side
+    by N, so pick N ≈ (hottest-key rows / target partition rows) and
+    keep the small side genuinely small; if it fits in a broadcast,
+    broadcast instead and skip salting entirely.  ``row_col`` must be
+    non-null; rows with equal values still distribute (xxhash64 of
+    the value, not of the physical row)."""
+    salt_b = F.pmod(F.xxhash64(F.col(row_col)), F.lit(salt_buckets))
+    bigs = big.withColumn("__salt", salt_b)
+    smalls = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             F.lit(salt_buckets - 1).cast("bigint"))))
+    return bigs.join(smalls, [*key, "__salt"]).drop("__salt")

@@ -157,6 +157,8 @@ _DEPTH = [
     "dataset_reservoir_sample",
     "report_abc_class",
     "embedding_health",
+    "join_salted_hot_keys",
+    "agg_distinct_reagg",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -933,3 +933,70 @@ QUERIES.append(
     DeclaredQuery("report_abc_class", _report_abc_class,
                   _REPORT_ABC_CLASS_SQL,
                   "OP-RPT (Pareto / ABC cumulative-share classification)"))
+
+
+def _join_salted_hot_keys(spark, sf_dir):
+    """OP-JOIN-EQ under key skew: the salted-join pattern — big side
+    salted by xxhash64(event_id) % 8, small side replicated once per
+    salt, equi-join on (key, salt).  Row-identical to the plain join
+    (the oracle IS the plain join); only the shuffle distribution
+    changes, which is the point: a hot entity's rows land on 8
+    reducers instead of one.  Disable-able in favor of broadcast when
+    the dim fits — see operators/skew.py::salted_join."""
+    from ..operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_nationkey", "c_mktsegment")
+    joined = salted_join(ev, cust, ["user_id"], 8, "event_id")
+    return (joined.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                 .alias("sum_value")))
+
+
+_JOIN_SALTED_HOT_KEYS_SQL = """
+SELECT c.c_nationkey, c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def _agg_distinct_reagg(spark, sf_dir):
+    """OP-AGG-DISTINCT x OP-AGG-PARTIAL: exact distinct-count
+    re-aggregation — the stored daily (day, user) distinct pairs are
+    the mergeable partial, and the weekly exact distinct count comes
+    from re-aggregating THEM (no second scan of the facts).  This is
+    the exact-path analog of the HLL re-agg (agg_hll_reagg): distinct
+    pairs re-agg losslessly because distinct-of-distinct composes."""
+    ev = t(spark, sf_dir, "events")
+    daily_pairs = (ev.select(F.date_trunc("day", "ts").alias("day"),
+                             "user_id")
+                   .distinct())
+    weekly = (daily_pairs
+              .select(F.date_trunc("week", "day").alias("week"), "user_id")
+              .distinct()
+              .groupBy("week")
+              .agg(F.count("*").alias("n_users_exact")))
+    return weekly
+
+
+_AGG_DISTINCT_REAGG_SQL = """
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       COUNT(DISTINCT user_id) AS n_users_exact
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("join_salted_hot_keys", _join_salted_hot_keys,
+                  _JOIN_SALTED_HOT_KEYS_SQL,
+                  "OP-JOIN-EQ (skew/salted join)"),
+    DeclaredQuery("agg_distinct_reagg", _agg_distinct_reagg,
+                  _AGG_DISTINCT_REAGG_SQL,
+                  "OP-AGG-DISTINCT/OP-AGG-PARTIAL (exact distinct re-agg)"),
+])

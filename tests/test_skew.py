@@ -107,3 +107,25 @@ def test_directory_registry_edge_cases(spark):
     eq = rows["network=g1,desc=a=b"]
     assert eq.tags["desc"] == "a=b"  # split on first '=' only
     assert "a=b" in eq.aliases
+
+
+def test_salted_join_equals_plain(spark):
+    from python_minerva_etl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    cust = (load_table(spark, "/root/testdata/sf0.01", "customer")
+            .select(F.col("c_custkey").alias("user_id"), "c_nationkey"))
+    # hot key: user 1 tripled
+    hot = ev.filter(F.col("user_id") == 1)
+    skewed = ev.union(hot).union(hot)
+
+    salted = salted_join(skewed, cust, ["user_id"], 8, "event_id")
+    plain = skewed.join(cust, "user_id")
+    key = lambda r: (r.user_id, r.event_id, r.c_nationkey)
+    assert sorted(map(key, salted.collect())) == \
+        sorted(map(key, plain.collect()))
+    # every salt bucket actually used (the fan-out is real)
+    n_salts = (skewed.select(
+        (F.pmod(F.xxhash64("event_id"), F.lit(8))).alias("s"))
+        .distinct().count())
+    assert n_salts == 8
