@@ -159,6 +159,8 @@ _DEPTH = [
     "embedding_health",
     "join_salted_hot_keys",
     "agg_distinct_reagg",
+    "trend_fit",
+    "clean_winsorize",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -877,3 +877,110 @@ QUERIES.extend([
     DeclaredQuery("anomaly_cusum", _anomaly_cusum, _ANOMALY_CUSUM_SQL, "OP-TRIG (CUSUM change-point, reset-free form)"),
     DeclaredQuery("path_signatures", _path_signatures, _PATH_SIGNATURES_SQL, "OP-NOTIF (top user journeys)"),
 ])
+
+
+def _trend_fit(spark, sf_dir):
+    """Per-entity linear trend (OLS closed form): slope per day and
+    intercept of value over time — the namesake "trend" estimator a
+    capacity planner runs over every counter.  All five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) are decimal-exact and mergeable
+    (one map-side-combinable hash agg; re-aggs across partials like
+    any Minerva partial), and the closed-form division is one
+    identical double expression in both engines.  x is measured in
+    days since 2024-01-01 so slope reads as value/day (and the
+    intercept as the fitted value at that origin)."""
+    ev = t(spark, sf_dir, "events")
+    # x centered at 2024-01-01: with raw epoch days (~2e4) the
+    # denominator n*Sxx - Sx**2 is a catastrophic cancellation and a
+    # single-ulp cross-engine cast difference explodes; centered, the
+    # relative error stays ~1e-16 and the 9-dp round is safe
+    x = ((F.unix_micros(F.col("ts")) - F.lit(1_704_067_200_000_000))
+         .cast("double") / F.lit(86_400_000_000.0))
+    y = F.col("value")
+    n = F.count("*").cast("double")
+    sx = F.sum(x.cast("decimal(28,10)")).cast("double")
+    sy = F.sum(y.cast("decimal(28,4)")).cast("double")
+    sxy = F.sum((x * y).cast("decimal(28,6)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(28,6)")).cast("double")
+    agg = ev.groupBy("user_id").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("samples"),
+        F.round(slope, 9).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"))
+
+
+_TREND_FIT_SQL = """
+WITH p AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                             - 1704067200000000 AS DOUBLE)
+                       / 86400000000.0
+                       AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST((CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                             - 1704067200000000 AS DOUBLE)
+                        / 86400000000.0)
+                       * value AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST((CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                             - 1704067200000000 AS DOUBLE)
+                        / 86400000000.0)
+                       * (CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                               - 1704067200000000 AS DOUBLE)
+                          / 86400000000.0)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS samples,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+         AS slope_per_day,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM p
+"""
+
+
+def _clean_winsorize(spark, sf_dir):
+    """Winsorization (outlier clipping for training-data cleaning):
+    clip each value to its class's exact [p05, p95] — two-pass: exact
+    interpolated percentiles per class (one hash agg), broadcast back,
+    scan-local clamp.  Spark's exact percentile and DuckDB's
+    quantile_cont share the interpolation formula bit-for-bit (same
+    pairing as agg_percentiles)."""
+    ev = t(spark, sf_dir, "events")
+    lims = (ev.groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.05)").alias("lo"),
+                 F.expr("percentile(value, 0.95)").alias("hi")))
+    return (ev.join(F.broadcast(lims), "event_type")
+            .select("event_id", "event_type", "value",
+                    F.least(F.greatest(F.col("value"), F.col("lo")),
+                            F.col("hi")).alias("value_winsorized"),
+                    ((F.col("value") < F.col("lo"))
+                     | (F.col("value") > F.col("hi"))).alias("was_clipped")))
+
+
+_CLEAN_WINSORIZE_SQL = """
+WITH lims AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, l.lo), l.hi) AS value_winsorized,
+       e.value < l.lo OR e.value > l.hi AS was_clipped
+FROM events e JOIN lims l USING (event_type)
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("trend_fit", _trend_fit, _TREND_FIT_SQL, "OP-AGG (per-entity OLS trend, mergeable sufficient stats)"),
+    DeclaredQuery("clean_winsorize", _clean_winsorize, _CLEAN_WINSORIZE_SQL, "EXT-TEXT/OP-AGG (winsorized outlier clipping)"),
+])
