@@ -1081,3 +1081,57 @@ FROM m
 QUERIES.append(
     DeclaredQuery("agg_moments", _agg_moments, _AGG_MOMENTS_SQL,
                   "OP-AGG (exact skewness/kurtosis from mergeable power sums)"))
+
+
+def _agg_activity_bitmap(spark, sf_dir):
+    """Bitmap-encoded activity (ClickHouse-style retention input): one
+    BIGINT per user whose bit d is set iff the user was active on day
+    d of the 63-day window from 2024-01-01.  BIT_OR of single-bit
+    words is fully mergeable (map-side combinable, re-aggs across
+    partials/granularities), turns day-level presence into one long
+    per entity — 8 bytes of state instead of a (user, day) pair table
+    — and downstream retention reads become bit tests (day-0 cohort
+    retained on day 7 = two AND masks, no join)."""
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(
+        (F.unix_micros(F.col("ts")) - F.lit(1_704_067_200_000_000))
+        / F.lit(86_400_000_000)).cast("int")
+    bits = (ev.select("user_id", day.alias("d"))
+            .filter((F.col("d") >= 0) & (F.col("d") < 63))
+            .groupBy("user_id")
+            .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), d))")
+                 .alias("bitmap")))
+    return bits.select(
+        "user_id", "bitmap",
+        F.bit_count("bitmap").cast("int").alias("n_active_days"),
+        (F.col("bitmap").bitwiseAND(F.lit(1)) != 0).alias("active_day0"),
+        ((F.col("bitmap").bitwiseAND(F.lit(1)) != 0)
+         & (F.col("bitmap").bitwiseAND(F.lit(1 << 7)) != 0))
+        .alias("retained_day7"))
+
+
+_AGG_ACTIVITY_BITMAP_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                    / 86400000000) AS INTEGER) AS d
+  FROM events
+),
+b AS (
+  SELECT user_id,
+         bit_or(CAST(1 AS BIGINT) << d) AS bitmap
+  FROM d WHERE d >= 0 AND d < 63
+  GROUP BY 1
+)
+SELECT user_id, bitmap,
+       CAST(bit_count(bitmap) AS INTEGER) AS n_active_days,
+       (bitmap & 1) <> 0 AS active_day0,
+       (bitmap & 1) <> 0 AND (bitmap & 128) <> 0 AS retained_day7
+FROM b
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("agg_activity_bitmap", _agg_activity_bitmap,
+                  _AGG_ACTIVITY_BITMAP_SQL,
+                  "OP-AGG-PARTIAL (mergeable activity bitmaps / bit-test retention)"))

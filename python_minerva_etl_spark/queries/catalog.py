@@ -161,6 +161,8 @@ _DEPTH = [
     "agg_distinct_reagg",
     "trend_fit",
     "clean_winsorize",
+    "agg_activity_bitmap",
+    "rfm_segmentation",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

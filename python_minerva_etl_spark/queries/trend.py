@@ -984,3 +984,71 @@ QUERIES.extend([
     DeclaredQuery("trend_fit", _trend_fit, _TREND_FIT_SQL, "OP-AGG (per-entity OLS trend, mergeable sufficient stats)"),
     DeclaredQuery("clean_winsorize", _clean_winsorize, _CLEAN_WINSORIZE_SQL, "EXT-TEXT/OP-AGG (winsorized outlier clipping)"),
 ])
+
+
+def _rfm_segmentation(spark, sf_dir):
+    """RFM segmentation: per-entity Recency (days since last event,
+    vs the store high-water mark), Frequency (events), Monetary
+    (decimal-exact value sum), each scored into quintiles by ntile
+    over a TOTAL order (metric, user_id — ties would otherwise make
+    ntile nondeterministic), concatenated to the familiar '5-3-1'
+    segment label.  One pass for the per-entity stats, one 150-row
+    window pass for the scores — window input is |entities|, not
+    |events|."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+        .alias("monetary"))
+    hwm = per.agg(F.max("last_seen").alias("hwm"))
+    rec = per.crossJoin(F.broadcast(hwm)).withColumn(
+        "recency_days",
+        F.floor((F.unix_micros("hwm") - F.unix_micros("last_seen"))
+                / F.lit(86_400_000_000)).cast("int"))
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    scored = (rec.withColumn("r_score", F.ntile(5).over(r_w))
+              .withColumn("f_score", F.ntile(5).over(f_w))
+              .withColumn("m_score", F.ntile(5).over(m_w)))
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"))
+
+
+_RFM_SEGMENTATION_SQL = """
+WITH per AS (
+  SELECT user_id,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS monetary
+  FROM events GROUP BY 1
+),
+h AS (SELECT MAX(last_seen) AS hwm FROM per),
+rec AS (
+  SELECT per.*, CAST(floor((epoch_us(hwm) - epoch_us(last_seen))
+                           / 86400000000) AS INTEGER) AS recency_days
+  FROM per, h
+),
+scored AS (
+  SELECT *,
+         NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM rec
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       concat_ws('-', r_score, f_score, m_score) AS segment
+FROM scored
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("rfm_segmentation", _rfm_segmentation,
+                  _RFM_SEGMENTATION_SQL,
+                  "OP-RPT (RFM quintile segmentation)"))
