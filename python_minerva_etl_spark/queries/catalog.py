@@ -163,6 +163,8 @@ _DEPTH = [
     "clean_winsorize",
     "agg_activity_bitmap",
     "rfm_segmentation",
+    "win_fill_forward",
+    "rolling_active_users",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

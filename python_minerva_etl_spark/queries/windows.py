@@ -741,3 +741,80 @@ QUERIES.extend([
     DeclaredQuery("event_transitions", _event_transitions, _EVENT_TRANSITIONS_SQL, "OP-WIN-ANALYTIC (markov transitions)"),
     DeclaredQuery("win_ewma", _win_ewma, _WIN_EWMA_SQL, "OP-WIN-MOVAVG (exponential smoothing)"),
 ])
+
+
+def _win_fill_forward(spark, sf_dir):
+    """Forward-fill over an entity timeline (LAST_VALUE ... IGNORE
+    NULLS): gauges dropping below the reporting floor (< 10 here,
+    standing in for a sensor that skipped a reading) carry the last
+    reported value forward.  IGNORE NULLS makes this one frame over
+    one entity sort — no islands bookkeeping, no self-join; rows
+    before the first reading stay NULL."""
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    reported = F.when(F.col("value") >= 10.0, F.col("value"))
+    return ev.select(
+        "event_id", "user_id",
+        reported.alias("reported"),
+        F.last(reported, ignorenulls=True).over(w).alias("filled"))
+
+
+_WIN_FILL_FORWARD_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN value >= 10.0 THEN value END AS reported,
+       LAST_VALUE(CASE WHEN value >= 10.0 THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled
+FROM events
+"""
+
+
+def _rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day — the DAU/WAU
+    dashboard number.  Distinct counts don't slide, so the standard
+    distributed form: collapse to distinct (user, day) pairs first
+    (the small mergeable partial), fan each pair out to the 7 window
+    days it supports (a 7× explode of the PAIR table, not the fact
+    table), then one exact distinct count per window day.  Days with
+    no activity in range simply don't appear (report joins a spine
+    if it needs zeros)."""
+    ev = t(spark, sf_dir, "events")
+    pairs = (ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+             .distinct())
+    fanned = pairs.select(
+        "user_id",
+        F.explode(F.expr(
+            "sequence(d, d + INTERVAL 6 DAYS, INTERVAL 1 DAY)"))
+        .alias("window_day"))
+    out = (fanned.groupBy("window_day")
+           .agg(F.countDistinct("user_id").alias("active_users_7d")))
+    # clip the fan-out tail past the observed range
+    maxd = pairs.agg(F.max("d").alias("max_d"))
+    return (out.crossJoin(F.broadcast(maxd))
+            .filter(F.col("window_day") <= F.col("max_d"))
+            .select("window_day", "active_users_7d"))
+
+
+_ROLLING_ACTIVE_USERS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+),
+fanned AS (
+  SELECT p.user_id, p.d + to_days(CAST(o.off AS INTEGER)) AS window_day
+  FROM pairs p, (SELECT unnest(range(0, 7)) AS off) o
+),
+mx AS (SELECT MAX(d) AS max_d FROM pairs)
+SELECT window_day, COUNT(DISTINCT user_id) AS active_users_7d
+FROM fanned, mx
+WHERE window_day <= max_d
+GROUP BY 1
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("win_fill_forward", _win_fill_forward, _WIN_FILL_FORWARD_SQL, "OP-WIN (IGNORE NULLS forward fill)"),
+    DeclaredQuery("rolling_active_users", _rolling_active_users, _ROLLING_ACTIVE_USERS_SQL, "OP-AGG-DISTINCT (rolling 7-day distinct actives)"),
+])
