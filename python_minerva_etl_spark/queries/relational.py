@@ -887,11 +887,16 @@ def _report_abc_class(spark, sf_dir):
            .agg(F.sum((F.col("l_extendedprice")
                        * (F.lit(1.0) - F.col("l_discount")))
                       .cast("decimal(28,6)")).alias("rev")))
-    w = (Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    total = rev.agg(F.sum("rev").alias("total"))
-    cum = (rev.crossJoin(F.broadcast(total))
-           .withColumn("cum", F.sum("rev").over(w)))
+    # cumulative and grand total as two frames over the SAME ordered
+    # window — one sort, and lineitem is scanned exactly once (a
+    # separate total agg would re-scan the fact table)
+    w_cum = (Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = (Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = (rev.withColumn("cum", F.sum("rev").over(w_cum))
+           .withColumn("total", F.sum("rev").over(w_tot)))
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     klass = (F.when(share <= 0.80, "A")
              .when(share <= 0.95, "B").otherwise("C"))
@@ -909,13 +914,15 @@ WITH rev AS (
                   AS DECIMAL(28,6))) AS rev
   FROM lineitem GROUP BY 1
 ),
-tot AS (SELECT SUM(rev) AS total FROM rev),
 cum AS (
-  SELECT l_partkey, rev, total,
+  SELECT l_partkey, rev,
          SUM(rev) OVER (ORDER BY rev DESC, l_partkey
                         ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS cum
-  FROM rev, tot
+                             AND CURRENT ROW) AS cum,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS total
+  FROM rev
 )
 SELECT l_partkey AS partkey,
        CAST(rev AS DOUBLE) AS revenue,

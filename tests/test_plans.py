@@ -237,3 +237,48 @@ def test_semantic_dedup_broadcasts_centroids_and_dropset(spark):
     # argmax is a real partial->final aggregate, not a window sort
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "Window" not in plan
+
+
+def test_reservoir_sample_uses_take_ordered(spark):
+    """The hash-rank reservoir must be per-partition top-k + k-row
+    merge, never a global sort."""
+    plan = _plan(spark, "dataset_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort stage
+
+
+def test_ewma_single_window_exchange(spark):
+    """All 8 EWMA lags must share ONE entity sort: exactly one
+    shuffle exchange and one Window operator."""
+    import re
+    plan = _plan(spark, "win_ewma")
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_cusum_shares_entity_sort(spark):
+    """cumsum + running-min + broadcast baseline: the event table is
+    exchanged on user_id once for the window chain (baseline agg adds
+    its own agg exchange; no third)."""
+    import re
+    plan = _plan(spark, "anomaly_cusum")
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+
+
+def test_abc_class_windows_dimension_not_facts(spark):
+    """The cumulative-share window must consume the aggregated part
+    table; lineitem is scanned once."""
+    import re
+    plan = _plan(spark, "report_abc_class")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Window" in plan
+
+
+def test_rolling_dau_explodes_pairs_not_facts(spark):
+    """The 7x fan-out must sit above the distinct (user, day)
+    aggregation, not the raw scan: an aggregate appears between scan
+    and generate."""
+    plan = _plan(spark, "rolling_active_users")
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.find("HashAggregate")
+    assert gen_pos > 0 and agg_pos > 0 and agg_pos < gen_pos
