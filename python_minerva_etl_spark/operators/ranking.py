@@ -74,3 +74,52 @@ def global_row_number(df: DataFrame, split_col: str,
             .withColumn(rank_col,
                         (F.row_number().over(w) + offset_expr).cast("long"))
             .drop("__bucket"))
+
+
+def global_prefix_max(df: DataFrame, split_col: str, value_col: str,
+                      out_col: str = "prefix_max",
+                      num_buckets: int | None = None) -> DataFrame:
+    """Distributed prefix scan: running MAX of ``value_col`` over the
+    global ``split_col`` order, without a single-partition window.
+
+    Same two-phase shape as global_row_number: range-bucket on the
+    (total-order, non-null) ``split_col``, per-bucket running max in
+    parallel, then fold the per-bucket maxima into an exclusive carry
+    (#buckets values on the driver — never row data) and take
+    greatest(bucket-local running max, carry).  MAX is associative so
+    the carry composition is exact.  This is the primitive behind
+    arrival-order semantics in batch: high-water marks, watermark
+    replay, monotonic counters."""
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = spark.sparkContext.defaultParallelism
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    qrow = df.agg(F.percentile_approx(
+        split_col, probs, 10_000).alias("q")).first()
+    bounds = sorted({x for x in (qrow["q"] or []) if x is not None})
+    col = F.col(split_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.lit(b) < col, 1).otherwise(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    maxima = {r["__bucket"]: r["m"] for r in
+              bucketed.groupBy("__bucket")
+              .agg(F.max(value_col).alias("m")).collect()}
+    carry, acc = {}, None
+    for bid in range(len(bounds) + 1):
+        carry[bid] = acc
+        m = maxima.get(bid)
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    pairs = [x for kv in carry.items() if kv[1] is not None
+             for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    carry_expr = (F.element_at(F.create_map(*pairs), F.col("__bucket"))
+                  if pairs else F.lit(None))
+    w = (Window.partitionBy("__bucket").orderBy(col.asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.max(value_col).over(w)
+    return (bucketed
+            .withColumn(out_col, F.greatest(running, carry_expr)
+                        if pairs else running)
+            .drop("__bucket"))

@@ -165,6 +165,7 @@ _DEPTH = [
     "rfm_segmentation",
     "win_fill_forward",
     "rolling_active_users",
+    "late_data_report",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -293,3 +293,55 @@ QUERIES = [
     DeclaredQuery("stream_anomaly_feed", _stream_anomaly_feed, None,
                   "OP-STR-STATEFUL (running-Welford anomaly feed)"),
 ]
+
+
+def _late_data_report(spark, sf_dir):
+    """OP-STR-LATE, batch-checkable: replay the stream in arrival
+    order (event_id is the ingest sequence) and flag every row a
+    10-minute watermark would have dropped — event time older than
+    the high-water mark (max event time seen so far) minus the delay.
+    The high-water mark is a GLOBAL prefix max over arrival order,
+    computed with the two-phase range-bucketed scan
+    (operators/ranking.py::global_prefix_max) — never a
+    single-partition window over the facts.  This is the audit a
+    pipeline runs to size its watermark: the late fraction at delay d
+    IS the data loss a streaming deployment with that watermark
+    accepts."""
+    from ..operators.ranking import global_prefix_max
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"))
+    hwm = global_prefix_max(ev, "event_id", "ts_us", "hwm_us")
+    late = F.col("hwm_us") - F.lit(600_000_000) > F.col("ts_us")
+    return (hwm.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(late, 1).otherwise(0)).cast("bigint")
+                 .alias("n_late"),
+                 F.max(F.when(late, F.col("hwm_us") - F.col("ts_us")))
+                 .alias("max_lateness_us")))
+
+
+_LATE_DATA_REPORT_SQL = """
+WITH h AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hwm_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN hwm_us - 600000000 > ts_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       MAX(CASE WHEN hwm_us - 600000000 > ts_us
+                THEN hwm_us - ts_us END) AS max_lateness_us
+FROM h GROUP BY 1
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("late_data_report", _late_data_report,
+                  _LATE_DATA_REPORT_SQL,
+                  "OP-STR-LATE/OP-STR-WATERMARK (watermark-loss audit)"))

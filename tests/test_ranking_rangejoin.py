@@ -145,3 +145,24 @@ def test_graph_reach_bfs_min_hops(spark):
     assert got[(1, 1)] == 3          # around the cycle
     assert got[(3, 4)] == 1 and got[(2, 4)] == 2
     assert (4, 1) not in got         # 4 has no out-edges
+
+
+def test_global_prefix_max_matches_single_window(spark):
+    """Two-phase prefix max == single-partition window prefix max,
+    including the cross-bucket carry."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from python_minerva_etl_spark.operators.ranking import global_prefix_max
+    from python_minerva_etl_spark.registry import load_table
+
+    ev = (load_table(spark, "/root/testdata/sf0.01", "events")
+          .select("event_id", F.unix_micros("ts").alias("v")))
+    got = {r.event_id: r.pm for r in
+           global_prefix_max(ev, "event_id", "v", "pm",
+                             num_buckets=7).collect()}
+    w = (Window.orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r.event_id: r.pm for r in
+            ev.withColumn("pm", F.max("v").over(w)).collect()}
+    assert got == want
