@@ -166,6 +166,8 @@ _DEPTH = [
     "win_fill_forward",
     "rolling_active_users",
     "late_data_report",
+    "backlog_over_time",
+    "text_hash_embed",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

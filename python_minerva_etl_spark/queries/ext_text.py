@@ -1249,3 +1249,65 @@ QUERIES.append(
     DeclaredQuery("dataset_reservoir_sample", _dataset_reservoir_sample,
                   _DATASET_RESERVOIR_SAMPLE_SQL,
                   "EXT dataset sampling (deterministic reservoir / hash-rank top-k)"))
+
+
+_HASH_EMBED_DIM = 16
+
+
+def _text_hash_embed(spark, sf_dir):
+    """Hashing-trick featurization: each document becomes a fixed
+    16-dim count vector, token -> bucket md5(token)[:8] % 16 — the
+    vocabulary-free featurization (no dictionary build, no second
+    pass, unbounded vocab) used for cheap clustering/classifier
+    baselines.  The bucket hash is the engine-portable md5 draw
+    (hash_draw idiom) so the oracle reproduces it exactly.
+    Scan-local explode + one hash agg keyed by doc; the 16 bucket
+    counts are conditional sums inside ONE aggregate, so the whole op
+    is a single shuffle on doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    draw = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)         .cast("bigint")
+    bucket = F.pmod(draw, F.lit(_HASH_EMBED_DIM))
+    counts = [F.sum(F.when(bucket == i, 1).otherwise(0)).cast("bigint")
+              .alias(f"f{i}") for i in range(_HASH_EMBED_DIM)]
+    agg = toks.groupBy("doc_id").agg(*counts)
+    return agg.select(
+        "doc_id",
+        F.array(*[f"f{i}" for i in range(_HASH_EMBED_DIM)])
+        .alias("features"),
+        sum((F.col(f"f{i}") for i in range(1, _HASH_EMBED_DIM)),
+            F.col("f0")).alias("n_tokens"))
+
+
+def _hash_embed_oracle() -> str:
+    b = ("CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % "
+         f"{_HASH_EMBED_DIM}")
+    counts = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN {b} = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS f{i}" for i in range(_HASH_EMBED_DIM))
+    fs = ", ".join(f"f{i}" for i in range(_HASH_EMBED_DIM))
+    total = " + ".join(f"f{i}" for i in range(_HASH_EMBED_DIM))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         {counts}
+  FROM toks GROUP BY 1
+)
+SELECT doc_id, [{fs}] AS features, {total} AS n_tokens
+FROM agg
+"""
+
+
+_TEXT_HASH_EMBED_SQL = _hash_embed_oracle()
+
+
+QUERIES.append(
+    DeclaredQuery("text_hash_embed", _text_hash_embed,
+                  _TEXT_HASH_EMBED_SQL,
+                  "EXT-TEXT (hashing-trick featurization)"))

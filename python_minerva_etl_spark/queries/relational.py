@@ -1007,3 +1007,63 @@ QUERIES.extend([
                   _AGG_DISTINCT_REAGG_SQL,
                   "OP-AGG-DISTINCT/OP-AGG-PARTIAL (exact distinct re-agg)"),
 ])
+
+
+def _backlog_over_time(spark, sf_dir):
+    """Sweep-line interval counting: how many orders are OPEN on each
+    day (open at o_orderdate, closed 30 days later) — the backlog /
+    concurrency curve every ops dashboard needs.  Never materializes
+    order-day pairs: each interval becomes a +1 at open and a -1 at
+    close (two rows per order), deltas hash-agg per day, and the
+    running sum over the tiny per-day table is the backlog.  That is
+    O(orders + days), not O(orders × days) — the difference-array
+    form that survives 100 TB of intervals.  The final window runs
+    over |days| rows only."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("open_day"))
+    deltas = (orders.select(F.col("open_day").alias("day"),
+                            F.lit(1).alias("delta"))
+              .unionByName(
+                  orders.select(
+                      (F.col("open_day") + F.expr("INTERVAL 30 DAYS"))
+                      .alias("day"),
+                      F.lit(-1).alias("delta"))))
+    per_day = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_day.select(
+        "day", "net",
+        F.sum("net").over(w).cast("bigint").alias("open_orders"))
+
+
+_BACKLOG_OVER_TIME_SQL = """
+WITH deltas AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         1 AS delta
+  FROM orders
+  UNION ALL
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+           + INTERVAL 30 DAY AS day,
+         -1 AS delta
+  FROM orders
+),
+per_day AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+  FROM deltas GROUP BY 1
+)
+SELECT day, net,
+       CAST(SUM(net) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM per_day
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("backlog_over_time", _backlog_over_time,
+                  _BACKLOG_OVER_TIME_SQL,
+                  "OP-AGG-TIME (sweep-line open-interval counting)"))
