@@ -1135,3 +1135,58 @@ QUERIES.append(
     DeclaredQuery("agg_activity_bitmap", _agg_activity_bitmap,
                   _AGG_ACTIVITY_BITMAP_SQL,
                   "OP-AGG-PARTIAL (mergeable activity bitmaps / bit-test retention)"))
+
+
+def _agg_gini(spark, sf_dir):
+    """Gini coefficient of the value distribution per class — the
+    skew-inequality number behind "1% of entities emit 60% of rows".
+    Sort-based identity G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over a
+    total order (value, event_id).  Σ(rank·x) is decimal-staged (the
+    per-class window + agg share one shuffle); rank·value products
+    stay exact so both engines agree bit-for-bit before one final
+    double expression, rounded at 9 dp for the hugeint-cast note."""
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("value").asc(), F.col("event_id").asc()))
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).cast("double").alias("rk"))
+    agg = (ranked.groupBy("event_type")
+           .agg(F.count("*").cast("double").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                .alias("sv"),
+                F.sum((F.col("rk") * F.col("value")).cast("decimal(38,4)"))
+                .cast("double").alias("srx")))
+    gini = (F.lit(2.0) * F.col("srx") / (F.col("n") * F.col("sv"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("samples"),
+        F.round(gini, 9).alias("gini"))
+
+
+_AGG_GINI_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY value ASC, event_id ASC)
+              AS DOUBLE) AS rk
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(rk * value AS DECIMAL(38,4))) AS DOUBLE) AS srx
+  FROM ranked GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS samples,
+       ROUND(2.0 * srx / (n * sv) - (n + 1.0) / n, 9) AS gini
+FROM agg
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("agg_gini", _agg_gini, _AGG_GINI_SQL,
+                  "OP-AGG (Gini inequality coefficient)"))

@@ -168,6 +168,8 @@ _DEPTH = [
     "late_data_report",
     "backlog_over_time",
     "text_hash_embed",
+    "dedup_source_matrix",
+    "agg_gini",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -1311,3 +1311,67 @@ QUERIES.append(
     DeclaredQuery("text_hash_embed", _text_hash_embed,
                   _TEXT_HASH_EMBED_SQL,
                   "EXT-TEXT (hashing-trick featurization)"))
+
+
+def _dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: which sources duplicate which
+    (8-token lead-fingerprint dup pairs rolled up to unordered
+    source pairs) — the corpus-forensics view that finds mirror sites
+    and re-crawled feeds before full near-dup runs; mirrors share
+    lead content even when boilerplate diverges further in.  Groups
+    come from ONE md5 hash-agg over the prefix fingerprint; within
+    each group the per-source doc counts produce pair counts
+    combinatorially (a*b cross-source, n*(n-1)/2 within-source), so
+    no pair table is ever materialized."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(
+        " ", F.slice(F.split(F.lower("text"), " "), 1, 8)))
+    per_src = (docs.groupBy(fp.alias("h"), "source")
+               .agg(F.count("*").alias("n")))
+    a, b = per_src.alias("a"), per_src.alias("b")
+    cross = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("bigint")
+             .alias("n_dup_pairs")))
+    within = (per_src.filter(F.col("n") > 1)
+              .groupBy(F.col("source").alias("source_a"))
+              .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+                   .alias("n_dup_pairs"))
+              .select("source_a", F.col("source_a").alias("source_b"),
+                      "n_dup_pairs"))
+    return cross.unionByName(within)
+
+
+_DEDUP_SOURCE_MATRIX_SQL = """
+WITH per_src AS (
+  SELECT md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+           AS h,
+         source, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+cross_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS n_dup_pairs
+  FROM per_src a JOIN per_src b
+    ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+within AS (
+  SELECT source AS source_a, source AS source_b,
+         CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_dup_pairs
+  FROM per_src WHERE n > 1
+  GROUP BY 1, 2
+)
+SELECT * FROM cross_pairs
+UNION ALL
+SELECT * FROM within
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("dedup_source_matrix", _dedup_source_matrix,
+                  _DEDUP_SOURCE_MATRIX_SQL,
+                  "EXT-DEDUP (cross-source duplication forensics)"))
