@@ -104,3 +104,27 @@ def test_pm_load_roundtrip_to_trend_store(spark, tmp_path):
     # partition layout: one __bucket=YYYY-MM-DD dir per day
     assert any(p.startswith("__bucket=2024-01-01")
                for p in os.listdir(store))
+
+
+def test_telemetry_pipeline_example_runs(spark, tmp_path):
+    """The end-to-end telemetry example stays runnable: harvest →
+    upsert-idempotent load → 15m/1h/1d chain → entity rollup →
+    trigger → storm collapse → staleness."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "telemetry_pipeline.py")
+    spec = importlib.util.spec_from_file_location("telemetry_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    c = mod.run(spark, str(tmp_path))
+    # 2 nets x 2 cells x 8 periods, loaded twice but upsert-keyed
+    assert c["store_rows"] == 32
+    assert c["hourly_rows"] == 12     # 4 entities x 3 hour buckets
+    assert c["daily_rows"] == 4       # 4 entities x 1 day
+    assert c["network_rows"] == 6     # 2 networks x 3 hour buckets
+    # g1/cell1: hour-1 avg (4.5+95*3)/4 = 72.375 -> warning,
+    # hour-2 avg 95 -> critical
+    assert c["notifications"] == 2
+    assert c["storms"] == 1           # 60-min gap < 90-min cooldown
+    assert c["stale_entities"] == 0
