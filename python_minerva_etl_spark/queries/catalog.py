@@ -170,6 +170,8 @@ _DEPTH = [
     "text_hash_embed",
     "dedup_source_matrix",
     "agg_gini",
+    "agg_autocorr_lag1",
+    "events_burstiness",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

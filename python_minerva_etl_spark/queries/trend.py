@@ -1052,3 +1052,119 @@ QUERIES.append(
     DeclaredQuery("rfm_segmentation", _rfm_segmentation,
                   _RFM_SEGMENTATION_SQL,
                   "OP-RPT (RFM quintile segmentation)"))
+
+
+def _agg_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation per entity — the cheap seasonality /
+    trend-persistence detector (near +1: smooth drift, near 0: noise,
+    negative: oscillation).  Pairs (x_t, x_{t-1}) come from one lag
+    over the entity sort; the Pearson correlation over the pairs is
+    then computed from decimal-exact sufficient statistics with one
+    identical double formula in both engines (the agg_corr_exact
+    pattern, applied to the self-lagged series)."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", F.col("value").alias("x"),
+                       F.lag("value").over(w).alias("y"))
+             .filter(F.col("y").isNotNull()))
+    n = F.count("*").cast("double")
+    sx = F.sum(F.col("x").cast("decimal(28,4)")).cast("double")
+    sy = F.sum(F.col("y").cast("decimal(28,4)")).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")) \
+        .cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")) \
+        .cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")) \
+        .cast("double")
+    agg = pairs.groupBy("user_id").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"))
+    r = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                  * (F.col("n") * F.col("syy")
+                     - F.col("sy") * F.col("sy"))))
+    return agg.select(
+        "user_id", F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(r, 9).alias("autocorr_lag1"))
+
+
+_AGG_AUTOCORR_LAG1_SQL = """
+WITH pairs AS (
+  SELECT user_id, value AS x,
+         LAG(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS y
+  FROM events
+),
+p AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM pairs WHERE y IS NOT NULL
+  GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         AS autocorr_lag1
+FROM p
+"""
+
+
+def _events_burstiness(spark, sf_dir):
+    """Burstiness (index of dispersion): variance/mean of the
+    per-minute event counts per entity — 1.0 for a Poisson arrival
+    process, > 1 bursty, < 1 metronomic.  Two cheap aggs: minute
+    counts (one shuffle on entity+minute), then decimal-exact
+    mean/variance of those counts per entity.  Minutes with zero
+    events are excluded (observed-minute dispersion) — stated in the
+    contract so both engines agree."""
+    ev = t(spark, sf_dir, "events")
+    per_min = (ev.groupBy("user_id",
+                          F.date_trunc("minute", "ts").alias("m"))
+               .agg(F.count("*").alias("c")))
+    n = F.count("*").cast("double")
+    s = F.sum(F.col("c").cast("decimal(28,0)")).cast("double")
+    sq = F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")) \
+        .cast("double")
+    agg = per_min.groupBy("user_id").agg(
+        n.alias("n"), s.alias("s"), sq.alias("sq"))
+    mean = F.col("s") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) \
+        / (F.col("n") - F.lit(1.0))
+    return agg.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("active_minutes"),
+        F.round(mean, 9).alias("mean_per_minute"),
+        F.round(var / mean, 9).alias("dispersion"))
+
+
+_EVENTS_BURSTINESS_SQL = """
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS sq
+  FROM per_min GROUP BY 1
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS active_minutes,
+       ROUND(s / n, 9) AS mean_per_minute,
+       ROUND(((sq - s * s / n) / (n - 1.0)) / (s / n), 9) AS dispersion
+FROM p
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("agg_autocorr_lag1", _agg_autocorr_lag1, _AGG_AUTOCORR_LAG1_SQL, "OP-AGG (lag-1 autocorrelation, decimal sufficient stats)"),
+    DeclaredQuery("events_burstiness", _events_burstiness, _EVENTS_BURSTINESS_SQL, "OP-AGG (arrival burstiness / index of dispersion)"),
+])
