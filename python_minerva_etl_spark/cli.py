@@ -235,6 +235,25 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Execute a declared query and print or persist the result —
+    the ad-hoc invocation surface for the catalog."""
+    from .queries.catalog import all_queries
+
+    qs = all_queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; see list-queries",
+              file=sys.stderr)
+        return 2
+    df = qs[args.query].spark(_spark(), args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="minerva-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -320,6 +339,15 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("list-queries",
                        help="list the declared query catalog")
     s.set_defaults(fn=cmd_list_queries)
+
+    s = sub.add_parser("run",
+                       help="execute a declared query (print or write)")
+    s.add_argument("query")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--output", default=None,
+                   help="write the full result to this parquet path")
+    s.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("explain",
                        help="print a declared query's physical plan")
