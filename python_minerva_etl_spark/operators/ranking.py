@@ -76,6 +76,20 @@ def global_row_number(df: DataFrame, split_col: str,
             .drop("__bucket"))
 
 
+def exclusive_carry_max(maxima: dict, n_buckets: int) -> dict:
+    """Exclusive prefix-max fold over per-bucket maxima: carry[b] =
+    max of maxima[0..b-1], None when no earlier bucket has a value.
+    Pure driver-side math — property-tested against the brute-force
+    model in tests/test_properties.py."""
+    carry, acc = {}, None
+    for bid in range(n_buckets):
+        carry[bid] = acc
+        m = maxima.get(bid)
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    return carry
+
+
 def global_prefix_max(df: DataFrame, split_col: str, value_col: str,
                       out_col: str = "prefix_max",
                       num_buckets: int | None = None) -> DataFrame:
@@ -106,12 +120,7 @@ def global_prefix_max(df: DataFrame, split_col: str, value_col: str,
     maxima = {r["__bucket"]: r["m"] for r in
               bucketed.groupBy("__bucket")
               .agg(F.max(value_col).alias("m")).collect()}
-    carry, acc = {}, None
-    for bid in range(len(bounds) + 1):
-        carry[bid] = acc
-        m = maxima.get(bid)
-        if m is not None and (acc is None or m > acc):
-            acc = m
+    carry = exclusive_carry_max(maxima, len(bounds) + 1)
     pairs = [x for kv in carry.items() if kv[1] is not None
              for x in (F.lit(kv[0]), F.lit(kv[1]))]
     carry_expr = (F.element_at(F.create_map(*pairs), F.col("__bucket"))

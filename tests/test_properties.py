@@ -139,3 +139,20 @@ def test_fake_frame_splitter_properties(payload, frame_bytes, every_n):
     assert kept == all_frames[::every_n]
     # every frame except possibly the last is full-size
     assert all(len(f) == frame_bytes for f in all_frames[:-1])
+
+
+@settings(max_examples=300)
+@given(st.dictionaries(st.integers(min_value=0, max_value=15),
+                       st.one_of(st.none(),
+                                 st.integers(min_value=-100, max_value=100)),
+                       max_size=16),
+       st.integers(min_value=1, max_value=16))
+def test_exclusive_carry_max_matches_model(maxima, n):
+    from python_minerva_etl_spark.operators.ranking import exclusive_carry_max
+
+    carry = exclusive_carry_max(maxima, n)
+    assert set(carry) == set(range(n))
+    for b in range(n):
+        earlier = [maxima[i] for i in range(b)
+                   if i in maxima and maxima[i] is not None]
+        assert carry[b] == (max(earlier) if earlier else None)
