@@ -169,3 +169,72 @@ def test_stream_interval_join_equals_batch_join(spark):
     want = {(r.user_id, r.left_id, r.right_id) for r in batch.collect()}
     got = {(r.user_id, r.left_id, r.right_id) for r in out.collect()}
     assert got == want
+
+
+def test_watermark_drop_matches_batch_prediction(spark, tmp_path):
+    """Micro-batch watermark fidelity: replay events in arrival order
+    (4 files, one per trigger) through a watermarked append-mode
+    tumbling aggregation, and verify Spark's ACTUAL drop/emit
+    behavior equals the batch-side prediction — a row is dropped iff
+    its window end <= the watermark at its arrival batch (watermark =
+    max event time of earlier batches - delay), and a window is
+    emitted iff its end <= the final watermark.  This pins the
+    semantics late_data_report audits."""
+    import glob
+    import os
+    import shutil
+    import time
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "value")
+    pdf = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    n, K = len(pdf), 4
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    ids = list(pdf.event_id)
+    for i in range(K):
+        lo, hi = ids[i * n // K], ids[(i + 1) * n // K - 1]
+        chunk = ev.filter((F.col("event_id") >= lo)
+                          & (F.col("event_id") <= hi)).coalesce(1)
+        tmp = str(tmp_path / f"chunk_{i}")
+        chunk.write.parquet(tmp)
+        dst = os.path.join(inbox, f"{i:02d}.parquet")
+        shutil.copyfile(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(inbox))
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n"))
+           .select("user_id", F.col("w.start").alias("bucket"), "n"))
+    q = (agg.writeStream.format("memory").queryName("wm_fidelity")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    got = {(r.user_id, r.bucket): r.n
+           for r in spark.table("wm_fidelity").collect()}
+
+    delay, hour = pd.Timedelta(hours=2), pd.Timedelta(hours=1)
+    wm = None
+    kept = []
+    for i in range(K):
+        part = pdf.iloc[i * n // K:(i + 1) * n // K]
+        for r in part.itertuples():
+            if wm is None or r.ts.floor("h") + hour > wm:
+                kept.append((r.user_id, r.ts.floor("h")))
+        cand = part.ts.max() - delay
+        if wm is None or cand > wm:
+            wm = cand
+    counts = Counter(kept)
+    pred = {k: v for k, v in counts.items() if k[1] + hour <= wm}
+
+    assert got == pred
+    assert sum(pred.values()) < n          # some rows really dropped
+    assert len(pred) < len(counts)         # some windows withheld
