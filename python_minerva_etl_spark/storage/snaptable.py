@@ -619,3 +619,41 @@ class SnapTable:
             removed.extend(sorted(rels))
             shutil.rmtree(cdir)
         return removed
+
+
+def shallow_clone(source: SnapTable, target_path: str,
+                  version: int | None = None) -> SnapTable:
+    """Zero-copy clone (Delta SHALLOW CLONE analog): publish a v1
+    manifest at ``target_path`` that references the SOURCE snapshot's
+    data files by absolute path — metadata-only, O(#files), no data
+    moved.  The clone is immediately a full SnapTable: reads (with
+    stats pruning), MERGE/DELETE/append all work, and new data files
+    land under the clone's own directory, never the source's.  The
+    dev/test pattern: clone prod, mutate the clone, throw it away.
+
+    Contract (same as every shallow-clone implementation): VACUUM on
+    the SOURCE can delete files a clone still references — retain
+    source versions for as long as clones of them live.  VACUUM on
+    the clone only ever touches the clone's own data directories.
+    The clone starts a fresh txn ledger (it is a different table to
+    streaming writers)."""
+    version = source.latest_version() if version is None else version
+    if version is None:
+        raise FileNotFoundError(f"snaptable {source.path}: no snapshot")
+    m = source._manifest(version)
+    files = [dict(e, path=(e["path"] if os.path.isabs(e["path"])
+                           else os.path.abspath(
+                               os.path.join(source.path, e["path"]))))
+             for e in m["files"]]
+    clone = SnapTable(target_path)
+    if clone.latest_version() is not None:
+        raise FileExistsError(f"snaptable {target_path}: already exists")
+    os.makedirs(target_path, exist_ok=True)
+    manifest = {"version": 1,
+                "op": f"clone:{os.path.abspath(source.path)}@v{version}",
+                "files": files, "n_files": len(files)}
+    if m.get("key"):
+        manifest["key"] = m["key"]
+    if not clone._publish(manifest, 1):
+        raise FileExistsError(f"snaptable {target_path}: concurrent init")
+    return clone

@@ -590,3 +590,38 @@ def test_sync_from_incremental_replication(spark, tmp_path):
     up.delete(spark, spark.createDataFrame([(1,)], "k long"), key=["k"])
     assert rep.sync_from(spark, up, key=["k"], seq_col="seq") == 1
     assert rows(rep) == rows(up) == {(2, 99.0)}
+
+
+def test_shallow_clone_zero_copy_and_isolated(spark, tmp_path):
+    from python_minerva_etl_spark.storage.snaptable import (SnapTable,
+                                                            shallow_clone)
+
+    src = SnapTable(str(tmp_path / "src"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, k string, v double")
+    src.append(spark, base, key=["id"])
+
+    clone = shallow_clone(src, str(tmp_path / "clone"))
+    # zero copy: no data files under the clone yet
+    import glob as g
+    assert not g.glob(str(tmp_path / "clone" / "data" / "*"))
+    assert {r.id for r in clone.read(spark).collect()} == {1, 2, 3}
+
+    # mutating the clone: new files land under the clone, source
+    # snapshot unchanged
+    clone.merge(spark, spark.createDataFrame(
+        [(2, "b", 99.0), (4, "d", 40.0)],
+        "id bigint, k string, v double"), key=["id"], seq_col="id")
+    assert {(r.id, r.v) for r in clone.read(spark).collect()} == {
+        (1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)}
+    assert {(r.id, r.v) for r in src.read(spark).collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)}
+
+    # clone vacuum never touches source files
+    clone.vacuum(keep_versions=1)
+    assert {r.id for r in src.read(spark).collect()} == {1, 2, 3}
+    # double-clone into the same target refuses
+    import pytest as _pytest
+    with _pytest.raises(FileExistsError):
+        shallow_clone(src, str(tmp_path / "clone"))
