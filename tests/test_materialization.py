@@ -116,3 +116,53 @@ def test_apply_changes_to_agg_retracts_and_drops_empty_groups(spark):
            for r in apply_changes_to_agg(
                stored, changes, ["g"], "value").collect()}
     assert got == {"a": (2, 32.0), "c": (2, 10.0), "d": (1, 9.0)}
+
+
+def test_navigator_nesting_partial_order():
+    from python_minerva_etl_spark.plans.navigator import (choose_level,
+                                                          nests_in)
+
+    assert nests_in("15m", "1h") and nests_in("15m", "1d")
+    assert nests_in("1h", "1d") and nests_in("1d", "1w")
+    assert nests_in("1d", "1month")
+    assert not nests_in("1w", "1month")       # weeks straddle months
+    assert not nests_in("1month", "1w")
+    assert not nests_in("1d", "1h")           # never downward
+    assert choose_level(["15m", "1h"], "1d") == "1h"
+    assert choose_level(["15m", "1h", "1d"], "1d") == "1d"
+    assert choose_level(["15m", "1h", "1d"], "1w") == "1d"
+    assert choose_level(["1w"], "1month") is None
+    assert choose_level([], "1d") is None
+
+
+def test_navigated_rollup_equals_direct(spark):
+    """1d via the navigator (15m -> 1h partials -> re-agg) must equal
+    the direct 1d aggregation over raw rows, including the exact
+    (sum, samples) average."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.plans.instance import (Trend,
+                                                         TrendStorePart,
+                                                         aggregate_time)
+    from python_minerva_etl_spark.plans.navigator import navigate
+    from python_minerva_etl_spark.registry import load_table
+
+    ev = (load_table(spark, "/root/testdata/sf0.01", "events")
+          .select("user_id", "ts", "value",
+                  F.col("value").alias("peak")))
+    part = TrendStorePart("kpis", (
+        Trend("value", time_aggregation="sum"),
+        Trend("peak", time_aggregation="max"),
+    ))
+    m15 = aggregate_time(ev, part, "user_id", "ts", "15m")
+    m1h = aggregate_time(ev, part, "user_id", "ts", "1h")
+
+    chosen, routed = navigate({"15m": m15, "1h": m1h}, "1d", part,
+                              "user_id", "ts")
+    assert chosen == "1h"
+    direct = aggregate_time(ev, part, "user_id", "ts", "1d")
+
+    key = lambda r: (r.user_id, r.ts)
+    a = {key(r): (r.value, r.peak, r.samples) for r in routed.collect()}
+    b = {key(r): (r.value, r.peak, r.samples) for r in direct.collect()}
+    assert a == b  # exact, decimal partials included
