@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import datetime
 import glob
+import hashlib
 import json
 import os
 import uuid
@@ -125,6 +126,61 @@ def _overlaps(stats: dict[str, list[Any]],
     return True
 
 
+_BLOOM_BITS = 2048
+_BLOOM_K = 4
+_BLOOM_MAX_ROWS = 5_000_000  # skip bloom build on pathological files
+
+
+def _bloom_positions(value: Any) -> list[int]:
+    h = hashlib.md5(repr(_canon(value)).encode()).digest()
+    return [int.from_bytes(h[i * 4:(i + 1) * 4], "little") % _BLOOM_BITS
+            for i in range(_BLOOM_K)]
+
+
+def _file_bloom(path: str, key: list[str]) -> dict[str, str]:
+    """Per-key-column bloom filter (2048 bits, 4 md5-derived probes)
+    over the file's values — read back ONCE at write time (sequential
+    local IO of the just-written columns), stored as hex in the
+    manifest.  Min/max stats prune RANGE queries; blooms prune POINT
+    lookups on keys whose values interleave across files (where every
+    range overlaps).  ~1% false-positive at 200 distinct values per
+    filter; false positives only cost a read, never correctness."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    cols = [c for c in key if c in pf.schema_arrow.names]
+    if not cols or pf.metadata.num_rows > _BLOOM_MAX_ROWS:
+        return {}
+    tbl = pf.read(columns=cols)
+    out: dict[str, str] = {}
+    for c in cols:
+        bits = 0
+        for v in tbl.column(c).to_pylist():
+            if v is None:
+                continue
+            for pos in _bloom_positions(v):
+                bits |= 1 << pos
+        out[c] = f"{bits:x}"
+    return out
+
+
+def _bloom_may_contain(bloom_hex: str, value: Any) -> bool:
+    bits = int(bloom_hex, 16)
+    return all(bits >> pos & 1 for pos in _bloom_positions(value))
+
+
+def _file_may_match(entry: dict, envelope: dict[str, list[Any]]) -> bool:
+    """Stats range overlap AND (for point predicates) bloom membership
+    — both conservative: anything missing counts as a match."""
+    if not _overlaps(entry.get("stats", {}), envelope):
+        return False
+    bloom = entry.get("bloom") or {}
+    for col, (blo, bhi) in envelope.items():
+        if blo == bhi and col in bloom                 and not _bloom_may_contain(bloom[col], blo):
+            return False
+    return True
+
+
 class SnapTable:
     """A snapshot-versioned parquet table rooted at ``path``."""
 
@@ -178,7 +234,7 @@ class SnapTable:
             envelope = {c: [_canon(lo), _canon(hi)]
                         for c, (lo, hi) in where.items()}
             entries = [e for e in entries
-                       if _overlaps(e["stats"], envelope)]
+                       if _file_may_match(e, envelope)]
             if not entries:
                 # preserve schema even when every file prunes away
                 head = self.files(version)[0]
@@ -195,7 +251,7 @@ class SnapTable:
         entries = self.files(version)
         envelope = {c: [_canon(lo), _canon(hi)]
                     for c, (lo, hi) in where.items()}
-        kept = sum(1 for e in entries if _overlaps(e["stats"], envelope))
+        kept = sum(1 for e in entries if _file_may_match(e, envelope))
         return kept, len(entries)
 
     def schema_drift(self, spark: SparkSession, from_version: int,
@@ -222,8 +278,12 @@ class SnapTable:
                 os.unlink(p)
                 continue
             rel = os.path.join("data", cdir, os.path.basename(p))
-            entries.append({"path": rel, "bytes": os.path.getsize(p),
-                            "rows": rows, "stats": stats})
+            entry = {"path": rel, "bytes": os.path.getsize(p),
+                     "rows": rows, "stats": stats}
+            bloom = _file_bloom(p, key)
+            if bloom:
+                entry["bloom"] = bloom
+            entries.append(entry)
         return entries
 
     def _publish(self, manifest: dict, version: int) -> bool:

@@ -625,3 +625,34 @@ def test_shallow_clone_zero_copy_and_isolated(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileExistsError):
         shallow_clone(src, str(tmp_path / "clone"))
+
+
+def test_bloom_prunes_point_lookups_where_stats_cannot(spark, tmp_path):
+    """Interleaved key ranges defeat min/max pruning; the per-file
+    bloom still skips files for point lookups."""
+    from python_minerva_etl_spark.storage.snaptable import SnapTable
+
+    t = SnapTable(str(tmp_path / "t"))
+    # two commits -> separate files with overlapping id ranges
+    t.append(spark, spark.createDataFrame(
+        [(1, "x"), (100, "x")], "id bigint, v string").coalesce(1),
+        key=["id"])
+    t.append(spark, spark.createDataFrame(
+        [(2, "y"), (200, "y")], "id bigint, v string").coalesce(1),
+        key=["id"])
+
+    # range overlap keeps both files...
+    kept, total = t.pruned_file_count({"id": (2, 2)})
+    assert total == 2
+    # ...but the bloom excludes the file without id=2
+    assert kept == 1
+    # correctness: the pruned read still returns the row
+    got = t.read(spark, where={"id": (2, 2)}).filter("id = 2").collect()
+    assert [(r.id, r.v) for r in got] == [(2, "y")]
+    # absent key: every file pruned, schema preserved
+    kept0, _ = t.pruned_file_count({"id": (57, 57)})
+    assert kept0 == 0
+    assert t.read(spark, where={"id": (57, 57)}).count() == 0
+    # range lookups never consult the bloom (conservative)
+    keptr, _ = t.pruned_file_count({"id": (1, 300)})
+    assert keptr == 2
