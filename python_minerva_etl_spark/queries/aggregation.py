@@ -1190,3 +1190,51 @@ FROM agg
 QUERIES.append(
     DeclaredQuery("agg_gini", _agg_gini, _AGG_GINI_SQL,
                   "OP-AGG (Gini inequality coefficient)"))
+
+
+def _agg_navigated_1d(spark, sf_dir):
+    """Aggregate navigation end-to-end: the daily KPI answered from
+    the coarsest usable materialized store (the navigator picks the
+    1h store over the 15m one; both are built here from the facts —
+    in production they are the persisted materialization chain), then
+    re-aggregated with the partial algebra.  Equals the direct 1d
+    aggregation exactly — the oracle IS the direct form — while
+    touching store-cardinality input instead of raw rows
+    (plans/navigator.py)."""
+    from ..plans.instance import Trend, TrendStorePart, aggregate_time
+    from ..plans.navigator import navigate
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", F.col("value").alias("peak"))
+    part = TrendStorePart("kpis", (
+        Trend("value", time_aggregation="sum"),
+        Trend("peak", time_aggregation="max"),
+    ))
+    stores = {
+        "15m": aggregate_time(ev, part, "user_id", "ts", "15m"),
+        "1h": aggregate_time(ev, part, "user_id", "ts", "1h"),
+    }
+    chosen, routed = navigate(stores, "1d", part, "user_id", "ts")
+    assert chosen == "1h"
+    return routed.select(
+        "user_id", F.col("ts").alias("day"),
+        F.col("value").cast("double").alias("sum_value"),
+        F.col("peak").alias("max_value"),
+        F.col("samples"))
+
+
+_AGG_NAVIGATED_1D_SQL = """
+SELECT user_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       MAX(value) AS max_value,
+       COUNT(*) AS samples
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("agg_navigated_1d", _agg_navigated_1d,
+                  _AGG_NAVIGATED_1D_SQL,
+                  "OP-AGG-PARTIAL/OP-MAT (aggregate navigation)"))

@@ -172,6 +172,7 @@ _DEPTH = [
     "agg_gini",
     "agg_autocorr_lag1",
     "events_burstiness",
+    "agg_navigated_1d",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",
