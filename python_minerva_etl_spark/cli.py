@@ -235,6 +235,18 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    """Zero-copy shallow clone of a snapshot table."""
+    from .storage.snaptable import SnapTable, shallow_clone
+
+    clone = shallow_clone(SnapTable(args.source), args.target,
+                          version=args.version)
+    m = clone.history()[-1]
+    print(f"cloned {args.source} -> {args.target} ({m['op']}, "
+          f"{m['n_files']} files referenced, zero copied)")
+    return 0
+
+
 def cmd_run(args) -> int:
     """Execute a declared query and print or persist the result —
     the ad-hoc invocation surface for the catalog."""
@@ -339,6 +351,13 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("list-queries",
                        help="list the declared query catalog")
     s.set_defaults(fn=cmd_list_queries)
+
+    s = sub.add_parser("clone",
+                       help="zero-copy shallow clone of a snapshot table")
+    s.add_argument("source")
+    s.add_argument("target")
+    s.add_argument("--version", type=int, default=None)
+    s.set_defaults(fn=cmd_clone)
 
     s = sub.add_parser("run",
                        help="execute a declared query (print or write)")

@@ -156,3 +156,27 @@ def test_exclusive_carry_max_matches_model(maxima, n):
         earlier = [maxima[i] for i in range(b)
                    if i in maxima and maxima[i] is not None]
         assert carry[b] == (max(earlier) if earlier else None)
+
+
+@settings(max_examples=300)
+@given(st.lists(st.one_of(st.integers(min_value=-10**12, max_value=10**12),
+                          st.text(max_size=12)),
+                min_size=0, max_size=50),
+       st.one_of(st.integers(min_value=-10**12, max_value=10**12),
+                 st.text(max_size=12)))
+def test_bloom_no_false_negatives(values, probe):
+    from python_minerva_etl_spark.storage.snaptable import (
+        _bloom_may_contain, _bloom_positions)
+
+    bits = 0
+    for v in values:
+        for pos in _bloom_positions(v):
+            bits |= 1 << pos
+    bloom_hex = f"{bits:x}"
+    # every inserted value must report present
+    for v in values:
+        assert _bloom_may_contain(bloom_hex, v)
+    # a probe absent from the set may false-positive but must never
+    # crash; the empty filter rejects everything
+    if not values:
+        assert not _bloom_may_contain("0", probe)
