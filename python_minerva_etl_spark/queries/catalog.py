@@ -173,6 +173,7 @@ _DEPTH = [
     "agg_autocorr_lag1",
     "events_burstiness",
     "agg_navigated_1d",
+    "text_heavy_hitters",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

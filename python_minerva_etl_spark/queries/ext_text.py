@@ -1375,3 +1375,72 @@ QUERIES.append(
     DeclaredQuery("dedup_source_matrix", _dedup_source_matrix,
                   _DEDUP_SOURCE_MATRIX_SQL,
                   "EXT-DEDUP (cross-source duplication forensics)"))
+
+
+_HH_K = 64  # frequency threshold = 1/K of all tokens
+
+
+def _text_heavy_hitters(spark, sf_dir):
+    """Distributed heavy hitters (tokens with > 1/64 of all
+    occurrences) via per-partition Misra-Gries + exact candidate
+    recount — the two-phase sketch pattern for UNBOUNDED vocabularies
+    where a full groupBy(token) could not hold the long tail.
+
+    Soundness (pigeonhole): an item above n/k globally must exceed
+    n_p/k in at least one partition (otherwise its total <= Σ n_p/k
+    = n/k), and per-partition Misra-Gries with k counters surfaces
+    every item above the local n_p/k — so the union of partition
+    candidates is a SUPERSET of the true heavy hitters.  The exact
+    recount then runs over the candidate-filtered stream only
+    (broadcast semi join; k·partitions tokens, not the vocabulary),
+    making the final output exactly the oracle's HAVING filter.  The
+    sketch pass is an Arrow-batched mapInPandas with O(k) state per
+    partition."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+
+    def mg_part(batches):
+        import pandas as pd
+        counters: dict = {}
+        for pdf in batches:
+            for tk in pdf["tok"]:
+                if tk in counters:
+                    counters[tk] += 1
+                elif len(counters) < _HH_K:
+                    counters[tk] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({"tok": list(counters)})
+
+    cands = toks.mapInPandas(mg_part, "tok string").distinct()
+    total = toks.count()  # one cheap count job; n is a plan literal
+    exact = (toks.join(F.broadcast(cands), "tok")
+             .groupBy("tok").agg(F.count("*").alias("n_occurrences")))
+    return (exact
+            .filter(F.col("n_occurrences") * _HH_K > F.lit(total))
+            .select("tok", "n_occurrences",
+                    (F.col("n_occurrences").cast("double")
+                     / F.lit(float(total))).alias("share")))
+
+
+_TEXT_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT tok, COUNT(*) AS n_occurrences,
+       CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE) AS share
+FROM toks, tot
+GROUP BY tok, n
+HAVING COUNT(*) * {_HH_K} > n
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("text_heavy_hitters", _text_heavy_hitters,
+                  _TEXT_HEAVY_HITTERS_SQL,
+                  "EXT-TEXT (distributed Misra-Gries heavy hitters + exact verify)"))
