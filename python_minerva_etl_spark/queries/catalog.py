@@ -174,6 +174,8 @@ _DEPTH = [
     "events_burstiness",
     "agg_navigated_1d",
     "text_heavy_hitters",
+    "intervals_merge",
+    "peak_concurrency",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

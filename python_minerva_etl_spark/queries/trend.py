@@ -1168,3 +1168,126 @@ QUERIES.extend([
     DeclaredQuery("agg_autocorr_lag1", _agg_autocorr_lag1, _AGG_AUTOCORR_LAG1_SQL, "OP-AGG (lag-1 autocorrelation, decimal sufficient stats)"),
     DeclaredQuery("events_burstiness", _events_burstiness, _EVENTS_BURSTINESS_SQL, "OP-AGG (arrival burstiness / index of dispersion)"),
 ])
+
+
+def _intervals_merge(spark, sf_dir):
+    """Interval coalescing (downtime/maintenance-window merging):
+    each event opens a 5-minute interval [ts, ts+5m); overlapping or
+    touching intervals per entity merge into one row with the merged
+    span and the number of source intervals.  Classic islands: a new
+    island starts where the interval start exceeds the running max of
+    previous ends (decimal-free integer µs — exact), then one hash
+    agg per island.  Two frames over one entity sort, linear."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.lit(300_000_000)).alias("e"),
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0))
+    isl = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (isl.groupBy("user_id", "island")
+            .agg(F.min("s").alias("span_start_us"),
+                 F.max("e").alias("span_end_us"),
+                 F.count("*").alias("n_intervals"))
+            .select("user_id",
+                    F.col("island").cast("bigint").alias("island"),
+                    "span_start_us", "span_end_us", "n_intervals"))
+
+
+_INTERVALS_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                OR s > MAX(e) OVER (PARTITION BY user_id
+                                    ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (
+  SELECT *, CAST(SUM(new_island)
+                 OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS island
+  FROM flagged
+)
+SELECT user_id, island,
+       MIN(s) AS span_start_us, MAX(e) AS span_end_us,
+       COUNT(*) AS n_intervals
+FROM isl GROUP BY 1, 2
+"""
+
+
+def _peak_concurrency(spark, sf_dir):
+    """Per-entity peak concurrency: the maximum number of
+    simultaneously-open 5-minute event intervals — the sweep-line
+    difference-array again (±1 at open/close, running sum in event
+    order, then MAX), but per entity: the running sum partitions by
+    user, so the whole op is one entity shuffle + two linear frames
+    and a hash agg.  Ends sort before starts at the same instant
+    (half-open intervals)."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts"))
+    opens = ev.select("user_id", s_us.alias("t"), F.lit(1).alias("d"))
+    closes = ev.select("user_id", (s_us + F.lit(300_000_000)).alias("t"),
+                       F.lit(-1).alias("d"))
+    deltas = opens.unionByName(closes)
+    w = (Window.partitionBy("user_id").orderBy("t", "d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = deltas.withColumn("open_now", F.sum("d").over(w))
+    return (running.groupBy("user_id")
+            .agg(F.max("open_now").cast("bigint").alias("peak_concurrent"),
+                 (F.count("*") / 2).cast("bigint").alias("n_intervals")))
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH deltas AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, 1 AS d
+  FROM events
+  UNION ALL
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS t,
+         -1 AS d
+  FROM events
+),
+running AS (
+  SELECT user_id,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS open_now
+  FROM deltas
+)
+SELECT user_id,
+       CAST(MAX(open_now) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM running GROUP BY 1
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("intervals_merge", _intervals_merge, _INTERVALS_MERGE_SQL, "OP-WIN (interval coalescing / islands)"),
+    DeclaredQuery("peak_concurrency", _peak_concurrency, _PEAK_CONCURRENCY_SQL, "OP-AGG (per-entity sweep-line peak concurrency)"),
+])
