@@ -176,6 +176,8 @@ _DEPTH = [
     "text_heavy_hitters",
     "intervals_merge",
     "peak_concurrency",
+    "order_latency_percentiles",
+    "interarrival_percentiles",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -1067,3 +1067,47 @@ QUERIES.append(
     DeclaredQuery("backlog_over_time", _backlog_over_time,
                   _BACKLOG_OVER_TIME_SQL,
                   "OP-AGG-TIME (sweep-line open-interval counting)"))
+
+
+def _order_latency_percentiles(spark, sf_dir):
+    """Order-to-ship latency distribution per priority class: the
+    SLA report (p50/p95/max days from order date to each line's ship
+    date).  One fact-fact equi-join on the order key (AQE picks the
+    strategy; at scale SMJ with skew splitting), latencies as exact
+    integer days, then exact interpolated percentiles per priority —
+    the percentile/quantile_cont pairing verified bit-identical
+    elsewhere (agg_percentiles)."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .select("o_orderpriority",
+                   F.datediff("l_shipdate", "o_orderdate")
+                   .cast("double").alias("days")))
+    return (lat.groupBy("o_orderpriority")
+            .agg(F.expr("percentile(days, 0.5)").alias("p50_days"),
+                 F.expr("percentile(days, 0.95)").alias("p95_days"),
+                 F.max("days").alias("max_days"),
+                 F.count("*").alias("n_lines")))
+
+
+_ORDER_LATENCY_PERCENTILES_SQL = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       quantile_cont(days, 0.5) AS p50_days,
+       quantile_cont(days, 0.95) AS p95_days,
+       MAX(days) AS max_days,
+       COUNT(*) AS n_lines
+FROM lat GROUP BY 1
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("order_latency_percentiles", _order_latency_percentiles,
+                  _ORDER_LATENCY_PERCENTILES_SQL,
+                  "OP-JOIN-EQ/OP-AGG (SLA latency distribution)"))

@@ -1291,3 +1291,52 @@ QUERIES.extend([
     DeclaredQuery("intervals_merge", _intervals_merge, _INTERVALS_MERGE_SQL, "OP-WIN (interval coalescing / islands)"),
     DeclaredQuery("peak_concurrency", _peak_concurrency, _PEAK_CONCURRENCY_SQL, "OP-AGG (per-entity sweep-line peak concurrency)"),
 ])
+
+
+def _interarrival_percentiles(spark, sf_dir):
+    """Inter-arrival gap distribution per entity (p50/p95 seconds
+    between consecutive events + coefficient-of-variation-free mean)
+    — the capacity/heartbeat metric that sizes watermarks and session
+    gaps.  One lag over the entity sort produces integer-µs gaps;
+    exact interpolated percentiles per entity reuse the verified
+    percentile pairing."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (ev.select("user_id",
+                      (us - F.lag(us).over(w)).alias("gap_us"))
+            .filter(F.col("gap_us").isNotNull()))
+    g = F.col("gap_us").cast("double")
+    return (gaps.groupBy("user_id")
+            .agg(F.expr("percentile(CAST(gap_us AS DOUBLE), 0.5)")
+                 .alias("p50_gap_us"),
+                 F.expr("percentile(CAST(gap_us AS DOUBLE), 0.95)")
+                 .alias("p95_gap_us"),
+                 F.max(g).alias("max_gap_us"),
+                 F.count("*").alias("n_gaps")))
+
+
+_INTERARRIVAL_PERCENTILES_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       quantile_cont(CAST(gap_us AS DOUBLE), 0.5) AS p50_gap_us,
+       quantile_cont(CAST(gap_us AS DOUBLE), 0.95) AS p95_gap_us,
+       MAX(CAST(gap_us AS DOUBLE)) AS max_gap_us,
+       COUNT(*) AS n_gaps
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("interarrival_percentiles", _interarrival_percentiles,
+                  _INTERARRIVAL_PERCENTILES_SQL,
+                  "OP-WIN/OP-AGG (inter-arrival gap distribution)"))
