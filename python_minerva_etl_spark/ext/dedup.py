@@ -362,9 +362,14 @@ def containment_pairs(docs: DataFrame, threshold: float = 1.0,
     Same inverted-index self-join shape as near_dup_pairs_exact:
     candidates are pairs sharing >= 1 token (never a cross join), one
     shuffle on token then one on the pair key; doc sizes broadcast.
-    At 100 TB, swap the candidate stage for minhash_lsh_candidates —
-    containment >= t implies Jaccard >= t/(2-t), so LSH banding at
-    that weaker threshold keeps full recall."""
+    At 100 TB the candidate stage must NOT be plain Jaccard-LSH:
+    containment places no lower bound on Jaccard when sizes are
+    skewed (A fully inside a 100x-larger B has J ~ |A|/|B|).  The
+    scale path is size-banded LSH — within a band where |B| <= c*|A|,
+    containment >= t does imply Jaccard >= t/(1 + c - t), so banding
+    by doc size (geometric bands, each doc probing its own and larger
+    bands) restores the LSH recall guarantee; the inverted-index
+    candidate stage here is the exact small-n form."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))

@@ -1191,8 +1191,9 @@ QUERIES = [
 def _dedup_containment(spark, sf_dir):
     """EXT-DEDUP-NEAR (asymmetric containment): |A∩B|/|A| = 1.0 —
     full sub-document inclusion, the quote/boilerplate case symmetric
-    Jaccard misses.  Inverted-index candidates; LSH at the implied
-    Jaccard bound is the scale path (see containment_pairs)."""
+    Jaccard misses.  Inverted-index candidates; size-banded LSH is
+    the scale path (see containment_pairs — plain Jaccard-LSH loses
+    recall under size skew)."""
     return D.containment_pairs(t(spark, sf_dir, "documents"), 1.0)
 
 
