@@ -1238,3 +1238,64 @@ QUERIES.append(
     DeclaredQuery("agg_navigated_1d", _agg_navigated_1d,
                   _AGG_NAVIGATED_1D_SQL,
                   "OP-AGG-PARTIAL/OP-MAT (aggregate navigation)"))
+
+
+_BENFORD = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366,
+    4: 0.0969100130, 5: 0.0791812460, 6: 0.0669467896,
+    7: 0.0579919470, 8: 0.0511525224, 9: 0.0457574906,
+}
+
+
+def _agg_benford(spark, sf_dir):
+    """Benford first-significant-digit audit per class — the
+    data-quality / fabrication screen: observed first-digit shares
+    vs the Benford expectation, with the absolute deviation.  The
+    expected shares are PRECOMPUTED literals (no engine log — the
+    one source of cross-engine drift a log-based formulation would
+    have); the first digit comes from the decimal string, so the op
+    is one scan-local projection + one tiny hash agg."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value") >= 1.0)
+    digit = F.substring(F.col("value").cast("string"), 1, 1).cast("int")
+    counts = (ev.groupBy("event_type", digit.alias("first_digit"))
+              .agg(F.count("*").alias("n")))
+    w_tot = F.sum("n").over(Window.partitionBy("event_type"))
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _BENFORD.items() for x in kv]),
+        F.col("first_digit"))
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    return (counts.withColumn("total", w_tot)
+            .select("event_type", "first_digit", "n",
+                    F.round(share, 9).alias("observed_share"),
+                    F.round(F.abs(share - expected), 9)
+                    .alias("benford_abs_dev")))
+
+
+def _benford_sql() -> str:
+    pairs = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD.items())
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE value >= 1.0),
+counts AS (
+  SELECT event_type,
+         CAST(substring(CAST(value AS VARCHAR), 1, 1) AS INTEGER)
+           AS first_digit,
+         COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+),
+exp_t(first_digit, expected) AS (VALUES {pairs}),
+tot AS (
+  SELECT *, SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM counts
+)
+SELECT t.event_type, t.first_digit, t.n,
+       ROUND(CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE), 9)
+         AS observed_share,
+       ROUND(abs(CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                 - e.expected), 9) AS benford_abs_dev
+FROM tot t JOIN exp_t e ON t.first_digit = e.first_digit
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("agg_benford", _agg_benford, _benford_sql(),
+                  "OP-AGG (Benford first-digit audit, literal expectation)"))

@@ -178,6 +178,8 @@ _DEPTH = [
     "peak_concurrency",
     "order_latency_percentiles",
     "interarrival_percentiles",
+    "agg_benford",
+    "report_week_movers",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

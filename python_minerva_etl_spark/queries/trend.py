@@ -1340,3 +1340,57 @@ QUERIES.append(
     DeclaredQuery("interarrival_percentiles", _interarrival_percentiles,
                   _INTERARRIVAL_PERCENTILES_SQL,
                   "OP-WIN/OP-AGG (inter-arrival gap distribution)"))
+
+
+def _report_week_movers(spark, sf_dir):
+    """Week-over-week movers: entities ranked by absolute change in
+    weekly decimal-exact value sum, top 10 — the "what changed"
+    report.  Weekly partials (one hash agg), lag over the per-entity
+    week series, then a global top-k that compiles to
+    TakeOrderedAndProject (never a full sort)."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    weekly = (ev.groupBy("user_id",
+                         F.date_trunc("week", "ts").alias("week"))
+              .agg(F.sum(F.col("value").cast("decimal(28,4)"))
+                   .alias("wsum")))
+    w = Window.partitionBy("user_id").orderBy("week")
+    delta = (weekly
+             .withColumn("prev", F.lag("wsum").over(w))
+             .filter(F.col("prev").isNotNull())
+             .select("user_id", "week",
+                     F.col("wsum").cast("double").alias("this_week"),
+                     F.col("prev").cast("double").alias("prev_week"),
+                     (F.col("wsum") - F.col("prev")).cast("double")
+                     .alias("delta")))
+    return (delta.orderBy(F.abs(F.col("delta")).desc(),
+                          "user_id", "week")
+            .limit(10))
+
+
+_REPORT_WEEK_MOVERS_SQL = """
+WITH weekly AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         SUM(CAST(value AS DECIMAL(28,4))) AS wsum
+  FROM events GROUP BY 1, 2
+),
+delta AS (
+  SELECT user_id, week,
+         CAST(wsum AS DOUBLE) AS this_week,
+         CAST(LAG(wsum) OVER w AS DOUBLE) AS prev_week,
+         CAST(wsum - LAG(wsum) OVER w AS DOUBLE) AS delta
+  FROM weekly
+  WINDOW w AS (PARTITION BY user_id ORDER BY week)
+)
+SELECT user_id, week, this_week, prev_week, delta
+FROM delta WHERE prev_week IS NOT NULL
+ORDER BY abs(delta) DESC, user_id, week
+LIMIT 10
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("report_week_movers", _report_week_movers,
+                  _REPORT_WEEK_MOVERS_SQL,
+                  "OP-RPT/OP-WIN (week-over-week top movers)"))
