@@ -180,6 +180,7 @@ _DEPTH = [
     "interarrival_percentiles",
     "agg_benford",
     "report_week_movers",
+    "dataset_fingerprint",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -1445,3 +1445,49 @@ QUERIES.append(
     DeclaredQuery("text_heavy_hitters", _text_heavy_hitters,
                   _TEXT_HEAVY_HITTERS_SQL,
                   "EXT-TEXT (distributed Misra-Gries heavy hitters + exact verify)"))
+
+
+def _dataset_fingerprint(spark, sf_dir):
+    """Order-invariant dataset fingerprint per source: row count plus
+    a content checksum = exact SUM of a 32-bit md5 draw over each
+    row's canonical serialization.  Commutative and mergeable, so two
+    replicas compare fingerprints without sorting or shuffling rows
+    to one place — the cheap equality check behind replica sync
+    verification (SnapTable.sync_from) and migration sign-off.  The
+    draw is the engine-portable md5 idiom, the sum is decimal-exact;
+    any single changed/missing/duplicated row changes the checksum
+    (collisions are the 2^-32-per-row birthday bound, fine for a
+    drift ALARM, not a cryptographic proof)."""
+    docs = t(spark, sf_dir, "documents")
+    row_ser = F.concat_ws(
+        "\x1f",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("\x00")),
+        F.coalesce(F.col("lang"), F.lit("\x00")),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("\x00")))
+    draw = F.conv(F.substring(F.md5(row_ser), 1, 8), 16, 10) \
+        .cast("decimal(38,0)")
+    return (docs.groupBy("source")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(draw).cast("string").alias("content_checksum")))
+
+
+_DATASET_FINGERPRINT_SQL = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(('0x' || substring(md5(
+             concat_ws(chr(31),
+                       CAST(doc_id AS VARCHAR),
+                       COALESCE(text, chr(0)),
+                       COALESCE(lang, chr(0)),
+                       COALESCE(CAST(n_chars AS VARCHAR), chr(0)))),
+             1, 8)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+         AS content_checksum
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("dataset_fingerprint", _dataset_fingerprint,
+                  _DATASET_FINGERPRINT_SQL,
+                  "EXT dataset versioning (order-invariant content checksum)"))
