@@ -101,10 +101,14 @@ def run(spark, scratch: str) -> dict:
     ))
     hourly = aggregate_time(raw, part, "entity_key", "timestamp", "1h")
     out["hourly_rows"] = hourly.count()
-    daily = aggregate_time(
-        hourly.withColumnRenamed("samples", "__in_samples")
-        .drop("__in_samples"), part, "entity_key", "timestamp", "1d")
+    # 1h -> 1d uses the RE-AGG algebra (samples SUM, partial sums
+    # SUM), not the raw-row algebra — the navigator owns that rule
+    from python_minerva_etl_spark.plans.navigator import reaggregate_time
+    daily = reaggregate_time(hourly, part, "entity_key", "timestamp", "1d")
     out["daily_rows"] = daily.count()
+    out["daily_samples_per_entity"] = (
+        daily.agg(F.min("samples").alias("mn"),
+                  F.max("samples").alias("mx")).collect()[0])
 
     # 4. cell -> network rollup over the parsed DN hierarchy
     # (entity_key is the md5 surrogate; the dn column carries the

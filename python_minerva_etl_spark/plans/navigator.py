@@ -21,18 +21,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..granularity import normalize, trunc_col
+from ..granularity import _GRANULARITIES, normalize, trunc_col
 from .instance import TrendStorePart
 
-# approximate bucket width, used only to rank candidates (coarser =
-# fewer rows = cheaper to re-aggregate)
-_APPROX_SECONDS = {
-    "15m": 900, "1h": 3600, "1d": 86400,
-    "1w": 7 * 86400, "1month": 30 * 86400,
-}
+# approximate calendar-bucket widths, used only to RANK candidates
+# (coarser = fewer rows = cheaper to re-aggregate)
+_CALENDAR_APPROX = {"1d": 86400, "1w": 7 * 86400, "1month": 30 * 86400}
 
-_FIXED = {"15m": 900, "1h": 3600}
-_CALENDAR_DAY_MULTIPLES = {"1d", "1w", "1month"}
+
+def _fixed_seconds(g: str) -> int | None:
+    """Fixed period in seconds, or None for calendar granularities.
+    Derived from granularity._GRANULARITIES so every name the package
+    supports (1m/5m/15m/30m/1h/900/3600/...) is covered."""
+    return _GRANULARITIES[normalize(g)][0]
+
+
+def _approx_seconds(g: str) -> int:
+    secs = _fixed_seconds(g)
+    return secs if secs is not None else _CALENDAR_APPROX[normalize(g)]
 
 
 def nests_in(fine: str, coarse: str) -> bool:
@@ -45,12 +51,11 @@ def nests_in(fine: str, coarse: str) -> bool:
     fine, coarse = normalize(fine), normalize(coarse)
     if fine == coarse:
         return True
-    if fine in _FIXED:
-        if coarse in _FIXED:
-            return _FIXED[coarse] % _FIXED[fine] == 0
-        if coarse in _CALENDAR_DAY_MULTIPLES:
-            return 86400 % _FIXED[fine] == 0
-        return False
+    fs, cs = _fixed_seconds(fine), _fixed_seconds(coarse)
+    if fs is not None:
+        if cs is not None:
+            return cs % fs == 0
+        return 86400 % fs == 0  # calendar coarse: must divide a day
     if fine == "1d":
         return coarse in ("1w", "1month")
     return False  # 1w / 1month nest in nothing coarser here
@@ -63,7 +68,7 @@ def choose_level(available: list[str], target: str) -> str | None:
     usable = [g for g in available if nests_in(g, target)]
     if not usable:
         return None
-    return max(usable, key=lambda g: _APPROX_SECONDS[normalize(g)])
+    return max(usable, key=_approx_seconds)
 
 
 def reaggregate_time(partials: DataFrame, part: TrendStorePart,

@@ -770,7 +770,6 @@ def _anomaly_cusum(spark, sf_dir):
     sq = F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")) \
         .cast("double")
     n = F.count("value").cast("double")
-    var = (sq - s * s / n) / (n - F.lit(1.0))
     base = (ev.groupBy("user_id")
             .agg(s.alias("s"), sq.alias("sq"), n.alias("n"))
             .select("user_id",

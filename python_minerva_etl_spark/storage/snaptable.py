@@ -131,8 +131,30 @@ _BLOOM_K = 4
 _BLOOM_MAX_ROWS = 5_000_000  # skip bloom build on pathological files
 
 
+def _bloom_key(value: Any) -> str:
+    """Type-insensitive canonical string for bloom hashing: the probe
+    side passes plain Python ints while the build side sees
+    parquet-decoded values (float 2.0, Decimal('5.000000')), and
+    repr() would split those into different keys — a FALSE NEGATIVE,
+    the one failure mode a bloom must never have.  Numerics therefore
+    normalize through Decimal (2 == 2.0 == Decimal('2.00') -> 'n:2');
+    everything else keys on its canonical string."""
+    import decimal
+
+    v = _canon(value)
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        try:
+            d = decimal.Decimal(str(v)).normalize()
+            return f"n:{format(d, 'f')}"
+        except decimal.InvalidOperation:  # nan/inf
+            return f"x:{v!r}"
+    return f"s:{v}"
+
+
 def _bloom_positions(value: Any) -> list[int]:
-    h = hashlib.md5(repr(_canon(value)).encode()).digest()
+    h = hashlib.md5(_bloom_key(value).encode()).digest()
     return [int.from_bytes(h[i * 4:(i + 1) * 4], "little") % _BLOOM_BITS
             for i in range(_BLOOM_K)]
 
@@ -176,7 +198,11 @@ def _file_may_match(entry: dict, envelope: dict[str, list[Any]]) -> bool:
         return False
     bloom = entry.get("bloom") or {}
     for col, (blo, bhi) in envelope.items():
-        if blo == bhi and col in bloom                 and not _bloom_may_contain(bloom[col], blo):
+        # NULL probes never consult the bloom: blooms hold non-null
+        # values only, so a None probe would false-negative files
+        # that DO contain NULL-key rows
+        if blo is not None and blo == bhi and col in bloom \
+                and not _bloom_may_contain(bloom[col], blo):
             return False
     return True
 

@@ -166,3 +166,17 @@ def test_navigated_rollup_equals_direct(spark):
     a = {key(r): (r.value, r.peak, r.samples) for r in routed.collect()}
     b = {key(r): (r.value, r.peak, r.samples) for r in direct.collect()}
     assert a == b  # exact, decimal partials included
+
+
+def test_navigator_covers_all_fixed_granularities():
+    """Every granularity the package declares must be navigable —
+    the sub-15m and 30m names included (regression: KeyError on
+    '5m')."""
+    from python_minerva_etl_spark.plans.navigator import (choose_level,
+                                                          nests_in)
+
+    assert choose_level(["5m"], "5m") == "5m"
+    assert nests_in("5m", "1h") and nests_in("30m", "1h")
+    assert nests_in("1m", "1d") and nests_in("30m", "1d")
+    assert choose_level(["1m", "5m", "30m"], "1h") == "30m"
+    assert choose_level(["900", "3600"], "1d") == "3600"  # alias names

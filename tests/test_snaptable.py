@@ -656,3 +656,26 @@ def test_bloom_prunes_point_lookups_where_stats_cannot(spark, tmp_path):
     # range lookups never consult the bloom (conservative)
     keptr, _ = t.pruned_file_count({"id": (1, 300)})
     assert keptr == 2
+
+
+def test_bloom_probe_is_type_insensitive(spark, tmp_path):
+    """Probing a DOUBLE key with a Python int must not false-negative
+    (build hashes 2.0, probe passes 2) — and a NULL probe never
+    consults the bloom."""
+    from python_minerva_etl_spark.storage.snaptable import SnapTable
+
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(spark, spark.createDataFrame(
+        [(2.0, "a"), (9.5, "b"), (None, "n")], "k double, v string")
+        .coalesce(1), key=["k"])
+    kept, total = t.pruned_file_count({"k": (2, 2)})
+    assert (kept, total) == (1, 1)
+    assert t.read(spark, where={"k": (2, 2)}).filter("k = 2").count() == 1
+    # fractional probe for a value not present: bloom may prune
+    assert t.read(spark, where={"k": (9.5, 9.5)}) \
+        .filter("k = 9.5").count() == 1
+    # NULL probe stays conservative (file holds a NULL-key row)
+    keptn, _ = t.pruned_file_count({"k": (None, None)})
+    assert keptn == 1
+    assert t.read(spark, where={"k": (None, None)}) \
+        .filter("k is null").count() == 1

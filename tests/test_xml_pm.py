@@ -122,6 +122,9 @@ def test_telemetry_pipeline_example_runs(spark, tmp_path):
     assert c["store_rows"] == 32
     assert c["hourly_rows"] == 12     # 4 entities x 3 hour buckets
     assert c["daily_rows"] == 4       # 4 entities x 1 day
+    # re-agg algebra: daily samples = raw rows (8), not hourly buckets
+    assert (c["daily_samples_per_entity"].mn
+            == c["daily_samples_per_entity"].mx == 8)
     assert c["network_rows"] == 6     # 2 networks x 3 hour buckets
     # g1/cell1: hour-1 avg (4.5+95*3)/4 = 72.375 -> warning,
     # hour-2 avg 95 -> critical
