@@ -1299,3 +1299,52 @@ FROM tot t JOIN exp_t e ON t.first_digit = e.first_digit
 QUERIES.append(
     DeclaredQuery("agg_benford", _agg_benford, _benford_sql(),
                   "OP-AGG (Benford first-digit audit, literal expectation)"))
+
+
+def _agg_weighted_median(spark, sf_dir):
+    """Exact weighted median: the smallest extended price whose
+    cumulative quantity reaches half the group's total — neither
+    engine has a weighted quantile built-in, so both compute the
+    identical crossing formulation: order by (value, tiebreak),
+    running decimal weight sum, pick the first row crossing half.
+    One window + one argmin-style agg per group; integer/decimal
+    arithmetic end to end, so the crossing row is engine-exact."""
+    li = t(spark, sf_dir, "lineitem")
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("l_returnflag")
+    qty = F.col("l_quantity").cast("decimal(28,4)")
+    cum = F.sum(qty).over(w)
+    total = F.sum(qty).over(tot)
+    crossed = (li.select("l_returnflag", "l_extendedprice",
+                         cum.alias("cum"), total.alias("total"))
+               .filter(F.col("cum") * 2 >= F.col("total")))
+    return (crossed.groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias("weighted_median_price"),
+                 F.max(F.col("total")).cast("double").alias("total_qty")))
+
+
+_AGG_WEIGHTED_MEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(28,4)))
+           OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(l_quantity AS DECIMAL(28,4)))
+           OVER (PARTITION BY l_returnflag) AS total
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median_price,
+       CAST(MAX(total) AS DOUBLE) AS total_qty
+FROM c WHERE cum * 2 >= total
+GROUP BY 1
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("agg_weighted_median", _agg_weighted_median,
+                  _AGG_WEIGHTED_MEDIAN_SQL,
+                  "OP-AGG (exact weighted median via cumulative crossing)"))

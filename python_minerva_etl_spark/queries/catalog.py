@@ -181,6 +181,8 @@ _DEPTH = [
     "agg_benford",
     "report_week_movers",
     "dataset_fingerprint",
+    "agg_weighted_median",
+    "corpus_token_budget",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -1491,3 +1491,58 @@ QUERIES.append(
     DeclaredQuery("dataset_fingerprint", _dataset_fingerprint,
                   _DATASET_FINGERPRINT_SQL,
                   "EXT dataset versioning (order-invariant content checksum)"))
+
+
+def _corpus_token_budget(spark, sf_dir):
+    """Best-first corpus trimming to a token budget: order documents
+    by quality (here: per-doc mean word length as the cheap proxy,
+    doc_id tiebreak), take the maximal prefix whose cumulative token
+    count stays within budget — "fit the best 10k tokens".  The same
+    cumulative-crossing idiom as the weighted median: one total-order
+    window over the DOC table (documents, not tokens), integer token
+    counts, so the cut line is engine-exact.  For corpora too large
+    for one ordered partition, range-partition the quality key and
+    carry bucket offsets (the two-phase rank pattern)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    scored = docs.select(
+        "doc_id", "source", toks.alias("n_tokens"),
+        (chars.cast("double") / toks.cast("double")).alias("quality"))
+    from pyspark.sql.window import Window
+
+    w = (Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w).cast("bigint")
+    return (scored.withColumn("cum_tokens", cum)
+            .filter(F.col("cum_tokens") <= 10_000)
+            .select("doc_id", "source", "n_tokens",
+                    F.round("quality", 9).alias("quality"),
+                    "cum_tokens"))
+
+
+_CORPUS_TOKEN_BUDGET_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS quality
+  FROM documents
+),
+c AS (
+  SELECT *, CAST(SUM(n_tokens)
+                 OVER (ORDER BY quality DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, ROUND(quality, 9) AS quality,
+       cum_tokens
+FROM c WHERE cum_tokens <= 10000
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("corpus_token_budget", _corpus_token_budget,
+                  _CORPUS_TOKEN_BUDGET_SQL,
+                  "EXT corpus curation (best-first token-budget trim)"))
