@@ -1348,3 +1348,108 @@ QUERIES.append(
     DeclaredQuery("agg_weighted_median", _agg_weighted_median,
                   _AGG_WEIGHTED_MEDIAN_SQL,
                   "OP-AGG (exact weighted median via cumulative crossing)"))
+
+
+def _agg_churn_rate(spark, sf_dir):
+    """Weekly churn accounting: per week, users active the PREVIOUS
+    week split into retained (active again) and churned (gone) —
+    the complement of agg_user_growth's new/active view.  Distinct
+    (user, week) pairs are the mergeable partial (one shuffle);
+    churn is a self-join of the pair table against week+1 — pair
+    cardinality, never fact cardinality."""
+    ev = t(spark, sf_dir, "events")
+    wk = (ev.select("user_id",
+                    F.date_trunc("week", "ts").alias("week"))
+          .distinct())
+    nxt = wk.select(F.col("user_id").alias("n_user"),
+                    F.col("week").alias("n_week"))
+    j = wk.join(
+        nxt,
+        (wk.user_id == nxt.n_user)
+        & (nxt.n_week == F.col("week") + F.expr("INTERVAL 7 DAYS")),
+        "left")
+    per = (j.groupBy("week")
+           .agg(F.count("*").alias("active"),
+                F.count("n_user").alias("retained")))
+    return per.select(
+        "week", "active", "retained",
+        (F.col("active") - F.col("retained")).alias("churned"),
+        F.round(F.col("retained").cast("double")
+                / F.col("active").cast("double"), 9)
+        .alias("retention_rate"))
+
+
+_AGG_CHURN_RATE_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+j AS (
+  SELECT a.week, a.user_id, b.user_id AS n_user
+  FROM wk a LEFT JOIN wk b
+    ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
+)
+SELECT week, COUNT(*) AS active, COUNT(n_user) AS retained,
+       COUNT(*) - COUNT(n_user) AS churned,
+       ROUND(CAST(COUNT(n_user) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS retention_rate
+FROM j GROUP BY 1
+"""
+
+
+def _agg_retention_curve(spark, sf_dir):
+    """Day-offset retention curve: of the users active on their own
+    FIRST day, the share active again exactly D days later, for
+    D in (1, 7, 14) — the D1/D7/D14 dashboard.  Distinct (user, day)
+    pairs once; first day per user; then one join per offset against
+    the pair table (pair cardinality).  Counts are exact."""
+    ev = t(spark, sf_dir, "events")
+    days = (ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+            .distinct())
+    first = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    out = None
+    for off in (1, 7, 14):
+        probe = first.join(
+            days.select(F.col("user_id").alias("p_user"),
+                        F.col("d").alias("p_d")),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_d") == F.col("d0")
+               + F.expr(f"INTERVAL {off} DAYS")),
+            "left")
+        row = probe.agg(
+            F.lit(off).cast("int").alias("day_offset"),
+            F.count("*").alias("cohort"),
+            F.count("p_user").alias("retained"),
+            F.round(F.count("p_user").cast("double")
+                    / F.count("*").cast("double"), 9)
+            .alias("retention"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_AGG_RETENTION_CURVE_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+),
+first AS (SELECT user_id, MIN(d) AS d0 FROM days GROUP BY 1),
+offsets(day_offset) AS (VALUES (1), (7), (14))
+SELECT o.day_offset,
+       COUNT(*) AS cohort,
+       COUNT(p.user_id) AS retained,
+       ROUND(CAST(COUNT(p.user_id) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS retention
+FROM first f
+CROSS JOIN offsets o
+LEFT JOIN days p
+  ON p.user_id = f.user_id
+ AND p.d = f.d0 + to_days(o.day_offset)
+GROUP BY 1
+"""
+
+
+QUERIES.extend([
+    DeclaredQuery("agg_churn_rate", _agg_churn_rate, _AGG_CHURN_RATE_SQL, "OP-AGG (weekly churn accounting)"),
+    DeclaredQuery("agg_retention_curve", _agg_retention_curve, _AGG_RETENTION_CURVE_SQL, "OP-AGG (D1/D7/D14 retention curve)"),
+])

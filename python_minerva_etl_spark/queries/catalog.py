@@ -183,6 +183,8 @@ _DEPTH = [
     "dataset_fingerprint",
     "agg_weighted_median",
     "corpus_token_budget",
+    "agg_churn_rate",
+    "agg_retention_curve",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",
