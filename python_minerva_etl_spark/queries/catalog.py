@@ -185,6 +185,7 @@ _DEPTH = [
     "corpus_token_budget",
     "agg_churn_rate",
     "agg_retention_curve",
+    "skyline_orders",
     "reshape_wide",
     "reshape_long",
     "dataset_stratified_sample",

@@ -1111,3 +1111,52 @@ QUERIES.append(
     DeclaredQuery("order_latency_percentiles", _order_latency_percentiles,
                   _ORDER_LATENCY_PERCENTILES_SQL,
                   "OP-JOIN-EQ/OP-AGG (SLA latency distribution)"))
+
+
+def _skyline_orders(spark, sf_dir):
+    """2-D skyline (Pareto front): orders not dominated on
+    (price low, date early) — no other order is both strictly
+    cheaper AND no later.  The sort-sweep formulation: order by
+    integer price cents, running MIN of order-day over the STRICTLY
+    cheaper prefix (RANGE frame to -1 excludes equal prices), keep
+    rows whose day beats that min (or with no cheaper predecessor).
+    One global window over |orders|; for fact-scale skylines,
+    range-partition the price key and carry per-bucket prefix minima
+    exactly like operators/ranking.py::global_prefix_max."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    day = F.unix_micros(F.col("o_orderdate"))
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate",
+                         cents.alias("cents"), day.alias("day_us"))
+    w = (Window.orderBy("cents")
+         .rangeBetween(Window.unboundedPreceding, -1))
+    prior_min = F.min("day_us").over(w)
+    return (base.withColumn("prior_min", prior_min)
+            .filter(F.col("prior_min").isNull()
+                    | (F.col("day_us") < F.col("prior_min")))
+            .select("o_orderkey", "o_totalprice", "o_orderdate"))
+
+
+_SKYLINE_ORDERS_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS day_us
+  FROM orders
+),
+s AS (
+  SELECT *, MIN(day_us) OVER (ORDER BY cents
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prior_min
+  FROM base
+)
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM s WHERE prior_min IS NULL OR day_us < prior_min
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("skyline_orders", _skyline_orders, _SKYLINE_ORDERS_SQL,
+                  "OP-WIN (2-D skyline / Pareto front, sort-sweep)"))
