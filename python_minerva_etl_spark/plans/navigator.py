@@ -46,8 +46,16 @@ def nests_in(fine: str, coarse: str) -> bool:
     buckets (so partials at ``fine`` re-aggregate losslessly to
     ``coarse``).  Calendar rules: days nest in weeks and months;
     weeks do NOT nest in months; fixed periods nest in calendar
-    buckets iff they divide a day (true even across DST — a 23/25h
-    local day is still whole hours and quarters)."""
+    buckets iff they divide a day.
+
+    ASSUMES UTC (or whole-hour-offset) calendar buckets, which is
+    what :func:`reaggregate_time` always produces — it truncates in
+    UTC.  Under a tz-LOCAL calendar store in a fractional-offset zone
+    (+05:45 Kathmandu, +09:30 Adelaide), epoch-aligned 1h/30m buckets
+    straddle civil-day boundaries and do NOT nest; do not feed
+    tz-local stores through the navigator.  (Whole-hour DST shifts
+    are fine: a 23/25h local day is still whole hours and quarters.)
+    """
     fine, coarse = normalize(fine), normalize(coarse)
     if fine == coarse:
         return True

@@ -1215,7 +1215,10 @@ def _agg_navigated_1d(spark, sf_dir):
         "1h": aggregate_time(ev, part, "user_id", "ts", "1h"),
     }
     chosen, routed = navigate(stores, "1d", part, "user_id", "ts")
-    assert chosen == "1h"
+    if chosen != "1h":  # not assert: must survive python -O
+        raise RuntimeError(
+            f"navigator routed 1d re-agg to {chosen!r}, expected the "
+            "coarsest nesting store '1h' — navigator regression")
     return routed.select(
         "user_id", F.col("ts").alias("day"),
         F.col("value").cast("double").alias("sum_value"),

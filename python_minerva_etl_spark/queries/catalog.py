@@ -17,91 +17,117 @@ from .base import DeclaredQuery
 
 # One oracle-backed representative per operator family — the driver's
 # correctness window.  Keep this at <= 50 entries.
+#
+# ROTATION (round 4): the driver independently verifies only the first
+# 50 catalog entries each round; rounds 1-3 verified 73 distinct
+# queries.  This round swaps every family representative that has a
+# never-driver-verified oracle-backed sibling for that sibling — 31 of
+# the 50 entries below ("r4" marks) have no prior driver CORRECTNESS
+# row.  The 19 unmarked entries are families with a single oracle-
+# backed member, which must repeat to keep the family invariant.
+# Rounds 1-3 windows remain in _DEPTH and in the full-catalog local
+# artifact (CORRECTNESS_LOCAL.json, tests/test_oracle_diff.py).
 _WINDOW = [
-    # §2.4 time/partial/distinct/filtered aggregation
-    "agg_time_1h",
-    "agg_reagg_avg",
-    "agg_count_distinct",
-    "agg_conditional",
-    # §2.2 projection / filter / json / dn / entity
-    "project_select",
-    "filter_time_range",
-    "json_extract",
-    "dn_parse",
-    "entity_resolve",
-    "fn_map_ops",
-    # §2.3 joins + relation rollup
-    "join_inner",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "rollup_relation",
-    "join_asof",
-    # §2.6 sort / top-k / set ops
-    "sort_report",
-    "topk_worst",
-    "set_union",
-    "set_except",
-    # §2.7 scalar function families
-    "fn_date_bucket_series",
-    "fn_string_dn",
-    "fn_kpi_math",
-    "fn_array_ops",
-    # §2.5 attribute store / windows
-    "attr_curr",
-    "attr_change_detect",
-    "attr_compact",
-    "win_rank_topn",
-    "win_delta_prev",
-    "win_moving_avg",
-    # §2.8 trigger / notification
-    "trigger_threshold",
-    "notif_window_count",
-    # §2.9 sessionize / streaming / materialization / upsert / CDC
-    "events_sessionize",
-    "stream_join_parity",
-    "upsert_last_wins",
-    "stream_tumble_parity",
-    "materialize_incremental",
-    "table_changes",
-    # §2.11 dedup / similarity / text / multimodal extensions
-    "dedup_exact",
-    "dedup_near_pairs",
-    "dedup_spans",
-    "dedup_embedding_pairs",
-    "sim_topk",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_chunk",
-    "text_redact",
-    "dataset_hash_split",
-    "mm_passthrough",
+    "agg_time_localtz",               # OP-AGG-TIME (deployment tz)      r4
+    "agg_navigated_1d",               # OP-AGG-PARTIAL (navigation)      r4
+    "agg_distinct_reagg",             # OP-AGG-DISTINCT (exact re-agg)   r4
+    "agg_conditional",                # OP-AGG-FILTER
+    "project_select",                 # OP-PROJ
+    "filter_time_range",              # OP-FILT
+    "json_extract",                   # OP-JSON/OP-F-JSON
+    "dn_reparent",                    # OP-DIR-DN (subtree move)         r4
+    "entity_fuzzy_match",             # OP-DIR-ENTITY (fuzzy alias)      r4
+    "fn_map_ops",                     # OP-F-MAP
+    "join_salted_hot_keys",           # OP-JOIN-EQ (skew/salted)         r4
+    "join_left",                      # OP-JOIN-LEFT
+    "join_semi",                      # OP-JOIN-SEMI
+    "join_anti_null_aware",           # OP-JOIN-ANTI (NOT IN)            r4
+    "graph_reach",                    # OP-JOIN-REL (frontier BFS)       r4
+    "join_asof_nearest",              # OP-JOIN-ASOF (nearest)           r4
+    "rank_global",                    # OP-SORT/OP-RPT (two-phase)       r4
+    "topk_worst",                     # OP-LIMIT/TOPK
+    "set_union",                      # OP-UNION
+    "set_except",                     # OP-EXCEPT
+    "fn_date_bucket_series",          # OP-F-DATE
+    "fn_string_dn",                   # OP-F-STR
+    "fn_kpi_math",                    # OP-F-MATH
+    "fn_array_ops",                   # OP-F-ARRAY
+    "win_fill_forward",               # OP-WIN-LATEST (fwd fill)         r4
+    "event_transitions",              # OP-WIN-CHANGE (transitions)      r4
+    "attr_compact",                   # OP-WIN-COMPACT
+    "win_rank_topn",                  # OP-WIN-RANK
+    "win_counter_rate",               # OP-WIN-ANALYTIC (ctr reset)      r4
+    "win_time_range_avg",             # OP-WIN-MOVAVG (RANGE frame)      r4
+    "notif_escalation",               # OP-TRIG-THRESH (escalation)      r4
+    "cohort_retention",               # OP-NOTIF-QUERY (retention)       r4
+    "stream_session_parity",          # OP-STR-SESSION (streaming)       r4
+    "stream_enrich_parity",           # OP-STR-INGEST (enrichment)       r4
+    "upsert_merge_table",             # OP-SNK-UPSERT (MERGE)            r4
+    "stream_sliding_parity",          # OP-STR-TUMBLE (hopping)          r4
+    "cdc_incremental_agg",            # OP-MAT-INC + CDC                 r4
+    "data_quality_report",            # OP-SNK (contracts)               r4
+    "dedup_source_matrix",            # EXT-DEDUP-EXACT (x-source)       r4
+    "dedup_containment",              # EXT-DEDUP-NEAR (containment)     r4
+    "dedup_spans",                    # EXT-DEDUP (span removal)
+    "dedup_semantic",                 # EXT-DEDUP (embedding/SemDeDup)   r4
+    "sim_topk",                       # EXT-SIM-TOPK
+    "text_heavy_hitters",             # EXT-TEXT-STATS (Misra-Gries)     r4
+    "corpus_quality_prune",           # EXT-TEXT (quality pruning)       r4
+    "text_langid_confusion",          # EXT-TEXT (lang-id eval)          r4
+    "dataset_pack_sequences",         # EXT-TEXT (chunk/pack)            r4
+    "text_redact",                    # EXT-TEXT (PII redaction)
+    "dataset_leakage_safe_split",     # EXT dataset split            r4
+    "mm_frame_sample",                # EXT-MM-COL (1:N decode fan-out)  r4
 ]
 
 # Within-family depth + rows-only approximate twins.  Same local test
 # rigor (tests/test_oracle_diff.py runs ALL queries), just outside the
 # driver's window because their family already has a green row above.
 _DEPTH = [
-    "upsert_merge_table",
-    "cdc_incremental_agg",
+    "agg_time_1h",
+    "agg_reagg_avg",
+    "agg_count_distinct",
+    "dn_parse",
+    "entity_resolve",
+    "join_inner",
+    "join_anti",
+    "rollup_relation",
+    "join_asof",
+    "sort_report",
+    "attr_curr",
+    "attr_change_detect",
+    "win_delta_prev",
+    "win_moving_avg",
+    "trigger_threshold",
+    "notif_window_count",
+    "events_sessionize",
+    "stream_join_parity",
+    "upsert_last_wins",
+    "stream_tumble_parity",
+    "materialize_incremental",
+    "table_changes",
+    "dedup_exact",
+    "dedup_near_pairs",
+    "dedup_embedding_pairs",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_chunk",
+    "dataset_hash_split",
+    "mm_passthrough",
     "rollup_entity",
     "agg_rollup_sets",
     "agg_cube",
     "seq_gap_ranges",
     "agg_time_15m",
     "agg_time_sliding",
-    "stream_sliding_parity",
     "stream_dedup_parity",
-    "stream_enrich_parity",
     "stream_trigger_parity",
-    "stream_session_parity",
     "events_session_window",
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",
     "agg_busy_hour",
-    "agg_time_localtz",
     "agg_mode",
     "agg_arg_extremes",
     "agg_user_growth",
@@ -114,31 +140,21 @@ _DEPTH = [
     "agg_pctl_from_hist",
     "agg_salted_hot_keys",
     "gap_detect",
-    "data_quality_report",
-    "entity_fuzzy_match",
-    "dn_reparent",
     "gap_fill",
     "gap_interpolate",
     "anomaly_zscore",
     "anomaly_mad",
     "anomaly_prefix_zscore",
     "stream_anomaly_feed",
-    "notif_escalation",
-    "cohort_retention",
     "funnel_conversion",
     "text_boilerplate",
     "dataset_interleave",
     "set_intersect",
-    "rank_global",
     "join_range",
     "join_asof_forward",
     "join_asof_tolerance",
-    "join_anti_null_aware",
-    "join_asof_nearest",
     "win_drawdown",
-    "win_counter_rate",
     "win_running_total",
-    "win_time_range_avg",
     "win_distribution",
     "win_first_last",
     "win_next_event_gap",
@@ -146,34 +162,25 @@ _DEPTH = [
     "win_ratio_to_report",
     "win_rolling_zscore",
     "win_ewma",
-    "event_transitions",
     "agg_moments",
-    "graph_reach",
     "notif_storm_collapse",
     "store_staleness",
-    "dedup_containment",
     "anomaly_cusum",
     "path_signatures",
     "dataset_reservoir_sample",
     "report_abc_class",
     "embedding_health",
-    "join_salted_hot_keys",
-    "agg_distinct_reagg",
     "trend_fit",
     "clean_winsorize",
     "agg_activity_bitmap",
     "rfm_segmentation",
-    "win_fill_forward",
     "rolling_active_users",
     "late_data_report",
     "backlog_over_time",
     "text_hash_embed",
-    "dedup_source_matrix",
     "agg_gini",
     "agg_autocorr_lag1",
     "events_burstiness",
-    "agg_navigated_1d",
-    "text_heavy_hitters",
     "intervals_merge",
     "peak_concurrency",
     "order_latency_percentiles",
@@ -190,9 +197,7 @@ _DEPTH = [
     "reshape_long",
     "dataset_stratified_sample",
     "dataset_temperature_sample",
-    "dedup_semantic",
     "dataset_cluster_balance",
-    "dataset_pack_sequences",
     "dataset_shuffle",
     "dataset_contamination",
     "text_repetition",
@@ -200,18 +205,15 @@ _DEPTH = [
     "text_fertility",
     "text_tfidf_topk",
     "corpus_filter_funnel",
-    "corpus_quality_prune",
     "dataset_mix_epochs",
     "dataset_length_buckets",
     "text_diversity",
     "text_bigram_score",
     "dedup_clusters",
     "dedup_keep_canonical",
-    "dataset_leakage_safe_split",
     "text_dup_rate",
     "dedup_ngram_jaccard",
     "text_fingerprint",
-    "text_langid_confusion",
     "agg_approx_distinct",
     "agg_hll_reagg",
     "dedup_minhash_pairs",
@@ -219,7 +221,6 @@ _DEPTH = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "embedding_centroids",
-    "mm_frame_sample",
     "embedding_quantize",
     "sim_topk_lsh",
     "sim_topk_ivf",

@@ -738,7 +738,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 QUERIES.extend([
-    DeclaredQuery("event_transitions", _event_transitions, _EVENT_TRANSITIONS_SQL, "OP-WIN-ANALYTIC (markov transitions)"),
+    DeclaredQuery("event_transitions", _event_transitions, _EVENT_TRANSITIONS_SQL, "OP-WIN-CHANGE/OP-WIN-ANALYTIC (markov transitions)"),
     DeclaredQuery("win_ewma", _win_ewma, _WIN_EWMA_SQL, "OP-WIN-MOVAVG (exponential smoothing)"),
 ])
 
@@ -815,6 +815,6 @@ GROUP BY 1
 
 
 QUERIES.extend([
-    DeclaredQuery("win_fill_forward", _win_fill_forward, _WIN_FILL_FORWARD_SQL, "OP-WIN (IGNORE NULLS forward fill)"),
+    DeclaredQuery("win_fill_forward", _win_fill_forward, _WIN_FILL_FORWARD_SQL, "OP-WIN-LATEST (IGNORE NULLS forward fill)"),
     DeclaredQuery("rolling_active_users", _rolling_active_users, _ROLLING_ACTIVE_USERS_SQL, "OP-AGG-DISTINCT (rolling 7-day distinct actives)"),
 ])

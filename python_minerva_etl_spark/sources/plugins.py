@@ -41,13 +41,26 @@ def get_plugin(file_type: str) -> ReaderFn:
 
 def entry_points_plugins() -> None:
     """Load third-party plugins from the ``minerva.harvest.plugins``
-    entry-points group (parity with the reference's discovery)."""
+    entry-points group (parity with the reference's discovery).
+
+    A broken third-party plugin is WARNED about, never fatal, and
+    never silently swallowed — discovery of the remaining plugins
+    continues."""
+    import logging
+
+    log = logging.getLogger(__name__)
     try:
         from importlib.metadata import entry_points
-        for ep in entry_points(group="minerva.harvest.plugins"):
+        eps = list(entry_points(group="minerva.harvest.plugins"))
+    except Exception as exc:  # no metadata backend at all
+        log.warning("harvest plugin discovery unavailable: %s", exc)
+        return
+    for ep in eps:
+        try:
             _REGISTRY.setdefault(ep.name, ep.load())
-    except Exception:
-        pass
+        except Exception as exc:
+            log.warning("skipping broken harvest plugin %r (%s): %s",
+                        ep.name, getattr(ep, "value", "?"), exc)
 
 
 @register("parquet")

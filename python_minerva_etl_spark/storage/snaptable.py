@@ -143,10 +143,14 @@ def _bloom_key(value: Any) -> str:
 
     v = _canon(value)
     if isinstance(v, bool):
-        return f"b:{v}"
+        # fold bools into the numeric space: a stored True must match
+        # an int probe 1 (SQL TRUE = 1), and vice versa
+        v = int(v)
     if isinstance(v, (int, float, decimal.Decimal)):
         try:
             d = decimal.Decimal(str(v)).normalize()
+            if d == 0:
+                d = decimal.Decimal(0)  # canonicalize -0.0 == 0
             return f"n:{format(d, 'f')}"
         except decimal.InvalidOperation:  # nan/inf
             return f"x:{v!r}"
@@ -169,18 +173,33 @@ def _file_bloom(path: str, key: list[str]) -> dict[str, str]:
     filter; false positives only cost a read, never correctness."""
     import pyarrow.parquet as pq
 
+    import pyarrow.compute as pc
+
     pf = pq.ParquetFile(path)
     cols = [c for c in key if c in pf.schema_arrow.names]
     if not cols or pf.metadata.num_rows > _BLOOM_MAX_ROWS:
         return {}
-    tbl = pf.read(columns=cols)
+    # Hash DISTINCT values only, accumulated row-group by row-group —
+    # never materialize a whole column, never md5 the same key twice.
+    # A bloom past ~4x its bit budget in distinct values is saturated
+    # (every probe passes) — drop it rather than store dead weight.
+    max_distinct = _BLOOM_BITS * 4
+    distinct: dict[str, set] = {c: set() for c in cols}
+    for rg in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(rg, columns=cols)
+        for c in list(distinct):
+            vals = pc.unique(pc.drop_null(tbl.column(c))).to_pylist()
+            distinct[c].update(_bloom_key(v) for v in vals)
+            if len(distinct[c]) > max_distinct:
+                del distinct[c]  # saturated: no pruning power left
     out: dict[str, str] = {}
-    for c in cols:
+    for c, keys in distinct.items():
         bits = 0
-        for v in tbl.column(c).to_pylist():
-            if v is None:
-                continue
-            for pos in _bloom_positions(v):
+        for k in keys:
+            h = hashlib.md5(k.encode()).digest()
+            for i in range(_BLOOM_K):
+                pos = int.from_bytes(h[i * 4:(i + 1) * 4],
+                                     "little") % _BLOOM_BITS
                 bits |= 1 << pos
         out[c] = f"{bits:x}"
     return out

@@ -52,3 +52,31 @@ def test_all_queries_run_at_smoke_scale(spark):
     for name, q in sorted(_QUERIES.items()):
         n = q.spark(spark, "/root/testdata/sf0.001").count()
         assert n >= 0, name
+
+
+def test_catalog_names_match_local_artifact():
+    """Process guard (round-3 VERDICT item 8): every declared query
+    must have a row in the committed full-catalog parity artifact
+    (CORRECTNESS_LOCAL.json) — a new DeclaredQuery landing without
+    `python scripts/correctness_local.py` being re-run in the same
+    commit fails here, and a stale artifact row for a deleted query
+    fails too."""
+    import json
+    import os
+
+    art = os.path.join(os.path.dirname(__file__), "..",
+                       "CORRECTNESS_LOCAL.json")
+    rows = json.load(open(art))
+    declared = set(_QUERIES)
+    recorded = {k for k in rows if not k.startswith("_")}
+    missing = sorted(declared - recorded)
+    stale = sorted(recorded - declared)
+    assert not missing, (
+        f"declared queries missing parity rows (regenerate "
+        f"CORRECTNESS_LOCAL.json): {missing}")
+    assert not stale, f"artifact rows for deleted queries: {stale}"
+    bad = sorted(k for k, v in rows.items() if not k.startswith("_")
+                 and not v.get("no_oracle")
+                 and not (v.get("rows_match") and v.get("schema_match")
+                          and v.get("hash_match")))
+    assert not bad, f"non-green parity rows committed: {bad}"

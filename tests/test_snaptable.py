@@ -679,3 +679,60 @@ def test_bloom_probe_is_type_insensitive(spark, tmp_path):
     assert keptn == 1
     assert t.read(spark, where={"k": (None, None)}) \
         .filter("k is null").count() == 1
+
+
+def test_bloom_probe_signed_zero_and_bool(spark, tmp_path):
+    """-0.0 and 0 are SQL-equal and must share a bloom key (a file
+    holding -0.0 may never be pruned for a 0 point probe); bools fold
+    into the numeric space so stored TRUE matches an int probe 1."""
+    from python_minerva_etl_spark.storage.snaptable import (
+        SnapTable, _bloom_key)
+
+    assert _bloom_key(-0.0) == _bloom_key(0) == _bloom_key(0.0)
+    assert _bloom_key(True) == _bloom_key(1)
+    assert _bloom_key(False) == _bloom_key(0)
+
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(spark, spark.createDataFrame(
+        [(-0.0, "z"), (9.5, "b")], "k double, v string").coalesce(1),
+        key=["k"])
+    # int-0 probe against a file containing -0.0: must NOT prune
+    kept, total = t.pruned_file_count({"k": (0, 0)})
+    assert (kept, total) == (1, 1)
+    assert t.read(spark, where={"k": (0, 0)}).filter("k = 0").count() == 1
+
+    b = SnapTable(str(tmp_path / "b"))
+    b.append(spark, spark.createDataFrame(
+        [(True, "t"), (False, "f")], "k boolean, v string").coalesce(1),
+        key=["k"])
+    keptb, _ = b.pruned_file_count({"k": (1, 1)})
+    assert keptb == 1
+
+
+def test_broken_plugin_warns_not_swallows(caplog):
+    """A broken entry-point plugin is logged at WARNING, and good
+    plugins after it still load (discovery continues)."""
+    import logging
+    from unittest import mock
+
+    from python_minerva_etl_spark.sources import plugins as P
+
+    class _BadEP:
+        name, value = "bad", "pkg:attr"
+
+        def load(self):
+            raise ImportError("boom")
+
+    class _GoodEP:
+        name, value = "good_test_plugin", "pkg:ok"
+
+        def load(self):
+            return lambda spark, path, config=None: None
+
+    with mock.patch("importlib.metadata.entry_points",
+                    return_value=[_BadEP(), _GoodEP()]):
+        with caplog.at_level(logging.WARNING):
+            P.entry_points_plugins()
+    assert any("bad" in r.message for r in caplog.records)
+    assert "good_test_plugin" in P._REGISTRY
+    del P._REGISTRY["good_test_plugin"]
