@@ -1,0 +1,268 @@
+"""Dependency-free REAL media codecs for the multimodal column stage.
+
+This container ships no media libraries (no PIL, no ffmpeg), so the
+round-3 decode stage used a documented deterministic stub.  These
+codecs remove that limitation for two formats whose specs are simple
+enough to implement faithfully from the public file-format documents
+with nothing but the stdlib:
+
+- **PNG** (RFC 2083): encoder + decoder.  The decoder parses the
+  signature, IHDR, IDAT (zlib-decompressed, possibly split across
+  chunks) and IEND, then reverses all five scanline filters (None,
+  Sub, Up, Average, Paeth) for 8-bit greyscale, RGB, and RGBA.  The
+  encoder writes real CRC-checked chunks and can emit Sub-filtered
+  scanlines, so decode genuinely exercises the unfilter path.
+- **WAV** (RIFF/WAVE, PCM): encoder + decoder + frame windower for
+  16-bit mono/stereo PCM.
+
+These are real decoders of real bytes — a PNG produced by any other
+tool (Pillow, ImageMagick) decodes here too, as long as it is 8-bit
+non-interlaced grey/RGB/RGBA, which is what the test suite locks.
+
+Reference parity: the reference system (hendrikx-itc/python-minerva-etl)
+has no multimodal surface; this module backs the §2.11 EXT-MM-COL
+extension of the training-data pipeline brief.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# colour type -> samples per pixel (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png_encode(pixels: bytes, width: int, height: int,
+               channels: int = 1, filter_type: int = 1) -> bytes:
+    """Encode raw 8-bit pixels as a real PNG (CRC'd chunks, zlib IDAT).
+
+    ``filter_type`` 0 (None) or 1 (Sub) — Sub is the default so a
+    round-trip proves the decoder's unfilter path does real work, not
+    a passthrough."""
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{stride * height} for {width}x{height}x{channels}")
+    raw = bytearray()
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        if filter_type == 0:
+            raw.append(0)
+            raw += line
+        elif filter_type == 1:  # Sub: delta vs pixel to the left
+            raw.append(1)
+            out = bytearray(line)
+            for i in range(stride - 1, channels - 1, -1):
+                out[i] = (out[i] - line[i - channels]) & 0xFF
+            raw += out
+        else:
+            raise ValueError(f"unsupported encoder filter {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to ``(width, height, channels, raw_pixels)``.
+
+    Real parse: signature check, chunk walk with length bounds, IHDR
+    validation, multi-chunk IDAT reassembly, zlib inflate, and full
+    reversal of all five PNG scanline filters.  Supports 8-bit
+    non-interlaced greyscale (0), RGB (2), RGBA (6)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, -1
+    height = color = -1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color} "
+                    "(8-bit grey/RGB/RGBA only)")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width < 0 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = _CHANNELS[color]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel payload has wrong length")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def png_stats(payload: bytes) -> dict:
+    """Decode a PNG and report exact pixel statistics (the decode
+    'feature' stage): dimensions, channel count, and integer-exact
+    sum/min/max so engines agree bit-for-bit."""
+    width, height, channels, pix = png_decode(payload)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "n_pixels": width * height,
+        "pixel_sum": sum(pix),
+        "pixel_min": min(pix),
+        "pixel_max": max(pix),
+    }
+
+
+# ---------------------------------------------------------------- WAV
+
+def wav_encode(samples: list[int], sample_rate: int = 8000,
+               n_channels: int = 1) -> bytes:
+    """Encode 16-bit signed PCM samples as a real RIFF/WAVE file."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = 2 * n_channels
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a RIFF/WAVE file to ``(sample_rate, n_channels,
+    samples)``.  Real chunk walk (fmt before data, unknown chunks
+    skipped with word alignment); 16-bit PCM only."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    rate = nch = bits = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, nch, rate, _, _, bits = \
+                struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} bits={bits} "
+                    "(16-bit PCM only)")
+        elif tag == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n = len(body) // 2
+            samples = list(struct.unpack(f"<{n}h", body[:n * 2]))
+    if samples is None or rate is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, nch, samples
+
+
+def wav_stats(payload: bytes) -> dict:
+    """Decode a WAV and report exact PCM statistics: duration in
+    whole milliseconds, sample count, and integer-exact sum / absolute
+    sum / extremes."""
+    rate, nch, samples = wav_decode(payload)
+    n_frames = len(samples) // nch
+    return {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "n_samples": len(samples),
+        "duration_ms": n_frames * 1000 // rate,
+        "sample_sum": sum(samples),
+        "abs_sum": sum(abs(s) for s in samples),
+        "sample_min": min(samples),
+        "sample_max": max(samples),
+    }
+
+
+def wav_frames(payload: bytes, frame_samples: int = 64,
+               every_n: int = 1) -> list[bytes]:
+    """REAL audio demux/window stage for :func:`sample_frames`: decode
+    the WAV container, window the PCM stream into ``frame_samples``
+    chunks (last partial window kept), keep every ``every_n``-th, and
+    re-emit each window as raw little-endian int16 bytes."""
+    _, _, samples = wav_decode(payload)
+    frames = [struct.pack(f"<{len(samples[i:i + frame_samples])}h",
+                          *samples[i:i + frame_samples])
+              for i in range(0, len(samples), frame_samples)]
+    return frames[::every_n]
+
+
+def sniff_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Codec-dispatch decode for :func:`decode_assets`: detect the
+    container by magic bytes and REALLY decode PNG and WAV payloads;
+    anything else raises (unknown formats must be routed explicitly,
+    never silently pseudo-decoded)."""
+    if payload[:8] == _PNG_SIG:
+        s = png_stats(payload)
+        out = [float(s["width"]), float(s["height"]),
+               float(s["channels"]),
+               s["pixel_sum"] / s["n_pixels"] / 255.0,
+               float(s["pixel_min"]) / 255.0,
+               float(s["pixel_max"]) / 255.0]
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        s = wav_stats(payload)
+        peak = max(abs(s["sample_min"]), abs(s["sample_max"]), 1)
+        out = [float(s["sample_rate"]), float(s["n_samples"]),
+               float(s["duration_ms"]),
+               s["abs_sum"] / max(s["n_samples"], 1) / 32768.0,
+               float(peak) / 32768.0, float(s["n_channels"])]
+    else:
+        raise ValueError(
+            "unknown container (not PNG or RIFF/WAVE); pass an explicit "
+            "codec= to decode_assets for other formats")
+    return (out + [0.0] * dim)[:dim]

@@ -49,17 +49,19 @@ def attach_asset_meta(df: DataFrame, binary_col: str, mime: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for an image/audio decoder.
+    """Deterministic byte-hash pseudo-decoder for containers the real
+    codecs (:mod:`.codecs` — PNG and WAV, stdlib-only) don't cover.
 
-    The real decoder (PIL/torchaudio/ffmpeg) is not available in this
-    container; this derives a stable pseudo-feature from the bytes so
-    the batch shapes, schemas and partitioning behavior are exercised
-    honestly.  Swap the body for the real codec in production.
+    NOT a decode: derives a stable pseudo-feature from raw bytes so
+    batch shapes and partitioning can be exercised on arbitrary
+    payloads.  It is never the default — :func:`decode_assets`
+    dispatches to the real PNG/WAV decoders and refuses unknown
+    containers unless a codec is passed explicitly.
     """
     if payload is None:
         raise NotImplementedError(
-            "real decoder unavailable: install PIL/ffmpeg and replace "
-            "_fake_decode; plumbing (schema/batching) is production-ready")
+            "pseudo-decoder needs bytes; for real formats use the "
+            "default sniff_decode (PNG/WAV) or pass codec=")
     out = []
     h = 2166136261
     for i, byte in enumerate(payload[:64] or b"\x00"):
@@ -81,12 +83,19 @@ def decode_assets(df: DataFrame, id_col: str, binary_col: str,
 
     ``codec`` is any callable ``(payload: bytes, dim: int) ->
     list[float]``; it is shipped to the executors inside the
-    mapInPandas closure, so a production deployment passes its real
-    decoder (PIL/torchaudio/ffmpeg wrapper) without touching this
-    module.  The default is the documented deterministic stub —
-    this container has no media libraries.
+    mapInPandas closure, so a production deployment passes its own
+    decoder (a PIL/torchaudio/ffmpeg wrapper) without touching this
+    module.  The DEFAULT is :func:`.codecs.sniff_decode` — a REAL
+    stdlib-only decoder that parses PNG (all five scanline filters)
+    and RIFF/WAVE PCM payloads and raises on unknown containers
+    (pass ``codec=_fake_decode`` explicitly to pseudo-decode
+    arbitrary bytes in plumbing tests).
     """
-    decode = codec if codec is not None else _fake_decode
+    if codec is None:
+        from .codecs import sniff_decode
+        decode = sniff_decode
+    else:
+        decode = codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

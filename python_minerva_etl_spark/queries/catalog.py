@@ -226,6 +226,9 @@ _DEPTH = [
     "sim_topk_ivf",
     "sim_topk_arrow",
     "sim_topk_pq",
+    "mm_decode_png",
+    "mm_decode_wav",
+    "mm_wav_frames",
 ]
 
 

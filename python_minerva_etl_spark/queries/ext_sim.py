@@ -313,6 +313,204 @@ FROM idx WHERE orig_ix % 2 = 0
 """
 
 
+def _png_payloads(spark, sf_dir):
+    """documents → (doc_id, payload) where payload is a REAL 4x4
+    greyscale PNG (Sub-filtered scanlines, zlib IDAT, CRC'd chunks)
+    whose pixel j is ``(doc_id*31 + j*7) % 256`` — derived from table
+    data so the oracle can recompute the pixel stats in pure SQL while
+    the Spark side goes through a genuine encode→decode round trip."""
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    from ..ext.codecs import png_encode
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "payload": [png_encode(
+                    bytes((int(d) * 31 + j * 7) % 256 for j in range(16)),
+                    4, 4, 1, filter_type=1) for d in ids],
+            })
+
+    schema = _T.StructType([
+        _T.StructField("doc_id", _T.LongType()),
+        _T.StructField("payload", _T.BinaryType())])
+    return t(spark, sf_dir, "documents").select("doc_id") \
+        .mapInPandas(enc, schema)
+
+
+_MM_STATS_SCHEMA = ("doc_id long, width int, height int, channels int, "
+                    "n_pixels int, pixel_sum bigint, pixel_min int, "
+                    "pixel_max int")
+
+
+def _mm_decode_png(spark, sf_dir):
+    """EXT-MM-COL (REAL image decode): a genuine stdlib PNG decoder
+    (signature, chunk walk, zlib inflate, Sub-filter reversal —
+    ext/codecs.py) runs as an Arrow-batched mapInPandas stage over
+    real PNG payloads and reports integer-exact pixel statistics that
+    the DuckDB oracle recomputes from the pixel formula."""
+    import pandas as _pd
+
+    from ..ext.codecs import png_stats
+
+    def dec(batches):
+        for pdf in batches:
+            stats = [png_stats(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [s["width"] for s in stats],
+                "height": [s["height"] for s in stats],
+                "channels": [s["channels"] for s in stats],
+                "n_pixels": [s["n_pixels"] for s in stats],
+                "pixel_sum": [s["pixel_sum"] for s in stats],
+                "pixel_min": [s["pixel_min"] for s in stats],
+                "pixel_max": [s["pixel_max"] for s in stats],
+            })
+
+    return _png_payloads(spark, sf_dir).mapInPandas(
+        dec, _MM_STATS_SCHEMA)
+
+
+_MM_DECODE_PNG_SQL = """
+WITH px AS (
+  SELECT doc_id, (doc_id * 31 + j * 7) % 256 AS p
+  FROM documents, range(16) t(j)
+)
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(COUNT(*) AS INTEGER) AS n_pixels,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+       CAST(MIN(p) AS INTEGER) AS pixel_min,
+       CAST(MAX(p) AS INTEGER) AS pixel_max
+FROM px GROUP BY doc_id
+"""
+
+
+def _wav_payloads(spark, sf_dir):
+    """documents → (doc_id, payload) with payload a REAL RIFF/WAVE
+    16-bit PCM file of 100 samples ``(doc_id*37 + j*13) % 4001 -
+    2000`` at 8 kHz mono."""
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    from ..ext.codecs import wav_encode
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "payload": [wav_encode(
+                    [(int(d) * 37 + j * 13) % 4001 - 2000
+                     for j in range(100)], sample_rate=8000)
+                    for d in ids],
+            })
+
+    schema = _T.StructType([
+        _T.StructField("doc_id", _T.LongType()),
+        _T.StructField("payload", _T.BinaryType())])
+    return t(spark, sf_dir, "documents").select("doc_id") \
+        .mapInPandas(enc, schema)
+
+
+def _mm_decode_wav(spark, sf_dir):
+    """EXT-MM-COL (REAL audio decode): genuine RIFF/WAVE chunk-walk
+    decode of 16-bit PCM (ext/codecs.py) as an Arrow-batched stage;
+    integer-exact PCM statistics vs the oracle's sample formula."""
+    import pandas as _pd
+
+    from ..ext.codecs import wav_stats
+
+    def dec(batches):
+        for pdf in batches:
+            stats = [wav_stats(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": [s["sample_rate"] for s in stats],
+                "n_samples": [s["n_samples"] for s in stats],
+                "duration_ms": [s["duration_ms"] for s in stats],
+                "sample_sum": [s["sample_sum"] for s in stats],
+                "abs_sum": [s["abs_sum"] for s in stats],
+                "sample_min": [s["sample_min"] for s in stats],
+                "sample_max": [s["sample_max"] for s in stats],
+            })
+
+    return _wav_payloads(spark, sf_dir).mapInPandas(
+        dec, "doc_id long, sample_rate int, n_samples int, "
+             "duration_ms int, sample_sum bigint, abs_sum bigint, "
+             "sample_min int, sample_max int")
+
+
+_MM_DECODE_WAV_SQL = """
+WITH s AS (
+  SELECT doc_id, (doc_id * 37 + j * 13) % 4001 - 2000 AS v
+  FROM documents, range(100) t(j)
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(12 AS INTEGER) AS duration_ms,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+       CAST(MIN(v) AS INTEGER) AS sample_min,
+       CAST(MAX(v) AS INTEGER) AS sample_max
+FROM s GROUP BY doc_id
+"""
+
+
+def _mm_wav_frames(spark, sf_dir):
+    """EXT-MM-COL (REAL audio demux/window): the WAV container is
+    genuinely decoded and its PCM stream windowed into 16-sample
+    frames with every 2nd kept (ext/codecs.wav_frames as the
+    sample_frames splitter — the real-demuxer slot the round-3 stub
+    documented), then each emitted frame's int16 content is unpacked
+    and summed so the oracle verifies frame CONTENT, not just shape."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    from ..ext.codecs import wav_frames
+    from ..ext.multimodal import sample_frames
+
+    frames = sample_frames(
+        _wav_payloads(spark, sf_dir), "doc_id", "payload",
+        splitter=lambda p, fb, en: wav_frames(p, frame_samples=16,
+                                              every_n=2))
+
+    def unpack(batches):
+        for pdf in batches:
+            vals = [_struct.unpack(f"<{len(b) // 2}h", bytes(b))
+                    for b in pdf["frame"]]
+            yield _pd.DataFrame({
+                "asset_id": pdf["asset_id"].astype("int64"),
+                "frame_idx": pdf["frame_idx"].astype("int32"),
+                "n_frame_samples": [len(v) for v in vals],
+                "frame_sum": [sum(v) for v in vals],
+            })
+
+    return frames.mapInPandas(
+        unpack, "asset_id long, frame_idx int, n_frame_samples int, "
+                "frame_sum bigint")
+
+
+_MM_WAV_FRAMES_SQL = """
+WITH s AS (
+  SELECT doc_id, k, (doc_id * 37 + j * 13) % 4001 - 2000 AS v
+  FROM documents, range(4) f(k), range(100) r(j)
+  WHERE j >= k * 32 AND j < LEAST(k * 32 + 16, 100)
+)
+SELECT doc_id AS asset_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(COUNT(*) AS INTEGER) AS n_frame_samples,
+       CAST(SUM(v) AS BIGINT) AS frame_sum
+FROM s GROUP BY doc_id, k
+"""
+
+
 def _fn_array_ops(spark, sf_dir):
     """OP-F-ARRAY: array family — size, element access, contains,
     exact double-fold sums (sum of elements, L2 norm)."""
@@ -425,6 +623,9 @@ QUERIES = [
     DeclaredQuery("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL, "EXT-DEDUP (semantic, SemDeDup-style)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
     DeclaredQuery("mm_frame_sample", _mm_frame_sample, _MM_FRAME_SAMPLE_SQL, "EXT-MM-COL (1:N frame sampling, mapInPandas)"),
+    DeclaredQuery("mm_decode_png", _mm_decode_png, _MM_DECODE_PNG_SQL, "EXT-MM-COL (REAL PNG decode, stdlib codec)"),
+    DeclaredQuery("mm_decode_wav", _mm_decode_wav, _MM_DECODE_WAV_SQL, "EXT-MM-COL (REAL WAV PCM decode, stdlib codec)"),
+    DeclaredQuery("mm_wav_frames", _mm_wav_frames, _MM_WAV_FRAMES_SQL, "EXT-MM-COL (REAL WAV demux/window + content verify)"),
     DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),
     DeclaredQuery("embedding_centroids", _embedding_centroids, _EMBEDDING_CENTROIDS_SQL, "EXT-SIM (label centroids)"),
 ]

@@ -178,12 +178,18 @@ def test_load_pipeline_end_to_end(spark, scratch):
 
 
 def test_multimodal_decode_plumbing(spark):
-    """EXT-MM-COL: Arrow-batched decode stage — schema, batch shape and
-    determinism are real; the codec itself is a deterministic fake."""
+    """EXT-MM-COL: Arrow-batched decode stage over REAL containers —
+    the default codec genuinely parses PNG and WAV payloads (stdlib
+    decoders in ext/codecs.py), mixed in one column."""
+    from python_minerva_etl_spark.ext.codecs import png_encode, wav_encode
     from python_minerva_etl_spark.ext.multimodal import (attach_asset_meta,
                                                          decode_assets)
 
-    rows = [(i, bytes([i % 251] * (16 + i))) for i in range(40)]
+    rows = [(i, png_encode(bytes((i + j) % 256 for j in range(12)),
+                           4, 3, 1) if i % 2 == 0
+             else wav_encode([(i * 37 + j * 11) % 2000 - 1000
+                              for j in range(20)]))
+            for i in range(40)]
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
     with_meta = attach_asset_meta(df, "payload", "image/png")
     assert "asset_meta" in with_meta.columns
@@ -193,11 +199,21 @@ def test_multimodal_decode_plumbing(spark):
     got = decoded.orderBy("asset_id").collect()
     assert len(got) == 40
     assert all(len(r.feature) == 8 for r in got)
-    assert got[0].n_bytes == 16
+    # PNG rows report real dimensions; WAV rows real sample counts
+    assert got[0].feature[:3] == [4.0, 3.0, 1.0]
+    assert got[1].feature[0] == 8000.0 and got[1].feature[1] == 20.0
+    assert got[0].n_bytes == len(rows[0][1])
     # deterministic across partitionings
     again = decode_assets(df.repartition(2), "asset_id", "payload",
                           dim=8).orderBy("asset_id").collect()
     assert [r.feature for r in got] == [r.feature for r in again]
+    # unknown container with the default codec: the stage must raise,
+    # not silently pseudo-decode
+    import pytest as _pytest
+    junk = spark.createDataFrame([(1, b"not-a-container")],
+                                 "asset_id long, payload binary")
+    with _pytest.raises(Exception, match="unknown container"):
+        decode_assets(junk, "asset_id", "payload").collect()
 
 
 def test_instance_aggregation_compile(spark):
@@ -484,11 +500,14 @@ def test_multimodal_frame_sampling(spark):
     got = frames.groupBy("asset_id").count().collect()
     want = {i: (max(i % 7, 1) + 1) // 2 for i in range(1, 30)}
     assert {r.asset_id: r["count"] for r in got} == want
-    # frames chain into the decode stage (frame -> feature pipeline)
+    # frames chain into the decode stage (frame -> feature pipeline);
+    # raw byte windows are not containers, so the pseudo-decoder is
+    # opted into EXPLICITLY (the default sniff codec would refuse)
+    from python_minerva_etl_spark.ext.multimodal import _fake_decode
     feats = decode_assets(
         frames.withColumnRenamed("frame", "payload")
         .withColumn("fid", F.monotonically_increasing_id()),
-        "asset_id", "payload", dim=4)
+        "asset_id", "payload", dim=4, codec=_fake_decode)
     assert feats.count() == frames.count()
     # custom splitter injects cleanly
     one = sample_frames(df, "asset_id", "payload",
