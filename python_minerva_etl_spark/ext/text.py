@@ -39,8 +39,19 @@ def token_count_ws(text_col: str = "text") -> Column:
 
 def token_count_bpe_ish(text_col: str = "text") -> Column:
     """BPE-ish token count via regexp: counts word/number/punct pieces
-    (regexp_count is JVM-side; no tokenizer library needed)."""
+    (regexp_count is JVM-side; no tokenizer library needed).  For the
+    REAL merge-table tokenizer see :func:`token_count_bpe`."""
     return F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
+def token_count_bpe(text_col: str = "text") -> Column:
+    """REAL BPE token count: the vendored merge table (ext/bpe.py,
+    trained by scripts/train_bpe.py with the public subword-nmt
+    algorithm) applied as a rank-ordered JVM-side replace chain —
+    true subword counts, no Python UDF, whole-stage codegen."""
+    from .bpe import spark_token_count_expr
+
+    return F.expr(spark_token_count_expr(text_col)).cast("bigint")
 
 
 def stopword_hits(lang: str, text_col: str = "text") -> Column:

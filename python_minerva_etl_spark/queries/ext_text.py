@@ -438,36 +438,68 @@ GROUP BY 1
 
 
 def _text_fertility(spark, sf_dir):
-    """EXT-TEXT (tokenizer fertility): BPE-ish pieces per whitespace
+    """EXT-TEXT (tokenizer fertility): REAL BPE pieces per whitespace
     word, per language — the standard metric for how well a tokenizer
     serves each language (fertility >> 1 means the language pays more
-    compute per word).  Integer token sums, one closing division —
-    bit-portable; one tiny per-lang aggregation."""
+    compute per word).  The tokenizer is the vendored merge-table BPE
+    (ext/bpe.py, subword-nmt algorithm), applied entirely JVM-side as
+    a rank-ordered replace chain; the oracle below is generated from
+    the SAME merge table, so the counts are engine-exact TRUE subword
+    counts, not a regex approximation.
+
+    Scale shape: the merge chain runs over the DISTINCT (lang, word)
+    aggregate — wordcount-shaped shuffle, then the expensive encode
+    touches vocabulary-sized data (millions of types at 100 TB), not
+    corpus-sized data (trillions of tokens); piece counts re-weight
+    by word frequency.  Algebraically identical to the per-document
+    sum (integer counts), which is what the oracle states."""
+    from ..ext.bpe import spark_word_pieces_expr
+
     docs = t(spark, sf_dir, "documents")
-    return (docs.groupBy("lang")
+    base = (docs.groupBy("lang")
             .agg(F.sum(X.token_count_ws()).cast("bigint")
                  .alias("ws_tokens"),
-                 F.sum(X.token_count_bpe_ish()).cast("bigint")
-                 .alias("bpe_tokens"))
+                 F.sum(F.regexp_count(
+                     F.col("text"),
+                     F.lit(r"[0-9]+|[^A-Za-z0-9\s]")))
+                 .cast("bigint").alias("other_tokens")))
+    word_counts = (docs.select(
+        "lang", F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"))
+        .groupBy("lang", "w").agg(F.count("*").alias("n")))
+    word_tokens = (word_counts
+                   .select("lang", (F.col("n") * F.expr(
+                       spark_word_pieces_expr("w"))).alias("pieces"))
+                   .groupBy("lang")
+                   .agg(F.sum("pieces").cast("bigint")
+                        .alias("word_tokens")))
+    return (base.join(word_tokens, "lang")
+            .select("lang", "ws_tokens",
+                    (F.col("word_tokens") + F.col("other_tokens"))
+                    .cast("bigint").alias("bpe_tokens"))
             .select("lang", "ws_tokens", "bpe_tokens",
                     (F.col("bpe_tokens").cast("double")
                      / F.col("ws_tokens").cast("double"))
                     .alias("fertility")))
 
 
-_TEXT_FERTILITY_SQL = r"""
+def _fertility_sql() -> str:
+    from ..ext.bpe import duckdb_token_count_sql
+
+    bpe = duckdb_token_count_sql("text")
+    return f"""
 SELECT lang,
        CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
          AS ws_tokens,
-       CAST(SUM(len(regexp_extract_all(text,
-            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
-         AS bpe_tokens,
-       CAST(SUM(len(regexp_extract_all(text,
-            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+       CAST(SUM({bpe}) AS BIGINT) AS bpe_tokens,
+       CAST(SUM({bpe}) AS DOUBLE)
          / CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
          AS fertility
 FROM documents GROUP BY 1
 """
+
+
+_TEXT_FERTILITY_SQL = _fertility_sql()
 
 
 
@@ -1504,11 +1536,12 @@ def _corpus_token_budget(spark, sf_dir):
     for one ordered partition, range-partition the quality key and
     carry bucket offsets (the two-phase rank pattern)."""
     docs = t(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.col("text"), " "))
+    toks = X.token_count_bpe()  # REAL BPE counts — budget true tokens
+    ws = F.size(F.split(F.col("text"), " "))
     chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
     scored = docs.select(
         "doc_id", "source", toks.alias("n_tokens"),
-        (chars.cast("double") / toks.cast("double")).alias("quality"))
+        (chars.cast("double") / ws.cast("double")).alias("quality"))
     from pyspark.sql.window import Window
 
     w = (Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
@@ -1521,10 +1554,17 @@ def _corpus_token_budget(spark, sf_dir):
                     "cum_tokens"))
 
 
-_CORPUS_TOKEN_BUDGET_SQL = """
+def _token_budget_sql() -> str:
+    from ..ext.bpe import duckdb_token_count_sql
+
+    return _CORPUS_TOKEN_BUDGET_SQL_TPL.replace(
+        "__BPE__", duckdb_token_count_sql("text"))
+
+
+_CORPUS_TOKEN_BUDGET_SQL_TPL = """
 WITH scored AS (
   SELECT doc_id, source,
-         len(string_split(text, ' ')) AS n_tokens,
+         CAST(__BPE__ AS BIGINT) AS n_tokens,
          CAST(length(replace(text, ' ', '')) AS DOUBLE)
            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS quality
   FROM documents
@@ -1544,5 +1584,5 @@ FROM c WHERE cum_tokens <= 10000
 
 QUERIES.append(
     DeclaredQuery("corpus_token_budget", _corpus_token_budget,
-                  _CORPUS_TOKEN_BUDGET_SQL,
+                  _token_budget_sql(),
                   "EXT corpus curation (best-first token-budget trim)"))
