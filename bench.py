@@ -26,6 +26,11 @@ sys.path.insert(0, REPO)
 # The headline set: the Minerva core path (time agg chain, entity
 # rollup, windows, as-of, trigger, sessionize, upsert) plus the
 # scale-critical extensions (dedup LSH, similarity, text stats).
+#
+# Round 4 adds the snapshot-table write path (MERGE + CDC-maintained
+# aggregate) — ~2 s each at sf0.1, reflected in the total; rounds 1-3
+# benched 17 read-path queries, so compare per-query numbers (or the
+# 17-query subtotal in PERF.md) across rounds, not raw totals.
 HEADLINE = [
     "agg_time_1h",
     "agg_time_1d",
@@ -39,6 +44,8 @@ HEADLINE = [
     "trigger_threshold",
     "events_sessionize",
     "upsert_last_wins",
+    "upsert_merge_table",
+    "cdc_incremental_agg",
     "dedup_exact",
     "dedup_simhash",
     "sim_topk",

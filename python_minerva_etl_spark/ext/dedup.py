@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def tokens_col(text_col: str = "text", lower: bool = True) -> F.Column:
@@ -43,24 +44,53 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def near_dup_pairs_exact(docs: DataFrame, threshold: float,
-                         id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
-    """EXT-DEDUP-NEAR, exact form: token-set Jaccard >= threshold for
-    all id_a < id_b pairs, via an inverted-index self-join on token —
-    never a cross join: only pairs sharing >=1 token materialize.
+def _jaccard_pairs_prefix(toks: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING (Bayardo,
+    Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search";
+    Chaudhuri et al.'s SSJoin prefix filter): instead of joining the
+    full inverted index against itself — where one shared stopword or
+    hot shingle produces a quadratic bucket — each document joins only
+    on its PREFIX tokens under a global rarity order.
+
+    With tokens sorted by ascending document frequency, a document of
+    ``n`` distinct tokens keeps a prefix of ``n - ceil(t*n) + 1``:
+    if two documents share no prefix token, their overlap is confined
+    to suffixes of size ``ceil(t*n)-1 < t*n <= t*|union|-required
+    overlap``, so Jaccard < t — the filter is LOSSLESS.  Hot tokens
+    (high df) sort last and fall out of most prefixes, so the largest
+    join buckets are precisely the ones that disappear.
+
+    Two-phase plan: rarity-ordered prefix join builds the candidate
+    pair set (near-linear on Zipf text), then one doc-keyed join
+    against the full token index recounts the TRUE intersection for
+    candidates only — output identical to the naive quadratic join
+    (locked by tests/test_dedup.py).
+
+    ``toks`` must be (doc, tok) with per-doc-distinct tokens.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
     sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "tok")
+    ranked = (toks.join(dfreq, "tok")
+              .select("doc", "tok", F.row_number().over(w).alias("r"))
+              .join(F.broadcast(sizes), "doc"))
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n_tok")
+        - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1)
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (pa.join(pb, (F.col("pa.tok") == F.col("pb.tok"))
+                    & (F.col("pa.doc") < F.col("pb.doc")))
+            .select(F.col("pa.doc").alias("doc_a"),
+                    F.col("pb.doc").alias("doc_b"))
+            .distinct())
     a, b = toks.alias("a"), toks.alias("b")
     common = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+        cand.join(a, F.col("a.doc") == F.col("doc_a"))
+        .join(b, (F.col("b.doc") == F.col("doc_b"))
+              & (F.col("b.tok") == F.col("a.tok")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"))
     jac = (F.col("n_common").cast("double")
@@ -70,6 +100,21 @@ def near_dup_pairs_exact(docs: DataFrame, threshold: float,
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_pairs_exact(docs: DataFrame, threshold: float,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """EXT-DEDUP-NEAR, exact form: token-set Jaccard >= threshold for
+    all id_a < id_b pairs.  Candidate generation is the LOSSLESS
+    prefix filter (see :func:`_jaccard_pairs_prefix`) — never a cross
+    join, and shared stopwords no longer explode the self-join bucket
+    the way a raw inverted-index join does.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    return _jaccard_pairs_prefix(toks, threshold)
 
 
 # ---------------------------------------------------------------- MinHash+LSH
@@ -269,28 +314,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Character-n-gram Jaccard near-dup (EXT n-gram family): shingle
-    the text into distinct n-grams, then the same inverted-index join
-    as token Jaccard."""
+    the text into distinct n-grams, then the same LOSSLESS
+    prefix-filtered similarity join as token Jaccard
+    (:func:`_jaccard_pairs_prefix`) — hot shingles sort to the end of
+    the rarity order and drop out of the candidate join."""
     grams = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(F.expr(
             f"transform(sequence(1, greatest(length(text)-{n - 1}, 1)), "
             f"i -> substring(text, i, {n}))"))).alias("tok"))
-    sizes = grams.groupBy("doc").agg(F.count("*").alias("n_tok"))
-    a, b = grams.alias("a"), grams.alias("b")
-    common = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"))
-    jac = (F.col("n_common").cast("double")
-           / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"))
-    return (common.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return _jaccard_pairs_prefix(grams, threshold)
 
 
 def span_dedup(docs: DataFrame, n: int = 8, id_col: str = "doc_id",

@@ -302,3 +302,81 @@ def test_incremental_dedup_empty_batch_is_noop(spark):
     empty = _mk_docs(spark, [])
     acc2, st2 = incremental_dedup(st, empty)
     assert acc2.count() == 0 and st2.count() == 1
+
+
+def _naive_jaccard_pairs(spark, docs, threshold, tok_expr):
+    """Reference quadratic join (the pre-round-4 formulation) — used
+    only to prove the prefix-filtered join is lossless."""
+    toks = docs.select(F.col("doc_id").alias("doc"),
+                       F.explode(F.array_distinct(tok_expr)).alias("tok"))
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                     & (F.col("a.doc") < F.col("b.doc")))
+              .groupBy(F.col("a.doc").alias("doc_a"),
+                       F.col("b.doc").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc").alias("doc_a"),
+                      F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"),
+                      F.col("n_tok").alias("n_b"))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("n_a") + F.col("n_b")
+              - F.col("n_common")).cast("double"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= threshold).select("doc_a", "doc_b"))
+
+
+def test_prefix_filter_is_lossless_vs_naive(spark):
+    """The prefix-filtered similarity join returns EXACTLY the naive
+    quadratic join's pairs — on the corpus fixture and on a skewed
+    fixture where every doc shares one stopword."""
+    docs = load_table(spark, SF, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    for thr in (0.7, 0.9):
+        got = _pairs(near_dup_pairs_exact(docs, thr))
+        want = _pairs(_naive_jaccard_pairs(spark, docs, thr, tok))
+        assert got == want, f"threshold {thr}"
+
+    # skew fixture: 'the' in every doc; rare tails distinguish pairs
+    rows = [(i, f"the alpha{i % 5} beta{i % 7} gamma{i % 3}")
+            for i in range(60)] + [(100, "the xx yy zz"),
+                                   (101, "the xx yy zz")]
+    skew = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _pairs(near_dup_pairs_exact(skew, 0.8))
+    want = _pairs(_naive_jaccard_pairs(spark, skew, 0.8, tok))
+    assert got == want and (100, 101) in got
+
+
+def test_prefix_filter_bounds_hot_token_fanout(spark):
+    """The candidate join must NOT materialize the quadratic stopword
+    bucket: with a stopword shared by all N docs, a raw inverted-index
+    join yields >= N*(N-1)/2 candidate rows; the rarity-ordered prefix
+    join stays near-linear."""
+    from python_minerva_etl_spark.ext.dedup import _jaccard_pairs_prefix
+
+    n = 200
+    rows = [(i, f"the of and common word{i} tail{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(
+            F.split(F.lower(F.col("text")), " "))).alias("tok"))
+    # reproduce the internal candidate stage to count it
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc").orderBy("df", "tok")
+    ranked = (toks.join(dfreq, "tok")
+              .select("doc", "tok", F.row_number().over(w).alias("r"))
+              .join(sizes, "doc"))
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n_tok")
+        - F.ceil(F.lit(0.8) * F.col("n_tok")) + 1)
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    n_cand = (pa.join(pb, (F.col("pa.tok") == F.col("pb.tok"))
+                      & (F.col("pa.doc") < F.col("pb.doc"))).count())
+    quadratic = n * (n - 1) // 2  # what the stopword bucket alone costs
+    assert n_cand < quadratic / 10, (n_cand, quadratic)
+    # and the full op still returns the right (empty) answer
+    assert _pairs(_jaccard_pairs_prefix(toks, 0.8)) == set()
