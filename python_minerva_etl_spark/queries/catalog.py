@@ -229,6 +229,7 @@ _DEPTH = [
     "mm_decode_png",
     "mm_decode_wav",
     "mm_wav_frames",
+    "sink_delta_roundtrip",
 ]
 
 

@@ -211,6 +211,50 @@ FROM (
 """
 
 
+def _sink_delta_roundtrip(spark, sf_dir):
+    """OP-SNK / OP-SRC interop via the DELTA transaction-log protocol
+    (storage/delta.py — no Delta jar): the per-user hourly rollup is
+    written as TWO Delta commits (events split on event_id, partial
+    rollup appended per half) and read back through the log replayer;
+    the mergeable partials re-aggregate to the exact full rollup the
+    oracle computes directly.  Exercises commit write, add-action
+    replay, and snapshot read end to end."""
+    from ..storage.delta import DeltaTable
+
+    ev = t(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    def rollup(df):
+        return (df.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("samples"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").alias("sum_value")))
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"delta_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    dt = DeltaTable(base)
+    dt.write(spark, rollup(ev.filter(F.col("event_id") <= mid)))
+    dt.write(spark, rollup(ev.filter(F.col("event_id") > mid)))
+    return (dt.read(spark)
+            .groupBy("user_id", "bucket")
+            .agg(F.sum("samples").cast("bigint").alias("samples"),
+                 F.sum("sum_value").cast("decimal(28,4)")
+                 .alias("sv"))
+            .select("user_id", "bucket", "samples",
+                    F.col("sv").cast("double").alias("sum_value")))
+
+
+_SINK_DELTA_ROUNDTRIP_SQL = """
+SELECT user_id,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS samples,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def _upsert_merge_table(spark, sf_dir):
     """OP-SNK-UPSERT via the snapshot-committed table format
     (storage/snaptable): a two-phase load through MERGE — the second
@@ -640,6 +684,7 @@ QUERIES = [
     DeclaredQuery("events_session_window", _events_session_window, _EVENTS_SESSION_WINDOW_SQL, "OP-STR-SESSION (native)"),
     DeclaredQuery("upsert_last_wins", _upsert_last_wins, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT"),
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
+    DeclaredQuery("sink_delta_roundtrip", _sink_delta_roundtrip, _SINK_DELTA_ROUNDTRIP_SQL, "OP-SNK/OP-SRC (Delta-protocol commit + log-replay read)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
     DeclaredQuery("anomaly_prefix_zscore", _anomaly_prefix_zscore, _ANOMALY_PREFIX_ZSCORE_SQL, "OP-TRIG (no-lookahead prefix baseline)"),

@@ -84,6 +84,16 @@ def _read_orc(spark: SparkSession, path: str, config=None) -> DataFrame:
     return spark.read.orc(path)
 
 
+@register("delta")
+def _read_delta(spark: SparkSession, path: str, config=None) -> DataFrame:
+    """Delta table read via the stdlib transaction-log replayer
+    (storage/delta.py) — no Delta jar required.  ``config`` may carry
+    ``version_as_of`` for time travel."""
+    from ..storage.delta import read_delta
+    version = getattr(config, "version_as_of", None) if config else None
+    return read_delta(spark, path, version_as_of=version)
+
+
 @register("jsonl")
 def _read_jsonl(spark: SparkSession, path: str, config=None) -> DataFrame:
     """Newline-delimited JSON — the de-facto web-corpus interchange

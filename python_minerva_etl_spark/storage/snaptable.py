@@ -682,6 +682,20 @@ class SnapTable:
             applied += 1
         return applied
 
+    def export_delta(self, spark: SparkSession, target_path: str,
+                     version: int | None = None,
+                     mode: str = "overwrite") -> int:
+        """Export a snapshot of this table as a Delta-protocol commit
+        at ``target_path`` (storage/delta.py — readable by any Delta
+        client).  Returns the committed Delta version.  Incremental
+        publication: call per SnapTable version with mode='overwrite';
+        each call becomes one Delta commit, so Delta-side time travel
+        mirrors SnapTable history."""
+        from .delta import DeltaTable
+
+        return DeltaTable(target_path).write(
+            spark, self.read(spark, version), mode=mode)
+
     def restore(self, to_version: int) -> int:
         """Roll the table back to ``to_version`` AS A NEW COMMIT (the
         Delta RESTORE analog): the old manifest's file list is
