@@ -230,6 +230,7 @@ _DEPTH = [
     "mm_decode_wav",
     "mm_wav_frames",
     "sink_delta_roundtrip",
+    "dedup_embedding_pivot",
 ]
 
 

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from ..ext import similarity as S
 from ..ext.similarity import (brute_force_topk, brute_force_topk_arrow,
-                              cosine_pairs, cosine_pairs_lsh, ivf_topk,
+                              cosine_pairs, cosine_pairs_lsh,
+                              cosine_pairs_pivot, ivf_topk,
                               label_centroids, lsh_bucketed_topk)
 from .base import DeclaredQuery, t
 
@@ -119,6 +120,22 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
 """
+
+
+def _dedup_embedding_pivot(spark, sf_dir):
+    """EXT-DEDUP (embedding, EXACT scale path): the same cosine >= 0.4
+    pair set as dedup_embedding_pairs, computed WITHOUT a cross join —
+    pivot-blocked epsilon-join (triangle-inequality replication into
+    nearest-pivot cells, cell-keyed equi-join, exact re-verify;
+    ext/similarity.cosine_pairs_pivot).  Output provably identical to
+    the reference cross join (same oracle).  Blocking selectivity
+    grows as the threshold does (2r = 2·sqrt(2-2τ)); at near-dup
+    thresholds each vector lands in ~1-3 of the cells, at this
+    deliberately low corpus-tail threshold the cells overlap more —
+    the plan shape (equi-join, no cartesian) is asserted in
+    tests/test_similarity.py either way."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_pairs_pivot(emb, threshold=0.4)
 
 
 def _dedup_embedding_lsh(spark, sf_dir):
@@ -618,6 +635,7 @@ QUERIES = [
     DeclaredQuery("sim_topk_arrow", _sim_topk_arrow, None, "EXT-SIM-TOPK (Arrow fast path)"),
     DeclaredQuery("sim_topk_pq", _sim_topk_pq, None, "EXT-SIM-TOPK (PQ/ADC scale path)"),
     DeclaredQuery("dedup_embedding_pairs", _dedup_embedding_pairs, _DEDUP_EMBEDDING_PAIRS_SQL, "EXT-DEDUP (embedding)"),
+    DeclaredQuery("dedup_embedding_pivot", _dedup_embedding_pivot, _DEDUP_EMBEDDING_PAIRS_SQL, "EXT-DEDUP (embedding, exact pivot-blocked scale path)"),
     DeclaredQuery("dedup_embedding_lsh", _dedup_embedding_lsh, None, "EXT-DEDUP (embedding LSH scale path)"),
     DeclaredQuery("dataset_cluster_balance", _dataset_cluster_balance, _DATASET_CLUSTER_BALANCE_SQL, "EXT dataset mixing (cluster-balanced sampling)"),
     DeclaredQuery("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL, "EXT-DEDUP (semantic, SemDeDup-style)"),

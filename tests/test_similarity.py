@@ -181,3 +181,35 @@ def test_pq_adc_recall_and_determinism(spark):
     assert all(len(r.codes) == 32 for r in enc)
     assert all(1 <= c <= 16 for r in enc for c in r.codes)
     assert all(r.recon_norm > 0 for r in enc)
+
+
+def test_pivot_pairs_exact_and_blocked(spark):
+    """cosine_pairs_pivot == cosine_pairs on a clustered fixture at a
+    near-dup threshold, with genuinely non-trivial output — and the
+    plan is a cell-keyed equi-join, never a cartesian product."""
+    import math
+
+    from python_minerva_etl_spark.ext.similarity import (cosine_pairs,
+                                                         cosine_pairs_pivot)
+
+    # 30 clusters x 10 members around well-separated centers
+    rows = []
+    dim = 8
+    for c in range(30):
+        center = [math.sin(0.7 * c * (d + 1)) for d in range(dim)]
+        for m in range(10):
+            eps = [((c * 31 + m * 7 + d) % 11 - 5) / 200.0
+                   for d in range(dim)]
+            rows.append((c * 100 + m,
+                         [center[d] + eps[d] for d in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (0.9, 0.95, 0.99):
+        want = {(r.id_a, r.id_b) for r in cosine_pairs(emb, thr).collect()}
+        got_rows = cosine_pairs_pivot(emb, thr).collect()
+        got = {(r.id_a, r.id_b) for r in got_rows}
+        assert got == want, thr
+        assert len(want) > 100  # non-vacuous: real intra-cluster pairs
+    plan = cosine_pairs_pivot(emb, 0.95)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
