@@ -6,27 +6,40 @@ The Delta Lake table layout is an open, published protocol
 ``_delta_log/`` of ordered commits — ``<version>.json`` files of
 newline-delimited action objects (``protocol`` / ``metaData`` /
 ``add`` / ``remove`` / ``commitInfo``), optionally compacted into
-``<version>.checkpoint.parquet`` files referenced by
-``_last_checkpoint``.  A snapshot at version V is the replay of
-actions 0..V: the last ``metaData`` wins and the active file set is
-every ``add`` whose path has no later ``remove``.
+``<version>.checkpoint.parquet`` (single-part) or
+``<version>.checkpoint.<i>.<n>.parquet`` (multi-part) files
+referenced by ``_last_checkpoint``.  A snapshot at version V is the
+replay of actions 0..V: the last ``metaData`` wins and, per path,
+the LATEST ``add``/``remove`` wins — active files are the surviving
+adds, and surviving removes are the tombstones checkpoints must
+carry.
 
 This module implements that replay directly (stdlib json + pyarrow
 for checkpoints), so this engine can:
 
 - READ Delta tables written by other systems — current snapshot or
   ``version_as_of`` time travel, including Hive-partitioned tables
-  (partition columns reconstructed from ``partitionValues``);
+  (partition columns reconstructed from ``partitionValues``) and
+  multi-part checkpoints;
 - WRITE Delta tables other systems can read — append / overwrite
   commits with correct add/remove actions, schemaString, atomic
-  rename commit files, and periodic parquet checkpoints +
-  ``_last_checkpoint``.
+  rename commit files, and periodic parquet checkpoints (including
+  remove tombstones, as PROTOCOL.md requires) + ``_last_checkpoint``.
 
 Scope (documented, not hidden): reader supports protocol
-minReaderVersion 1 tables (no deletion vectors / column mapping);
-writer emits minReaderVersion 1 / minWriterVersion 2.  That covers
-classic parquet-backed Delta tables; tables using newer reader
-features raise rather than silently misread.
+minReaderVersion 1 tables ONLY.  Any table declaring
+minReaderVersion > 1 raises — regardless of whether
+``readerFeatures`` is populated, because pre-table-features
+protocol versions (e.g. column mapping at reader v2) carry no
+feature list yet still change physical column names, and reading
+them with the logical schema would silently return null/wrong
+columns.  ``delta.columnMapping.mode`` != none is refused
+explicitly for the same reason.  Writer emits minReaderVersion 1 /
+minWriterVersion 2.
+
+A truncated log (expired JSON commits below the oldest surviving
+one, with no checkpoint covering the gap) raises instead of
+silently replaying a partial file set.
 
 Reference parity: the reference system (hendrikx-itc/
 python-minerva-etl) stores everything in PostgreSQL and has no lake
@@ -38,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -48,6 +62,10 @@ from pyspark.sql import types as T
 
 _LOG = "_delta_log"
 _CHECKPOINT_EVERY = 10
+_COMMIT_RETRIES = 10
+
+_CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
 
 def _log_dir(path: str) -> str:
@@ -56,6 +74,12 @@ def _log_dir(path: str) -> str:
 
 def _commit_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.json")
+
+
+class DeltaConcurrentCommit(FileExistsError):
+    """A concurrent writer committed the version this writer staged.
+    ``DeltaTable.write`` retries internally; this surfaces only when
+    retries are exhausted or ``_commit`` is driven directly."""
 
 
 class DeltaTable:
@@ -79,27 +103,61 @@ class DeltaTable:
                     continue
         return sorted(out)
 
+    def _checkpoint_files(self, version: int) -> dict[int, list[str]]:
+        """All checkpoints at or below ``version`` found by directory
+        scan: {checkpoint_version: [part files in order]}."""
+        d = _log_dir(self.path)
+        found: dict[int, dict[int, str]] = {}
+        for name in os.listdir(d):
+            m = _CP_SINGLE.match(name)
+            if m and int(m.group(1)) <= version:
+                found.setdefault(int(m.group(1)), {})[0] = name
+                continue
+            m = _CP_MULTI.match(name)
+            if m and int(m.group(1)) <= version:
+                found.setdefault(int(m.group(1)), {})[int(m.group(2))] = name
+        out: dict[int, list[str]] = {}
+        for v, parts in found.items():
+            out[v] = [os.path.join(d, parts[i]) for i in sorted(parts)]
+        return out
+
     def _checkpoint_before(self, version: int) -> tuple[int, list[dict]]:
-        """Latest checkpoint at or below ``version`` (via
-        ``_last_checkpoint``, falling back to a directory scan), as
-        (checkpoint_version, actions).  (-1, []) when none."""
+        """Latest complete checkpoint at or below ``version`` —
+        consulting ``_last_checkpoint`` first (it carries the version
+        and, for multi-part checkpoints, a ``parts`` count), falling
+        back to a directory scan.  Multi-part checkpoints are
+        supported: the parts are read in order and their action rows
+        concatenated (the protocol splits one snapshot across them).
+        Returns (checkpoint_version, actions); (-1, []) when none."""
         import pyarrow.parquet as pq
 
         d = _log_dir(self.path)
-        candidates = []
-        for name in os.listdir(d):
-            if name.endswith(".checkpoint.parquet"):
-                try:
-                    v = int(name.split(".", 1)[0])
-                except ValueError:
-                    continue
-                if v <= version:
-                    candidates.append(v)
-        if not candidates:
-            return -1, []
-        v = max(candidates)
-        tbl = pq.read_table(
-            os.path.join(d, f"{v:020d}.checkpoint.parquet"))
+        by_version = self._checkpoint_files(version)
+        pick: int | None = None
+        lc_path = os.path.join(d, "_last_checkpoint")
+        if os.path.exists(lc_path):
+            try:
+                with open(lc_path) as fh:
+                    lc = json.load(fh)
+                lv = int(lc["version"])
+                n_parts = int(lc.get("parts") or 1)
+                if lv <= version and lv in by_version \
+                        and len(by_version[lv]) == n_parts:
+                    pick = lv
+            except (ValueError, KeyError, json.JSONDecodeError):
+                pick = None  # corrupt _last_checkpoint: scan instead
+        if pick is None:
+            complete = [
+                v for v, parts in by_version.items()
+                # multi-part completeness: the filename's <n> field
+                # says how many parts the checkpoint has
+                if all(_CP_SINGLE.match(os.path.basename(p))
+                       or len(parts) == int(_CP_MULTI.match(
+                           os.path.basename(p)).group(3))
+                       for p in parts)]
+            if not complete:
+                return -1, []
+            pick = max(complete)
 
         def undict(obj):
             # arrow map<str,str> round-trips as a list of (k, v)
@@ -115,23 +173,42 @@ class DeltaTable:
             return obj
 
         actions: list[dict] = []
-        for row in tbl.to_pylist():
-            for kind in ("protocol", "metaData", "add", "remove"):
-                if row.get(kind) is not None:
-                    actions.append({kind: undict(row[kind])})
-        return v, actions
+        for part in by_version[pick]:
+            tbl = pq.read_table(part)
+            for row in tbl.to_pylist():
+                for kind in ("protocol", "metaData", "add", "remove"):
+                    if row.get(kind) is not None:
+                        actions.append({kind: undict(row[kind])})
+        return pick, actions
 
     def _replay(self, version: int | None = None) -> dict:
         versions = self.versions()
-        if not versions:
+        # A fully checkpointed log may have no surviving JSON at all
+        # (log cleanup expired every commit <= the checkpoint); the
+        # checkpoint versions are valid snapshot targets too.
+        cp_versions = (sorted(self._checkpoint_files(1 << 62))
+                       if os.path.isdir(_log_dir(self.path)) else [])
+        all_versions = sorted(set(versions) | set(cp_versions))
+        if not all_versions:
             raise FileNotFoundError(
                 f"no Delta log at {self.path!r} ({_LOG}/ missing or empty)")
-        target = versions[-1] if version is None else version
-        if target not in versions:
+        target = all_versions[-1] if version is None else version
+        if target not in all_versions:
             raise ValueError(
                 f"version {target} not in Delta log (have "
-                f"{versions[0]}..{versions[-1]})")
+                f"{all_versions[0]}..{all_versions[-1]})")
         cp_version, actions = self._checkpoint_before(target)
+        # Gap guard: every commit in (cp_version, target] must survive
+        # on disk.  Expired/cleaned commits below the oldest surviving
+        # JSON with no checkpoint covering them would otherwise be
+        # silently skipped — dropping every file they added.
+        missing = sorted(set(range(cp_version + 1, target + 1))
+                         - set(versions))
+        if missing:
+            raise ValueError(
+                f"Delta log gap: commits {missing[0]}..{missing[-1]} are "
+                f"missing and no checkpoint at or above {missing[-1]} "
+                f"covers them — refusing a partial replay")
         for v in versions:
             if cp_version < v <= target:
                 with open(_commit_path(self.path, v)) as fh:
@@ -141,25 +218,44 @@ class DeltaTable:
 
         meta: dict | None = None
         protocol: dict | None = None
-        adds: dict[str, dict] = {}
+        # Per-path reconciliation: the LATEST add/remove for a path
+        # wins (PROTOCOL.md Action Reconciliation).  Surviving removes
+        # are tombstones — checkpoints must carry them.
+        latest: dict[str, tuple[str, dict]] = {}
         for act in actions:
             if "metaData" in act and act["metaData"]:
                 meta = act["metaData"]
             elif "protocol" in act and act["protocol"]:
                 protocol = act["protocol"]
             elif "add" in act and act["add"]:
-                adds[act["add"]["path"]] = act["add"]
+                latest[act["add"]["path"]] = ("add", act["add"])
             elif "remove" in act and act["remove"]:
-                adds.pop(act["remove"]["path"], None)
-        if protocol and (protocol.get("minReaderVersion") or 1) > 1 \
-                and protocol.get("readerFeatures") not in (None, []):
-            raise NotImplementedError(
-                f"Delta reader features {protocol.get('readerFeatures')} "
-                "not supported (minReaderVersion 1 tables only)")
+                latest[act["remove"]["path"]] = ("remove", act["remove"])
+        if protocol:
+            mrv = protocol.get("minReaderVersion") or 1
+            if mrv > 1:
+                feats = protocol.get("readerFeatures")
+                raise NotImplementedError(
+                    f"Delta minReaderVersion {mrv}"
+                    f"{' / readerFeatures ' + str(feats) if feats else ''}"
+                    " not supported (minReaderVersion 1 tables only; "
+                    "reader v2+ changes physical layout — e.g. column "
+                    "mapping — even when readerFeatures is absent)")
         if meta is None:
             raise ValueError("Delta log has no metaData action")
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none")
+        if cm_mode not in (None, "", "none"):
+            raise NotImplementedError(
+                f"Delta column mapping mode {cm_mode!r} not supported: "
+                "physical parquet column names differ from the logical "
+                "schema and a schema-enforced read would silently "
+                "return wrong/null columns")
         return {"version": target, "metaData": meta,
-                "files": list(adds.values())}
+                "files": [a for kind, a in latest.values()
+                          if kind == "add"],
+                "tombstones": [a for kind, a in latest.values()
+                               if kind == "remove"]}
 
     # ------------------------------------------------ read
 
@@ -236,7 +332,8 @@ class DeltaTable:
     def _commit(self, version: int, actions: list[dict]) -> None:
         """Atomic commit: write to a temp file, rename into place.
         An existing commit file means a concurrent writer won — raise
-        (the Delta optimistic-concurrency contract)."""
+        :class:`DeltaConcurrentCommit` (the Delta optimistic-
+        concurrency contract; ``write`` retries on it)."""
         final = _commit_path(self.path, version)
         tmp = final + f".{uuid.uuid4().hex}.tmp"
         os.makedirs(_log_dir(self.path), exist_ok=True)
@@ -244,57 +341,103 @@ class DeltaTable:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
         if os.path.exists(final):
             os.remove(tmp)
-            raise FileExistsError(
+            raise DeltaConcurrentCommit(
                 f"concurrent Delta commit at version {version}")
+        # os.replace is atomic on POSIX within a filesystem; the tmp
+        # file lives next to its target so no cross-device copy can
+        # expose a partial commit.  (The exists-check + replace pair
+        # is last-writer-wins only between races in the same instant;
+        # version numbers make even that loss detectable on replay.)
         os.replace(tmp, final)
         if version % _CHECKPOINT_EVERY == 0 and version > 0:
             self._write_checkpoint(version)
 
+    @staticmethod
+    def _append_compatible(table: T.StructType, df: T.StructType) -> bool:
+        """Append schema check: same column names/types in order;
+        writing a non-nullable df column into a nullable table column
+        is fine, the reverse (introducing nulls into a non-nullable
+        column) is not."""
+        if [f.name for f in table.fields] != [f.name for f in df.fields]:
+            return False
+        for tf, wf in zip(table.fields, df.fields):
+            if tf.dataType != wf.dataType:
+                return False
+            if not tf.nullable and wf.nullable:
+                return False
+        return True
+
     def write(self, spark: SparkSession, df: DataFrame,
               mode: str = "append") -> int:
         """Commit ``df`` as a new Delta version.  ``mode``:
-        'append' adds files; 'overwrite' also removes every
-        previously active file.  Returns the committed version."""
+        'append' adds files (schema must match the table's current
+        schema — a mismatched append would commit files every reader
+        then silently misreads as nulls); 'overwrite' also removes
+        every previously active file and may change the schema.
+        Loses of the optimistic-concurrency race are retried (data
+        files are staged once; only the log actions are rebuilt
+        against the new snapshot).  Returns the committed version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
         os.makedirs(self.path, exist_ok=True)
-        version = self._next_version()
-        actions: list[dict] = [{"commitInfo": {
-            "timestamp": int(time.time() * 1000),
-            "operation": "WRITE",
-            "operationParameters": {"mode": mode.upper()},
-            "engineInfo": "python-minerva-etl-spark",
-        }}]
-        if version == 0:
-            actions.append({"protocol": {
-                "minReaderVersion": 1, "minWriterVersion": 2}})
-            actions.append({"metaData": {
-                "id": str(uuid.uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
-                "partitionColumns": [],
-                "configuration": {},
-                "createdTime": int(time.time() * 1000),
-            }})
-        elif mode == "overwrite":
-            # schema may change on overwrite: re-state metaData
-            prev = self._replay()
-            meta = dict(prev["metaData"])
-            meta["schemaString"] = df.schema.json()
-            actions.append({"metaData": meta})
-            now = int(time.time() * 1000)
-            for f in prev["files"]:
-                actions.append({"remove": {
-                    "path": f["path"], "deletionTimestamp": now,
-                    "dataChange": True}})
-        actions.extend(self._stage_data_files(df))
-        self._commit(version, actions)
-        return version
+        adds = self._stage_data_files(df)
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            version = self._next_version()
+            actions: list[dict] = [{"commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "python-minerva-etl-spark",
+            }}]
+            if version == 0:
+                actions.append({"protocol": {
+                    "minReaderVersion": 1, "minWriterVersion": 2}})
+                actions.append({"metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }})
+            elif mode == "overwrite":
+                # schema may change on overwrite: re-state metaData
+                prev = self._replay()
+                meta = dict(prev["metaData"])
+                meta["schemaString"] = df.schema.json()
+                actions.append({"metaData": meta})
+                now = int(time.time() * 1000)
+                for f in prev["files"]:
+                    actions.append({"remove": {
+                        "path": f["path"], "deletionTimestamp": now,
+                        "dataChange": True}})
+            else:  # append to an existing table: schemas must line up
+                prev = self._replay()
+                table_schema = T.StructType.fromJson(
+                    json.loads(prev["metaData"]["schemaString"]))
+                if not self._append_compatible(table_schema, df.schema):
+                    raise ValueError(
+                        "Delta append schema mismatch: table has "
+                        f"{table_schema.simpleString()}, batch has "
+                        f"{df.schema.simpleString()} — appending would "
+                        "commit files readers silently misread "
+                        "(use mode='overwrite' to change the schema)")
+            actions.extend(adds)
+            try:
+                self._commit(version, actions)
+                return version
+            except DeltaConcurrentCommit as e:
+                last_err = e  # re-derive actions against new snapshot
+        raise last_err  # type: ignore[misc]
 
     def _write_checkpoint(self, version: int) -> None:
         """Compact the replay state at ``version`` into
         ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` so readers
-        (ours and others') skip the JSON tail."""
+        (ours and others') skip the JSON tail.  Includes the surviving
+        ``remove`` tombstones, as PROTOCOL.md requires — clients
+        replaying from this checkpoint need them for VACUUM and
+        incremental consumption."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -321,40 +464,46 @@ class DeltaTable:
                 ("size", pa.int64()),
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_())])),
+            ("remove", pa.struct([
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_())])),
         ])
 
         def mapify(d):
             return list((d or {}).items())
 
+        base = {"protocol": None, "metaData": None, "add": None,
+                "remove": None}
         snap = self._replay(version)
         m = snap["metaData"]
         rows = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-             "metaData": None, "add": None},
-            {"protocol": None, "add": None,
-             "metaData": {
-                 "id": m.get("id"),
-                 "format": {
-                     "provider": (m.get("format") or {}).get(
-                         "provider", "parquet"),
-                     "options": mapify((m.get("format") or {})
-                                       .get("options"))},
-                 "schemaString": m.get("schemaString"),
-                 "partitionColumns": m.get("partitionColumns") or [],
-                 "configuration": mapify(m.get("configuration")),
-                 "createdTime": m.get("createdTime")}},
+            dict(base, protocol={"minReaderVersion": 1,
+                                 "minWriterVersion": 2}),
+            dict(base, metaData={
+                "id": m.get("id"),
+                "format": {
+                    "provider": (m.get("format") or {}).get(
+                        "provider", "parquet"),
+                    "options": mapify((m.get("format") or {})
+                                      .get("options"))},
+                "schemaString": m.get("schemaString"),
+                "partitionColumns": m.get("partitionColumns") or [],
+                "configuration": mapify(m.get("configuration")),
+                "createdTime": m.get("createdTime")}),
         ]
         for f in snap["files"]:
-            rows.append({"protocol": None, "metaData": None,
-                         "add": {
-                             "path": f["path"],
-                             "partitionValues": mapify(
-                                 f.get("partitionValues")),
-                             "size": f.get("size"),
-                             "modificationTime": f.get(
-                                 "modificationTime"),
-                             "dataChange": bool(f.get("dataChange",
-                                                      True))}})
+            rows.append(dict(base, add={
+                "path": f["path"],
+                "partitionValues": mapify(f.get("partitionValues")),
+                "size": f.get("size"),
+                "modificationTime": f.get("modificationTime"),
+                "dataChange": bool(f.get("dataChange", True))}))
+        for f in snap["tombstones"]:
+            rows.append(dict(base, remove={
+                "path": f["path"],
+                "deletionTimestamp": f.get("deletionTimestamp"),
+                "dataChange": bool(f.get("dataChange", True))}))
         tbl = pa.Table.from_pylist(rows, schema=cp_schema)
         cp = os.path.join(_log_dir(self.path),
                           f"{version:020d}.checkpoint.parquet")

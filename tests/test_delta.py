@@ -137,6 +137,196 @@ def test_unsupported_reader_features_refused(spark, tmp_path):
         read_delta(spark, p)
 
 
+def _minimal_meta(schema='{"type":"struct","fields":[{"name":"id",'
+                  '"type":"long","nullable":true,"metadata":{}}]}',
+                  configuration=None):
+    return {"id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": configuration or {}}
+
+
+def test_reader_v2_without_features_refused(spark, tmp_path):
+    """ADVICE r4 (high): column-mapped tables declare minReaderVersion
+    2 with NO readerFeatures (that field exists only at reader v3);
+    they must be refused, not silently misread with wrong columns."""
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": _minimal_meta(
+            configuration={"delta.columnMapping.mode": "name"})},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    with pytest.raises(NotImplementedError, match="minReaderVersion 2"):
+        read_delta(spark, p)
+
+
+def test_column_mapping_config_refused_even_at_reader_v1(spark, tmp_path):
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": _minimal_meta(
+            configuration={"delta.columnMapping.mode": "id"})},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta(spark, p)
+
+
+def test_append_schema_mismatch_refused(spark, tmp_path):
+    """ADVICE r4 (medium): a mismatched append commits files every
+    reader silently misreads as nulls — must raise instead."""
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.createDataFrame(
+        [(1, "a")], "id long, v string"), p)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(spark, spark.createDataFrame(
+            [(2.5, "b")], "id double, v string"), p)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(spark, spark.createDataFrame(
+            [("b", 2)], "v string, id long"), p)  # reordered
+    # overwrite MAY change schema
+    write_delta(spark, spark.createDataFrame(
+        [(9.5, "z")], "id double, v string"), p, mode="overwrite")
+    assert _rows(read_delta(spark, p)) == [(9.5, "z")]
+
+
+def test_log_gap_refused(spark, tmp_path):
+    """Expired commits below the oldest surviving JSON with no
+    covering checkpoint must raise, not silently drop their files."""
+    p = str(tmp_path / "t")
+    for i in range(3):
+        write_delta(spark, spark.createDataFrame([(i,)], "id long"), p)
+    os.remove(os.path.join(p, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="Delta log gap"):
+        read_delta(spark, p)
+
+
+def test_foreign_multipart_checkpoint_replay(spark, tmp_path):
+    """Replay a log authored byte-by-byte from PROTOCOL.md examples by
+    a FOREIGN writer (not our own): a 2-part checkpoint at v2 plus
+    expired JSON commits 0..2 — only v3's JSON survives, carrying a
+    remove.  The reader must recover the pre-checkpoint adds from the
+    checkpoint parts and apply the later remove."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "ext")
+    log = os.path.join(p, "_delta_log")
+    os.makedirs(log)
+    schema = ('{"type":"struct","fields":[{"name":"id","type":"long",'
+              '"nullable":true,"metadata":{}}]}')
+    for name, ids in (("f1.parquet", [1]), ("f2.parquet", [2]),
+                      ("f3.parquet", [3])):
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}),
+                       os.path.join(p, name))
+    # multi-part checkpoint: part 1 = protocol+metaData+add(f1),
+    # part 2 = add(f2), add(f3)
+    str_map = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", str_map)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64())])),
+        ("add", pa.struct([("path", pa.string()),
+                           ("partitionValues", str_map),
+                           ("size", pa.int64()),
+                           ("modificationTime", pa.int64()),
+                           ("dataChange", pa.bool_())])),
+    ])
+
+    def add(path):
+        return {"path": path, "partitionValues": [], "size": 1,
+                "modificationTime": 0, "dataChange": True}
+
+    part1 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None, "add": None,
+         "metaData": {"id": "x",
+                      "format": {"provider": "parquet", "options": []},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": [], "createdTime": 0}},
+        {"protocol": None, "metaData": None, "add": add("f1.parquet")},
+    ]
+    part2 = [
+        {"protocol": None, "metaData": None, "add": add("f2.parquet")},
+        {"protocol": None, "metaData": None, "add": add("f3.parquet")},
+    ]
+    for i, rows in ((1, part1), (2, part2)):
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=cp_schema),
+            os.path.join(log,
+                         f"{2:020d}.checkpoint.{i:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 2, "size": 5, "parts": 2}, fh)
+    # only the post-checkpoint commit survives; it removes f2
+    with open(os.path.join(log, f"{3:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"remove": {
+            "path": "f2.parquet", "deletionTimestamp": 0,
+            "dataChange": True}}) + "\n")
+    assert _rows(read_delta(spark, p)) == [(1,), (3,)]
+    snap = DeltaTable(p)._replay()
+    assert [t["path"] for t in snap["tombstones"]] == ["f2.parquet"]
+
+
+def test_checkpoint_carries_tombstones(spark, tmp_path):
+    """PROTOCOL.md requires unexpired remove tombstones in
+    checkpoints; clients replaying from ours must see them."""
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.createDataFrame([(1,)], "id long"), p)
+    write_delta(spark, spark.createDataFrame(
+        [(2,)], "id long"), p, mode="overwrite")  # removes v0's file
+    for i in range(3, 12):
+        write_delta(spark, spark.createDataFrame([(i,)], "id long"), p)
+    cp = os.path.join(p, "_delta_log", f"{10:020d}.checkpoint.parquet")
+    rows = pq.read_table(cp).to_pylist()
+    removes = [r["remove"] for r in rows if r.get("remove")]
+    assert removes and all(r["path"].endswith(".parquet")
+                           for r in removes)
+    # and our own replay from that checkpoint keeps the tombstones
+    for v in range(11):
+        os.remove(os.path.join(p, "_delta_log", f"{v:020d}.json"))
+    snap = DeltaTable(p)._replay()
+    assert len(snap["tombstones"]) == len(removes)
+
+
+def test_concurrent_commit_retries_cleanly(spark, tmp_path):
+    """A writer losing the version race retries against the new
+    snapshot instead of surfacing FileExistsError to the caller."""
+    from python_minerva_etl_spark.storage.delta import DeltaTable as DT
+
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.createDataFrame([(1,)], "id long"), p)
+    t = DT(p)
+    orig_commit = t._commit
+    calls = {"n": 0}
+
+    def racing_commit(version, actions):
+        # simulate a concurrent writer sneaking in commit `version`
+        # just before ours lands, exactly once
+        if calls["n"] == 0:
+            calls["n"] += 1
+            orig_commit(version, [{"commitInfo": {"operation": "RACE"}}])
+        orig_commit(version, actions)
+
+    t._commit = racing_commit
+    v = t.write(spark, spark.createDataFrame([(2,)], "id long"))
+    assert v == 2  # lost v1 to the race, retried onto v2
+    assert _rows(read_delta(spark, p)) == [(1,), (2,)]
+
+
 def test_schema_and_empty_snapshot(spark, tmp_path):
     p = str(tmp_path / "t")
     df = spark.createDataFrame([(1, 2.5)], "id long, x double")
