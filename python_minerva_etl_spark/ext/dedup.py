@@ -44,6 +44,32 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _rarity_prefix(toks: DataFrame, sizes: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Each doc's first ``n_tok - ceil(t * n_tok) + 1`` tokens under
+    the global rarity order (ascending document frequency, token as
+    tiebreak).  Pigeonhole: if two docs share >= ceil(t*n) tokens,
+    ANY subset of size n - ceil(t*n) + 1 of either doc contains at
+    least one shared token — so a join on prefix tokens is a LOSSLESS
+    candidate generator for both Jaccard (both sides take prefixes)
+    and containment (the contained side takes the prefix, the host
+    side keeps all tokens).
+
+    ``ceil`` is computed as ``ceil(t*n - 1e-9)``: binary floating
+    point can round t*n UP past the true product (0.8 * 5 ->
+    4.000000000000001, ceil 5 instead of 4), which would SHRINK the
+    prefix below the lossless bound; the epsilon can only enlarge the
+    prefix (more candidates, never a missed pair)."""
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "tok")
+    ranked = (toks.join(dfreq, "tok")
+              .select("doc", "tok", F.row_number().over(w).alias("r"))
+              .join(F.broadcast(sizes), "doc"))
+    return ranked.filter(
+        F.col("r") <= F.col("n_tok")
+        - F.ceil(F.lit(threshold) * F.col("n_tok") - F.lit(1e-9)) + 1)
+
+
 def _jaccard_pairs_prefix(toks: DataFrame,
                           threshold: float) -> DataFrame:
     """Exact set-similarity self-join with PREFIX FILTERING (Bayardo,
@@ -70,14 +96,7 @@ def _jaccard_pairs_prefix(toks: DataFrame,
     ``toks`` must be (doc, tok) with per-doc-distinct tokens.
     """
     sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc").orderBy("df", "tok")
-    ranked = (toks.join(dfreq, "tok")
-              .select("doc", "tok", F.row_number().over(w).alias("r"))
-              .join(F.broadcast(sizes), "doc"))
-    prefix = ranked.filter(
-        F.col("r") <= F.col("n_tok")
-        - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1)
+    prefix = _rarity_prefix(toks, sizes, threshold)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (pa.join(pb, (F.col("pa.tok") == F.col("pb.tok"))
                     & (F.col("pa.doc") < F.col("pb.doc")))
@@ -392,26 +411,42 @@ def containment_pairs(docs: DataFrame, threshold: float = 1.0,
     id_a < id_b pairs where EITHER direction's containment reaches
     the threshold, with both ratios.
 
-    Same inverted-index self-join shape as near_dup_pairs_exact:
-    candidates are pairs sharing >= 1 token (never a cross join), one
-    shuffle on token then one on the pair key; doc sizes broadcast.
-    At 100 TB the candidate stage must NOT be plain Jaccard-LSH:
+    Candidate generation is a LOSSLESS containment-prefix filter —
+    NOT plain Jaccard-LSH, which has no recall guarantee here:
     containment places no lower bound on Jaccard when sizes are
     skewed (A fully inside a 100x-larger B has J ~ |A|/|B|).  The
-    scale path is size-banded LSH — within a band where |B| <= c*|A|,
-    containment >= t does imply Jaccard >= t/(1 + c - t), so banding
-    by doc size (geometric bands, each doc probing its own and larger
-    bands) restores the LSH recall guarantee; the inverted-index
-    candidate stage here is the exact small-n form."""
+    prefix argument adapts directly: C(A in B) >= t forces
+    |A∩B| >= ceil(t*|A|), so (pigeonhole) ANY
+    ``|A| - ceil(t*|A|) + 1`` tokens of A include a shared one — the
+    CONTAINED side joins on its rarity-ordered prefix
+    (:func:`_rarity_prefix`) while the host side keeps its full
+    token index.  Either direction may reach the threshold, and each
+    direction checks its own prefix, so the union of both probes
+    covers every qualifying pair.  Hot tokens (stopwords) sort to
+    the end of the rarity order and drop out of prefixes, so the
+    quadratic hot-token bucket of a raw inverted-index self-join is
+    structurally gone — bucket size becomes |prefix docs| x |host
+    docs| instead of |docs|².  A doc-keyed recount join then
+    computes the TRUE intersection for candidates only; output is
+    identical to the naive join (locked by tests/test_dedup.py)."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
     sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    prefix = _rarity_prefix(toks, sizes, threshold)
+    cand = (prefix.alias("pa")
+            .join(toks.alias("fb"),
+                  (F.col("pa.tok") == F.col("fb.tok"))
+                  & (F.col("pa.doc") != F.col("fb.doc")))
+            .select(F.least("pa.doc", "fb.doc").alias("doc_a"),
+                    F.greatest("pa.doc", "fb.doc").alias("doc_b"))
+            .distinct())
     a, b = toks.alias("a"), toks.alias("b")
     common = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        cand.join(a, F.col("a.doc") == F.col("doc_a"))
+        .join(b, (F.col("b.doc") == F.col("doc_b"))
+              & (F.col("b.tok") == F.col("a.tok")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))

@@ -348,6 +348,95 @@ def test_prefix_filter_is_lossless_vs_naive(spark):
     assert got == want and (100, 101) in got
 
 
+def _naive_containment_pairs(spark, docs, threshold):
+    """Reference unfiltered inverted-index self-join (the pre-round-5
+    containment formulation) — used only to prove the containment
+    prefix filter is lossless."""
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(
+            F.split(F.lower(F.col("text")), " "))).alias("tok"))
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                     & (F.col("a.doc") < F.col("b.doc")))
+              .groupBy(F.col("a.doc").alias("doc_a"),
+                       F.col("b.doc").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc").alias("doc_a"),
+                      F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"),
+                      F.col("n_tok").alias("n_b"))
+    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    c_ab.alias("containment_a_in_b"),
+                    c_ba.alias("containment_b_in_a"))
+            .filter(F.greatest("containment_a_in_b",
+                               "containment_b_in_a") >= threshold))
+
+
+def _cont_rows(df):
+    return sorted((r.doc_a, r.doc_b,
+                   round(r.containment_a_in_b, 9),
+                   round(r.containment_b_in_a, 9))
+                  for r in df.collect())
+
+
+def test_containment_prefix_is_lossless_vs_naive(spark):
+    """Round-5 scale path: the containment-prefix-filtered join must
+    return EXACTLY the naive quadratic join's pairs AND ratios — on
+    the corpus fixture and on a size-skewed fixture (small doc fully
+    inside a much larger host, where Jaccard-LSH would lose it)."""
+    from python_minerva_etl_spark.ext.dedup import containment_pairs
+
+    docs = load_table(spark, SF, "documents")
+    for thr in (1.0, 0.8):
+        got = _cont_rows(containment_pairs(docs, thr))
+        want = _cont_rows(_naive_containment_pairs(spark, docs, thr))
+        assert got == want, f"threshold {thr}"
+
+    rows = [(i, f"the alpha{i % 5} beta{i % 7} gamma{i % 3}")
+            for i in range(60)] + [
+        (100, "xx yy zz"),
+        (101, "the xx yy zz qq rr ss tt uu vv ww")]  # 100 ⊂ 101
+    skew = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _cont_rows(containment_pairs(skew, 1.0))
+    want = _cont_rows(_naive_containment_pairs(spark, skew, 1.0))
+    assert got == want
+    assert any(a == 100 and b == 101 and ab == 1.0
+               for a, b, ab, _ in got)
+
+
+def test_containment_prefix_bounds_hot_token_fanout(spark):
+    """The containment candidate stage must not materialize the
+    quadratic stopword bucket: with stopwords shared by all N docs, a
+    raw inverted-index self-join yields >= 4*N*(N-1)/2 candidate rows;
+    the prefix-probed join (contained side prefixes only) stays
+    near-linear because hot tokens never enter a prefix."""
+    from python_minerva_etl_spark.ext.dedup import (_rarity_prefix,
+                                                    containment_pairs)
+
+    n = 200
+    rows = [(i, f"the of and common word{i} tail{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(
+            F.split(F.lower(F.col("text")), " "))).alias("tok"))
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    prefix = _rarity_prefix(toks, sizes, 0.8)
+    n_cand = (prefix.alias("pa")
+              .join(toks.alias("fb"),
+                    (F.col("pa.tok") == F.col("fb.tok"))
+                    & (F.col("pa.doc") != F.col("fb.doc"))).count())
+    quadratic = 4 * n * (n - 1) // 2  # the 4 shared stopwords' cost
+    assert n_cand < quadratic / 10, (n_cand, quadratic)
+    # and the full op still returns the right (empty) answer
+    assert containment_pairs(docs, 0.8).count() == 0
+
+
 def test_prefix_filter_bounds_hot_token_fanout(spark):
     """The candidate join must NOT materialize the quadratic stopword
     bucket: with a stopword shared by all N docs, a raw inverted-index
