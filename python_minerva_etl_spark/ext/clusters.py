@@ -133,6 +133,19 @@ def semantic_dedup(emb: DataFrame, k: int = 8, tau: float = 0.4,
               .agg(F.max(F.struct("cos", "ncid", "vn", "vec")).alias("m"))
               .select("vid", (-F.col("m.ncid")).alias("cluster_id"),
                       F.col("m.vn").alias("vn"), F.col("m.vec").alias("vec")))
+    return _dedup_within_clusters(assign, tau, id_col)
+
+
+def _dedup_within_clusters(assign: DataFrame, tau: float,
+                           id_col: str) -> DataFrame:
+    """The SemDeDup drop step shared by :func:`semantic_dedup` and
+    :func:`semantic_dedup_indexed`: intra-cluster pairs (id_a < id_b)
+    with cosine >= ``tau`` mark the higher id dropped; the canonical
+    (lowest-id) member of every dup group survives.  ``assign`` must
+    have columns (vid, cluster_id, vn, vec); the pair join shuffles on
+    cluster_id only, so per-cluster membership bounds the quadratic."""
+    from .similarity import dot_col
+
     a = assign.select(F.col("vid").alias("id_a"), "cluster_id",
                       F.col("vec").alias("va"), F.col("vn").alias("na"))
     b = assign.select(F.col("vid").alias("id_b"),
@@ -148,6 +161,39 @@ def semantic_dedup(emb: DataFrame, k: int = 8, tau: float = 0.4,
     return (assign.join(dropped, "vid", "left")
             .select(F.col("vid").alias(id_col), "cluster_id",
                     F.col("__d").isNull().alias("kept")))
+
+
+def semantic_dedup_indexed(spark, emb: DataFrame, index_path: str,
+                           tau: float = 0.4, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup on a persisted IVF index (the scale twin of
+    :func:`semantic_dedup`): cluster assignment uses
+    ``similarity.build_ivf_index``'s Lloyd-refined centroids read from
+    ``<index_path>/centroids``, so the cluster count grows with the
+    corpus (build the index with num_cells ~ sqrt(n) or the SemDeDup
+    paper's ~100k at web scale) instead of the declared form's pinned
+    k — making "k grows with corpus" a code path, not a docstring
+    claim.
+
+    Assignment is scan-local (centroids ride into the plan as a
+    literal; no shuffle, no crossJoin — same machinery as
+    ``ivf_topk``); the drop step shuffles on cell id only, so cell
+    size bounds the quadratic.  ``cluster_id`` is the IVF cell
+    number.  Equivalence at fixed centroids and recall vs the
+    declared form are locked in tests/test_dedup.py."""
+    import os
+
+    from .similarity import _with_cell
+
+    cent_rows = (spark.read.parquet(os.path.join(index_path, "centroids"))
+                 .orderBy("cell").collect())
+    cents = [[float(x) for x in r.v] for r in cent_rows]
+    assign = (_with_cell(emb, cents, id_col, vec_col)
+              .select(F.col("id").alias("vid"),
+                      F.col("cell").cast("long").alias("cluster_id"),
+                      F.col("__vn").alias("vn"),
+                      F.col("__v").alias("vec")))
+    return _dedup_within_clusters(assign, tau, id_col)
 
 
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,

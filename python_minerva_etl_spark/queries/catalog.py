@@ -231,6 +231,7 @@ _DEPTH = [
     "mm_wav_frames",
     "sink_delta_roundtrip",
     "dedup_embedding_pivot",
+    "dedup_semantic_indexed",
 ]
 
 

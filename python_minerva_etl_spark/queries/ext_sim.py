@@ -161,6 +161,28 @@ def _dedup_semantic(spark, sf_dir):
     return semantic_dedup(emb, k=8, tau=0.4)
 
 
+def _dedup_semantic_indexed(spark, sf_dir):
+    """EXT-DEDUP (semantic, IVF-indexed scale twin): SemDeDup where
+    cluster assignment comes from a persisted Lloyd-refined IVF index
+    (build once per corpus snapshot; num_cells grows with the corpus).
+    Deterministic (hash-seeded k-means, no RNG) but a different
+    clustering than the declared k-lowest-id form → rows-only check;
+    fixed-centroid equivalence + recall vs the declared form are
+    locked in tests/test_dedup.py."""
+    import os
+    import tempfile
+
+    from ..ext.clusters import semantic_dedup_indexed
+    from ..ext.similarity import build_ivf_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"minerva_ivf_{abs(hash(sf_dir))}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        build_ivf_index(emb, path, num_cells=8, lloyd_iters=2)
+    return semantic_dedup_indexed(spark, emb, path, tau=0.4)
+
+
 _DEDUP_SEMANTIC_SQL = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
            FROM embeddings),
@@ -639,6 +661,7 @@ QUERIES = [
     DeclaredQuery("dedup_embedding_lsh", _dedup_embedding_lsh, None, "EXT-DEDUP (embedding LSH scale path)"),
     DeclaredQuery("dataset_cluster_balance", _dataset_cluster_balance, _DATASET_CLUSTER_BALANCE_SQL, "EXT dataset mixing (cluster-balanced sampling)"),
     DeclaredQuery("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL, "EXT-DEDUP (semantic, SemDeDup-style)"),
+    DeclaredQuery("dedup_semantic_indexed", _dedup_semantic_indexed, None, "EXT-DEDUP (semantic, persisted-IVF scale twin)"),
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
     DeclaredQuery("mm_frame_sample", _mm_frame_sample, _MM_FRAME_SAMPLE_SQL, "EXT-MM-COL (1:N frame sampling, mapInPandas)"),
     DeclaredQuery("mm_decode_png", _mm_decode_png, _MM_DECODE_PNG_SQL, "EXT-MM-COL (REAL PNG decode, stdlib codec)"),

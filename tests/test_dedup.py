@@ -469,3 +469,66 @@ def test_prefix_filter_bounds_hot_token_fanout(spark):
     assert n_cand < quadratic / 10, (n_cand, quadratic)
     # and the full op still returns the right (empty) answer
     assert _pairs(_jaccard_pairs_prefix(toks, 0.8)) == set()
+
+
+def test_semantic_dedup_indexed_equals_batch_at_fixed_centroids(
+        spark, tmp_path):
+    """batch ≡ indexed at fixed centroids: write an IVF index whose
+    centroids are EXACTLY the declared form's (the k lowest-id
+    embeddings, in vec_id order so cell i <-> i-th lowest vec_id);
+    semantic_dedup_indexed must reproduce semantic_dedup's assignment
+    and keep/drop decisions one-for-one."""
+    from python_minerva_etl_spark.ext.clusters import (
+        semantic_dedup, semantic_dedup_indexed)
+
+    emb = load_table(spark, SF, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(8).collect()
+    cell_to_cid = {i: r.vec_id for i, r in enumerate(seeds)}
+    cent_rows = [
+        (i, [float(x) for x in r.embedding],
+         float(sum(float(x) ** 2 for x in r.embedding) ** 0.5))
+        for i, r in enumerate(seeds)]
+    path = str(tmp_path / "ivf")
+    (spark.createDataFrame(cent_rows,
+                           "cell int, v array<double>, n double")
+     .coalesce(1).write.parquet(path + "/centroids"))
+    want = {(r.vec_id, r.cluster_id, r.kept)
+            for r in semantic_dedup(emb, k=8, tau=0.4).collect()}
+    got = {(r.vec_id, cell_to_cid[r.cluster_id], r.kept)
+           for r in semantic_dedup_indexed(spark, emb, path,
+                                           tau=0.4).collect()}
+    assert got == want
+
+
+def test_semantic_dedup_indexed_recall_on_planted_dups(spark, tmp_path):
+    """Recall vs the exact declared form, on the set both forms MUST
+    agree on: planted exact duplicates (cosine 1.0) of 20 corpus
+    vectors.  Identical vectors land in the same Voronoi cell under
+    ANY centroid set, so the Lloyd-refined indexed twin must drop
+    every planted copy the declared form drops — recall 1.0 on the
+    planted set, regardless of how the two clusterings differ on
+    boundary points.  (The sf0.001 fixture itself has no pairs above
+    cosine 0.6, so organic drops at loose tau are pure
+    boundary-assignment noise — not a recall signal.)"""
+    from python_minerva_etl_spark.ext.clusters import (
+        semantic_dedup, semantic_dedup_indexed)
+    from python_minerva_etl_spark.ext.similarity import build_ivf_index
+
+    base = load_table(spark, SF, "embeddings")
+    planted = (base.orderBy("vec_id").limit(20)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       "embedding", "label"))
+    emb = base.unionByName(planted)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_cells=8, lloyd_iters=2)
+    declared_drop = {r.vec_id for r in
+                     semantic_dedup(emb, k=8, tau=0.99).collect()
+                     if not r.kept}
+    indexed_drop = {r.vec_id for r in
+                    semantic_dedup_indexed(spark, emb, path,
+                                           tau=0.99).collect()
+                    if not r.kept}
+    planted_ids = {r.vec_id for r in planted.select("vec_id").collect()}
+    assert planted_ids <= declared_drop  # the declared form catches all
+    recall = len(declared_drop & indexed_drop) / len(declared_drop)
+    assert recall == 1.0, (recall, sorted(declared_drop - indexed_drop))
