@@ -205,6 +205,47 @@ def _file_bloom(path: str, key: list[str]) -> dict[str, str]:
     return out
 
 
+def _file_meta_payload(path: str, key: list[str]) -> str:
+    """One file's manifest metadata (row count, footer min/max stats,
+    key-column bloom) as a JSON payload — runs INSIDE the executors'
+    Python workers via :func:`_collect_file_meta`."""
+    rows, stats = _file_stats(path, key)
+    bloom = _file_bloom(path, key) if rows else {}
+    return json.dumps({"rows": rows, "stats": stats, "bloom": bloom})
+
+
+def _collect_file_meta(spark: SparkSession, paths: list[str],
+                       key: list[str]) -> dict[str, dict]:
+    """Per-file stats + bloom construction, computed in the EXECUTORS
+    (one task per written file, ``mapInPandas`` over the path list)
+    rather than a driver-side loop: the driver touches only the
+    returned metadata (a few hex strings per file), never the data
+    pages.  At sandbox scale this also parallelizes the per-file
+    reads across cores; on a cluster the md5 hashing of up to ~8k
+    distinct values per key column per file happens where the
+    compute is.  Manifests are byte-identical to the old driver loop
+    (same ``_file_stats``/``_file_bloom`` code runs, just remotely —
+    locked by tests/test_snaptable.py)."""
+    if not paths:
+        return {}
+    from pyspark.sql import types as T
+    key = list(key)
+
+    def compute(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(p, _file_meta_payload(p, key)) for p in pdf["path"]],
+                columns=["path", "payload"])
+
+    schema = T.StructType([T.StructField("path", T.StringType()),
+                           T.StructField("payload", T.StringType())])
+    fdf = (spark.createDataFrame([(p,) for p in paths], "path string")
+           .repartition(len(paths)))
+    return {r.path: json.loads(r.payload)
+            for r in fdf.mapInPandas(compute, schema).collect()}
+
+
 def _bloom_may_contain(bloom_hex: str, value: Any) -> bool:
     bits = int(bloom_hex, 16)
     return all(bits >> pos & 1 for pos in _bloom_positions(value))
@@ -316,18 +357,19 @@ class SnapTable:
         cdir = f"c-{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.path, "data", cdir)
         df.write.mode("error").parquet(full)
+        paths = sorted(glob.glob(os.path.join(full, "*.parquet")))
+        meta = _collect_file_meta(df.sparkSession, paths, key)
         entries = []
-        for p in sorted(glob.glob(os.path.join(full, "*.parquet"))):
-            rows, stats = _file_stats(p, key)
-            if rows == 0:  # empty shuffle partitions carry no snapshot data
+        for p in paths:
+            m = meta[p]
+            if m["rows"] == 0:  # empty shuffle partitions carry no data
                 os.unlink(p)
                 continue
             rel = os.path.join("data", cdir, os.path.basename(p))
             entry = {"path": rel, "bytes": os.path.getsize(p),
-                     "rows": rows, "stats": stats}
-            bloom = _file_bloom(p, key)
-            if bloom:
-                entry["bloom"] = bloom
+                     "rows": m["rows"], "stats": m["stats"]}
+            if m["bloom"]:
+                entry["bloom"] = m["bloom"]
             entries.append(entry)
         return entries
 

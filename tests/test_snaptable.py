@@ -736,3 +736,31 @@ def test_broken_plugin_warns_not_swallows(caplog):
     assert any("bad" in r.message for r in caplog.records)
     assert "good_test_plugin" in P._REGISTRY
     del P._REGISTRY["good_test_plugin"]
+
+
+def test_executor_file_meta_identical_to_driver_loop(spark, tmp_path):
+    """Round-5: stats+bloom construction moved into the executors
+    (mapInPandas over written files).  The resulting manifest entries
+    must be BYTE-identical to what the old driver-side loop produced
+    from the same files."""
+    import glob as _glob
+    import json as _json
+
+    from python_minerva_etl_spark.storage.snaptable import (
+        SnapTable, _collect_file_meta, _file_bloom, _file_stats)
+
+    st = SnapTable(str(tmp_path / "t"))
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "id AS seq", "CAST(id AS DOUBLE) / 7 AS v",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts")
+    st.append(spark, df.repartition(4), ["k", "ts"])
+    paths = sorted(_glob.glob(str(tmp_path / "t" / "data" / "*" /
+                                  "*.parquet")))
+    assert len(paths) >= 2
+    got = _collect_file_meta(spark, paths, ["k", "ts"])
+    for p in paths:
+        rows, stats = _file_stats(p, ["k", "ts"])
+        bloom = _file_bloom(p, ["k", "ts"]) if rows else {}
+        assert _json.dumps(got[p], sort_keys=True) == _json.dumps(
+            {"rows": rows, "stats": stats, "bloom": bloom},
+            sort_keys=True), p
