@@ -8,13 +8,25 @@ The algorithm is the public subword-NMT BPE (Sennrich, Haddow & Birch
   frequent adjacent symbol pair across the word-frequency table
   (ties broken deterministically: higher count, then lexicographic
   pair), recording merges in rank order;
-- **encoding**: a word starts as space-separated characters and each
-  merge ``(a, b)`` is applied in rank order as a literal
-  left-to-right non-overlapping replace of ``"a b"`` with ``"ab"``.
+- **encoding**: a word starts as characters and each merge ``(a, b)``
+  is applied in rank order as a literal left-to-right non-overlapping
+  replace — over a SENTINEL-DELIMITED symbol string: every symbol is
+  wrapped in ``_`` (``hello`` → ``_h__e__l__l__o_``) and merge
+  ``(a, b)`` replaces ``_a__b_`` with ``_ab_``.  Because the pattern
+  is anchored by delimiters on both ends and symbols never contain
+  the sentinel (words are ``[a-z]+`` by pre-tokenization), a match
+  implies exact symbol boundaries — a bare space-joined replace
+  (``"a b"`` → ``"ab"``, the round-4 formulation) could merge across
+  boundaries the trainer never would (``['xa', 'b']`` matching
+  ``"a b"`` inside ``"xa b"``), diverging from the merge table's
+  training semantics.  Adjacent matches share no characters
+  (``_a__b__a__b_`` hits twice), so sequential replace equals the
+  trainer's tuple-wise merge exactly (property-tested against a
+  tuple-based reference encoder in tests/test_bpe.py).
 
 The rank-ordered-replace application is chosen deliberately: it is
-the documented sequential-replace variant of subword-nmt's encoder,
-and — crucially for this engine — ``str.replace`` semantics are
+the sequential-replace formulation of subword-nmt's encoder, and —
+crucially for this engine — ``str.replace`` semantics are
 IDENTICAL to SQL ``replace()`` in both Spark and DuckDB, so the whole
 tokenizer compiles to a JVM-side expression chain (no Python UDF in
 the hot path) and the DuckDB oracle can recompute the exact same
@@ -76,12 +88,13 @@ def train_bpe(word_freqs: dict[str, int],
 
 
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """BPE-encode one word by rank-ordered sequential replace (the
-    exact semantics the SQL twins reproduce)."""
-    s = " ".join(word)
+    """BPE-encode one word by rank-ordered sequential replace over the
+    sentinel-delimited symbol string (the exact semantics the SQL
+    twins reproduce; boundary-safe — see module docstring)."""
+    s = "".join(f"_{c}_" for c in word)
     for a, b in merges:
-        s = s.replace(f"{a} {b}", f"{a}{b}")
-    return s.split(" ") if s else []
+        s = s.replace(f"_{a}__{b}_", f"_{a}{b}_")
+    return s[1:-1].split("__") if s else []
 
 
 @lru_cache(maxsize=1)
@@ -107,21 +120,23 @@ def token_count(text: str,
 
 def _replace_chain(inner: str, merges, fn: str = "replace") -> str:
     for a, b in merges:
-        qa, qb = (a + " " + b).replace("'", "''"), (a + b).replace("'", "''")
+        qa = f"_{a}__{b}_".replace("'", "''")
+        qb = f"_{a}{b}_".replace("'", "''")
         inner = f"{fn}({inner}, '{qa}', '{qb}')"
     return inner
 
 
 def spark_word_pieces_expr(word_col: str = "w") -> str:
     """Spark SQL expression: BPE piece count of one lowercase word —
-    spread to spaced characters, run the merge chain as nested
-    literal ``replace`` calls, count the remaining symbols.  Use this
-    over a DISTINCT-word aggregate at scale: the chain then runs on
-    vocabulary-sized data (millions of types), not corpus-sized data
-    (trillions of tokens)."""
+    spread to sentinel-wrapped characters, run the merge chain as
+    nested literal ``replace`` calls, count the surviving symbols
+    (``k`` symbols have ``k-1`` ``__`` separators, so a split on
+    ``__`` counts them).  Use this over a DISTINCT-word aggregate at
+    scale: the chain then runs on vocabulary-sized data (millions of
+    types), not corpus-sized data (trillions of tokens)."""
     merged = _replace_chain(
-        f"trim(regexp_replace({word_col}, '(.)', '$1 '))", load_merges())
-    return f"size(split({merged}, ' '))"
+        f"regexp_replace({word_col}, '(.)', '_$1_')", load_merges())
+    return f"size(split({merged}, '__'))"
 
 
 def spark_token_count_expr(text_col: str = "text") -> str:
@@ -144,9 +159,9 @@ def duckdb_token_count_sql(text_col: str = "text") -> str:
     chain, same replace semantics, same pre-tokenization."""
     merges = load_merges()
     word_tokens = _replace_chain(
-        f"trim(regexp_replace(w, '(.)', '\\1 ', 'g'))", merges)
+        f"regexp_replace(w, '(.)', '_\\1_', 'g')", merges)
     return (
         "(COALESCE(list_sum(list_transform("
         f"   regexp_extract_all(lower({text_col}), '[a-z]+'),"
-        f"   w -> len(string_split({word_tokens}, ' ')))), 0)"
+        f"   w -> len(string_split({word_tokens}, '__')))), 0)"
         f" + len(regexp_extract_all({text_col}, '[0-9]+|[^A-Za-z0-9\\s]')))")

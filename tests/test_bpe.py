@@ -70,3 +70,46 @@ def test_token_count_spark_expr(spark):
     got = [r[0] for r in
            df.select(F.expr(spark_token_count_expr("t"))).collect()]
     assert got == [token_count(s) for s in samples]
+
+
+def _tuple_encode(word, merges):
+    """Reference encoder with the trainer's own tuple-wise merge
+    application — the semantics encode_word must reproduce."""
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_encoder_is_boundary_safe():
+    """Round-5 (ADVICE r4): a bare space-joined replace would merge
+    across symbol boundaries — merge (a,b) on symbols ['xa','b']
+    matched 'a b' inside 'xa b' and produced 'xab'.  The sentinel
+    scheme must match the trainer's tuple semantics instead."""
+    merges = [("x", "a"), ("a", "b")]
+    assert encode_word("xab", merges) == ["xa", "b"]
+    assert encode_word("xab", merges) == _tuple_encode("xab", merges)
+    # adjacent repeats still merge pairwise (shared-delimiter trap)
+    assert encode_word("ababab", [("a", "b")]) == ["ab", "ab", "ab"]
+
+
+def test_encoder_equals_tuple_reference_on_vendored_table():
+    """Sequential sentinel replace == tuple-wise merge application for
+    every word shape in a varied sample, under the real merge table."""
+    merges = list(load_merges())
+    words = ["partition", "aggregate", "window", "streaming", "a",
+             "zzzzz", "abcabcabc", "xxyyzz", "minerva", "throughput",
+             "queue", "mississippi", "aaaaaaa", "interstitial"]
+    for w in words:
+        got = encode_word(w, merges)
+        want = _tuple_encode(w, merges)
+        assert got == want, (w, got, want)
+        assert "".join(got) == w
