@@ -4,19 +4,28 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": total_sec, "unit": "sec",
- "queries": {name: sec, ...}, "sf": ...}
+ "queries": {name: median_sec, ...}, "spread": {name: max-min, ...},
+ "passes": 3, "sf": ...}
 
-Each query runs the full plan to completion (count() — forces every
-exchange/agg but keeps driver collection out of the measurement).
-A warmup query amortizes session/JIT startup so the numbers reflect
-steady-state executor throughput, which is what extrapolates to a
-cluster.
+Forcing: each measured run executes the FULL plan via a noop-format
+write (``df.write.format("noop")``) — unlike ``count()``, which can
+let Spark prune final-projection columns on scan-shaped queries, the
+noop sink materializes every output column, so the numbers are the
+cost of actually producing the result.  (Driver collection stays out
+of the measurement either way.)
+
+Jitter: one measured pass per query made ±20% run-to-run swings
+uninterpretable (round-4 verdict).  Each query now runs 2 warmups +
+3 measured passes; ``queries`` reports the per-query MEDIAN and
+``spread`` the max−min across the measured passes, so a regression
+is only real when it clears the reported spread.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,7 +36,7 @@ sys.path.insert(0, REPO)
 # rollup, windows, as-of, trigger, sessionize, upsert) plus the
 # scale-critical extensions (dedup LSH, similarity, text stats).
 #
-# Round 4 adds the snapshot-table write path (MERGE + CDC-maintained
+# Round 4 added the snapshot-table write path (MERGE + CDC-maintained
 # aggregate) — ~2 s each at sf0.1, reflected in the total; rounds 1-3
 # benched 17 read-path queries, so compare per-query numbers (or the
 # 17-query subtotal in PERF.md) across rounds, not raw totals.
@@ -53,6 +62,14 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+WARMUP_PASSES = 2
+MEASURED_PASSES = 3
+
+
+def _force(df) -> None:
+    """Run the plan to completion, materializing every output column."""
+    df.write.format("noop").mode("overwrite").save()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,30 +84,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warmup + measure per query: two warmup runs immediately followed
-    # by the measured run.  Spark's generated-class cache holds only 100
+    # Warmup + measure per query: warmups immediately followed by the
+    # measured passes.  Spark's generated-class cache holds only 100
     # entries per JVM; 17 headline plans x several codegen stages each
     # overflow it, so a full warmup PASS followed by a full measure pass
     # re-JITs half the plans (measured: +2.3 s on dedup_simhash alone).
     # Per-query warm measurement reflects steady-state executor
     # throughput — on a real cluster each of these plans runs
     # continuously, not round-robin with 16 strangers in one JVM.
-    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
-        for _ in range(2):
-            q.spark(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        for _ in range(WARMUP_PASSES):
+            _force(q.spark(spark, sf_dir))
+        samples = []
+        for _ in range(MEASURED_PASSES):
+            t0 = time.perf_counter()
+            _force(q.spark(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        medians[name] = round(statistics.median(samples), 4)
+        spreads[name] = round(max(samples) - min(samples), 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(medians.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_query_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "spread": spreads,
+        "passes": MEASURED_PASSES,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -14,10 +14,14 @@ with nothing but the stdlib:
   scanlines, so decode genuinely exercises the unfilter path.
 - **WAV** (RIFF/WAVE, PCM): encoder + decoder + frame windower for
   16-bit mono/stereo PCM.
+- **JPEG** (baseline JFIF, :mod:`.jpeg`): full Huffman + IDCT
+  decoder (grey/YCbCr, 4:2:0 and 4:4:4, restart markers) and a
+  4:4:4/4:2:0 encoder — routed here via :func:`sniff_decode`.
 
 These are real decoders of real bytes — a PNG produced by any other
 tool (Pillow, ImageMagick) decodes here too, as long as it is 8-bit
-non-interlaced grey/RGB/RGBA, which is what the test suite locks.
+non-interlaced grey/RGB/RGBA, which is what the test suite locks;
+likewise any baseline-sequential JPEG.
 
 Reference parity: the reference system (hendrikx-itc/python-minerva-etl)
 has no multimodal surface; this module backs the §2.11 EXT-MM-COL
@@ -244,16 +248,14 @@ def wav_frames(payload: bytes, frame_samples: int = 64,
 
 def sniff_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Codec-dispatch decode for :func:`decode_assets`: detect the
-    container by magic bytes and REALLY decode PNG and WAV payloads;
-    anything else raises (unknown formats must be routed explicitly,
-    never silently pseudo-decoded)."""
+    container by magic bytes and REALLY decode PNG, JPEG, and WAV
+    payloads; anything else raises (unknown formats must be routed
+    explicitly, never silently pseudo-decoded)."""
     if payload[:8] == _PNG_SIG:
         s = png_stats(payload)
-        out = [float(s["width"]), float(s["height"]),
-               float(s["channels"]),
-               s["pixel_sum"] / s["n_pixels"] / 255.0,
-               float(s["pixel_min"]) / 255.0,
-               float(s["pixel_max"]) / 255.0]
+    elif payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import jpeg_stats
+        s = jpeg_stats(payload)
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         s = wav_stats(payload)
         peak = max(abs(s["sample_min"]), abs(s["sample_max"]), 1)
@@ -261,8 +263,14 @@ def sniff_decode(payload: bytes, dim: int = 8) -> list[float]:
                float(s["duration_ms"]),
                s["abs_sum"] / max(s["n_samples"], 1) / 32768.0,
                float(peak) / 32768.0, float(s["n_channels"])]
+        return (out + [0.0] * dim)[:dim]
     else:
         raise ValueError(
-            "unknown container (not PNG or RIFF/WAVE); pass an explicit "
-            "codec= to decode_assets for other formats")
+            "unknown container (not PNG, JPEG, or RIFF/WAVE); pass an "
+            "explicit codec= to decode_assets for other formats")
+    out = [float(s["width"]), float(s["height"]),
+           float(s["channels"]),
+           s["pixel_sum"] / s["n_pixels"] / 255.0,
+           float(s["pixel_min"]) / 255.0,
+           float(s["pixel_max"]) / 255.0]
     return (out + [0.0] * dim)[:dim]

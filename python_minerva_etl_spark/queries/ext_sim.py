@@ -413,6 +413,68 @@ def _mm_decode_png(spark, sf_dir):
         dec, _MM_STATS_SCHEMA)
 
 
+def _mm_decode_jpeg(spark, sf_dir):
+    """EXT-MM-COL (REAL JPEG decode): the stdlib+numpy baseline JFIF
+    decoder (marker walk, canonical Huffman, dequant, IDCT, restart
+    resync — ext/jpeg.py) runs as an Arrow-batched mapInPandas stage.
+    Payloads are 16x16 greyscale JPEGs of four constant 8x8 tiles at
+    quality 100 (all-ones quant tables), where baseline JPEG is
+    EXACT: a constant block has only a DC coefficient (an integer,
+    8*(v-128)), quantization by 1 is lossless, and the IDCT returns
+    the constant — so the DuckDB oracle recomputes the pixel stats
+    integer-exactly from the tile formula.  Restart markers every 2
+    MCUs make the driver row exercise the resync path too."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    from ..ext.jpeg import jpeg_encode, jpeg_stats
+
+    def enc_dec(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            rows = []
+            for d in ids:
+                tiles = [(int(d) * 31 + k * 53) % 256 for k in range(4)]
+                img = _np.zeros((16, 16), dtype=_np.uint8)
+                img[:8, :8] = tiles[0]
+                img[:8, 8:] = tiles[1]
+                img[8:, :8] = tiles[2]
+                img[8:, 8:] = tiles[3]
+                payload = jpeg_encode(img.tobytes(), 16, 16, 1,
+                                      quality=100, restart_interval=2)
+                rows.append(jpeg_stats(payload))
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "width": [s["width"] for s in rows],
+                "height": [s["height"] for s in rows],
+                "channels": [s["channels"] for s in rows],
+                "n_pixels": [s["n_pixels"] for s in rows],
+                "pixel_sum": [s["pixel_sum"] for s in rows],
+                "pixel_min": [s["pixel_min"] for s in rows],
+                "pixel_max": [s["pixel_max"] for s in rows],
+            })
+
+    return (t(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(enc_dec, _MM_STATS_SCHEMA))
+
+
+_MM_DECODE_JPEG_SQL = """
+WITH tiles AS (
+  SELECT doc_id, (doc_id * 31 + k * 53) % 256 AS v
+  FROM documents, range(4) t(k)
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(256 AS INTEGER) AS n_pixels,
+       CAST(SUM(v) * 64 AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INTEGER) AS pixel_min,
+       CAST(MAX(v) AS INTEGER) AS pixel_max
+FROM tiles GROUP BY doc_id
+"""
+
+
 _MM_DECODE_PNG_SQL = """
 WITH px AS (
   SELECT doc_id, (doc_id * 31 + j * 7) % 256 AS p
@@ -665,6 +727,7 @@ QUERIES = [
     DeclaredQuery("mm_passthrough", _mm_passthrough, _MM_PASSTHROUGH_SQL, "EXT-MM-COL"),
     DeclaredQuery("mm_frame_sample", _mm_frame_sample, _MM_FRAME_SAMPLE_SQL, "EXT-MM-COL (1:N frame sampling, mapInPandas)"),
     DeclaredQuery("mm_decode_png", _mm_decode_png, _MM_DECODE_PNG_SQL, "EXT-MM-COL (REAL PNG decode, stdlib codec)"),
+    DeclaredQuery("mm_decode_jpeg", _mm_decode_jpeg, _MM_DECODE_JPEG_SQL, "EXT-MM-COL (REAL baseline JPEG decode, stdlib+numpy codec)"),
     DeclaredQuery("mm_decode_wav", _mm_decode_wav, _MM_DECODE_WAV_SQL, "EXT-MM-COL (REAL WAV PCM decode, stdlib codec)"),
     DeclaredQuery("mm_wav_frames", _mm_wav_frames, _MM_WAV_FRAMES_SQL, "EXT-MM-COL (REAL WAV demux/window + content verify)"),
     DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),
