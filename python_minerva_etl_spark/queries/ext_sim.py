@@ -169,6 +169,7 @@ def _dedup_semantic_indexed(spark, sf_dir):
     clustering than the declared k-lowest-id form → rows-only check;
     fixed-centroid equivalence + recall vs the declared form are
     locked in tests/test_dedup.py."""
+    import hashlib
     import os
     import tempfile
 
@@ -176,8 +177,11 @@ def _dedup_semantic_indexed(spark, sf_dir):
     from ..ext.similarity import build_ivf_index
 
     emb = t(spark, sf_dir, "embeddings")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"minerva_ivf_{abs(hash(sf_dir))}")
+    # md5 (not hash(): per-process salted) so re-runs against the same
+    # fixture REUSE the persisted index — the build-once contract
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"minerva_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}")
     if not os.path.exists(os.path.join(path, "centroids")):
         build_ivf_index(emb, path, num_cells=8, lloyd_iters=2)
     return semantic_dedup_indexed(spark, emb, path, tau=0.4)

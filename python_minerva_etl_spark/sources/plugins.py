@@ -94,6 +94,16 @@ def _read_delta(spark: SparkSession, path: str, config=None) -> DataFrame:
     return read_delta(spark, path, version_as_of=version)
 
 
+@register("iceberg")
+def _read_iceberg(spark: SparkSession, path: str, config=None) -> DataFrame:
+    """Iceberg table read via the stdlib metadata/Avro-manifest
+    replayer (storage/iceberg.py) — no Iceberg runtime jar.
+    ``config`` may carry ``snapshot_id`` for time travel."""
+    from ..storage.iceberg import read_iceberg
+    snap = getattr(config, "snapshot_id", None) if config else None
+    return read_iceberg(spark, path, snapshot_id=snap)
+
+
 @register("jsonl")
 def _read_jsonl(spark: SparkSession, path: str, config=None) -> DataFrame:
     """Newline-delimited JSON — the de-facto web-corpus interchange
