@@ -289,7 +289,12 @@ class DeltaTable:
                 os.path.join(self.path, f["path"]))
         out: DataFrame | None = None
         type_of = {f.name: f.dataType for f in schema.fields}
-        for pv, paths in sorted(by_part.items()):
+        # None-safe ordering: null partition values sort first (the
+        # order is cosmetic — determinism only)
+        for pv, paths in sorted(
+                by_part.items(),
+                key=lambda kv: tuple((v is not None, v or "")
+                                     for v in kv[0])):
             df = spark.read.schema(data_schema).parquet(*paths)
             for c, v in zip(part_cols, pv):
                 # Delta serializes partition values as strings (null
@@ -306,26 +311,55 @@ class DeltaTable:
         vs = self.versions()
         return (vs[-1] + 1) if vs else 0
 
-    def _stage_data_files(self, df: DataFrame) -> list[dict]:
+    def _stage_data_files(self, df: DataFrame,
+                          partition_by: list[str]) -> list[dict]:
         """Write df as parquet part files at the table root with
-        delta-style unique names; return add actions."""
+        delta-style unique names; return add actions.  With
+        ``partition_by``, files land in Hive-style ``col=value/``
+        directories, the partition columns are NOT written into the
+        data files, and each add action records its
+        ``partitionValues`` as strings (null encoded as JSON null) —
+        exactly the layout other Delta engines write and our reader
+        reconstructs."""
+        from urllib.parse import unquote
+
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
         adds = []
         now = int(time.time() * 1000)
-        for name in sorted(os.listdir(tmp)):
-            if not name.endswith(".parquet"):
+        for dirpath, _, names in os.walk(tmp):
+            rel_dir = os.path.relpath(dirpath, tmp)
+            pvals: dict[str, str | None] = {}
+            ok = True
+            if rel_dir != ".":
+                for part in rel_dir.split(os.sep):
+                    if "=" not in part:
+                        ok = False
+                        break
+                    k, v = part.split("=", 1)
+                    pvals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                                else unquote(v))
+            if not ok:
                 continue
-            final = f"part-{uuid.uuid4().hex}-c000.snappy.parquet"
-            os.replace(os.path.join(tmp, name),
-                       os.path.join(self.path, final))
-            adds.append({"add": {
-                "path": final,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(self.path, final)),
-                "modificationTime": now,
-                "dataChange": True,
-            }})
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                base = f"part-{uuid.uuid4().hex}-c000.snappy.parquet"
+                final_rel = base if rel_dir == "." else \
+                    os.path.join(rel_dir, base)
+                final_abs = os.path.join(self.path, final_rel)
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.replace(os.path.join(dirpath, name), final_abs)
+                adds.append({"add": {
+                    "path": final_rel.replace(os.sep, "/"),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(final_abs),
+                    "modificationTime": now,
+                    "dataChange": True,
+                }})
         shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
@@ -368,19 +402,36 @@ class DeltaTable:
         return True
 
     def write(self, spark: SparkSession, df: DataFrame,
-              mode: str = "append") -> int:
+              mode: str = "append",
+              partition_by: list[str] | tuple[str, ...] = ()) -> int:
         """Commit ``df`` as a new Delta version.  ``mode``:
         'append' adds files (schema must match the table's current
         schema — a mismatched append would commit files every reader
         then silently misreads as nulls); 'overwrite' also removes
         every previously active file and may change the schema.
-        Loses of the optimistic-concurrency race are retried (data
-        files are staged once; only the log actions are rebuilt
-        against the new snapshot).  Returns the committed version."""
+        ``partition_by`` Hive-partitions the table (recorded in
+        metaData.partitionColumns at creation/overwrite; appends must
+        keep the table's existing partitioning).  Loses of the
+        optimistic-concurrency race are retried (data files are
+        staged once; only the log actions are rebuilt against the
+        new snapshot).  Returns the committed version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
+        partition_by = list(partition_by)
+        missing_pcols = [c for c in partition_by if c not in df.columns]
+        if missing_pcols:
+            raise ValueError(
+                f"partition_by columns {missing_pcols} not in batch")
         os.makedirs(self.path, exist_ok=True)
-        adds = self._stage_data_files(df)
+        if self.versions() and mode == "append":
+            table_pcols = self._replay()["metaData"].get(
+                "partitionColumns") or []
+            if partition_by and partition_by != table_pcols:
+                raise ValueError(
+                    f"append partition_by {partition_by} != table's "
+                    f"partitionColumns {table_pcols}")
+            partition_by = table_pcols  # appends inherit partitioning
+        adds = self._stage_data_files(df, partition_by)
         last_err: Exception | None = None
         for _ in range(_COMMIT_RETRIES):
             version = self._next_version()
@@ -397,7 +448,7 @@ class DeltaTable:
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),
                 }})
@@ -406,6 +457,7 @@ class DeltaTable:
                 prev = self._replay()
                 meta = dict(prev["metaData"])
                 meta["schemaString"] = df.schema.json()
+                meta["partitionColumns"] = partition_by
                 actions.append({"metaData": meta})
                 now = int(time.time() * 1000)
                 for f in prev["files"]:

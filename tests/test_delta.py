@@ -358,3 +358,63 @@ def test_snaptable_export_and_plugin(spark, tmp_path):
     # Delta-side time travel mirrors SnapTable history
     v0 = read_delta(spark, dst, version_as_of=0)
     assert _rows(v0.select("k", "v")) == [(1, 1.0), (2, 2.0)]
+
+
+def test_partitioned_write_layout_and_read(spark, tmp_path):
+    """Round-5: the writer Hive-partitions tables other engines can
+    read — files land in col=value/ dirs WITHOUT the partition column
+    in the data, add actions carry partitionValues, metaData records
+    partitionColumns."""
+    import glob
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+         (3, "2024-01-02", "c"), (4, None, "d")],
+        "id long, day string, v string")
+    write_delta_partitioned = DeltaTable(p).write
+    assert write_delta_partitioned(spark, df, "append",
+                                   partition_by=["day"]) == 0
+    # hive layout on disk, incl. the null partition
+    assert glob.glob(os.path.join(p, "day=2024-01-01", "*.parquet"))
+    assert glob.glob(os.path.join(
+        p, "day=__HIVE_DEFAULT_PARTITION__", "*.parquet"))
+    # data files do NOT contain the partition column
+    import pyarrow.parquet as pq
+    f = glob.glob(os.path.join(p, "day=2024-01-02", "*.parquet"))[0]
+    assert "day" not in pq.ParquetFile(f).schema_arrow.names
+    # log records partitionValues + partitionColumns
+    snap = DeltaTable(p)._replay()
+    assert snap["metaData"]["partitionColumns"] == ["day"]
+    pvs = {f["partitionValues"]["day"] for f in snap["files"]}
+    assert pvs == {"2024-01-01", "2024-01-02", None}
+    # and the read path reconstructs the column with correct types
+    assert _rows(read_delta(spark, p)) == [
+        (1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+        (3, "2024-01-02", "c"), (4, None, "d")]
+
+
+def test_partitioned_append_inherits_and_validates(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = DeltaTable(p)
+    t.write(spark, spark.createDataFrame(
+        [(1, "x", 1.0)], "id long, part string, v double"),
+        partition_by=["part"])
+    # plain append inherits the table's partitioning
+    t.write(spark, spark.createDataFrame(
+        [(2, "y", 2.0)], "id long, part string, v double"))
+    snap = t._replay()
+    assert all(set(f["partitionValues"]) == {"part"}
+               for f in snap["files"])
+    assert _rows(read_delta(spark, p)) == [(1, "x", 1.0), (2, "y", 2.0)]
+    # conflicting explicit partitioning on append is refused
+    with pytest.raises(ValueError, match="partition"):
+        t.write(spark, spark.createDataFrame(
+            [(3, "z", 3.0)], "id long, part string, v double"),
+            partition_by=["id"])
+    # overwrite may repartition
+    t.write(spark, spark.createDataFrame(
+        [(9, "q", 9.0)], "id long, part string, v double"),
+        mode="overwrite", partition_by=["id"])
+    assert t._replay()["metaData"]["partitionColumns"] == ["id"]
+    assert _rows(read_delta(spark, p)) == [(9, "q", 9.0)]
