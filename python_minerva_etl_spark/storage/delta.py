@@ -176,7 +176,8 @@ class DeltaTable:
         for part in by_version[pick]:
             tbl = pq.read_table(part)
             for row in tbl.to_pylist():
-                for kind in ("protocol", "metaData", "add", "remove"):
+                for kind in ("protocol", "metaData", "add", "remove",
+                             "txn"):
                     if row.get(kind) is not None:
                         actions.append({kind: undict(row[kind])})
         return pick, actions
@@ -220,8 +221,11 @@ class DeltaTable:
         protocol: dict | None = None
         # Per-path reconciliation: the LATEST add/remove for a path
         # wins (PROTOCOL.md Action Reconciliation).  Surviving removes
-        # are tombstones — checkpoints must carry them.
+        # are tombstones — checkpoints must carry them.  txn
+        # (setTransaction) actions keep the latest version per appId —
+        # the idempotence ledger for streaming writers.
         latest: dict[str, tuple[str, dict]] = {}
+        txns: dict[str, int] = {}
         for act in actions:
             if "metaData" in act and act["metaData"]:
                 meta = act["metaData"]
@@ -231,6 +235,8 @@ class DeltaTable:
                 latest[act["add"]["path"]] = ("add", act["add"])
             elif "remove" in act and act["remove"]:
                 latest[act["remove"]["path"]] = ("remove", act["remove"])
+            elif "txn" in act and act["txn"]:
+                txns[act["txn"]["appId"]] = int(act["txn"]["version"])
         if protocol:
             mrv = protocol.get("minReaderVersion") or 1
             if mrv > 1:
@@ -255,7 +261,8 @@ class DeltaTable:
                 "files": [a for kind, a in latest.values()
                           if kind == "add"],
                 "tombstones": [a for kind, a in latest.values()
-                               if kind == "remove"]}
+                               if kind == "remove"],
+                "txns": txns}
 
     # ------------------------------------------------ read
 
@@ -401,9 +408,21 @@ class DeltaTable:
                 return False
         return True
 
+    def txn_version(self, app_id: str) -> int:
+        """Latest ``txn`` (setTransaction) version recorded for
+        ``app_id``, or -1 — the exactly-once ledger streaming writers
+        consult (PROTOCOL.md Transaction Identifiers)."""
+        if not self.versions() and not os.path.isdir(_log_dir(self.path)):
+            return -1
+        try:
+            return self._replay()["txns"].get(app_id, -1)
+        except FileNotFoundError:
+            return -1
+
     def write(self, spark: SparkSession, df: DataFrame,
               mode: str = "append",
-              partition_by: list[str] | tuple[str, ...] = ()) -> int:
+              partition_by: list[str] | tuple[str, ...] = (),
+              txn: tuple[str, int] | None = None) -> int:
         """Commit ``df`` as a new Delta version.  ``mode``:
         'append' adds files (schema must match the table's current
         schema — a mismatched append would commit files every reader
@@ -411,12 +430,19 @@ class DeltaTable:
         every previously active file and may change the schema.
         ``partition_by`` Hive-partitions the table (recorded in
         metaData.partitionColumns at creation/overwrite; appends must
-        keep the table's existing partitioning).  Loses of the
+        keep the table's existing partitioning).  ``txn=(app_id,
+        version)`` records a setTransaction action and makes the
+        write IDEMPOTENT per (app_id, version): a re-delivered
+        streaming micro-batch whose version is already in the ledger
+        is skipped — exactly-once foreachBatch delivery, the
+        protocol's Transaction Identifiers pattern.  Loses of the
         optimistic-concurrency race are retried (data files are
         staged once; only the log actions are rebuilt against the
         new snapshot).  Returns the committed version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return self.versions()[-1]
         partition_by = list(partition_by)
         missing_pcols = [c for c in partition_by if c not in df.columns]
         if missing_pcols:
@@ -435,6 +461,9 @@ class DeltaTable:
         last_err: Exception | None = None
         for _ in range(_COMMIT_RETRIES):
             version = self._next_version()
+            if txn is not None and version > 0 \
+                    and self.txn_version(txn[0]) >= txn[1]:
+                return version - 1  # a concurrent retry won the race
             actions: list[dict] = [{"commitInfo": {
                 "timestamp": int(time.time() * 1000),
                 "operation": "WRITE",
@@ -475,6 +504,10 @@ class DeltaTable:
                         f"{df.schema.simpleString()} — appending would "
                         "commit files readers silently misread "
                         "(use mode='overwrite' to change the schema)")
+            if txn is not None:
+                actions.append({"txn": {
+                    "appId": txn[0], "version": int(txn[1]),
+                    "lastUpdated": int(time.time() * 1000)}})
             actions.extend(adds)
             try:
                 self._commit(version, actions)
@@ -520,13 +553,16 @@ class DeltaTable:
                 ("path", pa.string()),
                 ("deletionTimestamp", pa.int64()),
                 ("dataChange", pa.bool_())])),
+            ("txn", pa.struct([
+                ("appId", pa.string()),
+                ("version", pa.int64())])),
         ])
 
         def mapify(d):
             return list((d or {}).items())
 
         base = {"protocol": None, "metaData": None, "add": None,
-                "remove": None}
+                "remove": None, "txn": None}
         snap = self._replay(version)
         m = snap["metaData"]
         rows = [
@@ -556,6 +592,9 @@ class DeltaTable:
                 "path": f["path"],
                 "deletionTimestamp": f.get("deletionTimestamp"),
                 "dataChange": bool(f.get("dataChange", True))}))
+        for app_id, v in sorted(snap["txns"].items()):
+            rows.append(dict(base, txn={"appId": app_id,
+                                        "version": int(v)}))
         tbl = pa.Table.from_pylist(rows, schema=cp_schema)
         cp = os.path.join(_log_dir(self.path),
                           f"{version:020d}.checkpoint.parquet")

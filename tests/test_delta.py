@@ -418,3 +418,53 @@ def test_partitioned_append_inherits_and_validates(spark, tmp_path):
         mode="overwrite", partition_by=["id"])
     assert t._replay()["metaData"]["partitionColumns"] == ["id"]
     assert _rows(read_delta(spark, p)) == [(9, "q", 9.0)]
+
+
+def test_txn_idempotent_writes_and_checkpoint(spark, tmp_path):
+    """Round-5: setTransaction (txn) actions — a (app_id, version)
+    re-delivery is skipped, the ledger survives checkpoint
+    compaction, and checkpoints carry the txn rows PROTOCOL.md
+    requires."""
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    t = DeltaTable(p)
+    one = spark.createDataFrame([(1,)], "id long")
+    assert t.write(spark, one, txn=("ingestA", 0)) == 0
+    assert t.txn_version("ingestA") == 0
+    # same (app, version) re-delivered -> skipped, no new commit
+    assert t.write(spark, one, txn=("ingestA", 0)) == 0
+    assert t.versions() == [0]
+    assert _rows(read_delta(spark, p)) == [(1,)]
+    # next version commits
+    assert t.write(spark, one, txn=("ingestA", 1)) == 1
+    assert t.txn_version("ingestA") == 1 and t.txn_version("other") == -1
+    # drive past the checkpoint cadence; ledger must survive the
+    # JSON tail being deleted
+    for i in range(2, 12):
+        t.write(spark, one, txn=("ingestA", i))
+    cp = os.path.join(p, "_delta_log", f"{10:020d}.checkpoint.parquet")
+    cp_txns = [r["txn"] for r in pq.read_table(cp).to_pylist()
+               if r.get("txn")]
+    assert {x["appId"] for x in cp_txns} == {"ingestA"}
+    for v in range(11):
+        os.remove(os.path.join(p, "_delta_log", f"{v:020d}.json"))
+    assert t.txn_version("ingestA") == 11
+    assert t.write(spark, one, txn=("ingestA", 5)) == 11  # stale: skip
+
+
+def test_append_stream_delta_exactly_once(spark, tmp_path):
+    """foreachBatch re-delivery after a crash between Delta commit
+    and streaming checkpoint must not double-append."""
+    from python_minerva_etl_spark.storage.delta import DeltaTable as DT
+
+    p = str(tmp_path / "t")
+    t = DT(p)
+    batch = spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "id long, v string")
+    # simulate the sink's _append being called twice with batch_id 0
+    for _ in range(2):
+        t.write(spark, batch, mode="append", txn=("q1", 0))
+    assert _rows(read_delta(spark, p)) == [(1, "a"), (2, "b")]
+    t.write(spark, batch, mode="append", txn=("q1", 1))
+    assert read_delta(spark, p).count() == 4
