@@ -166,3 +166,92 @@ def sample_frames(df: DataFrame, id_col: str, binary_col: str,
             })
 
     return df.select(id_col, binary_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _resize_pixels(pix: bytes, w: int, h: int, c: int,
+                   out_w: int, out_h: int, method: str):
+    """Resize a raw pixel buffer with numpy: 'nearest' picks source
+    pixel ``floor(i * src / dst)`` (deterministic, oracle-friendly);
+    'bilinear' is the standard align-corners=False interpolation."""
+    import numpy as np
+
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
+    if method == "nearest":
+        yi = (np.arange(out_h) * h) // out_h
+        xi = (np.arange(out_w) * w) // out_w
+        out = arr[yi[:, None], xi[None, :], :]
+    elif method == "bilinear":
+        ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+        xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+        wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+        a = arr.astype(np.float64)
+        out = ((a[y0[:, None], x0[None, :]] * (1 - wy) * (1 - wx))
+               + (a[y1[:, None], x0[None, :]] * wy * (1 - wx))
+               + (a[y0[:, None], x1[None, :]] * (1 - wy) * wx)
+               + (a[y1[:, None], x1[None, :]] * wy * wx))
+        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    else:
+        raise ValueError(f"resize method {method!r} (nearest/bilinear)")
+    return np.ascontiguousarray(out)
+
+
+def resize_images(df: DataFrame, id_col: str, binary_col: str,
+                  out_w: int, out_h: int,
+                  method: str = "nearest") -> DataFrame:
+    """REAL image-resize stage (the brief's decode / feature-extract /
+    **resize** / frame-sample quartet): decode each PNG or JPEG
+    payload with the stdlib codecs, resize in numpy, re-encode as
+    PNG — a full pixel pipeline per Arrow batch, never per row, and
+    the bytes never touch the driver.
+
+    'nearest' (default) is bit-deterministic (source index =
+    ``floor(i*src/dst)``) so a SQL oracle can recompute the output
+    pixels; 'bilinear' for quality.  Unknown containers raise (same
+    contract as :func:`decode_assets`)."""
+    from .codecs import _PNG_SIG, png_decode, png_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_decode
+
+        for pdf in batches:
+            ids, chans, payloads = [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:8] == _PNG_SIG:
+                    w, h, c, pix = png_decode(b)
+                elif b[:3] == b"\xff\xd8\xff":
+                    w, h, c, pix = jpeg_decode(b)
+                else:
+                    raise ValueError(
+                        "resize_images: unknown container "
+                        "(PNG/JPEG only)")
+                out = _resize_pixels(pix, w, h, c, out_w, out_h, method)
+                ids.append(int(aid))
+                chans.append(c)
+                payloads.append(png_encode(out.tobytes(), out_w,
+                                           out_h, c))
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series([out_w] * len(ids), dtype="int32"),
+                "height": pd.Series([out_h] * len(ids), dtype="int32"),
+                "channels": pd.Series(chans, dtype="int32"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, RESIZED_SCHEMA)

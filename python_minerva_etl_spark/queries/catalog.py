@@ -241,6 +241,7 @@ _DEPTH = [
     "dedup_embedding_pivot",
     "dedup_semantic_indexed",
     "mm_decode_jpeg",
+    "mm_resize",
 ]
 
 

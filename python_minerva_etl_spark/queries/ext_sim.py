@@ -479,6 +479,59 @@ FROM tiles GROUP BY doc_id
 """
 
 
+def _mm_resize(spark, sf_dir):
+    """EXT-MM-COL (REAL resize stage): the 4x4 deterministic PNGs go
+    through decode → nearest-neighbor numpy resize to 2x2 → PNG
+    re-encode (ext/multimodal.resize_images), then the RESIZED
+    payloads are decoded AGAIN and their pixel stats reported — so a
+    hash match proves the whole encode→resize→re-encode→decode
+    pipeline, not just the arithmetic.  Nearest-neighbor source index
+    is floor(i*src/dst), so output pixel (r,c) = input (2r,2c) = byte
+    j ∈ {0,2,8,10}, which the DuckDB oracle recomputes from the pixel
+    formula."""
+    import pandas as _pd
+
+    from ..ext.codecs import png_stats
+    from ..ext.multimodal import resize_images
+
+    resized = resize_images(_png_payloads(spark, sf_dir),
+                            "doc_id", "payload", 2, 2,
+                            method="nearest")
+
+    def dec(batches):
+        for pdf in batches:
+            stats = [png_stats(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["asset_id"].astype("int64"),
+                "width": [s["width"] for s in stats],
+                "height": [s["height"] for s in stats],
+                "channels": [s["channels"] for s in stats],
+                "n_pixels": [s["n_pixels"] for s in stats],
+                "pixel_sum": [s["pixel_sum"] for s in stats],
+                "pixel_min": [s["pixel_min"] for s in stats],
+                "pixel_max": [s["pixel_max"] for s in stats],
+            })
+
+    return resized.mapInPandas(dec, _MM_STATS_SCHEMA)
+
+
+_MM_RESIZE_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         (doc_id * 31 + ((k // 2) * 8 + (k % 2) * 2) * 7) % 256 AS p
+  FROM documents, range(4) t(k)
+)
+SELECT doc_id,
+       CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(4 AS INTEGER) AS n_pixels,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+       CAST(MIN(p) AS INTEGER) AS pixel_min,
+       CAST(MAX(p) AS INTEGER) AS pixel_max
+FROM px GROUP BY doc_id
+"""
+
+
 _MM_DECODE_PNG_SQL = """
 WITH px AS (
   SELECT doc_id, (doc_id * 31 + j * 7) % 256 AS p
@@ -732,6 +785,7 @@ QUERIES = [
     DeclaredQuery("mm_frame_sample", _mm_frame_sample, _MM_FRAME_SAMPLE_SQL, "EXT-MM-COL (1:N frame sampling, mapInPandas)"),
     DeclaredQuery("mm_decode_png", _mm_decode_png, _MM_DECODE_PNG_SQL, "EXT-MM-COL (REAL PNG decode, stdlib codec)"),
     DeclaredQuery("mm_decode_jpeg", _mm_decode_jpeg, _MM_DECODE_JPEG_SQL, "EXT-MM-COL (REAL baseline JPEG decode, stdlib+numpy codec)"),
+    DeclaredQuery("mm_resize", _mm_resize, _MM_RESIZE_SQL, "EXT-MM-COL (REAL resize stage: decode -> numpy resize -> re-encode)"),
     DeclaredQuery("mm_decode_wav", _mm_decode_wav, _MM_DECODE_WAV_SQL, "EXT-MM-COL (REAL WAV PCM decode, stdlib codec)"),
     DeclaredQuery("mm_wav_frames", _mm_wav_frames, _MM_WAV_FRAMES_SQL, "EXT-MM-COL (REAL WAV demux/window + content verify)"),
     DeclaredQuery("fn_array_ops", _fn_array_ops, _FN_ARRAY_OPS_SQL, "OP-F-ARRAY"),

@@ -149,3 +149,42 @@ def test_decode_assets_spark_stage_with_jpeg(spark):
            decode_assets(df, "asset_id", "payload", dim=4).collect()}
     assert got[1][:3] == [8.0, 8.0, 1.0]
     assert got[2][:3] == [4.0, 4.0, 1.0]
+
+
+def test_resize_images_nearest_and_bilinear(spark):
+    """The real resize stage: PNG and JPEG inputs decode, resize in
+    numpy, re-encode as PNG; nearest matches the floor-index formula
+    exactly, bilinear matches a numpy reference."""
+    from python_minerva_etl_spark.ext.codecs import png_decode, png_encode
+    from python_minerva_etl_spark.ext.multimodal import (_resize_pixels,
+                                                         resize_images)
+
+    src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = png_encode(src.tobytes(), 8, 8, 1)
+    jpg = jpeg_encode(bytes([200] * 64), 8, 8, 1, quality=100)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg))],
+        "asset_id long, payload binary")
+    out = {r.asset_id: r for r in
+           resize_images(df, "asset_id", "payload", 4, 4).collect()}
+    assert out[1].width == 4 and out[1].channels == 1
+    w, h, c, pix = png_decode(bytes(out[1].payload))
+    got = np.frombuffer(pix, np.uint8).reshape(4, 4)
+    # nearest: out(r,c) = in(2r, 2c)
+    assert np.array_equal(got, src[::2, ::2])
+    # flat JPEG resizes to flat
+    _, _, _, pix2 = png_decode(bytes(out[2].payload))
+    assert set(pix2) == {200}
+    # bilinear agrees with the in-process reference resize
+    out_b = {r.asset_id: r for r in
+             resize_images(df, "asset_id", "payload", 4, 4,
+                           method="bilinear").collect()}
+    _, _, _, pixb = png_decode(bytes(out_b[1].payload))
+    ref = _resize_pixels(src.tobytes(), 8, 8, 1, 4, 4, "bilinear")
+    assert np.array_equal(np.frombuffer(pixb, np.uint8),
+                          ref.reshape(-1))
+    # unknown container raises (never pseudo-resizes)
+    bad = spark.createDataFrame([(3, bytearray(b"???"))],
+                                "asset_id long, payload binary")
+    with pytest.raises(Exception, match="unknown container"):
+        resize_images(bad, "asset_id", "payload", 2, 2).collect()
