@@ -18,7 +18,12 @@ only:
 - **schema**: Iceberg JSON schema converted to a Spark
   ``StructType`` (primitives, decimal, struct/list/map);
 - **scan**: the live data-file set (``status != DELETED`` entries,
-  existing + added) read as parquet with the converted schema.
+  existing + added) read as parquet with the converted schema;
+  optional ``where`` predicates prune FILES against the manifests'
+  per-column ``lower_bounds``/``upper_bounds`` before any parquet
+  footer is touched (the spec's scan-planning contract — at 100 TB a
+  selective query must not open every data file), then re-apply as
+  DataFrame filters so correctness never depends on the pruning.
 
 Honest refusals (raise, never misread):
 
@@ -253,6 +258,73 @@ def _to_spark_schema(ice_schema: dict) -> T.StructType:
         for f in ice_schema["fields"]])
 
 
+# ----------------------------------------------------------- stat pruning
+
+_BOUND_DECODERS = {
+    "int": lambda b: struct.unpack("<i", b)[0],
+    "long": lambda b: struct.unpack("<q", b)[0],
+    "float": lambda b: struct.unpack("<f", b)[0],
+    "double": lambda b: struct.unpack("<d", b)[0],
+    "string": lambda b: b.decode("utf-8"),
+    "date": lambda b: struct.unpack("<i", b)[0],
+    "timestamp": lambda b: struct.unpack("<q", b)[0],
+    "timestamptz": lambda b: struct.unpack("<q", b)[0],
+}
+
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """Normalize a manifest column-stats map: Iceberg encodes
+    map<int, binary> in Avro either as a true map (string keys) or as
+    the logical-map array-of-{key, value} records."""
+    if raw is None:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    out = {}
+    for kv in raw:
+        out[int(kv["key"])] = kv["value"]
+    return out
+
+
+def _decode_bound(type_name: str, raw: bytes):
+    dec = _BOUND_DECODERS.get(type_name)
+    if dec is None or raw is None:
+        return None  # unknown type / missing: conservative
+    try:
+        return dec(raw)
+    except (struct.error, UnicodeDecodeError):
+        return None
+
+
+def _file_may_match(df_entry: dict, preds, field_id: dict,
+                    field_type: dict) -> bool:
+    """Conservative column-bound pruning (Iceberg spec 'Scan
+    Planning'): a file is skipped ONLY when its decoded
+    lower/upper_bounds prove a predicate false; missing stats,
+    unknown types, or undecodable bounds keep the file."""
+    lowers = _bounds_map(df_entry.get("lower_bounds"))
+    uppers = _bounds_map(df_entry.get("upper_bounds"))
+    for col, op, lit in preds:
+        fid = field_id.get(col)
+        if fid is None:
+            continue
+        lo = _decode_bound(field_type.get(col), lowers.get(fid))
+        hi = _decode_bound(field_type.get(col), uppers.get(fid))
+        try:
+            if op == "=" and ((lo is not None and lit < lo)
+                              or (hi is not None and lit > hi)):
+                return False
+            if op in (">", ">=") and hi is not None and (
+                    lit > hi if op == ">=" else lit >= hi):
+                return False
+            if op in ("<", "<=") and lo is not None and (
+                    lit < lo if op == "<=" else lit <= lo):
+                return False
+        except TypeError:  # incomparable literal: stay conservative
+            continue
+    return True
+
+
 # ------------------------------------------------------------------ table
 
 def _localize(uri: str) -> str:
@@ -363,15 +435,44 @@ class IcebergTable:
         return out
 
     def read(self, spark: SparkSession,
-             snapshot_id: int | None = None) -> DataFrame:
+             snapshot_id: int | None = None,
+             where: list[tuple] | None = None) -> DataFrame:
         """Snapshot read (optionally time-traveled by snapshot id).
+
+        ``where`` — a list of ``(column, op, literal)`` predicates
+        with op in =, <, <=, >, >= — is applied twice: first as
+        FILE-LEVEL pruning against the manifests' per-column
+        lower/upper_bounds (the Iceberg scan-planning contract: at
+        100 TB a selective query must not list-and-scan every data
+        file), then as ordinary DataFrame filters so correctness
+        never depends on the pruning (missing or undecodable bounds
+        keep the file; Catalyst pushes the residual filters to the
+        parquet row groups).
+
         Column resolution is BY NAME (Iceberg's is by field id):
         every scanned file's parquet footer must contain every
         top-level schema column, else raise — a renamed column would
         otherwise come back as silent nulls."""
         md = self.metadata()
-        schema = _to_spark_schema(self._current_schema(md))
+        ice_schema = self._current_schema(md)
+        schema = _to_spark_schema(ice_schema)
         files = self._data_files(self._snapshot(md, snapshot_id))
+        preds = list(where or [])
+        for col, op, _ in preds:
+            if op not in ("=", "<", "<=", ">", ">="):
+                raise ValueError(f"iceberg: unsupported predicate op "
+                                 f"{op!r}")
+            if col not in {f["name"] for f in ice_schema["fields"]}:
+                raise ValueError(f"iceberg: unknown column {col!r}")
+        if preds:
+            field_id = {f["name"]: f["id"]
+                        for f in ice_schema["fields"]}
+            field_type = {f["name"]: f["type"]
+                          for f in ice_schema["fields"]
+                          if isinstance(f["type"], str)}
+            files = [f for f in files
+                     if _file_may_match(f, preds, field_id,
+                                        field_type)]
         if not files:
             return spark.createDataFrame([], schema)
         paths = [_localize(f["file_path"]) for f in files]
@@ -388,10 +489,18 @@ class IcebergTable:
                         "likely column-renamed (field-id resolution), "
                         "which this name-based reader refuses rather "
                         "than returning nulls")
-        return spark.read.schema(schema).parquet(*paths)
+        out = spark.read.schema(schema).parquet(*paths)
+        for col, op, lit in preds:
+            from pyspark.sql import functions as F
+            c = F.col(col)
+            out = out.filter({"=": c == lit, "<": c < lit,
+                              "<=": c <= lit, ">": c > lit,
+                              ">=": c >= lit}[op])
+        return out
 
 
 def read_iceberg(spark: SparkSession, path: str,
-                 snapshot_id: int | None = None) -> DataFrame:
+                 snapshot_id: int | None = None,
+                 where: list[tuple] | None = None) -> DataFrame:
     """Read an Iceberg table (see :class:`IcebergTable.read`)."""
-    return IcebergTable(path).read(spark, snapshot_id)
+    return IcebergTable(path).read(spark, snapshot_id, where=where)

@@ -285,3 +285,150 @@ def test_plugin_reads_iceberg(spark, tmp_path):
     _build_table(root)
     got = get_plugin("iceberg")(spark, root)
     assert _rows(got) == [(2, "b"), (3, "c")]
+
+
+_KV_BOUNDS = {"type": "array", "items": {
+    "type": "record", "name": "i64_bytes", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"}]}}
+
+_MANIFEST_BOUNDS_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "lower_bounds", "type": ["null", _KV_BOUNDS]},
+                {"name": "upper_bounds", "type": ["null", _KV_BOUNDS]},
+            ]}},
+    ]}
+
+
+def _entry_with_bounds(path, lo, hi):
+    def kv(v):
+        return [{"key": 1, "value": struct.pack("<q", v)}]
+    return {"status": 1, "snapshot_id": 1,
+            "data_file": {"content": 0, "file_path": path,
+                          "file_format": "PARQUET",
+                          "record_count": 1, "file_size_in_bytes": 1,
+                          "lower_bounds": kv(lo),
+                          "upper_bounds": kv(hi)}}
+
+
+def test_where_prunes_files_by_column_bounds(spark, tmp_path):
+    """Scan planning: a predicate provably false against a file's
+    lower/upper_bounds must skip the file WITHOUT opening it — proven
+    by giving the out-of-range file a path that does not exist (an
+    unpruned read would raise), and a file with NO bounds must be
+    kept (conservative)."""
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    f_low = os.path.join(root, "data", "low.parquet")    # ids 1..3
+    f_high = os.path.join(root, "data", "gone.parquet")  # ids 100.. (absent!)
+    f_nb = os.path.join(root, "data", "nb.parquet")      # no bounds
+    _write_parquet(f_low, [1, 2, 3], ["a", "b", "c"])
+    _write_parquet(f_nb, [7], ["n"])
+    m = os.path.join(root, "metadata", "m.avro")
+    entries = [
+        _entry_with_bounds(f_low, 1, 3),
+        _entry_with_bounds(f_high, 100, 200),
+        _entry(f_nb),  # plain schema in a second manifest below
+    ]
+    with open(m, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_BOUNDS_SCHEMA, entries[:2],
+                            codec="deflate"))
+    m2 = os.path.join(root, "metadata", "m2.avro")
+    with open(m2, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_SCHEMA, entries[2:]))
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    with open(ml, "wb") as fh:
+        fh.write(_avro_file(_LIST_SCHEMA, [
+            {"manifest_path": m, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0},
+            {"manifest_path": m2, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0}]))
+    md = {"format-version": 2, "table-uuid": "t", "location": root,
+          "schemas": [_ICE_SCHEMA], "current-schema-id": 0,
+          "current-snapshot-id": 1,
+          "snapshots": [{"snapshot-id": 1, "manifest-list": ml}]}
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(md, fh)
+
+    # without where, the missing high file must make the read fail
+    with pytest.raises(Exception):
+        read_iceberg(spark, root).collect()
+    # with a pruning predicate, the missing file is never opened and
+    # the bound-less file survives pruning but is filtered row-wise
+    got = _rows(read_iceberg(spark, root, where=[("id", "<=", 3)]))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    got = _rows(read_iceberg(spark, root, where=[("id", "=", 7)]))
+    assert got == [(7, "n")]
+    # predicate excluding everything with bounds + the no-bounds file
+    got = _rows(read_iceberg(spark, root, where=[("id", "<", 1)]))
+    assert got == []
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        read_iceberg(spark, root, where=[("id", "!=", 1)])
+    with pytest.raises(ValueError, match="unknown column"):
+        read_iceberg(spark, root, where=[("nope", "=", 1)])
+
+
+def test_where_bounds_true_map_form(spark, tmp_path):
+    """Column stats also arrive as a TRUE Avro map (string keys) from
+    some writers; both forms must prune identically."""
+    schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds",
+                     "type": {"type": "map", "values": "bytes"}},
+                    {"name": "upper_bounds",
+                     "type": {"type": "map", "values": "bytes"}},
+                ]}},
+        ]}
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    f1 = os.path.join(root, "data", "f1.parquet")
+    _write_parquet(f1, [5], ["x"])
+    rec = {"status": 1, "snapshot_id": 1,
+           "data_file": {"content": 0, "file_path": f1,
+                         "file_format": "PARQUET", "record_count": 1,
+                         "file_size_in_bytes": 1,
+                         "lower_bounds": {"1": struct.pack("<q", 5)},
+                         "upper_bounds": {"1": struct.pack("<q", 5)}}}
+    missing = dict(rec, data_file=dict(
+        rec["data_file"],
+        file_path=os.path.join(root, "data", "gone.parquet"),
+        lower_bounds={"1": struct.pack("<q", 50)},
+        upper_bounds={"1": struct.pack("<q", 60)}))
+    m = os.path.join(root, "metadata", "m.avro")
+    with open(m, "wb") as fh:
+        fh.write(_avro_file(schema, [rec, missing]))
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    with open(ml, "wb") as fh:
+        fh.write(_avro_file(_LIST_SCHEMA, [
+            {"manifest_path": m, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0}]))
+    md = {"format-version": 2, "table-uuid": "t", "location": root,
+          "schemas": [_ICE_SCHEMA], "current-schema-id": 0,
+          "current-snapshot-id": 1,
+          "snapshots": [{"snapshot-id": 1, "manifest-list": ml}]}
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(md, fh)
+    assert _rows(read_iceberg(spark, root, where=[("id", "=", 5)])) \
+        == [(5, "x")]
