@@ -104,6 +104,15 @@ def _read_iceberg(spark: SparkSession, path: str, config=None) -> DataFrame:
     return read_iceberg(spark, path, snapshot_id=snap)
 
 
+@register("avro")
+def _read_avro(spark: SparkSession, path: str, config=None) -> DataFrame:
+    """Avro object-container read via the stdlib decoder
+    (sources/avro.py) — no spark-avro jar; one executor task per
+    file, logical types (decimal/date/timestamp) converted."""
+    from .avro import read_avro
+    return read_avro(spark, path)
+
+
 @register("jsonl")
 def _read_jsonl(spark: SparkSession, path: str, config=None) -> DataFrame:
     """Newline-delimited JSON — the de-facto web-corpus interchange
