@@ -534,3 +534,66 @@ def test_avro_source_refuses_mixed_schemas_and_bad_unions(spark, tmp_path):
         read_avro(spark, str(d2))
     with pytest.raises(FileNotFoundError):
         read_avro(spark, str(tmp_path / "nope"))
+
+
+def _avro_file_blocks(schema, records, codec="null", per_block=2):
+    """Multi-block container (the in-test writer above emits a single
+    block; real writers emit many)."""
+    sync = bytes(range(16))
+    out = bytearray(b"Obj\x01")
+    out += _enc({"avro.schema": json.dumps(schema).encode(),
+                 "avro.codec": codec.encode()},
+                {"type": "map", "values": "bytes"})
+    out += sync
+    for i in range(0, len(records), per_block):
+        chunk = records[i:i + per_block]
+        body = b"".join(_enc(r, schema) for r in chunk)
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            body = co.compress(body) + co.flush()
+        out += _zz(len(chunk)) + _zz(len(body)) + body + sync
+    return bytes(out)
+
+
+def test_avro_decoder_property_roundtrip():
+    """Property: any record list round-trips through the spec writer
+    and our decoder, across codecs, block splits, and value edge
+    cases (zigzag boundaries, unicode, empty/nested collections)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_minerva_etl_spark.storage.iceberg import avro_read
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "b", "type": "bytes"},
+        {"name": "f", "type": "double"},
+        {"name": "a", "type": {"type": "array",
+                               "items": ["null", "long"]}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ]}
+    longs = st.one_of(
+        st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+        st.sampled_from([0, 1, -1, 63, 64, -64, -65,
+                         2 ** 31 - 1, -2 ** 31, 2 ** 62, -(2 ** 62)]))
+    rec = st.fixed_dictionaries({
+        "i": longs,
+        "s": st.one_of(st.none(), st.text(max_size=20)),
+        "b": st.binary(max_size=16),
+        "f": st.floats(allow_nan=False, width=64),
+        "a": st.lists(st.one_of(st.none(), longs), max_size=5),
+        "m": st.dictionaries(st.text(max_size=8),
+                             st.text(max_size=8), max_size=4),
+    })
+
+    @settings(max_examples=60, deadline=None)
+    @given(records=st.lists(rec, max_size=7),
+           codec=st.sampled_from(["null", "deflate"]),
+           per_block=st.integers(min_value=1, max_value=3))
+    def check(records, codec, per_block):
+        blob = _avro_file_blocks(schema, records, codec, per_block)
+        _, got = avro_read(blob)
+        assert got == records
+
+    check()
