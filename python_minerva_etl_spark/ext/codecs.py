@@ -187,7 +187,9 @@ def wav_encode(samples: list[int], sample_rate: int = 8000,
 def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode a RIFF/WAVE file to ``(sample_rate, n_channels,
     samples)``.  Real chunk walk (fmt before data, unknown chunks
-    skipped with word alignment); 16-bit PCM only."""
+    skipped with word alignment).  PCM at 8 bits (unsigned per the
+    WAV spec, re-centred to signed), 16 bits (signed LE), or 24 bits
+    (signed LE, common in production audio); anything else raises."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
@@ -201,15 +203,25 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
         if tag == b"fmt ":
             audio_fmt, nch, rate, _, _, bits = \
                 struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt != 1 or bits not in (8, 16, 24):
                 raise ValueError(
                     f"unsupported WAV: fmt={audio_fmt} bits={bits} "
-                    "(16-bit PCM only)")
+                    "(8/16/24-bit PCM only)")
         elif tag == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            n = len(body) // 2
-            samples = list(struct.unpack(f"<{n}h", body[:n * 2]))
+            if bits == 16:
+                n = len(body) // 2
+                samples = list(struct.unpack(f"<{n}h", body[:n * 2]))
+            elif bits == 8:
+                # 8-bit WAV is UNSIGNED with midpoint 128
+                samples = [b - 128 for b in body]
+            else:  # 24-bit signed little-endian
+                n = len(body) // 3
+                samples = [
+                    int.from_bytes(body[i * 3:i * 3 + 3], "little",
+                                   signed=True)
+                    for i in range(n)]
     if samples is None or rate is None:
         raise ValueError("WAV missing fmt/data chunk")
     return rate, nch, samples
@@ -238,8 +250,13 @@ def wav_frames(payload: bytes, frame_samples: int = 64,
     """REAL audio demux/window stage for :func:`sample_frames`: decode
     the WAV container, window the PCM stream into ``frame_samples``
     chunks (last partial window kept), keep every ``every_n``-th, and
-    re-emit each window as raw little-endian int16 bytes."""
+    re-emit each window as raw little-endian int16 bytes.  24-bit
+    sources are deterministically scaled down (>> 8) so the emitted
+    windows stay int16; 8-bit sources pass through at their native
+    (low) amplitude."""
     _, _, samples = wav_decode(payload)
+    if samples and max(abs(s) for s in samples) > 32767:
+        samples = [s >> 8 for s in samples]  # 24-bit -> 16-bit scale
     frames = [struct.pack(f"<{len(samples[i:i + frame_samples])}h",
                           *samples[i:i + frame_samples])
               for i in range(0, len(samples), frame_samples)]

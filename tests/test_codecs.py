@@ -150,3 +150,51 @@ def test_sniff_decode_dispatch():
     assert fw[0] == 8000.0 and fw[1] == 2.0
     with pytest.raises(ValueError, match="unknown container"):
         sniff_decode(b"\x00\x01\x02garbage")
+
+
+def test_wav_8_and_24_bit_pcm_decode():
+    """Round-5 codec breadth: 8-bit (unsigned, re-centred) and 24-bit
+    (signed LE) PCM decode from hand-built RIFF bytes (not via our
+    encoder, which emits 16-bit)."""
+    import struct
+
+    from python_minerva_etl_spark.ext.codecs import wav_decode
+
+    def riff(bits, data, nch=1, rate=8000):
+        block = bits // 8 * nch
+        fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * block,
+                          block, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit: unsigned bytes, midpoint 128 -> signed
+    r, n, s = wav_decode(riff(8, bytes([0, 128, 255, 200])))
+    assert (r, n) == (8000, 1) and s == [-128, 0, 127, 72]
+    # 24-bit: signed little-endian triples
+    vals = [0, 1, -1, 8_388_607, -8_388_608, 123_456]
+    data = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    r, n, s = wav_decode(riff(24, data))
+    assert s == vals
+    # 32-bit still refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="8/16/24"):
+        wav_decode(riff(32, b"\x00" * 8))
+
+
+def test_wav_frames_from_24_bit_source():
+    import struct
+
+    from python_minerva_etl_spark.ext.codecs import wav_frames
+
+    vals = [100_000, -100_000, 5_000_000, 70]
+    data = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    block = 3
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * block, block, 24)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames = wav_frames(wav, frame_samples=2, every_n=1)
+    got = [struct.unpack(f"<{len(f) // 2}h", f) for f in frames]
+    assert got == [(100_000 >> 8, -100_000 >> 8),
+                   (5_000_000 >> 8, 70 >> 8)]
