@@ -78,7 +78,11 @@ def test_lsh_band_joins_are_not_cross_joins(spark):
     """The dedup scale paths must bucket-join, never cartesian: a
     refactor that degrades the band join to a cross join would still
     pass rows-only checks but melt at 100 TB."""
-    for name in ("dedup_minhash_pairs", "dedup_simhash"):
+    for name in ("dedup_minhash_pairs", "dedup_simhash",
+                 # round-5: the containment prefix filter and the
+                 # exact Jaccard prefix join are equi-joins on tok
+                 "dedup_containment", "dedup_near_pairs",
+                 "dedup_ngram_jaccard"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
