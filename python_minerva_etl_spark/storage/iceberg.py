@@ -325,6 +325,60 @@ def _file_may_match(df_entry: dict, preds, field_id: dict,
     return True
 
 
+def _partition_specs(md: dict) -> dict[int, list[dict]]:
+    """{spec-id: [partition field dicts]} from table metadata (v2
+    ``partition-specs`` or the legacy v1 ``partition-spec`` list)."""
+    if "partition-specs" in md:
+        return {s.get("spec-id", 0): s.get("fields", [])
+                for s in md["partition-specs"]}
+    if "partition-spec" in md:
+        return {0: md["partition-spec"]}
+    return {}
+
+
+def _manifest_may_match(m: dict, preds, specs: dict,
+                        by_id: dict) -> bool:
+    """Manifest-list partition-summary pruning (the upper layer of
+    Iceberg scan planning): each manifest entry carries per-partition-
+    field summaries (contains_null, lower_bound, upper_bound).  For
+    IDENTITY-transform fields whose source column appears in a
+    predicate, a manifest whose summary range provably excludes the
+    predicate is skipped WITHOUT opening its Avro file.  Non-identity
+    transforms (bucket/truncate/day/...), missing summaries, and
+    undecodable bounds keep the manifest.  ``contains_null`` needs no
+    special case: SQL comparison predicates are never satisfied by
+    NULL, so bound-based exclusion stays sound."""
+    summaries = m.get("partitions")
+    spec = specs.get(m.get("partition_spec_id", 0))
+    if not summaries or not spec:
+        return True
+    for fld, summ in zip(spec, summaries):
+        if fld.get("transform") != "identity" or summ is None:
+            continue
+        src = by_id.get(fld.get("source-id"))
+        if src is None:
+            continue
+        name, type_name = src
+        lo = _decode_bound(type_name, summ.get("lower_bound"))
+        hi = _decode_bound(type_name, summ.get("upper_bound"))
+        for col, op, lit in preds:
+            if col != name:
+                continue
+            try:
+                if op == "=" and ((lo is not None and lit < lo)
+                                  or (hi is not None and lit > hi)):
+                    return False
+                if op in (">", ">=") and hi is not None and (
+                        lit > hi if op == ">=" else lit >= hi):
+                    return False
+                if op in ("<", "<=") and lo is not None and (
+                        lit < lo if op == "<=" else lit <= lo):
+                    return False
+            except TypeError:
+                continue
+    return True
+
+
 # ------------------------------------------------------------------ table
 
 def _localize(uri: str) -> str:
@@ -393,12 +447,17 @@ class IcebergTable:
             f"iceberg: snapshot {snapshot_id} not in metadata (have "
             f"{[s.get('snapshot-id') for s in snaps]})")
 
-    def _data_files(self, snap: dict) -> list[dict]:
+    def _data_files(self, snap: dict, preds=(),
+                    md: dict | None = None) -> list[dict]:
         """Live data-file entries for a snapshot: replay its manifest
         list, then every manifest, keeping EXISTING/ADDED entries.
-        Delete manifests (v2 content=1) or delete data files
-        (content 1/2) are refused — a plain scan would return rows a
-        real Iceberg reader deletes."""
+        With ``preds`` and table metadata, manifests whose
+        partition summaries provably exclude every predicate are
+        skipped before their Avro is even opened
+        (:func:`_manifest_may_match`).  Delete manifests (v2
+        content=1) or delete data files (content 1/2) are refused —
+        a plain scan would return rows a real Iceberg reader
+        deletes."""
         if not snap:
             return []
         if "manifest-list" in snap:
@@ -408,6 +467,13 @@ class IcebergTable:
         else:  # legacy v1 inline manifests list
             manifests = [{"manifest_path": p} for p in
                          snap.get("manifests", [])]
+        if preds and md is not None:
+            specs = _partition_specs(md)
+            by_id = {f["id"]: (f["name"], f["type"])
+                     for f in self._current_schema(md)["fields"]
+                     if isinstance(f["type"], str)}
+            manifests = [m for m in manifests
+                         if _manifest_may_match(m, preds, specs, by_id)]
         out: list[dict] = []
         for m in manifests:
             if m.get("content", 0) == 1:
@@ -456,7 +522,6 @@ class IcebergTable:
         md = self.metadata()
         ice_schema = self._current_schema(md)
         schema = _to_spark_schema(ice_schema)
-        files = self._data_files(self._snapshot(md, snapshot_id))
         preds = list(where or [])
         for col, op, _ in preds:
             if op not in ("=", "<", "<=", ">", ">="):
@@ -464,6 +529,8 @@ class IcebergTable:
                                  f"{op!r}")
             if col not in {f["name"] for f in ice_schema["fields"]}:
                 raise ValueError(f"iceberg: unknown column {col!r}")
+        files = self._data_files(self._snapshot(md, snapshot_id),
+                                 preds, md)
         if preds:
             field_id = {f["name"]: f["id"]
                         for f in ice_schema["fields"]}

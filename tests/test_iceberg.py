@@ -597,3 +597,78 @@ def test_avro_decoder_property_roundtrip():
         assert got == records
 
     check()
+
+
+def test_manifest_level_pruning_from_partition_summaries(spark, tmp_path):
+    """The upper scan-planning layer: a manifest whose partition
+    summaries exclude the predicate is skipped WITHOUT opening its
+    Avro — proven by pointing the excluded manifest at a nonexistent
+    file.  Bucket-transform fields must NOT prune (conservative)."""
+    list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "partitions", "type": ["null", {
+                "type": "array", "items": {
+                    "type": "record", "name": "field_summary",
+                    "fields": [
+                        {"name": "contains_null", "type": "boolean"},
+                        {"name": "lower_bound",
+                         "type": ["null", "bytes"]},
+                        {"name": "upper_bound",
+                         "type": ["null", "bytes"]},
+                    ]}}]},
+        ]}
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    f1 = os.path.join(root, "data", "f1.parquet")
+    _write_parquet(f1, [5], ["x"])
+    m_ok = os.path.join(root, "metadata", "m_ok.avro")
+    with open(m_ok, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_SCHEMA, [_entry(f1)]))
+    m_gone = os.path.join(root, "metadata", "gone.avro")  # never created
+
+    def summ(lo, hi):
+        return [{"contains_null": False,
+                 "lower_bound": struct.pack("<q", lo),
+                 "upper_bound": struct.pack("<q", hi)}]
+
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    with open(ml, "wb") as fh:
+        fh.write(_avro_file(list_schema, [
+            {"manifest_path": m_ok, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "partitions": summ(1, 10)},
+            {"manifest_path": m_gone, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "partitions": summ(100, 200)},
+        ]))
+    md = {"format-version": 2, "table-uuid": "t", "location": root,
+          "schemas": [_ICE_SCHEMA], "current-schema-id": 0,
+          "partition-specs": [{"spec-id": 0, "fields": [
+              {"name": "id", "transform": "identity",
+               "source-id": 1, "field-id": 1000}]}],
+          "current-snapshot-id": 1,
+          "snapshots": [{"snapshot-id": 1, "manifest-list": ml}]}
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(md, fh)
+
+    # without a predicate the missing manifest must fail the read
+    with pytest.raises(Exception):
+        read_iceberg(spark, root).collect()
+    # with the predicate, the out-of-range manifest is never opened
+    assert _rows(read_iceberg(spark, root, where=[("id", "<", 50)])) \
+        == [(5, "x")]
+    # a bucket transform must not prune (the summary is over hashed
+    # values, not source values): same predicate now fails because
+    # the missing manifest survives pruning
+    md["partition-specs"][0]["fields"][0]["transform"] = "bucket[8]"
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(md, fh)
+    with pytest.raises(Exception):
+        read_iceberg(spark, root, where=[("id", "<", 50)]).collect()
