@@ -113,3 +113,28 @@ def test_encoder_equals_tuple_reference_on_vendored_table():
         want = _tuple_encode(w, merges)
         assert got == want, (w, got, want)
         assert "".join(got) == w
+
+
+def test_encoder_property_equals_tuple_reference():
+    """Property: sentinel-replace encoding == tuple-wise merge
+    application for RANDOM words and RANDOM merge tables (not just
+    the vendored one) — including adversarial merges whose symbols
+    embed each other (the boundary-bleed class ADVICE r4 flagged)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.text(alphabet="ab", min_size=1, max_size=3)
+
+    @settings(max_examples=80, deadline=None)
+    @given(word=st.text(alphabet="ab", max_size=12),
+           merges=st.lists(st.tuples(sym, sym), max_size=6))
+    def check(word, merges):
+        got = encode_word(word, merges)
+        want = _tuple_encode(word, merges)
+        # _tuple_encode starts from characters; merges whose inputs
+        # aren't single chars or earlier outputs simply never fire in
+        # either encoder, so equality must hold for ALL tables
+        assert got == want, (word, merges, got, want)
+        assert "".join(got) == word
+
+    check()

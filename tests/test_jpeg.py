@@ -188,3 +188,47 @@ def test_resize_images_nearest_and_bilinear(spark):
                                 "asset_id long, payload binary")
     with pytest.raises(Exception, match="unknown container"):
         resize_images(bad, "asset_id", "payload", 2, 2).collect()
+
+
+def test_jpeg_roundtrip_property_random_images():
+    """Property: random images round-trip through encode→decode with
+    bounded error at high quality, for grey and RGB in both
+    subsamplings and with/without restart markers."""
+    import numpy as _np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        channels=st.sampled_from([1, 3]),
+        subsampling=st.sampled_from(["444", "420"]),
+        rst=st.sampled_from([0, 2]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, channels, subsampling, rst, seed):
+        rng = _np.random.default_rng(seed)
+        # genuinely smooth content (low per-pixel gradients): the
+        # error bound below assumes photo-like locality — hard 8x8
+        # tile edges under 4:2:0 legitimately average chroma across
+        # the edge and would need a looser bound
+        yy, xx = _np.mgrid[0:h, 0:w]
+        img = _np.stack([
+            rng.integers(80, 176)
+            + rng.uniform(-2, 2) * xx + rng.uniform(-2, 2) * yy
+            for _ in range(channels)], axis=-1)
+        img = _np.clip(img, 0, 255).astype(_np.uint8)
+        if channels == 1:
+            img = img[..., 0]
+        enc = jpeg_encode(img.tobytes(), w, h, channels, quality=95,
+                          subsampling=subsampling if channels == 3
+                          else "444", restart_interval=rst)
+        W, H, C, pix = jpeg_decode(enc)
+        assert (W, H, C) == (w, h, channels)
+        got = _np.frombuffer(pix, _np.uint8).astype(int)
+        err = _np.abs(got - img.reshape(-1).astype(int))
+        assert err.max() <= 24 and err.mean() <= 6, (
+            err.max(), err.mean())
+
+    check()
