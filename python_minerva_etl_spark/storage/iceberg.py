@@ -18,7 +18,8 @@ only:
 - **schema**: Iceberg JSON schema converted to a Spark
   ``StructType`` (primitives, decimal, struct/list/map);
 - **scan**: the live data-file set (``status != DELETED`` entries,
-  existing + added) read as parquet with the converted schema;
+  existing + added) read with the converted schema — parquet and ORC
+  data files, grouped by format and unioned;
   optional ``where`` predicates prune FILES against the manifests'
   per-column ``lower_bounds``/``upper_bounds`` before any parquet
   footer is touched (the spec's scan-planning contract — at 100 TB a
@@ -28,8 +29,8 @@ only:
 Honest refusals (raise, never misread):
 
 - v2 **delete files** (position/equality): a snapshot with live
-  delete files cannot be answered correctly by a plain parquet scan;
-- non-parquet data files (Avro/ORC data files are legal per spec);
+  delete files cannot be answered correctly by a plain file scan;
+- Avro data files (legal per spec, rare in practice);
 - renamed columns: Iceberg resolves columns by field id, this reader
   by name — every scanned file's parquet footer must contain every
   top-level schema name, else the read raises instead of returning
@@ -493,10 +494,12 @@ class IcebergTable:
                         "unsupported — refusing a read that would "
                         "return deleted rows")
                 fmt = (df.get("file_format") or "").upper()
-                if fmt != "PARQUET":
+                if fmt not in ("PARQUET", "ORC"):
                     raise NotImplementedError(
                         f"iceberg: {fmt or '?'} data files unsupported "
-                        "(parquet only)")
+                        "(parquet and ORC only; Avro data files are "
+                        "legal per spec but rare — refused rather "
+                        "than misread)")
                 out.append(df)
         return out
 
@@ -542,21 +545,43 @@ class IcebergTable:
                                         field_type)]
         if not files:
             return spark.createDataFrame([], schema)
-        paths = [_localize(f["file_path"]) for f in files]
+        by_fmt: dict[str, list[str]] = {}
+        for f in files:
+            by_fmt.setdefault((f.get("file_format") or "PARQUET")
+                              .upper(), []).append(
+                _localize(f["file_path"]))
         want = {f.name for f in schema.fields}
+
+        def check_names(p: str, names) -> None:
+            missing = want - set(names)
+            if missing:
+                raise ValueError(
+                    f"iceberg: file {os.path.basename(p)!r} lacks "
+                    f"columns {sorted(missing)} — the table was "
+                    "likely column-renamed (field-id resolution), "
+                    "which this name-based reader refuses rather "
+                    "than returning nulls")
+
         import pyarrow.parquet as pq
-        for p in paths:
+        for p in by_fmt.get("PARQUET", []):
             if os.path.exists(p):
-                have = set(pq.ParquetFile(p).schema_arrow.names)
-                missing = want - have
-                if missing:
-                    raise ValueError(
-                        f"iceberg: file {os.path.basename(p)!r} lacks "
-                        f"columns {sorted(missing)} — the table was "
-                        "likely column-renamed (field-id resolution), "
-                        "which this name-based reader refuses rather "
-                        "than returning nulls")
-        out = spark.read.schema(schema).parquet(*paths)
+                check_names(p, pq.ParquetFile(p).schema_arrow.names)
+        if by_fmt.get("ORC"):
+            try:
+                import pyarrow.orc as po
+            except ImportError:
+                po = None  # footer guard skipped; read still typed
+            if po is not None:
+                for p in by_fmt["ORC"]:
+                    if os.path.exists(p):
+                        check_names(p, po.ORCFile(p).schema.names)
+        out = None
+        if by_fmt.get("PARQUET"):
+            out = spark.read.schema(schema).parquet(
+                *by_fmt["PARQUET"])
+        if by_fmt.get("ORC"):
+            orc_df = spark.read.schema(schema).orc(*by_fmt["ORC"])
+            out = orc_df if out is None else out.unionByName(orc_df)
         for col, op, lit in preds:
             from pyspark.sql import functions as F
             c = F.col(col)

@@ -245,12 +245,12 @@ def test_refusals_delete_files_and_formats(spark, tmp_path):
                    content=2)]))
     with pytest.raises(NotImplementedError, match="delete files"):
         read_iceberg(spark, root, snapshot_id=1)
-    # ORC data file must refuse
+    # Avro data files must refuse (ORC is supported since round 5)
     with open(m, "wb") as fh:
         fh.write(_avro_file(_MANIFEST_SCHEMA, [
             _entry(os.path.join(root, "data", "f1.parquet"),
-                   fmt="ORC")]))
-    with pytest.raises(NotImplementedError, match="ORC"):
+                   fmt="AVRO")]))
+    with pytest.raises(NotImplementedError, match="AVRO"):
         read_iceberg(spark, root, snapshot_id=1)
 
 
@@ -672,3 +672,51 @@ def test_manifest_level_pruning_from_partition_summaries(spark, tmp_path):
         json.dump(md, fh)
     with pytest.raises(Exception):
         read_iceberg(spark, root, where=[("id", "<", 50)]).collect()
+
+
+def test_mixed_parquet_and_orc_data_files(spark, tmp_path):
+    """ORC data files are legal per spec; a table mixing parquet and
+    ORC reads as the union, and the rename guard covers ORC footers
+    too."""
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    fp = os.path.join(root, "data", "p.parquet")
+    _write_parquet(fp, [1], ["a"])
+    fo_dir = os.path.join(root, "data", "orc")
+    (spark.createDataFrame([(2, "b")], "id long, v string")
+     .coalesce(1).write.orc(fo_dir))
+    import glob as _glob
+    fo = _glob.glob(os.path.join(fo_dir, "*.orc"))[0]
+    m = os.path.join(root, "metadata", "m.avro")
+    with open(m, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_SCHEMA, [
+            _entry(fp), _entry(fo, fmt="ORC")]))
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    with open(ml, "wb") as fh:
+        fh.write(_avro_file(_LIST_SCHEMA, [
+            {"manifest_path": m, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0}]))
+    md = {"format-version": 2, "table-uuid": "t", "location": root,
+          "schemas": [_ICE_SCHEMA], "current-schema-id": 0,
+          "current-snapshot-id": 1,
+          "snapshots": [{"snapshot-id": 1, "manifest-list": ml}]}
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(md, fh)
+    assert _rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b")]
+    # rename guard fires on ORC footers too
+    (spark.createDataFrame([(9, "z")], "id long, v_old string")
+     .coalesce(1).write.mode("overwrite").orc(fo_dir))
+    fo2 = _glob.glob(os.path.join(fo_dir, "*.orc"))[0]
+    with open(m, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_SCHEMA, [
+            _entry(fp), _entry(fo2, fmt="ORC")]))
+    with pytest.raises(ValueError, match="column-renamed"):
+        read_iceberg(spark, root)
+    # Avro data files still refused
+    with open(m, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_SCHEMA, [
+            _entry(fp, fmt="AVRO")]))
+    with pytest.raises(NotImplementedError, match="AVRO"):
+        read_iceberg(spark, root)
