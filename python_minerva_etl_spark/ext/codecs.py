@@ -186,6 +186,14 @@ def wav_encode(samples: list[int], sample_rate: int = 8000,
 
 def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode a RIFF/WAVE file to ``(sample_rate, n_channels,
+    samples)`` — see :func:`wav_decode_full` for the variant that
+    also reports the source bit depth."""
+    rate, nch, _, samples = wav_decode_full(payload)
+    return rate, nch, samples
+
+
+def wav_decode_full(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a RIFF/WAVE file to ``(sample_rate, n_channels, bits,
     samples)``.  Real chunk walk (fmt before data, unknown chunks
     skipped with word alignment).  PCM at 8 bits (unsigned per the
     WAV spec, re-centred to signed), 16 bits (signed LE), or 24 bits
@@ -224,7 +232,7 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
                     for i in range(n)]
     if samples is None or rate is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return rate, nch, samples
+    return rate, nch, bits, samples
 
 
 def wav_stats(payload: bytes) -> dict:
@@ -253,9 +261,12 @@ def wav_frames(payload: bytes, frame_samples: int = 64,
     re-emit each window as raw little-endian int16 bytes.  24-bit
     sources are deterministically scaled down (>> 8) so the emitted
     windows stay int16; 8-bit sources pass through at their native
-    (low) amplitude."""
-    _, _, samples = wav_decode(payload)
-    if samples and max(abs(s) for s in samples) > 32767:
+    (low) amplitude.  Scaling keys off the DECLARED bit depth from
+    the fmt chunk, never off amplitude: a full-scale 16-bit file
+    (containing -32768) must not be attenuated 256x, and a quiet
+    24-bit file must still be scaled."""
+    _, _, bits, samples = wav_decode_full(payload)
+    if bits == 24:
         samples = [s >> 8 for s in samples]  # 24-bit -> 16-bit scale
     frames = [struct.pack(f"<{len(samples[i:i + frame_samples])}h",
                           *samples[i:i + frame_samples])

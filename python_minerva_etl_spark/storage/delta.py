@@ -380,16 +380,23 @@ class DeltaTable:
         os.makedirs(_log_dir(self.path), exist_ok=True)
         with open(tmp, "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
-        if os.path.exists(final):
-            os.remove(tmp)
+        # Put-if-absent: os.link raises FileExistsError atomically if
+        # the commit file already exists, so two writers racing on the
+        # same version can never both "win" — the loser gets
+        # DeltaConcurrentCommit and ``write`` retries at version+1.
+        # (An exists-check followed by os.replace is NOT atomic: both
+        # racers can pass the check and the second replace silently
+        # clobbers the first writer's committed actions.)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
             raise DeltaConcurrentCommit(
                 f"concurrent Delta commit at version {version}")
-        # os.replace is atomic on POSIX within a filesystem; the tmp
-        # file lives next to its target so no cross-device copy can
-        # expose a partial commit.  (The exists-check + replace pair
-        # is last-writer-wins only between races in the same instant;
-        # version numbers make even that loss detectable on replay.)
-        os.replace(tmp, final)
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
         if version % _CHECKPOINT_EVERY == 0 and version > 0:
             self._write_checkpoint(version)
 

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import zlib
 
@@ -405,13 +406,22 @@ class IcebergTable:
                 p = os.path.join(self._mdir, name)
                 if os.path.exists(p):
                     return p
-        cands = sorted(
-            n for n in os.listdir(self._mdir)
-            if n.endswith(".metadata.json"))
+        cands = [n for n in os.listdir(self._mdir)
+                 if n.endswith(".metadata.json")]
         if not cands:
             raise FileNotFoundError(
                 f"no Iceberg metadata under {self._mdir!r}")
-        return os.path.join(self._mdir, cands[-1])
+
+        def version_of(name: str) -> tuple[int, str]:
+            # HadoopTables: 'v<N>.metadata.json'; HiveCatalog-style:
+            # '<N>-<uuid>.metadata.json'.  Lexicographic order breaks
+            # at v10 vs v9 — sort by the parsed NUMERIC version, name
+            # as tiebreak; unparseable names sort first (lowest).
+            stem = name[:-len(".metadata.json")]
+            m = re.match(r"v?(\d+)", stem)
+            return (int(m.group(1)) if m else -1, name)
+
+        return os.path.join(self._mdir, max(cands, key=version_of))
 
     def metadata(self) -> dict:
         with open(self._metadata_path()) as fh:
@@ -551,16 +561,25 @@ class IcebergTable:
                               .upper(), []).append(
                 _localize(f["file_path"]))
         want = {f.name for f in schema.fields}
+        required = {f["name"] for f in ice_schema["fields"]
+                    if f.get("required")}
 
         def check_names(p: str, names) -> None:
-            missing = want - set(names)
+            # Add-column schema evolution is legal: old data files
+            # lack the new (optional) column and read as nulls via
+            # the enforced read schema.  Only a missing REQUIRED
+            # column is refused — a required column can never have
+            # been absent at write time, so its absence by name means
+            # the table was renamed or otherwise schema-evolved in a
+            # way this name-based (not field-id) reader can't follow.
+            missing = (want & required) - set(names)
             if missing:
                 raise ValueError(
                     f"iceberg: file {os.path.basename(p)!r} lacks "
-                    f"columns {sorted(missing)} — the table was "
-                    "likely column-renamed (field-id resolution), "
-                    "which this name-based reader refuses rather "
-                    "than returning nulls")
+                    f"required columns {sorted(missing)} — the table "
+                    "was renamed or schema-evolved beyond what this "
+                    "name-based reader resolves (Iceberg resolves by "
+                    "field-id); refusing rather than returning nulls")
 
         import pyarrow.parquet as pq
         for p in by_fmt.get("PARQUET", []):

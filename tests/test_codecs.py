@@ -198,3 +198,28 @@ def test_wav_frames_from_24_bit_source():
     got = [struct.unpack(f"<{len(f) // 2}h", f) for f in frames]
     assert got == [(100_000 >> 8, -100_000 >> 8),
                    (5_000_000 >> 8, 70 >> 8)]
+
+
+def test_wav_frames_scale_keys_off_declared_bits():
+    """ADVICE r5: scaling must key off the fmt chunk's bit depth, not
+    amplitude.  A full-scale 16-bit file (containing -32768, abs
+    32768 > 32767) must NOT be attenuated; a quiet 24-bit file (peak
+    well under 32767) MUST still be scaled >> 8."""
+    import struct
+
+    from python_minerva_etl_spark.ext.codecs import wav_encode, wav_frames
+
+    # full-scale 16-bit: -32768 would have tripped the old amplitude sniff
+    loud16 = wav_encode([-32768, 32767, 0, -1])
+    (frame,) = wav_frames(loud16, frame_samples=4)
+    assert struct.unpack("<4h", frame) == (-32768, 32767, 0, -1)
+
+    # quiet 24-bit: every sample fits in int16 yet must still be scaled
+    vals = [3000, -3000, 256, -256]
+    data = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    quiet24 = b"RIFF" + struct.pack("<I", len(body)) + body
+    (frame,) = wav_frames(quiet24, frame_samples=4)
+    assert struct.unpack("<4h", frame) == (3000 >> 8, -3000 >> 8, 1, -1)

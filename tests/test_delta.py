@@ -468,3 +468,22 @@ def test_append_stream_delta_exactly_once(spark, tmp_path):
     assert _rows(read_delta(spark, p)) == [(1, "a"), (2, "b")]
     t.write(spark, batch, mode="append", txn=("q1", 1))
     assert read_delta(spark, p).count() == 4
+
+
+def test_losing_commit_racer_never_clobbers_winner(spark, tmp_path):
+    """ADVICE r5: _commit must be put-if-absent.  A racer that loses
+    at version N must raise AND leave the winner's committed file
+    byte-identical — the old exists-check + os.replace pair let the
+    loser silently overwrite the winner's actions."""
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.createDataFrame([(1,)], "id long"), p)
+    t = DeltaTable(p)
+    commit0 = os.path.join(p, "_delta_log", f"{0:020d}.json")
+    winner_bytes = open(commit0, "rb").read()
+    with pytest.raises(FileExistsError, match="concurrent"):
+        t._commit(0, [{"commitInfo": {"operation": "LOSER"}}])
+    assert open(commit0, "rb").read() == winner_bytes
+    # and the loser's tmp file was cleaned up
+    leftovers = [n for n in os.listdir(os.path.join(p, "_delta_log"))
+                 if n.endswith(".tmp")]
+    assert leftovers == []

@@ -254,8 +254,8 @@ def test_refusals_delete_files_and_formats(spark, tmp_path):
         read_iceberg(spark, root, snapshot_id=1)
 
 
-def test_refuses_renamed_columns(spark, tmp_path):
-    """A file whose parquet footer lacks a schema column (the
+def test_refuses_renamed_required_columns(spark, tmp_path):
+    """A file whose parquet footer lacks a REQUIRED schema column (the
     column-rename case name-based resolution cannot express) raises
     instead of returning silent nulls."""
     import pyarrow as pa
@@ -264,11 +264,27 @@ def test_refuses_renamed_columns(spark, tmp_path):
     root = str(tmp_path / "ice")
     _build_table(root)
     old = os.path.join(root, "data", "f2.parquet")
-    pq.write_table(pa.table({"id": pa.array([2], pa.int64()),
-                             "v_old": pa.array(["b"], pa.string())}),
+    pq.write_table(pa.table({"id_old": pa.array([2], pa.int64()),
+                             "v": pa.array(["b"], pa.string())}),
                    old)
-    with pytest.raises(ValueError, match="column-renamed"):
+    with pytest.raises(ValueError, match="renamed or schema-evolved"):
         read_iceberg(spark, root, snapshot_id=1)
+
+
+def test_add_column_evolution_reads_nulls(spark, tmp_path):
+    """ADVICE r5: legal add-column evolution — an old data file that
+    lacks an OPTIONAL top-level column (added after the file was
+    written) must read with nulls for that column, not be refused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ice")
+    _build_table(root)
+    old = os.path.join(root, "data", "f2.parquet")
+    # f2 predates the optional column 'v': only 'id' present
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), old)
+    got = sorted(read_iceberg(spark, root, snapshot_id=1).collect())
+    assert [(r["id"], r["v"]) for r in got] == [(1, "a"), (2, None)]
 
 
 def test_unknown_codec_and_bad_magic(tmp_path):
@@ -705,14 +721,14 @@ def test_mixed_parquet_and_orc_data_files(spark, tmp_path):
               "w") as fh:
         json.dump(md, fh)
     assert _rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b")]
-    # rename guard fires on ORC footers too
-    (spark.createDataFrame([(9, "z")], "id long, v_old string")
+    # rename guard fires on ORC footers too (required column renamed)
+    (spark.createDataFrame([(9, "z")], "id_old long, v string")
      .coalesce(1).write.mode("overwrite").orc(fo_dir))
     fo2 = _glob.glob(os.path.join(fo_dir, "*.orc"))[0]
     with open(m, "wb") as fh:
         fh.write(_avro_file(_MANIFEST_SCHEMA, [
             _entry(fp), _entry(fo2, fmt="ORC")]))
-    with pytest.raises(ValueError, match="column-renamed"):
+    with pytest.raises(ValueError, match="renamed or schema-evolved"):
         read_iceberg(spark, root)
     # Avro data files still refused
     with open(m, "wb") as fh:
@@ -720,3 +736,24 @@ def test_mixed_parquet_and_orc_data_files(spark, tmp_path):
             _entry(fp, fmt="AVRO")]))
     with pytest.raises(NotImplementedError, match="AVRO"):
         read_iceberg(spark, root)
+
+
+def test_metadata_fallback_sorts_numerically(tmp_path):
+    """ADVICE r5: without version-hint.text the directory-scan
+    fallback must pick v10 over v9 (numeric, not lexicographic)."""
+    root = str(tmp_path / "ice")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir)
+    for v in (9, 10):
+        with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as fh:
+            json.dump({"format-version": 2, "marker": v}, fh)
+    t = IcebergTable(root)
+    assert t._metadata_path().endswith("v10.metadata.json")
+    # HiveCatalog-style '<N>-<uuid>' names sort numerically too
+    os.remove(os.path.join(mdir, "v9.metadata.json"))
+    os.remove(os.path.join(mdir, "v10.metadata.json"))
+    for v in (2, 11):
+        with open(os.path.join(mdir, f"{v:05d}-abc.metadata.json"),
+                  "w") as fh:
+            json.dump({"format-version": 2, "marker": v}, fh)
+    assert t._metadata_path().endswith("00011-abc.metadata.json")
