@@ -459,18 +459,22 @@ class IcebergTable:
             f"{[s.get('snapshot-id') for s in snaps]})")
 
     def _data_files(self, snap: dict, preds=(),
-                    md: dict | None = None) -> list[dict]:
-        """Live data-file entries for a snapshot: replay its manifest
-        list, then every manifest, keeping EXISTING/ADDED entries.
-        With ``preds`` and table metadata, manifests whose
-        partition summaries provably exclude every predicate are
-        skipped before their Avro is even opened
-        (:func:`_manifest_may_match`).  Delete manifests (v2
-        content=1) or delete data files (content 1/2) are refused —
-        a plain scan would return rows a real Iceberg reader
-        deletes."""
+                    md: dict | None = None
+                    ) -> tuple[list[dict], list[dict]]:
+        """Live ``(data_files, position_delete_files)`` for a
+        snapshot: replay its manifest list, then every manifest,
+        keeping EXISTING/ADDED entries.  With ``preds`` and table
+        metadata, DATA manifests whose partition summaries provably
+        exclude every predicate are skipped before their Avro is even
+        opened (:func:`_manifest_may_match`); delete manifests are
+        always replayed (a pruned data file simply finds no partner
+        in the anti-join).  v2 position-delete files (content=1) are
+        returned for merge-on-read application at scan time; equality
+        deletes (content=2) are refused — applying them needs
+        sequence-number ordering this reader does not track, and a
+        plain scan would resurrect deleted rows."""
         if not snap:
-            return []
+            return [], []
         if "manifest-list" in snap:
             with open(_localize(snap["manifest-list"]), "rb") as fh:
                 _, entries = avro_read(fh.read())
@@ -484,13 +488,12 @@ class IcebergTable:
                      for f in self._current_schema(md)["fields"]
                      if isinstance(f["type"], str)}
             manifests = [m for m in manifests
-                         if _manifest_may_match(m, preds, specs, by_id)]
+                         if m.get("content", 0) == 1
+                         or _manifest_may_match(m, preds, specs, by_id)]
         out: list[dict] = []
+        deletes: list[dict] = []
         for m in manifests:
-            if m.get("content", 0) == 1:
-                raise NotImplementedError(
-                    "iceberg: delete manifests unsupported (a plain "
-                    "parquet scan would resurrect deleted rows)")
+            is_delete_manifest = m.get("content", 0) == 1
             with open(_localize(m["manifest_path"]), "rb") as fh:
                 _, recs = avro_read(fh.read())
             for r in recs:
@@ -498,12 +501,24 @@ class IcebergTable:
                     continue
                 df = r["data_file"]
                 content = df.get("content", 0)
-                if content != 0:
-                    raise NotImplementedError(
-                        "iceberg: position/equality delete files "
-                        "unsupported — refusing a read that would "
-                        "return deleted rows")
                 fmt = (df.get("file_format") or "").upper()
+                if content == 2:
+                    raise NotImplementedError(
+                        "iceberg: equality delete files unsupported "
+                        "(applying them correctly needs sequence-"
+                        "number ordering); position deletes are "
+                        "supported")
+                if content == 1 or is_delete_manifest:
+                    if content != 1:
+                        raise ValueError(
+                            "iceberg: delete manifest lists a file "
+                            f"with content={content} (expected 1)")
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"iceberg: {fmt or '?'} position-delete "
+                            "files unsupported (parquet only)")
+                    deletes.append(df)
+                    continue
                 if fmt not in ("PARQUET", "ORC"):
                     raise NotImplementedError(
                         f"iceberg: {fmt or '?'} data files unsupported "
@@ -511,7 +526,7 @@ class IcebergTable:
                         "legal per spec but rare — refused rather "
                         "than misread)")
                 out.append(df)
-        return out
+        return out, deletes
 
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None,
@@ -542,8 +557,8 @@ class IcebergTable:
                                  f"{op!r}")
             if col not in {f["name"] for f in ice_schema["fields"]}:
                 raise ValueError(f"iceberg: unknown column {col!r}")
-        files = self._data_files(self._snapshot(md, snapshot_id),
-                                 preds, md)
+        files, delete_files = self._data_files(
+            self._snapshot(md, snapshot_id), preds, md)
         if preds:
             field_id = {f["name"]: f["id"]
                         for f in ice_schema["fields"]}
@@ -594,10 +609,18 @@ class IcebergTable:
                 for p in by_fmt["ORC"]:
                     if os.path.exists(p):
                         check_names(p, po.ORCFile(p).schema.names)
+        if delete_files and by_fmt.get("ORC"):
+            raise NotImplementedError(
+                "iceberg: position deletes over ORC data files "
+                "unsupported (Spark exposes _metadata.row_index for "
+                "parquet scans only)")
         out = None
         if by_fmt.get("PARQUET"):
             out = spark.read.schema(schema).parquet(
                 *by_fmt["PARQUET"])
+            if delete_files:
+                out = self._apply_position_deletes(
+                    spark, out, delete_files, schema)
         if by_fmt.get("ORC"):
             orc_df = spark.read.schema(schema).orc(*by_fmt["ORC"])
             out = orc_df if out is None else out.unionByName(orc_df)
@@ -608,6 +631,57 @@ class IcebergTable:
                               "<=": c <= lit, ">": c > lit,
                               ">=": c >= lit}[op])
         return out
+
+    @staticmethod
+    def _apply_position_deletes(spark: SparkSession, data: DataFrame,
+                                delete_files: list[dict],
+                                schema: T.StructType) -> DataFrame:
+        """Merge-on-read: drop the ``(file_path, pos)`` pairs listed
+        in the snapshot's position-delete files (Iceberg spec
+        "Position Delete Files": ``file_path`` = the data file's
+        path exactly as it appears in its manifest, ``pos`` = the
+        0-based row ordinal in that file).
+
+        Spark-first plan: re-scan the data files WITH the hidden
+        ``_metadata`` columns (``file_path``, ``row_index`` — the
+        parquet reader materializes the row ordinal for free, no
+        window or zipWithIndex pass), LEFT ANTI join against the
+        delete set on the normalized ``(path, pos)`` pair, then drop
+        the metadata columns.  The delete set is tiny relative to the
+        data (it only lists deleted rows), so AQE broadcasts the anti
+        join; at 100 TB this is one broadcast-pruned scan, not a
+        shuffle.  Sequence-number ordering is not needed for POSITION
+        deletes: a pair addresses one physical row of one immutable
+        data file, so applying every live delete file in the snapshot
+        is exact regardless of commit order (rewritten data files get
+        new paths and shed old deletes); EQUALITY deletes do need
+        ordering, which is why they are refused upstream."""
+        from pyspark.sql import functions as F
+
+        # 'file:///p' / 'file:/p' -> '/p' so the manifest's URI form
+        # and Spark's _metadata.file_path form always agree.
+        def norm(c):
+            return F.regexp_replace(c, "^file:/+", "/")
+
+        dset = (spark.read
+                .schema(T.StructType([
+                    T.StructField("file_path", T.StringType()),
+                    T.StructField("pos", T.LongType())]))
+                .parquet(*[_localize(d["file_path"])
+                           for d in delete_files])
+                .select(norm(F.col("file_path")).alias("_del_path"),
+                        F.col("pos").alias("_del_pos"))
+                .dropDuplicates(["_del_path", "_del_pos"]))
+        with_meta = data.select(
+            "*",
+            norm(F.col("_metadata.file_path")).alias("_ice_path"),
+            F.col("_metadata.row_index").alias("_ice_pos"))
+        kept = with_meta.join(
+            dset,
+            (with_meta["_ice_path"] == dset["_del_path"])
+            & (with_meta["_ice_pos"] == dset["_del_pos"]),
+            "left_anti")
+        return kept.select(*[F.col(f.name) for f in schema.fields])
 
 
 def read_iceberg(spark: SparkSession, path: str,

@@ -243,7 +243,7 @@ def test_refusals_delete_files_and_formats(spark, tmp_path):
         fh.write(_avro_file(_MANIFEST_SCHEMA, [
             _entry(os.path.join(root, "data", "f1.parquet"),
                    content=2)]))
-    with pytest.raises(NotImplementedError, match="delete files"):
+    with pytest.raises(NotImplementedError, match="equality delete"):
         read_iceberg(spark, root, snapshot_id=1)
     # Avro data files must refuse (ORC is supported since round 5)
     with open(m, "wb") as fh:
@@ -757,3 +757,110 @@ def test_metadata_fallback_sorts_numerically(tmp_path):
                   "w") as fh:
             json.dump({"format-version": 2, "marker": v}, fh)
     assert t._metadata_path().endswith("00011-abc.metadata.json")
+
+
+def _write_pos_delete(path: str, pairs: list[tuple[str, int]]) -> None:
+    """Author a v2 position-delete parquet file per the Iceberg spec:
+    columns file_path (string) + pos (long)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "file_path": pa.array([p for p, _ in pairs], pa.string()),
+        "pos": pa.array([i for _, i in pairs], pa.int64())}), path)
+
+
+def _delete_entry(path: str) -> dict:
+    return {"status": 1, "snapshot_id": 1,
+            "data_file": {"content": 1, "file_path": path,
+                          "file_format": "PARQUET", "record_count": 1,
+                          "file_size_in_bytes": 1}}
+
+
+def _build_mor_table(root: str) -> None:
+    """Merge-on-read table: one snapshot, two data files of 3 rows
+    each, one delete manifest removing d1 row 1 and d2 rows 0+2."""
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    d1 = os.path.join(root, "data", "d1.parquet")
+    d2 = os.path.join(root, "data", "d2.parquet")
+    _write_parquet(d1, [1, 2, 3], ["a", "b", "c"])
+    _write_parquet(d2, [4, 5, 6], ["d", "e", "f"])
+    # delete file uses the same path form as the manifest entries
+    pd_file = os.path.join(root, "data", "del1.parquet")
+    _write_pos_delete(pd_file, [(d1, 1), (d2, 0), (d2, 2)])
+    dm = os.path.join(root, "metadata", "dm.avro")
+    with open(dm, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_SCHEMA, [_delete_entry(pd_file)]))
+    m = os.path.join(root, "metadata", "m.avro")
+    with open(m, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_SCHEMA, [_entry(d1), _entry(d2)]))
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    with open(ml, "wb") as fh:
+        fh.write(_avro_file(_LIST_SCHEMA, [
+            {"manifest_path": m, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0},
+            {"manifest_path": dm, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 1}]))
+    md = {"format-version": 2, "table-uuid": "t", "location": root,
+          "schemas": [_ICE_SCHEMA], "current-schema-id": 0,
+          "current-snapshot-id": 1,
+          "snapshots": [{"snapshot-id": 1, "manifest-list": ml}]}
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(md, fh)
+
+
+def test_position_deletes_applied(spark, tmp_path):
+    """v2 merge-on-read: position-delete files drop exactly the
+    (file_path, pos) pairs they list."""
+    root = str(tmp_path / "ice")
+    _build_mor_table(root)
+    assert _rows(read_iceberg(spark, root)) == [(1, "a"), (3, "c"),
+                                                (5, "e")]
+
+
+def test_position_deletes_with_file_uri_paths(spark, tmp_path):
+    """Delete files written by engines that record 'file://' URIs must
+    still match Spark's _metadata.file_path form."""
+    root = str(tmp_path / "ice")
+    _build_mor_table(root)
+    # rewrite the delete file with file:// URI paths
+    d1 = os.path.join(root, "data", "d1.parquet")
+    d2 = os.path.join(root, "data", "d2.parquet")
+    _write_pos_delete(os.path.join(root, "data", "del1.parquet"),
+                      [(f"file://{d1}", 1), (f"file://{d2}", 0),
+                       (f"file://{d2}", 2)])
+    assert _rows(read_iceberg(spark, root)) == [(1, "a"), (3, "c"),
+                                                (5, "e")]
+
+
+def test_position_deletes_survive_predicate_pruning(spark, tmp_path):
+    """File-level pruning must not skip the delete application for
+    surviving files: a predicate that keeps d2 still sees d2's two
+    deleted rows dropped."""
+    root = str(tmp_path / "ice")
+    _build_mor_table(root)
+    got = _rows(read_iceberg(spark, root, where=[("id", ">", 3)]))
+    assert got == [(5, "e")]
+
+
+def test_position_deletes_over_orc_refused(spark, tmp_path):
+    """ORC data files + position deletes refuse loudly (row_index is
+    a parquet-only metadata column in Spark)."""
+    root = str(tmp_path / "ice")
+    _build_mor_table(root)
+    # flip one data file's declared format to ORC
+    d1 = os.path.join(root, "data", "d1.parquet")
+    d2 = os.path.join(root, "data", "d2.parquet")
+    fo_dir = os.path.join(root, "data", "orc")
+    (spark.createDataFrame([(7, "g")], "id long, v string")
+     .coalesce(1).write.orc(fo_dir))
+    import glob as _glob
+    fo = _glob.glob(os.path.join(fo_dir, "*.orc"))[0]
+    m = os.path.join(root, "metadata", "m.avro")
+    with open(m, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_SCHEMA,
+                            [_entry(d1), _entry(d2),
+                             _entry(fo, fmt="ORC")]))
+    with pytest.raises(NotImplementedError, match="ORC"):
+        read_iceberg(spark, root)
