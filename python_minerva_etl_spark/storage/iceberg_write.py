@@ -1,0 +1,495 @@
+"""Iceberg v2 append path — minimal, spec-conformant table writes.
+
+Mirrors the Delta writer's conformance discipline
+(``storage/delta.py``): data files are staged by a distributed Spark
+parquet write and renamed into ``data/``, metadata is committed
+CAS-style (``os.link`` put-if-absent on the next ``v<N>.metadata.json``
+— two racing writers can never both win a version), and every byte of
+Avro written here follows the published specs:
+
+- Avro 1.11 object container files (header map, sync markers,
+  zigzag-varint longs) for manifests and manifest lists;
+- Iceberg Table Spec v2 (https://iceberg.apache.org/spec/) for the
+  manifest entry / manifest-file shapes, single-value binary bound
+  serialization (int 4-byte LE, long/double 8-byte LE, string UTF-8),
+  snapshot + metadata JSON fields.
+
+Scope (documented in COVERAGE.md): unpartitioned append + create
+only.  Appends to a table whose default partition spec is non-empty
+are refused (this writer stages unpartitioned files); overwrite /
+delete / schema evolution are out of scope.  Bounds are written for
+top-level int/long/float/double/string/date/timestamp columns so our
+own reader's scan planning (``iceberg.py:_file_may_match``) can prune
+the files this writer produces.
+
+No reference implementation is copied: ``/root/reference`` ships no
+code; this module is written against the public specs above.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .iceberg import IcebergTable, _localize, _to_spark_schema
+
+
+class IcebergConcurrentCommit(FileExistsError):
+    """Another writer committed the same metadata version first."""
+
+
+# ------------------------------------------------------------ avro writer
+
+
+def _zigzag(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_encode(value, schema) -> bytes:
+    if isinstance(schema, list):  # union — null first per our schemas
+        if value is None:
+            return _zigzag(schema.index("null"))
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        return _zigzag(idx) + _avro_encode(value, schema[idx])
+    if isinstance(schema, str):
+        if schema == "null":
+            return b""
+        if schema == "boolean":
+            return b"\x01" if value else b"\x00"
+        if schema in ("int", "long"):
+            return _zigzag(int(value))
+        if schema == "float":
+            return struct.pack("<f", value)
+        if schema == "double":
+            return struct.pack("<d", value)
+        if schema == "bytes":
+            return _zigzag(len(value)) + bytes(value)
+        if schema == "string":
+            b = value.encode("utf-8")
+            return _zigzag(len(b)) + b
+        raise ValueError(f"avro encode: unsupported type {schema!r}")
+    t = schema["type"]
+    if t == "record":
+        return b"".join(_avro_encode(value.get(f["name"]), f["type"])
+                        for f in schema["fields"])
+    if t == "array":
+        if not value:
+            return _zigzag(0)
+        return (_zigzag(len(value))
+                + b"".join(_avro_encode(v, schema["items"])
+                           for v in value)
+                + _zigzag(0))
+    if t == "map":
+        if not value:
+            return _zigzag(0)
+        body = b"".join(_avro_encode(k, "string")
+                        + _avro_encode(v, schema["values"])
+                        for k, v in value.items())
+        return _zigzag(len(value)) + body + _zigzag(0)
+    raise ValueError(f"avro encode: unsupported type {t!r}")
+
+
+def _avro_file(schema: dict, records: list) -> bytes:
+    """Avro 1.11 object container file, null codec, one block."""
+    sync = uuid.uuid4().bytes
+    out = bytearray(b"Obj\x01")
+    out += _avro_encode(
+        {"avro.schema": json.dumps(schema).encode(),
+         "avro.codec": b"null"},
+        {"type": "map", "values": "bytes"})
+    out += sync
+    body = b"".join(_avro_encode(r, schema) for r in records)
+    out += _zigzag(len(records)) + _zigzag(len(body)) + body + sync
+    return bytes(out)
+
+
+# ------------------------------------------------ spark -> iceberg schema
+
+_SPARK_PRIM = {
+    T.BooleanType(): "boolean", T.IntegerType(): "int",
+    T.LongType(): "long", T.FloatType(): "float",
+    T.DoubleType(): "double", T.StringType(): "string",
+    T.BinaryType(): "binary", T.DateType(): "date",
+    T.TimestampNTZType(): "timestamp",
+    T.TimestampType(): "timestamptz",
+    T.ShortType(): "int", T.ByteType(): "int",
+}
+
+
+def _to_iceberg_type(dt: T.DataType, next_id) -> object:
+    if dt in _SPARK_PRIM:
+        return _SPARK_PRIM[dt]
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {"type": "struct", "fields": [
+            {"id": next_id(), "name": f.name,
+             "required": not f.nullable,
+             "type": _to_iceberg_type(f.dataType, next_id)}
+            for f in dt.fields]}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "list", "element-id": next_id(),
+                "element-required": not dt.containsNull,
+                "element": _to_iceberg_type(dt.elementType, next_id)}
+    if isinstance(dt, T.MapType):
+        return {"type": "map", "key-id": next_id(),
+                "value-id": next_id(),
+                "key": _to_iceberg_type(dt.keyType, next_id),
+                "value-required": not dt.valueContainsNull,
+                "value": _to_iceberg_type(dt.valueType, next_id)}
+    raise NotImplementedError(
+        f"iceberg write: unsupported Spark type {dt.simpleString()}")
+
+
+def _to_iceberg_schema(schema: T.StructType) -> dict:
+    counter = {"n": 0}
+
+    def next_id() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    fields = []
+    for f in schema.fields:
+        fid = next_id()
+        fields.append({"id": fid, "name": f.name,
+                       "required": not f.nullable,
+                       "type": _to_iceberg_type(f.dataType, next_id)})
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# ------------------------------------------------------- bound encoding
+
+_BOUND_ENCODERS = {
+    "int": lambda v: struct.pack("<i", int(v)),
+    "long": lambda v: struct.pack("<q", int(v)),
+    "float": lambda v: struct.pack("<f", float(v)),
+    "double": lambda v: struct.pack("<d", float(v)),
+    "string": lambda v: str(v).encode("utf-8"),
+    "date": lambda v: struct.pack(
+        "<i", v if isinstance(v, int) else v.toordinal() - 719163),
+    # parquet stats hand back datetimes; Iceberg bounds are micros LE
+    "timestamp": lambda v: struct.pack("<q", _micros(v)),
+    "timestamptz": lambda v: struct.pack("<q", _micros(v)),
+}
+
+
+def _micros(v) -> int:
+    if isinstance(v, int):
+        return v
+    import datetime
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+    return int((v - epoch).total_seconds() * 1_000_000)
+
+
+def _file_bounds(parquet_path: str, ice_schema: dict
+                 ) -> tuple[list, list]:
+    """Per-column lower/upper bounds from the parquet footer's
+    row-group statistics, encoded per the Iceberg single-value
+    serialization, as [{key: field-id, value: bytes}] logical maps.
+    Columns without stats (or of non-encodable types) are simply
+    omitted — the reader treats missing bounds conservatively."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in ice_schema["fields"]
+               if isinstance(f["type"], str)}
+    md = pq.ParquetFile(parquet_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if (name not in by_name or st is None
+                    or not st.has_min_max):
+                continue
+            lo, hi = st.min, st.max
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    lower, upper = [], []
+    for name, lo in mins.items():
+        enc = _BOUND_ENCODERS.get(by_name[name]["type"])
+        if enc is None:
+            continue
+        try:
+            lower.append({"key": by_name[name]["id"], "value": enc(lo)})
+            upper.append({"key": by_name[name]["id"],
+                          "value": enc(maxs[name])})
+        except (struct.error, ValueError, TypeError):
+            continue
+    return lower, upper
+
+
+# --------------------------------------------------------- avro schemas
+
+_KV_BYTES = {"type": "array", "items": {
+    "type": "record", "name": "k_v", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"}]}}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "lower_bounds",
+                 "type": ["null", _KV_BYTES]},
+                {"name": "upper_bounds",
+                 "type": ["null", _KV_BYTES]},
+            ]}},
+    ]}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "added_files_count", "type": ["null", "int"]},
+        {"name": "added_rows_count", "type": ["null", "long"]},
+    ]}
+
+
+# ------------------------------------------------------------- the write
+
+
+def _stage_data_files(df: DataFrame, table_path: str) -> list[dict]:
+    """Distributed parquet write into a staging dir, then rename each
+    part file to ``data/<uuid>.parquet``.  Returns manifest
+    ``data_file`` dicts (path, size, row count from the footer)."""
+    staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+    out = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(staging, name), final)
+        out.append({
+            "content": 0,
+            "file_path": final,
+            "file_format": "PARQUET",
+            "record_count": pq.ParquetFile(final).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(final),
+        })
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _append_compatible(table: T.StructType, df: T.StructType) -> bool:
+    if [f.name for f in table.fields] != [f.name for f in df.fields]:
+        return False
+    for tf, wf in zip(table.fields, df.fields):
+        if tf.dataType != wf.dataType:
+            return False
+        if not tf.nullable and wf.nullable:
+            return False
+    return True
+
+
+def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
+                  max_commit_attempts: int = 5) -> None:
+    """Append ``df`` to the Iceberg table at ``path``, creating the
+    table (format-version 2, unpartitioned) if absent.
+
+    Commit protocol: stage data files once, then CAS the metadata —
+    read the current version, write ``v<N+1>.metadata.json`` via
+    ``os.link`` put-if-absent, and on :class:`IcebergConcurrentCommit`
+    re-read and retry with the already-staged files (the Iceberg
+    optimistic-concurrency contract; data files are immutable and
+    uniquely named, so a retry never rewrites them)."""
+    table = IcebergTable(path)
+    mdir = os.path.join(path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    exists = any(n.endswith(".metadata.json") for n in os.listdir(mdir))
+    if exists:
+        md = table.metadata()
+        ice_schema = table._current_schema(md)
+        if not _append_compatible(_to_spark_schema(ice_schema),
+                                  df.schema):
+            raise ValueError(
+                "iceberg append: dataframe schema "
+                f"{df.schema.simpleString()} does not match table "
+                f"schema "
+                f"{_to_spark_schema(ice_schema).simpleString()}")
+        specs = {s.get("spec-id", 0): s.get("fields", [])
+                 for s in md.get("partition-specs", [])}
+        if specs.get(md.get("default-spec-id", 0)):
+            raise NotImplementedError(
+                "iceberg append: table has a non-empty partition "
+                "spec; this writer stages unpartitioned files only")
+    else:
+        ice_schema = _to_iceberg_schema(df.schema)
+
+    data_files = _stage_data_files(df, path)
+    for f in data_files:
+        lo, hi = _file_bounds(f["file_path"], ice_schema)
+        f["lower_bounds"] = lo or None
+        f["upper_bounds"] = hi or None
+
+    for _ in range(max_commit_attempts):
+        if any(n.endswith(".metadata.json") for n in os.listdir(mdir)):
+            md = table.metadata()
+            base_version = _version_of(table._metadata_path())
+        else:
+            base_version = 0
+            md = {
+                "format-version": 2,
+                "table-uuid": str(uuid.uuid4()),
+                "location": path,
+                "last-sequence-number": 0,
+                "last-column-id": _last_column_id(ice_schema),
+                "schemas": [ice_schema],
+                "current-schema-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "default-spec-id": 0,
+                "snapshots": [],
+                "current-snapshot-id": -1,
+            }
+        try:
+            _commit_append(table, md, data_files, base_version)
+            return
+        except IcebergConcurrentCommit:
+            continue
+    raise IcebergConcurrentCommit(
+        f"iceberg append: lost the commit race "
+        f"{max_commit_attempts} times at {path!r}")
+
+
+def _last_column_id(ice_schema: dict) -> int:
+    top = [f["id"] for f in ice_schema["fields"]]
+
+    def walk(t) -> list[int]:
+        if not isinstance(t, dict):
+            return []
+        if t["type"] == "struct":
+            return [f["id"] for f in t["fields"]] + [
+                i for f in t["fields"] for i in walk(f["type"])]
+        if t["type"] == "list":
+            return [t["element-id"]] + walk(t["element"])
+        if t["type"] == "map":
+            return ([t["key-id"], t["value-id"]]
+                    + walk(t["key"]) + walk(t["value"]))
+        return []
+
+    nested = [i for f in ice_schema["fields"] for i in walk(f["type"])]
+    return max(top + nested)
+
+
+def _version_of(metadata_path: str) -> int:
+    import re as _re
+    stem = os.path.basename(metadata_path)[:-len(".metadata.json")]
+    m = _re.match(r"v?(\d+)", stem)
+    return int(m.group(1)) if m else 0
+
+
+def _commit_append(table: IcebergTable, md: dict,
+                   data_files: list[dict],
+                   base_version: int) -> None:
+    """Commit one append snapshot on top of ``md``, which was read
+    from metadata version ``base_version``.  The CAS target is
+    ALWAYS ``base_version + 1``: deriving it from the directory at
+    commit time would let a writer holding stale metadata commit a
+    higher version that silently drops a racer's snapshot."""
+    path, mdir = table.path, os.path.join(table.path, "metadata")
+    seq = md.get("last-sequence-number", 0) + 1
+    snap_id = max([s["snapshot-id"] for s in md.get("snapshots", [])],
+                  default=0) + 1
+    commit_uuid = uuid.uuid4().hex
+
+    manifest = os.path.join(mdir, f"m-{commit_uuid}.avro")
+    entries = [{"status": 1, "snapshot_id": snap_id,
+                "sequence_number": None,  # inherited = commit seq
+                "data_file": f} for f in data_files]
+    with open(manifest, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_ENTRY_SCHEMA, entries))
+
+    # fast append: previous snapshot's manifests carry over unchanged
+    prev_manifests: list[dict] = []
+    cur = md.get("current-snapshot-id", -1)
+    for s in md.get("snapshots", []):
+        if s.get("snapshot-id") == cur and "manifest-list" in s:
+            with open(_localize(s["manifest-list"]), "rb") as fh:
+                from .iceberg import avro_read
+                _, prev_manifests = avro_read(fh.read())
+            break
+    new_entry = {
+        "manifest_path": manifest,
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "content": 0,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(data_files),
+        "added_rows_count": sum(f["record_count"]
+                                for f in data_files),
+    }
+    carried = [{k: m.get(k) for k in
+                ("manifest_path", "manifest_length",
+                 "partition_spec_id", "content", "added_snapshot_id",
+                 "added_files_count", "added_rows_count")}
+               for m in prev_manifests]
+    mlist = os.path.join(mdir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_FILE_SCHEMA,
+                            [new_entry] + carried))
+
+    new_md = dict(md)
+    new_md["last-sequence-number"] = seq
+    new_md["snapshots"] = md.get("snapshots", []) + [{
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "manifest-list": mlist,
+        "summary": {"operation": "append"},
+    }]
+    new_md["current-snapshot-id"] = snap_id
+
+    next_v = base_version + 1
+    final = os.path.join(mdir, f"v{next_v}.metadata.json")
+    tmp = final + f".{commit_uuid}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_md, fh)
+    try:
+        os.link(tmp, final)  # atomic create-if-absent
+    except FileExistsError:
+        for p in (tmp, manifest, mlist):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        raise IcebergConcurrentCommit(
+            f"concurrent Iceberg commit at version {next_v}")
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(next_v))
