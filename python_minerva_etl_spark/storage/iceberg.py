@@ -161,19 +161,21 @@ def _decode(cur: _Cursor, schema, names: dict):
     raise ValueError(f"avro: unsupported schema {t!r}")
 
 
-def avro_read(payload: bytes) -> tuple[dict, list]:
-    """Decode an Avro object-container file: returns
-    (header_metadata, records).  null and deflate codecs via stdlib;
-    snappy through pyarrow when present."""
+def avro_blocks(payload: bytes):
+    """Container-level decode: returns ``(header_metadata,
+    [(record_count, decompressed_block_bytes), ...])``.  null and
+    deflate codecs via stdlib; snappy through pyarrow when present.
+    The per-datum decode is left to the caller — the Avro source's
+    vectorized path consumes whole blocks with numpy instead of
+    walking them byte-by-byte."""
     cur = _Cursor(payload)
     if cur.read(4) != _AVRO_MAGIC:
         raise ValueError("not an Avro object-container file")
     meta_schema = {"type": "map", "values": "bytes"}
     meta = _decode(cur, meta_schema, {})
     sync = cur.read(16)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    records = []
+    blocks = []
     while cur.pos < len(cur.buf):
         n = cur.read_long()
         size = cur.read_long()
@@ -184,12 +186,23 @@ def avro_read(payload: bytes) -> tuple[dict, list]:
             block = _snappy(block)
         elif codec != "null":
             raise ValueError(f"avro: unsupported codec {codec!r}")
+        if cur.read(16) != sync:
+            raise ValueError("avro: sync marker mismatch")
+        blocks.append((n, block))
+    return meta, blocks
+
+
+def avro_read(payload: bytes) -> tuple[dict, list]:
+    """Decode an Avro object-container file: returns
+    (header_metadata, records)."""
+    meta, blocks = avro_blocks(payload)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    records = []
+    for n, block in blocks:
         bcur = _Cursor(block)
         names: dict = {}
         for _ in range(n):
             records.append(_decode(bcur, schema, names))
-        if cur.read(16) != sync:
-            raise ValueError("avro: sync marker mismatch")
     return meta, records
 
 
