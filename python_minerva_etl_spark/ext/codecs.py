@@ -90,13 +90,18 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
 
     Real parse: signature check, chunk walk with length bounds, IHDR
     validation, multi-chunk IDAT reassembly, zlib inflate, and full
-    reversal of all five PNG scanline filters.  Supports 8-bit
-    non-interlaced greyscale (0), RGB (2), RGBA (6)."""
+    reversal of all five PNG scanline filters.  Supports
+    non-interlaced 8-bit greyscale (0), RGB (2), RGBA (6), and
+    palette-indexed (3) at bit depths 1/2/4/8 — indexed pixels are
+    resolved through PLTE (plus tRNS alpha when present, yielding
+    RGBA instead of RGB)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, width = 8, -1
-    height = color = -1
+    height = color = depth = -1
     idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -107,20 +112,35 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in _CHANNELS:
+            ok = (depth == 8 and color in _CHANNELS) or \
+                (color == 3 and depth in (1, 2, 4, 8))
+            if not ok:
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color={color} "
-                    "(8-bit grey/RGB/RGBA only)")
+                    "(8-bit grey/RGB/RGBA or 1/2/4/8-bit palette "
+                    "only)")
             if interlace != 0:
                 raise ValueError("interlaced PNG unsupported")
+        elif tag == b"PLTE":
+            plte = bytes(body)
+        elif tag == b"tRNS":
+            trns = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if width < 0 or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    channels = _CHANNELS[color]
-    stride = width * channels
+    paletted = color == 3
+    if paletted:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        # filters see one byte per packed-index unit
+        channels, bpp = 1, 1
+        stride = (width * depth + 7) // 8
+    else:
+        channels = bpp = _CHANNELS[color]
+        stride = width * channels
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel payload has wrong length")
@@ -132,25 +152,58 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if ftype == 0:
             pass
         elif ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y * stride:(y + 1) * stride] = line
         prev = line
-    return width, height, channels, bytes(out)
+    if not paletted:
+        return width, height, channels, bytes(out)
+    return _resolve_palette(bytes(out), width, height, depth, stride,
+                            plte, trns)
+
+
+def _resolve_palette(packed: bytes, width: int, height: int,
+                     depth: int, stride: int, plte: bytes,
+                     trns: bytes | None
+                     ) -> tuple[int, int, int, bytes]:
+    """Unpack sub-byte palette indices (MSB-first per the PNG spec,
+    row pad bits discarded) and resolve them through PLTE — plus tRNS
+    alpha when present, in which case the output is RGBA."""
+    n_entries = len(plte) // 3
+    out_ch = 4 if trns is not None else 3
+    px = bytearray(width * height * out_ch)
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    o = 0
+    for y in range(height):
+        row = packed[y * stride:(y + 1) * stride]
+        for x in range(width):
+            b = row[x // per_byte]
+            shift = 8 - depth * (x % per_byte + 1)
+            idx = (b >> shift) & mask
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} out of range "
+                    f"({n_entries} PLTE entries)")
+            px[o:o + 3] = plte[idx * 3:idx * 3 + 3]
+            if out_ch == 4:
+                px[o + 3] = trns[idx] if idx < len(trns) else 255
+            o += out_ch
+    return width, height, out_ch, bytes(px)
 
 
 def png_stats(payload: bytes) -> dict:

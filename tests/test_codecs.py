@@ -223,3 +223,88 @@ def test_wav_frames_scale_keys_off_declared_bits():
     quiet24 = b"RIFF" + struct.pack("<I", len(body)) + body
     (frame,) = wav_frames(quiet24, frame_samples=4)
     assert struct.unpack("<4h", frame) == (3000 >> 8, -3000 >> 8, 1, -1)
+
+
+def _palette_png(width, height, depth, indices, plte, trns=None):
+    """Hand-built palette PNG (color type 3, filter None): pack
+    `indices` MSB-first at `depth` bits, rows padded to byte
+    boundaries."""
+    import struct as _s
+    import zlib as _z
+
+    from python_minerva_etl_spark.ext.codecs import _chunk
+
+    per_byte = 8 // depth
+    stride = (width * depth + 7) // 8
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        row = bytearray(stride)
+        for x in range(width):
+            idx = indices[y * width + x]
+            shift = 8 - depth * (x % per_byte + 1)
+            row[x // per_byte] |= idx << shift
+        raw += row
+    ihdr = _s.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    out = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"PLTE", bytes(plte)))
+    if trns is not None:
+        out += _chunk(b"tRNS", bytes(trns))
+    out += _chunk(b"IDAT", _z.compress(bytes(raw), 6))
+    out += _chunk(b"IEND", b"")
+    return out
+
+
+def test_png_palette_8bit():
+    from python_minerva_etl_spark.ext.codecs import png_decode
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255]  # R, G, B
+    blob = _palette_png(3, 2, 8, [0, 1, 2, 2, 1, 0], plte)
+    w, h, ch, px = png_decode(blob)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255,
+                        0, 0, 255, 0, 255, 0, 255, 0, 0])
+
+
+def test_png_palette_subbyte_depths():
+    from python_minerva_etl_spark.ext.codecs import png_decode
+    plte = [10, 10, 10, 200, 200, 200]
+    # 1-bit, width 5 (row pad bits exercised)
+    blob = _palette_png(5, 2, 1, [0, 1, 1, 0, 1, 1, 0, 0, 1, 0], plte)
+    w, h, ch, px = png_decode(blob)
+    assert (w, h, ch) == (5, 2, 3)
+    greys = [px[i] for i in range(0, len(px), 3)]
+    assert greys == [10, 200, 200, 10, 200, 200, 10, 10, 200, 10]
+    # 4-bit
+    plte16 = sum(([i * 16, i * 16, i * 16] for i in range(16)), [])
+    blob = _palette_png(3, 1, 4, [0, 15, 7], plte16)
+    _, _, _, px = png_decode(blob)
+    assert [px[0], px[3], px[6]] == [0, 240, 112]
+
+
+def test_png_palette_trns_alpha():
+    from python_minerva_etl_spark.ext.codecs import png_decode
+    plte = [255, 0, 0, 0, 255, 0]
+    blob = _palette_png(2, 1, 8, [0, 1], plte, trns=[128])  # idx1 opaque
+    w, h, ch, px = png_decode(blob)
+    assert ch == 4
+    assert px == bytes([255, 0, 0, 128, 0, 255, 0, 255])
+
+
+def test_png_palette_bad_index_and_missing_plte():
+    import struct as _s
+    import zlib as _z
+
+    import pytest as _pytest
+
+    from python_minerva_etl_spark.ext.codecs import _chunk, png_decode
+    plte = [1, 2, 3]  # one entry
+    blob = _palette_png(1, 1, 8, [5], plte)
+    with _pytest.raises(ValueError, match="out of range"):
+        png_decode(blob)
+    # missing PLTE
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _z.compress(b"\x00\x00"))
+            + _chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="PLTE"):
+        png_decode(blob)
