@@ -237,6 +237,14 @@ def wav_encode(samples: list[int], sample_rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _round_half_away(x: float) -> float:
+    """Round half away from zero (Python's round() is banker's
+    rounding, which would make the float->int16 scale depend on
+    parity of the neighbour integer)."""
+    import math
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode a RIFF/WAVE file to ``(sample_rate, n_channels,
     samples)`` — see :func:`wav_decode_full` for the variant that
@@ -248,9 +256,12 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
 def wav_decode_full(payload: bytes) -> tuple[int, int, int, list[int]]:
     """Decode a RIFF/WAVE file to ``(sample_rate, n_channels, bits,
     samples)``.  Real chunk walk (fmt before data, unknown chunks
-    skipped with word alignment).  PCM at 8 bits (unsigned per the
-    WAV spec, re-centred to signed), 16 bits (signed LE), or 24 bits
-    (signed LE, common in production audio); anything else raises."""
+    skipped with word alignment).  Integer PCM (format 1) at 8 bits
+    (unsigned per the WAV spec, re-centred to signed), 16 bits
+    (signed LE), or 24 bits (signed LE, common in production audio);
+    IEEE-float PCM (format 3) at 32 bits, deterministically scaled to
+    the int16 range (clamp to [-1, 1], round-half-away-from-zero to
+    ``s * 32767``).  Anything else raises."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
@@ -264,14 +275,23 @@ def wav_decode_full(payload: bytes) -> tuple[int, int, int, list[int]]:
         if tag == b"fmt ":
             audio_fmt, nch, rate, _, _, bits = \
                 struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1 or bits not in (8, 16, 24):
+            ok = (audio_fmt == 1 and bits in (8, 16, 24)) or \
+                (audio_fmt == 3 and bits == 32)
+            if not ok:
                 raise ValueError(
                     f"unsupported WAV: fmt={audio_fmt} bits={bits} "
-                    "(8/16/24-bit PCM only)")
+                    "(8/16/24-bit integer or 32-bit float PCM only)")
         elif tag == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            if bits == 16:
+            if bits == 32:  # IEEE float -> deterministic int16 scale
+                n = len(body) // 4
+                floats = struct.unpack(f"<{n}f", body[:n * 4])
+                samples = [
+                    int(_round_half_away(max(-1.0, min(1.0, f))
+                                         * 32767.0))
+                    for f in floats]
+            elif bits == 16:
                 n = len(body) // 2
                 samples = list(struct.unpack(f"<{n}h", body[:n * 2]))
             elif bits == 8:

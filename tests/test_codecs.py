@@ -308,3 +308,34 @@ def test_png_palette_bad_index_and_missing_plte():
             + _chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="PLTE"):
         png_decode(blob)
+
+
+def test_wav_32bit_float_pcm():
+    """IEEE-float WAV (format 3, 32-bit): decoded with a deterministic
+    int16 scale (clamp, round half away from zero); wav_frames must
+    NOT additionally shift (bits != 24)."""
+    import struct
+
+    import pytest as _pytest
+
+    from python_minerva_etl_spark.ext.codecs import (wav_decode_full,
+                                                     wav_frames)
+
+    vals = [0.0, 1.0, -1.0, 0.5, -0.5, 2.0, -2.0, 3.1e-05]
+    data = struct.pack(f"<{len(vals)}f", *vals)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    r, n, bits, s = wav_decode_full(wav)
+    assert (r, n, bits) == (8000, 1, 32)
+    assert s == [0, 32767, -32767, 16384, -16384, 32767, -32767, 1]
+    (frame,) = wav_frames(wav, frame_samples=8)
+    assert struct.unpack("<8h", frame) == tuple(s)
+    # 32-bit INTEGER PCM still refused
+    fmt_int = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_int))
+            + fmt_int + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="32-bit float"):
+        wav_decode_full(bad)
