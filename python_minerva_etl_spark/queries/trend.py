@@ -255,6 +255,82 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _sink_iceberg_roundtrip(spark, sf_dir):
+    """OP-SNK / OP-SRC interop via the ICEBERG v2 table format
+    (storage/iceberg_write.py + storage/iceberg.py — no Iceberg jar):
+    the per-user hourly rollup is written as TWO fast-append commits
+    (events split on event_id, partial rollup appended per half) and
+    read back through manifest-list replay; the mergeable partials
+    re-aggregate to the exact full rollup the oracle computes
+    directly.  Exercises parquet staging, Avro manifest + manifest-
+    list writing, CAS metadata commit, snapshot read, and the bounds
+    the writer records (the reader's scan planning consumes them)."""
+    from ..storage.iceberg import read_iceberg
+    from ..storage.iceberg_write import write_iceberg
+
+    ev = t(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    def rollup(df):
+        return (df.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("samples"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").alias("sum_value")))
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"iceberg_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, rollup(ev.filter(F.col("event_id") <= mid)),
+                  base)
+    write_iceberg(spark, rollup(ev.filter(F.col("event_id") > mid)),
+                  base)
+    return (read_iceberg(spark, base)
+            .groupBy("user_id", "bucket")
+            .agg(F.sum("samples").cast("bigint").alias("samples"),
+                 F.sum("sum_value").cast("decimal(28,4)")
+                 .alias("sv"))
+            .select("user_id", "bucket", "samples",
+                    F.col("sv").cast("double").alias("sum_value")))
+
+
+_SINK_ICEBERG_ROUNDTRIP_SQL = _SINK_DELTA_ROUNDTRIP_SQL
+
+
+def _source_avro_roundtrip(spark, sf_dir):
+    """OP-SRC-PLUGIN roundtrip through the Avro sink + the VECTORIZED
+    Avro source path (sources/avro.py): events' key columns are
+    written executor-side as all-varint object-container files
+    (timestamps as unix_micros longs — timezone-proof), read back
+    through the numpy block decoder (3 non-nullable longs = vector-
+    eligible), and re-aggregated; matches the oracle computed on the
+    original parquet."""
+    from ..sources.avro import read_avro, write_avro
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"avro_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_avro(ev.repartition(4), base, force_required=True)
+    back = read_avro(spark, base)
+    return (back
+            .groupBy("user_id",
+                     F.date_trunc("hour", F.timestamp_micros("ts_us"))
+                     .alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("samples"),
+                 F.max("event_id").alias("max_event")))
+
+
+_SOURCE_AVRO_ROUNDTRIP_SQL = """
+SELECT user_id,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS samples,
+       MAX(event_id) AS max_event
+FROM events GROUP BY 1, 2
+"""
+
+
 def _upsert_merge_table(spark, sf_dir):
     """OP-SNK-UPSERT via the snapshot-committed table format
     (storage/snaptable): a two-phase load through MERGE — the second
@@ -685,6 +761,8 @@ QUERIES = [
     DeclaredQuery("upsert_last_wins", _upsert_last_wins, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT"),
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
     DeclaredQuery("sink_delta_roundtrip", _sink_delta_roundtrip, _SINK_DELTA_ROUNDTRIP_SQL, "OP-SNK/OP-SRC (Delta-protocol commit + log-replay read)"),
+    DeclaredQuery("sink_iceberg_roundtrip", _sink_iceberg_roundtrip, _SINK_ICEBERG_ROUNDTRIP_SQL, "OP-SNK/OP-SRC (Iceberg v2 fast-append + manifest-replay read)"),
+    DeclaredQuery("source_avro_roundtrip", _source_avro_roundtrip, _SOURCE_AVRO_ROUNDTRIP_SQL, "OP-SRC-PLUGIN (Avro sink + vectorized block decode)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
     DeclaredQuery("anomaly_prefix_zscore", _anomaly_prefix_zscore, _ANOMALY_PREFIX_ZSCORE_SQL, "OP-TRIG (no-lookahead prefix baseline)"),

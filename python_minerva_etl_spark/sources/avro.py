@@ -317,3 +317,99 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     fdf = (spark.createDataFrame([(p,) for p in files], "path string")
            .repartition(len(files)))
     return fdf.mapInPandas(decode, spark_schema)
+
+
+# ------------------------------------------------------------------ sink
+
+_SINK_PRIM = {  # Spark simpleString -> Avro primitive
+    "boolean": "boolean", "int": "int", "bigint": "long",
+    "float": "float", "double": "double", "string": "string",
+    "binary": "bytes",
+}
+
+
+def _avro_schema_of(spark_schema, force_required: bool) -> dict:
+    """Spark schema -> Avro record schema for :func:`write_avro`.
+    Scope: flat records of primitives (nullable -> ['null', X]);
+    anything else raises — encode timestamps as ``unix_micros`` longs
+    before writing (timezone-proof both ways) rather than relying on
+    session-local pandas timestamps."""
+    fields = []
+    for f in spark_schema.fields:
+        s = f.dataType.simpleString()
+        if s not in _SINK_PRIM:
+            raise NotImplementedError(
+                f"avro sink: unsupported column type {s!r} for "
+                f"{f.name!r} (flat primitives only; cast timestamps "
+                "to unix_micros longs first)")
+        avro_t = _SINK_PRIM[s]
+        fields.append({"name": f.name,
+                       "type": ["null", avro_t]
+                       if f.nullable and not force_required
+                       else avro_t})
+    return {"type": "record", "name": "row", "fields": fields}
+
+
+def write_avro(df: DataFrame, path: str,
+               force_required: bool = False) -> list[str]:
+    """Distributed Avro sink: one object-container file per non-empty
+    partition, encoded executor-side (the driver never sees row
+    data — only the bounded per-file summary).  Returns the written
+    file paths.  Pairs with :func:`read_avro` for a lossless
+    round-trip of the supported primitive types.
+
+    ``force_required`` writes plain (non-union) field schemas even
+    for Spark-nullable columns — use when the data is known non-null
+    (e.g. key columns) so all-varint files stay eligible for the
+    vectorized read path; an actual null then raises at encode time
+    instead of silently writing an unreadable file."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..storage.iceberg_write import _avro_encode, _zigzag
+
+    schema = _avro_schema_of(df.schema, force_required)
+    canon = _json.dumps(schema).encode()
+    os.makedirs(path, exist_ok=True)
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+
+    def encode(batches):
+        import pandas as pd
+        sync = _uuid.uuid4().bytes
+        out = bytearray(b"Obj\x01")
+        out += _avro_encode(
+            {"avro.schema": canon, "avro.codec": b"null"},
+            {"type": "map", "values": "bytes"})
+        out += sync
+        n_total = 0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            body = bytearray()
+            cols = [pdf[name] for name, _ in fields]
+            for i in range(n):
+                for (name, ftype), col in zip(fields, cols):
+                    v = col.iloc[i]
+                    if v is not None and v == v:  # NaN -> null
+                        v = v.item() if hasattr(v, "item") else v
+                    else:
+                        v = None
+                    if v is None and not isinstance(ftype, list):
+                        raise ValueError(
+                            f"avro sink: null in required column "
+                            f"{name!r} (written with "
+                            "force_required=True)")
+                    body += _avro_encode(v, ftype)
+            out += _zigzag(n) + _zigzag(len(body)) + bytes(body) + sync
+            n_total += n
+        if not n_total:
+            yield pd.DataFrame({"path": [], "rows": []})
+            return
+        fname = os.path.join(path, f"part-{_uuid.uuid4().hex}.avro")
+        with open(fname, "wb") as fh:
+            fh.write(bytes(out))
+        yield pd.DataFrame({"path": [fname], "rows": [n_total]})
+
+    summary = df.mapInPandas(encode, "path string, rows long").collect()
+    return sorted(r["path"] for r in summary)

@@ -99,3 +99,60 @@ def test_vector_path_empty_and_single_row(spark, tmp_path):
     (d / "one.avro").write_bytes(_avro_file(_ALL_VARINT, one))
     rows = read_avro(spark, str(d)).collect()
     assert len(rows) == 1 and rows[0]["id"] == -(2**63)
+
+
+def test_write_avro_roundtrip_and_refusals(spark, tmp_path):
+    """Executor-side Avro sink: lossless roundtrip incl. nulls, and
+    loud refusals for unsupported types / nulls under
+    force_required."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.sources.avro import (read_avro,
+                                                       write_avro)
+
+    df = spark.createDataFrame(
+        [(1, 2.5, True, "a", None), (2, None, False, None, b"\x01")],
+        "id long, x double, f boolean, s string, b binary")
+    d = str(tmp_path / "out")
+    files = write_avro(df.repartition(2), d)
+    assert files and all(p.endswith(".avro") for p in files)
+    got = sorted((r["id"], r["x"], r["f"], r["s"], bytes(r["b"])
+                  if r["b"] is not None else None)
+                 for r in read_avro(spark, d).collect())
+    assert got == [(1, 2.5, True, "a", None),
+                   (2, None, False, None, b"\x01")]
+
+    # unsupported type refused at schema time
+    with pytest.raises(NotImplementedError, match="unix_micros"):
+        write_avro(spark.createDataFrame(
+            [([1],)], "a array<long>"), str(tmp_path / "bad"))
+
+    # force_required: null in a required column raises executor-side
+    with pytest.raises(Exception, match="required column"):
+        write_avro(spark.createDataFrame(
+            [(1, None)], "id long, s string"),
+            str(tmp_path / "bad2"), force_required=True)
+
+
+def test_write_avro_force_required_hits_vector_path(spark, tmp_path):
+    """force_required writes plain long schemas, which the vectorized
+    reader claims (the plan is non-None) — and values round-trip."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.sources.avro import (_vector_plan,
+                                                       read_avro,
+                                                       write_avro)
+    from python_minerva_etl_spark.storage.iceberg import avro_read
+
+    df = spark.range(100).select(
+        "id", (F.col("id") * 7 - 350).alias("v"))
+    d = str(tmp_path / "out")
+    (f0, *_) = write_avro(df, d, force_required=True)
+    import json
+    meta, _recs = avro_read(open(f0, "rb").read())
+    schema = json.loads(meta["avro.schema"].decode())
+    assert _vector_plan(schema) is not None
+    got = sorted((r["id"], r["v"])
+                 for r in read_avro(spark, d).collect())
+    assert got == [(i, i * 7 - 350) for i in range(100)]
