@@ -271,34 +271,90 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_snapshot_id", "type": ["null", "long"]},
         {"name": "added_files_count", "type": ["null", "int"]},
         {"name": "added_rows_count", "type": ["null", "long"]},
+        # field_summary per spec r508: drives the reader's
+        # manifest-level partition pruning
+        {"name": "partitions", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "r508", "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "lower_bound",
+                     "type": ["null", "bytes"]},
+                    {"name": "upper_bound",
+                     "type": ["null", "bytes"]},
+                ]}}]},
     ]}
 
 
 # ------------------------------------------------------------- the write
 
 
-def _stage_data_files(df: DataFrame, table_path: str) -> list[dict]:
+def _stage_data_files(df: DataFrame, table_path: str,
+                      partition_by: str | None = None,
+                      ice_schema: dict | None = None) -> list[dict]:
     """Distributed parquet write into a staging dir, then rename each
-    part file to ``data/<uuid>.parquet``.  Returns manifest
-    ``data_file`` dicts (path, size, row count from the footer)."""
+    part file to ``data/[<col>=<val>/]<uuid>.parquet``.  Returns
+    manifest ``data_file`` dicts (path, size, row count from the
+    footer, and the typed partition value when partitioned).
+
+    Partitioned staging duplicates the partition column under a temp
+    name for ``partitionBy`` — Spark's Hive layout drops the
+    partition column from the files, but Iceberg data files must
+    carry every schema column."""
+    from pyspark.sql import functions as F
+
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    if partition_by is None:
+        df.write.mode("overwrite").parquet(staging)
+        part_dirs = [(staging, None)]
+    else:
+        (df.withColumn("__part", F.col(partition_by))
+         .write.mode("overwrite").partitionBy("__part")
+         .parquet(staging))
+        part_dirs = []
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("__part="):
+                continue
+            raw = name[len("__part="):]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ValueError(
+                    f"iceberg append: null value in partition column "
+                    f"{partition_by!r}")
+            from urllib.parse import unquote
+            val: object = unquote(raw)
+            ptype = {f["name"]: f["type"]
+                     for f in ice_schema["fields"]
+                     if isinstance(f["type"], str)}[partition_by]
+            if ptype in ("int", "long"):
+                val = int(val)
+            part_dirs.append((os.path.join(staging, name), val))
     data_dir = os.path.join(table_path, "data")
-    os.makedirs(data_dir, exist_ok=True)
     import pyarrow.parquet as pq
     out = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-        os.replace(os.path.join(staging, name), final)
-        out.append({
-            "content": 0,
-            "file_path": final,
-            "file_format": "PARQUET",
-            "record_count": pq.ParquetFile(final).metadata.num_rows,
-            "file_size_in_bytes": os.path.getsize(final),
-        })
+    for src_dir, pval in part_dirs:
+        if pval is None:
+            dst_dir = data_dir
+        else:
+            dst_dir = os.path.join(
+                data_dir, f"{partition_by}={pval}")
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in sorted(os.listdir(src_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            final = os.path.join(dst_dir,
+                                 f"{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(src_dir, name), final)
+            entry = {
+                "content": 0,
+                "file_path": final,
+                "file_format": "PARQUET",
+                "record_count":
+                    pq.ParquetFile(final).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(final),
+            }
+            if pval is not None:
+                entry["partition"] = {partition_by: pval}
+            out.append(entry)
     shutil.rmtree(staging, ignore_errors=True)
     return out
 
@@ -315,9 +371,21 @@ def _append_compatible(table: T.StructType, df: T.StructType) -> bool:
 
 
 def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
-                  max_commit_attempts: int = 5) -> None:
+                  max_commit_attempts: int = 5,
+                  partition_by: str | None = None) -> None:
     """Append ``df`` to the Iceberg table at ``path``, creating the
-    table (format-version 2, unpartitioned) if absent.
+    table (format-version 2) if absent.
+
+    ``partition_by`` — an identity-transform partition column (int,
+    long, or string; one column).  On create it becomes the table's
+    default spec; on append it must name the existing spec's column.
+    Partitioned staging is still ONE distributed write (the column
+    is duplicated under a temp name for ``partitionBy`` so the data
+    files keep every schema column, unlike Hive layout), and each
+    manifest records per-partition-field summaries so the reader's
+    manifest-level pruning works on tables this writer produces.
+    Null partition values are refused (they would silently land in a
+    Hive default-partition dir).
 
     Commit protocol: stage data files once, then CAS the metadata —
     read the current version, write ``v<N+1>.metadata.json`` via
@@ -342,14 +410,31 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
                 f"{_to_spark_schema(ice_schema).simpleString()}")
         specs = {s.get("spec-id", 0): s.get("fields", [])
                  for s in md.get("partition-specs", [])}
-        if specs.get(md.get("default-spec-id", 0)):
+        spec_fields = specs.get(md.get("default-spec-id", 0), [])
+        by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+        spec_cols = [by_id.get(f.get("source-id")) for f in spec_fields]
+        if spec_fields and any(f.get("transform") != "identity"
+                               for f in spec_fields):
             raise NotImplementedError(
-                "iceberg append: table has a non-empty partition "
-                "spec; this writer stages unpartitioned files only")
+                "iceberg append: non-identity partition transforms "
+                "unsupported")
+        if spec_cols != ([partition_by] if partition_by else []):
+            raise ValueError(
+                f"iceberg append: partition_by={partition_by!r} does "
+                f"not match the table's default spec {spec_cols}")
     else:
         ice_schema = _to_iceberg_schema(df.schema)
 
-    data_files = _stage_data_files(df, path)
+    if partition_by is not None:
+        ptypes = {f["name"]: f["type"] for f in ice_schema["fields"]
+                  if isinstance(f["type"], str)}
+        if ptypes.get(partition_by) not in ("int", "long", "string"):
+            raise NotImplementedError(
+                f"iceberg append: partition column {partition_by!r} "
+                f"must be int/long/string, got "
+                f"{ptypes.get(partition_by)!r}")
+
+    data_files = _stage_data_files(df, path, partition_by, ice_schema)
     for f in data_files:
         lo, hi = _file_bounds(f["file_path"], ice_schema)
         f["lower_bounds"] = lo or None
@@ -369,13 +454,29 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
                 "last-column-id": _last_column_id(ice_schema),
                 "schemas": [ice_schema],
                 "current-schema-id": 0,
-                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "partition-specs": [{
+                    "spec-id": 0,
+                    "fields": [] if partition_by is None else [{
+                        "name": partition_by,
+                        "transform": "identity",
+                        "source-id": next(
+                            f["id"] for f in ice_schema["fields"]
+                            if f["name"] == partition_by),
+                        "field-id": 1000,
+                    }]}],
                 "default-spec-id": 0,
                 "snapshots": [],
                 "current-snapshot-id": -1,
             }
+        part_info = None
+        if partition_by is not None:
+            ptype = {f["name"]: f["type"]
+                     for f in ice_schema["fields"]
+                     if isinstance(f["type"], str)}[partition_by]
+            part_info = (partition_by, ptype)
         try:
-            _commit_append(table, md, data_files, base_version)
+            _commit_append(table, md, data_files, base_version,
+                           part_info)
             return
         except IcebergConcurrentCommit:
             continue
@@ -411,9 +512,26 @@ def _version_of(metadata_path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _partitioned_entry_schema(col: str, ice_type: str) -> dict:
+    """Manifest-entry Avro schema extended with the data_file
+    ``partition`` record (spec field r102) for one identity field."""
+    import copy
+    avro_t = {"int": "int", "long": "long", "string": "string"}[
+        ice_type]
+    schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    df_schema = next(f for f in schema["fields"]
+                     if f["name"] == "data_file")["type"]
+    df_schema["fields"].insert(2, {
+        "name": "partition",
+        "type": {"type": "record", "name": "r102", "fields": [
+            {"name": col, "type": avro_t}]}})
+    return schema
+
+
 def _commit_append(table: IcebergTable, md: dict,
                    data_files: list[dict],
-                   base_version: int) -> None:
+                   base_version: int,
+                   part_info: tuple[str, str] | None = None) -> None:
     """Commit one append snapshot on top of ``md``, which was read
     from metadata version ``base_version``.  The CAS target is
     ALWAYS ``base_version + 1``: deriving it from the directory at
@@ -429,8 +547,21 @@ def _commit_append(table: IcebergTable, md: dict,
     entries = [{"status": 1, "snapshot_id": snap_id,
                 "sequence_number": None,  # inherited = commit seq
                 "data_file": f} for f in data_files]
+    if part_info is None:
+        entry_schema = _MANIFEST_ENTRY_SCHEMA
+        summaries = None
+    else:
+        col, ice_type = part_info
+        entry_schema = _partitioned_entry_schema(col, ice_type)
+        # manifest-list partition summary (one identity field): the
+        # reader's manifest-level pruning consumes these bounds
+        enc = _BOUND_ENCODERS[ice_type]
+        vals = [f["partition"][col] for f in data_files]
+        summaries = [{"contains_null": False,
+                      "lower_bound": enc(min(vals)),
+                      "upper_bound": enc(max(vals))}]
     with open(manifest, "wb") as fh:
-        fh.write(_avro_file(_MANIFEST_ENTRY_SCHEMA, entries))
+        fh.write(_avro_file(entry_schema, entries))
 
     # fast append: previous snapshot's manifests carry over unchanged
     prev_manifests: list[dict] = []
@@ -450,11 +581,13 @@ def _commit_append(table: IcebergTable, md: dict,
         "added_files_count": len(data_files),
         "added_rows_count": sum(f["record_count"]
                                 for f in data_files),
+        "partitions": summaries,
     }
     carried = [{k: m.get(k) for k in
                 ("manifest_path", "manifest_length",
                  "partition_spec_id", "content", "added_snapshot_id",
-                 "added_files_count", "added_rows_count")}
+                 "added_files_count", "added_rows_count",
+                 "partitions")}
                for m in prev_manifests]
     mlist = os.path.join(mdir, f"snap-{snap_id}-{commit_uuid}.avro")
     with open(mlist, "wb") as fh:

@@ -66,7 +66,7 @@ def test_schema_mismatch_and_partitioned_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="does not match table"):
         write_iceberg(spark, spark.createDataFrame(
             [(1.5,)], "id double"), p)
-    # a table with a non-empty default partition spec is refused
+    # an unpartitioned append into a partitioned table is refused
     t = IcebergTable(p)
     md_path = t._metadata_path()
     md = json.load(open(md_path))
@@ -74,7 +74,15 @@ def test_schema_mismatch_and_partitioned_refusals(spark, tmp_path):
         {"source-id": 1, "field-id": 1000, "name": "id",
          "transform": "identity"}]}]
     json.dump(md, open(md_path, "w"))
-    with pytest.raises(NotImplementedError, match="partition spec"):
+    with pytest.raises(ValueError, match="does not match the table"):
+        write_iceberg(spark, spark.createDataFrame(
+            [(9, "z")], "id long, v string"), p)
+    # non-identity transforms stay refused
+    md["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"source-id": 1, "field-id": 1000, "name": "id_bucket",
+         "transform": "bucket[16]"}]}]
+    json.dump(md, open(md_path, "w"))
+    with pytest.raises(NotImplementedError, match="non-identity"):
         write_iceberg(spark, spark.createDataFrame(
             [(9, "z")], "id long, v string"), p)
 
@@ -178,3 +186,76 @@ def test_structural_diff_vs_independent_fixture(spark, tmp_path):
     # and ours additionally carries decodable bounds
     lb = our_recs[0]["data_file"]["lower_bounds"]
     assert lb and all({"key", "value"} <= set(kv) for kv in lb)
+
+
+def test_partitioned_append_roundtrip_and_manifest_pruning(spark,
+                                                           tmp_path):
+    """Identity-partitioned append: data files keep every schema
+    column, partition dirs + manifest partition summaries are
+    written, and the reader's MANIFEST-level pruning consumes them —
+    proven by deleting the excluded manifest from disk."""
+    p = str(tmp_path / "t")
+    lo = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 12, "c")],
+        "day int, id long, v string")
+    hi = spark.createDataFrame(
+        [(30, 13, "d"), (31, 14, "e")],
+        "day int, id long, v string")
+    write_iceberg(spark, lo, p, partition_by="day")
+    write_iceberg(spark, hi, p, partition_by="day")
+    assert _rows(read_iceberg(spark, p)) == [
+        (1, 10, "a"), (1, 11, "b"), (2, 12, "c"),
+        (30, 13, "d"), (31, 14, "e")]
+    # partition dirs exist and files carry ALL columns
+    assert os.path.isdir(os.path.join(p, "data", "day=1"))
+    import pyarrow.parquet as pq
+    f = os.listdir(os.path.join(p, "data", "day=1"))[0]
+    names = pq.ParquetFile(
+        os.path.join(p, "data", "day=1", f)).schema_arrow.names
+    assert set(names) == {"day", "id", "v"}
+
+    # manifest pruning: the lo manifest (days 1-2) must never be
+    # opened for day >= 30 — delete it and the filtered read works
+    t = IcebergTable(p)
+    md = t.metadata()
+    snap = t._snapshot(md, None)
+    with open(snap["manifest-list"], "rb") as fh:
+        _, mlist = avro_read(fh.read())
+    assert len(mlist) == 2
+    lo_manifest = [m for m in mlist
+                   if m["partitions"][0]["upper_bound"] is not None
+                   and int.from_bytes(m["partitions"][0]
+                                      ["upper_bound"], "little") < 30]
+    assert len(lo_manifest) == 1
+    os.remove(lo_manifest[0]["manifest_path"])
+    got = _rows(read_iceberg(spark, p, where=[("day", ">=", 30)]))
+    assert got == [(30, 13, "d"), (31, 14, "e")]
+
+
+def test_partitioned_append_refusals(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "day int, v string")
+    write_iceberg(spark, df, p, partition_by="day")
+    # appending unpartitioned to a partitioned table refused
+    with pytest.raises(ValueError, match="does not match the table"):
+        write_iceberg(spark, df, p)
+    # null partition value refused
+    with pytest.raises(ValueError, match="null value in partition"):
+        write_iceberg(spark, spark.createDataFrame(
+            [(None, "x")], "day int, v string"), p,
+            partition_by="day")
+    # double partition column refused at create
+    with pytest.raises(NotImplementedError, match="int/long/string"):
+        write_iceberg(spark, spark.createDataFrame(
+            [(1.5, "x")], "day double, v string"),
+            str(tmp_path / "t2"), partition_by="day")
+
+
+def test_partitioned_string_values_with_specials(spark, tmp_path):
+    """Hive-escaped partition dir names round-trip (space, colon)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a b:c", 1), ("plain", 2)], "k string, id long")
+    write_iceberg(spark, df, p, partition_by="k")
+    assert _rows(read_iceberg(spark, p)) == [("a b:c", 1),
+                                             ("plain", 2)]
