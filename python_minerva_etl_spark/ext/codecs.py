@@ -91,8 +91,11 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     Real parse: signature check, chunk walk with length bounds, IHDR
     validation, multi-chunk IDAT reassembly, zlib inflate, and full
     reversal of all five PNG scanline filters.  Supports
-    non-interlaced 8-bit greyscale (0), RGB (2), RGBA (6), and
-    palette-indexed (3) at bit depths 1/2/4/8 — indexed pixels are
+    non-interlaced greyscale (0), RGB (2), RGBA (6) at 8- and 16-bit
+    depth — 16-bit samples are deterministically scaled to 8 bits by
+    taking the high byte (the PNG spec's own recommended depth
+    rescale, exact for values of the form ``v*257``) — and
+    palette-indexed (3) at bit depths 1/2/4/8, with indexed pixels
     resolved through PLTE (plus tRNS alpha when present, yielding
     RGBA instead of RGB)."""
     if payload[:8] != _PNG_SIG:
@@ -112,12 +115,12 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            ok = (depth == 8 and color in _CHANNELS) or \
+            ok = (depth in (8, 16) and color in _CHANNELS) or \
                 (color == 3 and depth in (1, 2, 4, 8))
             if not ok:
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color={color} "
-                    "(8-bit grey/RGB/RGBA or 1/2/4/8-bit palette "
+                    "(8/16-bit grey/RGB/RGBA or 1/2/4/8-bit palette "
                     "only)")
             if interlace != 0:
                 raise ValueError("interlaced PNG unsupported")
@@ -139,8 +142,11 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         channels, bpp = 1, 1
         stride = (width * depth + 7) // 8
     else:
-        channels = bpp = _CHANNELS[color]
-        stride = width * channels
+        channels = _CHANNELS[color]
+        # filters operate on BYTES with a bpp equal to the full
+        # pixel width in bytes (PNG spec: 2 bytes/sample at 16-bit)
+        bpp = channels * (depth // 8)
+        stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel payload has wrong length")
@@ -171,6 +177,9 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         out[y * stride:(y + 1) * stride] = line
         prev = line
     if not paletted:
+        if depth == 16:
+            # big-endian 16-bit samples -> high byte (v >> 8)
+            return width, height, channels, bytes(out[0::2])
         return width, height, channels, bytes(out)
     return _resolve_palette(bytes(out), width, height, depth, stride,
                             plte, trns)

@@ -91,8 +91,9 @@ def test_png_rejects_garbage():
         png_decode(b"JFIF not a png")
     with pytest.raises(ValueError, match="truncated"):
         png_decode(_PNG_SIG + struct.pack(">I", 99) + b"IHDRxx")
-    # 16-bit depth unsupported
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # sub-byte depth on a NON-palette color type unsupported
+    # (16-bit grey/RGB/RGBA decodes since round 6)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="unsupported PNG"):
         png_decode(_PNG_SIG + _chunk(b"IHDR", ihdr)
                    + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
@@ -339,3 +340,45 @@ def test_wav_32bit_float_pcm():
     bad = b"RIFF" + struct.pack("<I", len(body)) + body
     with _pytest.raises(ValueError, match="32-bit float"):
         wav_decode_full(bad)
+
+
+def test_png_16bit_decode_high_byte():
+    """16-bit grey/RGB PNGs decode with the spec's depth rescale
+    (high byte); Sub filter at bpp=2·channels exercised."""
+    import struct as _s
+    import zlib as _z
+
+    from python_minerva_etl_spark.ext.codecs import _chunk, png_decode
+
+    def png16(width, height, color, samples, filter_type=0):
+        ch = {0: 1, 2: 3}[color]
+        stride = width * ch * 2
+        raw = bytearray()
+        prev = None
+        for y in range(height):
+            line = b"".join(_s.pack(">H", s) for s in
+                            samples[y * width * ch:(y + 1) * width * ch])
+            raw.append(filter_type)
+            if filter_type == 1:
+                bpp = ch * 2
+                enc = bytearray(line)
+                for i in range(stride - 1, bpp - 1, -1):
+                    enc[i] = (enc[i] - line[i - bpp]) & 0xFF
+                raw += enc
+            else:
+                raw += line
+        ihdr = _s.pack(">IIBBBBB", width, height, 16, color, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _z.compress(bytes(raw), 6))
+                + _chunk(b"IEND", b""))
+
+    # grey: exact v*257 values rescale losslessly to v
+    vals = [0, 257, 65535, 128 * 257, 40000, 1]
+    w, h, ch, px = png_decode(png16(3, 2, 0, vals))
+    assert (w, h, ch) == (3, 2, 1)
+    assert list(px) == [v >> 8 for v in vals]
+    # RGB with Sub filter
+    vals = [65535, 0, 257, 30000, 40000, 50000]
+    w, h, ch, px = png_decode(png16(2, 1, 2, vals, filter_type=1))
+    assert (w, h, ch) == (2, 1, 3)
+    assert list(px) == [v >> 8 for v in vals]
