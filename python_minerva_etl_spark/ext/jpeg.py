@@ -4,13 +4,18 @@ multimodal corpus is mostly made of (round-4 verdict gap #4).
 Implemented from the public ITU-T T.81 / ISO 10918-1 specification
 (with the JFIF colour conventions), stdlib + numpy only:
 
-- **decoder** (:func:`jpeg_decode`): baseline sequential DCT, 8-bit
-  precision.  Real marker walk (SOI, APPn skipped, DQT, SOF0, DHT,
-  DRI, SOS, EOI), canonical Huffman table construction from
+- **decoder** (:func:`jpeg_decode`): baseline sequential DCT (SOF0)
+  AND progressive DCT (SOF2, T.81 Annex G — round 6), 8-bit
+  precision.  Real marker walk (SOI, APPn skipped, DQT, SOF0/SOF2,
+  DHT, DRI, SOS, EOI), canonical Huffman table construction from
   BITS/HUFFVAL, entropy-coded segment reading with byte un-stuffing
   (FF 00) and restart-marker handling (FFD0-D7 reset the DC
-  predictors and bit alignment), DC prediction + EXTEND, AC
-  run/size decoding with ZRL and EOB, dequantization, zigzag
+  predictors, EOB-runs, and bit alignment), DC prediction + EXTEND,
+  AC run/size decoding with ZRL and EOB, and for progressive frames
+  the full scan algebra: interleaved DC first/refinement scans over
+  the padded MCU lattice, per-component AC spectral-selection scans
+  over the REAL block grid, successive approximation with EOB-run
+  skips and correction-bit refinement.  Then dequantization, zigzag
   reorder, 8x8 inverse DCT (orthonormal basis matmul), chroma
   upsampling by sampling factor (2x2 / 2x1 / 1x2 replication per
   T.81's simplest conforming interpolation), and JFIF YCbCr -> RGB.
@@ -21,8 +26,8 @@ Implemented from the public ITU-T T.81 / ISO 10918-1 specification
   byte stuffing — so decode round-trips exercise every decoder
   stage on bytes this module did NOT hand itself pre-parsed.
 
-Out of scope (raise, never misread): progressive (SOF2) and all
-other SOF types, arithmetic coding, 12-bit precision, 4-component
+Out of scope (raise, never misread): arithmetic coding (SOF9-11),
+hierarchical and lossless SOF types, 12-bit precision, 4-component
 (CMYK) frames.  Scope and the conformance strategy are documented in
 COVERAGE.md.
 
@@ -294,7 +299,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 (dc_tables if tc == 0 else ac_tables)[th] = \
                     _build_decode_table(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -310,11 +315,17 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if marker == 0xC2:  # progressive: its own scan loop
+                return _decode_progressive(payload, pos + seglen,
+                                           frame, qt, dc_tables,
+                                           ac_tables,
+                                           restart_interval)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG: SOF{marker - 0xC0} unsupported (baseline "
-                "sequential SOF0 only; progressive/arithmetic raise)")
+                f"JPEG: SOF{marker - 0xC0} unsupported (sequential "
+                "SOF0 and progressive SOF2 only; arithmetic/"
+                "hierarchical raise)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -346,64 +357,317 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     table_of = {cid: (dc, ac) for cid, dc, ac in scan_comps}
     reader = _BitReader(payload, scan_start)
     pred = {cid: 0 for cid, *_ in comps}
-    # per component: coefficient blocks in MCU raster order
-    blocks: dict[int, list[np.ndarray]] = {cid: [] for cid, *_ in comps}
+    # per component: raw coefficient grid (zigzag order), padded to
+    # the full MCU lattice
+    coef = {cid: np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                          dtype=np.int64)
+            for cid, ch, cv, _ in comps}
 
     mcu_index = 0
-    for _ in range(mcus_y):
-        for _ in range(mcus_x):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu_index and \
                     mcu_index % restart_interval == 0:
                 reader.sync_restart()
                 pred = {cid: 0 for cid in pred}
             for cid, ch, cv, tq in comps:
                 dct, act = table_of[cid]
-                for _ in range(ch * cv):
-                    coeffs = np.zeros(64, dtype=np.int64)
-                    t = reader.decode_symbol(dc_tables[dct])
-                    diff = _extend(reader.read_bits(t), t)
-                    pred[cid] += diff
-                    coeffs[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_symbol(ac_tables[act])
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break          # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError(
-                                "JPEG: AC run past block end")
-                        coeffs[k] = _extend(reader.read_bits(size), size)
-                        k += 1
-                    blocks[cid].append(coeffs * qt[tq][ZIGZAG])
+                for by in range(cv):
+                    for bx in range(ch):
+                        coeffs = coef[cid][my * cv + by, mx * ch + bx]
+                        t = reader.decode_symbol(dc_tables[dct])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[cid] += diff
+                        coeffs[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tables[act])
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break          # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG: AC run past block end")
+                            coeffs[k] = _extend(
+                                reader.read_bits(size), size)
+                            k += 1
             mcu_index += 1
 
-    # IDCT all blocks of each component at once (vectorized)
-    planes: dict[int, np.ndarray] = {}
+    return _reconstruct(width, height, comps, coef, qt,
+                        mcus_x, mcus_y, max_h, max_v)
+
+
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker (not a stuffed FF00, not a
+    restart) at or after ``start`` — the end of a scan's
+    entropy-coded data."""
+    i = start
+    while i + 1 < len(payload):
+        if payload[i] == 0xFF and payload[i + 1] != 0x00 and not \
+                (0xD0 <= payload[i + 1] <= 0xD7):
+            return i
+        i += 2 if payload[i] == 0xFF else 1
+    return len(payload)
+
+
+def _decode_progressive(payload: bytes, pos: int, frame, qt,
+                        dc_tables, ac_tables,
+                        restart_interval: int
+                        ) -> tuple[int, int, int, bytes]:
+    """Progressive JPEG (SOF2, T.81 Annex G): successive scans
+    deposit DC/AC coefficients into per-component grids — DC first +
+    refinement scans (interleaved, MCU order), AC first + refinement
+    scans (always single-component, block raster order, EOB-run
+    coded) — and the shared :func:`_reconstruct` runs once at EOI.
+    Mirrors the spec's G.1.2 decode procedures (the same control flow
+    libjpeg's decode_mcu_* functions implement from that annex)."""
+    height, width, comps = frame
+    for _, h, v, _ in comps:
+        if h not in (1, 2) or v not in (1, 2):
+            raise ValueError("JPEG: sampling factors beyond 2 "
+                             "unsupported")
+    if height == 0 or width == 0:
+        raise ValueError("JPEG: zero dimension")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = (width + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (height + 8 * max_v - 1) // (8 * max_v)
+    by_cid = {c[0]: c for c in comps}
+    coef = {cid: np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                          dtype=np.int64)
+            for cid, ch, cv, _ in comps}
+    # real (unpadded) block-grid size per component, for
+    # non-interleaved scans (T.81 A.2.2: data units of the component
+    # itself, no MCU padding)
+    real = {}
     for cid, ch, cv, _ in comps:
-        arr = np.stack(blocks[cid]) if blocks[cid] else \
-            np.zeros((0, 64), dtype=np.int64)
+        cw = (width * ch + max_h - 1) // max_h
+        chh = (height * cv + max_v - 1) // max_v
+        real[cid] = ((chh + 7) // 8, (cw + 7) // 8)
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables "
+                                     "unsupported")
+                qt[tq] = np.frombuffer(
+                    body[b + 1:b + 65],
+                    dtype=np.uint8).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = \
+                    _build_decode_table(bits, vals)
+                b += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                scan_comps.append((body[1 + 2 * i],
+                                   body[2 + 2 * i] >> 4,
+                                   body[2 + 2 * i] & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            scan_start = pos + seglen
+            _decode_scan(payload, scan_start, scan_comps, ss, se,
+                         ah, al, by_cid, coef, real, dc_tables,
+                         ac_tables, mcus_x, mcus_y,
+                         restart_interval)
+            pos = _find_scan_end(payload, scan_start)
+            continue
+        elif 0xC0 <= marker <= 0xCF and marker != 0xC4:
+            raise ValueError("JPEG: multiple frames unsupported")
+        pos += seglen
+
+    return _reconstruct(width, height, comps, coef, qt,
+                        mcus_x, mcus_y, max_h, max_v)
+
+
+def _decode_scan(payload, start, scan_comps, ss, se, ah, al,
+                 by_cid, coef, real, dc_tables, ac_tables,
+                 mcus_x, mcus_y, restart_interval) -> None:
+    """One progressive scan (T.81 G.1.2): fills/refines the
+    coefficient grids in place."""
+    reader = _BitReader(payload, start)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG: DC scan with Se != 0")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("JPEG: interleaved AC scan is illegal in "
+                         "progressive mode")
+
+    if is_dc and len(scan_comps) > 1:
+        # interleaved DC scan: MCU order
+        pred = {cid: 0 for cid, *_ in scan_comps}
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    reader.sync_restart()
+                    pred = {cid: 0 for cid in pred}
+                for cid, dct, _ in scan_comps:
+                    _, ch, cv, _ = by_cid[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coef[cid][my * cv + by,
+                                            mx * ch + bx]
+                            _dc_unit(reader, blk, dc_tables.get(dct),
+                                     pred, cid, ah, al)
+                unit += 1
+        return
+
+    # single-component scan (DC or AC): the component's own block
+    # raster, no MCU padding
+    cid, dct, act = scan_comps[0]
+    bh, bw = real[cid]
+    _, ch, cv, _ = by_cid[cid]
+    pred = {cid: 0}
+    state = {"eobrun": 0}
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and \
+                    unit % restart_interval == 0:
+                reader.sync_restart()
+                pred[cid] = 0
+                state["eobrun"] = 0
+            blk = coef[cid][by, bx]
+            if is_dc:
+                _dc_unit(reader, blk, dc_tables.get(dct), pred, cid,
+                         ah, al)
+            elif ah == 0:
+                _ac_first_unit(reader, blk, ac_tables[act], ss, se,
+                               al, state)
+            else:
+                _ac_refine_unit(reader, blk, ac_tables[act], ss, se,
+                                al, state)
+            unit += 1
+
+
+def _dc_unit(reader, blk, dct, pred, cid, ah, al) -> None:
+    if ah == 0:  # first pass: diff-coded, scaled by 2^Al
+        t = reader.decode_symbol(dct)
+        diff = _extend(reader.read_bits(t), t)
+        pred[cid] += diff
+        blk[0] = pred[cid] << al
+    else:        # refinement: one bit
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first_unit(reader, blk, act, ss, se, al, state) -> None:
+    """G.1.2.2: first pass over an AC spectral band (EOB-run coded)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run < 15:  # EOBn: run of (2^run + bits) empty bands
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += reader.read_bits(run)
+                return
+            k += 16       # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("JPEG: AC run past spectral band end")
+        blk[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+
+
+def _ac_refine_unit(reader, blk, act, ss, se, al, state) -> None:
+    """G.1.2.3: refinement pass over an AC band — correction bits for
+    history-nonzero coefficients, newly-significant +-1<<Al inserts,
+    EOB-runs covering whole bands of corrections."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run < 15:  # EOBn: corrections continue below
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += reader.read_bits(run)
+                    break
+                # ZRL: pass 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError(
+                        "JPEG: invalid magnitude in AC refinement")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                    k += 1
+                    continue
+                if run == 0:
+                    if newval:
+                        blk[k] = newval
+                    k += 1
+                    break
+                run -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0 and reader.read_bit() and \
+                    (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(width: int, height: int, comps, coef, qt,
+                 mcus_x: int, mcus_y: int, max_h: int, max_v: int
+                 ) -> tuple[int, int, int, bytes]:
+    """Dequantize + IDCT the raw coefficient grids and assemble the
+    pixel output (shared by the sequential and progressive paths)."""
+    planes: dict[int, np.ndarray] = {}
+    for cid, ch, cv, tq in comps:
+        grid = coef[cid]                       # (bh, bw, 64) zigzag
+        bh, bw = grid.shape[:2]
+        arr = grid.reshape(-1, 64) * qt[tq][ZIGZAG]
         deq = np.zeros((arr.shape[0], 64), dtype=np.float64)
         deq[:, ZIGZAG] = arr          # un-zigzag to natural order
         deq = deq.reshape(-1, 8, 8)
         spatial = np.einsum("ki,nkl,lj->nij", _M, deq, _M)
         spatial = np.clip(np.round(spatial) + 128, 0, 255)
-        # assemble the component plane from MCU-ordered blocks
-        bw, bh = mcus_x * ch, mcus_y * cv
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        i = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(cv):
-                    for bx in range(ch):
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        plane[y0:y0 + 8, x0:x0 + 8] = spatial[i]
-                        i += 1
+        # (bh, bw, 8, 8) -> (bh*8, bw*8) without a Python block loop
+        plane = (spatial.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
         # upsample to full resolution and crop
         plane = np.repeat(np.repeat(plane, max_v // cv, axis=0),
                           max_h // ch, axis=1)

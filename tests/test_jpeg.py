@@ -105,10 +105,16 @@ def test_restart_markers_do_not_change_output():
 
 def test_unsupported_inputs_raise_not_misread():
     flat = _foreign_flat_jpeg()
-    # progressive (SOF2) must raise, not garble
+    # SOF2 decodes since round 6 — but a BASELINE scan relabelled as
+    # progressive is malformed (full-band Ss=0..Se=63 scan is illegal
+    # in progressive mode) and must still raise, not garble
     prog = flat.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="DC scan"):
         jpeg_decode(prog)
+    # arithmetic-coded SOF9 still refuses
+    arith = flat.replace(b"\xff\xc0", b"\xff\xc9")
+    with pytest.raises(ValueError, match="SOF9"):
+        jpeg_decode(arith)
     # 16-bit quant table precision
     bad_dqt = flat.replace(_seg(0xDB, bytes([0x00]) + bytes([1] * 64)),
                            _seg(0xDB, bytes([0x10]) + bytes([1] * 64)))
