@@ -474,18 +474,20 @@ class IcebergTable:
     def _data_files(self, snap: dict, preds=(),
                     md: dict | None = None
                     ) -> tuple[list[dict], list[dict]]:
-        """Live ``(data_files, position_delete_files)`` for a
-        snapshot: replay its manifest list, then every manifest,
-        keeping EXISTING/ADDED entries.  With ``preds`` and table
-        metadata, DATA manifests whose partition summaries provably
-        exclude every predicate are skipped before their Avro is even
-        opened (:func:`_manifest_may_match`); delete manifests are
-        always replayed (a pruned data file simply finds no partner
-        in the anti-join).  v2 position-delete files (content=1) are
-        returned for merge-on-read application at scan time; equality
-        deletes (content=2) are refused — applying them needs
-        sequence-number ordering this reader does not track, and a
-        plain scan would resurrect deleted rows."""
+        """Live ``(data_files, delete_files)`` for a snapshot: replay
+        its manifest list, then every manifest, keeping
+        EXISTING/ADDED entries.  With ``preds`` and table metadata,
+        DATA manifests whose partition summaries provably exclude
+        every predicate are skipped before their Avro is even opened
+        (:func:`_manifest_may_match`); delete manifests are always
+        replayed (a pruned data file simply finds no partner in the
+        anti-join).  v2 position-delete files (content=1) and
+        equality-delete files (content=2) are returned for
+        merge-on-read application at scan time; every entry carries
+        ``_seq``, its data sequence number (explicit on the manifest
+        entry or inherited from the manifest-list entry per the v2
+        inheritance rule) — equality deletes apply only to data
+        files with a strictly smaller sequence number."""
         if not snap:
             return [], []
         if "manifest-list" in snap:
@@ -507,20 +509,35 @@ class IcebergTable:
         deletes: list[dict] = []
         for m in manifests:
             is_delete_manifest = m.get("content", 0) == 1
+            mseq = m.get("sequence_number")
             with open(_localize(m["manifest_path"]), "rb") as fh:
                 _, recs = avro_read(fh.read())
             for r in recs:
                 if r.get("status") == 2:  # DELETED entry
                     continue
                 df = r["data_file"]
+                df["_seq"] = r.get("sequence_number")
+                if df["_seq"] is None:
+                    df["_seq"] = mseq  # v2 inheritance
                 content = df.get("content", 0)
                 fmt = (df.get("file_format") or "").upper()
                 if content == 2:
-                    raise NotImplementedError(
-                        "iceberg: equality delete files unsupported "
-                        "(applying them correctly needs sequence-"
-                        "number ordering); position deletes are "
-                        "supported")
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"iceberg: {fmt or '?'} equality-delete "
+                            "files unsupported (parquet only)")
+                    if not df.get("equality_ids"):
+                        raise ValueError(
+                            "iceberg: equality delete file lists no "
+                            "equality_ids")
+                    if df["_seq"] is None:
+                        raise ValueError(
+                            "iceberg: equality delete file without a "
+                            "sequence number (explicit or inherited) "
+                            "— applying it could delete rows written "
+                            "after it")
+                    deletes.append(df)
+                    continue
                 if content == 1 or is_delete_manifest:
                     if content != 1:
                         raise ValueError(
@@ -632,8 +649,9 @@ class IcebergTable:
             out = spark.read.schema(schema).parquet(
                 *by_fmt["PARQUET"])
             if delete_files:
-                out = self._apply_position_deletes(
-                    spark, out, delete_files, schema)
+                out = self._apply_deletes(
+                    spark, out, delete_files, schema, ice_schema,
+                    files)
         if by_fmt.get("ORC"):
             orc_df = spark.read.schema(schema).orc(*by_fmt["ORC"])
             out = orc_df if out is None else out.unionByName(orc_df)
@@ -646,29 +664,36 @@ class IcebergTable:
         return out
 
     @staticmethod
-    def _apply_position_deletes(spark: SparkSession, data: DataFrame,
-                                delete_files: list[dict],
-                                schema: T.StructType) -> DataFrame:
-        """Merge-on-read: drop the ``(file_path, pos)`` pairs listed
-        in the snapshot's position-delete files (Iceberg spec
-        "Position Delete Files": ``file_path`` = the data file's
-        path exactly as it appears in its manifest, ``pos`` = the
-        0-based row ordinal in that file).
+    def _apply_deletes(spark: SparkSession, data: DataFrame,
+                       delete_files: list[dict],
+                       schema: T.StructType, ice_schema: dict,
+                       data_files: list[dict]) -> DataFrame:
+        """Merge-on-read: apply the snapshot's position-delete
+        (content=1) and equality-delete (content=2) files.
 
-        Spark-first plan: re-scan the data files WITH the hidden
-        ``_metadata`` columns (``file_path``, ``row_index`` — the
-        parquet reader materializes the row ordinal for free, no
-        window or zipWithIndex pass), LEFT ANTI join against the
-        delete set on the normalized ``(path, pos)`` pair, then drop
-        the metadata columns.  The delete set is tiny relative to the
-        data (it only lists deleted rows), so AQE broadcasts the anti
-        join; at 100 TB this is one broadcast-pruned scan, not a
-        shuffle.  Sequence-number ordering is not needed for POSITION
-        deletes: a pair addresses one physical row of one immutable
-        data file, so applying every live delete file in the snapshot
-        is exact regardless of commit order (rewritten data files get
-        new paths and shed old deletes); EQUALITY deletes do need
-        ordering, which is why they are refused upstream."""
+        POSITION deletes (spec "Position Delete Files": ``file_path``
+        = the data file's path exactly as in its manifest, ``pos`` =
+        0-based row ordinal): re-scan WITH the hidden ``_metadata``
+        columns (``file_path``, ``row_index`` — the parquet reader
+        materializes row ordinals for free, no window or zipWithIndex
+        pass) and LEFT ANTI join on the normalized pair.  No sequence
+        ordering needed: a pair addresses one physical row of one
+        immutable file.
+
+        EQUALITY deletes (spec "Equality Delete Files"): each file
+        holds the column subset named by its ``equality_ids``; a row
+        is deleted when every listed column matches (null-safe — a
+        null in the delete row means IS NULL) AND the data file's
+        sequence number is STRICTLY LESS than the delete file's (a
+        re-insert of the same key in a later commit survives).  The
+        per-file sequence number reaches rows via a broadcast
+        (path -> seq) join on ``_metadata.file_path``; each delete
+        file then applies as one more broadcast anti join.
+
+        Every delete set is tiny relative to the data (it only lists
+        deleted rows/keys), so AQE broadcasts all the anti joins; at
+        100 TB this is one scan plus broadcast probes, not a
+        shuffle."""
         from pyspark.sql import functions as F
 
         # 'file:///p' / 'file:/p' -> '/p' so the manifest's URI form
@@ -676,25 +701,69 @@ class IcebergTable:
         def norm(c):
             return F.regexp_replace(c, "^file:/+", "/")
 
-        dset = (spark.read
-                .schema(T.StructType([
-                    T.StructField("file_path", T.StringType()),
-                    T.StructField("pos", T.LongType())]))
-                .parquet(*[_localize(d["file_path"])
-                           for d in delete_files])
-                .select(norm(F.col("file_path")).alias("_del_path"),
-                        F.col("pos").alias("_del_pos"))
-                .dropDuplicates(["_del_path", "_del_pos"]))
-        with_meta = data.select(
+        def norm_py(p: str) -> str:
+            import re as _re
+            return _re.sub("^file:/+", "/", p)
+
+        pos = [d for d in delete_files if d.get("content") == 1]
+        eq = [d for d in delete_files if d.get("content") == 2]
+
+        out = data.select(
             "*",
             norm(F.col("_metadata.file_path")).alias("_ice_path"),
             F.col("_metadata.row_index").alias("_ice_pos"))
-        kept = with_meta.join(
-            dset,
-            (with_meta["_ice_path"] == dset["_del_path"])
-            & (with_meta["_ice_pos"] == dset["_del_pos"]),
-            "left_anti")
-        return kept.select(*[F.col(f.name) for f in schema.fields])
+        if pos:
+            dset = (spark.read
+                    .schema(T.StructType([
+                        T.StructField("file_path", T.StringType()),
+                        T.StructField("pos", T.LongType())]))
+                    .parquet(*[_localize(d["file_path"])
+                               for d in pos])
+                    .select(norm(F.col("file_path"))
+                            .alias("_del_path"),
+                            F.col("pos").alias("_del_pos"))
+                    .dropDuplicates(["_del_path", "_del_pos"]))
+            out = out.join(
+                dset,
+                (out["_ice_path"] == dset["_del_path"])
+                & (out["_ice_pos"] == dset["_del_pos"]),
+                "left_anti")
+        if eq:
+            if any(f.get("_seq") is None for f in data_files):
+                raise ValueError(
+                    "iceberg: table has equality deletes but a data "
+                    "file carries no sequence number — ordering is "
+                    "undefined, refusing rather than over-deleting")
+            by_id = {f["id"]: f["name"]
+                     for f in ice_schema["fields"]}
+            seq_df = spark.createDataFrame(
+                [(norm_py(f["file_path"]), int(f["_seq"]))
+                 for f in data_files],
+                "_seq_path string, _file_seq long")
+            out = out.join(F.broadcast(seq_df),
+                           out["_ice_path"] == seq_df["_seq_path"],
+                           "left").drop("_seq_path")
+            for d in eq:
+                cols = []
+                for fid in d["equality_ids"]:
+                    name = by_id.get(fid)
+                    if name is None:
+                        raise ValueError(
+                            f"iceberg: equality delete references "
+                            f"unknown field id {fid}")
+                    cols.append(name)
+                dset = (spark.read.parquet(_localize(d["file_path"]))
+                        .select([F.col(c).alias(f"_eq_{c}")
+                                 for c in cols])
+                        .dropDuplicates())
+                cond = F.lit(True)
+                for c in cols:
+                    cond = cond & out[c].eqNullSafe(
+                        dset[f"_eq_{c}"])
+                cond = cond & (out["_file_seq"] <
+                               F.lit(int(d["_seq"])))
+                out = out.join(F.broadcast(dset), cond, "left_anti")
+        return out.select(*[F.col(f.name) for f in schema.fields])
 
 
 def read_iceberg(spark: SparkSession, path: str,

@@ -243,7 +243,9 @@ def test_refusals_delete_files_and_formats(spark, tmp_path):
         fh.write(_avro_file(_MANIFEST_SCHEMA, [
             _entry(os.path.join(root, "data", "f1.parquet"),
                    content=2)]))
-    with pytest.raises(NotImplementedError, match="equality delete"):
+    # equality deletes decode since round 6, but a malformed entry
+    # with no equality_ids must still refuse loudly
+    with pytest.raises(ValueError, match="equality_ids"):
         read_iceberg(spark, root, snapshot_id=1)
     # Avro data files must refuse (ORC is supported since round 5)
     with open(m, "wb") as fh:
@@ -864,3 +866,181 @@ def test_position_deletes_over_orc_refused(spark, tmp_path):
                              _entry(fo, fmt="ORC")]))
     with pytest.raises(NotImplementedError, match="ORC"):
         read_iceberg(spark, root)
+
+
+# ---------------------------------------------- equality deletes (v2)
+
+_MANIFEST_SEQ_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array",
+                                   "items": "int"}]},
+            ]}},
+    ]}
+
+_LIST_SEQ_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+    ]}
+
+
+def _seq_entry(path, seq=None, content=0, eq_ids=None):
+    return {"status": 1, "snapshot_id": 1, "sequence_number": seq,
+            "data_file": {"content": content, "file_path": path,
+                          "file_format": "PARQUET",
+                          "record_count": 1,
+                          "file_size_in_bytes": 1,
+                          "equality_ids": eq_ids}}
+
+
+def _build_eq_table(root: str, entries_by_manifest,
+                    inherit_seqs) -> None:
+    """One snapshot; ``entries_by_manifest`` = list of (entries,
+    list_content, inherited_seq) triples."""
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    mlist_entries = []
+    for i, (entries, content) in enumerate(entries_by_manifest):
+        m = os.path.join(root, "metadata", f"em{i}.avro")
+        with open(m, "wb") as fh:
+            fh.write(_avro_file(_MANIFEST_SEQ_SCHEMA, entries))
+        mlist_entries.append({
+            "manifest_path": m, "manifest_length": 1,
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": inherit_seqs[i]})
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    with open(ml, "wb") as fh:
+        fh.write(_avro_file(_LIST_SEQ_SCHEMA, mlist_entries))
+    md = {"format-version": 2, "table-uuid": "t", "location": root,
+          "schemas": [_ICE_SCHEMA], "current-schema-id": 0,
+          "current-snapshot-id": 1,
+          "snapshots": [{"snapshot-id": 1, "manifest-list": ml}]}
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(md, fh)
+
+
+def test_equality_deletes_respect_sequence_numbers(spark, tmp_path):
+    """THE merge-on-read semantic: an equality delete at seq 2
+    removes matching rows only from data files with seq < 2 — a
+    re-insert of the same key at seq 3 survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    a = os.path.join(root, "data", "a.parquet")
+    b = os.path.join(root, "data", "b.parquet")
+    _write_parquet(a, [1, 2], ["a", "b"])
+    _write_parquet(b, [3], ["b"])   # re-insert of v='b' AFTER delete
+    dfile = os.path.join(root, "data", "eqdel.parquet")
+    pq.write_table(pa.table({"v": pa.array(["b"], pa.string())}),
+                   dfile)
+    _build_eq_table(
+        root,
+        [([_seq_entry(a, seq=1), _seq_entry(b, seq=3)], 0),
+         ([_seq_entry(dfile, seq=2, content=2, eq_ids=[2])], 1)],
+        inherit_seqs=[None, None])
+    got = _rows(read_iceberg(spark, root))
+    assert got == [(1, "a"), (3, "b")]
+
+
+def test_equality_delete_multi_column_and_null_match(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    a = os.path.join(root, "data", "a.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array(["x", None, "y"], pa.string())}), a)
+    dfile = os.path.join(root, "data", "eqdel.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([2, 3], pa.int64()),
+        "v": pa.array([None, "zzz"], pa.string())}), dfile)
+    _build_eq_table(
+        root,
+        [([_seq_entry(a, seq=1)], 0),
+         ([_seq_entry(dfile, seq=2, content=2, eq_ids=[1, 2])], 1)],
+        inherit_seqs=[None, None])
+    # (2, NULL) matches null-safely; (3, 'zzz') matches no row
+    got = _rows(read_iceberg(spark, root))
+    assert got == [(1, "x"), (3, "y")]
+
+
+def test_equality_delete_sequence_inheritance(spark, tmp_path):
+    """Entries without an explicit sequence number inherit the
+    manifest-list entry's (v2 inheritance)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    a = os.path.join(root, "data", "a.parquet")
+    _write_parquet(a, [1, 2], ["a", "b"])
+    dfile = os.path.join(root, "data", "eqdel.parquet")
+    pq.write_table(pa.table({"v": pa.array(["a"], pa.string())}),
+                   dfile)
+    _build_eq_table(
+        root,
+        [([_seq_entry(a)], 0),               # inherits seq 1
+         ([_seq_entry(dfile, content=2, eq_ids=[2])], 1)],  # seq 2
+        inherit_seqs=[1, 2])
+    assert _rows(read_iceberg(spark, root)) == [(2, "b")]
+
+    # and with NO sequence info anywhere: honest refusal
+    root2 = str(tmp_path / "ice2")
+    os.makedirs(os.path.join(root2, "data"))
+    a2 = os.path.join(root2, "data", "a.parquet")
+    _write_parquet(a2, [1], ["a"])
+    d2 = os.path.join(root2, "data", "eqdel.parquet")
+    pq.write_table(pa.table({"v": pa.array(["a"], pa.string())}), d2)
+    _build_eq_table(
+        root2,
+        [([_seq_entry(a2)], 0),
+         ([_seq_entry(d2, content=2, eq_ids=[2])], 1)],
+        inherit_seqs=[None, None])
+    with pytest.raises(ValueError, match="sequence number"):
+        read_iceberg(spark, root2).collect()
+
+
+def test_position_and_equality_deletes_combined(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    a = os.path.join(root, "data", "a.parquet")
+    _write_parquet(a, [1, 2, 3, 4], ["a", "b", "c", "d"])
+    pos = os.path.join(root, "data", "posdel.parquet")
+    _write_pos_delete(pos, [(a, 0)])          # drops (1, 'a')
+    eqd = os.path.join(root, "data", "eqdel.parquet")
+    pq.write_table(pa.table({"v": pa.array(["c"], pa.string())}),
+                   eqd)
+    # position-delete entries need no equality_ids; reuse the seq
+    # schema (equality_ids stays null)
+    _build_eq_table(
+        root,
+        [([_seq_entry(a, seq=1)], 0),
+         ([_seq_entry(pos, seq=2, content=1),
+           _seq_entry(eqd, seq=2, content=2, eq_ids=[2])], 1)],
+        inherit_seqs=[None, None])
+    assert _rows(read_iceberg(spark, root)) == [(2, "b"), (4, "d")]
