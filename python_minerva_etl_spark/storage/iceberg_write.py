@@ -626,3 +626,214 @@ def _commit_append(table: IcebergTable, md: dict,
             pass
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(next_v))
+
+
+# ---------------------------------------------------------- DELETE (MoR)
+
+
+def delete_iceberg(spark: SparkSession, path: str,
+                   where: list[tuple],
+                   max_commit_attempts: int = 5) -> int:
+    """Merge-on-read DELETE: write position-delete files for every
+    live row matching ``where`` (the same ``(column, op, literal)``
+    predicate shape the reader takes) and commit them as a new
+    snapshot — data files are never rewritten, exactly how Flink and
+    Spark streaming writers delete from Iceberg v2 tables.
+
+    Spark-first shape: one distributed scan WITH the hidden
+    ``_metadata`` columns finds matching ``(file_path, pos)`` pairs;
+    they are written as spec-conformant position-delete parquet
+    (sorted by file_path, pos within each output file), each part
+    registered as a content=1 entry in a delete manifest
+    (manifest-list entry content=1), CAS-committed like appends.
+    ``file_path`` values are recorded EXACTLY as they appear in the
+    data manifests (mapped back from Spark's ``file:`` URI form), so
+    any spec reader — including ours — matches them.
+
+    Returns the number of deleted row positions (0 = no matching
+    rows, in which case NO commit is made)."""
+    from pyspark.sql import functions as F
+
+    if not where:
+        raise ValueError(
+            "iceberg delete: empty predicate would delete every row; "
+            "pass explicit (column, op, literal) predicates")
+    table = IcebergTable(path)
+    mdir = os.path.join(path, "metadata")
+
+    # find the matching (file, pos) pairs with a metadata-bearing
+    # scan of the live files + the residual predicates, minus
+    # already-deleted positions — so deleting an already-deleted row
+    # is a no-op, not a duplicate entry
+    md = table.metadata()
+    files, delete_files = table._data_files(
+        table._snapshot(md, None), list(where), md)
+    if not files:
+        return 0
+    paths = [_localize(f["file_path"]) for f in files]
+    schema = _to_spark_schema(table._current_schema(md))
+    scan = (spark.read.schema(schema).parquet(*paths)
+            .select("*",
+                    F.col("_metadata.file_path").alias("_p"),
+                    F.col("_metadata.row_index").alias("_pos")))
+    for col, op, lit in where:
+        c = F.col(col)
+        scan = scan.filter({"=": c == lit, "<": c < lit,
+                            "<=": c <= lit, ">": c > lit,
+                            ">=": c >= lit}[op])
+
+    def norm(c):
+        return F.regexp_replace(c, "^file:/+", "/")
+
+    import re as _re
+    mapping = [( _re.sub("^file:/+", "/", f["file_path"]),
+                 f["file_path"]) for f in files]
+    map_df = spark.createDataFrame(mapping,
+                                   "_norm string, _orig string")
+    hits = (scan.select(norm(F.col("_p")).alias("_norm"),
+                        F.col("_pos").alias("pos"))
+            .join(F.broadcast(map_df), "_norm")
+            .select(F.col("_orig").alias("file_path"), "pos"))
+    # subtract already-deleted positions
+    pos_dels = [d for d in delete_files if d.get("content") == 1]
+    if pos_dels:
+        prior = (spark.read
+                 .schema(T.StructType([
+                     T.StructField("file_path", T.StringType()),
+                     T.StructField("pos", T.LongType())]))
+                 .parquet(*[_localize(d["file_path"])
+                            for d in pos_dels])
+                 .select(norm(F.col("file_path")).alias("_dnorm"),
+                         F.col("pos").alias("_dpos")))
+        hits = hits.join(
+            prior,
+            (norm(hits["file_path"]) == prior["_dnorm"])
+            & (hits["pos"] == prior["_dpos"]),
+            "left_anti")
+
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    (hits.sortWithinPartitions("file_path", "pos")
+     .write.mode("overwrite").parquet(staging))
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+    del_entries = []
+    n_deleted = 0
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        nrows = pq.ParquetFile(
+            os.path.join(staging, name)).metadata.num_rows
+        if nrows == 0:
+            continue
+        final = os.path.join(data_dir,
+                             f"del-{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(staging, name), final)
+        del_entries.append({
+            "content": 1,
+            "file_path": final,
+            "file_format": "PARQUET",
+            "record_count": nrows,
+            "file_size_in_bytes": os.path.getsize(final),
+            "lower_bounds": None,
+            "upper_bounds": None,
+        })
+        n_deleted += nrows
+    shutil.rmtree(staging, ignore_errors=True)
+    if not del_entries:
+        return 0
+
+    for _ in range(max_commit_attempts):
+        md = table.metadata()
+        base_version = _version_of(table._metadata_path())
+        try:
+            _commit_delete(table, md, del_entries, base_version)
+            return n_deleted
+        except IcebergConcurrentCommit:
+            continue
+    raise IcebergConcurrentCommit(
+        f"iceberg delete: lost the commit race "
+        f"{max_commit_attempts} times at {path!r}")
+
+
+def _commit_delete(table: IcebergTable, md: dict,
+                   del_entries: list[dict],
+                   base_version: int) -> None:
+    """Commit one delete snapshot: a content=1 delete manifest plus
+    the previous snapshot's manifests carried over (fast append of
+    deletes)."""
+    mdir = os.path.join(table.path, "metadata")
+    seq = md.get("last-sequence-number", 0) + 1
+    snap_id = max([s["snapshot-id"] for s in md.get("snapshots", [])],
+                  default=0) + 1
+    commit_uuid = uuid.uuid4().hex
+
+    manifest = os.path.join(mdir, f"dm-{commit_uuid}.avro")
+    entries = [{"status": 1, "snapshot_id": snap_id,
+                "sequence_number": None,
+                "data_file": f} for f in del_entries]
+    with open(manifest, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_ENTRY_SCHEMA, entries))
+
+    prev_manifests: list[dict] = []
+    cur = md.get("current-snapshot-id", -1)
+    for s in md.get("snapshots", []):
+        if s.get("snapshot-id") == cur and "manifest-list" in s:
+            with open(_localize(s["manifest-list"]), "rb") as fh:
+                from .iceberg import avro_read
+                _, prev_manifests = avro_read(fh.read())
+            break
+    new_entry = {
+        "manifest_path": manifest,
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "content": 1,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(del_entries),
+        "added_rows_count": sum(f["record_count"]
+                                for f in del_entries),
+        "partitions": None,
+    }
+    carried = [{k: m.get(k) for k in
+                ("manifest_path", "manifest_length",
+                 "partition_spec_id", "content", "added_snapshot_id",
+                 "added_files_count", "added_rows_count",
+                 "partitions")}
+               for m in prev_manifests]
+    mlist = os.path.join(mdir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_FILE_SCHEMA,
+                            carried + [new_entry]))
+
+    new_md = dict(md)
+    new_md["last-sequence-number"] = seq
+    new_md["snapshots"] = md.get("snapshots", []) + [{
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "manifest-list": mlist,
+        "summary": {"operation": "delete"},
+    }]
+    new_md["current-snapshot-id"] = snap_id
+
+    next_v = base_version + 1
+    final = os.path.join(mdir, f"v{next_v}.metadata.json")
+    tmp = final + f".{commit_uuid}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_md, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        for p in (tmp, manifest, mlist):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        raise IcebergConcurrentCommit(
+            f"concurrent Iceberg commit at version {next_v}")
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(next_v))

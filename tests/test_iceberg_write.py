@@ -259,3 +259,61 @@ def test_partitioned_string_values_with_specials(spark, tmp_path):
     write_iceberg(spark, df, p, partition_by="k")
     assert _rows(read_iceberg(spark, p)) == [("a b:c", 1),
                                              ("plain", 2)]
+
+
+def test_delete_iceberg_merge_on_read_roundtrip(spark, tmp_path):
+    """Full MoR cycle inside the engine: append -> delete (position-
+    delete files, no data-file rewrite) -> read; snapshot before the
+    delete still shows everything; deleting again is a no-op."""
+    from python_minerva_etl_spark.storage.iceberg_write import \
+        delete_iceberg
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(10)],
+        "id long, par string"), p)
+    n = delete_iceberg(spark, p, [("par", "=", "odd")])
+    assert n == 5
+    got = _rows(read_iceberg(spark, p))
+    assert got == [(i, "even") for i in range(0, 10, 2)]
+    # data files untouched (no rewrite): snapshot 1 still has all 10
+    assert len(_rows(read_iceberg(spark, p, snapshot_id=1))) == 10
+    # the delete snapshot bumped the version + sequence number
+    t = IcebergTable(p)
+    md = t.metadata()
+    assert md["current-snapshot-id"] == 2
+    assert md["snapshots"][-1]["summary"]["operation"] == "delete"
+    # re-deleting the same predicate: nothing left to delete, no commit
+    v_before = os.path.basename(t._metadata_path())
+    assert delete_iceberg(spark, p, [("par", "=", "odd")]) == 0
+    assert os.path.basename(t._metadata_path()) == v_before
+    # delete more on top of existing deletes
+    assert delete_iceberg(spark, p, [("id", ">=", 6)]) == 2
+    assert _rows(read_iceberg(spark, p)) == [(0, "even"), (2, "even"),
+                                             (4, "even")]
+
+
+def test_delete_iceberg_refuses_empty_predicate(spark, tmp_path):
+    from python_minerva_etl_spark.storage.iceberg_write import \
+        delete_iceberg
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(1, "a")], "id long, v string"), p)
+    with pytest.raises(ValueError, match="empty predicate"):
+        delete_iceberg(spark, p, [])
+
+
+def test_delete_then_append_then_read(spark, tmp_path):
+    """Deletes only affect files live at delete time: a later append
+    of the same values is visible (position deletes pin file+pos)."""
+    from python_minerva_etl_spark.storage.iceberg_write import \
+        delete_iceberg
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, v string"), p)
+    assert delete_iceberg(spark, p, [("v", "=", "y")]) == 1
+    write_iceberg(spark, spark.createDataFrame(
+        [(3, "y")], "id long, v string"), p)
+    assert _rows(read_iceberg(spark, p)) == [(1, "x"), (3, "y")]
