@@ -14,12 +14,14 @@ Avro written here follows the published specs:
   serialization (int 4-byte LE, long/double 8-byte LE, string UTF-8),
   snapshot + metadata JSON fields.
 
-Scope (documented in COVERAGE.md): unpartitioned append + create
-only.  Appends to a table whose default partition spec is non-empty
-are refused (this writer stages unpartitioned files); overwrite /
-delete / schema evolution are out of scope.  Bounds are written for
-top-level int/long/float/double/string/date/timestamp columns so our
-own reader's scan planning (``iceberg.py:_file_may_match``) can prune
+Scope (documented in COVERAGE.md): create + append (unpartitioned or
+ONE identity-transform partition column of int/long/string, with
+manifest partition summaries) and merge-on-read DELETE
+(:func:`delete_iceberg` — position-delete files, no data-file
+rewrites).  Overwrite and schema evolution are out of scope; spec
+mismatches refuse loudly.  Bounds are written for top-level
+int/long/float/double/string/date/timestamp columns so our own
+reader's scan planning (``iceberg.py:_file_may_match``) can prune
 the files this writer produces.
 
 No reference implementation is copied: ``/root/reference`` ships no
