@@ -351,7 +351,8 @@ def _avro_schema_of(spark_schema, force_required: bool) -> dict:
 
 
 def write_avro(df: DataFrame, path: str,
-               force_required: bool = False) -> list[str]:
+               force_required: bool = False,
+               codec: str = "null") -> list[str]:
     """Distributed Avro sink: one object-container file per non-empty
     partition, encoded executor-side (the driver never sees row
     data — only the bounded per-file summary).  Returns the written
@@ -362,9 +363,16 @@ def write_avro(df: DataFrame, path: str,
     for Spark-nullable columns — use when the data is known non-null
     (e.g. key columns) so all-varint files stay eligible for the
     vectorized read path; an actual null then raises at encode time
-    instead of silently writing an unreadable file."""
+    instead of silently writing an unreadable file.
+
+    ``codec``: "null" (default) or "deflate" (raw zlib per the Avro
+    spec — what most production writers emit)."""
     import json as _json
     import uuid as _uuid
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(
+            f"avro sink: unsupported codec {codec!r} (null/deflate)")
 
     from ..storage.iceberg_write import _avro_encode, _zigzag
 
@@ -378,7 +386,7 @@ def write_avro(df: DataFrame, path: str,
         sync = _uuid.uuid4().bytes
         out = bytearray(b"Obj\x01")
         out += _avro_encode(
-            {"avro.schema": canon, "avro.codec": b"null"},
+            {"avro.schema": canon, "avro.codec": codec.encode()},
             {"type": "map", "values": "bytes"})
         out += sync
         n_total = 0
@@ -401,7 +409,12 @@ def write_avro(df: DataFrame, path: str,
                             f"{name!r} (written with "
                             "force_required=True)")
                     body += _avro_encode(v, ftype)
-            out += _zigzag(n) + _zigzag(len(body)) + bytes(body) + sync
+            body = bytes(body)
+            if codec == "deflate":
+                import zlib as _zlib
+                co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+                body = co.compress(body) + co.flush()
+            out += _zigzag(n) + _zigzag(len(body)) + body + sync
             n_total += n
         if not n_total:
             yield pd.DataFrame({"path": [], "rows": []})

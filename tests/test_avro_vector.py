@@ -156,3 +156,19 @@ def test_write_avro_force_required_hits_vector_path(spark, tmp_path):
     got = sorted((r["id"], r["v"])
                  for r in read_avro(spark, d).collect())
     assert got == [(i, i * 7 - 350) for i in range(100)]
+
+
+def test_write_avro_deflate_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.sources.avro import (read_avro,
+                                                       write_avro)
+    df = spark.range(500).select("id", (F.col("id") * 3).alias("v"))
+    d = str(tmp_path / "out")
+    write_avro(df, d, force_required=True, codec="deflate")
+    got = sorted((r["id"], r["v"])
+                 for r in read_avro(spark, d).collect())
+    assert got == [(i, i * 3) for i in range(500)]
+    import pytest
+    with pytest.raises(ValueError, match="codec"):
+        write_avro(df, str(tmp_path / "bad"), codec="zstd")
