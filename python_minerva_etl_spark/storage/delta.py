@@ -27,15 +27,19 @@ for checkpoints), so this engine can:
   remove tombstones, as PROTOCOL.md requires) + ``_last_checkpoint``.
 
 Scope (documented, not hidden): reader supports protocol
-minReaderVersion 1 tables ONLY.  Any table declaring
-minReaderVersion > 1 raises — regardless of whether
-``readerFeatures`` is populated, because pre-table-features
-protocol versions (e.g. column mapping at reader v2) carry no
-feature list yet still change physical column names, and reading
-them with the logical schema would silently return null/wrong
-columns.  ``delta.columnMapping.mode`` != none is refused
-explicitly for the same reason.  Writer emits minReaderVersion 1 /
-minWriterVersion 2.
+minReaderVersion 1 tables, plus minReaderVersion 3 (table features)
+when every declared readerFeature is implemented — currently
+``deletionVectors`` (merge-on-read DELETE, applied at scan time via
+the from-scratch roaring-bitmap reader in :mod:`.delta_dv`),
+``timestampNtz``, and ``vacuumProtocolCheck``.  minReaderVersion 2
+raises — it predates feature lists yet changes physical column
+names (column mapping) — and ``delta.columnMapping.mode`` != none
+is refused explicitly for the same reason.  Writes refuse tables
+whose writerFeatures exceed what this writer implements (an
+oblivious commit breaks the invariants other engines rely on) and
+honor ``delta.appendOnly``.  Writer emits minReaderVersion 1 /
+minWriterVersion 2; the first :meth:`DeltaTable.delete` upgrades to
+reader 3 / writer 7 with the ``deletionVectors`` feature.
 
 A truncated log (expired JSON commits below the oldest surviving
 one, with no checkpoint covering the gap) raises instead of
@@ -63,6 +67,17 @@ from pyspark.sql import types as T
 _LOG = "_delta_log"
 _CHECKPOINT_EVERY = 10
 _COMMIT_RETRIES = 10
+
+# Table features (protocol reader v3 / writer v7) this engine
+# implements.  Reading a table whose readerFeatures exceed this set
+# refuses; writing to a table whose writerFeatures exceed the writer
+# set refuses (a write that ignores an unknown feature's invariants —
+# e.g. row tracking's baseRowId continuity — corrupts the table for
+# the engines that rely on it).
+_READER_FEATURES = {"deletionVectors", "timestampNtz",
+                    "vacuumProtocolCheck"}
+_WRITER_FEATURES = {"deletionVectors", "appendOnly", "invariants",
+                    "timestampNtz", "vacuumProtocolCheck"}
 
 _CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
@@ -219,12 +234,18 @@ class DeltaTable:
 
         meta: dict | None = None
         protocol: dict | None = None
-        # Per-path reconciliation: the LATEST add/remove for a path
-        # wins (PROTOCOL.md Action Reconciliation).  Surviving removes
-        # are tombstones — checkpoints must carry them.  txn
-        # (setTransaction) actions keep the latest version per appId —
-        # the idempotence ledger for streaming writers.
-        latest: dict[str, tuple[str, dict]] = {}
+        # Reconciliation is keyed by (path, DV unique id), not path
+        # alone (PROTOCOL.md Action Reconciliation): a deletion-vector
+        # update commits remove(path, old DV) + add(path, new DV) in
+        # ONE commit, in no guaranteed order — keyed by path alone,
+        # an add-then-remove ordering would silently drop the file
+        # (or a remove-then-add would resurrect the stale DV).
+        # Surviving removes are tombstones — checkpoints must carry
+        # them.  txn (setTransaction) actions keep the latest version
+        # per appId — the idempotence ledger for streaming writers.
+        from .delta_dv import dv_unique_id
+
+        latest: dict[tuple[str, str | None], tuple[str, dict]] = {}
         txns: dict[str, int] = {}
         for act in actions:
             if "metaData" in act and act["metaData"]:
@@ -232,23 +253,50 @@ class DeltaTable:
             elif "protocol" in act and act["protocol"]:
                 protocol = act["protocol"]
             elif "add" in act and act["add"]:
-                latest[act["add"]["path"]] = ("add", act["add"])
+                a = act["add"]
+                key = (a["path"], dv_unique_id(a.get("deletionVector")))
+                latest[key] = ("add", a)
             elif "remove" in act and act["remove"]:
-                latest[act["remove"]["path"]] = ("remove", act["remove"])
+                r = act["remove"]
+                key = (r["path"], dv_unique_id(r.get("deletionVector")))
+                latest[key] = ("remove", r)
             elif "txn" in act and act["txn"]:
                 txns[act["txn"]["appId"]] = int(act["txn"]["version"])
         if protocol:
             mrv = protocol.get("minReaderVersion") or 1
-            if mrv > 1:
+            if mrv == 3:
+                feats = set(protocol.get("readerFeatures") or [])
+                unsupported = sorted(feats - _READER_FEATURES)
+                if unsupported:
+                    raise NotImplementedError(
+                        f"Delta readerFeatures {unsupported} not "
+                        f"supported (this reader implements "
+                        f"{sorted(_READER_FEATURES)}); reading anyway "
+                        "could silently misinterpret the physical "
+                        "layout")
+            elif mrv > 1:
                 feats = protocol.get("readerFeatures")
                 raise NotImplementedError(
                     f"Delta minReaderVersion {mrv}"
                     f"{' / readerFeatures ' + str(feats) if feats else ''}"
-                    " not supported (minReaderVersion 1 tables only; "
-                    "reader v2+ changes physical layout — e.g. column "
-                    "mapping — even when readerFeatures is absent)")
+                    " not supported (reader v2 predates table features"
+                    " and changes physical layout — column mapping — "
+                    "with no feature list to check)")
         if meta is None:
             raise ValueError("Delta log has no metaData action")
+        files = [a for kind, a in latest.values() if kind == "add"]
+        # One active add per physical file: two surviving adds for the
+        # same path (necessarily with different DVs, or the keys would
+        # collide) mean a writer updated a DV without removing the old
+        # (path, DV) entry — ambiguous; reading either would be wrong.
+        seen_paths: set[str] = set()
+        for f in files:
+            if f["path"] in seen_paths:
+                raise ValueError(
+                    f"Delta log is ambiguous: two active add actions "
+                    f"reference {f['path']!r} with different deletion "
+                    "vectors — refusing to pick one")
+            seen_paths.add(f["path"])
         cm_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none")
         if cm_mode not in (None, "", "none"):
@@ -258,8 +306,8 @@ class DeltaTable:
                 "schema and a schema-enforced read would silently "
                 "return wrong/null columns")
         return {"version": target, "metaData": meta,
-                "files": [a for kind, a in latest.values()
-                          if kind == "add"],
+                "protocol": protocol,
+                "files": files,
                 "tombstones": [a for kind, a in latest.values()
                                if kind == "remove"],
                 "txns": txns}
@@ -272,20 +320,39 @@ class DeltaTable:
             json.loads(snap["metaData"]["schemaString"]))
 
     def read(self, spark: SparkSession,
-             version_as_of: int | None = None) -> DataFrame:
+             version_as_of: int | None = None,
+             _with_pos: bool = False) -> DataFrame:
         """Snapshot read (optionally time-traveled).  Partitioned
         tables: files group by their ``partitionValues`` and the
         partition columns come back as typed literals — one
         spark.read per partition-value combination, unioned (the
         groups are metadata-only; data files are still read in
-        parallel inside each group)."""
+        parallel inside each group).
+
+        Files carrying a ``deletionVector`` (merge-on-read DELETE,
+        protocol feature ``deletionVectors``) are handled at scan
+        time: the parquet reader's free ``_metadata.row_index``
+        ordinals anti-join against the DV's decoded positions —
+        decoded executor-side (one mapInPandas task per DV file, the
+        from-scratch roaring reader in :mod:`.delta_dv`), so at
+        100 TB the expansion scales out and the driver holds only
+        descriptors.  ``_with_pos=True`` (internal; :meth:`delete`
+        uses it) keeps the ``_dl_path``/``_dl_pos`` provenance
+        columns on the result."""
         snap = self._replay(version_as_of)
         schema = T.StructType.fromJson(
             json.loads(snap["metaData"]["schemaString"]))
         part_cols = snap["metaData"].get("partitionColumns") or []
         files = snap["files"]
+        pos_fields = [T.StructField("_dl_path", T.StringType()),
+                      T.StructField("_dl_pos", T.LongType())]
         if not files:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame(
+                [], T.StructType(schema.fields + pos_fields)
+                if _with_pos else schema)
+        dv_map = {f["path"]: f["deletionVector"] for f in files
+                  if f.get("deletionVector")}
+        need_pos = _with_pos or bool(dv_map)
         data_schema = T.StructType(
             [f for f in schema.fields if f.name not in part_cols])
         by_part: dict[tuple, list[str]] = {}
@@ -296,6 +363,9 @@ class DeltaTable:
                 os.path.join(self.path, f["path"]))
         out: DataFrame | None = None
         type_of = {f.name: f.dataType for f in schema.fields}
+        keep = [f.name for f in schema.fields]
+        if need_pos:
+            keep += ["_dl_path", "_dl_pos"]
         # None-safe ordering: null partition values sort first (the
         # order is cosmetic — determinism only)
         for pv, paths in sorted(
@@ -303,14 +373,61 @@ class DeltaTable:
                 key=lambda kv: tuple((v is not None, v or "")
                                      for v in kv[0])):
             df = spark.read.schema(data_schema).parquet(*paths)
+            if need_pos:
+                # 'file:///p' -> '/p' so descriptor paths and Spark's
+                # _metadata.file_path form always agree
+                df = df.select(
+                    "*",
+                    F.regexp_replace(F.col("_metadata.file_path"),
+                                     "^file:/+", "/")
+                    .alias("_dl_path"),
+                    F.col("_metadata.row_index").alias("_dl_pos"))
             for c, v in zip(part_cols, pv):
                 # Delta serializes partition values as strings (null
                 # encoded as JSON null); cast back per table schema
                 df = df.withColumn(
                     c, F.lit(v).cast(type_of[c]))
-            df = df.select(*[f.name for f in schema.fields])
+            df = df.select(*keep)
             out = df if out is None else out.unionByName(df)
+        if dv_map:
+            out = self._apply_dvs(spark, out, dv_map)
+        if need_pos and not _with_pos:
+            out = out.drop("_dl_path", "_dl_pos")
         return out
+
+    def _apply_dvs(self, spark: SparkSession, out: DataFrame,
+                   dv_map: dict[str, dict]) -> DataFrame:
+        """Anti-join the scan against every file's deletion-vector
+        positions.  The DV descriptors ship as a tiny DataFrame; each
+        executor task opens/verifies/decodes its DV files locally and
+        emits (file path, row index) pairs — the deleted set is tiny
+        relative to the data (it only lists deleted rows), so AQE
+        broadcasts the probe side."""
+        table_path = os.path.abspath(self.path)
+        rows = [(os.path.abspath(os.path.join(self.path, rel)),
+                 json.dumps(dv)) for rel, dv in dv_map.items()]
+        desc = spark.createDataFrame(
+            rows, "_del_path string, _dv string")
+        desc = desc.repartition(min(len(rows), 64))
+
+        def expand(batches):
+            import pandas as pd
+
+            from .delta_dv import dv_load
+            for pdf in batches:
+                for dp, dvj in zip(pdf["_del_path"], pdf["_dv"]):
+                    positions = dv_load(table_path, json.loads(dvj))
+                    yield pd.DataFrame({
+                        "_del_path": dp,
+                        "_del_pos": positions.astype("int64")})
+
+        deleted = desc.mapInPandas(
+            expand, "_del_path string, _del_pos long")
+        return out.join(
+            deleted,
+            (out["_dl_path"] == deleted["_del_path"])
+            & (out["_dl_pos"] == deleted["_del_pos"]),
+            "left_anti")
 
     # ------------------------------------------------ write
 
@@ -456,14 +573,19 @@ class DeltaTable:
             raise ValueError(
                 f"partition_by columns {missing_pcols} not in batch")
         os.makedirs(self.path, exist_ok=True)
-        if self.versions() and mode == "append":
-            table_pcols = self._replay()["metaData"].get(
-                "partitionColumns") or []
-            if partition_by and partition_by != table_pcols:
-                raise ValueError(
-                    f"append partition_by {partition_by} != table's "
-                    f"partitionColumns {table_pcols}")
-            partition_by = table_pcols  # appends inherit partitioning
+        if self.versions():
+            # refuse before staging any data: a commit that ignores an
+            # unknown writer feature's invariants corrupts the table
+            pre = self._replay()
+            self._check_writable(pre, mode)
+            if mode == "append":
+                table_pcols = pre["metaData"].get(
+                    "partitionColumns") or []
+                if partition_by and partition_by != table_pcols:
+                    raise ValueError(
+                        f"append partition_by {partition_by} != "
+                        f"table's partitionColumns {table_pcols}")
+                partition_by = table_pcols  # appends inherit it
         adds = self._stage_data_files(df, partition_by)
         last_err: Exception | None = None
         for _ in range(_COMMIT_RETRIES):
@@ -491,17 +613,24 @@ class DeltaTable:
             elif mode == "overwrite":
                 # schema may change on overwrite: re-state metaData
                 prev = self._replay()
+                self._check_writable(prev, "overwrite")
                 meta = dict(prev["metaData"])
                 meta["schemaString"] = df.schema.json()
                 meta["partitionColumns"] = partition_by
                 actions.append({"metaData": meta})
                 now = int(time.time() * 1000)
                 for f in prev["files"]:
-                    actions.append({"remove": {
-                        "path": f["path"], "deletionTimestamp": now,
-                        "dataChange": True}})
+                    # a remove cancels an add only when their (path,
+                    # DV id) match — drop the DV reference too or the
+                    # file would stay active
+                    rm = {"path": f["path"], "deletionTimestamp": now,
+                          "dataChange": True}
+                    if f.get("deletionVector"):
+                        rm["deletionVector"] = f["deletionVector"]
+                    actions.append({"remove": rm})
             else:  # append to an existing table: schemas must line up
                 prev = self._replay()
+                self._check_writable(prev, "append")
                 table_schema = T.StructType.fromJson(
                     json.loads(prev["metaData"]["schemaString"]))
                 if not self._append_compatible(table_schema, df.schema):
@@ -523,6 +652,164 @@ class DeltaTable:
                 last_err = e  # re-derive actions against new snapshot
         raise last_err  # type: ignore[misc]
 
+    @staticmethod
+    def _check_writable(snap: dict, operation: str) -> None:
+        """Refuse writes this engine cannot make safely: unknown
+        writer features carry invariants (row tracking's baseRowId
+        continuity, check constraints, CDF files…) that an oblivious
+        commit would break for every other engine; ``appendOnly``
+        tables refuse removes."""
+        proto = snap.get("protocol") or {}
+        mwv = proto.get("minWriterVersion") or 1
+        if mwv == 7:
+            unsupported = sorted(
+                set(proto.get("writerFeatures") or [])
+                - _WRITER_FEATURES)
+            if unsupported:
+                raise NotImplementedError(
+                    f"Delta writerFeatures {unsupported} not "
+                    f"supported (this writer implements "
+                    f"{sorted(_WRITER_FEATURES)}); committing anyway "
+                    "would break the invariants other engines rely "
+                    "on")
+        elif mwv > 2:
+            raise NotImplementedError(
+                f"Delta minWriterVersion {mwv} not supported "
+                "(v3-v6 imply check constraints / change data feed / "
+                "generated columns / column mapping invariants this "
+                "writer cannot honor)")
+        conf = snap["metaData"].get("configuration") or {}
+        if str(conf.get("delta.appendOnly", "")).lower() == "true" \
+                and operation != "append":
+            raise ValueError(
+                f"table is append-only (delta.appendOnly=true): "
+                f"{operation} would remove committed data")
+
+    def delete(self, spark: SparkSession, where) -> int | None:
+        """Merge-on-read DELETE: rows matching ``where`` (a Column or
+        SQL string) are marked deleted via deletion vectors — no data
+        file is rewritten (PROTOCOL.md "Deletion Vectors").
+
+        One distributed pass finds the matching (file, row index)
+        pairs on the DV-applied snapshot (already-deleted rows can't
+        match again); each touched file's group then unions the new
+        positions with the file's existing DV (a DV REPLACES its
+        predecessor, so it must carry every deleted row) and writes
+        its own ``deletion_vector_<uuid>.bin`` executor-side.  The
+        driver collects one descriptor row per touched file (bounded
+        metadata) and commits, per file, ``remove(path, old DV)`` +
+        ``add(path, new DV)`` — the reconciliation pairing foreign
+        readers expect — upgrading the protocol to reader 3 / writer
+        7 with the ``deletionVectors`` feature (plus the features the
+        old protocol version implied) on first use.
+
+        Returns the committed version, or None when nothing matched
+        (no commit — like the Iceberg twin, a re-delete is a no-op).
+        Raises :class:`DeltaConcurrentCommit` if a racer touches any
+        affected file between the scan and the commit."""
+        import numpy as np
+
+        snap = self._replay()
+        self._check_writable(snap, "delete")
+        cond = F.expr(where) if isinstance(where, str) else where
+        table_path = os.path.abspath(self.path)
+        old_dv = {f["path"]: f.get("deletionVector")
+                  for f in snap["files"]}
+        old_json = {os.path.join(table_path, rel): json.dumps(dv)
+                    for rel, dv in old_dv.items() if dv}
+
+        matches = (self.read(spark, snap["version"], _with_pos=True)
+                   .filter(cond).select("_dl_path", "_dl_pos"))
+
+        def write_group(pdf):
+            import pandas as pd
+
+            from .delta_dv import dv_load, dv_write
+            path = pdf["_dl_path"].iloc[0]
+            positions = pdf["_dl_pos"].to_numpy(np.int64)
+            oj = old_json.get(path)
+            if oj is not None:
+                positions = np.union1d(
+                    positions, dv_load(table_path, json.loads(oj)))
+            desc = dv_write(table_path, positions)
+            return pd.DataFrame({"_dl_path": [path],
+                                 "_dv": [json.dumps(desc)]})
+
+        touched = (matches.groupBy("_dl_path")
+                   .applyInPandas(write_group,
+                                  "_dl_path string, _dv string")
+                   .collect())  # bounded: one row per touched file
+        if not touched:
+            return None
+
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            cur = self._replay()
+            by_path = {f["path"]: f for f in cur["files"]}
+            now = int(time.time() * 1000)
+            actions: list[dict] = [{"commitInfo": {
+                "timestamp": now, "operation": "DELETE",
+                "operationParameters": {},
+                "engineInfo": "python-minerva-etl-spark"}}]
+            proto = cur.get("protocol") or {
+                "minReaderVersion": 1, "minWriterVersion": 2}
+            rfeats = set(proto.get("readerFeatures") or [])
+            wfeats = set(proto.get("writerFeatures") or [])
+            if "deletionVectors" not in rfeats \
+                    or "deletionVectors" not in wfeats:
+                # features the legacy writer version implied must
+                # survive the upgrade to the table-features protocol
+                implied = {2: {"appendOnly", "invariants"},
+                           1: set()}.get(
+                    proto.get("minWriterVersion") or 1,
+                    {"appendOnly", "invariants"})
+                actions.append({"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        rfeats | {"deletionVectors"}),
+                    "writerFeatures": sorted(
+                        wfeats | implied | {"deletionVectors"})}})
+                meta = dict(cur["metaData"])
+                conf = dict(meta.get("configuration") or {})
+                conf["delta.enableDeletionVectors"] = "true"
+                meta["configuration"] = conf
+                actions.append({"metaData": meta})
+            for row in touched:
+                rel = os.path.relpath(row["_dl_path"], table_path)
+                rel = rel.replace(os.sep, "/")
+                f = by_path.get(rel)
+                if f is None or f.get("deletionVector") != old_dv.get(rel):
+                    raise DeltaConcurrentCommit(
+                        f"data file {rel!r} changed (rewritten, "
+                        "removed, or re-deleted) since this DELETE "
+                        "scanned it — rerun delete()")
+                remove = {"path": rel, "deletionTimestamp": now,
+                          "dataChange": True}
+                if f.get("deletionVector"):
+                    remove["deletionVector"] = f["deletionVector"]
+                actions.append({"remove": remove})
+                add = dict(f)
+                add["deletionVector"] = json.loads(row["_dv"])
+                add["dataChange"] = True
+                add["modificationTime"] = now
+                if add.get("stats"):
+                    # min/max may no longer be tight once rows are
+                    # masked out; numRecords stays physical
+                    try:
+                        stats = json.loads(add["stats"])
+                        stats["tightBounds"] = False
+                        add["stats"] = json.dumps(stats)
+                    except (ValueError, TypeError):
+                        pass
+                actions.append({"add": add})
+            version = self._next_version()
+            try:
+                self._commit(version, actions)
+                return version
+            except DeltaConcurrentCommit as e:
+                last_err = e  # re-derive against the new snapshot
+        raise last_err  # type: ignore[misc]
+
     def _write_checkpoint(self, version: int) -> None:
         """Compact the replay state at ``version`` into
         ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` so readers
@@ -537,10 +824,18 @@ class DeltaTable:
         # options / partitionValues as map<string,string>, which
         # cannot be inferred from (possibly empty) python dicts.
         str_map = pa.map_(pa.string(), pa.string())
+        dv_struct = pa.struct([
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64())])
         cp_schema = pa.schema([
             ("protocol", pa.struct([
                 ("minReaderVersion", pa.int32()),
-                ("minWriterVersion", pa.int32())])),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string()))])),
             ("metaData", pa.struct([
                 ("id", pa.string()),
                 ("format", pa.struct([
@@ -555,11 +850,14 @@ class DeltaTable:
                 ("partitionValues", str_map),
                 ("size", pa.int64()),
                 ("modificationTime", pa.int64()),
-                ("dataChange", pa.bool_())])),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+                ("deletionVector", dv_struct)])),
             ("remove", pa.struct([
                 ("path", pa.string()),
                 ("deletionTimestamp", pa.int64()),
-                ("dataChange", pa.bool_())])),
+                ("dataChange", pa.bool_()),
+                ("deletionVector", dv_struct)])),
             ("txn", pa.struct([
                 ("appId", pa.string()),
                 ("version", pa.int64())])),
@@ -572,9 +870,17 @@ class DeltaTable:
                 "remove": None, "txn": None}
         snap = self._replay(version)
         m = snap["metaData"]
+        proto = snap.get("protocol") or {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}
         rows = [
-            dict(base, protocol={"minReaderVersion": 1,
-                                 "minWriterVersion": 2}),
+            # the table's REAL protocol — checkpointing a DV table as
+            # (1, 2) would let feature-unaware readers resurrect
+            # deleted rows without even noticing
+            dict(base, protocol={
+                "minReaderVersion": proto.get("minReaderVersion") or 1,
+                "minWriterVersion": proto.get("minWriterVersion") or 2,
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures")}),
             dict(base, metaData={
                 "id": m.get("id"),
                 "format": {
@@ -593,12 +899,15 @@ class DeltaTable:
                 "partitionValues": mapify(f.get("partitionValues")),
                 "size": f.get("size"),
                 "modificationTime": f.get("modificationTime"),
-                "dataChange": bool(f.get("dataChange", True))}))
+                "dataChange": bool(f.get("dataChange", True)),
+                "stats": f.get("stats"),
+                "deletionVector": f.get("deletionVector")}))
         for f in snap["tombstones"]:
             rows.append(dict(base, remove={
                 "path": f["path"],
                 "deletionTimestamp": f.get("deletionTimestamp"),
-                "dataChange": bool(f.get("dataChange", True))}))
+                "dataChange": bool(f.get("dataChange", True)),
+                "deletionVector": f.get("deletionVector")}))
         for app_id, v in sorted(snap["txns"].items()):
             rows.append(dict(base, txn={"appId": app_id,
                                         "version": int(v)}))
@@ -621,3 +930,9 @@ def write_delta(spark: SparkSession, df: DataFrame, path: str,
                 mode: str = "append") -> int:
     """Write/commit a Delta table (see :class:`DeltaTable.write`)."""
     return DeltaTable(path).write(spark, df, mode)
+
+
+def delete_delta(spark: SparkSession, path: str, where) -> int | None:
+    """Merge-on-read DELETE via deletion vectors (see
+    :class:`DeltaTable.delete`)."""
+    return DeltaTable(path).delete(spark, where)

@@ -1,0 +1,363 @@
+"""Delta Lake deletion vectors — the on-disk bitmap format, from
+scratch (delta.io PROTOCOL.md §"Deletion Vectors", public spec).
+
+A deletion vector (DV) marks rows of one immutable parquet data file
+as deleted without rewriting the file (merge-on-read).  Three layers,
+all implemented here against the published spec:
+
+1. **Z85 text codec** (ZeroMQ RFC 32 alphabet, the variant Delta's
+   ``Base85Codec`` uses): 4 binary bytes -> 5 chars.  Delta encodes
+   the DV file's UUID (16 bytes -> 20 chars) into
+   ``pathOrInlineDv`` for ``storageType="u"`` and the whole bitmap
+   for inline DVs (``storageType="i"``).  Inline data that is not a
+   multiple of 4 bytes is zero-padded on encode; the descriptor's
+   ``sizeInBytes`` trims it on decode.
+
+2. **64-bit RoaringBitmapArray, "portable" serialization** (the
+   format PROTOCOL.md mandates for DV bitmap data; container layout
+   per the public RoaringFormatSpec):
+
+   - int32 LE magic ``1681511377``
+   - int64 LE number of 32-bit bitmaps
+   - per bitmap: int32 LE key (the value's high 32 bits), then a
+     standard 32-bit roaring bitmap:
+
+     - cookie int32 LE: ``12346`` (no run containers; followed by
+       int32 container count) or ``12347`` (low 16 bits; container
+       count - 1 in the high 16 bits; followed by a run-flag bitset
+       of ceil(n/8) bytes)
+     - descriptive header: per container uint16 LE key (the value's
+       bits 16..31) + uint16 LE (cardinality - 1)
+     - offset header (present with cookie 12346, or when n >= 4):
+       int32 LE byte offset of each container from the cookie
+     - containers in key order: **array** (cardinality <= 4096):
+       sorted uint16 values; **bitmap**: 8192-byte little-endian
+       bitset; **run** (flagged): uint16 run count, then per run
+       uint16 start + uint16 (length - 1)
+
+   The decoder accepts all three container kinds (foreign writers
+   emit runs); the encoder emits arrays/bitmaps only — cookie 12346
+   — which every spec-conformant reader accepts.
+
+3. **DV file layout** (``storageType`` "u"/"p"): byte 0 is the
+   format version (must be 1); each DV in the file is
+   ``[int32 BE dataSize][bitmap bytes][int32 BE CRC-32 of the bitmap
+   bytes]`` with the descriptor's ``offset`` pointing at the size
+   word and ``sizeInBytes == dataSize``.  ``storageType="u"`` names
+   the file ``<optional prefix>/deletion_vector_<uuid>.bin`` under
+   the table root, with the UUID's 16 bytes Z85-encoded as the LAST
+   20 chars of ``pathOrInlineDv`` (anything before is the prefix).
+
+Everything is numpy-vectorized per container (no per-row Python);
+decode runs executor-side via mapInPandas in
+:meth:`DeltaTable.read`, so at 100 TB the DV expansion scales with
+the files, not the driver.
+
+Reference parity: the reference system (hendrikx-itc/
+python-minerva-etl) is PostgreSQL-backed and has no lake format;
+this backs SURVEY §2 OP-SRC/OP-SNK Delta interop — most production
+Delta tables written by modern engines carry DVs, so a reader
+without them refuses (or worse, resurrects deleted rows).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+import uuid
+import zlib
+
+import numpy as np
+
+# ------------------------------------------------------------- Z85
+
+_Z85_ALPHABET = ("0123456789abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_DECODE = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85-encode ``data`` (zero-padded to a multiple of 4 bytes; the
+    caller's byte length — e.g. the DV descriptor's ``sizeInBytes``
+    — recovers the exact payload on decode)."""
+    pad = (-len(data)) % 4
+    data = data + b"\x00" * pad
+    out = []
+    for (word,) in struct.iter_unpack(">I", data):
+        chunk = []
+        for _ in range(5):
+            word, r = divmod(word, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    """Decode a Z85 string (length must be a multiple of 5)."""
+    if len(text) % 5:
+        raise ValueError(
+            f"Z85 string length {len(text)} is not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        word = 0
+        for c in text[i:i + 5]:
+            try:
+                word = word * 85 + _Z85_DECODE[c]
+            except KeyError:
+                raise ValueError(f"invalid Z85 character {c!r}")
+        if word > 0xFFFFFFFF:
+            raise ValueError("Z85 chunk overflows 32 bits")
+        out += struct.pack(">I", word)
+    return bytes(out)
+
+
+# ------------------------------------- RoaringBitmapArray portable
+
+MAGIC = 1681511377
+_COOKIE_NO_RUN = 12346
+_COOKIE_RUN = 12347
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+
+
+def _rbm32_decode(buf: bytes, start: int) -> tuple[np.ndarray, int]:
+    """Decode one standard 32-bit roaring bitmap at byte ``start``;
+    returns (sorted int64 array of 32-bit values, next offset)."""
+    (cookie,) = struct.unpack_from("<I", buf, start)
+    pos = start + 4
+    if (cookie & 0xFFFF) == _COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        run_flags = np.unpackbits(
+            np.frombuffer(buf, np.uint8, nbytes, pos),
+            bitorder="little")[:n]
+        pos += nbytes
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        run_flags = np.zeros(n, np.uint8)
+        has_offsets = True
+    else:
+        raise ValueError(f"roaring: unknown cookie {cookie}")
+    if n < 0:
+        raise ValueError(f"roaring: negative container count {n}")
+    desc = np.frombuffer(buf, "<u2", 2 * n, pos)
+    keys = desc[0::2].astype(np.int64)
+    cards = desc[1::2].astype(np.int64) + 1
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n  # offsets are redundant for a sequential parse
+    parts: list[np.ndarray] = []
+    for i in range(n):
+        c = int(cards[i])
+        if run_flags[i]:
+            (nruns,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = np.frombuffer(buf, "<u2", 2 * nruns, pos)
+            pos += 4 * nruns
+            starts = runs[0::2].astype(np.int64)
+            lengths = runs[1::2].astype(np.int64) + 1
+            if int(lengths.sum()) != c:
+                raise ValueError(
+                    "roaring: run container cardinality mismatch "
+                    f"(header {c}, runs sum {int(lengths.sum())})")
+            # vectorized run expansion: one arange over the total
+            # cardinality minus per-run rebasing
+            ends = np.cumsum(lengths)
+            idx = np.arange(c, dtype=np.int64)
+            run_of = np.searchsorted(ends, idx, side="right")
+            base = np.concatenate(([0], ends[:-1]))
+            vals = starts[run_of] + (idx - base[run_of])
+        elif c <= _ARRAY_MAX:
+            vals = np.frombuffer(buf, "<u2", c, pos).astype(np.int64)
+            pos += 2 * c
+        else:
+            words = np.frombuffer(buf, np.uint8, 8192, pos)
+            pos += 8192
+            bits = np.unpackbits(words, bitorder="little")
+            vals = np.nonzero(bits)[0].astype(np.int64)
+            if len(vals) != c:
+                raise ValueError(
+                    "roaring: bitmap container cardinality mismatch "
+                    f"(header {c}, popcount {len(vals)})")
+        parts.append(vals + (int(keys[i]) << 16))
+    vals32 = (np.concatenate(parts) if parts
+              else np.empty(0, np.int64))
+    return vals32, pos
+
+
+def rbm_decode(data: bytes) -> np.ndarray:
+    """Decode a portable 64-bit RoaringBitmapArray into a sorted
+    int64 numpy array of set positions."""
+    if len(data) < 12:
+        raise ValueError(
+            f"roaring array: {len(data)} bytes is too short")
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != MAGIC:
+        raise ValueError(
+            f"roaring array: bad magic {magic} (want {MAGIC})")
+    (nmaps,) = struct.unpack_from("<q", data, 4)
+    if nmaps < 0:
+        raise ValueError(f"roaring array: negative count {nmaps}")
+    pos = 12
+    parts: list[np.ndarray] = []
+    for _ in range(nmaps):
+        (key,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        if key < 0:
+            raise ValueError(f"roaring array: negative key {key}")
+        vals32, pos = _rbm32_decode(data, pos)
+        parts.append(vals32 + (int(key) << 32))
+    out = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    out.sort()
+    return out
+
+
+def _rbm32_encode(low32: np.ndarray) -> bytes:
+    """Serialize sorted uint32 values as one standard 32-bit roaring
+    bitmap (cookie 12346: array/bitmap containers only)."""
+    keys16 = (low32 >> 16).astype(np.uint32)
+    uniq, starts = np.unique(keys16, return_index=True)
+    bounds = np.append(starts, len(low32))
+    n = len(uniq)
+    header = struct.pack("<Ii", _COOKIE_NO_RUN, n)
+    desc = bytearray()
+    payloads: list[bytes] = []
+    sizes: list[int] = []
+    for i in range(n):
+        vals = (low32[bounds[i]:bounds[i + 1]] & 0xFFFF).astype(
+            np.uint16)
+        c = len(vals)
+        desc += struct.pack("<HH", int(uniq[i]), c - 1)
+        if c <= _ARRAY_MAX:
+            payload = vals.astype("<u2").tobytes()
+        else:
+            bits = np.zeros(65536, np.uint8)
+            bits[vals] = 1
+            payload = np.packbits(bits, bitorder="little").tobytes()
+        payloads.append(payload)
+        sizes.append(len(payload))
+    # offsets are from the cookie: header + desc + offset table
+    first = len(header) + len(desc) + 4 * n
+    offs = np.cumsum([first] + sizes[:-1]).astype("<i4")
+    return header + bytes(desc) + offs.tobytes() + b"".join(payloads)
+
+
+def rbm_encode(positions) -> bytes:
+    """Serialize positions (any int iterable/array) as a portable
+    64-bit RoaringBitmapArray."""
+    pos = np.unique(np.asarray(positions, np.int64))
+    if len(pos) and pos[0] < 0:
+        raise ValueError("roaring: negative positions")
+    high = (pos >> 32).astype(np.int64)
+    uniq, starts = np.unique(high, return_index=True)
+    bounds = np.append(starts, len(pos))
+    out = [struct.pack("<iq", MAGIC, len(uniq))]
+    for i, key in enumerate(uniq):
+        low = (pos[bounds[i]:bounds[i + 1]] & 0xFFFFFFFF).astype(
+            np.uint32)
+        out.append(struct.pack("<i", int(key)))
+        out.append(_rbm32_encode(low))
+    return b"".join(out)
+
+
+# --------------------------------------------------- DV file layout
+
+_FORMAT_VERSION = 1
+
+
+def dv_unique_id(dv: dict | None) -> str | None:
+    """Identity of a DV descriptor for action reconciliation: an
+    add/remove pair cancels only when (path, DV id) match
+    (PROTOCOL.md Action Reconciliation — a DV update commits
+    remove(path, old DV) + add(path, new DV), which must not cancel
+    each other regardless of their order inside the commit)."""
+    if not dv:
+        return None
+    off = dv.get("offset")
+    return (f"{dv['storageType']}{dv['pathOrInlineDv']}"
+            + (f"@{off}" if off is not None else ""))
+
+
+def _dv_file_path(table_path: str, path_or_inline: str) -> str:
+    """Resolve a ``storageType="u"`` reference: the last 20 chars are
+    the Z85 UUID, anything before is a directory prefix."""
+    if len(path_or_inline) < 20:
+        raise ValueError(
+            f"DV pathOrInlineDv {path_or_inline!r} shorter than a "
+            "Z85 UUID (20 chars)")
+    prefix, enc = path_or_inline[:-20], path_or_inline[-20:]
+    u = uuid.UUID(bytes=z85_decode(enc))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(table_path, prefix, name) if prefix \
+        else os.path.join(table_path, name)
+
+
+def dv_load(table_path: str, dv: dict) -> np.ndarray:
+    """Load + verify one deletion vector descriptor; returns the
+    sorted int64 row indexes it deletes."""
+    st = dv.get("storageType")
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        raw = z85_decode(dv["pathOrInlineDv"])
+        if len(raw) < size:
+            raise ValueError(
+                f"inline DV: {len(raw)} decoded bytes < sizeInBytes "
+                f"{size}")
+        data = raw[:size]
+    elif st in ("u", "p"):
+        if st == "u":
+            p = _dv_file_path(table_path, dv["pathOrInlineDv"])
+        else:
+            p = re.sub("^file:/+", "/", dv["pathOrInlineDv"])
+        with open(p, "rb") as fh:
+            buf = fh.read()
+        if not buf or buf[0] != _FORMAT_VERSION:
+            raise ValueError(
+                f"DV file {p}: unsupported format version "
+                f"{buf[0] if buf else '<empty>'}")
+        off = dv.get("offset")
+        off = 1 if off is None else int(off)
+        (dsize,) = struct.unpack_from(">i", buf, off)
+        if dsize != size:
+            raise ValueError(
+                f"DV file {p}: stored size {dsize} != descriptor "
+                f"sizeInBytes {size}")
+        data = buf[off + 4:off + 4 + dsize]
+        if len(data) != dsize:
+            raise ValueError(f"DV file {p}: truncated bitmap data")
+        (crc,) = struct.unpack_from(">I", buf, off + 4 + dsize)
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"DV file {p}: CRC-32 mismatch")
+    else:
+        raise ValueError(f"unknown DV storageType {st!r}")
+    vals = rbm_decode(data)
+    card = dv.get("cardinality")
+    if card is not None and len(vals) != int(card):
+        raise ValueError(
+            f"DV cardinality mismatch: descriptor says {card}, "
+            f"bitmap holds {len(vals)}")
+    return vals
+
+
+def dv_write(table_path: str, positions) -> dict:
+    """Write one DV as its own ``deletion_vector_<uuid>.bin`` under
+    the table root; returns the add-action descriptor."""
+    data = rbm_encode(positions)
+    u = uuid.uuid4()
+    path = os.path.join(table_path, f"deletion_vector_{u}.bin")
+    blob = (bytes([_FORMAT_VERSION])
+            + struct.pack(">i", len(data)) + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, path)
+    n = len(np.unique(np.asarray(positions, np.int64)))
+    return {"storageType": "u",
+            "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": 1,
+            "sizeInBytes": len(data),
+            "cardinality": n}

@@ -121,20 +121,32 @@ def test_commit_conflict_and_bad_versions(spark, tmp_path):
 
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
+    """Reader v3 tables are readable iff every declared readerFeature
+    is implemented: deletionVectors/timestampNtz pass (round 6),
+    anything unknown — v2Checkpoint here — still refuses."""
     p = str(tmp_path / "t")
     os.makedirs(os.path.join(p, "_delta_log"))
+    meta = {"metaData": {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": '{"type":"struct","fields":[]}',
+        "partitionColumns": [], "configuration": {}}}
     actions = [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
-        {"metaData": {"id": "x",
-                      "format": {"provider": "parquet", "options": {}},
-                      "schemaString": '{"type":"struct","fields":[]}',
-                      "partitionColumns": [], "configuration": {}}},
+                      "readerFeatures": ["deletionVectors",
+                                         "v2Checkpoint"]}},
+        meta,
     ]
     with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions))
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta(spark, p)
+    # with only implemented features declared, the same table reads
+    actions[0] = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors", "timestampNtz"]}}
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    assert read_delta(spark, p).count() == 0
 
 
 def _minimal_meta(schema='{"type":"struct","fields":[{"name":"id",'
