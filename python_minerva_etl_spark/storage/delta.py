@@ -75,12 +75,73 @@ _COMMIT_RETRIES = 10
 # e.g. row tracking's baseRowId continuity — corrupts the table for
 # the engines that rely on it).
 _READER_FEATURES = {"deletionVectors", "timestampNtz",
-                    "vacuumProtocolCheck"}
+                    "vacuumProtocolCheck", "columnMapping"}
 _WRITER_FEATURES = {"deletionVectors", "appendOnly", "invariants",
                     "timestampNtz", "vacuumProtocolCheck"}
 
 _CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _physical_name(f: T.StructField) -> str:
+    """The parquet-side name of a column-mapped field (PROTOCOL.md
+    Column Mapping: every field's metadata carries
+    ``delta.columnMapping.physicalName`` once mapping is enabled)."""
+    pname = (f.metadata or {}).get(_CM_PHYS)
+    if not pname:
+        raise ValueError(
+            f"Delta column mapping is enabled but field {f.name!r} "
+            f"carries no {_CM_PHYS} metadata — the physical parquet "
+            "column cannot be located")
+    return pname
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Recursively rewrite a logical type to its physical (parquet)
+    shape: struct field names become their physicalName."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(_physical_name(f), _physical_type(f.dataType),
+                          f.nullable) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_physical_type(dt.keyType),
+                         _physical_type(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
+
+
+def _needs_rename(dt: T.DataType) -> bool:
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _needs_rename(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _needs_rename(dt.keyType) or _needs_rename(dt.valueType)
+    return False
+
+
+def _logical_expr(col, ldt: T.DataType):
+    """Rebuild a physical column under its logical names: structs are
+    reconstructed field-by-field (null-preserving), arrays/maps
+    recurse via transform/transform_values — all JVM-side expressions,
+    no UDFs."""
+    if isinstance(ldt, T.StructType):
+        rebuilt = F.struct(*[
+            _logical_expr(col[_physical_name(f)], f.dataType)
+            .alias(f.name) for f in ldt.fields])
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    if isinstance(ldt, T.ArrayType) and _needs_rename(ldt.elementType):
+        return F.transform(
+            col, lambda x: _logical_expr(x, ldt.elementType))
+    if isinstance(ldt, T.MapType) and _needs_rename(ldt.valueType):
+        return F.transform_values(
+            col, lambda k, v: _logical_expr(v, ldt.valueType))
+    return col
 
 
 def _log_dir(path: str) -> str:
@@ -274,14 +335,11 @@ class DeltaTable:
                         f"{sorted(_READER_FEATURES)}); reading anyway "
                         "could silently misinterpret the physical "
                         "layout")
-            elif mrv > 1:
-                feats = protocol.get("readerFeatures")
+            elif mrv > 3:
                 raise NotImplementedError(
-                    f"Delta minReaderVersion {mrv}"
-                    f"{' / readerFeatures ' + str(feats) if feats else ''}"
-                    " not supported (reader v2 predates table features"
-                    " and changes physical layout — column mapping — "
-                    "with no feature list to check)")
+                    f"Delta minReaderVersion {mrv} not supported")
+            # mrv == 2 is the pre-table-features column-mapping
+            # protocol — supported: read() resolves physical names
         if meta is None:
             raise ValueError("Delta log has no metaData action")
         files = [a for kind, a in latest.values() if kind == "add"]
@@ -297,14 +355,6 @@ class DeltaTable:
                     f"reference {f['path']!r} with different deletion "
                     "vectors — refusing to pick one")
             seen_paths.add(f["path"])
-        cm_mode = (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none")
-        if cm_mode not in (None, "", "none"):
-            raise NotImplementedError(
-                f"Delta column mapping mode {cm_mode!r} not supported: "
-                "physical parquet column names differ from the logical "
-                "schema and a schema-enforced read would silently "
-                "return wrong/null columns")
         return {"version": target, "metaData": meta,
                 "protocol": protocol,
                 "files": files,
@@ -340,9 +390,21 @@ class DeltaTable:
         uses it) keeps the ``_dl_path``/``_dl_pos`` provenance
         columns on the result."""
         snap = self._replay(version_as_of)
+        meta = snap["metaData"]
         schema = T.StructType.fromJson(
-            json.loads(snap["metaData"]["schemaString"]))
-        part_cols = snap["metaData"].get("partitionColumns") or []
+            json.loads(meta["schemaString"]))
+        part_cols = meta.get("partitionColumns") or []
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode") or "none"
+        if cm_mode == "id":
+            raise NotImplementedError(
+                "Delta column mapping mode 'id' not supported (it "
+                "resolves columns by parquet field id; mode 'name' "
+                "tables are supported)")
+        if cm_mode not in ("none", "name"):
+            raise NotImplementedError(
+                f"Delta column mapping mode {cm_mode!r} unknown")
+        mapped = cm_mode == "name"
         files = snap["files"]
         pos_fields = [T.StructField("_dl_path", T.StringType()),
                       T.StructField("_dl_pos", T.LongType())]
@@ -353,11 +415,22 @@ class DeltaTable:
         dv_map = {f["path"]: f["deletionVector"] for f in files
                   if f.get("deletionVector")}
         need_pos = _with_pos or bool(dv_map)
-        data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols])
+        data_fields = [f for f in schema.fields
+                       if f.name not in part_cols]
+        data_schema = T.StructType([
+            T.StructField(_physical_name(f), _physical_type(f.dataType),
+                          f.nullable) for f in data_fields
+        ] if mapped else data_fields)
+        # partitionValues are keyed by PHYSICAL name once mapping is
+        # on (files and stats live in the physical world); fall back
+        # to the logical key defensively
+        pkey = {c: (_physical_name(next(
+            f for f in schema.fields if f.name == c))
+            if mapped else c) for c in part_cols}
         by_part: dict[tuple, list[str]] = {}
         for f in files:
-            pv = tuple((f.get("partitionValues") or {}).get(c)
+            fpv = f.get("partitionValues") or {}
+            pv = tuple(fpv.get(pkey[c], fpv.get(c))
                        for c in part_cols)
             by_part.setdefault(pv, []).append(
                 os.path.join(self.path, f["path"]))
@@ -373,15 +446,19 @@ class DeltaTable:
                 key=lambda kv: tuple((v is not None, v or "")
                                      for v in kv[0])):
             df = spark.read.schema(data_schema).parquet(*paths)
+            sel = ([_logical_expr(F.col(_physical_name(f)), f.dataType)
+                    .alias(f.name) for f in data_fields]
+                   if mapped else ["*"])
             if need_pos:
                 # 'file:///p' -> '/p' so descriptor paths and Spark's
                 # _metadata.file_path form always agree
-                df = df.select(
-                    "*",
+                sel = sel + [
                     F.regexp_replace(F.col("_metadata.file_path"),
                                      "^file:/+", "/")
                     .alias("_dl_path"),
-                    F.col("_metadata.row_index").alias("_dl_pos"))
+                    F.col("_metadata.row_index").alias("_dl_pos")]
+            if mapped or need_pos:
+                df = df.select(*sel)
             for c, v in zip(part_cols, pv):
                 # Delta serializes partition values as strings (null
                 # encoded as JSON null); cast back per table schema

@@ -157,21 +157,37 @@ def _minimal_meta(schema='{"type":"struct","fields":[{"name":"id",'
             "configuration": configuration or {}}
 
 
-def test_reader_v2_without_features_refused(spark, tmp_path):
-    """ADVICE r4 (high): column-mapped tables declare minReaderVersion
-    2 with NO readerFeatures (that field exists only at reader v3);
-    they must be refused, not silently misread with wrong columns."""
+def test_reader_v2_name_mode_reads_physical_columns(spark, tmp_path):
+    """minReaderVersion 2 = the pre-table-features column-mapping
+    protocol.  Round 6 implements mode 'name': the read must resolve
+    the PHYSICAL parquet column (never misread by logical name) —
+    tests/test_delta_cm.py covers the breadth; this pins the v2
+    protocol acceptance specifically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     p = str(tmp_path / "t")
     os.makedirs(os.path.join(p, "_delta_log"))
+    pq.write_table(pa.table({"col-9f": pa.array([7], pa.int64())}),
+                   os.path.join(p, "f0.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-9f"}}]})
     actions = [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {"metaData": _minimal_meta(
+            schema=schema,
             configuration={"delta.columnMapping.mode": "name"})},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
     ]
     with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions))
-    with pytest.raises(NotImplementedError, match="minReaderVersion 2"):
-        read_delta(spark, p)
+    got = read_delta(spark, p)
+    assert got.columns == ["id"]
+    assert [tuple(r) for r in got.collect()] == [(7,)]
 
 
 def test_column_mapping_config_refused_even_at_reader_v1(spark, tmp_path):

@@ -1,0 +1,196 @@
+"""Delta column mapping (mode 'name'): physical parquet columns
+resolved back to the logical schema — flat, nested, partitioned, and
+composed with deletion vectors.  Fixtures are hand-written the way a
+foreign column-mapping engine lays tables out (PROTOCOL.md Column
+Mapping): parquet files carry ONLY physical `col-<uuid>`-style names,
+the logical names exist solely in schemaString metadata, and
+partitionValues are keyed by physical name."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from python_minerva_etl_spark.storage.delta import read_delta, write_delta
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _fld(name, typ, phys, cid, nullable=True):
+    return {"name": name, "type": typ, "nullable": nullable,
+            "metadata": {"delta.columnMapping.id": cid,
+                         "delta.columnMapping.physicalName": phys}}
+
+
+def _log(p, schema_fields, adds, partition_cols=(), mode="name",
+         protocol=None):
+    os.makedirs(os.path.join(p, "_delta_log"), exist_ok=True)
+    actions = [
+        {"protocol": protocol or {"minReaderVersion": 2,
+                                  "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet",
+                                  "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": schema_fields}),
+            "partitionColumns": list(partition_cols),
+            "configuration": {"delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "9"},
+            "createdTime": 0}},
+    ] + adds
+    with open(os.path.join(p, "_delta_log",
+                           f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def _add(path, pvals=None):
+    return {"add": {"path": path, "partitionValues": pvals or {},
+                    "size": 1, "modificationTime": 0,
+                    "dataChange": True}}
+
+
+def test_flat_column_mapping_name_mode(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    pq.write_table(pa.table({
+        "col-aaa": pa.array([1, 2], type=pa.int64()),
+        "col-bbb": pa.array(["x", "y"])}),
+        os.path.join(p, "f0.parquet"))
+    _log(p, [_fld("id", "long", "col-aaa", 1),
+             _fld("v", "string", "col-bbb", 2)],
+         [_add("f0.parquet")])
+    got = read_delta(spark, p)
+    assert got.columns == ["id", "v"]
+    assert _rows(got) == [(1, "x"), (2, "y")]
+    # logical filters reach the physical read path
+    assert got.filter("v = 'y'").count() == 1
+
+
+def test_nested_struct_array_map_renames(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    inner = pa.struct([("col-x", pa.int64()), ("col-y", pa.string())])
+    tbl = pa.table({
+        "col-s": pa.array([{"col-x": 1, "col-y": "a"}, None],
+                          type=inner),
+        "col-arr": pa.array([[{"col-x": 2, "col-y": "b"}], []],
+                            type=pa.list_(inner)),
+        "col-m": pa.array([[("k", {"col-x": 3, "col-y": "c"})], []],
+                          type=pa.map_(pa.string(), inner)),
+    })
+    pq.write_table(tbl, os.path.join(p, "f0.parquet"))
+    inner_fields = [_fld("x", "long", "col-x", 4),
+                    _fld("y", "string", "col-y", 5)]
+    struct_t = {"type": "struct", "fields": inner_fields}
+    _log(p, [
+        _fld("s", struct_t, "col-s", 1),
+        _fld("arr", {"type": "array", "elementType": struct_t,
+                     "containsNull": True}, "col-arr", 2),
+        _fld("m", {"type": "map", "keyType": "string",
+                   "valueType": struct_t,
+                   "valueContainsNull": True}, "col-m", 3),
+    ], [_add("f0.parquet")])
+    got = read_delta(spark, p)
+    rows = got.orderBy("s").collect()
+    r0 = rows[1]  # non-null struct sorts after null
+    assert r0["s"]["x"] == 1 and r0["s"]["y"] == "a"
+    assert r0["arr"][0]["x"] == 2 and r0["arr"][0]["y"] == "b"
+    assert r0["m"]["k"]["x"] == 3 and r0["m"]["k"]["y"] == "c"
+    # null struct stays null (not a struct of nulls)
+    assert rows[0]["s"] is None
+    # logical nested access works end-to-end
+    assert got.filter("s.x = 1").count() == 1
+
+
+def test_partition_values_keyed_by_physical_name(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "part"))
+    pq.write_table(pa.table({"col-i": pa.array([1, 2],
+                                               type=pa.int64())}),
+                   os.path.join(p, "part", "f0.parquet"))
+    pq.write_table(pa.table({"col-i": pa.array([3],
+                                               type=pa.int64())}),
+                   os.path.join(p, "part", "f1.parquet"))
+    _log(p, [_fld("id", "long", "col-i", 1),
+             _fld("region", "string", "col-r", 2)],
+         [_add("part/f0.parquet", {"col-r": "emea"}),
+          _add("part/f1.parquet", {"col-r": "apac"})],
+         partition_cols=["region"])
+    got = read_delta(spark, p)
+    assert _rows(got) == [(1, "emea"), (2, "emea"), (3, "apac")]
+
+
+def test_column_mapping_with_deletion_vector(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_minerva_etl_spark.storage.delta_dv import (dv_write,
+                                                           z85_encode)
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    pq.write_table(pa.table({"col-i": pa.array([10, 11, 12],
+                                               type=pa.int64())}),
+                   os.path.join(p, "f0.parquet"))
+    desc = dv_write(p, [1])  # mask row 1 (value 11)
+    add = _add("f0.parquet")
+    add["add"]["deletionVector"] = desc
+    _log(p, [_fld("id", "long", "col-i", 1)], [add],
+         protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                   "readerFeatures": ["columnMapping",
+                                      "deletionVectors"],
+                   "writerFeatures": ["columnMapping",
+                                      "deletionVectors"]})
+    assert _rows(read_delta(spark, p)) == [(10,), (12,)]
+    assert z85_encode  # imported for fixture parity with DV tests
+
+
+def test_id_mode_refused_and_missing_physical_name(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    pq.write_table(pa.table({"col-i": pa.array([1],
+                                               type=pa.int64())}),
+                   os.path.join(p, "f0.parquet"))
+    _log(p, [_fld("id", "long", "col-i", 1)], [_add("f0.parquet")],
+         mode="id")
+    with pytest.raises(NotImplementedError, match="'id'"):
+        read_delta(spark, p)
+    # name mode but a field without physicalName metadata: loud
+    fields = [{"name": "id", "type": "long", "nullable": True,
+               "metadata": {}}]
+    _log(p, fields, [_add("f0.parquet")])
+    with pytest.raises(ValueError, match="physicalName"):
+        read_delta(spark, p)
+
+
+def test_writes_to_column_mapped_tables_refused(spark, tmp_path):
+    """Appending with logical names would write parquet columns no
+    column-mapping reader can resolve — refuse loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    pq.write_table(pa.table({"col-i": pa.array([1],
+                                               type=pa.int64())}),
+                   os.path.join(p, "f0.parquet"))
+    _log(p, [_fld("id", "long", "col-i", 1)], [_add("f0.parquet")])
+    with pytest.raises(NotImplementedError):
+        write_delta(spark, spark.createDataFrame([(2,)], "id long"),
+                    p)
