@@ -85,13 +85,64 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _unfilter(raw: bytes, offset: int, stride: int, height: int,
+              bpp: int) -> bytearray:
+    """Reverse the five PNG scanline filters over ``height`` rows of
+    ``stride`` bytes starting at ``offset`` (each row prefixed by its
+    filter-type byte); returns the defiltered bytes."""
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return out
+
+
+def _unpack_indices(row: bytes, width: int, depth: int) -> list[int]:
+    """Sub-byte palette indices, MSB-first, row pad bits dropped."""
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    return [(row[x // per_byte]
+             >> (8 - depth * (x % per_byte + 1))) & mask
+            for x in range(width)]
+
+
 def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, raw_pixels)``.
 
     Real parse: signature check, chunk walk with length bounds, IHDR
     validation, multi-chunk IDAT reassembly, zlib inflate, and full
     reversal of all five PNG scanline filters.  Supports
-    non-interlaced greyscale (0), RGB (2), RGBA (6) at 8- and 16-bit
+    non-interlaced AND Adam7-interlaced (PNG spec §8.2: seven
+    sub-images, each filtered independently, scattered back onto the
+    8x8 pass grid) greyscale (0), RGB (2), RGBA (6) at 8- and 16-bit
     depth — 16-bit samples are deterministically scaled to 8 bits by
     taking the high byte (the PNG spec's own recommended depth
     rescale, exact for values of the form ``v*257``) — and
@@ -102,6 +153,7 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG: bad signature")
     pos, width = 8, -1
     height = color = depth = -1
+    interlace = 0
     idat = bytearray()
     plte: bytes | None = None
     trns: bytes | None = None
@@ -122,8 +174,9 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                     f"unsupported PNG: depth={depth} color={color} "
                     "(8/16-bit grey/RGB/RGBA or 1/2/4/8-bit palette "
                     "only)")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(
+                    f"bad PNG interlace method {interlace}")
         elif tag == b"PLTE":
             plte = bytes(body)
         elif tag == b"tRNS":
@@ -148,70 +201,74 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         bpp = channels * (depth // 8)
         stride = width * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel payload has wrong length")
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y * stride:(y + 1) * stride] = line
-        prev = line
+    idx_full: bytearray | None = None
+    if interlace == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel payload has wrong length")
+        out = _unfilter(raw, 0, stride, height, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images (empty
+        # passes contribute zero bytes, not even filter bytes),
+        # scattered back onto the 8x8 pass grid
+        out = bytearray(stride * height)
+        if paletted:
+            idx_full = bytearray(width * height)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = (wp * depth + 7) // 8 if paletted else wp * bpp
+            if offset + (sp + 1) * hp > len(raw):
+                raise ValueError("PNG pixel payload has wrong length")
+            sub = _unfilter(raw, offset, sp, hp, bpp)
+            offset += (sp + 1) * hp
+            for yp in range(hp):
+                y = y0 + yp * dy
+                if paletted:
+                    vals = _unpack_indices(
+                        sub[yp * sp:(yp + 1) * sp], wp, depth)
+                    for xp in range(wp):
+                        idx_full[y * width + x0 + xp * dx] = vals[xp]
+                else:
+                    for xp in range(wp):
+                        s = yp * sp + xp * bpp
+                        d = y * stride + (x0 + xp * dx) * bpp
+                        out[d:d + bpp] = sub[s:s + bpp]
+        if offset != len(raw):
+            raise ValueError("PNG pixel payload has wrong length")
     if not paletted:
         if depth == 16:
             # big-endian 16-bit samples -> high byte (v >> 8)
             return width, height, channels, bytes(out[0::2])
         return width, height, channels, bytes(out)
-    return _resolve_palette(bytes(out), width, height, depth, stride,
-                            plte, trns)
+    if idx_full is None:
+        idx_full = bytearray()
+        for y in range(height):
+            idx_full.extend(_unpack_indices(
+                out[y * stride:(y + 1) * stride], width, depth))
+    return _resolve_palette(idx_full, width, height, plte, trns)
 
 
-def _resolve_palette(packed: bytes, width: int, height: int,
-                     depth: int, stride: int, plte: bytes,
+def _resolve_palette(indices, width: int, height: int, plte: bytes,
                      trns: bytes | None
                      ) -> tuple[int, int, int, bytes]:
-    """Unpack sub-byte palette indices (MSB-first per the PNG spec,
-    row pad bits discarded) and resolve them through PLTE — plus tRNS
+    """Resolve per-pixel palette indices through PLTE — plus tRNS
     alpha when present, in which case the output is RGBA."""
     n_entries = len(plte) // 3
     out_ch = 4 if trns is not None else 3
     px = bytearray(width * height * out_ch)
-    mask = (1 << depth) - 1
-    per_byte = 8 // depth
     o = 0
-    for y in range(height):
-        row = packed[y * stride:(y + 1) * stride]
-        for x in range(width):
-            b = row[x // per_byte]
-            shift = 8 - depth * (x % per_byte + 1)
-            idx = (b >> shift) & mask
-            if idx >= n_entries:
-                raise ValueError(
-                    f"palette index {idx} out of range "
-                    f"({n_entries} PLTE entries)")
-            px[o:o + 3] = plte[idx * 3:idx * 3 + 3]
-            if out_ch == 4:
-                px[o + 3] = trns[idx] if idx < len(trns) else 255
-            o += out_ch
+    for idx in indices:
+        if idx >= n_entries:
+            raise ValueError(
+                f"palette index {idx} out of range "
+                f"({n_entries} PLTE entries)")
+        px[o:o + 3] = plte[idx * 3:idx * 3 + 3]
+        if out_ch == 4:
+            px[o + 3] = trns[idx] if idx < len(trns) else 255
+        o += out_ch
     return width, height, out_ch, bytes(px)
 
 

@@ -382,3 +382,126 @@ def test_png_16bit_decode_high_byte():
     w, h, ch, px = png_decode(png16(2, 1, 2, vals, filter_type=1))
     assert (w, h, ch) == (2, 1, 3)
     assert list(px) == [v >> 8 for v in vals]
+
+
+# ----------------------------------------------------- Adam7
+
+_ADAM7_GRID = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _interlaced_png(pixels, width, height, channels, depth=8):
+    """In-test Adam7 encoder written straight from PNG spec §8.2,
+    independent of the library's scatter logic: extract each pass's
+    sub-image, filter its rows with Up (proves per-pass filter state
+    resets — pass N's first row must NOT see pass N-1's last row),
+    concatenate, compress once."""
+    import struct as _s
+    import zlib as _z
+
+    from python_minerva_etl_spark.ext.codecs import _PNG_SIG, _chunk
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    unit = channels * (depth // 8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_GRID:
+        cols = list(range(x0, width, dx))
+        rows = list(range(y0, height, dy))
+        if not cols or not rows:
+            continue
+        prev = bytearray(len(cols) * unit)
+        for y in rows:
+            line = bytearray()
+            for x in cols:
+                o = (y * width + x) * unit
+                line += pixels[o:o + unit]
+            raw.append(2)  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF
+                         for i in range(len(line)))
+            prev = line
+    ihdr = _s.pack(">IIBBBBB", width, height, depth, color, 0, 0, 1)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _z.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("w,h,ch", [(13, 7, 3), (8, 8, 1), (5, 3, 4),
+                                    (1, 1, 1), (2, 9, 3)])
+def test_png_adam7_roundtrip(w, h, ch):
+    from python_minerva_etl_spark.ext.codecs import png_decode
+    rng = __import__("random").Random(w * 100 + h * 10 + ch)
+    pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    got = png_decode(_interlaced_png(pix, w, h, ch))
+    assert got == (w, h, ch, pix)
+
+
+def test_png_adam7_16bit_high_byte():
+    import struct as _s
+
+    from python_minerva_etl_spark.ext.codecs import png_decode
+    vals = [0, 257, 65535, 128 * 257, 40000, 1,
+            12345, 54321, 257 * 7, 300, 2, 65534]
+    w, h = 4, 3
+    pix = b"".join(_s.pack(">H", v) for v in vals)
+    got = png_decode(_interlaced_png(pix, w, h, 1, depth=16))
+    assert got == (w, h, 1, bytes(v >> 8 for v in vals))
+
+
+def test_png_adam7_palette_subbyte():
+    import struct as _s
+    import zlib as _z
+
+    from python_minerva_etl_spark.ext.codecs import (_PNG_SIG, _chunk,
+                                                     png_decode)
+    # depth-2 palette, 5x3: pack each PASS row MSB-first independently
+    w, h, depth = 5, 3, 2
+    idx = [0, 1, 2, 3, 0,
+           3, 2, 1, 0, 3,
+           1, 1, 2, 2, 0]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_GRID:
+        cols = list(range(x0, w, dx))
+        rows = list(range(y0, h, dy))
+        if not cols or not rows:
+            continue
+        for y in rows:
+            bits = ""
+            for x in cols:
+                bits += format(idx[y * w + x], "02b")
+            bits += "0" * (-len(bits) % 8)
+            raw.append(0)  # None filter
+            raw += bytes(int(bits[i:i + 8], 2)
+                         for i in range(0, len(bits), 8))
+    plte = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40])
+    ihdr = _s.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1)
+    blob = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+            + _chunk(b"tRNS", bytes([255, 128, 64, 0]))
+            + _chunk(b"IDAT", _z.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+    got_w, got_h, got_ch, px = png_decode(blob)
+    assert (got_w, got_h, got_ch) == (w, h, 4)
+    want = bytearray()
+    colors = [(10, 0, 0, 255), (0, 20, 0, 128),
+              (0, 0, 30, 64), (40, 40, 40, 0)]
+    for i in idx:
+        want += bytes(colors[i])
+    assert px == bytes(want)
+
+
+def test_png_adam7_truncated_payload_raises():
+    import struct as _s
+    import zlib as _z
+
+    from python_minerva_etl_spark.ext.codecs import (_PNG_SIG, _chunk,
+                                                     png_decode)
+    pix = bytes(range(13 * 7 * 3 % 256 or 1)) * 0 + bytes(
+        (i * 7) % 256 for i in range(13 * 7 * 3))
+    blob = _interlaced_png(pix, 13, 7, 3)
+    # re-compress a truncated pass stream under the same IHDR
+    body = _z.decompress(blob[blob.index(b"IDAT") + 4:
+                              blob.rindex(b"IEND") - 8])
+    short = _z.compress(body[:-5], 6)
+    ihdr = _s.pack(">IIBBBBB", 13, 7, 8, 2, 0, 0, 1)
+    bad = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", short)
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="wrong length"):
+        png_decode(bad)
