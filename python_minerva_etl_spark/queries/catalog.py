@@ -94,6 +94,7 @@ _DEPTH = [
     "rollup_entity",
     "agg_reagg_avg",
     "sink_delta_roundtrip",
+    "sink_delta_dv_roundtrip",
     "skyline_orders",
     "agg_weighted_median",
     "dataset_fingerprint",

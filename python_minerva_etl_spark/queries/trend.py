@@ -297,6 +297,53 @@ def _sink_iceberg_roundtrip(spark, sf_dir):
 _SINK_ICEBERG_ROUNDTRIP_SQL = _SINK_DELTA_ROUNDTRIP_SQL
 
 
+def _sink_delta_dv_roundtrip(spark, sf_dir):
+    """OP-SNK merge-on-read DELETE via Delta deletion vectors
+    (storage/delta.py + storage/delta_dv.py — no Delta jar): events
+    are committed as TWO appends (so multiple data files carry DVs),
+    then two DELETEs run back-to-back — the second must UNION its
+    positions into the first's bitmaps on the shared files (a DV
+    replaces its predecessor wholesale).  No data file is rewritten;
+    the read applies the bitmaps at scan time via the
+    _metadata.row_index anti-join.  The oracle computes the surviving
+    aggregate directly with the negated predicates."""
+    from ..storage.delta import DeltaTable, delete_delta
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"delta_dv_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    dt = DeltaTable(base)
+    dt.write(spark, ev.filter(F.col("event_id") <= mid))
+    dt.write(spark, ev.filter(F.col("event_id") > mid))
+    delete_delta(spark, base, "event_type = 'error'")
+    delete_delta(spark, base, "value < 10.0")
+    return (dt.read(spark)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("survivors"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SINK_DELTA_DV_ROUNDTRIP_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS survivors,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM events
+WHERE (event_type = 'error') IS NOT TRUE
+  AND (value < 10.0) IS NOT TRUE
+GROUP BY 1
+"""
+
+
 def _source_avro_roundtrip(spark, sf_dir):
     """OP-SRC-PLUGIN roundtrip through the Avro sink + the VECTORIZED
     Avro source path (sources/avro.py): events' key columns are
@@ -762,6 +809,7 @@ QUERIES = [
     DeclaredQuery("upsert_merge_table", _upsert_merge_table, _UPSERT_LAST_WINS_SQL, "OP-SNK-UPSERT (snapshot MERGE)"),
     DeclaredQuery("sink_delta_roundtrip", _sink_delta_roundtrip, _SINK_DELTA_ROUNDTRIP_SQL, "OP-SNK/OP-SRC (Delta-protocol commit + log-replay read)"),
     DeclaredQuery("sink_iceberg_roundtrip", _sink_iceberg_roundtrip, _SINK_ICEBERG_ROUNDTRIP_SQL, "OP-SNK/OP-SRC (Iceberg v2 fast-append + manifest-replay read)"),
+    DeclaredQuery("sink_delta_dv_roundtrip", _sink_delta_dv_roundtrip, _SINK_DELTA_DV_ROUNDTRIP_SQL, "OP-SNK (Delta merge-on-read DELETE via deletion vectors)"),
     DeclaredQuery("source_avro_roundtrip", _source_avro_roundtrip, _SOURCE_AVRO_ROUNDTRIP_SQL, "OP-SRC-PLUGIN (Avro sink + vectorized block decode)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
