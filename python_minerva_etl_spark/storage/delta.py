@@ -757,7 +757,9 @@ class DeltaTable:
                 "writer cannot honor)")
         conf = snap["metaData"].get("configuration") or {}
         if str(conf.get("delta.appendOnly", "")).lower() == "true" \
-                and operation != "append":
+                and operation in ("overwrite", "delete"):
+            # appendOnly forbids removes with dataChange=true; compaction
+            # (dataChange=false) and vacuum stay legal per the protocol
             raise ValueError(
                 f"table is append-only (delta.appendOnly=true): "
                 f"{operation} would remove committed data")
@@ -886,6 +888,169 @@ class DeltaTable:
             except DeltaConcurrentCommit as e:
                 last_err = e  # re-derive against the new snapshot
         raise last_err  # type: ignore[misc]
+
+    def optimize(self, spark: SparkSession,
+                 small_file_bytes: int = 128 << 20,
+                 target_file_bytes: int = 256 << 20) -> int | None:
+        """Compaction (the OPTIMIZE maintenance op): bin-pack active
+        files smaller than ``small_file_bytes`` — per partition, files
+        from different partitions can never merge — and physically
+        purge deletion-vector'd rows while at it (the rewritten files
+        carry no DVs).  Commits remove+add pairs with
+        ``dataChange=false``, so incremental/streaming consumers
+        correctly skip the rewrite; per the protocol this is legal
+        even on ``delta.appendOnly`` tables.  At 100 TB each partition
+        group rewrites as its own distributed job sized by
+        ``target_file_bytes``; the driver holds only file metadata.
+        Returns the committed version, or None when nothing needs
+        compacting.  Raises :class:`DeltaConcurrentCommit` if a racer
+        touches a candidate file between scan and commit."""
+        import math
+
+        snap = self._replay()
+        self._check_writable(snap, "optimize")
+        schema = T.StructType.fromJson(
+            json.loads(snap["metaData"]["schemaString"]))
+        part_cols = snap["metaData"].get("partitionColumns") or []
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in part_cols])
+        groups: dict[tuple, list[dict]] = {}
+        for f in snap["files"]:
+            if f.get("deletionVector") \
+                    or (f.get("size") or 0) < small_file_bytes:
+                pv = tuple(sorted(
+                    (f.get("partitionValues") or {}).items()))
+                groups.setdefault(pv, []).append(f)
+        todo = {pv: fs for pv, fs in groups.items()
+                if len(fs) > 1
+                or any(f.get("deletionVector") for f in fs)}
+        if not todo:
+            return None
+        old_dv = {f["path"]: f.get("deletionVector")
+                  for f in snap["files"]}
+        new_adds: list[dict] = []
+        rewritten: list[str] = []
+        for pv, fs in sorted(todo.items()):
+            df = spark.read.schema(data_schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in fs])
+            dv_map = {f["path"]: f["deletionVector"] for f in fs
+                      if f.get("deletionVector")}
+            if dv_map:
+                df = df.select(
+                    "*",
+                    F.regexp_replace(F.col("_metadata.file_path"),
+                                     "^file:/+", "/")
+                    .alias("_dl_path"),
+                    F.col("_metadata.row_index").alias("_dl_pos"))
+                df = self._apply_dvs(spark, df, dv_map).drop(
+                    "_dl_path", "_dl_pos")
+            total = sum(f.get("size") or 0 for f in fs)
+            nparts = max(1, math.ceil(total / target_file_bytes))
+            staged = self._stage_data_files(df.coalesce(nparts), [])
+            for a in staged:
+                # files land at the table root; partitionValues in the
+                # log are authoritative (the protocol does not require
+                # hive-style paths)
+                a["add"]["partitionValues"] = dict(pv)
+                a["add"]["dataChange"] = False
+                new_adds.append(a)
+            rewritten.extend(f["path"] for f in fs)
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            cur = self._replay()
+            by_path = {f["path"]: f for f in cur["files"]}
+            now = int(time.time() * 1000)
+            actions: list[dict] = [{"commitInfo": {
+                "timestamp": now, "operation": "OPTIMIZE",
+                "operationParameters": {},
+                "engineInfo": "python-minerva-etl-spark"}}]
+            for rel in rewritten:
+                f = by_path.get(rel)
+                if f is None or f.get("deletionVector") != old_dv.get(rel):
+                    raise DeltaConcurrentCommit(
+                        f"data file {rel!r} changed since OPTIMIZE "
+                        "scanned it — rerun optimize()")
+                rm = {"path": rel, "deletionTimestamp": now,
+                      "dataChange": False}
+                if f.get("deletionVector"):
+                    rm["deletionVector"] = f["deletionVector"]
+                actions.append({"remove": rm})
+            actions.extend(new_adds)
+            version = self._next_version()
+            try:
+                self._commit(version, actions)
+                return version
+            except DeltaConcurrentCommit as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
+    def vacuum(self, retention_hours: float = 168,
+               now_ms: int | None = None,
+               allow_short_retention: bool = False) -> list[str]:
+        """Physically delete unreferenced files older than the
+        retention window: tombstoned data files (and their DV bins)
+        whose ``deletionTimestamp`` passed, plus untracked leftovers
+        (aborted staging, orphaned DVs) by mtime.  Never touches
+        ``_delta_log/``, active data files, or active DV bins.  Time
+        travel to versions whose files are vacuumed stops working —
+        that is the documented Delta trade-off.  The protocol's
+        ``vacuumProtocolCheck`` feature mandates exactly the protocol
+        validation done here (unknown reader/writer features refuse —
+        e.g. change-data-feed files would look 'untracked' to an
+        oblivious vacuum and be destroyed).  Returns the deleted
+        paths (table-relative)."""
+        from .delta_dv import _dv_file_path
+
+        if retention_hours < 0:
+            raise ValueError("negative retention")
+        if retention_hours < 168 and not allow_short_retention:
+            raise ValueError(
+                f"retention {retention_hours}h < 168h risks breaking "
+                "in-flight readers and time travel; pass "
+                "allow_short_retention=True to force")
+        snap = self._replay()
+        self._check_writable(snap, "vacuum")
+        now = int(time.time() * 1000) if now_ms is None else now_ms
+        cutoff = now - int(retention_hours * 3600 * 1000)
+
+        def dv_rel(entry: dict) -> str | None:
+            dv = entry.get("deletionVector")
+            if not dv or dv.get("storageType") != "u":
+                return None
+            return os.path.relpath(
+                _dv_file_path(self.path, dv["pathOrInlineDv"]),
+                self.path).replace(os.sep, "/")
+
+        active: set[str] = set()
+        for f in snap["files"]:
+            active.add(f["path"])
+            rel = dv_rel(f)
+            if rel:
+                active.add(rel)
+        expired_at: dict[str, int] = {}
+        for tomb in snap["tombstones"]:
+            ts = int(tomb.get("deletionTimestamp") or 0)
+            expired_at[tomb["path"]] = ts
+            rel = dv_rel(tomb)
+            if rel:
+                expired_at[rel] = ts
+        deleted: list[str] = []
+        for dirpath, dirnames, names in os.walk(self.path):
+            dirnames[:] = [d for d in dirnames if d != _LOG]
+            for name in names:
+                p = os.path.join(dirpath, name)
+                rel = os.path.relpath(p, self.path).replace(
+                    os.sep, "/")
+                if rel in active:
+                    continue
+                if rel in expired_at:
+                    if expired_at[rel] >= cutoff:
+                        continue
+                elif int(os.path.getmtime(p) * 1000) >= cutoff:
+                    continue
+                os.remove(p)
+                deleted.append(rel)
+        return sorted(deleted)
 
     def _write_checkpoint(self, version: int) -> None:
         """Compact the replay state at ``version`` into

@@ -1,0 +1,173 @@
+"""Delta maintenance ops: OPTIMIZE (bin-packing compaction +
+physical DV purge, dataChange=false) and VACUUM (retention-gated
+physical deletion of tombstoned/orphaned files, DV-bin aware)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from python_minerva_etl_spark.storage.delta import (DeltaTable,
+                                                    delete_delta,
+                                                    read_delta,
+                                                    write_delta)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _active(p):
+    return DeltaTable(p)._replay()["files"]
+
+
+def _commit_kinds(p, v):
+    with open(os.path.join(p, "_delta_log", f"{v:020d}.json")) as fh:
+        return [json.loads(l) for l in fh if l.strip()]
+
+
+def test_optimize_binpacks_small_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        write_delta(spark, spark.range(lo, lo + 10).toDF("id"), p)
+    before = len(_active(p))
+    assert before >= 3
+    v = DeltaTable(p).optimize(spark)
+    assert v == 3
+    after = _active(p)
+    assert len(after) < before
+    got = read_delta(spark, p)
+    assert got.count() == 30
+    assert _rows(got) == [(i,) for i in range(30)]
+    # compaction is dataChange=false on BOTH sides of the rewrite
+    for act in _commit_kinds(p, v):
+        for kind in ("add", "remove"):
+            if act.get(kind):
+                assert act[kind]["dataChange"] is False
+    # time travel to the pre-compaction snapshot still works
+    assert read_delta(spark, p, version_as_of=2).count() == 30
+
+
+def test_optimize_purges_deletion_vectors(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.range(0, 100).toDF("id"), p)
+    delete_delta(spark, p, "id % 2 = 0")
+    assert any(f.get("deletionVector") for f in _active(p))
+    v = DeltaTable(p).optimize(spark)
+    assert v is not None
+    assert not any(f.get("deletionVector") for f in _active(p))
+    got = read_delta(spark, p)
+    assert got.count() == 50
+    assert got.filter("id % 2 = 0").count() == 0
+
+
+def test_optimize_noop_returns_none(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.range(0, 10).toDF("id").coalesce(1), p)
+    assert DeltaTable(p).optimize(spark, small_file_bytes=1) is None
+    assert DeltaTable(p).versions()[-1] == 0
+
+
+def test_optimize_partitioned_merges_within_partition(spark,
+                                                      tmp_path):
+    p = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, part string")
+    df2 = spark.createDataFrame(
+        [(3, "a"), (4, "b")], "id long, part string")
+    dt = DeltaTable(p)
+    dt.write(spark, df1, partition_by=["part"])
+    dt.write(spark, df2, partition_by=["part"])
+    v = dt.optimize(spark)
+    assert v is not None
+    files = _active(p)
+    by_part = {}
+    for f in files:
+        by_part.setdefault(f["partitionValues"]["part"], []).append(f)
+    assert set(by_part) == {"a", "b"}
+    assert all(len(fs) == 1 for fs in by_part.values())
+    assert _rows(read_delta(spark, p)) == [
+        (1, "a"), (2, "b"), (3, "a"), (4, "b")]
+
+
+def test_optimize_allowed_on_append_only_tables(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.range(0, 5).toDF("id"), p)
+    write_delta(spark, spark.range(5, 10).toDF("id"), p)
+    log = os.path.join(p, "_delta_log", f"{0:020d}.json")
+    with open(log) as fh:
+        lines = [json.loads(l) for l in fh if l.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.appendOnly": "true"}
+    with open(log, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    # dataChange=false removes are protocol-legal on appendOnly
+    assert DeltaTable(p).optimize(spark) is not None
+    assert read_delta(spark, p).count() == 10
+
+
+def test_vacuum_deletes_expired_tombstones_only(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.range(0, 10).toDF("id"), p)
+    old_files = {f["path"] for f in _active(p)}
+    write_delta(spark, spark.range(10, 20).toDF("id"), p,
+                mode="overwrite")
+    dt = DeltaTable(p)
+    with pytest.raises(ValueError, match="retention"):
+        dt.vacuum(retention_hours=0)
+    future = int(time.time() * 1000) + 10_000
+    deleted = dt.vacuum(retention_hours=0, now_ms=future,
+                        allow_short_retention=True)
+    assert old_files <= set(deleted)
+    for rel in old_files:
+        assert not os.path.exists(os.path.join(p, rel))
+    # active snapshot unharmed; the log itself untouched
+    assert read_delta(spark, p).count() == 10
+    assert os.path.isdir(os.path.join(p, "_delta_log"))
+
+
+def test_vacuum_respects_retention_window(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.range(0, 5).toDF("id"), p)
+    old_files = {f["path"] for f in _active(p)}
+    write_delta(spark, spark.range(5, 9).toDF("id"), p,
+                mode="overwrite")
+    # retention window still open: nothing is deleted
+    deleted = DeltaTable(p).vacuum(retention_hours=168)
+    assert deleted == []
+    for rel in old_files:
+        assert os.path.exists(os.path.join(p, rel))
+
+
+def test_vacuum_handles_dv_bins(spark, tmp_path):
+    """Active DV bins must survive; once OPTIMIZE rewrites the files
+    (tombstoning the DV-carrying adds), the bins become vacuumable."""
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.range(0, 40).toDF("id"), p)
+    delete_delta(spark, p, "id < 4")
+    bins = [n for n in os.listdir(p)
+            if n.startswith("deletion_vector_")]
+    assert bins
+    dt = DeltaTable(p)
+    future = int(time.time() * 1000) + 10_000
+    deleted = dt.vacuum(retention_hours=0, now_ms=future,
+                        allow_short_retention=True)
+    for b in bins:
+        assert b not in deleted  # active DV bin survives
+        assert os.path.exists(os.path.join(p, b))
+    assert read_delta(spark, p).count() == 36
+    dt.optimize(spark)
+    future = int(time.time() * 1000) + 10_000
+    deleted = dt.vacuum(retention_hours=0, now_ms=future,
+                        allow_short_retention=True)
+    assert set(bins) <= set(deleted)
+    for b in bins:
+        assert not os.path.exists(os.path.join(p, b))
+    got = read_delta(spark, p)
+    assert got.count() == 36
+    assert got.filter("id < 4").count() == 0
