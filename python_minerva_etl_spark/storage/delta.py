@@ -75,12 +75,37 @@ _COMMIT_RETRIES = 10
 # e.g. row tracking's baseRowId continuity — corrupts the table for
 # the engines that rely on it).
 _READER_FEATURES = {"deletionVectors", "timestampNtz",
-                    "vacuumProtocolCheck", "columnMapping"}
+                    "vacuumProtocolCheck", "columnMapping",
+                    "v2Checkpoint"}
 _WRITER_FEATURES = {"deletionVectors", "appendOnly", "invariants",
                     "timestampNtz", "vacuumProtocolCheck"}
 
 _CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# V2 checkpoints (table feature "v2Checkpoint"): UUID-named top-level
+# file, json or parquet, which may delegate its file actions to
+# sidecar parquet files under _delta_log/_sidecars/.  The middle
+# segment cannot contain dots, so multi-part names never match.
+_CP_V2 = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-zA-Z_-]+)\.(parquet|json)$")
+
+
+def _undict(obj):
+    # arrow map<str,str> round-trips as a list of (k, v) tuples;
+    # restore the dicts the json-log replay expects
+    if isinstance(obj, list) and obj and \
+            all(isinstance(x, tuple) and len(x) == 2
+                for x in obj):
+        return {k: _undict(val) for k, val in obj}
+    if isinstance(obj, list):
+        return [_undict(x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _undict(val) for k, val in obj.items()}
+    return obj
+
+
+_ACTION_KINDS = ("protocol", "metaData", "add", "remove", "txn",
+                 "domainMetadata")
 
 _CM_PHYS = "delta.columnMapping.physicalName"
 
@@ -180,8 +205,8 @@ class DeltaTable:
         return sorted(out)
 
     def _checkpoint_files(self, version: int) -> dict[int, list[str]]:
-        """All checkpoints at or below ``version`` found by directory
-        scan: {checkpoint_version: [part files in order]}."""
+        """All classic checkpoints at or below ``version`` found by
+        directory scan: {checkpoint_version: [part files in order]}."""
         d = _log_dir(self.path)
         found: dict[int, dict[int, str]] = {}
         for name in os.listdir(d):
@@ -197,18 +222,85 @@ class DeltaTable:
             out[v] = [os.path.join(d, parts[i]) for i in sorted(parts)]
         return out
 
+    def _v2_checkpoint_files(self, version: int) -> dict[int, str]:
+        """UUID-named v2 checkpoints at or below ``version``:
+        {checkpoint_version: top-level file path}."""
+        d = _log_dir(self.path)
+        out: dict[int, str] = {}
+        for name in os.listdir(d):
+            m = _CP_V2.match(name)
+            if m and int(m.group(1)) <= version:
+                # any one v2 checkpoint per version is complete by
+                # itself; prefer parquet deterministically on ties
+                cur = out.get(int(m.group(1)))
+                if cur is None or name.endswith(".parquet"):
+                    out[int(m.group(1))] = os.path.join(d, name)
+        return out
+
+    def _load_v2_checkpoint(self, path: str) -> list[dict]:
+        """Actions of one v2 checkpoint: the top-level file (json or
+        parquet) plus every sidecar parquet it references
+        (PROTOCOL.md V2 Checkpoints — sidecars hold the add/remove
+        file actions; the top level holds protocol/metaData/txn and
+        a checkpointMetadata marker)."""
+        import pyarrow.parquet as pq
+
+        if path.endswith(".json"):
+            with open(path) as fh:
+                rows = [json.loads(line) for line in fh
+                        if line.strip()]
+        else:
+            rows = [{k: _undict(v) for k, v in r.items()}
+                    for r in pq.read_table(path).to_pylist()]
+        actions: list[dict] = []
+        sidecars: list[dict] = []
+        for row in rows:
+            for kind in _ACTION_KINDS:
+                if row.get(kind) is not None:
+                    actions.append({kind: row[kind]})
+            if row.get("sidecar") is not None:
+                sidecars.append(row["sidecar"])
+        sc_dir = os.path.join(_log_dir(self.path), "_sidecars")
+        for sc in sidecars:
+            sp = sc["path"]
+            sp = re.sub("^file:/+", "/", sp)
+            if not os.path.isabs(sp):
+                sp = os.path.join(sc_dir, sp)
+            if not os.path.exists(sp):
+                raise ValueError(
+                    f"v2 checkpoint sidecar missing: {sc['path']!r}")
+            for r in pq.read_table(sp).to_pylist():
+                for kind in ("add", "remove"):
+                    if r.get(kind) is not None:
+                        actions.append({kind: _undict(r[kind])})
+        return actions
+
     def _checkpoint_before(self, version: int) -> tuple[int, list[dict]]:
         """Latest complete checkpoint at or below ``version`` —
+        classic single/multi-part parquet or UUID-named V2 —
         consulting ``_last_checkpoint`` first (it carries the version
         and, for multi-part checkpoints, a ``parts`` count), falling
-        back to a directory scan.  Multi-part checkpoints are
-        supported: the parts are read in order and their action rows
-        concatenated (the protocol splits one snapshot across them).
-        Returns (checkpoint_version, actions); (-1, []) when none."""
+        back to a directory scan.  Multi-part checkpoints concatenate
+        their parts' action rows; v2 checkpoints pull file actions
+        from their sidecars.  Returns (checkpoint_version, actions);
+        (-1, []) when none."""
         import pyarrow.parquet as pq
 
         d = _log_dir(self.path)
         by_version = self._checkpoint_files(version)
+        v2 = self._v2_checkpoint_files(version)
+
+        def classic_complete(v: int) -> bool:
+            parts = by_version.get(v)
+            if not parts:
+                return False
+            # multi-part completeness: the filename's <n> field says
+            # how many parts the checkpoint has
+            return all(_CP_SINGLE.match(os.path.basename(p))
+                       or len(parts) == int(_CP_MULTI.match(
+                           os.path.basename(p)).group(3))
+                       for p in parts)
+
         pick: int | None = None
         lc_path = os.path.join(d, "_last_checkpoint")
         if os.path.exists(lc_path):
@@ -217,53 +309,37 @@ class DeltaTable:
                     lc = json.load(fh)
                 lv = int(lc["version"])
                 n_parts = int(lc.get("parts") or 1)
-                if lv <= version and lv in by_version \
-                        and len(by_version[lv]) == n_parts:
+                if lv <= version and (
+                        (lv in by_version
+                         and len(by_version[lv]) == n_parts)
+                        or lv in v2):
                     pick = lv
             except (ValueError, KeyError, json.JSONDecodeError):
                 pick = None  # corrupt _last_checkpoint: scan instead
         if pick is None:
-            complete = [
-                v for v, parts in by_version.items()
-                # multi-part completeness: the filename's <n> field
-                # says how many parts the checkpoint has
-                if all(_CP_SINGLE.match(os.path.basename(p))
-                       or len(parts) == int(_CP_MULTI.match(
-                           os.path.basename(p)).group(3))
-                       for p in parts)]
+            complete = [v for v in by_version if classic_complete(v)]
+            complete += [v for v in v2 if v not in complete]
             if not complete:
                 return -1, []
             pick = max(complete)
-
-        def undict(obj):
-            # arrow map<str,str> round-trips as a list of (k, v)
-            # tuples; restore the dicts the json-log replay expects
-            if isinstance(obj, list) and obj and \
-                    all(isinstance(x, tuple) and len(x) == 2
-                        for x in obj):
-                return {k: undict(val) for k, val in obj}
-            if isinstance(obj, list):
-                return [undict(x) for x in obj]
-            if isinstance(obj, dict):
-                return {k: undict(val) for k, val in obj.items()}
-            return obj
-
-        actions: list[dict] = []
-        for part in by_version[pick]:
-            tbl = pq.read_table(part)
-            for row in tbl.to_pylist():
-                for kind in ("protocol", "metaData", "add", "remove",
-                             "txn"):
-                    if row.get(kind) is not None:
-                        actions.append({kind: undict(row[kind])})
-        return pick, actions
+        if classic_complete(pick):
+            actions: list[dict] = []
+            for part in by_version[pick]:
+                tbl = pq.read_table(part)
+                for row in tbl.to_pylist():
+                    for kind in _ACTION_KINDS:
+                        if row.get(kind) is not None:
+                            actions.append({kind: _undict(row[kind])})
+            return pick, actions
+        return pick, self._load_v2_checkpoint(v2[pick])
 
     def _replay(self, version: int | None = None) -> dict:
         versions = self.versions()
         # A fully checkpointed log may have no surviving JSON at all
         # (log cleanup expired every commit <= the checkpoint); the
         # checkpoint versions are valid snapshot targets too.
-        cp_versions = (sorted(self._checkpoint_files(1 << 62))
+        cp_versions = (sorted(set(self._checkpoint_files(1 << 62))
+                              | set(self._v2_checkpoint_files(1 << 62)))
                        if os.path.isdir(_log_dir(self.path)) else [])
         all_versions = sorted(set(versions) | set(cp_versions))
         if not all_versions:

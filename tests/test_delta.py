@@ -123,7 +123,7 @@ def test_commit_conflict_and_bad_versions(spark, tmp_path):
 def test_unsupported_reader_features_refused(spark, tmp_path):
     """Reader v3 tables are readable iff every declared readerFeature
     is implemented: deletionVectors/timestampNtz pass (round 6),
-    anything unknown — v2Checkpoint here — still refuses."""
+    anything unknown — typeWidening here — still refuses."""
     p = str(tmp_path / "t")
     os.makedirs(os.path.join(p, "_delta_log"))
     meta = {"metaData": {
@@ -133,12 +133,12 @@ def test_unsupported_reader_features_refused(spark, tmp_path):
     actions = [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors",
-                                         "v2Checkpoint"]}},
+                                         "typeWidening"]}},
         meta,
     ]
     with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions))
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, p)
     # with only implemented features declared, the same table reads
     actions[0] = {"protocol": {

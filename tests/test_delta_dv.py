@@ -282,10 +282,10 @@ def test_unknown_reader_feature_still_refused(spark, tmp_path):
     log = os.path.join(p, "_delta_log", f"{0:020d}.json")
     with open(log) as fh:
         lines = [json.loads(l) for l in fh if l.strip()]
-    lines[0]["protocol"]["readerFeatures"].append("v2Checkpoint")
+    lines[0]["protocol"]["readerFeatures"].append("typeWidening")
     with open(log, "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, p).collect()
 
 
