@@ -533,12 +533,14 @@ def _partitioned_entry_schema(col: str, ice_type: str) -> dict:
 def _commit_append(table: IcebergTable, md: dict,
                    data_files: list[dict],
                    base_version: int,
-                   part_info: tuple[str, str] | None = None) -> None:
-    """Commit one append snapshot on top of ``md``, which was read
-    from metadata version ``base_version``.  The CAS target is
-    ALWAYS ``base_version + 1``: deriving it from the directory at
-    commit time would let a writer holding stale metadata commit a
-    higher version that silently drops a racer's snapshot."""
+                   part_info: tuple[str, str] | None = None,
+                   carry: bool = True,
+                   operation: str = "append") -> None:
+    """Commit one snapshot on top of ``md``, which was read from
+    metadata version ``base_version``.  ``carry=True`` is a fast
+    append (the previous snapshot's manifests carry over unchanged);
+    ``carry=False`` with ``operation="replace"`` makes the new
+    manifest the ONLY one — the compaction commit shape."""
     path, mdir = table.path, os.path.join(table.path, "metadata")
     seq = md.get("last-sequence-number", 0) + 1
     snap_id = max([s["snapshot-id"] for s in md.get("snapshots", [])],
@@ -568,12 +570,13 @@ def _commit_append(table: IcebergTable, md: dict,
     # fast append: previous snapshot's manifests carry over unchanged
     prev_manifests: list[dict] = []
     cur = md.get("current-snapshot-id", -1)
-    for s in md.get("snapshots", []):
-        if s.get("snapshot-id") == cur and "manifest-list" in s:
-            with open(_localize(s["manifest-list"]), "rb") as fh:
-                from .iceberg import avro_read
-                _, prev_manifests = avro_read(fh.read())
-            break
+    if carry:
+        for s in md.get("snapshots", []):
+            if s.get("snapshot-id") == cur and "manifest-list" in s:
+                with open(_localize(s["manifest-list"]), "rb") as fh:
+                    from .iceberg import avro_read
+                    _, prev_manifests = avro_read(fh.read())
+                break
     new_entry = {
         "manifest_path": manifest,
         "manifest_length": os.path.getsize(manifest),
@@ -602,19 +605,34 @@ def _commit_append(table: IcebergTable, md: dict,
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "manifest-list": mlist,
-        "summary": {"operation": "append"},
+        "summary": {"operation": operation},
     }]
     new_md["current-snapshot-id"] = snap_id
+    _cas_metadata(table, new_md, base_version,
+                  cleanup=(manifest, mlist))
 
+
+def _cas_metadata(table: IcebergTable, new_md: dict,
+                  base_version: int,
+                  cleanup: tuple[str, ...] = ()) -> None:
+    """Commit ``new_md`` as ``v<base_version+1>.metadata.json`` via
+    ``os.link`` put-if-absent (two racers can never both win the
+    version) and refresh ``version-hint.text``.  On a lost race the
+    freshly-written ``cleanup`` files are removed and
+    :class:`IcebergConcurrentCommit` raises.  The CAS target is
+    ALWAYS base_version + 1: deriving it from the directory at commit
+    time would let a writer holding stale metadata commit a higher
+    version that silently drops a racer's snapshot."""
+    mdir = os.path.join(table.path, "metadata")
     next_v = base_version + 1
     final = os.path.join(mdir, f"v{next_v}.metadata.json")
-    tmp = final + f".{commit_uuid}.tmp"
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         json.dump(new_md, fh)
     try:
         os.link(tmp, final)  # atomic create-if-absent
     except FileExistsError:
-        for p in (tmp, manifest, mlist):
+        for p in cleanup:
             try:
                 os.remove(p)
             except OSError:
@@ -816,26 +834,147 @@ def _commit_delete(table: IcebergTable, md: dict,
         "summary": {"operation": "delete"},
     }]
     new_md["current-snapshot-id"] = snap_id
+    _cas_metadata(table, new_md, base_version,
+                  cleanup=(manifest, mlist))
 
-    next_v = base_version + 1
-    final = os.path.join(mdir, f"v{next_v}.metadata.json")
-    tmp = final + f".{commit_uuid}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(new_md, fh)
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        for p in (tmp, manifest, mlist):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
-        raise IcebergConcurrentCommit(
-            f"concurrent Iceberg commit at version {next_v}")
-    finally:
+
+# ------------------------------------------------------- maintenance
+
+
+def compact_iceberg(spark: SparkSession, path: str,
+                    max_commit_attempts: int = 5) -> int | None:
+    """Rewrite the current snapshot into fresh, delete-free data files
+    (Iceberg's ``rewrite_data_files`` maintenance op): one distributed
+    read with position/equality deletes applied, one distributed
+    re-stage, then a REPLACE snapshot whose manifest list holds ONLY
+    the new manifest — old data files and delete files drop out of
+    the current snapshot but stay reachable from prior snapshots
+    until :func:`expire_snapshots` removes them.  No-op (returns
+    None) when the table already is a single delete-free file; raises
+    :class:`IcebergConcurrentCommit` if the table changed between the
+    scan and the commit (a blind replace would drop the racer's
+    rows)."""
+    table = IcebergTable(path)
+    md = table.metadata()
+    snap = table._snapshot(md, None)
+    if not snap:
+        return None
+    data_files, delete_files = table._data_files(snap)
+    if len(data_files) <= 1 and not delete_files:
+        return None
+    ice_schema = table._current_schema(md)
+    specs = {s.get("spec-id", 0): s.get("fields", [])
+             for s in md.get("partition-specs", [])}
+    spec_fields = specs.get(md.get("default-spec-id", 0), [])
+    if len(spec_fields) > 1 or any(
+            f.get("transform") != "identity" for f in spec_fields):
+        raise NotImplementedError(
+            "iceberg compact: only unpartitioned or single "
+            "identity-partitioned tables")
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    partition_by = (by_id.get(spec_fields[0]["source-id"])
+                    if spec_fields else None)
+    df = table.read(spark)
+    staged = _stage_data_files(df, path, partition_by, ice_schema)
+    for f in staged:
+        lo, hi = _file_bounds(f["file_path"], ice_schema)
+        f["lower_bounds"] = lo or None
+        f["upper_bounds"] = hi or None
+    part_info = None
+    if partition_by is not None:
+        ptype = {f["name"]: f["type"] for f in ice_schema["fields"]
+                 if isinstance(f["type"], str)}[partition_by]
+        part_info = (partition_by, ptype)
+    for _ in range(max_commit_attempts):
+        cur_md = table.metadata()
+        cur = table._snapshot(cur_md, None)
+        if cur.get("snapshot-id") != snap.get("snapshot-id"):
+            raise IcebergConcurrentCommit(
+                "iceberg compact: the table advanced since the "
+                "compaction scanned it — rerun compact_iceberg")
+        base_version = _version_of(table._metadata_path())
         try:
-            os.remove(tmp)
+            _commit_append(table, cur_md, staged, base_version,
+                           part_info, carry=False,
+                           operation="replace")
+            return table._snapshot(table.metadata(),
+                                   None).get("snapshot-id")
+        except IcebergConcurrentCommit:
+            continue
+    raise IcebergConcurrentCommit(
+        f"iceberg compact: lost the commit race "
+        f"{max_commit_attempts} times at {path!r}")
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Expire all but the ``keep_last`` most recent snapshots (the
+    current snapshot always survives) and physically delete every
+    manifest-list/manifest/data/delete file ONLY the expired
+    snapshots can reach — the counterpart of Delta's VACUUM.  The
+    pruned metadata commits CAS-style FIRST; file deletion follows
+    (a crash leaves orphans, never a broken table).  Files outside
+    the table root are never touched.  Returns the deleted paths.
+    Time travel to expired snapshots stops working — the documented
+    trade-off of snapshot expiry."""
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    from .iceberg import avro_read
+
+    table = IcebergTable(path)
+    md = table.metadata()
+    snaps = md.get("snapshots") or []
+    cur = md.get("current-snapshot-id", -1)
+    order = sorted(snaps, key=lambda s: (s.get("sequence-number", 0),
+                                         s.get("snapshot-id", 0)))
+    keep_ids = {cur} | {s["snapshot-id"] for s in order[-keep_last:]}
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return []
+    kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
+
+    def reach(group: list[dict]) -> set[str]:
+        out: set[str] = set()
+        for s in group:
+            ml = s.get("manifest-list")
+            if not ml:
+                continue
+            mlp = os.path.abspath(_localize(ml))
+            if not os.path.exists(mlp):
+                continue
+            out.add(mlp)
+            with open(mlp, "rb") as fh:
+                _, manifests = avro_read(fh.read())
+            for m in manifests:
+                mp = os.path.abspath(_localize(m["manifest_path"]))
+                if not os.path.exists(mp):
+                    continue
+                out.add(mp)
+                with open(mp, "rb") as fh:
+                    _, recs = avro_read(fh.read())
+                for r in recs:
+                    fp = (r.get("data_file") or {}).get("file_path")
+                    if fp:
+                        out.add(os.path.abspath(_localize(fp)))
+        return out
+
+    keep_reach = reach(kept)
+    dead = reach(expired) - keep_reach
+    new_md = dict(md)
+    new_md["snapshots"] = kept
+    if "snapshot-log" in new_md:
+        new_md["snapshot-log"] = [
+            e for e in new_md["snapshot-log"]
+            if e.get("snapshot-id") in keep_ids]
+    base_version = _version_of(table._metadata_path())
+    _cas_metadata(table, new_md, base_version)
+    root = os.path.abspath(path) + os.sep
+    deleted: list[str] = []
+    for p in sorted(dead):
+        if not p.startswith(root):
+            continue  # never delete outside the table
+        try:
+            os.remove(p)
+            deleted.append(p)
         except OSError:
             pass
-    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
-        fh.write(str(next_v))
+    return deleted
