@@ -515,3 +515,40 @@ def test_losing_commit_racer_never_clobbers_winner(spark, tmp_path):
     leftovers = [n for n in os.listdir(os.path.join(p, "_delta_log"))
                  if n.endswith(".tmp")]
     assert leftovers == []
+
+
+def test_timestamp_ntz_reader_feature(spark, tmp_path):
+    """timestampNtz is in the supported reader-feature set: a v3
+    table declaring it, with a timestamp_ntz column written the way
+    pyarrow lays it out (us, no timezone), must read with
+    TimestampNTZType semantics (no session-zone shift)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    ts = [datetime.datetime(2024, 3, 1, 12, 30, 0),
+          datetime.datetime(2024, 3, 2, 0, 0, 1)]
+    pq.write_table(
+        pa.table({"t": pa.array(ts, pa.timestamp("us"))}),
+        os.path.join(p, "f0.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "t", "type": "timestamp_ntz", "nullable": True,
+         "metadata": {}}]})
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz"],
+                      "writerFeatures": ["timestampNtz"]}},
+        {"metaData": _minimal_meta(schema=schema)},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"),
+              "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    got = read_delta(spark, p)
+    assert got.schema["t"].dataType.typeName() == "timestamp_ntz"
+    assert sorted(r[0] for r in got.collect()) == ts
