@@ -491,6 +491,23 @@ class DeltaTable:
         dv_map = {f["path"]: f["deletionVector"] for f in files
                   if f.get("deletionVector")}
         need_pos = _with_pos or bool(dv_map)
+        out = self._scan_files(spark, files, schema, part_cols,
+                               mapped, need_pos)
+        if dv_map:
+            out = self._apply_dvs(spark, out, dv_map)
+        if need_pos and not _with_pos:
+            out = out.drop("_dl_path", "_dl_pos")
+        return out
+
+    def _scan_files(self, spark: SparkSession, files: list[dict],
+                    schema: T.StructType, part_cols: list[str],
+                    mapped: bool, need_pos: bool) -> DataFrame:
+        """One DataFrame over explicit file-action entries (add or
+        cdc): files group by their ``partitionValues`` and the
+        partition columns come back as typed literals; column-mapped
+        tables read physical names and rebuild logical ones; with
+        ``need_pos`` each row carries ``_dl_path``/``_dl_pos``
+        provenance from the parquet reader's ``_metadata``."""
         data_fields = [f for f in schema.fields
                        if f.name not in part_cols]
         data_schema = T.StructType([
@@ -542,45 +559,228 @@ class DeltaTable:
                     c, F.lit(v).cast(type_of[c]))
             df = df.select(*keep)
             out = df if out is None else out.unionByName(df)
-        if dv_map:
-            out = self._apply_dvs(spark, out, dv_map)
-        if need_pos and not _with_pos:
-            out = out.drop("_dl_path", "_dl_pos")
         return out
 
-    def _apply_dvs(self, spark: SparkSession, out: DataFrame,
-                   dv_map: dict[str, dict]) -> DataFrame:
-        """Anti-join the scan against every file's deletion-vector
-        positions.  The DV descriptors ship as a tiny DataFrame; each
-        executor task opens/verifies/decodes its DV files locally and
-        emits (file path, row index) pairs — the deleted set is tiny
-        relative to the data (it only lists deleted rows), so AQE
-        broadcasts the probe side."""
+    def _dv_positions(self, spark: SparkSession,
+                      rows: list[tuple]) -> DataFrame:
+        """(abs file path, dv json, prior dv json | None) descriptors
+        expanded to (``_del_path``, ``_del_pos``) pairs — the
+        positions of the dv MINUS the prior dv — decoded
+        executor-side (one mapInPandas task per DV, the from-scratch
+        roaring reader in :mod:`.delta_dv`); the driver holds only
+        descriptors."""
         table_path = os.path.abspath(self.path)
-        rows = [(os.path.abspath(os.path.join(self.path, rel)),
-                 json.dumps(dv)) for rel, dv in dv_map.items()]
         desc = spark.createDataFrame(
-            rows, "_del_path string, _dv string")
+            rows, "_del_path string, _new string, _old string")
         desc = desc.repartition(min(len(rows), 64))
 
         def expand(batches):
+            import numpy as np
             import pandas as pd
 
             from .delta_dv import dv_load
             for pdf in batches:
-                for dp, dvj in zip(pdf["_del_path"], pdf["_dv"]):
-                    positions = dv_load(table_path, json.loads(dvj))
+                for dp, nj, oj in zip(pdf["_del_path"], pdf["_new"],
+                                      pdf["_old"]):
+                    positions = dv_load(table_path, json.loads(nj))
+                    if oj is not None:
+                        positions = np.setdiff1d(
+                            positions,
+                            dv_load(table_path, json.loads(oj)))
                     yield pd.DataFrame({
                         "_del_path": dp,
                         "_del_pos": positions.astype("int64")})
 
-        deleted = desc.mapInPandas(
+        return desc.mapInPandas(
             expand, "_del_path string, _del_pos long")
+
+    def _apply_dvs(self, spark: SparkSession, out: DataFrame,
+                   dv_map: dict[str, dict]) -> DataFrame:
+        """Anti-join the scan against every file's deletion-vector
+        positions — the deleted set is tiny relative to the data (it
+        only lists deleted rows), so AQE broadcasts the probe side."""
+        deleted = self._dv_positions(
+            spark,
+            [(os.path.abspath(os.path.join(self.path, rel)),
+              json.dumps(dv), None) for rel, dv in dv_map.items()])
         return out.join(
             deleted,
             (out["_dl_path"] == deleted["_del_path"])
             & (out["_dl_pos"] == deleted["_del_pos"]),
             "left_anti")
+
+    def changes(self, spark: SparkSession, starting_version: int = 0,
+                ending_version: int | None = None) -> DataFrame:
+        """Change Data Feed read over commits
+        ``[starting_version, ending_version]``: the table schema plus
+        ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``
+        (the layout Delta's ``table_changes`` exposes).
+
+        Per commit: ``cdc`` actions win when present (their
+        ``_change_data/`` parquet carries ``_change_type`` including
+        update pre/post images — PROTOCOL.md "Add CDC File"; when a
+        commit has cdc actions, readers must use ONLY those).
+        Otherwise changes derive from the file actions: a
+        dataChange add is an ``insert`` of its live rows (minus its
+        DV); a dataChange remove is a ``delete`` of the rows that
+        were live (minus the remove's DV); a remove+add pair on one
+        path with a new deletion vector is a ``delete`` of exactly
+        the newly-masked positions (new DV minus old, computed
+        executor-side).  An in-place rewrite without cdc actions and
+        without a DV is not derivable and refuses.  Compaction pairs
+        (dataChange=false) contribute nothing, as they must."""
+        avail = self.versions()
+        if not avail:
+            raise FileNotFoundError(
+                f"no Delta log at {self.path!r}")
+        end = avail[-1] if ending_version is None else ending_version
+        want = list(range(starting_version, end + 1))
+        missing = sorted(set(want) - set(avail))
+        if missing:
+            raise ValueError(
+                f"Delta changes: commits {missing[0]}..{missing[-1]} "
+                "are missing (expired or future) — the change feed "
+                "cannot be reconstructed")
+        snap = self._replay(end)  # protocol gate
+        meta = snap["metaData"]
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode") or "none"
+        if cm_mode != "none":
+            raise NotImplementedError(
+                "Delta changes: CDF over column-mapped tables "
+                "unsupported")
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"]))
+        cdc_schema = T.StructType(
+            schema.fields
+            + [T.StructField("_change_type", T.StringType())])
+        cols = [f.name for f in schema.fields] + ["_change_type"]
+        # metadata evolves inside the range: a commit's REMOVES
+        # reference files written under the PRE-commit partitioning,
+        # its adds/cdc under the post-commit one.  Column sets must
+        # stay fixed (real CDF refuses incompatible schema change).
+        cur_meta = (self._replay(starting_version - 1)["metaData"]
+                    if starting_version > 0 else None)
+        pieces: list[DataFrame] = []
+        for v in want:
+            cpath = _commit_path(self.path, v)
+            with open(cpath) as fh:
+                actions = [json.loads(line) for line in fh
+                           if line.strip()]
+            info = next((a["commitInfo"] for a in actions
+                         if a.get("commitInfo")), {}) or {}
+            ts = int(info.get("timestamp")
+                     or os.path.getmtime(cpath) * 1000)
+            new_meta = next((a["metaData"] for a in actions
+                             if a.get("metaData")), None)
+            meta_after = new_meta or cur_meta
+            if meta_after is None:
+                raise ValueError(
+                    f"Delta changes: no metaData at or before commit "
+                    f"{v}")
+            names = [f.name for f in T.StructType.fromJson(
+                json.loads(meta_after["schemaString"])).fields]
+            if names != [f.name for f in schema.fields]:
+                raise NotImplementedError(
+                    f"Delta changes: the schema changed inside the "
+                    f"requested range (commit {v}) — refusing a "
+                    "mixed-schema change feed")
+            part_before = ((cur_meta or meta_after)
+                           .get("partitionColumns") or [])
+            part_cols = meta_after.get("partitionColumns") or []
+            cur_meta = meta_after
+
+            def stamp(df, ctype=None, v=v, ts=ts):
+                if ctype is not None:
+                    df = df.withColumn("_change_type", F.lit(ctype))
+                return df.select(
+                    *cols,
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.timestamp_millis(F.lit(ts))
+                    .alias("_commit_timestamp"))
+
+            cdc = [a["cdc"] for a in actions if a.get("cdc")]
+            if cdc:
+                pieces.append(stamp(self._scan_files(
+                    spark, cdc, cdc_schema, part_cols, False, False)))
+                continue
+            adds = {a["add"]["path"]: a["add"] for a in actions
+                    if a.get("add")}
+            removes = {a["remove"]["path"]: a["remove"]
+                       for a in actions if a.get("remove")}
+            ins, dels, dv_diffs = [], [], []
+            for path in sorted(set(adds) | set(removes)):
+                a, r = adds.get(path), removes.get(path)
+                if a and r:
+                    if not (a.get("dataChange")
+                            or r.get("dataChange")):
+                        continue  # compaction pair: no data change
+                    if not a.get("deletionVector"):
+                        raise NotImplementedError(
+                            f"Delta changes: commit {v} rewrites "
+                            f"{path!r} in place without cdc actions "
+                            "— the row-level delta is not derivable")
+                    dv_diffs.append(a)
+                elif a is not None:
+                    if a.get("dataChange"):
+                        ins.append(a)
+                elif r.get("dataChange"):
+                    dels.append(r)
+            if part_before and any(e.get("partitionValues") is None
+                                   for e in dels):
+                # removes may omit partitionValues; recover them from
+                # the pre-commit snapshot
+                prev = {f["path"]: f.get("partitionValues")
+                        for f in self._replay(v - 1)["files"]}
+                dels = [dict(e, partitionValues=prev.get(e["path"]))
+                        if e.get("partitionValues") is None else e
+                        for e in dels]
+
+            def live_rows(entries, ctype, pcols):
+                dvm = {e["path"]: e["deletionVector"]
+                       for e in entries if e.get("deletionVector")}
+                df = self._scan_files(spark, entries, schema,
+                                      pcols, False, bool(dvm))
+                if dvm:
+                    df = self._apply_dvs(spark, df, dvm).drop(
+                        "_dl_path", "_dl_pos")
+                return stamp(df, ctype)
+
+            if ins:
+                pieces.append(live_rows(ins, "insert", part_cols))
+            if dels:
+                pieces.append(live_rows(dels, "delete", part_before))
+            if dv_diffs:
+                by_path = {f["path"]: f for f in
+                           self._replay(v - 1)["files"]}
+                rows = []
+                for a in dv_diffs:
+                    old = (by_path.get(a["path"]) or {}).get(
+                        "deletionVector")
+                    rows.append((
+                        os.path.abspath(
+                            os.path.join(self.path, a["path"])),
+                        json.dumps(a["deletionVector"]),
+                        json.dumps(old) if old else None))
+                posdf = self._dv_positions(spark, rows)
+                df = self._scan_files(spark, dv_diffs, schema,
+                                      part_before, False, True)
+                df = df.join(
+                    posdf,
+                    (df["_dl_path"] == posdf["_del_path"])
+                    & (df["_dl_pos"] == posdf["_del_pos"]),
+                    "left_semi").drop("_dl_path", "_dl_pos")
+                pieces.append(stamp(df, "delete"))
+        if not pieces:
+            return spark.createDataFrame([], T.StructType(
+                cdc_schema.fields
+                + [T.StructField("_commit_version", T.LongType()),
+                   T.StructField("_commit_timestamp",
+                                 T.TimestampType())]))
+        out = pieces[0]
+        for df in pieces[1:]:
+            out = out.unionByName(df)
+        return out
 
     # ------------------------------------------------ write
 
@@ -1254,3 +1454,12 @@ def delete_delta(spark: SparkSession, path: str, where) -> int | None:
     """Merge-on-read DELETE via deletion vectors (see
     :class:`DeltaTable.delete`)."""
     return DeltaTable(path).delete(spark, where)
+
+
+def table_changes_delta(spark: SparkSession, path: str,
+                        starting_version: int = 0,
+                        ending_version: int | None = None
+                        ) -> DataFrame:
+    """Change Data Feed read (see :class:`DeltaTable.changes`)."""
+    return DeltaTable(path).changes(spark, starting_version,
+                                    ending_version)
