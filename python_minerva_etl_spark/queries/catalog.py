@@ -95,6 +95,7 @@ _DEPTH = [
     "agg_reagg_avg",
     "sink_delta_roundtrip",
     "sink_delta_dv_roundtrip",
+    "source_delta_cdf",
     "skyline_orders",
     "agg_weighted_median",
     "dataset_fingerprint",

@@ -344,6 +344,51 @@ GROUP BY 1
 """
 
 
+def _source_delta_cdf(spark, sf_dir):
+    """OP-SRC change-data-feed: events land as TWO Delta appends,
+    then a merge-on-read DELETE masks one event type; the CDF read
+    (storage/delta.py:DeltaTable.changes) derives the feed straight
+    from the commit actions — inserts from the dataChange adds,
+    deletes as exactly the newly-masked DV positions — and the
+    aggregate over (_change_type, event_type) must equal the oracle's
+    direct reconstruction (every row inserted once; 'error' rows also
+    deleted once)."""
+    from ..storage.delta import DeltaTable, delete_delta
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"delta_cdf_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    dt = DeltaTable(base)
+    dt.write(spark, ev.filter(F.col("event_id") <= mid))
+    dt.write(spark, ev.filter(F.col("event_id") > mid))
+    delete_delta(spark, base, "event_type = 'error'")
+    return (dt.changes(spark)
+            .groupBy("_change_type", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SOURCE_DELTA_CDF_SQL = """
+SELECT _change_type, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM (
+  SELECT 'insert' AS _change_type, event_type, value FROM events
+  UNION ALL
+  SELECT 'delete' AS _change_type, event_type, value FROM events
+  WHERE event_type = 'error'
+)
+GROUP BY 1, 2
+"""
+
+
 def _source_avro_roundtrip(spark, sf_dir):
     """OP-SRC-PLUGIN roundtrip through the Avro sink + the VECTORIZED
     Avro source path (sources/avro.py): events' key columns are
@@ -810,6 +855,7 @@ QUERIES = [
     DeclaredQuery("sink_delta_roundtrip", _sink_delta_roundtrip, _SINK_DELTA_ROUNDTRIP_SQL, "OP-SNK/OP-SRC (Delta-protocol commit + log-replay read)"),
     DeclaredQuery("sink_iceberg_roundtrip", _sink_iceberg_roundtrip, _SINK_ICEBERG_ROUNDTRIP_SQL, "OP-SNK/OP-SRC (Iceberg v2 fast-append + manifest-replay read)"),
     DeclaredQuery("sink_delta_dv_roundtrip", _sink_delta_dv_roundtrip, _SINK_DELTA_DV_ROUNDTRIP_SQL, "OP-SNK (Delta merge-on-read DELETE via deletion vectors)"),
+    DeclaredQuery("source_delta_cdf", _source_delta_cdf, _SOURCE_DELTA_CDF_SQL, "OP-SRC (Delta change-data-feed read, derived from commit actions)"),
     DeclaredQuery("source_avro_roundtrip", _source_avro_roundtrip, _SOURCE_AVRO_ROUNDTRIP_SQL, "OP-SRC-PLUGIN (Avro sink + vectorized block decode)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
