@@ -147,25 +147,42 @@ _M = _dct_basis()
 
 # ------------------------------------------------------------------ huffman
 
-def _build_decode_table(bits: list[int],
-                        vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman (T.81 Annex C): {(length, code) -> value}."""
-    table: dict[tuple[int, int], int] = {}
-    code, k = 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _HuffTable:
+    """Canonical Huffman table (T.81 Annex C) with a 16-bit lookahead
+    LUT: ``lut_sym[w]``/``lut_len[w]`` give the decoded value and code
+    length for any 16-bit window ``w`` whose prefix is a valid code
+    (length 0 = invalid).  One list index replaces up to 16
+    read-a-bit/dict-probe iterations in the scan hot loop."""
+
+    __slots__ = ("map", "lut_sym", "lut_len")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.map: dict[tuple[int, int], int] = {}
+        self.lut_sym = [0] * 65536
+        self.lut_len = [0] * 65536
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.map[(length, code)] = vals[k]
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                self.lut_sym[start:start + span] = [vals[k]] * span
+                self.lut_len[start:start + span] = [length] * span
+                code += 1
+                k += 1
+            code <<= 1
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Canonical Huffman decode table with lookahead LUT."""
+    return _HuffTable(bits, vals)
 
 
 def _build_encode_table(bits: list[int],
                         vals: list[int]) -> dict[int, tuple[int, int]]:
     """{value -> (code, length)} for the encoder."""
     return {v: (c, l) for (l, c), v in
-            _build_decode_table(bits, vals).items()}
+            _build_decode_table(bits, vals).map.items()}
 
 
 class _BitReader:
@@ -180,7 +197,7 @@ class _BitReader:
         self._restart_pending = False
 
     def _fill(self) -> None:
-        while self.n <= 24:
+        while self.n <= 31:
             if self.pos >= len(self.data):
                 self.acc = (self.acc << 8) | 0  # pad past EOI
                 self.n += 8
@@ -211,10 +228,11 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def read_bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.read_bit()
-        return v
+        if count == 0:
+            return 0
+        self._fill()  # guarantees >= 25 buffered bits; count <= 16
+        self.n -= count
+        return (self.acc >> self.n) & ((1 << count) - 1)
 
     def sync_restart(self) -> None:
         """Consume the pending FFD0-D7 marker and realign to a byte
@@ -231,15 +249,37 @@ class _BitReader:
             self.pos += 1
         raise ValueError("JPEG: expected restart marker, hit end of scan")
 
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            v = table.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("JPEG: invalid Huffman code in scan")
+    def decode_symbol(self, table: "_HuffTable") -> int:
+        self._fill()  # >= 32 buffered bits: a full 16-bit window
+        w = (self.acc >> (self.n - 16)) & 0xFFFF
+        length = table.lut_len[w]
+        if not length:
+            raise ValueError("JPEG: invalid Huffman code in scan")
+        self.n -= length
+        return table.lut_sym[w]
+
+    def decode_coeff(self, table: "_HuffTable") -> tuple[int, int]:
+        """Fused hot path: one fill serves the Huffman symbol (<= 16
+        bits) AND its SSSS magnitude bits (<= 15) AND the F.2.2.1
+        EXTEND sign fix — the scan loop makes one call per
+        coefficient instead of three."""
+        if self.n <= 31:
+            self._fill()
+        w = (self.acc >> (self.n - 16)) & 0xFFFF
+        length = table.lut_len[w]
+        if not length:
+            raise ValueError("JPEG: invalid Huffman code in scan")
+        self.n -= length
+        rs = table.lut_sym[w]
+        size = rs & 0x0F
+        if size:
+            self.n -= size
+            v = (self.acc >> self.n) & ((1 << size) - 1)
+            if v < (1 << (size - 1)):
+                v += 1 - (1 << size)
+        else:
+            v = 0
+        return rs, v
 
 
 def _extend(v: int, t: int) -> int:
@@ -374,14 +414,17 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 dct, act = table_of[cid]
                 for by in range(cv):
                     for bx in range(ch):
-                        coeffs = coef[cid][my * cv + by, mx * ch + bx]
-                        t = reader.decode_symbol(dc_tables[dct])
-                        diff = _extend(reader.read_bits(t), t)
+                        # decode into a plain list, bulk-assign once:
+                        # per-element numpy scalar stores dominate the
+                        # loop otherwise
+                        blk = [0] * 64
+                        _, diff = reader.decode_coeff(dc_tables[dct])
                         pred[cid] += diff
-                        coeffs[0] = pred[cid]
+                        blk[0] = pred[cid]
                         k = 1
                         while k < 64:
-                            rs = reader.decode_symbol(ac_tables[act])
+                            rs, val = reader.decode_coeff(
+                                ac_tables[act])
                             run, size = rs >> 4, rs & 0x0F
                             if size == 0:
                                 if run == 15:  # ZRL: 16 zeros
@@ -392,9 +435,9 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                             if k > 63:
                                 raise ValueError(
                                     "JPEG: AC run past block end")
-                            coeffs[k] = _extend(
-                                reader.read_bits(size), size)
+                            blk[k] = val
                             k += 1
+                        coef[cid][my * cv + by, mx * ch + bx] = blk
             mcu_index += 1
 
     return _reconstruct(width, height, comps, coef, qt,
