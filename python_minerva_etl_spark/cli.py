@@ -161,6 +161,50 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delta(args) -> int:
+    """Delta table maintenance/ops: optimize | vacuum | delete |
+    changes (the engine's from-scratch protocol implementation —
+    works on tables other engines wrote)."""
+    from .storage.delta import DeltaTable
+
+    spark = _spark()
+    dt = DeltaTable(args.path)
+    if args.action == "optimize":
+        v = dt.optimize(spark)
+        print(json.dumps({"optimized_version": v}))
+    elif args.action == "vacuum":
+        deleted = dt.vacuum(args.retention_hours,
+                            allow_short_retention=args.force)
+        print(json.dumps({"deleted_files": len(deleted)}))
+    elif args.action == "delete":
+        if not args.where:
+            print("delete requires --where", flush=True)
+            return 2
+        v = dt.delete(spark, args.where)
+        print(json.dumps({"delete_version": v}))
+    elif args.action == "changes":
+        df = dt.changes(spark, args.start,
+                        args.end if args.end >= 0 else None)
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_iceberg(args) -> int:
+    """Iceberg table maintenance: compact | expire."""
+    from .storage.iceberg_write import (compact_iceberg,
+                                        expire_snapshots)
+
+    if args.action == "compact":
+        spark = _spark()
+        sid = compact_iceberg(spark, args.path)
+        print(json.dumps({"replace_snapshot_id": sid}))
+    else:
+        deleted = expire_snapshots(args.path,
+                                   keep_last=args.keep_last)
+        print(json.dumps({"deleted_files": len(deleted)}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Run a YAML-declared data-quality check set against a parquet
     table; prints the per-rule report as JSON lines and exits 1 if
@@ -327,6 +371,31 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--partition-col", default=None)
     s.add_argument("--target-file-mb", type=int, default=128)
     s.set_defaults(fn=cmd_compact)
+
+    s = sub.add_parser("delta",
+                       help="Delta maintenance: optimize | vacuum | "
+                            "delete | changes")
+    s.add_argument("action",
+                   choices=["optimize", "vacuum", "delete", "changes"])
+    s.add_argument("--path", required=True)
+    s.add_argument("--where", default=None,
+                   help="SQL predicate (delete)")
+    s.add_argument("--retention-hours", type=float, default=168)
+    s.add_argument("--force", action="store_true",
+                   help="allow retention below the 168h floor")
+    s.add_argument("--start", type=int, default=0,
+                   help="starting commit version (changes)")
+    s.add_argument("--end", type=int, default=-1,
+                   help="ending commit version (changes; -1 = latest)")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_delta)
+
+    s = sub.add_parser("iceberg",
+                       help="Iceberg maintenance: compact | expire")
+    s.add_argument("action", choices=["compact", "expire"])
+    s.add_argument("--path", required=True)
+    s.add_argument("--keep-last", type=int, default=1)
+    s.set_defaults(fn=cmd_iceberg)
 
     s = sub.add_parser("validate",
                        help="run a YAML check set against a parquet table")

@@ -267,3 +267,42 @@ def test_cli_history_and_restore(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip())
     assert out == {"restored_to": 1, "new_version": 3}
     assert {r.v for r in t.read(spark).collect()} == {1.0}
+
+
+def test_cli_delta_and_iceberg_maintenance(spark, tmp_path, capsys):
+    import json as _json
+
+    from python_minerva_etl_spark.cli import main
+    from python_minerva_etl_spark.storage.delta import (read_delta,
+                                                        write_delta)
+    from python_minerva_etl_spark.storage.iceberg import read_iceberg
+    from python_minerva_etl_spark.storage.iceberg_write import \
+        write_iceberg
+
+    dp = str(tmp_path / "d")
+    write_delta(spark, spark.range(0, 30).toDF("id"), dp)
+    write_delta(spark, spark.range(30, 60).toDF("id"), dp)
+    assert main(["delta", "delete", "--path", dp,
+                 "--where", "id < 10"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["delete_version"] == 2
+    assert main(["delta", "optimize", "--path", dp]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["optimized_version"] == 3
+    assert main(["delta", "changes", "--path", dp,
+                 "--start", "2", "--end", "2"]) == 0
+    assert "delete" in capsys.readouterr().out
+    # vacuum last: it deletes the tombstoned pre-optimize files the
+    # v2 change feed still needs
+    assert main(["delta", "vacuum", "--path", dp, "--force",
+                 "--retention-hours", "0"]) == 0
+    assert read_delta(spark, dp).count() == 50
+
+    ip = str(tmp_path / "i")
+    write_iceberg(spark, spark.range(0, 20).toDF("id"), ip)
+    write_iceberg(spark, spark.range(20, 40).toDF("id"), ip)
+    assert main(["iceberg", "compact", "--path", ip]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["replace_snapshot_id"] is not None
+    assert main(["iceberg", "expire", "--path", ip]) == 0
+    assert read_iceberg(spark, ip).count() == 40
