@@ -107,6 +107,118 @@ def _undict(obj):
 _ACTION_KINDS = ("protocol", "metaData", "add", "remove", "txn",
                  "domainMetadata")
 
+
+def _file_stats(path: str, fields: list[T.StructField]) -> str | None:
+    """Per-file stats JSON for an add action (PROTOCOL.md Per-file
+    Statistics): numRecords + min/maxValues/nullCount for top-level
+    int/long/float/double/string/bool columns, read from the parquet
+    footer — so readers (ours and foreign) can skip files."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    want = {f.name for f in fields
+            if isinstance(f.dataType, (T.IntegerType, T.LongType,
+                                       T.FloatType, T.DoubleType,
+                                       T.StringType, T.BooleanType))}
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in want:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if not st.has_min_max:
+                # a group without bounds makes the column unprunable
+                mins[name] = maxs[name] = None
+                continue
+            if mins.get(name, "absent") is None:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    mins[name] = maxs[name] = None
+                    continue
+            if name not in mins:
+                mins[name], maxs[name] = lo, hi
+            else:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+    stats = {"numRecords": md.num_rows,
+             "minValues": {k: v for k, v in mins.items()
+                           if v is not None},
+             "maxValues": {k: v for k, v in maxs.items()
+                           if v is not None},
+             "nullCount": nulls,
+             "tightBounds": True}
+    return json.dumps(stats)
+
+
+def _add_may_match(add: dict, preds: list[tuple],
+                   part_cols: list[str],
+                   type_of: dict[str, T.DataType]) -> bool:
+    """Conservative file-skip test: False only when the add action's
+    partitionValues or stats PROVE no row can satisfy every
+    predicate.  Anything unparseable keeps the file (pruning is an
+    optimization, never a filter)."""
+    def cast_pv(col, raw):
+        if raw is None:
+            return None
+        dt = type_of.get(col)
+        if isinstance(dt, (T.IntegerType, T.LongType)):
+            return int(raw)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        return raw
+
+    stats = None
+    if add.get("stats"):
+        try:
+            stats = json.loads(add["stats"])
+        except (ValueError, TypeError):
+            stats = None
+    for col, op, lit in preds:
+        if col in part_cols:
+            try:
+                pv = cast_pv(col, (add.get("partitionValues")
+                                   or {}).get(col))
+            except (ValueError, TypeError):
+                continue
+            if pv is None:
+                # a null partition value satisfies no comparison
+                return False
+            ok = {"=": pv == lit, "<": pv < lit, "<=": pv <= lit,
+                  ">": pv > lit, ">=": pv >= lit}.get(op, True)
+            if not ok:
+                return False
+            continue
+        if not stats:
+            continue
+        lo = (stats.get("minValues") or {}).get(col)
+        hi = (stats.get("maxValues") or {}).get(col)
+        if lo is None or hi is None:
+            continue
+        if not isinstance(lit, type(lo)) and not (
+                isinstance(lit, (int, float))
+                and isinstance(lo, (int, float))):
+            continue  # mixed types: don't risk a wrong skip
+        ok = {"=": lo <= lit <= hi, "<": lo < lit, "<=": lo <= lit,
+              ">": hi > lit, ">=": hi >= lit}.get(op, True)
+        if not ok:
+            return False
+    return True
+
 _CM_PHYS = "delta.columnMapping.physicalName"
 
 
@@ -447,6 +559,7 @@ class DeltaTable:
 
     def read(self, spark: SparkSession,
              version_as_of: int | None = None,
+             where: list[tuple] | None = None,
              _with_pos: bool = False) -> DataFrame:
         """Snapshot read (optionally time-traveled).  Partitioned
         tables: files group by their ``partitionValues`` and the
@@ -488,6 +601,17 @@ class DeltaTable:
             return spark.createDataFrame(
                 [], T.StructType(schema.fields + pos_fields)
                 if _with_pos else schema)
+        if where:
+            # file skipping on partitionValues + per-file stats: the
+            # scan never opens a file whose metadata excludes every
+            # predicate (the residual filter below keeps exactness)
+            type_of = {f.name: f.dataType for f in schema.fields}
+            files = [f for f in files
+                     if _add_may_match(f, where, part_cols, type_of)]
+            if not files:
+                return spark.createDataFrame(
+                    [], T.StructType(schema.fields + pos_fields)
+                    if _with_pos else schema)
         dv_map = {f["path"]: f["deletionVector"] for f in files
                   if f.get("deletionVector")}
         need_pos = _with_pos or bool(dv_map)
@@ -497,6 +621,11 @@ class DeltaTable:
             out = self._apply_dvs(spark, out, dv_map)
         if need_pos and not _with_pos:
             out = out.drop("_dl_path", "_dl_pos")
+        for col, op, lit in (where or []):
+            c = F.col(col)
+            out = out.filter({"=": c == lit, "<": c < lit,
+                              "<=": c <= lit, ">": c > lit,
+                              ">=": c >= lit}[op])
         return out
 
     def _scan_files(self, spark: SparkSession, files: list[dict],
@@ -830,13 +959,20 @@ class DeltaTable:
                 final_abs = os.path.join(self.path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
                 os.replace(os.path.join(dirpath, name), final_abs)
-                adds.append({"add": {
+                add = {
                     "path": final_rel.replace(os.sep, "/"),
                     "partitionValues": pvals,
                     "size": os.path.getsize(final_abs),
                     "modificationTime": now,
                     "dataChange": True,
-                }})
+                }
+                stats = _file_stats(
+                    final_abs,
+                    [f for f in df.schema.fields
+                     if f.name not in partition_by])
+                if stats:
+                    add["stats"] = stats
+                adds.append({"add": add})
         shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
@@ -1439,9 +1575,10 @@ class DeltaTable:
 
 
 def read_delta(spark: SparkSession, path: str,
-               version_as_of: int | None = None) -> DataFrame:
+               version_as_of: int | None = None,
+               where: list[tuple] | None = None) -> DataFrame:
     """Read a Delta table (see :class:`DeltaTable.read`)."""
-    return DeltaTable(path).read(spark, version_as_of)
+    return DeltaTable(path).read(spark, version_as_of, where=where)
 
 
 def write_delta(spark: SparkSession, df: DataFrame, path: str,
