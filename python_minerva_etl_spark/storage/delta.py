@@ -1303,7 +1303,8 @@ class DeltaTable:
 
     def optimize(self, spark: SparkSession,
                  small_file_bytes: int = 128 << 20,
-                 target_file_bytes: int = 256 << 20) -> int | None:
+                 target_file_bytes: int = 256 << 20,
+                 sort_by: list[str] | None = None) -> int | None:
         """Compaction (the OPTIMIZE maintenance op): bin-pack active
         files smaller than ``small_file_bytes`` — per partition, files
         from different partitions can never merge — and physically
@@ -1314,6 +1315,14 @@ class DeltaTable:
         even on ``delta.appendOnly`` tables.  At 100 TB each partition
         group rewrites as its own distributed job sized by
         ``target_file_bytes``; the driver holds only file metadata.
+
+        ``sort_by`` turns the pass into a CLUSTERING rewrite (the
+        OPTIMIZE ZORDER use case): EVERY active file of each
+        partition rewrites, range-partitioned + sorted on the given
+        columns, so each output file covers a narrow value range and
+        the per-file stats written at stage time make
+        ``read(where=...)`` skipping actually effective.
+
         Returns the committed version, or None when nothing needs
         compacting.  Raises :class:`DeltaConcurrentCommit` if a racer
         touches a candidate file between scan and commit."""
@@ -1326,15 +1335,22 @@ class DeltaTable:
         part_cols = snap["metaData"].get("partitionColumns") or []
         data_schema = T.StructType(
             [f for f in schema.fields if f.name not in part_cols])
+        if sort_by:
+            bad = [c for c in sort_by
+                   if c not in {f.name for f in data_schema.fields}]
+            if bad:
+                raise ValueError(
+                    f"optimize sort_by columns {bad} not in the "
+                    "table's data columns")
         groups: dict[tuple, list[dict]] = {}
         for f in snap["files"]:
-            if f.get("deletionVector") \
+            if sort_by or f.get("deletionVector") \
                     or (f.get("size") or 0) < small_file_bytes:
                 pv = tuple(sorted(
                     (f.get("partitionValues") or {}).items()))
                 groups.setdefault(pv, []).append(f)
         todo = {pv: fs for pv, fs in groups.items()
-                if len(fs) > 1
+                if sort_by or len(fs) > 1
                 or any(f.get("deletionVector") for f in fs)}
         if not todo:
             return None
@@ -1358,7 +1374,14 @@ class DeltaTable:
                     "_dl_path", "_dl_pos")
             total = sum(f.get("size") or 0 for f in fs)
             nparts = max(1, math.ceil(total / target_file_bytes))
-            staged = self._stage_data_files(df.coalesce(nparts), [])
+            if sort_by:
+                # range-cluster: each output file covers a narrow
+                # sort-key range, so its stats prune tightly
+                df = (df.repartitionByRange(nparts, *sort_by)
+                      .sortWithinPartitions(*sort_by))
+            else:
+                df = df.coalesce(nparts)
+            staged = self._stage_data_files(df, [])
             for a in staged:
                 # files land at the table root; partitionValues in the
                 # log are authoritative (the protocol does not require

@@ -126,3 +126,46 @@ def test_skipping_composes_with_deletion_vectors(spark, tmp_path):
     delete_delta(spark, p, "id in (3, 105)")
     got = read_delta(spark, p, where=[("id", "<", 50)])
     assert _rows(got) == [(i,) for i in range(10) if i != 3]
+
+
+def test_optimize_sort_by_clusters_for_skipping(spark, tmp_path):
+    """Clustering rewrite: interleaved appends become range-disjoint
+    files whose stats prune tightly — proven by corrupting every file
+    whose range excludes the predicate."""
+    p = str(tmp_path / "t")
+    # two appends with fully interleaved ids: stats overlap, nothing
+    # can prune before clustering
+    write_delta(spark, spark.range(0, 100, 2).toDF("id").coalesce(1),
+                p)
+    write_delta(spark, spark.range(1, 100, 2).toDF("id").coalesce(1),
+                p)
+    dt = DeltaTable(p)
+    for f in dt._replay()["files"]:
+        st = json.loads(f["stats"])
+        assert st["minValues"]["id"] <= 1
+        assert st["maxValues"]["id"] >= 98
+    total = sum(f["size"] for f in dt._replay()["files"])
+    v = dt.optimize(spark, sort_by=["id"],
+                    target_file_bytes=max(1, total // 3))
+    assert v is not None
+    files = dt._replay()["files"]
+    assert len(files) >= 2
+    # ranges are now disjoint
+    spans = sorted((json.loads(f["stats"])["minValues"]["id"],
+                    json.loads(f["stats"])["maxValues"]["id"],
+                    f["path"]) for f in files)
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # corrupt every file that cannot contain id < spans[0][1]
+    cut = spans[0][1]
+    for lo, hi, rel in spans[1:]:
+        _corrupt(p, rel)
+    got = read_delta(spark, p, where=[("id", "<=", cut)])
+    assert _rows(got) == [(i,) for i in range(cut + 1)]
+
+
+def test_optimize_sort_by_unknown_column_refuses(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.range(0, 5).toDF("id"), p)
+    with pytest.raises(ValueError, match="sort_by"):
+        DeltaTable(p).optimize(spark, sort_by=["nope"])
