@@ -342,10 +342,21 @@ def dv_load(table_path: str, dv: dict) -> np.ndarray:
     return vals
 
 
-def dv_write(table_path: str, positions) -> dict:
-    """Write one DV as its own ``deletion_vector_<uuid>.bin`` under
-    the table root; returns the add-action descriptor."""
+def dv_write(table_path: str, positions,
+             inline_threshold: int = 512) -> dict:
+    """Serialize one DV and return its add-action descriptor: bitmaps
+    up to ``inline_threshold`` bytes embed directly in the descriptor
+    (``storageType="i"``, Z85 text — the protocol's escape from a
+    tiny-file explosion when many files each lose a few rows); larger
+    ones get their own ``deletion_vector_<uuid>.bin`` under the table
+    root (``storageType="u"``)."""
     data = rbm_encode(positions)
+    n = len(np.unique(np.asarray(positions, np.int64)))
+    if len(data) <= inline_threshold:
+        return {"storageType": "i",
+                "pathOrInlineDv": z85_encode(data),
+                "sizeInBytes": len(data),
+                "cardinality": n}
     u = uuid.uuid4()
     path = os.path.join(table_path, f"deletion_vector_{u}.bin")
     blob = (bytes([_FORMAT_VERSION])
@@ -355,7 +366,6 @@ def dv_write(table_path: str, positions) -> dict:
     with open(tmp, "wb") as fh:
         fh.write(blob)
     os.replace(tmp, path)
-    n = len(np.unique(np.asarray(positions, np.int64)))
     return {"storageType": "u",
             "pathOrInlineDv": z85_encode(u.bytes),
             "offset": 1,

@@ -169,15 +169,27 @@ def test_encode_decode_roundtrip_across_container_kinds():
 def test_dv_write_load_roundtrip(tmp_path):
     table = str(tmp_path)
     pos = [0, 5, 17, 100000, (1 << 33) + 7]
+    # small bitmaps inline into the descriptor (storageType "i")
     desc = dv_write(table, pos)
-    assert desc["storageType"] == "u"
+    assert desc["storageType"] == "i"
     assert desc["cardinality"] == len(pos)
+    assert dv_load(table, desc).tolist() == sorted(pos)
+    assert not any(n.startswith("deletion_vector_")
+                   for n in os.listdir(table))
+    # past the inline threshold a .bin file materializes
+    desc = dv_write(table, pos, inline_threshold=0)
+    assert desc["storageType"] == "u"
     assert dv_load(table, desc).tolist() == sorted(pos)
     # the bin file exists under the spec name and starts with version 1
     u = uuid.UUID(bytes=z85_decode(desc["pathOrInlineDv"]))
     p = os.path.join(table, f"deletion_vector_{u}.bin")
     with open(p, "rb") as fh:
         assert fh.read(1) == b"\x01"
+    # a genuinely large position set crosses the threshold by itself
+    big = list(range(0, 40000, 2))
+    desc = dv_write(table, big)
+    assert desc["storageType"] == "u"
+    assert dv_load(table, desc).tolist() == big
 
 
 def test_dv_load_foreign_file_with_prefix_and_offset(tmp_path):

@@ -148,8 +148,11 @@ def test_vacuum_handles_dv_bins(spark, tmp_path):
     """Active DV bins must survive; once OPTIMIZE rewrites the files
     (tombstoning the DV-carrying adds), the bins become vacuumable."""
     p = str(tmp_path / "t")
-    write_delta(spark, spark.range(0, 40).toDF("id"), p)
-    delete_delta(spark, p, "id < 4")
+    # enough masked rows that the DV exceeds the inline threshold
+    # and lands in .bin files
+    write_delta(spark, spark.range(0, 20000).toDF("id").coalesce(2),
+                p)
+    delete_delta(spark, p, "id % 2 = 0")
     bins = [n for n in os.listdir(p)
             if n.startswith("deletion_vector_")]
     assert bins
@@ -160,7 +163,7 @@ def test_vacuum_handles_dv_bins(spark, tmp_path):
     for b in bins:
         assert b not in deleted  # active DV bin survives
         assert os.path.exists(os.path.join(p, b))
-    assert read_delta(spark, p).count() == 36
+    assert read_delta(spark, p).count() == 10000
     dt.optimize(spark)
     future = int(time.time() * 1000) + 10_000
     deleted = dt.vacuum(retention_hours=0, now_ms=future,
@@ -169,5 +172,5 @@ def test_vacuum_handles_dv_bins(spark, tmp_path):
     for b in bins:
         assert not os.path.exists(os.path.join(p, b))
     got = read_delta(spark, p)
-    assert got.count() == 36
-    assert got.filter("id < 4").count() == 0
+    assert got.count() == 10000
+    assert got.filter("id % 2 = 0").count() == 0
