@@ -53,6 +53,7 @@ where Delta/Iceberg neighbors are the norm.
 
 from __future__ import annotations
 
+import builtins
 import json
 import os
 import re
@@ -78,7 +79,8 @@ _READER_FEATURES = {"deletionVectors", "timestampNtz",
                     "vacuumProtocolCheck", "columnMapping",
                     "v2Checkpoint"}
 _WRITER_FEATURES = {"deletionVectors", "appendOnly", "invariants",
-                    "timestampNtz", "vacuumProtocolCheck"}
+                    "timestampNtz", "vacuumProtocolCheck",
+                    "changeDataFeed"}
 
 _CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
@@ -918,7 +920,9 @@ class DeltaTable:
         return (vs[-1] + 1) if vs else 0
 
     def _stage_data_files(self, df: DataFrame,
-                          partition_by: list[str]) -> list[dict]:
+                          partition_by: list[str],
+                          subdir: str = "",
+                          action: str = "add") -> list[dict]:
         """Write df as parquet part files at the table root with
         delta-style unique names; return add actions.  With
         ``partition_by``, files land in Hive-style ``col=value/``
@@ -926,7 +930,11 @@ class DeltaTable:
         data files, and each add action records its
         ``partitionValues`` as strings (null encoded as JSON null) —
         exactly the layout other Delta engines write and our reader
-        reconstructs."""
+        reconstructs.  ``subdir``/``action`` redirect the staging for
+        change-data files: ``action='cdc'`` lands the parts under
+        ``_change_data/`` and returns ``cdc`` actions (PROTOCOL.md
+        "Add CDC File": path, partitionValues, size,
+        dataChange=false — no stats, the files never serve reads)."""
         from urllib.parse import unquote
 
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
@@ -936,6 +944,7 @@ class DeltaTable:
         w.parquet(tmp)
         adds = []
         now = int(time.time() * 1000)
+        prefix = "cdc" if action == "cdc" else "part"
         for dirpath, _, names in os.walk(tmp):
             rel_dir = os.path.relpath(dirpath, tmp)
             pvals: dict[str, str | None] = {}
@@ -953,26 +962,31 @@ class DeltaTable:
             for name in sorted(names):
                 if not name.endswith(".parquet"):
                     continue
-                base = f"part-{uuid.uuid4().hex}-c000.snappy.parquet"
+                base = f"{prefix}-{uuid.uuid4().hex}-c000.snappy.parquet"
                 final_rel = base if rel_dir == "." else \
                     os.path.join(rel_dir, base)
+                if subdir:
+                    final_rel = os.path.join(subdir, final_rel)
                 final_abs = os.path.join(self.path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
                 os.replace(os.path.join(dirpath, name), final_abs)
-                add = {
+                entry = {
                     "path": final_rel.replace(os.sep, "/"),
                     "partitionValues": pvals,
                     "size": os.path.getsize(final_abs),
-                    "modificationTime": now,
-                    "dataChange": True,
                 }
-                stats = _file_stats(
-                    final_abs,
-                    [f for f in df.schema.fields
-                     if f.name not in partition_by])
-                if stats:
-                    add["stats"] = stats
-                adds.append({"add": add})
+                if action == "cdc":
+                    entry["dataChange"] = False
+                else:
+                    entry["modificationTime"] = now
+                    entry["dataChange"] = True
+                    stats = _file_stats(
+                        final_abs,
+                        [f for f in df.schema.fields
+                         if f.name not in partition_by])
+                    if stats:
+                        entry["stats"] = stats
+                adds.append({action: entry})
         shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
@@ -1169,48 +1183,31 @@ class DeltaTable:
                 "writer cannot honor)")
         conf = snap["metaData"].get("configuration") or {}
         if str(conf.get("delta.appendOnly", "")).lower() == "true" \
-                and operation in ("overwrite", "delete"):
+                and operation in ("overwrite", "delete", "update",
+                                  "merge"):
             # appendOnly forbids removes with dataChange=true; compaction
             # (dataChange=false) and vacuum stay legal per the protocol
             raise ValueError(
                 f"table is append-only (delta.appendOnly=true): "
                 f"{operation} would remove committed data")
 
-    def delete(self, spark: SparkSession, where) -> int | None:
-        """Merge-on-read DELETE: rows matching ``where`` (a Column or
-        SQL string) are marked deleted via deletion vectors — no data
-        file is rewritten (PROTOCOL.md "Deletion Vectors").
+    def _cdf_enabled(self, snap: dict) -> bool:
+        conf = snap["metaData"].get("configuration") or {}
+        return str(conf.get("delta.enableChangeDataFeed", "")
+                   ).lower() == "true"
 
-        One distributed pass finds the matching (file, row index)
-        pairs on the DV-applied snapshot (already-deleted rows can't
-        match again); each touched file's group then unions the new
-        positions with the file's existing DV (a DV REPLACES its
-        predecessor, so it must carry every deleted row) and writes
-        its own ``deletion_vector_<uuid>.bin`` executor-side.  The
-        driver collects one descriptor row per touched file (bounded
-        metadata) and commits, per file, ``remove(path, old DV)`` +
-        ``add(path, new DV)`` — the reconciliation pairing foreign
-        readers expect — upgrading the protocol to reader 3 / writer
-        7 with the ``deletionVectors`` feature (plus the features the
-        old protocol version implied) on first use.
-
-        Returns the committed version, or None when nothing matched
-        (no commit — like the Iceberg twin, a re-delete is a no-op).
-        Raises :class:`DeltaConcurrentCommit` if a racer touches any
-        affected file between the scan and the commit."""
+    def _write_dvs(self, spark: SparkSession, matches: DataFrame,
+                   old_json: dict[str, str]) -> list:
+        """Write one deletion-vector ``.bin`` per touched file,
+        executor-side: ``matches`` carries the (``_dl_path``,
+        ``_dl_pos``) pairs to mask; each file's group unions the new
+        positions with the file's existing DV (``old_json``, keyed by
+        absolute path — a DV REPLACES its predecessor, so it must
+        carry every deleted row).  Returns one collected row per
+        touched file (bounded metadata: path + descriptor json)."""
         import numpy as np
 
-        snap = self._replay()
-        self._check_writable(snap, "delete")
-        cond = F.expr(where) if isinstance(where, str) else where
         table_path = os.path.abspath(self.path)
-        old_dv = {f["path"]: f.get("deletionVector")
-                  for f in snap["files"]}
-        old_json = {os.path.join(table_path, rel): json.dumps(dv)
-                    for rel, dv in old_dv.items() if dv}
-
-        matches = (self.read(spark, snap["version"], _with_pos=True)
-                   .filter(cond).select("_dl_path", "_dl_pos"))
 
         def write_group(pdf):
             import pandas as pd
@@ -1226,45 +1223,78 @@ class DeltaTable:
             return pd.DataFrame({"_dl_path": [path],
                                  "_dv": [json.dumps(desc)]})
 
-        touched = (matches.groupBy("_dl_path")
-                   .applyInPandas(write_group,
-                                  "_dl_path string, _dv string")
-                   .collect())  # bounded: one row per touched file
-        if not touched:
-            return None
+        return (matches.select("_dl_path", "_dl_pos")
+                .groupBy("_dl_path")
+                .applyInPandas(write_group,
+                               "_dl_path string, _dv string")
+                .collect())  # bounded: one row per touched file
 
+    @staticmethod
+    def _upgrade_actions(cur: dict, need_r: set, need_w: set,
+                         conf_updates: dict | None) -> list[dict]:
+        """Protocol / metaData actions a commit must carry before it
+        can rely on table features ``need_r``/``need_w`` and the
+        configuration keys in ``conf_updates``.  Features the legacy
+        writer version implied survive the upgrade to the
+        table-features protocol; the reader version is only raised to
+        3 when a READER feature is actually needed (writer features
+        alone pair writer 7 with the existing reader version, which
+        keeps old readers working — PROTOCOL.md Table Features)."""
+        actions: list[dict] = []
+        proto = cur.get("protocol") or {
+            "minReaderVersion": 1, "minWriterVersion": 2}
+        rfeats = set(proto.get("readerFeatures") or [])
+        wfeats = set(proto.get("writerFeatures") or [])
+        mrv = proto.get("minReaderVersion") or 1
+        mwv = proto.get("minWriterVersion") or 1
+        if not (need_w <= wfeats and need_r <= rfeats):
+            implied = {2: {"appendOnly", "invariants"},
+                       1: set()}.get(mwv, {"appendOnly", "invariants"})
+            p: dict = {
+                "minReaderVersion": 3 if (need_r or mrv >= 3) else mrv,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wfeats | implied | need_w)}
+            if need_r or mrv >= 3:
+                p["readerFeatures"] = sorted(rfeats | need_r)
+            actions.append({"protocol": p})
+        conf = dict(cur["metaData"].get("configuration") or {})
+        changed = {k: v for k, v in (conf_updates or {}).items()
+                   if conf.get(k) != v}
+        if changed:
+            meta = dict(cur["metaData"])
+            conf.update(changed)
+            meta["configuration"] = conf
+            actions.append({"metaData": meta})
+        return actions
+
+    def _commit_row_dml(self, operation: str, touched: list,
+                        old_dv: dict, extra_actions: list[dict],
+                        cdf: bool) -> int:
+        """Commit a row-level DML (DELETE / UPDATE / MERGE): per
+        touched file ``remove(path, old DV)`` + ``add(path, new
+        DV)`` — the reconciliation pairing foreign readers expect —
+        plus ``extra_actions`` (new data files / cdc files),
+        upgrading the protocol on first feature use.  Raises
+        :class:`DeltaConcurrentCommit` if a racer touches any
+        affected file between the scan and the commit."""
+        table_path = os.path.abspath(self.path)
         last_err: Exception | None = None
         for _ in range(_COMMIT_RETRIES):
             cur = self._replay()
             by_path = {f["path"]: f for f in cur["files"]}
             now = int(time.time() * 1000)
             actions: list[dict] = [{"commitInfo": {
-                "timestamp": now, "operation": "DELETE",
+                "timestamp": now, "operation": operation,
                 "operationParameters": {},
                 "engineInfo": "python-minerva-etl-spark"}}]
-            proto = cur.get("protocol") or {
-                "minReaderVersion": 1, "minWriterVersion": 2}
-            rfeats = set(proto.get("readerFeatures") or [])
-            wfeats = set(proto.get("writerFeatures") or [])
-            if "deletionVectors" not in rfeats \
-                    or "deletionVectors" not in wfeats:
-                # features the legacy writer version implied must
-                # survive the upgrade to the table-features protocol
-                implied = {2: {"appendOnly", "invariants"},
-                           1: set()}.get(
-                    proto.get("minWriterVersion") or 1,
-                    {"appendOnly", "invariants"})
-                actions.append({"protocol": {
-                    "minReaderVersion": 3, "minWriterVersion": 7,
-                    "readerFeatures": sorted(
-                        rfeats | {"deletionVectors"}),
-                    "writerFeatures": sorted(
-                        wfeats | implied | {"deletionVectors"})}})
-                meta = dict(cur["metaData"])
-                conf = dict(meta.get("configuration") or {})
-                conf["delta.enableDeletionVectors"] = "true"
-                meta["configuration"] = conf
-                actions.append({"metaData": meta})
+            need_r = {"deletionVectors"} if touched else set()
+            need_w = set(need_r)
+            if cdf:
+                need_w.add("changeDataFeed")
+            actions += self._upgrade_actions(
+                cur, need_r, need_w,
+                {"delta.enableDeletionVectors": "true"}
+                if touched else None)
             for row in touched:
                 rel = os.path.relpath(row["_dl_path"], table_path)
                 rel = rel.replace(os.sep, "/")
@@ -1272,8 +1302,8 @@ class DeltaTable:
                 if f is None or f.get("deletionVector") != old_dv.get(rel):
                     raise DeltaConcurrentCommit(
                         f"data file {rel!r} changed (rewritten, "
-                        "removed, or re-deleted) since this DELETE "
-                        "scanned it — rerun delete()")
+                        f"removed, or re-deleted) since this "
+                        f"{operation} scanned it — rerun")
                 remove = {"path": rel, "deletionTimestamp": now,
                           "dataChange": True}
                 if f.get("deletionVector"):
@@ -1293,12 +1323,342 @@ class DeltaTable:
                     except (ValueError, TypeError):
                         pass
                 actions.append({"add": add})
+            actions += extra_actions
             version = self._next_version()
             try:
                 self._commit(version, actions)
                 return version
             except DeltaConcurrentCommit as e:
                 last_err = e  # re-derive against the new snapshot
+        raise last_err  # type: ignore[misc]
+
+    def delete(self, spark: SparkSession, where) -> int | None:
+        """Merge-on-read DELETE: rows matching ``where`` (a Column or
+        SQL string) are marked deleted via deletion vectors — no data
+        file is rewritten (PROTOCOL.md "Deletion Vectors").
+
+        One distributed pass finds the matching (file, row index)
+        pairs on the DV-applied snapshot (already-deleted rows can't
+        match again); each touched file writes its own
+        ``deletion_vector_<uuid>.bin`` executor-side and the commit
+        carries the per-file remove+add reconciliation pairs,
+        upgrading the protocol to reader 3 / writer 7 with the
+        ``deletionVectors`` feature on first use.  On tables with
+        ``delta.enableChangeDataFeed=true`` the commit also carries
+        ``cdc`` actions with the deleted rows under ``_change_data/``
+        (per PROTOCOL.md, a DV remove+add pair is NOT in the
+        derivable subset, so CDF writers must materialize the
+        change).
+
+        Returns the committed version, or None when nothing matched
+        (no commit — like the Iceberg twin, a re-delete is a no-op).
+        Raises :class:`DeltaConcurrentCommit` if a racer touches any
+        affected file between the scan and the commit."""
+        snap = self._replay()
+        self._check_writable(snap, "delete")
+        cond = F.expr(where) if isinstance(where, str) else where
+        table_path = os.path.abspath(self.path)
+        old_dv = {f["path"]: f.get("deletionVector")
+                  for f in snap["files"]}
+        old_json = {os.path.join(table_path, rel): json.dumps(dv)
+                    for rel, dv in old_dv.items() if dv}
+        cdf = self._cdf_enabled(snap)
+        matched = (self.read(spark, snap["version"], _with_pos=True)
+                   .filter(cond))
+        if cdf:
+            matched = matched.persist()
+        try:
+            touched = self._write_dvs(spark, matched, old_json)
+            if not touched:
+                return None
+            cdc_actions: list[dict] = []
+            if cdf:
+                part_cols = snap["metaData"].get(
+                    "partitionColumns") or []
+                pre = (matched.drop("_dl_path", "_dl_pos")
+                       .withColumn("_change_type", F.lit("delete")))
+                cdc_actions = self._stage_data_files(
+                    pre, part_cols, subdir="_change_data",
+                    action="cdc")
+            return self._commit_row_dml(
+                "DELETE", touched, old_dv, cdc_actions, cdf)
+        finally:
+            if cdf:
+                matched.unpersist()
+
+    def update(self, spark: SparkSession, set: dict,
+               where=None) -> int | None:
+        """UPDATE ... SET: rows matching ``where`` are rewritten with
+        the ``set`` expressions ({column: Column or SQL string},
+        evaluated against the OLD row) — merge-on-read: the matched
+        rows are masked out of their files via deletion vectors and
+        the updated rows land in NEW data files, so no full file is
+        rewritten and unmatched rows are never copied.  Updating a
+        partition column moves the rows to their new Hive directory.
+        On tables with ``delta.enableChangeDataFeed=true`` the commit
+        carries ``cdc`` actions with the update_preimage /
+        update_postimage rows under ``_change_data/`` (PROTOCOL.md
+        "Add CDC File") so CDF readers see updates as updates, not
+        delete+insert pairs.  Returns the committed version, or None
+        when nothing matched (no commit)."""
+        snap = self._replay()
+        self._check_writable(snap, "update")
+        meta = snap["metaData"]
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"]))
+        names = [f.name for f in schema.fields]
+        unknown = sorted(builtins.set(set) - builtins.set(names))
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET references unknown columns {unknown}")
+        exprs = {c: (F.expr(e) if isinstance(e, str) else e)
+                 for c, e in set.items()}
+        part_cols = meta.get("partitionColumns") or []
+        cond = (F.lit(True) if where is None
+                else F.expr(where) if isinstance(where, str)
+                else where)
+        table_path = os.path.abspath(self.path)
+        old_dv = {f["path"]: f.get("deletionVector")
+                  for f in snap["files"]}
+        old_json = {os.path.join(table_path, rel): json.dumps(dv)
+                    for rel, dv in old_dv.items() if dv}
+        cdf = self._cdf_enabled(snap)
+        matched = (self.read(spark, snap["version"], _with_pos=True)
+                   .filter(cond).persist())
+        try:
+            touched = self._write_dvs(spark, matched, old_json)
+            if not touched:
+                return None
+            updated = matched.select(
+                *[(exprs[f.name].cast(f.dataType) if f.name in exprs
+                   else F.col(f"`{f.name}`")).alias(f.name)
+                  for f in schema.fields])
+            extra = self._stage_data_files(updated, part_cols)
+            if cdf:
+                pre = (matched.drop("_dl_path", "_dl_pos")
+                       .withColumn("_change_type",
+                                   F.lit("update_preimage")))
+                post = updated.withColumn(
+                    "_change_type", F.lit("update_postimage"))
+                extra += self._stage_data_files(
+                    pre.unionByName(post), part_cols,
+                    subdir="_change_data", action="cdc")
+            return self._commit_row_dml(
+                "UPDATE", touched, old_dv, extra, cdf)
+        finally:
+            matched.unpersist()
+
+    def merge(self, spark: SparkSession, source: DataFrame, on,
+              when_matched_update: dict | None = None,
+              when_matched_delete=None,
+              when_not_matched_insert=True) -> int | None:
+        """MERGE INTO this table USING ``source`` ON ``on`` (a SQL
+        string or Column over the aliases ``t`` = target, ``s`` =
+        source — qualify ambiguous names).
+
+        Clauses:
+        - ``when_matched_update``: {target column: expression over
+          t/s} rewrites every matched target row (merge-on-read: DV
+          mask + new data files, like :meth:`update`).
+        - ``when_matched_delete``: a condition over t/s (or True for
+          unconditional) — matched rows satisfying it are DV-masked;
+          with an update clause present, the delete condition wins
+          and the update applies to the REMAINING matched rows.
+        - ``when_not_matched_insert``: True inserts source rows
+          as-is (the source must carry every table column), a dict
+          maps {target column: expression over s} with unlisted
+          columns null, False/None disables inserts.
+
+        Multiple source rows matching one target row make the
+        matched clauses ambiguous and raise (the Delta semantic) —
+        detected with one aggregation over the match pairs, not
+        trusted to luck.  Returns the committed version, or None
+        when the merge is a no-op."""
+        snap = self._replay()
+        have_matched = (when_matched_update is not None
+                        or when_matched_delete is not None)
+        if when_matched_delete is True \
+                and when_matched_update is not None:
+            raise ValueError(
+                "unconditional WHEN MATCHED DELETE together with an "
+                "update clause leaves no rows to update — give the "
+                "delete a condition")
+        self._check_writable(
+            snap, "merge" if have_matched else "append")
+        meta = snap["metaData"]
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"]))
+        names = [f.name for f in schema.fields]
+        part_cols = meta.get("partitionColumns") or []
+        cdf = self._cdf_enabled(snap)
+        table_path = os.path.abspath(self.path)
+        old_dv = {f["path"]: f.get("deletionVector")
+                  for f in snap["files"]}
+        old_json = {os.path.join(table_path, rel): json.dumps(dv)
+                    for rel, dv in old_dv.items() if dv}
+        cond = F.expr(on) if isinstance(on, str) else on
+        tgt = self.read(spark, snap["version"],
+                        _with_pos=True).alias("t")
+        src = source.alias("s")
+
+        def t_image(df):
+            return df.select(*[F.col(f"t.`{f.name}`").alias(f.name)
+                               for f in schema.fields])
+
+        touched: list = []
+        updated = deleted = None
+        matched = None
+        try:
+            if have_matched:
+                matched = tgt.join(src, cond, "inner").persist()
+                dup = (matched
+                       .groupBy(F.col("t.`_dl_path`"),
+                                F.col("t.`_dl_pos`"))
+                       .count().filter(F.col("count") > 1)
+                       .limit(1).count())
+                if dup:
+                    raise ValueError(
+                        "MERGE: multiple source rows match the same "
+                        "target row — the matched clauses are "
+                        "ambiguous (dedupe the source on the join "
+                        "key)")
+                if when_matched_delete is None:
+                    dcond = F.lit(False)
+                elif when_matched_delete is True:
+                    dcond = F.lit(True)
+                elif isinstance(when_matched_delete, str):
+                    dcond = F.expr(when_matched_delete)
+                else:
+                    dcond = when_matched_delete
+                affected = (matched if when_matched_update is not None
+                            else matched.filter(dcond))
+                touched = self._write_dvs(
+                    spark,
+                    affected.select(
+                        F.col("t.`_dl_path`").alias("_dl_path"),
+                        F.col("t.`_dl_pos`").alias("_dl_pos")),
+                    old_json)
+                if when_matched_delete is not None:
+                    deleted = matched.filter(dcond)
+                if when_matched_update is not None:
+                    upd_rows = (matched.filter(~dcond)
+                                if when_matched_delete is not None
+                                else matched)
+                    uex = {c: (F.expr(e) if isinstance(e, str)
+                               else e)
+                           for c, e in when_matched_update.items()}
+                    unknown = sorted(builtins.set(uex)
+                                     - builtins.set(names))
+                    if unknown:
+                        raise ValueError(
+                            f"MERGE update references unknown "
+                            f"columns {unknown}")
+                    updated = upd_rows.select(
+                        *[(uex[f.name].cast(f.dataType)
+                           if f.name in uex
+                           else F.col(f"t.`{f.name}`"))
+                          .alias(f.name) for f in schema.fields])
+            inserted = None
+            if when_not_matched_insert:
+                not_m = src.join(tgt, cond, "left_anti")
+                if when_not_matched_insert is True:
+                    missing = [n for n in names
+                               if n not in source.columns]
+                    if missing:
+                        raise ValueError(
+                            f"MERGE insert: source lacks table "
+                            f"columns {missing} (pass a mapping "
+                            "dict to fill them)")
+                    inserted = not_m.select(
+                        *[F.col(f"`{f.name}`").cast(f.dataType)
+                          .alias(f.name) for f in schema.fields])
+                else:
+                    iex = {c: (F.expr(e) if isinstance(e, str)
+                               else e)
+                           for c, e in when_not_matched_insert
+                           .items()}
+                    unknown = sorted(builtins.set(iex)
+                                     - builtins.set(names))
+                    if unknown:
+                        raise ValueError(
+                            f"MERGE insert references unknown "
+                            f"columns {unknown}")
+                    inserted = not_m.select(
+                        *[(iex[f.name] if f.name in iex
+                           else F.lit(None)).cast(f.dataType)
+                          .alias(f.name) for f in schema.fields])
+            new_rows = None
+            for piece in (updated, inserted):
+                if piece is None:
+                    continue
+                new_rows = piece if new_rows is None \
+                    else new_rows.unionByName(piece)
+            extra: list[dict] = []
+            if new_rows is not None and not new_rows.isEmpty():
+                extra = self._stage_data_files(new_rows, part_cols)
+            if not touched and not extra:
+                return None  # nothing matched, nothing to insert
+            if cdf:
+                cdc_df = None
+                pieces = []
+                if updated is not None:
+                    upd_rows = (matched.filter(~dcond)
+                                if when_matched_delete is not None
+                                else matched)
+                    pieces.append(t_image(upd_rows).withColumn(
+                        "_change_type", F.lit("update_preimage")))
+                    pieces.append(updated.withColumn(
+                        "_change_type", F.lit("update_postimage")))
+                if deleted is not None:
+                    pieces.append(t_image(deleted).withColumn(
+                        "_change_type", F.lit("delete")))
+                if inserted is not None:
+                    pieces.append(inserted.withColumn(
+                        "_change_type", F.lit("insert")))
+                for piece in pieces:
+                    cdc_df = piece if cdc_df is None \
+                        else cdc_df.unionByName(piece)
+                if cdc_df is not None and not cdc_df.isEmpty():
+                    extra += self._stage_data_files(
+                        cdc_df, part_cols, subdir="_change_data",
+                        action="cdc")
+            return self._commit_row_dml(
+                "MERGE", touched, old_dv, extra, cdf)
+        finally:
+            if matched is not None:
+                matched.unpersist()
+
+    def set_properties(self, props: dict) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the
+        table configuration with a metaData commit.  Setting
+        ``delta.enableChangeDataFeed=true`` upgrades the protocol to
+        carry the ``changeDataFeed`` writer feature first (a writer
+        that ignored it would commit DML without the cdc files the
+        CDF contract requires).  Returns the committed version (the
+        current one when nothing changes)."""
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            cur = self._replay()
+            self._check_writable(cur, "set_properties")
+            need_w = builtins.set()
+            if str(props.get("delta.enableChangeDataFeed", "")
+                   ).lower() == "true":
+                need_w.add("changeDataFeed")
+            up = self._upgrade_actions(cur, builtins.set(), need_w,
+                                       props)
+            if not up:
+                return cur["version"]  # already at requested state
+            actions = [{"commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {},
+                "engineInfo": "python-minerva-etl-spark"}}] + up
+            version = self._next_version()
+            try:
+                self._commit(version, actions)
+                return version
+            except DeltaConcurrentCommit as e:
+                last_err = e
         raise last_err  # type: ignore[misc]
 
     def optimize(self, spark: SparkSession,
@@ -1614,6 +1974,24 @@ def delete_delta(spark: SparkSession, path: str, where) -> int | None:
     """Merge-on-read DELETE via deletion vectors (see
     :class:`DeltaTable.delete`)."""
     return DeltaTable(path).delete(spark, where)
+
+
+def update_delta(spark: SparkSession, path: str, set: dict,
+                 where=None) -> int | None:
+    """Merge-on-read UPDATE (see :class:`DeltaTable.update`)."""
+    return DeltaTable(path).update(spark, set, where)
+
+
+def merge_delta(spark: SparkSession, path: str, source: DataFrame,
+                on, **clauses) -> int | None:
+    """MERGE INTO (see :class:`DeltaTable.merge`)."""
+    return DeltaTable(path).merge(spark, source, on, **clauses)
+
+
+def set_delta_properties(path: str, props: dict) -> int:
+    """ALTER TABLE SET TBLPROPERTIES (see
+    :class:`DeltaTable.set_properties`)."""
+    return DeltaTable(path).set_properties(props)
 
 
 def table_changes_delta(spark: SparkSession, path: str,
