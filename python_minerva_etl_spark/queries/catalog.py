@@ -96,6 +96,8 @@ _DEPTH = [
     "sink_delta_roundtrip",
     "sink_delta_dv_roundtrip",
     "source_delta_cdf",
+    "sink_delta_merge_roundtrip",
+    "source_delta_cdf_update",
     "skyline_orders",
     "agg_weighted_median",
     "dataset_fingerprint",

@@ -423,6 +423,116 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _sink_delta_merge_roundtrip(spark, sf_dir):
+    """OP-SNK MERGE INTO via the Delta row-level DML path
+    (storage/delta.py:DeltaTable.merge): the base table holds the
+    low half of events; the source overlaps it — (¼·max, ½·max]
+    matches and doubles the stored value (merge-on-read: DV mask +
+    new data files), (½·max, ¾·max] inserts.  The final snapshot
+    read must equal the oracle's LEFT-JOIN reconstruction of the
+    same merge."""
+    from ..storage.delta import DeltaTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    mid, lo, hi = mx // 2, mx // 4, (3 * mx) // 4
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"delta_merge_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    dt = DeltaTable(base)
+    dt.write(spark, ev.filter(F.col("event_id") <= mid))
+    src = ev.filter((F.col("event_id") > lo)
+                    & (F.col("event_id") <= hi))
+    dt.merge(spark, src, "t.event_id = s.event_id",
+             when_matched_update={"value": "s.value * 2"},
+             when_not_matched_insert=True)
+    return (dt.read(spark)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SINK_DELTA_MERGE_ROUNDTRIP_SQL = """
+WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+base AS (
+  SELECT event_id, user_id, event_type, value FROM events, mx
+  WHERE event_id <= m // 2
+),
+src AS (
+  SELECT event_id, user_id, event_type, value FROM events, mx
+  WHERE event_id > m // 4 AND event_id <= (3 * m) // 4
+),
+merged AS (
+  SELECT b.event_id, b.user_id, b.event_type,
+         CASE WHEN s.event_id IS NOT NULL THEN s.value * 2
+              ELSE b.value END AS value
+  FROM base b LEFT JOIN src s ON b.event_id = s.event_id
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.event_type, s.value
+  FROM src s, mx WHERE s.event_id > m // 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM merged GROUP BY 1
+"""
+
+
+def _source_delta_cdf_update(spark, sf_dir):
+    """OP-SRC change-data-feed WRITE path: with
+    delta.enableChangeDataFeed=true an UPDATE commit must carry cdc
+    actions with the update_preimage/update_postimage rows under
+    _change_data/ (PROTOCOL.md "Add CDC File" — a DV remove+add
+    pair is outside the derivable subset), and the CDF read uses
+    ONLY those.  The feed over the update commit must equal the
+    oracle's direct pre/post reconstruction (value·2 is exact in
+    binary floating point, so the postimage aggregates bit-for-bit)."""
+    from ..storage.delta import DeltaTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"delta_cdfu_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    dt = DeltaTable(base)
+    dt.write(spark, ev)
+    dt.set_properties({"delta.enableChangeDataFeed": "true"})
+    v = dt.update(spark, {"value": "value * 2"},
+                  "event_type = 'error'")
+    return (dt.changes(spark, v, v)
+            .groupBy("_change_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SOURCE_DELTA_CDF_UPDATE_SQL = """
+SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM (
+  SELECT 'update_preimage' AS _change_type, user_id, value
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'update_postimage' AS _change_type, user_id,
+         value * 2 AS value
+  FROM events WHERE event_type = 'error'
+)
+GROUP BY 1
+"""
+
+
 def _upsert_merge_table(spark, sf_dir):
     """OP-SNK-UPSERT via the snapshot-committed table format
     (storage/snaptable): a two-phase load through MERGE — the second
@@ -857,6 +967,8 @@ QUERIES = [
     DeclaredQuery("sink_delta_dv_roundtrip", _sink_delta_dv_roundtrip, _SINK_DELTA_DV_ROUNDTRIP_SQL, "OP-SNK (Delta merge-on-read DELETE via deletion vectors)"),
     DeclaredQuery("source_delta_cdf", _source_delta_cdf, _SOURCE_DELTA_CDF_SQL, "OP-SRC (Delta change-data-feed read, derived from commit actions)"),
     DeclaredQuery("source_avro_roundtrip", _source_avro_roundtrip, _SOURCE_AVRO_ROUNDTRIP_SQL, "OP-SRC-PLUGIN (Avro sink + vectorized block decode)"),
+    DeclaredQuery("sink_delta_merge_roundtrip", _sink_delta_merge_roundtrip, _SINK_DELTA_MERGE_ROUNDTRIP_SQL, "OP-SNK (Delta MERGE INTO: merge-on-read update + insert)"),
+    DeclaredQuery("source_delta_cdf_update", _source_delta_cdf_update, _SOURCE_DELTA_CDF_UPDATE_SQL, "OP-SRC (Delta CDF write path: UPDATE pre/post images via cdc actions)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
     DeclaredQuery("anomaly_prefix_zscore", _anomaly_prefix_zscore, _ANOMALY_PREFIX_ZSCORE_SQL, "OP-TRIG (no-lookahead prefix baseline)"),
