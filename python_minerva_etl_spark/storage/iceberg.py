@@ -579,7 +579,6 @@ class IcebergTable:
         otherwise come back as silent nulls."""
         md = self.metadata()
         ice_schema = self._current_schema(md)
-        schema = _to_spark_schema(ice_schema)
         preds = list(where or [])
         for col, op, _ in preds:
             if op not in ("=", "<", "<=", ">", ">="):
@@ -589,6 +588,18 @@ class IcebergTable:
                 raise ValueError(f"iceberg: unknown column {col!r}")
         files, delete_files = self._data_files(
             self._snapshot(md, snapshot_id), preds, md)
+        return self._scan_planned(spark, files, delete_files, md,
+                                  preds)
+
+    def _scan_planned(self, spark: SparkSession, files: list[dict],
+                      delete_files: list[dict], md: dict,
+                      preds: list) -> DataFrame:
+        """Scan already-planned data files (with optional
+        merge-on-read deletes): file-level bound pruning, footer
+        name guard, typed read, delete application, residual
+        filters.  Shared by :meth:`read` and :meth:`incremental`."""
+        ice_schema = self._current_schema(md)
+        schema = _to_spark_schema(ice_schema)
         if preds:
             field_id = {f["name"]: f["id"]
                         for f in ice_schema["fields"]}
@@ -662,6 +673,126 @@ class IcebergTable:
                               "<=": c <= lit, ">": c > lit,
                               ">=": c >= lit}[op])
         return out
+
+    def _added_files(self, snap: dict) -> list[dict]:
+        """Data files ADDED by exactly this snapshot: only manifests
+        the snapshot itself wrote (``added_snapshot_id`` == its id —
+        fast-append carries older manifests forward untouched, so
+        they are skipped without opening their Avro) and, inside
+        them, only status=1 entries whose ``snapshot_id`` is this
+        snapshot's (or inherited, which per the v2 inheritance rule
+        means the manifest's ``added_snapshot_id``)."""
+        sid = snap["snapshot-id"]
+        if "manifest-list" in snap:
+            with open(_localize(snap["manifest-list"]), "rb") as fh:
+                _, manifests = avro_read(fh.read())
+        else:  # legacy v1 inline manifests list: no added_snapshot_id
+            manifests = [{"manifest_path": p} for p in
+                         snap.get("manifests", [])]
+        out: list[dict] = []
+        for m in manifests:
+            if m.get("added_snapshot_id") not in (None, sid):
+                continue
+            if m.get("content", 0) == 1:
+                raise ValueError(
+                    f"iceberg incremental: append snapshot {sid} "
+                    "added a DELETE manifest — its summary lies")
+            with open(_localize(m["manifest_path"]), "rb") as fh:
+                _, recs = avro_read(fh.read())
+            for r in recs:
+                if r.get("status") != 1:  # only ADDED entries
+                    continue
+                if r.get("snapshot_id") not in (None, sid):
+                    continue
+                df = r["data_file"]
+                if df.get("content", 0) != 0:
+                    raise ValueError(
+                        f"iceberg incremental: append snapshot {sid} "
+                        f"added a content={df.get('content')} file")
+                fmt = (df.get("file_format") or "").upper()
+                if fmt not in ("PARQUET", "ORC"):
+                    raise NotImplementedError(
+                        f"iceberg: {fmt or '?'} data files "
+                        "unsupported (parquet and ORC only)")
+                out.append(df)
+        return out
+
+    def incremental(self, spark: SparkSession,
+                    from_snapshot_id: int | None,
+                    to_snapshot_id: int | None = None,
+                    where: list[tuple] | None = None) -> DataFrame:
+        """Incremental APPEND scan (Iceberg's
+        ``IncrementalAppendScan`` / Spark's ``start-snapshot-id`` /
+        ``end-snapshot-id`` read options): the records ADDED by the
+        snapshots strictly AFTER ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: the current
+        snapshot), walking the parent chain so a table whose history
+        diverged from the requested ancestor refuses instead of
+        double-counting.  ``from_snapshot_id=None`` means the whole
+        history — every record ever appended and still recorded.
+
+        Matching the upstream contract: ``delete`` snapshots inside
+        the range are SKIPPED (they add no records — an incremental
+        APPEND scan reports appends, not retractions; use a CDC-style
+        diff for those), while ``overwrite``/``replace`` snapshots
+        REFUSE — rewritten files re-add records an append-only
+        consumer would double-count.  ``where`` prunes and filters
+        exactly like :meth:`read`."""
+        md = self.metadata()
+        ice_schema = self._current_schema(md)
+        preds = list(where or [])
+        for col, op, _ in preds:
+            if op not in ("=", "<", "<=", ">", ">="):
+                raise ValueError(f"iceberg: unsupported predicate op "
+                                 f"{op!r}")
+            if col not in {f["name"] for f in ice_schema["fields"]}:
+                raise ValueError(f"iceberg: unknown column {col!r}")
+        snaps = {s["snapshot-id"]: s
+                 for s in md.get("snapshots") or []}
+        to_id = (md.get("current-snapshot-id")
+                 if to_snapshot_id is None else to_snapshot_id)
+        if to_id in (None, -1):
+            return spark.createDataFrame(
+                [], _to_spark_schema(ice_schema))
+        if to_id not in snaps:
+            raise ValueError(
+                f"iceberg: snapshot {to_id} not in metadata")
+        ordered = [s["snapshot-id"] for s in md.get("snapshots")
+                   or []]
+        chain: list[dict] = []
+        cur: dict | None = snaps[to_id]
+        found_from = from_snapshot_id is None
+        while cur is not None:
+            if cur["snapshot-id"] == from_snapshot_id:
+                found_from = True
+                break
+            chain.append(cur)
+            parent = cur.get("parent-snapshot-id")
+            if parent is None:
+                # writers may omit parent-snapshot-id (it is optional
+                # in the spec); fall back to metadata list order,
+                # which is append order for a linear history
+                i = ordered.index(cur["snapshot-id"])
+                parent = ordered[i - 1] if i > 0 else None
+            cur = snaps.get(parent) if parent is not None else None
+        if not found_from:
+            raise ValueError(
+                f"iceberg incremental: snapshot {from_snapshot_id} "
+                f"is not an ancestor of {to_id} (expired, or the "
+                "history diverged) — the delta cannot be computed")
+        files: list[dict] = []
+        for s in reversed(chain):  # oldest first
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op == "delete":
+                continue
+            if op != "append":
+                raise ValueError(
+                    f"iceberg incremental: snapshot "
+                    f"{s['snapshot-id']} is {op!r} — an incremental "
+                    "APPEND scan is only defined over append/delete "
+                    "history (rewritten files would double-count)")
+            files += self._added_files(s)
+        return self._scan_planned(spark, files, [], md, preds)
 
     @staticmethod
     def _apply_deletes(spark: SparkSession, data: DataFrame,
@@ -771,3 +902,14 @@ def read_iceberg(spark: SparkSession, path: str,
                  where: list[tuple] | None = None) -> DataFrame:
     """Read an Iceberg table (see :class:`IcebergTable.read`)."""
     return IcebergTable(path).read(spark, snapshot_id, where=where)
+
+
+def read_iceberg_incremental(spark: SparkSession, path: str,
+                             from_snapshot_id: int | None,
+                             to_snapshot_id: int | None = None,
+                             where: list[tuple] | None = None
+                             ) -> DataFrame:
+    """Incremental append scan (see
+    :class:`IcebergTable.incremental`)."""
+    return IcebergTable(path).incremental(
+        spark, from_snapshot_id, to_snapshot_id, where=where)

@@ -601,12 +601,17 @@ def _commit_append(table: IcebergTable, md: dict,
 
     new_md = dict(md)
     new_md["last-sequence-number"] = seq
-    new_md["snapshots"] = md.get("snapshots", []) + [{
+    snap: dict = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "manifest-list": mlist,
         "summary": {"operation": operation},
-    }]
+    }
+    prev_cur = md.get("current-snapshot-id")
+    if prev_cur not in (None, -1):
+        # ancestry chain: incremental scans walk parent ids
+        snap["parent-snapshot-id"] = prev_cur
+    new_md["snapshots"] = md.get("snapshots", []) + [snap]
     new_md["current-snapshot-id"] = snap_id
     _cas_metadata(table, new_md, base_version,
                   cleanup=(manifest, mlist))
@@ -827,12 +832,16 @@ def _commit_delete(table: IcebergTable, md: dict,
 
     new_md = dict(md)
     new_md["last-sequence-number"] = seq
-    new_md["snapshots"] = md.get("snapshots", []) + [{
+    snap: dict = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "manifest-list": mlist,
         "summary": {"operation": "delete"},
-    }]
+    }
+    prev_cur = md.get("current-snapshot-id")
+    if prev_cur not in (None, -1):
+        snap["parent-snapshot-id"] = prev_cur
+    new_md["snapshots"] = md.get("snapshots", []) + [snap]
     new_md["current-snapshot-id"] = snap_id
     _cas_metadata(table, new_md, base_version,
                   cleanup=(manifest, mlist))
