@@ -98,6 +98,7 @@ _DEPTH = [
     "source_delta_cdf",
     "sink_delta_merge_roundtrip",
     "source_delta_cdf_update",
+    "source_iceberg_incremental",
     "skyline_orders",
     "agg_weighted_median",
     "dataset_fingerprint",

@@ -485,6 +485,52 @@ FROM merged GROUP BY 1
 """
 
 
+def _source_iceberg_incremental(spark, sf_dir):
+    """OP-SRC incremental APPEND scan over an Iceberg v2 table
+    (storage/iceberg.py:IcebergTable.incremental — the
+    IncrementalAppendScan contract): events land as two fast-append
+    commits split on event_id; the scan AFTER the first snapshot
+    must return exactly the second batch — the carried-forward first
+    manifest contributes nothing — and a follow-up merge-on-read
+    DELETE snapshot inside the range is skipped (append scans report
+    appends).  The oracle aggregates the high half directly."""
+    from ..storage.iceberg import IcebergTable
+    from ..storage.iceberg_write import delete_iceberg, write_iceberg
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"iceberg_inc_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, ev.filter(F.col("event_id") <= mid), base)
+    tbl = IcebergTable(base)
+    s1 = tbl.metadata()["current-snapshot-id"]
+    write_iceberg(spark, ev.filter(F.col("event_id") > mid), base)
+    delete_iceberg(spark, base, [("event_id", "<=", mid // 2)])
+    return (tbl.incremental(spark, s1)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SOURCE_ICEBERG_INCREMENTAL_SQL = """
+WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM events, mx
+WHERE event_id > m // 2
+GROUP BY 1
+"""
+
+
 def _source_delta_cdf_update(spark, sf_dir):
     """OP-SRC change-data-feed WRITE path: with
     delta.enableChangeDataFeed=true an UPDATE commit must carry cdc
@@ -969,6 +1015,7 @@ QUERIES = [
     DeclaredQuery("source_avro_roundtrip", _source_avro_roundtrip, _SOURCE_AVRO_ROUNDTRIP_SQL, "OP-SRC-PLUGIN (Avro sink + vectorized block decode)"),
     DeclaredQuery("sink_delta_merge_roundtrip", _sink_delta_merge_roundtrip, _SINK_DELTA_MERGE_ROUNDTRIP_SQL, "OP-SNK (Delta MERGE INTO: merge-on-read update + insert)"),
     DeclaredQuery("source_delta_cdf_update", _source_delta_cdf_update, _SOURCE_DELTA_CDF_UPDATE_SQL, "OP-SRC (Delta CDF write path: UPDATE pre/post images via cdc actions)"),
+    DeclaredQuery("source_iceberg_incremental", _source_iceberg_incremental, _SOURCE_ICEBERG_INCREMENTAL_SQL, "OP-SRC (Iceberg incremental append scan between snapshots)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
     DeclaredQuery("anomaly_prefix_zscore", _anomaly_prefix_zscore, _ANOMALY_PREFIX_ZSCORE_SQL, "OP-TRIG (no-lookahead prefix baseline)"),
