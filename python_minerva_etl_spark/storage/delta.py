@@ -1035,6 +1035,121 @@ class DeltaTable:
                 return False
         return True
 
+    @staticmethod
+    def _merge_schemas(table: T.StructType,
+                       batch: T.StructType) -> T.StructType:
+        """Schema evolution for ``merge_schema=True`` appends (the
+        Delta mergeSchema semantic): columns shared with the table
+        must keep their exact type (no silent widening — readers of
+        old files would misread), NEW batch columns append to the
+        schema as nullable (old files read them as null), and table
+        columns MISSING from the batch must already be nullable (the
+        new files read them as null).  Column order: table order,
+        then new columns in batch order."""
+        by_name = {f.name: f for f in batch.fields}
+        out: list[T.StructField] = []
+        for tf in table.fields:
+            bf = by_name.pop(tf.name, None)
+            if bf is None:
+                if not tf.nullable:
+                    raise ValueError(
+                        f"merge_schema append: batch lacks "
+                        f"non-nullable table column {tf.name!r}")
+                out.append(tf)
+                continue
+            if bf.dataType != tf.dataType:
+                raise ValueError(
+                    f"merge_schema append: column {tf.name!r} type "
+                    f"mismatch (table {tf.dataType.simpleString()}, "
+                    f"batch {bf.dataType.simpleString()}) — type "
+                    "changes need mode='overwrite'")
+            if not tf.nullable and bf.nullable:
+                raise ValueError(
+                    f"merge_schema append: nullable batch column "
+                    f"{tf.name!r} cannot feed the non-nullable "
+                    "table column")
+            out.append(tf)
+        for f in batch.fields:  # new columns, batch order
+            if f.name in by_name:
+                out.append(T.StructField(f.name, f.dataType, True))
+        return T.StructType(out)
+
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF ``version``: commit a
+        NEW version whose state — active files (with their deletion
+        vectors), schema, partitioning, configuration — equals the
+        time-traveled snapshot, by removing files active now but not
+        then and re-adding files active then but not now (keyed by
+        (path, DV unique id), the same identity the log
+        reconciliation uses).  History is preserved (a restore is a
+        forward commit, never a log rewrite) and the protocol is
+        never downgraded.  Every target data file must still exist —
+        a vacuumed target refuses BEFORE committing anything.
+        Returns the committed version (the current one when the
+        table is already at the target state)."""
+        from .delta_dv import dv_unique_id
+
+        target = self._replay(version)
+        for f in target["files"]:
+            if not os.path.exists(os.path.join(self.path, f["path"])):
+                raise FileNotFoundError(
+                    f"restore: data file {f['path']!r} of version "
+                    f"{version} no longer exists (vacuumed?) — the "
+                    "restore cannot reproduce that snapshot")
+
+        def key(f):
+            return (f["path"], dv_unique_id(f.get("deletionVector")))
+
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            cur = self._replay()
+            self._check_writable(cur, "restore")
+            now = int(time.time() * 1000)
+            cur_by = {key(f): f for f in cur["files"]}
+            tgt_by = {key(f): f for f in target["files"]}
+            actions: list[dict] = [{"commitInfo": {
+                "timestamp": now, "operation": "RESTORE",
+                "operationParameters": {"version": int(version)},
+                "engineInfo": "python-minerva-etl-spark"}}]
+            mt, mc = target["metaData"], cur["metaData"]
+            if (mt["schemaString"] != mc["schemaString"]
+                    or (mt.get("partitionColumns") or [])
+                    != (mc.get("partitionColumns") or [])
+                    or (mt.get("configuration") or {})
+                    != (mc.get("configuration") or {})):
+                meta = dict(mc)
+                meta["schemaString"] = mt["schemaString"]
+                meta["partitionColumns"] = (
+                    mt.get("partitionColumns") or [])
+                meta["configuration"] = (
+                    mt.get("configuration") or {})
+                actions.append({"metaData": meta})
+            for k in sorted(cur_by, key=str):
+                if k in tgt_by:
+                    continue
+                f = cur_by[k]
+                rm = {"path": f["path"], "deletionTimestamp": now,
+                      "dataChange": True}
+                if f.get("deletionVector"):
+                    rm["deletionVector"] = f["deletionVector"]
+                actions.append({"remove": rm})
+            for k in sorted(tgt_by, key=str):
+                if k in cur_by:
+                    continue
+                add = dict(tgt_by[k])
+                add["dataChange"] = True
+                add["modificationTime"] = now
+                actions.append({"add": add})
+            if len(actions) == 1:
+                return cur["version"]  # already at the target state
+            new_version = self._next_version()
+            try:
+                self._commit(new_version, actions)
+                return new_version
+            except DeltaConcurrentCommit as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
     def txn_version(self, app_id: str) -> int:
         """Latest ``txn`` (setTransaction) version recorded for
         ``app_id``, or -1 — the exactly-once ledger streaming writers
@@ -1049,11 +1164,14 @@ class DeltaTable:
     def write(self, spark: SparkSession, df: DataFrame,
               mode: str = "append",
               partition_by: list[str] | tuple[str, ...] = (),
-              txn: tuple[str, int] | None = None) -> int:
+              txn: tuple[str, int] | None = None,
+              merge_schema: bool = False) -> int:
         """Commit ``df`` as a new Delta version.  ``mode``:
         'append' adds files (schema must match the table's current
         schema — a mismatched append would commit files every reader
-        then silently misreads as nulls); 'overwrite' also removes
+        then silently misreads as nulls — unless ``merge_schema=True``
+        evolves it: new columns append as nullable, old files read
+        them as null; see :meth:`_merge_schemas`); 'overwrite' also removes
         every previously active file and may change the schema.
         ``partition_by`` Hive-partitions the table (recorded in
         metaData.partitionColumns at creation/overwrite; appends must
@@ -1136,13 +1254,24 @@ class DeltaTable:
                 self._check_writable(prev, "append")
                 table_schema = T.StructType.fromJson(
                     json.loads(prev["metaData"]["schemaString"]))
-                if not self._append_compatible(table_schema, df.schema):
+                if self._append_compatible(table_schema, df.schema):
+                    pass
+                elif merge_schema:
+                    evolved = self._merge_schemas(
+                        table_schema, df.schema)
+                    if evolved.json() != prev["metaData"][
+                            "schemaString"]:
+                        meta = dict(prev["metaData"])
+                        meta["schemaString"] = evolved.json()
+                        actions.append({"metaData": meta})
+                else:
                     raise ValueError(
                         "Delta append schema mismatch: table has "
                         f"{table_schema.simpleString()}, batch has "
                         f"{df.schema.simpleString()} — appending would "
                         "commit files readers silently misread "
-                        "(use mode='overwrite' to change the schema)")
+                        "(use mode='overwrite' to change the schema, "
+                        "or merge_schema=True to evolve it)")
             if txn is not None:
                 actions.append({"txn": {
                     "appId": txn[0], "version": int(txn[1]),
@@ -1184,7 +1313,7 @@ class DeltaTable:
         conf = snap["metaData"].get("configuration") or {}
         if str(conf.get("delta.appendOnly", "")).lower() == "true" \
                 and operation in ("overwrite", "delete", "update",
-                                  "merge"):
+                                  "merge", "restore"):
             # appendOnly forbids removes with dataChange=true; compaction
             # (dataChange=false) and vacuum stay legal per the protocol
             raise ValueError(
@@ -1974,6 +2103,12 @@ def delete_delta(spark: SparkSession, path: str, where) -> int | None:
     """Merge-on-read DELETE via deletion vectors (see
     :class:`DeltaTable.delete`)."""
     return DeltaTable(path).delete(spark, where)
+
+
+def restore_delta(spark: SparkSession, path: str,
+                  version: int) -> int:
+    """RESTORE to a version (see :class:`DeltaTable.restore`)."""
+    return DeltaTable(path).restore(spark, version)
 
 
 def update_delta(spark: SparkSession, path: str, set: dict,
