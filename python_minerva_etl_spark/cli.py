@@ -186,6 +186,27 @@ def cmd_delta(args) -> int:
         df = dt.changes(spark, args.start,
                         args.end if args.end >= 0 else None)
         df.show(args.limit, truncate=False)
+    elif args.action == "update":
+        if not args.set:
+            print("update requires --set col=expr", flush=True)
+            return 2
+        sets = dict(kv.split("=", 1) for kv in args.set)
+        v = dt.update(spark, sets, args.where)
+        print(json.dumps({"update_version": v}))
+    elif args.action == "restore":
+        if args.version < 0:
+            print("restore requires --version", flush=True)
+            return 2
+        v = dt.restore(spark, args.version)
+        print(json.dumps({"restore_version": v}))
+    elif args.action == "set-properties":
+        if not args.set:
+            print("set-properties requires --set key=value",
+                  flush=True)
+            return 2
+        props = dict(kv.split("=", 1) for kv in args.set)
+        v = dt.set_properties(props)
+        print(json.dumps({"properties_version": v}))
     return 0
 
 
@@ -373,13 +394,20 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("delta",
-                       help="Delta maintenance: optimize | vacuum | "
-                            "delete | changes")
+                       help="Delta maintenance/DML: optimize | "
+                            "vacuum | delete | update | changes | "
+                            "restore | set-properties")
     s.add_argument("action",
-                   choices=["optimize", "vacuum", "delete", "changes"])
+                   choices=["optimize", "vacuum", "delete", "update",
+                            "changes", "restore", "set-properties"])
     s.add_argument("--path", required=True)
     s.add_argument("--where", default=None,
-                   help="SQL predicate (delete)")
+                   help="SQL predicate (delete/update)")
+    s.add_argument("--set", action="append", default=[],
+                   help="col=expr (update) / key=value "
+                        "(set-properties); repeatable")
+    s.add_argument("--version", type=int, default=-1,
+                   help="target version (restore)")
     s.add_argument("--retention-hours", type=float, default=168)
     s.add_argument("--force", action="store_true",
                    help="allow retention below the 168h floor")
