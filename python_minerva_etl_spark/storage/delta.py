@@ -630,6 +630,68 @@ class DeltaTable:
                               ">=": c >= lit}[op])
         return out
 
+    @staticmethod
+    def _hive_layout(files: list[dict], part_cols: list[str],
+                     pkey: dict[str, str]) -> bool:
+        """True when every file's directory path IS the Hive encoding
+        of its logged ``partitionValues`` (one ``col=value`` segment
+        per partition column, in order, values compared PARSED so the
+        escaping direction can't lie).  Spark-written Delta tables
+        conform by construction; a foreign table with flat file names
+        and log-only partitionValues does not, and keeps the general
+        path."""
+        from urllib.parse import unquote
+
+        for f in files:
+            segs = f["path"].split("/")[:-1]
+            if len(segs) != len(part_cols):
+                return False
+            fpv = f.get("partitionValues") or {}
+            for c, seg in zip(part_cols, segs):
+                if "=" not in seg:
+                    return False
+                k, v = seg.split("=", 1)
+                if k != pkey[c]:
+                    return False
+                parsed = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                          else unquote(v))
+                if parsed != fpv.get(pkey[c], fpv.get(c)):
+                    return False
+        return True
+
+    def _scan_hive(self, spark: SparkSession, files: list[dict],
+                   schema: T.StructType,
+                   need_pos: bool) -> DataFrame:
+        """Single-scan fast path for Hive-conformant partitioned
+        layouts: ONE FileScan whose partition columns derive from
+        ``basePath``, instead of one scan per partition-value group.
+        At 10^3-10^4 partitions the group-union plan is a driver-side
+        bottleneck (N FileScan nodes, N file listings, quadratic-ish
+        analysis); this stays O(1) in plan size, and partition-column
+        filters become real partition pruning inside one relation.
+        The caller established layout conformance; column-mapped or
+        non-conformant tables use the general group-union path."""
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        df = (spark.read.schema(schema)
+              .option("basePath", self.path).parquet(*paths))
+        keep: list = [f.name for f in schema.fields]
+        if need_pos:
+            df = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:/+", "/").alias("_dl_path"),
+                F.col("_metadata.row_index").alias("_dl_pos"))
+            keep += ["_dl_path", "_dl_pos"]
+        return df.select(*keep)
+
+    # Partition-column types safe for the basePath fast path: their
+    # directory-string round-trip is exact and timezone-free.
+    # Timestamps (session-zone formatting) and fractional types
+    # ("1.0" vs "1") stay on the literal path.
+    _HIVE_FAST_TYPES = (T.StringType, T.IntegerType, T.LongType,
+                        T.ShortType, T.ByteType, T.DateType,
+                        T.BooleanType)
+
     def _scan_files(self, spark: SparkSession, files: list[dict],
                     schema: T.StructType, part_cols: list[str],
                     mapped: bool, need_pos: bool) -> DataFrame:
@@ -638,7 +700,9 @@ class DeltaTable:
         partition columns come back as typed literals; column-mapped
         tables read physical names and rebuild logical ones; with
         ``need_pos`` each row carries ``_dl_path``/``_dl_pos``
-        provenance from the parquet reader's ``_metadata``."""
+        provenance from the parquet reader's ``_metadata``.
+        Hive-conformant partitioned layouts short-circuit to the
+        single-scan :meth:`_scan_hive` fast path."""
         data_fields = [f for f in schema.fields
                        if f.name not in part_cols]
         data_schema = T.StructType([
@@ -651,6 +715,12 @@ class DeltaTable:
         pkey = {c: (_physical_name(next(
             f for f in schema.fields if f.name == c))
             if mapped else c) for c in part_cols}
+        ptype = {f.name: f.dataType for f in schema.fields}
+        if (part_cols and not mapped
+                and all(isinstance(ptype[c], self._HIVE_FAST_TYPES)
+                        for c in part_cols)
+                and self._hive_layout(files, part_cols, pkey)):
+            return self._scan_hive(spark, files, schema, need_pos)
         by_part: dict[tuple, list[str]] = {}
         for f in files:
             fpv = f.get("partitionValues") or {}
