@@ -531,6 +531,55 @@ GROUP BY 1
 """
 
 
+def _stream_delta_source_parity(spark, sf_dir):
+    """OP-STR-INGEST via the registered `minerva_delta` PYTHON DATA
+    SOURCE (streaming/delta_source.py, the PySpark-4 DataSource API):
+    events land as two Delta appends, then a Structured Streaming
+    query tails the transaction log with commit-version offsets
+    (availableNow trigger → both versions as micro-batches, one input
+    partition per data file, executor-side pyarrow decode) into a
+    memory sink; the streamed aggregate must equal the oracle
+    computed directly on events."""
+    import uuid as _uuid
+
+    from ..storage.delta import DeltaTable
+    from ..streaming.delta_source import register_delta_source
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"delta_stream_src_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    dt = DeltaTable(base)
+    dt.write(spark, ev.filter(F.col("event_id") <= mid))
+    dt.write(spark, ev.filter(F.col("event_id") > mid))
+    register_delta_source(spark)
+    sink = f"delta_src_parity_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("minerva_delta")
+         .option("startingVersion", 0).load(base)
+         .groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("value").cast("decimal(28,4)"))
+              .cast("decimal(28,4)").alias("sv"))
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(sink)
+            .select("event_type", "n",
+                    F.col("sv").cast("double").alias("sum_value")))
+
+
+_STREAM_DELTA_SOURCE_PARITY_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def _source_delta_cdf_update(spark, sf_dir):
     """OP-SRC change-data-feed WRITE path: with
     delta.enableChangeDataFeed=true an UPDATE commit must carry cdc
@@ -1016,6 +1065,7 @@ QUERIES = [
     DeclaredQuery("sink_delta_merge_roundtrip", _sink_delta_merge_roundtrip, _SINK_DELTA_MERGE_ROUNDTRIP_SQL, "OP-SNK (Delta MERGE INTO: merge-on-read update + insert)"),
     DeclaredQuery("source_delta_cdf_update", _source_delta_cdf_update, _SOURCE_DELTA_CDF_UPDATE_SQL, "OP-SRC (Delta CDF write path: UPDATE pre/post images via cdc actions)"),
     DeclaredQuery("source_iceberg_incremental", _source_iceberg_incremental, _SOURCE_ICEBERG_INCREMENTAL_SQL, "OP-SRC (Iceberg incremental append scan between snapshots)"),
+    DeclaredQuery("stream_delta_source_parity", _stream_delta_source_parity, _STREAM_DELTA_SOURCE_PARITY_SQL, "OP-STR-INGEST (registered Python data source tailing the Delta log)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
     DeclaredQuery("anomaly_prefix_zscore", _anomaly_prefix_zscore, _ANOMALY_PREFIX_ZSCORE_SQL, "OP-TRIG (no-lookahead prefix baseline)"),

@@ -1,0 +1,262 @@
+"""Delta tables as a registered Spark data source — batch AND
+Structured Streaming — via PySpark 4's Python DataSource API
+(SPARK-44076), with no Delta jar:
+
+    register_delta_source(spark)
+    spark.read.format("minerva_delta").load(path)          # batch
+    (spark.readStream.format("minerva_delta")              # stream
+     .option("startingVersion", 0).load(path))
+
+The STREAMING reader is the point: micro-batch offsets are Delta
+commit versions, so a query tails the transaction log exactly like
+Delta's own streaming source — each trigger processes the dataChange
+add actions of the versions in ``(startOffset, endOffset]``, one
+input partition per data file (decoded executor-side with pyarrow,
+deletion-vector masks applied by row index).  Commits that REMOVE
+data (updates/deletes/overwrites) refuse by default, matching the
+upstream source's "data update detected" error; ``ignoreChanges`` /
+``ignoreDeletes`` opt into the upstream's documented
+may-emit-duplicates behavior.
+
+Scope: tables this engine can read EXCEPT column-mapped ones and
+exotic partition types (refused loudly — ``read_delta`` remains the
+full-fidelity batch path).  Data files must carry every non-partition
+column (true for Spark-written tables).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader,
+                                    InputPartition)
+
+from ..storage.delta import DeltaTable, _commit_path
+
+_PART_TYPES = (T.StringType, T.IntegerType, T.LongType,
+               T.ShortType, T.ByteType, T.BooleanType,
+               T.DateType, T.DoubleType, T.FloatType)
+
+
+def _opt(options: dict, name: str, default=None):
+    """Spark normalizes reader option keys to lowercase before they
+    reach a Python data source — look keys up case-insensitively so
+    `.option("startingVersion", …)` works as documented."""
+    lowered = {str(k).lower(): v for k, v in options.items()}
+    return lowered.get(name.lower(), default)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, table_path: str, rel_path: str,
+                 pvals: dict, dv: dict | None):
+        self.table_path = table_path
+        self.rel_path = rel_path
+        self.pvals = pvals
+        self.dv = dv
+
+
+def _parse_pval(raw: str | None, dt: T.DataType):
+    """A Delta partitionValues string as a typed Python value (the
+    serialization PROTOCOL.md 'Partition Value Serialization'
+    defines)."""
+    if raw is None:
+        return None
+    if isinstance(dt, T.StringType):
+        return raw
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType,
+                       T.ByteType)):
+        return int(raw)
+    if isinstance(dt, T.BooleanType):
+        return raw == "true"
+    if isinstance(dt, T.DateType):
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    raise NotImplementedError(
+        f"minerva_delta: partition type {dt.simpleString()!r} not "
+        "supported by the registered source — use read_delta()")
+
+
+def _read_partition(p: _FilePartition, schema: T.StructType,
+                    part_cols: list[str]):
+    """One data file → pyarrow RecordBatches matching ``schema``:
+    file columns cast to the Arrow types Spark expects, partition
+    columns attached as typed constants, deletion-vector positions
+    masked out by row index."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..storage.delta_dv import dv_load
+
+    target = to_arrow_schema(schema)
+    fpath = os.path.join(p.table_path, p.rel_path)
+    have = set(pq.ParquetFile(fpath).schema_arrow.names)
+    want = [f.name for f in schema.fields if f.name not in part_cols]
+    tbl = pq.read_table(fpath,
+                        columns=[c for c in want if c in have])
+    if p.dv:
+        positions = dv_load(p.table_path, p.dv)
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        mask[positions] = False
+        tbl = tbl.filter(pa.array(mask))
+    arrays = []
+    for f in schema.fields:
+        at = target.field(f.name).type
+        if f.name in part_cols:
+            v = _parse_pval(p.pvals.get(f.name), f.dataType)
+            arrays.append(pa.array([v] * tbl.num_rows).cast(at))
+        elif f.name not in have:
+            # schema evolution: old files lack the new column
+            arrays.append(pa.nulls(tbl.num_rows, type=at))
+        else:
+            arrays.append(tbl.column(f.name).cast(at))
+    out = pa.table(arrays, schema=target)
+    for batch in out.to_batches():
+        yield batch
+
+
+def _check_supported(dt: DeltaTable, snap: dict) -> None:
+    conf = snap["metaData"].get("configuration") or {}
+    if (conf.get("delta.columnMapping.mode") or "none") != "none":
+        raise NotImplementedError(
+            "minerva_delta: column-mapped tables not supported by "
+            "the registered source — use read_delta()")
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("minerva_delta requires a path "
+                             "(.load(path) or .option('path', …))")
+        dt = DeltaTable(self.path)
+        vao = _opt(options, "versionAsOf")
+        snap = dt._replay(int(vao) if vao is not None else None)
+        _check_supported(dt, snap)
+        meta = snap["metaData"]
+        self.schema_ = T.StructType.fromJson(
+            json.loads(meta["schemaString"]))
+        self.part_cols = meta.get("partitionColumns") or []
+        self.table_path = os.path.abspath(self.path)
+        self.files = snap["files"]
+
+    def partitions(self):
+        return [_FilePartition(self.table_path, f["path"],
+                               f.get("partitionValues") or {},
+                               f.get("deletionVector"))
+                for f in self.files]
+
+    def read(self, partition):
+        return _read_partition(partition, self.schema_,
+                               self.part_cols)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Micro-batch offsets are commit versions: offset {"version": N}
+    means 'everything through commit N has been emitted'."""
+
+    def __init__(self, options: dict):
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("minerva_delta requires a path")
+        self.dt = DeltaTable(self.path)
+        snap = self.dt._replay()
+        _check_supported(self.dt, snap)
+        meta = snap["metaData"]
+        self.schema_ = T.StructType.fromJson(
+            json.loads(meta["schemaString"]))
+        self.part_cols = meta.get("partitionColumns") or []
+        self.table_path = os.path.abspath(self.path)
+        sv = _opt(options, "startingVersion")
+        self.starting = int(sv) if sv is not None else None
+        self.ignore_changes = str(_opt(
+            options, "ignoreChanges", "false")).lower() == "true"
+        self.ignore_deletes = str(_opt(
+            options, "ignoreDeletes", "false")).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        if self.starting is not None:
+            # process versions >= startingVersion
+            return {"version": self.starting - 1}
+        # default: the current snapshot is the first batch — emit
+        # everything up to now as if appended at the stream's start
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        vs = self.dt.versions()
+        return {"version": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for v in range(int(start["version"]) + 1,
+                       int(end["version"]) + 1):
+            with open(_commit_path(self.path, v)) as fh:
+                actions = [json.loads(line) for line in fh
+                           if line.strip()]
+            removes = [a["remove"] for a in actions
+                       if a.get("remove")
+                       and a["remove"].get("dataChange")]
+            adds = [a["add"] for a in actions
+                    if a.get("add") and a.get("add").get("dataChange")]
+            if removes and not self.ignore_changes:
+                re_added = {a["path"] for a in adds}
+                pure_delete = all(r["path"] in re_added
+                                  or r.get("deletionVector")
+                                  for r in removes)
+                if not (pure_delete and self.ignore_deletes):
+                    raise ValueError(
+                        f"minerva_delta stream: commit {v} removes "
+                        "data (update/delete/overwrite) — a pure "
+                        "append stream cannot represent it; set "
+                        "ignoreDeletes (deletes) or ignoreChanges "
+                        "(updates; may emit duplicates) to skip")
+                continue  # ignoreDeletes: masked rows just drop
+            if removes:
+                # ignoreChanges: emit the re-added files' live rows
+                # (upstream-documented duplicate emission)
+                pass
+            out.append([
+                _FilePartition(self.table_path, a["path"],
+                               a.get("partitionValues") or {},
+                               a.get("deletionVector"))
+                for a in adds])
+        return [p for grp in out for p in grp] or []
+
+    def read(self, partition):
+        return _read_partition(partition, self.schema_,
+                               self.part_cols)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class MinervaDeltaDataSource(DataSource):
+    """`format("minerva_delta")` — see the module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "minerva_delta"
+
+    def schema(self):
+        path = _opt(dict(self.options), "path")
+        if not path:
+            raise ValueError("minerva_delta requires a path")
+        return DeltaTable(path).schema()
+
+    def reader(self, schema) -> DataSourceReader:
+        return _BatchReader(dict(self.options))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _StreamReader(dict(self.options))
+
+
+def register_delta_source(spark: SparkSession) -> None:
+    """Register ``minerva_delta`` for this session (idempotent)."""
+    spark.dataSource.register(MinervaDeltaDataSource)

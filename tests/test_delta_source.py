@@ -1,0 +1,171 @@
+"""The registered `minerva_delta` Python data source (PySpark 4
+DataSource API): batch read parity with read_delta (partitions, DVs,
+time travel, schema evolution) and the streaming source whose
+micro-batch offsets are Delta commit versions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.storage.delta import DeltaTable
+from python_minerva_etl_spark.streaming.delta_source import (
+    register_delta_source)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def ds_spark(spark):
+    register_delta_source(spark)
+    return spark
+
+
+def _table(spark, p):
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "id long, grp string, value double"),
+        partition_by=["grp"])
+    dt.write(spark, spark.createDataFrame(
+        [(3, "a", 3.0)], "id long, grp string, value double"))
+    return dt
+
+
+def test_batch_read_parity(ds_spark, tmp_path):
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)
+    got = ds_spark.read.format("minerva_delta").load(p)
+    assert _rows(got) == _rows(dt.read(ds_spark))
+    assert got.schema == dt.read(ds_spark).schema
+
+
+def test_batch_read_applies_deletion_vectors(ds_spark, tmp_path):
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)
+    dt.delete(ds_spark, "id = 2")
+    got = ds_spark.read.format("minerva_delta").load(p)
+    assert _rows(got) == [(1, "a", 1.0), (3, "a", 3.0)]
+
+
+def test_batch_version_as_of(ds_spark, tmp_path):
+    p = str(tmp_path / "t")
+    _table(ds_spark, p)
+    got = (ds_spark.read.format("minerva_delta")
+           .option("versionAsOf", 0).load(p))
+    assert _rows(got) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_batch_schema_evolution_null_fills(ds_spark, tmp_path):
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    dt.write(ds_spark, ds_spark.createDataFrame(
+        [(1,)], "id long"))
+    dt.write(ds_spark, ds_spark.createDataFrame(
+        [(2, "x")], "id long, v string"), merge_schema=True)
+    got = ds_spark.read.format("minerva_delta").load(p)
+    assert _rows(got) == [(1, None), (2, "x")]
+
+
+def test_stream_available_now_processes_all_versions(ds_spark,
+                                                     tmp_path):
+    p = str(tmp_path / "t")
+    _table(ds_spark, p)
+    q = (ds_spark.readStream.format("minerva_delta")
+         .option("startingVersion", 0).load(p)
+         .writeStream.format("memory").queryName("t_all")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _rows(ds_spark.sql("SELECT * FROM t_all"))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+
+
+def test_stream_incremental_across_runs(ds_spark, tmp_path):
+    # second availableNow run from the same startingVersion after an
+    # append sees the new commit too (offset = version)
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)
+    dt.write(ds_spark, ds_spark.createDataFrame(
+        [(4, "b", 4.0)], "id long, grp string, value double"))
+    q = (ds_spark.readStream.format("minerva_delta")
+         .option("startingVersion", 2).load(p)
+         .writeStream.format("memory").queryName("t_inc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _rows(ds_spark.sql("SELECT * FROM t_inc")) == [
+        (4, "b", 4.0)]
+
+
+def test_stream_refuses_update_without_ignore_changes(ds_spark,
+                                                      tmp_path):
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)
+    dt.update(ds_spark, {"value": "value * 10"}, "id = 1")
+    q = (ds_spark.readStream.format("minerva_delta")
+         .option("startingVersion", 0).load(p)
+         .writeStream.format("memory").queryName("t_upd")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException,
+                       match="removes data"):
+        q.awaitTermination(120)
+
+
+def test_stream_ignore_deletes_skips_delete_commit(ds_spark,
+                                                   tmp_path):
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)
+    dt.delete(ds_spark, "id = 2")
+    q = (ds_spark.readStream.format("minerva_delta")
+         .option("startingVersion", 0)
+         .option("ignoreDeletes", "true").load(p)
+         .groupBy("grp").agg(F.count("*").alias("n"))
+         .writeStream.format("memory").queryName("t_del")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # delete commit contributes nothing; the original appends stand
+    assert _rows(ds_spark.sql("SELECT * FROM t_del")) == [
+        ("a", 2), ("b", 1)]
+
+
+def test_stream_ignore_changes_reemits_live_rows(ds_spark,
+                                                 tmp_path):
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)
+    dt.update(ds_spark, {"value": "99.0"}, "id = 3")
+    q = (ds_spark.readStream.format("minerva_delta")
+         .option("startingVersion", 0)
+         .option("ignoreChanges", "true").load(p)
+         .writeStream.format("memory").queryName("t_chg")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _rows(ds_spark.sql("SELECT * FROM t_chg"))
+    # the update commit re-emits the touched file's live rows (the
+    # upstream-documented duplicate behavior) plus the new file
+    assert (3, "grp-a-replaced", 99.0) not in got  # sanity
+    assert got.count((3, "a", 99.0)) == 1
+    assert (1, "a", 1.0) in got and (2, "b", 2.0) in got
+
+
+def test_batch_refuses_column_mapped_table(ds_spark, tmp_path):
+    import json
+    import os
+
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)
+    # hand-flip the table to column mapping to hit the refusal
+    snap = dt._replay()
+    meta = dict(snap["metaData"])
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "name"
+    meta["configuration"] = conf
+    dt._commit(dt._next_version(), [
+        {"commitInfo": {"timestamp": 0, "operation": "SET",
+                        "operationParameters": {}}},
+        {"metaData": meta}])
+    with pytest.raises(Exception, match="column-mapped"):
+        ds_spark.read.format("minerva_delta").load(p).collect()
