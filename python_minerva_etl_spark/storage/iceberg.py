@@ -558,9 +558,20 @@ class IcebergTable:
                 out.append(df)
         return out, deletes
 
+    def resolve_ref(self, name: str) -> int:
+        """Snapshot id a named ref (tag or branch, spec 'Snapshot
+        References') points at."""
+        md = self.metadata()
+        refs = md.get("refs") or {}
+        if name not in refs:
+            raise ValueError(
+                f"iceberg: no ref {name!r} (have {sorted(refs)})")
+        return refs[name]["snapshot-id"]
+
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None,
-             where: list[tuple] | None = None) -> DataFrame:
+             where: list[tuple] | None = None,
+             ref: str | None = None) -> DataFrame:
         """Snapshot read (optionally time-traveled by snapshot id).
 
         ``where`` — a list of ``(column, op, literal)`` predicates
@@ -577,6 +588,11 @@ class IcebergTable:
         every scanned file's parquet footer must contain every
         top-level schema column, else raise — a renamed column would
         otherwise come back as silent nulls."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError(
+                    "iceberg: pass snapshot_id OR ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         md = self.metadata()
         ice_schema = self._current_schema(md)
         preds = list(where or [])
@@ -899,9 +915,11 @@ class IcebergTable:
 
 def read_iceberg(spark: SparkSession, path: str,
                  snapshot_id: int | None = None,
-                 where: list[tuple] | None = None) -> DataFrame:
+                 where: list[tuple] | None = None,
+                 ref: str | None = None) -> DataFrame:
     """Read an Iceberg table (see :class:`IcebergTable.read`)."""
-    return IcebergTable(path).read(spark, snapshot_id, where=where)
+    return IcebergTable(path).read(spark, snapshot_id, where=where,
+                                   ref=ref)
 
 
 def read_iceberg_incremental(spark: SparkSession, path: str,

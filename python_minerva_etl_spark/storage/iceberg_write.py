@@ -915,6 +915,53 @@ def compact_iceberg(spark: SparkSession, path: str,
         f"{max_commit_attempts} times at {path!r}")
 
 
+def tag_iceberg(path: str, name: str,
+                snapshot_id: int | None = None,
+                ref_type: str = "tag") -> int:
+    """Create or move a named snapshot ref (spec 'Snapshot
+    References'): ``ref_type`` 'tag' pins a snapshot for keeps,
+    'branch' marks a movable head.  Defaults to the current
+    snapshot.  CAS metadata commit; returns the referenced snapshot
+    id.  `read_iceberg(..., ref=name)` resolves it and
+    :func:`expire_snapshots` protects it."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type {ref_type!r} (tag|branch)")
+    table = IcebergTable(path)
+    md = table.metadata()
+    if snapshot_id is None:
+        snapshot_id = md.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            raise ValueError("tag_iceberg: table has no snapshot")
+    have = {s["snapshot-id"] for s in md.get("snapshots") or []}
+    if snapshot_id not in have:
+        raise ValueError(
+            f"tag_iceberg: snapshot {snapshot_id} not in metadata")
+    new_md = dict(md)
+    refs = dict(md.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    new_md["refs"] = refs
+    _cas_metadata(table, new_md, _version_of(table._metadata_path()),
+                  cleanup=())
+    return snapshot_id
+
+
+def drop_ref_iceberg(path: str, name: str) -> None:
+    """Remove a named snapshot ref (the snapshot itself survives
+    until expiry)."""
+    table = IcebergTable(path)
+    md = table.metadata()
+    refs = dict(md.get("refs") or {})
+    if name not in refs:
+        raise ValueError(
+            f"drop_ref_iceberg: no ref {name!r} (have "
+            f"{sorted(refs)})")
+    del refs[name]
+    new_md = dict(md)
+    new_md["refs"] = refs
+    _cas_metadata(table, new_md, _version_of(table._metadata_path()),
+                  cleanup=())
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Expire all but the ``keep_last`` most recent snapshots (the
     current snapshot always survives) and physically delete every
@@ -936,6 +983,10 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     order = sorted(snaps, key=lambda s: (s.get("sequence-number", 0),
                                          s.get("snapshot-id", 0)))
     keep_ids = {cur} | {s["snapshot-id"] for s in order[-keep_last:]}
+    # named refs (tags/branches) pin their snapshots — expiring a
+    # tagged snapshot would break the ref's contract
+    keep_ids |= {r["snapshot-id"]
+                 for r in (md.get("refs") or {}).values()}
     expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
     if not expired:
         return []
