@@ -1,0 +1,216 @@
+"""Iceberg tables as a registered Spark data source — batch AND
+Structured Streaming — via PySpark 4's Python DataSource API, no
+Iceberg jar:
+
+    register_iceberg_source(spark)
+    spark.read.format("minerva_iceberg").load(path)        # batch
+    (spark.readStream.format("minerva_iceberg")            # stream
+     .option("fromSnapshotId", sid).load(path))
+
+The STREAMING source tails the snapshot ancestry exactly like the
+incremental append scan (:meth:`IcebergTable.incremental` — the
+upstream IncrementalAppendScan / Spark `start-snapshot-id` read
+semantics): micro-batch offsets are snapshot ids, each trigger
+processes the data files ADDED by the new append snapshots (one
+input partition per file, pyarrow decode executor-side), delete
+snapshots are skipped, replace/overwrite snapshots fail the stream
+(rewritten files would double-count).
+
+Scope: parquet data files; tables whose current snapshots carry
+merge-on-read DELETE files refuse in BATCH mode (the registered
+source has no row_index anti-join — ``read_iceberg`` applies them);
+the streaming side never sees delete files (append snapshots only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader,
+                                    InputPartition)
+
+from ..storage.iceberg import IcebergTable, _localize, _to_spark_schema
+
+
+def _opt(options: dict, name: str, default=None):
+    """Reader option keys reach Python data sources lowercased."""
+    lowered = {str(k).lower(): v for k, v in options.items()}
+    return lowered.get(name.lower(), default)
+
+
+class _IceFilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+def _read_ice_partition(p: _IceFilePartition,
+                        schema: T.StructType):
+    """One Iceberg data file → pyarrow RecordBatches matching the
+    table schema (files carry every column — identity-partitioned
+    writers included; schema-evolution gaps null-fill)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    have = set(pq.ParquetFile(p.file_path).schema_arrow.names)
+    want = [f.name for f in schema.fields]
+    tbl = pq.read_table(p.file_path,
+                        columns=[c for c in want if c in have])
+    arrays = []
+    for f in schema.fields:
+        at = target.field(f.name).type
+        if f.name not in have:
+            arrays.append(pa.nulls(tbl.num_rows, type=at))
+        else:
+            arrays.append(tbl.column(f.name).cast(at))
+    out = pa.table(arrays, schema=target)
+    for batch in out.to_batches():
+        yield batch
+
+
+def _parquet_paths(files: list[dict]) -> list[str]:
+    out = []
+    for f in files:
+        fmt = (f.get("file_format") or "PARQUET").upper()
+        if fmt != "PARQUET":
+            raise NotImplementedError(
+                f"minerva_iceberg: {fmt} data files not supported "
+                "by the registered source — use read_iceberg()")
+        out.append(_localize(f["file_path"]))
+    return out
+
+
+class _IceBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = _opt(options, "path")
+        if not path:
+            raise ValueError("minerva_iceberg requires a path")
+        tbl = IcebergTable(path)
+        md = tbl.metadata()
+        self.schema_ = _to_spark_schema(tbl._current_schema(md))
+        sid = _opt(options, "snapshotId")
+        ref = _opt(options, "ref")
+        if ref is not None:
+            sid = tbl.resolve_ref(ref)
+        files, deletes = tbl._data_files(
+            tbl._snapshot(md, int(sid) if sid is not None else None))
+        if deletes:
+            raise NotImplementedError(
+                "minerva_iceberg: merge-on-read delete files present "
+                "— the registered source cannot apply them; use "
+                "read_iceberg()")
+        self.paths = _parquet_paths(files)
+
+    def partitions(self):
+        return [_IceFilePartition(p) for p in self.paths]
+
+    def read(self, partition):
+        return _read_ice_partition(partition, self.schema_)
+
+
+class _IceStreamReader(DataSourceStreamReader):
+    """Offsets are snapshot ids: {"snapshot": id or -1}."""
+
+    def __init__(self, options: dict):
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("minerva_iceberg requires a path")
+        self.tbl = IcebergTable(self.path)
+        md = self.tbl.metadata()
+        self.schema_ = _to_spark_schema(self.tbl._current_schema(md))
+        frm = _opt(options, "fromSnapshotId")
+        self.from_snapshot = int(frm) if frm is not None else None
+
+    def initialOffset(self) -> dict:
+        # None → the whole recorded history streams as the first
+        # batches; fromSnapshotId → strictly after that snapshot
+        return {"snapshot": (self.from_snapshot
+                             if self.from_snapshot is not None
+                             else -1)}
+
+    def latestOffset(self) -> dict:
+        md = self.tbl.metadata()
+        cur = md.get("current-snapshot-id")
+        return {"snapshot": cur if cur not in (None, -1) else -1}
+
+    def partitions(self, start: dict, end: dict):
+        end_id = int(end["snapshot"])
+        if end_id == -1:
+            return []
+        start_id = int(start["snapshot"])
+        md = self.tbl.metadata()
+        snaps = {s["snapshot-id"]: s
+                 for s in md.get("snapshots") or []}
+        ordered = [s["snapshot-id"]
+                   for s in md.get("snapshots") or []]
+        chain: list[dict] = []
+        cur = snaps.get(end_id)
+        if cur is None:
+            raise ValueError(
+                f"minerva_iceberg stream: snapshot {end_id} not in "
+                "metadata (expired?)")
+        found = start_id == -1
+        while cur is not None:
+            if cur["snapshot-id"] == start_id:
+                found = True
+                break
+            chain.append(cur)
+            parent = cur.get("parent-snapshot-id")
+            if parent is None:
+                i = ordered.index(cur["snapshot-id"])
+                parent = ordered[i - 1] if i > 0 else None
+            cur = snaps.get(parent) if parent is not None else None
+        if not found:
+            raise ValueError(
+                f"minerva_iceberg stream: committed offset "
+                f"{start_id} is not an ancestor of {end_id} — the "
+                "table history diverged (rollback?); restart the "
+                "stream from a valid snapshot")
+        files: list[dict] = []
+        for s in reversed(chain):
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op == "delete":
+                continue  # append stream: retractions don't emit
+            if op != "append":
+                raise ValueError(
+                    f"minerva_iceberg stream: snapshot "
+                    f"{s['snapshot-id']} is {op!r} — rewritten "
+                    "files would double-count in an append stream")
+            files += self.tbl._added_files(s)
+        return [_IceFilePartition(p)
+                for p in _parquet_paths(files)]
+
+    def read(self, partition):
+        return _read_ice_partition(partition, self.schema_)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class MinervaIcebergDataSource(DataSource):
+    """`format("minerva_iceberg")` — see the module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "minerva_iceberg"
+
+    def schema(self):
+        path = _opt(dict(self.options), "path")
+        if not path:
+            raise ValueError("minerva_iceberg requires a path")
+        return IcebergTable(path).schema()
+
+    def reader(self, schema) -> DataSourceReader:
+        return _IceBatchReader(dict(self.options))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _IceStreamReader(dict(self.options))
+
+
+def register_iceberg_source(spark: SparkSession) -> None:
+    """Register ``minerva_iceberg`` for this session (idempotent)."""
+    spark.dataSource.register(MinervaIcebergDataSource)

@@ -1,0 +1,108 @@
+"""The registered `minerva_iceberg` Python data source: batch parity
+with read_iceberg (snapshot/ref time travel, delete-file refusal) and
+the streaming source whose offsets are snapshot ids (incremental
+append scan semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.storage.iceberg import (IcebergTable,
+                                                      read_iceberg)
+from python_minerva_etl_spark.storage.iceberg_write import (
+    delete_iceberg, tag_iceberg, write_iceberg)
+from python_minerva_etl_spark.streaming.iceberg_source import (
+    register_iceberg_source)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def ice_spark(spark):
+    register_iceberg_source(spark)
+    return spark
+
+
+def test_batch_read_parity(ice_spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), p)
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(3, "c")], "id long, v string"), p)
+    got = ice_spark.read.format("minerva_iceberg").load(p)
+    assert _rows(got) == _rows(read_iceberg(ice_spark, p))
+    assert got.schema == read_iceberg(ice_spark, p).schema
+
+
+def test_batch_snapshot_and_ref_time_travel(ice_spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(2).toDF("id"), p)
+    sid = IcebergTable(p).metadata()["current-snapshot-id"]
+    tag_iceberg(p, "first")
+    write_iceberg(ice_spark, ice_spark.range(2, 4).toDF("id"), p)
+    by_id = (ice_spark.read.format("minerva_iceberg")
+             .option("snapshotId", sid).load(p))
+    by_ref = (ice_spark.read.format("minerva_iceberg")
+              .option("ref", "first").load(p))
+    assert _rows(by_id) == [(0,), (1,)]
+    assert _rows(by_ref) == [(0,), (1,)]
+
+
+def test_batch_refuses_merge_on_read_deletes(ice_spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(4).toDF("id"), p)
+    delete_iceberg(ice_spark, p, [("id", "=", 2)])
+    with pytest.raises(Exception, match="read_iceberg"):
+        (ice_spark.read.format("minerva_iceberg").load(p)
+         .collect())
+
+
+def test_stream_available_now_all_appends(ice_spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(3).toDF("id"), p)
+    write_iceberg(ice_spark, ice_spark.range(3, 6).toDF("id"), p)
+    q = (ice_spark.readStream.format("minerva_iceberg").load(p)
+         .writeStream.format("memory").queryName("ice_all")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _rows(ice_spark.sql("SELECT * FROM ice_all")) == [
+        (i,) for i in range(6)]
+
+
+def test_stream_from_snapshot_skips_prior_and_deletes(ice_spark,
+                                                      tmp_path):
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(3).toDF("id"), p)
+    s1 = IcebergTable(p).metadata()["current-snapshot-id"]
+    write_iceberg(ice_spark, ice_spark.range(3, 6).toDF("id"), p)
+    delete_iceberg(ice_spark, p, [("id", "=", 4)])
+    q = (ice_spark.readStream.format("minerva_iceberg")
+         .option("fromSnapshotId", s1).load(p)
+         .writeStream.format("memory").queryName("ice_inc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # appends after s1 stream; the delete snapshot emits nothing
+    assert _rows(ice_spark.sql("SELECT * FROM ice_inc")) == [
+        (3,), (4,), (5,)]
+
+
+def test_stream_fails_on_replace_snapshot(ice_spark, tmp_path):
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        compact_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(3).toDF("id"), p)
+    delete_iceberg(ice_spark, p, [("id", "=", 1)])
+    compact_iceberg(ice_spark, p)
+    q = (ice_spark.readStream.format("minerva_iceberg").load(p)
+         .writeStream.format("memory").queryName("ice_rep")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException,
+                       match="double-count"):
+        q.awaitTermination(120)
