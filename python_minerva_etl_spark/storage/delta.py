@@ -1278,6 +1278,17 @@ class DeltaTable:
                         f"table's partitionColumns {table_pcols}")
                 partition_by = table_pcols  # appends inherit it
         adds = self._stage_data_files(df, partition_by)
+        return self._commit_write(adds, mode, partition_by,
+                                  df.schema, txn, merge_schema)
+
+    def _commit_write(self, adds: list[dict], mode: str,
+                      partition_by: list[str],
+                      df_schema: T.StructType,
+                      txn: tuple[str, int] | None = None,
+                      merge_schema: bool = False) -> int:
+        """Retry-loop commit of already-staged add actions — the tail
+        of :meth:`write`, shared with the registered data source's
+        writer (whose executors stage the files themselves)."""
         last_err: Exception | None = None
         for _ in range(_COMMIT_RETRIES):
             version = self._next_version()
@@ -1296,7 +1307,7 @@ class DeltaTable:
                 actions.append({"metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": df_schema.json(),
                     "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),
@@ -1306,7 +1317,7 @@ class DeltaTable:
                 prev = self._replay()
                 self._check_writable(prev, "overwrite")
                 meta = dict(prev["metaData"])
-                meta["schemaString"] = df.schema.json()
+                meta["schemaString"] = df_schema.json()
                 meta["partitionColumns"] = partition_by
                 actions.append({"metaData": meta})
                 now = int(time.time() * 1000)
@@ -1324,11 +1335,11 @@ class DeltaTable:
                 self._check_writable(prev, "append")
                 table_schema = T.StructType.fromJson(
                     json.loads(prev["metaData"]["schemaString"]))
-                if self._append_compatible(table_schema, df.schema):
+                if self._append_compatible(table_schema, df_schema):
                     pass
                 elif merge_schema:
                     evolved = self._merge_schemas(
-                        table_schema, df.schema)
+                        table_schema, df_schema)
                     if evolved.json() != prev["metaData"][
                             "schemaString"]:
                         meta = dict(prev["metaData"])
@@ -1338,7 +1349,7 @@ class DeltaTable:
                     raise ValueError(
                         "Delta append schema mismatch: table has "
                         f"{table_schema.simpleString()}, batch has "
-                        f"{df.schema.simpleString()} — appending would "
+                        f"{df_schema.simpleString()} — appending would "
                         "commit files readers silently misread "
                         "(use mode='overwrite' to change the schema, "
                         "or merge_schema=True to evolve it)")

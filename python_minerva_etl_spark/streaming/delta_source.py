@@ -32,9 +32,13 @@ import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
+from pyspark.sql.datasource import (DataSource,
+                                    DataSourceArrowWriter,
+                                    DataSourceReader,
+                                    DataSourceStreamArrowWriter,
                                     DataSourceStreamReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    WriterCommitMessage)
 
 from ..storage.delta import DeltaTable, _commit_path
 
@@ -237,6 +241,194 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+def _pval_str(v, dt: T.DataType) -> str | None:
+    """A Python value as the Delta partitionValues STRING
+    (PROTOCOL.md 'Partition Value Serialization')."""
+    if v is None:
+        return None
+    if isinstance(dt, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType,
+                       T.ByteType)):
+        return str(int(v))  # pandas may have floated a nullable int
+    if isinstance(dt, T.DateType):
+        return v.isoformat() if hasattr(v, "isoformat") else str(v)
+    return str(v)
+
+
+class _DeltaCommitMessage(WriterCommitMessage):
+    def __init__(self, adds: list[dict]):
+        self.adds = adds
+
+
+def _write_task(batches, table_path: str, schema: T.StructType,
+                part_cols: list[str]) -> _DeltaCommitMessage:
+    """Executor side of the writer: the task's Arrow batches become
+    parquet files directly at their final unique names (uncommitted
+    files are invisible to readers and vacuumable after an abort —
+    the same staging discipline as :meth:`DeltaTable.
+    _stage_data_files`), Hive-partitioned with the partition columns
+    stripped from the files, one file per partition value per task.
+    Returns the add actions (with footer stats) for the driver's
+    single log commit."""
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..storage.delta import _file_stats
+
+    batches = list(batches)
+    if not batches:
+        return _DeltaCommitMessage([])
+    tbl = pa.Table.from_batches(batches)
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    data_cols = [f.name for f in schema.fields
+                 if f.name not in part_cols]
+
+    def emit(sub: "pa.Table", pvals: dict) -> dict:
+        base = f"part-{_uuid.uuid4().hex}-c000.snappy.parquet"
+        segs = []
+        for c in part_cols:
+            raw = pvals[c]
+            segs.append(f"{c}=" + (
+                "__HIVE_DEFAULT_PARTITION__" if raw is None
+                else quote(raw, safe="")))
+        rel = "/".join(segs + [base])
+        abs_path = os.path.join(table_path, rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        pq.write_table(sub.select(data_cols), abs_path,
+                       compression="snappy")
+        add = {"path": rel, "partitionValues": pvals,
+               "size": os.path.getsize(abs_path),
+               "modificationTime": int(__import__("time").time()
+                                       * 1000),
+               "dataChange": True}
+        stats = _file_stats(abs_path, [f for f in schema.fields
+                                       if f.name not in part_cols])
+        if stats:
+            add["stats"] = stats
+        return add
+
+    adds = []
+    if not part_cols:
+        adds.append(emit(tbl, {}))
+    else:
+        import pandas as pd
+
+        pdf = pd.DataFrame({c: tbl.column(c).to_pandas()
+                            for c in part_cols})
+        pdf["_row"] = range(len(pdf))
+        for kvals, grp in pdf.groupby(part_cols, dropna=False,
+                                      sort=False):
+            if not isinstance(kvals, tuple):
+                kvals = (kvals,)
+            pvals = {c: _pval_str(
+                None if (v is None or v != v) else v, dtypes[c])
+                for c, v in zip(part_cols, kvals)}
+            sub = tbl.take(pa.array(grp["_row"].to_numpy()))
+            adds.append(emit(sub, pvals))
+    return _DeltaCommitMessage(adds)
+
+
+def _abort_cleanup(table_path: str, messages) -> None:
+    for m in messages:
+        for add in getattr(m, "adds", None) or []:
+            try:
+                os.remove(os.path.join(table_path, add["path"]))
+            except OSError:
+                pass
+
+
+class _DeltaWriter(DataSourceArrowWriter):
+    """Batch writer: executors stage parquet files, the driver makes
+    ONE Delta log commit from the gathered add actions — the same
+    all-or-nothing atomicity the protocol requires."""
+
+    def __init__(self, options: dict, schema: T.StructType,
+                 overwrite: bool):
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("minerva_delta requires a path")
+        self.table_path = os.path.abspath(self.path)
+        self.schema_ = schema
+        self.mode = "overwrite" if overwrite else "append"
+        self.merge_schema = str(_opt(
+            options, "mergeSchema", "false")).lower() == "true"
+        pb = _opt(options, "partitionBy")
+        part_cols = ([c.strip() for c in pb.split(",") if c.strip()]
+                     if pb else [])
+        dt = DeltaTable(self.path)
+        if dt.versions():
+            snap = dt._replay()  # fail fast, before executors write
+            _check_supported(dt, snap)
+            dt._check_writable(snap, self.mode)
+            table_pcols = snap["metaData"].get(
+                "partitionColumns") or []
+            if self.mode == "append":
+                if part_cols and part_cols != table_pcols:
+                    raise ValueError(
+                        f"append partitionBy {part_cols} != table's "
+                        f"partitionColumns {table_pcols}")
+                part_cols = table_pcols
+        missing = [c for c in part_cols
+                   if c not in {f.name for f in schema.fields}]
+        if missing:
+            raise ValueError(
+                f"partitionBy columns {missing} not in the batch")
+        self.part_cols = part_cols
+        os.makedirs(self.table_path, exist_ok=True)
+
+    def write(self, iterator):
+        return _write_task(iterator, self.table_path, self.schema_,
+                           self.part_cols)
+
+    def commit(self, messages):
+        adds = [{"add": a} for m in messages if m
+                for a in m.adds]
+        DeltaTable(self.path)._commit_write(
+            adds, self.mode, self.part_cols, self.schema_,
+            merge_schema=self.merge_schema)
+
+    def abort(self, messages):
+        _abort_cleanup(self.table_path, messages)
+
+
+class _DeltaStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: every micro-batch is one Delta commit carrying
+    a setTransaction action keyed by (txnAppId, batchId) — a replayed
+    batch after a failure finds its version already in the ledger and
+    commits nothing (exactly-once, the protocol's Transaction
+    Identifiers pattern).  Distinct streams writing one table need
+    distinct ``txnAppId`` options."""
+
+    def __init__(self, options: dict, schema: T.StructType,
+                 overwrite: bool):
+        self._batch = _DeltaWriter(options, schema, overwrite)
+        if self._batch.mode != "append":
+            raise ValueError(
+                "minerva_delta streaming sink supports append mode "
+                "(complete-mode overwrite per batch is not "
+                "exactly-once under the txn ledger)")
+        self.app_id = _opt(options, "txnAppId") or \
+            f"minerva_delta_sink:{self._batch.table_path}"
+
+    def write(self, iterator):
+        return self._batch.write(iterator)
+
+    def commit(self, messages, batchId: int):
+        adds = [{"add": a} for m in messages if m
+                for a in m.adds]
+        DeltaTable(self._batch.path)._commit_write(
+            adds, "append", self._batch.part_cols,
+            self._batch.schema_, txn=(self.app_id, int(batchId)),
+            merge_schema=self._batch.merge_schema)
+
+    def abort(self, messages, batchId: int):
+        _abort_cleanup(self._batch.table_path, messages)
+
+
 class MinervaDeltaDataSource(DataSource):
     """`format("minerva_delta")` — see the module docstring."""
 
@@ -255,6 +447,13 @@ class MinervaDeltaDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _StreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        return _DeltaWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _DeltaStreamWriter(dict(self.options), schema,
+                                  overwrite)
 
 
 def register_delta_source(spark: SparkSession) -> None:

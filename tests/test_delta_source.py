@@ -169,3 +169,90 @@ def test_batch_refuses_column_mapped_table(ds_spark, tmp_path):
         {"metaData": meta}])
     with pytest.raises(Exception, match="column-mapped"):
         ds_spark.read.format("minerva_delta").load(p).collect()
+
+
+# ------------------------------------------------------------ writer
+
+def test_writer_create_partitioned_and_roundtrip(ds_spark,
+                                                 tmp_path):
+    p = str(tmp_path / "w")
+    df = ds_spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)],
+        "id long, grp string, value double")
+    (df.write.format("minerva_delta").option("partitionBy", "grp")
+     .mode("append").save(p))
+    dt = DeltaTable(p)
+    assert dt._replay()["metaData"]["partitionColumns"] == ["grp"]
+    assert _rows(dt.read(ds_spark)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)]
+    # written files carry footer stats and land in Hive dirs
+    files = dt._replay()["files"]
+    assert all("stats" in f for f in files)
+    assert any(f["path"].startswith("grp=a/") for f in files)
+
+
+def test_writer_append_inherits_partitioning(ds_spark, tmp_path):
+    p = str(tmp_path / "w")
+    base = ds_spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, grp string, value double")
+    (base.write.format("minerva_delta").option("partitionBy", "grp")
+     .mode("append").save(p))
+    (ds_spark.createDataFrame(
+        [(2, "a", 2.0)], "id long, grp string, value double")
+     .write.format("minerva_delta").mode("append").save(p))
+    dt = DeltaTable(p)
+    assert len(_rows(dt.read(ds_spark))) == 2
+    assert all("grp=" in f["path"] for f in dt._replay()["files"])
+
+
+def test_writer_overwrite_changes_schema(ds_spark, tmp_path):
+    p = str(tmp_path / "w")
+    (ds_spark.createDataFrame([(1, "a")], "id long, v string")
+     .write.format("minerva_delta").mode("append").save(p))
+    (ds_spark.createDataFrame([(9, 9.0)], "id long, x double")
+     .write.format("minerva_delta").mode("overwrite").save(p))
+    out = DeltaTable(p).read(ds_spark)
+    assert [f.name for f in out.schema.fields] == ["id", "x"]
+    assert _rows(out) == [(9, 9.0)]
+
+
+def test_writer_schema_mismatch_fails_before_commit(ds_spark,
+                                                    tmp_path):
+    p = str(tmp_path / "w")
+    (ds_spark.createDataFrame([(1, "a")], "id long, v string")
+     .write.format("minerva_delta").mode("append").save(p))
+    with pytest.raises(Exception, match="schema mismatch"):
+        (ds_spark.createDataFrame([(2.0,)], "id double")
+         .write.format("minerva_delta").mode("append").save(p))
+    assert DeltaTable(p).versions() == [0]  # nothing committed
+
+
+def test_stream_writer_exactly_once_ledger(ds_spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    dt = DeltaTable(src)
+    dt.write(ds_spark, ds_spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, value double"))
+
+    def run():
+        q = (ds_spark.readStream.format("minerva_delta")
+             .option("startingVersion", 0).load(src)
+             .writeStream.format("minerva_delta")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    assert _rows(DeltaTable(sink).read(ds_spark)) == [
+        (1, 10.0), (2, 20.0)]
+    ledger = DeltaTable(sink)._replay()["txns"]
+    assert list(ledger.values()) == [0]
+    # append at the source; the restarted stream processes ONLY the
+    # new commit (offset checkpoint) and the ledger advances
+    dt.write(ds_spark, ds_spark.createDataFrame(
+        [(3, 30.0)], "id long, value double"))
+    run()
+    assert _rows(DeltaTable(sink).read(ds_spark)) == [
+        (1, 10.0), (2, 20.0), (3, 30.0)]
