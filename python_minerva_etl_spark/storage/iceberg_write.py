@@ -395,6 +395,23 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
     re-read and retry with the already-staged files (the Iceberg
     optimistic-concurrency contract; data files are immutable and
     uniquely named, so a retry never rewrites them)."""
+    ice_schema = _precheck_append(path, df.schema, partition_by)
+    data_files = _stage_data_files(df, path, partition_by, ice_schema)
+    for f in data_files:
+        lo, hi = _file_bounds(f["file_path"], ice_schema)
+        f["lower_bounds"] = lo or None
+        f["upper_bounds"] = hi or None
+    _commit_staged(path, data_files, ice_schema, partition_by,
+                   max_commit_attempts)
+
+
+def _precheck_append(path: str, df_schema: T.StructType,
+                     partition_by: str | None) -> dict:
+    """The fail-fast half of :func:`write_iceberg` (shared with the
+    registered data source's writer, which runs it at planning time
+    BEFORE executors stage anything): schema compatibility against an
+    existing table, partition-spec agreement, supported partition
+    types.  Returns the Iceberg schema the append will use."""
     table = IcebergTable(path)
     mdir = os.path.join(path, "metadata")
     os.makedirs(mdir, exist_ok=True)
@@ -404,10 +421,10 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
         md = table.metadata()
         ice_schema = table._current_schema(md)
         if not _append_compatible(_to_spark_schema(ice_schema),
-                                  df.schema):
+                                  df_schema):
             raise ValueError(
                 "iceberg append: dataframe schema "
-                f"{df.schema.simpleString()} does not match table "
+                f"{df_schema.simpleString()} does not match table "
                 f"schema "
                 f"{_to_spark_schema(ice_schema).simpleString()}")
         specs = {s.get("spec-id", 0): s.get("fields", [])
@@ -425,7 +442,7 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
                 f"iceberg append: partition_by={partition_by!r} does "
                 f"not match the table's default spec {spec_cols}")
     else:
-        ice_schema = _to_iceberg_schema(df.schema)
+        ice_schema = _to_iceberg_schema(df_schema)
 
     if partition_by is not None:
         ptypes = {f["name"]: f["type"] for f in ice_schema["fields"]
@@ -435,13 +452,16 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
                 f"iceberg append: partition column {partition_by!r} "
                 f"must be int/long/string, got "
                 f"{ptypes.get(partition_by)!r}")
+    return ice_schema
 
-    data_files = _stage_data_files(df, path, partition_by, ice_schema)
-    for f in data_files:
-        lo, hi = _file_bounds(f["file_path"], ice_schema)
-        f["lower_bounds"] = lo or None
-        f["upper_bounds"] = hi or None
 
+def _commit_staged(path: str, data_files: list[dict],
+                   ice_schema: dict, partition_by: str | None,
+                   max_commit_attempts: int = 5) -> None:
+    """The CAS retry half of :func:`write_iceberg`, given
+    already-staged manifest entries (with bounds)."""
+    table = IcebergTable(path)
+    mdir = os.path.join(path, "metadata")
     for _ in range(max_commit_attempts):
         if any(n.endswith(".metadata.json") for n in os.listdir(mdir)):
             md = table.metadata()

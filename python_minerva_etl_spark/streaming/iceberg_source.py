@@ -28,9 +28,12 @@ import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
+from pyspark.sql.datasource import (DataSource,
+                                    DataSourceArrowWriter,
+                                    DataSourceReader,
                                     DataSourceStreamReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    WriterCommitMessage)
 
 from ..storage.iceberg import IcebergTable, _localize, _to_spark_schema
 
@@ -191,6 +194,114 @@ class _IceStreamReader(DataSourceStreamReader):
         pass
 
 
+class _IceCommitMessage(WriterCommitMessage):
+    def __init__(self, entries: list[dict]):
+        self.entries = entries
+
+
+class _IceWriter(DataSourceArrowWriter):
+    """Append-only batch writer: executors write uniquely-named
+    parquet files under ``data/`` (every schema column kept, the
+    Iceberg rule) and compute their manifest bounds; the driver
+    CAS-commits one append snapshot from the gathered entries.
+    Overwrite mode refuses — an Iceberg overwrite is a REPLACE
+    snapshot, which `compact_iceberg` models; this writer appends."""
+
+    def __init__(self, options: dict, schema: T.StructType,
+                 overwrite: bool):
+        from ..storage.iceberg_write import _precheck_append
+
+        if overwrite:
+            raise NotImplementedError(
+                "minerva_iceberg writer is append-only "
+                "(mode('append')); overwrite would need a REPLACE "
+                "snapshot")
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("minerva_iceberg requires a path")
+        self.schema_ = schema
+        pb = _opt(options, "partitionBy")
+        self.partition_by = pb.strip() if pb else None
+        if self.partition_by and "," in self.partition_by:
+            raise NotImplementedError(
+                "minerva_iceberg: one identity partition column")
+        # fail fast on the driver, before any executor writes
+        self.ice_schema = _precheck_append(
+            self.path, schema, self.partition_by)
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..storage.iceberg_write import _file_bounds
+
+        batches = list(iterator)
+        if not batches:
+            return _IceCommitMessage([])
+        tbl = pa.Table.from_batches(batches)
+        data_dir = os.path.join(self.path, "data")
+
+        def emit(sub: "pa.Table", pval) -> dict:
+            dst = (data_dir if pval is None else os.path.join(
+                data_dir, f"{self.partition_by}={pval}"))
+            os.makedirs(dst, exist_ok=True)
+            final = os.path.join(dst, f"{_uuid.uuid4().hex}.parquet")
+            pq.write_table(sub, final, compression="snappy")
+            entry = {
+                "content": 0, "file_path": final,
+                "file_format": "PARQUET",
+                "record_count": sub.num_rows,
+                "file_size_in_bytes": os.path.getsize(final),
+            }
+            if pval is not None:
+                entry["partition"] = {self.partition_by: pval}
+            lo, hi = _file_bounds(final, self.ice_schema)
+            entry["lower_bounds"] = lo or None
+            entry["upper_bounds"] = hi or None
+            return entry
+
+        entries = []
+        if self.partition_by is None:
+            entries.append(emit(tbl, None))
+        else:
+            col = tbl.column(self.partition_by)
+            if col.null_count:
+                raise ValueError(
+                    f"iceberg append: null value in partition "
+                    f"column {self.partition_by!r}")
+            import pandas as pd
+
+            keys = pd.Series(col.to_pandas())
+            for val, idx in keys.groupby(keys, sort=False).groups \
+                    .items():
+                ptype = {f["name"]: f["type"]
+                         for f in self.ice_schema["fields"]
+                         if isinstance(f["type"], str)}[
+                    self.partition_by]
+                pval = int(val) if ptype in ("int", "long") \
+                    else str(val)
+                sub = tbl.take(pa.array(idx.to_numpy()))
+                entries.append(emit(sub, pval))
+        return _IceCommitMessage(entries)
+
+    def commit(self, messages):
+        from ..storage.iceberg_write import _commit_staged
+
+        entries = [e for m in messages if m for e in m.entries]
+        _commit_staged(self.path, entries, self.ice_schema,
+                       self.partition_by)
+
+    def abort(self, messages):
+        for m in messages:
+            for e in getattr(m, "entries", None) or []:
+                try:
+                    os.remove(e["file_path"])
+                except OSError:
+                    pass
+
+
 class MinervaIcebergDataSource(DataSource):
     """`format("minerva_iceberg")` — see the module docstring."""
 
@@ -209,6 +320,9 @@ class MinervaIcebergDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _IceStreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        return _IceWriter(dict(self.options), schema, overwrite)
 
 
 def register_iceberg_source(spark: SparkSession) -> None:

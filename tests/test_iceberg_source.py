@@ -106,3 +106,67 @@ def test_stream_fails_on_replace_snapshot(ice_spark, tmp_path):
     with pytest.raises(StreamingQueryException,
                        match="double-count"):
         q.awaitTermination(120)
+
+
+# ------------------------------------------------------------ writer
+
+def test_writer_create_append_roundtrip(ice_spark, tmp_path):
+    p = str(tmp_path / "w")
+    (ice_spark.createDataFrame([(1, "a"), (2, "b")],
+                               "id long, v string")
+     .write.format("minerva_iceberg").mode("append").save(p))
+    (ice_spark.createDataFrame([(3, "c")], "id long, v string")
+     .write.format("minerva_iceberg").mode("append").save(p))
+    got = read_iceberg(ice_spark, p)
+    assert _rows(got) == [(1, "a"), (2, "b"), (3, "c")]
+    md = IcebergTable(p).metadata()
+    assert len(md["snapshots"]) == 2
+    # bounds recorded: a pruned read never opens the excluded file
+    pruned = read_iceberg(ice_spark, p, where=[("id", ">=", 3)])
+    assert _rows(pruned) == [(3, "c")]
+
+
+def test_writer_partitioned_append(ice_spark, tmp_path):
+    p = str(tmp_path / "w")
+    (ice_spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0)],
+        "id long, grp string, value double")
+     .write.format("minerva_iceberg").option("partitionBy", "grp")
+     .mode("append").save(p))
+    got = read_iceberg(ice_spark, p)
+    assert len(_rows(got)) == 3
+    import os
+    assert os.path.isdir(os.path.join(p, "data", "grp=x"))
+    # files keep EVERY column (the Iceberg rule)
+    import pyarrow.parquet as pq
+    d = os.path.join(p, "data", "grp=x")
+    f = [n for n in os.listdir(d) if n.endswith(".parquet")][0]
+    assert "grp" in pq.ParquetFile(
+        os.path.join(d, f)).schema_arrow.names
+
+
+def test_writer_overwrite_refuses(ice_spark, tmp_path):
+    p = str(tmp_path / "w")
+    df = ice_spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(Exception, match="append-only"):
+        (df.write.format("minerva_iceberg").mode("overwrite")
+         .save(p))
+
+
+def test_writer_schema_mismatch_fails_at_planning(ice_spark,
+                                                  tmp_path):
+    p = str(tmp_path / "w")
+    (ice_spark.createDataFrame([(1, "a")], "id long, v string")
+     .write.format("minerva_iceberg").mode("append").save(p))
+    with pytest.raises(Exception, match="does not match table"):
+        (ice_spark.createDataFrame([(1.5,)], "id double")
+         .write.format("minerva_iceberg").mode("append").save(p))
+    assert len(IcebergTable(p).metadata()["snapshots"]) == 1
+
+
+def test_writer_read_back_through_own_source(ice_spark, tmp_path):
+    p = str(tmp_path / "w")
+    (ice_spark.range(5).toDF("id")
+     .write.format("minerva_iceberg").mode("append").save(p))
+    got = ice_spark.read.format("minerva_iceberg").load(p)
+    assert _rows(got) == [(i,) for i in range(5)]
