@@ -42,11 +42,6 @@ from pyspark.sql.datasource import (DataSource,
 
 from ..storage.delta import DeltaTable, _commit_path
 
-_PART_TYPES = (T.StringType, T.IntegerType, T.LongType,
-               T.ShortType, T.ByteType, T.BooleanType,
-               T.DateType, T.DoubleType, T.FloatType)
-
-
 def _opt(options: dict, name: str, default=None):
     """Spark normalizes reader option keys to lowercase before they
     reach a Python data source — look keys up case-insensitively so
