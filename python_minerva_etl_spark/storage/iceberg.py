@@ -814,9 +814,16 @@ class IcebergTable:
     def _apply_deletes(spark: SparkSession, data: DataFrame,
                        delete_files: list[dict],
                        schema: T.StructType, ice_schema: dict,
-                       data_files: list[dict]) -> DataFrame:
+                       data_files: list[dict],
+                       keep_pos: bool = False) -> DataFrame:
         """Merge-on-read: apply the snapshot's position-delete
         (content=1) and equality-delete (content=2) files.
+
+        ``keep_pos=True`` keeps the ``_ice_path`` (normalized data
+        file path) and ``_ice_pos`` (0-based row ordinal) columns on
+        the result — the row-level DML writers (UPDATE / MERGE /
+        DELETE in ``iceberg_write.py``) use them to address the
+        matched rows' position-delete entries.
 
         POSITION deletes (spec "Position Delete Files": ``file_path``
         = the data file's path exactly as in its manifest, ``pos`` =
@@ -910,7 +917,10 @@ class IcebergTable:
                 cond = cond & (out["_file_seq"] <
                                F.lit(int(d["_seq"])))
                 out = out.join(F.broadcast(dset), cond, "left_anti")
-        return out.select(*[F.col(f.name) for f in schema.fields])
+        keep = [F.col(f.name) for f in schema.fields]
+        if keep_pos:
+            keep += [F.col("_ice_path"), F.col("_ice_pos")]
+        return out.select(*keep)
 
 
 def read_iceberg(spark: SparkSession, path: str,

@@ -270,6 +270,11 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        # spec field 515: the sequence number assigned when the
+        # manifest was added — entries inside a manifest with a null
+        # sequence_number inherit it (the reader's eq-delete ordering
+        # depends on it, so every NEW manifest records its commit seq)
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
         {"name": "added_files_count", "type": ["null", "int"]},
         {"name": "added_rows_count", "type": ["null", "long"]},
@@ -285,6 +290,15 @@ _MANIFEST_FILE_SCHEMA = {
                      "type": ["null", "bytes"]},
                 ]}}]},
     ]}
+
+# carrying a previous snapshot's manifest forward preserves every
+# scan-relevant key, including its ORIGINAL sequence_number (eq-delete
+# ordering inherits from it; foreign manifests may still carry null)
+_MANIFEST_CARRY_KEYS = ("manifest_path", "manifest_length",
+                        "partition_spec_id", "content",
+                        "sequence_number", "added_snapshot_id",
+                        "added_files_count", "added_rows_count",
+                        "partitions")
 
 
 # ------------------------------------------------------------- the write
@@ -602,17 +616,14 @@ def _commit_append(table: IcebergTable, md: dict,
         "manifest_length": os.path.getsize(manifest),
         "partition_spec_id": 0,
         "content": 0,
+        "sequence_number": seq,
         "added_snapshot_id": snap_id,
         "added_files_count": len(data_files),
         "added_rows_count": sum(f["record_count"]
                                 for f in data_files),
         "partitions": summaries,
     }
-    carried = [{k: m.get(k) for k in
-                ("manifest_path", "manifest_length",
-                 "partition_spec_id", "content", "added_snapshot_id",
-                 "added_files_count", "added_rows_count",
-                 "partitions")}
+    carried = [{k: m.get(k) for k in _MANIFEST_CARRY_KEYS}
                for m in prev_manifests]
     mlist = os.path.join(mdir, f"snap-{snap_id}-{commit_uuid}.avro")
     with open(mlist, "wb") as fh:
@@ -673,96 +684,120 @@ def _cas_metadata(table: IcebergTable, new_md: dict,
         fh.write(str(next_v))
 
 
-# ---------------------------------------------------------- DELETE (MoR)
+# ------------------------------------------- row-level DML (MoR)
+#
+# DELETE / UPDATE / MERGE share four pieces, mirroring the Delta
+# twin's ``_commit_row_dml`` structure (storage/delta.py):
+#   _live_rows              one distributed scan of the current
+#                           snapshot with merge-on-read deletes
+#                           applied and (file, pos) kept per row
+#   _position_hits          map rows back to the manifests' EXACT
+#                           file_path form (spec readers match
+#                           strings, not normalized URIs)
+#   _stage_position_deletes sorted position-delete parquet parts
+#   _commit_row_dml         ONE snapshot carrying a content=1
+#                           delete manifest and/or a content=0 data
+#                           manifest plus the carried-over previous
+#                           manifests, CAS-committed
 
 
-def delete_iceberg(spark: SparkSession, path: str,
-                   where: list[tuple],
-                   max_commit_attempts: int = 5) -> int:
-    """Merge-on-read DELETE: write position-delete files for every
-    live row matching ``where`` (the same ``(column, op, literal)``
-    predicate shape the reader takes) and commit them as a new
-    snapshot — data files are never rewritten, exactly how Flink and
-    Spark streaming writers delete from Iceberg v2 tables.
+def _validate_preds(ice_schema: dict, preds) -> None:
+    names = {f["name"] for f in ice_schema["fields"]}
+    for col, op, _ in preds:
+        if op not in ("=", "<", "<=", ">", ">="):
+            raise ValueError(
+                f"iceberg: unsupported predicate op {op!r}")
+        if col not in names:
+            raise ValueError(f"iceberg: unknown column {col!r}")
 
-    Spark-first shape: one distributed scan WITH the hidden
-    ``_metadata`` columns finds matching ``(file_path, pos)`` pairs;
-    they are written as spec-conformant position-delete parquet
-    (sorted by file_path, pos within each output file), each part
-    registered as a content=1 entry in a delete manifest
-    (manifest-list entry content=1), CAS-committed like appends.
-    ``file_path`` values are recorded EXACTLY as they appear in the
-    data manifests (mapped back from Spark's ``file:`` URI form), so
-    any spec reader — including ours — matches them.
 
-    Returns the number of deleted row positions (0 = no matching
-    rows, in which case NO commit is made)."""
+def _live_rows(spark: SparkSession, table: IcebergTable, md: dict,
+               preds: list) -> tuple[DataFrame | None, list[dict]]:
+    """Current-snapshot rows with position AND equality deletes
+    applied (so DML can never touch — or worse, resurrect — an
+    already-deleted row), plus two extra columns per row:
+    ``_ice_path`` (normalized data-file path) and ``_ice_pos``
+    (0-based parquet row ordinal from ``_metadata.row_index``).
+    ``preds`` prune at the manifest and file level exactly like
+    :meth:`IcebergTable.read` and re-apply as residual filters.
+    Returns ``(None, [])`` when no live data file can match."""
     from pyspark.sql import functions as F
 
-    if not where:
-        raise ValueError(
-            "iceberg delete: empty predicate would delete every row; "
-            "pass explicit (column, op, literal) predicates")
-    table = IcebergTable(path)
-    mdir = os.path.join(path, "metadata")
+    from .iceberg import _file_may_match
 
-    # find the matching (file, pos) pairs with a metadata-bearing
-    # scan of the live files + the residual predicates, minus
-    # already-deleted positions — so deleting an already-deleted row
-    # is a no-op, not a duplicate entry
-    md = table.metadata()
     files, delete_files = table._data_files(
-        table._snapshot(md, None), list(where), md)
+        table._snapshot(md, None), list(preds), md)
     if not files:
-        return 0
-    paths = [_localize(f["file_path"]) for f in files]
-    schema = _to_spark_schema(table._current_schema(md))
-    scan = (spark.read.schema(schema).parquet(*paths)
-            .select("*",
-                    F.col("_metadata.file_path").alias("_p"),
-                    F.col("_metadata.row_index").alias("_pos")))
-    for col, op, lit in where:
+        return None, []
+    ice_schema = table._current_schema(md)
+    schema = _to_spark_schema(ice_schema)
+    if preds:
+        field_id = {f["name"]: f["id"]
+                    for f in ice_schema["fields"]}
+        field_type = {f["name"]: f["type"]
+                      for f in ice_schema["fields"]
+                      if isinstance(f["type"], str)}
+        files = [f for f in files
+                 if _file_may_match(f, preds, field_id, field_type)]
+        if not files:
+            return None, []
+    fmts = {(f.get("file_format") or "PARQUET").upper()
+            for f in files}
+    if fmts - {"PARQUET"}:
+        raise NotImplementedError(
+            "iceberg row-level DML: parquet data files only (row "
+            "positions come from _metadata.row_index, which Spark "
+            f"exposes for parquet scans only); table has "
+            f"{sorted(fmts - {'PARQUET'})} files")
+    scan = spark.read.schema(schema).parquet(
+        *[_localize(f["file_path"]) for f in files])
+    out = IcebergTable._apply_deletes(
+        spark, scan, delete_files, schema, ice_schema, files,
+        keep_pos=True)
+    for col, op, lit in preds:
         c = F.col(col)
-        scan = scan.filter({"=": c == lit, "<": c < lit,
-                            "<=": c <= lit, ">": c > lit,
-                            ">=": c >= lit}[op])
+        out = out.filter({"=": c == lit, "<": c < lit,
+                          "<=": c <= lit, ">": c > lit,
+                          ">=": c >= lit}[op])
+    return out, files
 
-    def norm(c):
-        return F.regexp_replace(c, "^file:/+", "/")
 
+def _position_hits(spark: SparkSession, rows: DataFrame,
+                   files: list[dict]) -> DataFrame:
+    """``(file_path, pos)`` pairs for ``rows`` (which carry
+    ``_ice_path``/``_ice_pos``), with ``file_path`` restored to
+    EXACTLY the form the data manifests use — mapped back from the
+    normalized filesystem form via a broadcast lookup — so any spec
+    reader matches the delete entries."""
     import re as _re
-    mapping = [( _re.sub("^file:/+", "/", f["file_path"]),
-                 f["file_path"]) for f in files]
+
+    from pyspark.sql import functions as F
+
+    mapping = [(_re.sub("^file:/+", "/", f["file_path"]),
+                f["file_path"]) for f in files]
     map_df = spark.createDataFrame(mapping,
                                    "_norm string, _orig string")
-    hits = (scan.select(norm(F.col("_p")).alias("_norm"),
-                        F.col("_pos").alias("pos"))
+    return (rows.select(F.col("_ice_path").alias("_norm"),
+                        F.col("_ice_pos").alias("pos"))
             .join(F.broadcast(map_df), "_norm")
             .select(F.col("_orig").alias("file_path"), "pos"))
-    # subtract already-deleted positions
-    pos_dels = [d for d in delete_files if d.get("content") == 1]
-    if pos_dels:
-        prior = (spark.read
-                 .schema(T.StructType([
-                     T.StructField("file_path", T.StringType()),
-                     T.StructField("pos", T.LongType())]))
-                 .parquet(*[_localize(d["file_path"])
-                            for d in pos_dels])
-                 .select(norm(F.col("file_path")).alias("_dnorm"),
-                         F.col("pos").alias("_dpos")))
-        hits = hits.join(
-            prior,
-            (norm(hits["file_path"]) == prior["_dnorm"])
-            & (hits["pos"] == prior["_dpos"]),
-            "left_anti")
 
+
+def _stage_position_deletes(spark: SparkSession, path: str,
+                            hits: DataFrame
+                            ) -> tuple[list[dict], int]:
+    """Write ``hits`` as spec-conformant position-delete parquet
+    (sorted by file_path, pos within each part) under ``data/`` and
+    return ``(manifest delete entries, total deleted positions)``.
+    Empty parts are dropped; an empty hit set returns ``([], 0)``
+    without leaving any file behind."""
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     (hits.sortWithinPartitions("file_path", "pos")
      .write.mode("overwrite").parquet(staging))
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     import pyarrow.parquet as pq
-    del_entries = []
+    del_entries: list[dict] = []
     n_deleted = 0
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
@@ -785,40 +820,117 @@ def delete_iceberg(spark: SparkSession, path: str,
         })
         n_deleted += nrows
     shutil.rmtree(staging, ignore_errors=True)
-    if not del_entries:
-        return 0
-
-    for _ in range(max_commit_attempts):
-        md = table.metadata()
-        base_version = _version_of(table._metadata_path())
-        try:
-            _commit_delete(table, md, del_entries, base_version)
-            return n_deleted
-        except IcebergConcurrentCommit:
-            continue
-    raise IcebergConcurrentCommit(
-        f"iceberg delete: lost the commit race "
-        f"{max_commit_attempts} times at {path!r}")
+    return del_entries, n_deleted
 
 
-def _commit_delete(table: IcebergTable, md: dict,
-                   del_entries: list[dict],
-                   base_version: int) -> None:
-    """Commit one delete snapshot: a content=1 delete manifest plus
-    the previous snapshot's manifests carried over (fast append of
-    deletes)."""
+def _spec_partition_col(md: dict, ice_schema: dict) -> str | None:
+    """The table's default-spec partition column (this writer's
+    supported shape: none, or one identity field), for re-staging
+    rewritten rows into the right Hive directories."""
+    specs = {s.get("spec-id", 0): s.get("fields", [])
+             for s in md.get("partition-specs", [])}
+    spec_fields = specs.get(md.get("default-spec-id", 0), [])
+    if not spec_fields:
+        return None
+    if len(spec_fields) > 1 or any(
+            f.get("transform") != "identity" for f in spec_fields):
+        raise NotImplementedError(
+            "iceberg row-level DML: only unpartitioned tables or one "
+            "identity-transform partition column are supported")
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    return by_id[spec_fields[0]["source-id"]]
+
+
+def _part_info(md: dict, ice_schema: dict) -> tuple | None:
+    col = _spec_partition_col(md, ice_schema)
+    if col is None:
+        return None
+    ptype = {f["name"]: f["type"] for f in ice_schema["fields"]
+             if isinstance(f["type"], str)}[col]
+    return (col, ptype)
+
+
+def _bound_entries(data_files: list[dict], ice_schema: dict) -> None:
+    for f in data_files:
+        lo, hi = _file_bounds(f["file_path"], ice_schema)
+        f["lower_bounds"] = lo or None
+        f["upper_bounds"] = hi or None
+
+
+def _commit_row_dml(table: IcebergTable, md: dict,
+                    data_entries: list[dict],
+                    del_entries: list[dict],
+                    part_info: tuple | None,
+                    base_version: int,
+                    operation: str = "overwrite") -> int:
+    """Commit ONE snapshot carrying any mix of a content=0 data
+    manifest (rewritten/inserted rows, with partition summaries when
+    partitioned) and a content=1 delete manifest (position deletes),
+    plus the previous snapshot's manifests carried over unchanged.
+    Both new manifests inherit the commit's sequence number, so the
+    position deletes apply to every OLDER file (and address the old
+    files by path — the new data files are untouched by
+    construction).  Returns the committed snapshot id."""
     mdir = os.path.join(table.path, "metadata")
     seq = md.get("last-sequence-number", 0) + 1
     snap_id = max([s["snapshot-id"] for s in md.get("snapshots", [])],
                   default=0) + 1
     commit_uuid = uuid.uuid4().hex
+    new_manifests: list[dict] = []
+    written: list[str] = []
 
-    manifest = os.path.join(mdir, f"dm-{commit_uuid}.avro")
-    entries = [{"status": 1, "snapshot_id": snap_id,
-                "sequence_number": None,
-                "data_file": f} for f in del_entries]
-    with open(manifest, "wb") as fh:
-        fh.write(_avro_file(_MANIFEST_ENTRY_SCHEMA, entries))
+    if data_entries:
+        manifest = os.path.join(mdir, f"m-{commit_uuid}.avro")
+        entries = [{"status": 1, "snapshot_id": snap_id,
+                    "sequence_number": None,  # inherited = commit seq
+                    "data_file": f} for f in data_entries]
+        if part_info is None:
+            entry_schema = _MANIFEST_ENTRY_SCHEMA
+            summaries = None
+        else:
+            col, ice_type = part_info
+            entry_schema = _partitioned_entry_schema(col, ice_type)
+            enc = _BOUND_ENCODERS[ice_type]
+            vals = [f["partition"][col] for f in data_entries]
+            summaries = [{"contains_null": False,
+                          "lower_bound": enc(min(vals)),
+                          "upper_bound": enc(max(vals))}]
+        with open(manifest, "wb") as fh:
+            fh.write(_avro_file(entry_schema, entries))
+        new_manifests.append({
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(data_entries),
+            "added_rows_count": sum(f["record_count"]
+                                    for f in data_entries),
+            "partitions": summaries,
+        })
+        written.append(manifest)
+
+    if del_entries:
+        dmanifest = os.path.join(mdir, f"dm-{commit_uuid}.avro")
+        entries = [{"status": 1, "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "data_file": f} for f in del_entries]
+        with open(dmanifest, "wb") as fh:
+            fh.write(_avro_file(_MANIFEST_ENTRY_SCHEMA, entries))
+        new_manifests.append({
+            "manifest_path": dmanifest,
+            "manifest_length": os.path.getsize(dmanifest),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(del_entries),
+            "added_rows_count": sum(f["record_count"]
+                                    for f in del_entries),
+            "partitions": None,
+        })
+        written.append(dmanifest)
 
     prev_manifests: list[dict] = []
     cur = md.get("current-snapshot-id", -1)
@@ -828,27 +940,12 @@ def _commit_delete(table: IcebergTable, md: dict,
                 from .iceberg import avro_read
                 _, prev_manifests = avro_read(fh.read())
             break
-    new_entry = {
-        "manifest_path": manifest,
-        "manifest_length": os.path.getsize(manifest),
-        "partition_spec_id": 0,
-        "content": 1,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(del_entries),
-        "added_rows_count": sum(f["record_count"]
-                                for f in del_entries),
-        "partitions": None,
-    }
-    carried = [{k: m.get(k) for k in
-                ("manifest_path", "manifest_length",
-                 "partition_spec_id", "content", "added_snapshot_id",
-                 "added_files_count", "added_rows_count",
-                 "partitions")}
+    carried = [{k: m.get(k) for k in _MANIFEST_CARRY_KEYS}
                for m in prev_manifests]
     mlist = os.path.join(mdir, f"snap-{snap_id}-{commit_uuid}.avro")
     with open(mlist, "wb") as fh:
         fh.write(_avro_file(_MANIFEST_FILE_SCHEMA,
-                            carried + [new_entry]))
+                            new_manifests + carried))
 
     new_md = dict(md)
     new_md["last-sequence-number"] = seq
@@ -856,7 +953,7 @@ def _commit_delete(table: IcebergTable, md: dict,
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "manifest-list": mlist,
-        "summary": {"operation": "delete"},
+        "summary": {"operation": operation},
     }
     prev_cur = md.get("current-snapshot-id")
     if prev_cur not in (None, -1):
@@ -864,7 +961,282 @@ def _commit_delete(table: IcebergTable, md: dict,
     new_md["snapshots"] = md.get("snapshots", []) + [snap]
     new_md["current-snapshot-id"] = snap_id
     _cas_metadata(table, new_md, base_version,
-                  cleanup=(manifest, mlist))
+                  cleanup=tuple(written) + (mlist,))
+    return snap_id
+
+
+def _retry_row_dml(table: IcebergTable, data_entries: list[dict],
+                   del_entries: list[dict], part_info: tuple | None,
+                   operation: str, max_commit_attempts: int,
+                   verb: str) -> int:
+    """The optimistic-concurrency tail every DML verb shares: re-read
+    metadata, CAS at base_version+1, retry on a lost race with the
+    already-staged files (immutable and uniquely named — a retry
+    never rewrites them)."""
+    for _ in range(max_commit_attempts):
+        md = table.metadata()
+        base_version = _version_of(table._metadata_path())
+        try:
+            return _commit_row_dml(table, md, data_entries,
+                                   del_entries, part_info,
+                                   base_version, operation)
+        except IcebergConcurrentCommit:
+            continue
+    raise IcebergConcurrentCommit(
+        f"iceberg {verb}: lost the commit race "
+        f"{max_commit_attempts} times at {table.path!r}")
+
+
+def delete_iceberg(spark: SparkSession, path: str,
+                   where: list[tuple],
+                   max_commit_attempts: int = 5) -> int:
+    """Merge-on-read DELETE: write position-delete files for every
+    live row matching ``where`` (the same ``(column, op, literal)``
+    predicate shape the reader takes) and commit them as a new
+    snapshot — data files are never rewritten, exactly how Flink and
+    Spark streaming writers delete from Iceberg v2 tables.
+
+    Spark-first shape: one distributed scan WITH the hidden
+    ``_metadata`` columns finds matching ``(file_path, pos)`` pairs
+    on the delete-applied snapshot (re-deleting an already-deleted
+    row — by position OR by a prior equality delete — is a no-op,
+    not a duplicate entry); they are written as spec-conformant
+    position-delete parquet and CAS-committed like appends.
+
+    Returns the number of deleted row positions (0 = no matching
+    rows, in which case NO commit is made)."""
+    if not where:
+        raise ValueError(
+            "iceberg delete: empty predicate would delete every row; "
+            "pass explicit (column, op, literal) predicates")
+    table = IcebergTable(path)
+    md = table.metadata()
+    _validate_preds(table._current_schema(md), list(where))
+    live, files = _live_rows(spark, table, md, list(where))
+    if live is None:
+        return 0
+    del_entries, n_deleted = _stage_position_deletes(
+        spark, path, _position_hits(spark, live, files))
+    if not del_entries:
+        return 0
+    _retry_row_dml(table, [], del_entries, None, "delete",
+                   max_commit_attempts, "delete")
+    return n_deleted
+
+
+def update_iceberg(spark: SparkSession, path: str, set: dict,
+                   where: list[tuple] | None = None,
+                   max_commit_attempts: int = 5) -> int:
+    """Merge-on-read UPDATE ... SET: rows matching ``where`` are
+    masked out of their files via position deletes and the rewritten
+    rows (the ``set`` expressions — {column: Column or SQL string},
+    evaluated against the OLD row) land in NEW data files, committed
+    together as ONE ``overwrite`` snapshot — no full file is
+    rewritten and unmatched rows are never copied, mirroring the
+    Delta twin (:meth:`storage.delta.DeltaTable.update`).  Updating
+    the partition column moves rows to their new Hive directory and
+    the new files keep manifest partition summaries + column bounds,
+    so the reader's two-level pruning works on updated tables.
+
+    Returns the number of updated rows (0 = nothing matched, no
+    commit)."""
+    import builtins
+
+    from pyspark.sql import functions as F
+
+    table = IcebergTable(path)
+    md = table.metadata()
+    ice_schema = table._current_schema(md)
+    schema = _to_spark_schema(ice_schema)
+    names = [f.name for f in schema.fields]
+    unknown = sorted(builtins.set(set) - builtins.set(names))
+    if unknown:
+        raise ValueError(
+            f"iceberg update: SET references unknown columns "
+            f"{unknown}")
+    exprs = {c: (F.expr(e) if isinstance(e, str) else e)
+             for c, e in set.items()}
+    preds = list(where or [])
+    _validate_preds(ice_schema, preds)
+    live, files = _live_rows(spark, table, md, preds)
+    if live is None:
+        return 0
+    part_info = _part_info(md, ice_schema)
+    matched = live.persist()
+    try:
+        del_entries, n = _stage_position_deletes(
+            spark, path, _position_hits(spark, matched, files))
+        if not del_entries:
+            return 0
+        updated = matched.select(
+            *[(exprs[f.name].cast(f.dataType) if f.name in exprs
+               else F.col(f"`{f.name}`")).alias(f.name)
+              for f in schema.fields])
+        data_entries = _stage_data_files(
+            updated, path, part_info[0] if part_info else None,
+            ice_schema)
+        _bound_entries(data_entries, ice_schema)
+    finally:
+        matched.unpersist()
+    _retry_row_dml(table, data_entries, del_entries, part_info,
+                   "overwrite", max_commit_attempts, "update")
+    return n
+
+
+def merge_iceberg(spark: SparkSession, path: str, source: DataFrame,
+                  on, when_matched_update: dict | None = None,
+                  when_matched_delete=None,
+                  when_not_matched_insert=True,
+                  max_commit_attempts: int = 5) -> int | None:
+    """MERGE INTO the Iceberg table USING ``source`` ON ``on`` (a SQL
+    string or Column over the aliases ``t`` = target, ``s`` = source
+    — qualify ambiguous names), with the same clause semantics as the
+    Delta twin (:meth:`storage.delta.DeltaTable.merge`):
+
+    - ``when_matched_update``: {target column: expression over t/s}
+      rewrites every matched target row (merge-on-read: position
+      deletes + new data files).
+    - ``when_matched_delete``: a condition over t/s (or True for
+      unconditional) — matched rows satisfying it are
+      position-deleted; with an update clause present the delete
+      condition wins and the update applies to the REMAINING matched
+      rows.
+    - ``when_not_matched_insert``: True inserts source rows as-is
+      (the source must carry every table column), a dict maps
+      {target column: expression over s} with unlisted columns null,
+      False/None disables inserts.
+
+    Multiple source rows matching one target row make the matched
+    clauses ambiguous and raise (detected with one aggregation over
+    the match pairs).  An insert-only merge commits as an ``append``
+    snapshot (incremental append scans keep working); any matched
+    clause commits as ``overwrite``.  Returns the committed snapshot
+    id, or None when the merge is a no-op."""
+    import builtins
+
+    from pyspark.sql import functions as F
+
+    if when_matched_delete is True and when_matched_update is not None:
+        raise ValueError(
+            "unconditional WHEN MATCHED DELETE together with an "
+            "update clause leaves no rows to update — give the "
+            "delete a condition")
+    table = IcebergTable(path)
+    md = table.metadata()
+    ice_schema = table._current_schema(md)
+    schema = _to_spark_schema(ice_schema)
+    names = [f.name for f in schema.fields]
+    part_info = _part_info(md, ice_schema)
+    cond = F.expr(on) if isinstance(on, str) else on
+    live, files = _live_rows(spark, table, md, [])
+    if live is None:
+        full = T.StructType(list(schema.fields) + [
+            T.StructField("_ice_path", T.StringType()),
+            T.StructField("_ice_pos", T.LongType())])
+        live = spark.createDataFrame([], full)
+    tgt = live.alias("t")
+    src = source.alias("s")
+    have_matched = (when_matched_update is not None
+                    or when_matched_delete is not None)
+
+    matched = None
+    updated = None
+    del_entries: list[dict] = []
+    try:
+        if have_matched:
+            matched = tgt.join(src, cond, "inner").persist()
+            dup = (matched
+                   .groupBy(F.col("t.`_ice_path`"),
+                            F.col("t.`_ice_pos`"))
+                   .count().filter(F.col("count") > 1)
+                   .limit(1).count())
+            if dup:
+                raise ValueError(
+                    "MERGE: multiple source rows match the same "
+                    "target row — the matched clauses are ambiguous "
+                    "(dedupe the source on the join key)")
+            if when_matched_delete is None:
+                dcond = F.lit(False)
+            elif when_matched_delete is True:
+                dcond = F.lit(True)
+            elif isinstance(when_matched_delete, str):
+                dcond = F.expr(when_matched_delete)
+            else:
+                dcond = when_matched_delete
+            affected = (matched if when_matched_update is not None
+                        else matched.filter(dcond))
+            del_entries, _ = _stage_position_deletes(
+                spark, path,
+                _position_hits(
+                    spark,
+                    affected.select(
+                        F.col("t.`_ice_path`").alias("_ice_path"),
+                        F.col("t.`_ice_pos`").alias("_ice_pos")),
+                    files))
+            if when_matched_update is not None:
+                upd_rows = (matched.filter(~dcond)
+                            if when_matched_delete is not None
+                            else matched)
+                uex = {c: (F.expr(e) if isinstance(e, str) else e)
+                       for c, e in when_matched_update.items()}
+                unknown = sorted(builtins.set(uex)
+                                 - builtins.set(names))
+                if unknown:
+                    raise ValueError(
+                        f"MERGE update references unknown columns "
+                        f"{unknown}")
+                updated = upd_rows.select(
+                    *[(uex[f.name].cast(f.dataType) if f.name in uex
+                       else F.col(f"t.`{f.name}`")).alias(f.name)
+                      for f in schema.fields])
+        inserted = None
+        if when_not_matched_insert:
+            not_m = src.join(tgt, cond, "left_anti")
+            if when_not_matched_insert is True:
+                missing = [n for n in names
+                           if n not in source.columns]
+                if missing:
+                    raise ValueError(
+                        f"MERGE insert: source lacks table columns "
+                        f"{missing} (pass a mapping dict to fill "
+                        "them)")
+                inserted = not_m.select(
+                    *[F.col(f"`{f.name}`").cast(f.dataType)
+                      .alias(f.name) for f in schema.fields])
+            else:
+                iex = {c: (F.expr(e) if isinstance(e, str) else e)
+                       for c, e in when_not_matched_insert.items()}
+                unknown = sorted(builtins.set(iex)
+                                 - builtins.set(names))
+                if unknown:
+                    raise ValueError(
+                        f"MERGE insert references unknown columns "
+                        f"{unknown}")
+                inserted = not_m.select(
+                    *[(iex[f.name] if f.name in iex
+                       else F.lit(None)).cast(f.dataType)
+                      .alias(f.name) for f in schema.fields])
+        new_rows = None
+        for piece in (updated, inserted):
+            if piece is None:
+                continue
+            new_rows = piece if new_rows is None \
+                else new_rows.unionByName(piece)
+        data_entries: list[dict] = []
+        if new_rows is not None and not new_rows.isEmpty():
+            data_entries = _stage_data_files(
+                new_rows, path,
+                part_info[0] if part_info else None, ice_schema)
+            _bound_entries(data_entries, ice_schema)
+    finally:
+        if matched is not None:
+            matched.unpersist()
+    if not del_entries and not data_entries:
+        return None
+    operation = "append" if not del_entries else "overwrite"
+    return _retry_row_dml(table, data_entries, del_entries,
+                          part_info, operation,
+                          max_commit_attempts, "merge")
 
 
 # ------------------------------------------------------- maintenance
