@@ -210,15 +210,57 @@ def cmd_delta(args) -> int:
     return 0
 
 
+def _iceberg_preds(exprs: list[str]) -> list[tuple]:
+    """Parse repeatable ``--where "col<op>literal"`` flags into the
+    reader/DML predicate shape (longest op first so '<=' never parses
+    as '<'); numeric literals become int/float, everything else stays
+    a string."""
+    import re
+
+    preds = []
+    for e in exprs:
+        m = re.match(r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", e)
+        if not m:
+            raise SystemExit(f"bad --where {e!r} (want col<op>value "
+                             "with op in =, <, <=, >, >=)")
+        col, op, lit = m.groups()
+        for cast in (int, float):
+            try:
+                lit = cast(lit)
+                break
+            except ValueError:
+                continue
+        preds.append((col, op, lit))
+    return preds
+
+
 def cmd_iceberg(args) -> int:
-    """Iceberg table maintenance: compact | expire."""
-    from .storage.iceberg_write import (compact_iceberg,
-                                        expire_snapshots)
+    """Iceberg table ops: compact | expire | delete | update (the
+    merge-on-read DML writers — position deletes + new data files,
+    never a full rewrite)."""
+    from .storage.iceberg_write import (compact_iceberg, delete_iceberg,
+                                        expire_snapshots,
+                                        update_iceberg)
 
     if args.action == "compact":
         spark = _spark()
         sid = compact_iceberg(spark, args.path)
         print(json.dumps({"replace_snapshot_id": sid}))
+    elif args.action == "delete":
+        if not args.where:
+            print("delete requires --where col<op>value", flush=True)
+            return 2
+        n = delete_iceberg(_spark(), args.path,
+                           _iceberg_preds(args.where))
+        print(json.dumps({"deleted_rows": n}))
+    elif args.action == "update":
+        if not args.set:
+            print("update requires --set col=expr", flush=True)
+            return 2
+        sets = dict(kv.split("=", 1) for kv in args.set)
+        n = update_iceberg(_spark(), args.path, sets,
+                           _iceberg_preds(args.where) or None)
+        print(json.dumps({"updated_rows": n}))
     else:
         deleted = expire_snapshots(args.path,
                                    keep_last=args.keep_last)
@@ -419,10 +461,17 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_delta)
 
     s = sub.add_parser("iceberg",
-                       help="Iceberg maintenance: compact | expire")
-    s.add_argument("action", choices=["compact", "expire"])
+                       help="Iceberg ops: compact | expire | delete "
+                            "| update")
+    s.add_argument("action", choices=["compact", "expire", "delete",
+                                      "update"])
     s.add_argument("--path", required=True)
     s.add_argument("--keep-last", type=int, default=1)
+    s.add_argument("--where", action="append", default=[],
+                   help="predicate 'col<op>value' (delete/update); "
+                        "repeatable, ANDed")
+    s.add_argument("--set", action="append", default=[],
+                   help="col=expr (update); repeatable")
     s.set_defaults(fn=cmd_iceberg)
 
     s = sub.add_parser("validate",

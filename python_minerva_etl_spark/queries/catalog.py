@@ -99,6 +99,7 @@ _DEPTH = [
     "sink_delta_merge_roundtrip",
     "source_delta_cdf_update",
     "source_iceberg_incremental",
+    "sink_iceberg_merge_roundtrip",
     "stream_delta_source_parity",
     "skyline_orders",
     "agg_weighted_median",

@@ -485,6 +485,76 @@ FROM merged GROUP BY 1
 """
 
 
+def _sink_iceberg_merge_roundtrip(spark, sf_dir):
+    """OP-SNK row-level DML via the Iceberg merge-on-read writers
+    (storage/iceberg_write.py:update_iceberg, merge_iceberg): the
+    base table holds the low half of events; an UPDATE first bumps
+    every stored 'error' row's value by 1 (position deletes + new
+    data files, one overwrite snapshot); then MERGE INTO with the
+    overlapping (¼·max, ¾·max] source doubles every matched row's
+    value from the source and inserts the unmatched high rows.  The
+    final snapshot read must equal the oracle's LEFT-JOIN
+    reconstruction of the same update-then-merge."""
+    from ..storage.iceberg import read_iceberg
+    from ..storage.iceberg_write import (merge_iceberg,
+                                         update_iceberg,
+                                         write_iceberg)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    mid, lo, hi = mx // 2, mx // 4, (3 * mx) // 4
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"iceberg_merge_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, ev.filter(F.col("event_id") <= mid), base)
+    update_iceberg(spark, base, {"value": "value + 1"},
+                   [("event_type", "=", "error")])
+    src = ev.filter((F.col("event_id") > lo)
+                    & (F.col("event_id") <= hi))
+    merge_iceberg(spark, base, src, "t.event_id = s.event_id",
+                  when_matched_update={"value": "s.value * 2"},
+                  when_not_matched_insert=True)
+    return (read_iceberg(spark, base)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SINK_ICEBERG_MERGE_ROUNDTRIP_SQL = """
+WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+base AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'error' THEN value + 1
+              ELSE value END AS value
+  FROM events, mx WHERE event_id <= m // 2
+),
+src AS (
+  SELECT event_id, user_id, event_type, value FROM events, mx
+  WHERE event_id > m // 4 AND event_id <= (3 * m) // 4
+),
+merged AS (
+  SELECT b.event_id, b.user_id, b.event_type,
+         CASE WHEN s.event_id IS NOT NULL THEN s.value * 2
+              ELSE b.value END AS value
+  FROM base b LEFT JOIN src s ON b.event_id = s.event_id
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.event_type, s.value
+  FROM src s, mx WHERE s.event_id > m // 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM merged GROUP BY 1
+"""
+
+
 def _source_iceberg_incremental(spark, sf_dir):
     """OP-SRC incremental APPEND scan over an Iceberg v2 table
     (storage/iceberg.py:IcebergTable.incremental — the
@@ -1065,6 +1135,7 @@ QUERIES = [
     DeclaredQuery("sink_delta_merge_roundtrip", _sink_delta_merge_roundtrip, _SINK_DELTA_MERGE_ROUNDTRIP_SQL, "OP-SNK (Delta MERGE INTO: merge-on-read update + insert)"),
     DeclaredQuery("source_delta_cdf_update", _source_delta_cdf_update, _SOURCE_DELTA_CDF_UPDATE_SQL, "OP-SRC (Delta CDF write path: UPDATE pre/post images via cdc actions)"),
     DeclaredQuery("source_iceberg_incremental", _source_iceberg_incremental, _SOURCE_ICEBERG_INCREMENTAL_SQL, "OP-SRC (Iceberg incremental append scan between snapshots)"),
+    DeclaredQuery("sink_iceberg_merge_roundtrip", _sink_iceberg_merge_roundtrip, _SINK_ICEBERG_MERGE_ROUNDTRIP_SQL, "OP-SNK (Iceberg merge-on-read UPDATE + MERGE INTO)"),
     DeclaredQuery("stream_delta_source_parity", _stream_delta_source_parity, _STREAM_DELTA_SOURCE_PARITY_SQL, "OP-STR-INGEST (registered Python data source tailing the Delta log)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
