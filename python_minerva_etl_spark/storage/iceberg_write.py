@@ -386,9 +386,65 @@ def _append_compatible(table: T.StructType, df: T.StructType) -> bool:
     return True
 
 
+def _evolve_schema(ice_schema: dict, df_schema: T.StructType) -> dict:
+    """Add-column schema evolution (``merge_schema=True`` appends,
+    mirroring the Delta twin ``storage/delta.py:_merge_schemas``):
+    new dataframe columns append as OPTIONAL fields with fresh field
+    ids above the table's last-column-id; shared columns must keep
+    their exact Spark type (silent widening refused); the dataframe
+    may omit optional existing columns (files missing an optional
+    column read as nulls — the reader's add-column contract) but
+    never a required one.  Returns ``ice_schema`` itself when the
+    batch adds nothing (no evolution, no metadata change)."""
+    spark_existing = {f.name: f
+                      for f in _to_spark_schema(ice_schema).fields}
+    new_fields = []
+    for f in df_schema.fields:
+        ex = spark_existing.get(f.name)
+        if ex is None:
+            new_fields.append(f)
+            continue
+        if ex.dataType != f.dataType:
+            raise ValueError(
+                f"iceberg append: column {f.name!r} type "
+                f"{f.dataType.simpleString()} does not match the "
+                f"table's {ex.dataType.simpleString()} — type "
+                "changes/widening are refused, not merged")
+        if not ex.nullable and f.nullable:
+            raise ValueError(
+                f"iceberg append: required column {f.name!r} cannot "
+                "accept a nullable batch column")
+    batch_names = {f.name for f in df_schema.fields}
+    missing_req = sorted(
+        f["name"] for f in ice_schema["fields"]
+        if f.get("required") and f["name"] not in batch_names)
+    if missing_req:
+        raise ValueError(
+            f"iceberg append: batch lacks required table columns "
+            f"{missing_req}")
+    if not new_fields:
+        return ice_schema
+    counter = {"n": _last_column_id(ice_schema)}
+
+    def next_id() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    added = []
+    for f in new_fields:
+        fid = next_id()
+        added.append({"id": fid, "name": f.name,
+                      "required": False,  # old files must read null
+                      "type": _to_iceberg_type(f.dataType, next_id)})
+    evolved = dict(ice_schema)
+    evolved["fields"] = list(ice_schema["fields"]) + added
+    return evolved
+
+
 def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
                   max_commit_attempts: int = 5,
-                  partition_by: str | None = None) -> None:
+                  partition_by: str | None = None,
+                  merge_schema: bool = False) -> None:
     """Append ``df`` to the Iceberg table at ``path``, creating the
     table (format-version 2) if absent.
 
@@ -408,24 +464,34 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
     ``os.link`` put-if-absent, and on :class:`IcebergConcurrentCommit`
     re-read and retry with the already-staged files (the Iceberg
     optimistic-concurrency contract; data files are immutable and
-    uniquely named, so a retry never rewrites them)."""
-    ice_schema = _precheck_append(path, df.schema, partition_by)
+    uniquely named, so a retry never rewrites them).
+
+    ``merge_schema=True`` enables add-column evolution
+    (:func:`_evolve_schema`): new batch columns append as optional
+    fields (old files read null), batches may omit optional columns
+    (new files read null); the commit publishes the evolved schema
+    with a bumped schema-id and last-column-id."""
+    ice_schema = _precheck_append(path, df.schema, partition_by,
+                                  merge_schema)
     data_files = _stage_data_files(df, path, partition_by, ice_schema)
     for f in data_files:
         lo, hi = _file_bounds(f["file_path"], ice_schema)
         f["lower_bounds"] = lo or None
         f["upper_bounds"] = hi or None
     _commit_staged(path, data_files, ice_schema, partition_by,
-                   max_commit_attempts)
+                   max_commit_attempts,
+                   df_schema=df.schema if merge_schema else None)
 
 
 def _precheck_append(path: str, df_schema: T.StructType,
-                     partition_by: str | None) -> dict:
+                     partition_by: str | None,
+                     merge_schema: bool = False) -> dict:
     """The fail-fast half of :func:`write_iceberg` (shared with the
     registered data source's writer, which runs it at planning time
     BEFORE executors stage anything): schema compatibility against an
     existing table, partition-spec agreement, supported partition
-    types.  Returns the Iceberg schema the append will use."""
+    types.  Returns the Iceberg schema the append will use — the
+    EVOLVED schema when ``merge_schema`` adds columns."""
     table = IcebergTable(path)
     mdir = os.path.join(path, "metadata")
     os.makedirs(mdir, exist_ok=True)
@@ -436,11 +502,16 @@ def _precheck_append(path: str, df_schema: T.StructType,
         ice_schema = table._current_schema(md)
         if not _append_compatible(_to_spark_schema(ice_schema),
                                   df_schema):
-            raise ValueError(
-                "iceberg append: dataframe schema "
-                f"{df_schema.simpleString()} does not match table "
-                f"schema "
-                f"{_to_spark_schema(ice_schema).simpleString()}")
+            if merge_schema:
+                ice_schema = _evolve_schema(ice_schema, df_schema)
+            else:
+                raise ValueError(
+                    "iceberg append: dataframe schema "
+                    f"{df_schema.simpleString()} does not match table "
+                    f"schema "
+                    f"{_to_spark_schema(ice_schema).simpleString()} "
+                    "(pass merge_schema=True for add-column "
+                    "evolution)")
         specs = {s.get("spec-id", 0): s.get("fields", [])
                  for s in md.get("partition-specs", [])}
         spec_fields = specs.get(md.get("default-spec-id", 0), [])
@@ -471,15 +542,29 @@ def _precheck_append(path: str, df_schema: T.StructType,
 
 def _commit_staged(path: str, data_files: list[dict],
                    ice_schema: dict, partition_by: str | None,
-                   max_commit_attempts: int = 5) -> None:
+                   max_commit_attempts: int = 5,
+                   df_schema: T.StructType | None = None) -> None:
     """The CAS retry half of :func:`write_iceberg`, given
-    already-staged manifest entries (with bounds)."""
+    already-staged manifest entries (with bounds).  ``df_schema``
+    (merge-schema appends only) lets a retry RE-derive the evolved
+    schema against freshly-read metadata — a racer may have evolved
+    the table first, and blindly committing our pre-race schema
+    would drop their columns."""
     table = IcebergTable(path)
     mdir = os.path.join(path, "metadata")
     for _ in range(max_commit_attempts):
+        schema_patch = None
         if any(n.endswith(".metadata.json") for n in os.listdir(mdir)):
             md = table.metadata()
             base_version = _version_of(table._metadata_path())
+            if df_schema is not None:
+                cur = table._current_schema(md)
+                evolved = _evolve_schema(cur, df_schema)
+                if evolved is not cur:
+                    ice_schema = evolved
+                    schema_patch = evolved
+                else:
+                    ice_schema = cur
         else:
             base_version = 0
             md = {
@@ -512,7 +597,7 @@ def _commit_staged(path: str, data_files: list[dict],
             part_info = (partition_by, ptype)
         try:
             _commit_append(table, md, data_files, base_version,
-                           part_info)
+                           part_info, schema_patch=schema_patch)
             return
         except IcebergConcurrentCommit:
             continue
@@ -569,12 +654,16 @@ def _commit_append(table: IcebergTable, md: dict,
                    base_version: int,
                    part_info: tuple[str, str] | None = None,
                    carry: bool = True,
-                   operation: str = "append") -> None:
+                   operation: str = "append",
+                   schema_patch: dict | None = None) -> None:
     """Commit one snapshot on top of ``md``, which was read from
     metadata version ``base_version``.  ``carry=True`` is a fast
     append (the previous snapshot's manifests carry over unchanged);
     ``carry=False`` with ``operation="replace"`` makes the new
-    manifest the ONLY one — the compaction commit shape."""
+    manifest the ONLY one — the compaction commit shape.
+    ``schema_patch`` (merge-schema appends) publishes an evolved
+    schema alongside the snapshot: appended to ``schemas`` under a
+    bumped schema-id, made current, last-column-id raised."""
     path, mdir = table.path, os.path.join(table.path, "metadata")
     seq = md.get("last-sequence-number", 0) + 1
     snap_id = max([s["snapshot-id"] for s in md.get("snapshots", [])],
@@ -632,6 +721,14 @@ def _commit_append(table: IcebergTable, md: dict,
 
     new_md = dict(md)
     new_md["last-sequence-number"] = seq
+    if schema_patch is not None:
+        new_sid = max([s.get("schema-id", 0)
+                       for s in md.get("schemas", [])], default=0) + 1
+        patched = dict(schema_patch)
+        patched["schema-id"] = new_sid
+        new_md["schemas"] = md.get("schemas", []) + [patched]
+        new_md["current-schema-id"] = new_sid
+        new_md["last-column-id"] = _last_column_id(patched)
     snap: dict = {
         "snapshot-id": snap_id,
         "sequence-number": seq,

@@ -317,3 +317,56 @@ def test_delete_then_append_then_read(spark, tmp_path):
     write_iceberg(spark, spark.createDataFrame(
         [(3, "y")], "id long, v string"), p)
     assert _rows(read_iceberg(spark, p)) == [(1, "x"), (3, "y")]
+
+
+# -------------------------------------- add-column schema evolution
+
+
+def test_merge_schema_append_evolution(spark, tmp_path):
+    """merge_schema=True appends new columns as optional fields (old
+    files read null), allows batches omitting optional columns (new
+    files read null), bumps schema-id and last-column-id, and keeps
+    type changes refused — mirroring the Delta twin."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        update_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), p)
+    wide = spark.createDataFrame([(3, "c", 1.5)],
+                                 "id long, v string, score double")
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_iceberg(spark, wide, p)
+    write_iceberg(spark, wide, p, merge_schema=True)
+    got = {r.id: (r.v, r.score)
+           for r in read_iceberg(spark, p).collect()}
+    assert got[1] == ("a", None) and got[3] == ("c", 1.5)
+    md = IcebergTable(p).metadata()
+    assert md["current-schema-id"] == 1
+    assert md["last-column-id"] == 3
+    assert len(md["schemas"]) == 2  # original schema kept
+    new_field = md["schemas"][1]["fields"][2]
+    assert (new_field["name"], new_field["required"],
+            new_field["id"]) == ("score", False, 3)
+    # a batch omitting an OPTIONAL column appends without evolving
+    write_iceberg(spark, spark.createDataFrame(
+        [(4, 9.9)], "id long, score double"), p, merge_schema=True)
+    got = {r.id: (r.v, r.score)
+           for r in read_iceberg(spark, p).collect()}
+    assert got[4] == (None, 9.9) and len(got) == 4
+    assert IcebergTable(p).metadata()["current-schema-id"] == 1
+    # widening stays refused even under merge_schema
+    with pytest.raises(ValueError, match="refused, not merged"):
+        write_iceberg(spark, spark.createDataFrame(
+            [(5, 1)], "id long, score int"), p, merge_schema=True)
+    # row-level DML works across the evolved history (old files
+    # read null for the new column) and file pruning on the new
+    # column's bounds stays sound
+    n = update_iceberg(spark, p,
+                       {"score": "coalesce(score, 0.0) + 1"},
+                       [("id", "<=", 2)])
+    assert n == 2
+    got = {r.id: r.score for r in read_iceberg(spark, p).collect()}
+    assert got[1] == 1.0 and got[3] == 1.5
+    assert read_iceberg(spark, p,
+                        where=[("score", ">", 5.0)]).count() == 1
