@@ -287,6 +287,24 @@ def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
 
 
+def _to_epoch_ms(ts) -> int:
+    """Epoch milliseconds from a datetime (naive = UTC), an ISO-8601
+    string, or an int/float already in epoch ms."""
+    import datetime
+    if isinstance(ts, bool) or not isinstance(
+            ts, (int, float, str, datetime.datetime)):
+        raise TypeError(
+            f"timestamp must be datetime, ISO string, or epoch ms — "
+            f"got {type(ts).__name__}")
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=datetime.timezone.utc)
+    return int(ts.timestamp() * 1000)
+
+
 def _commit_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.json")
 
@@ -559,9 +577,52 @@ class DeltaTable:
         return T.StructType.fromJson(
             json.loads(snap["metaData"]["schemaString"]))
 
+    def _commit_ts_ms(self, v: int) -> int:
+        """A commit's timestamp in epoch ms: the in-commit
+        ``commitInfo.timestamp`` when present, else the log file's
+        modification time — the same resolution order Spark's Delta
+        uses for timestamp time travel."""
+        cpath = _commit_path(self.path, v)
+        with open(cpath) as fh:
+            for line in fh:
+                if line.strip():
+                    info = json.loads(line).get("commitInfo")
+                    if info and info.get("timestamp") is not None:
+                        return int(info["timestamp"])
+        return int(os.path.getmtime(cpath) * 1000)
+
+    def version_at(self, timestamp) -> int:
+        """The version a ``timestamp_as_of`` read resolves to: the
+        LATEST commit whose timestamp is <= the target.  Non-
+        monotonic commit timestamps (file mtimes can regress after a
+        copy) are adjusted upward with a running max, matching the
+        Delta reference behavior.  Refuses a timestamp earlier than
+        the oldest SURVIVING commit (expired log JSON has no
+        timestamp to resolve against).  ``timestamp`` may be a
+        datetime (naive = UTC), an ISO-8601 string, or epoch
+        milliseconds."""
+        ms = _to_epoch_ms(timestamp)
+        versions = self.versions()
+        if not versions:
+            raise FileNotFoundError(
+                f"no surviving Delta commits at {self.path!r} to "
+                "resolve a timestamp against")
+        best = None
+        run = 0
+        for v in versions:
+            run = max(run, self._commit_ts_ms(v))
+            if run <= ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {ms} ms is before the earliest available "
+                f"commit {versions[0]} of {self.path!r}")
+        return best
+
     def read(self, spark: SparkSession,
              version_as_of: int | None = None,
              where: list[tuple] | None = None,
+             timestamp_as_of=None,
              _with_pos: bool = False) -> DataFrame:
         """Snapshot read (optionally time-traveled).  Partitioned
         tables: files group by their ``partitionValues`` and the
@@ -579,7 +640,16 @@ class DeltaTable:
         100 TB the expansion scales out and the driver holds only
         descriptors.  ``_with_pos=True`` (internal; :meth:`delete`
         uses it) keeps the ``_dl_path``/``_dl_pos`` provenance
-        columns on the result."""
+        columns on the result.
+
+        ``timestamp_as_of`` time travel resolves via
+        :meth:`version_at` (latest commit at or before the target;
+        mutually exclusive with ``version_as_of``)."""
+        if timestamp_as_of is not None:
+            if version_as_of is not None:
+                raise ValueError(
+                    "pass version_as_of OR timestamp_as_of, not both")
+            version_as_of = self.version_at(timestamp_as_of)
         snap = self._replay(version_as_of)
         meta = snap["metaData"]
         schema = T.StructType.fromJson(
@@ -2169,9 +2239,11 @@ class DeltaTable:
 
 def read_delta(spark: SparkSession, path: str,
                version_as_of: int | None = None,
-               where: list[tuple] | None = None) -> DataFrame:
+               where: list[tuple] | None = None,
+               timestamp_as_of=None) -> DataFrame:
     """Read a Delta table (see :class:`DeltaTable.read`)."""
-    return DeltaTable(path).read(spark, version_as_of, where=where)
+    return DeltaTable(path).read(spark, version_as_of, where=where,
+                                 timestamp_as_of=timestamp_as_of)
 
 
 def write_delta(spark: SparkSession, df: DataFrame, path: str,

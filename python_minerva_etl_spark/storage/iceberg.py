@@ -568,10 +568,45 @@ class IcebergTable:
                 f"iceberg: no ref {name!r} (have {sorted(refs)})")
         return refs[name]["snapshot-id"]
 
+    def snapshot_at(self, timestamp) -> int:
+        """FOR SYSTEM_TIME AS OF resolution: the snapshot id of the
+        LATEST snapshot whose ``timestamp-ms`` is <= the target
+        (metadata list order is commit order; regressed clocks are
+        adjusted upward with a running max).  Refuses a table whose
+        candidate snapshots carry no ``timestamp-ms`` (legal in our
+        pre-round-6 tables; real writers always record it) and a
+        timestamp before the first snapshot.  ``timestamp`` may be a
+        datetime (naive = UTC), an ISO-8601 string, or epoch ms."""
+        from .delta import _to_epoch_ms
+        ms = _to_epoch_ms(timestamp)
+        snaps = self.metadata().get("snapshots") or []
+        if not snaps:
+            raise ValueError(
+                f"iceberg: no snapshots at {self.path!r} to resolve "
+                "a timestamp against")
+        best = None
+        run = 0
+        for s in snaps:
+            t = s.get("timestamp-ms")
+            if t is None:
+                raise ValueError(
+                    f"iceberg: snapshot {s.get('snapshot-id')} has "
+                    "no timestamp-ms — timestamp travel is undefined "
+                    "on this table (use snapshot_id)")
+            run = max(run, int(t))
+            if run <= ms:
+                best = s["snapshot-id"]
+        if best is None:
+            raise ValueError(
+                f"iceberg: timestamp {ms} ms is before the first "
+                f"snapshot of {self.path!r}")
+        return best
+
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None,
              where: list[tuple] | None = None,
-             ref: str | None = None) -> DataFrame:
+             ref: str | None = None,
+             as_of=None) -> DataFrame:
         """Snapshot read (optionally time-traveled by snapshot id).
 
         ``where`` — a list of ``(column, op, literal)`` predicates
@@ -588,11 +623,13 @@ class IcebergTable:
         every scanned file's parquet footer must contain every
         top-level schema column, else raise — a renamed column would
         otherwise come back as silent nulls."""
+        if sum(x is not None for x in (snapshot_id, ref, as_of)) > 1:
+            raise ValueError(
+                "iceberg: pass only one of snapshot_id / ref / as_of")
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError(
-                    "iceberg: pass snapshot_id OR ref, not both")
             snapshot_id = self.resolve_ref(ref)
+        elif as_of is not None:
+            snapshot_id = self.snapshot_at(as_of)
         md = self.metadata()
         ice_schema = self._current_schema(md)
         preds = list(where or [])
@@ -926,10 +963,11 @@ class IcebergTable:
 def read_iceberg(spark: SparkSession, path: str,
                  snapshot_id: int | None = None,
                  where: list[tuple] | None = None,
-                 ref: str | None = None) -> DataFrame:
+                 ref: str | None = None,
+                 as_of=None) -> DataFrame:
     """Read an Iceberg table (see :class:`IcebergTable.read`)."""
     return IcebergTable(path).read(spark, snapshot_id, where=where,
-                                   ref=ref)
+                                   ref=ref, as_of=as_of)
 
 
 def read_iceberg_incremental(spark: SparkSession, path: str,

@@ -34,6 +34,7 @@ import json
 import os
 import shutil
 import struct
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -719,8 +720,10 @@ def _commit_append(table: IcebergTable, md: dict,
         fh.write(_avro_file(_MANIFEST_FILE_SCHEMA,
                             [new_entry] + carried))
 
+    now_ms = int(time.time() * 1000)
     new_md = dict(md)
     new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now_ms
     if schema_patch is not None:
         new_sid = max([s.get("schema-id", 0)
                        for s in md.get("schemas", [])], default=0) + 1
@@ -732,6 +735,7 @@ def _commit_append(table: IcebergTable, md: dict,
     snap: dict = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
+        "timestamp-ms": now_ms,
         "manifest-list": mlist,
         "summary": {"operation": operation},
     }
@@ -1044,11 +1048,14 @@ def _commit_row_dml(table: IcebergTable, md: dict,
         fh.write(_avro_file(_MANIFEST_FILE_SCHEMA,
                             new_manifests + carried))
 
+    now_ms = int(time.time() * 1000)
     new_md = dict(md)
     new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now_ms
     snap: dict = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
+        "timestamp-ms": now_ms,
         "manifest-list": mlist,
         "summary": {"operation": operation},
     }

@@ -164,3 +164,42 @@ def test_restore_then_time_travel_still_sees_history(spark,
     # the pre-restore state is still readable by version
     assert (10, 10.0) in _rows(dt.read(spark, 2))
     assert (1, 1.0) not in _rows(dt.read(spark, 2))
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """timestamp_as_of resolves to the LATEST commit at or before
+    the target (commitInfo.timestamp first, file mtime fallback,
+    running-max adjustment), refuses pre-history targets, and takes
+    datetime / ISO-string / epoch-ms inputs."""
+    import datetime
+    import time
+
+    from python_minerva_etl_spark.storage.delta import read_delta
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame([(1,)], "id long"))
+    t0 = time.time() * 1000
+    time.sleep(0.05)
+    dt.write(spark, spark.createDataFrame([(2,)], "id long"))
+    time.sleep(0.05)
+    t1 = time.time() * 1000
+    dt.write(spark, spark.createDataFrame([(3,)], "id long"))
+
+    assert dt.version_at(t0) == 0
+    assert dt.version_at(t1) == 1
+    iso = datetime.datetime.fromtimestamp(
+        t1 / 1000, datetime.timezone.utc).isoformat()
+    assert dt.version_at(iso) == 1
+    got = sorted(r.id for r in read_delta(
+        spark, p, timestamp_as_of=t1).collect())
+    assert got == [1, 2]
+    got = sorted(r.id for r in read_delta(
+        spark, p, timestamp_as_of=time.time() * 1000).collect())
+    assert got == [1, 2, 3]
+    with pytest.raises(ValueError, match="before the earliest"):
+        dt.version_at(1000)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, p, version_as_of=1, timestamp_as_of=t1)
+    with pytest.raises(TypeError, match="epoch ms"):
+        dt.version_at([t1])

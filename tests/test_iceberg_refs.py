@@ -45,7 +45,7 @@ def test_unknown_ref_and_conflicting_args_refuse(spark, tmp_path):
         read_iceberg(spark, p, ref="nope")
     sid = IcebergTable(p).metadata()["current-snapshot-id"]
     tag_iceberg(p, "t1")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="only one of"):
         read_iceberg(spark, p, snapshot_id=sid, ref="t1")
     with pytest.raises(ValueError, match="not in metadata"):
         tag_iceberg(p, "bad", snapshot_id=12345)

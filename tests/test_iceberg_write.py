@@ -370,3 +370,39 @@ def test_merge_schema_append_evolution(spark, tmp_path):
     assert got[1] == 1.0 and got[3] == 1.5
     assert read_iceberg(spark, p,
                         where=[("score", ">", 5.0)]).count() == 1
+
+
+def test_timestamp_travel_as_of(spark, tmp_path):
+    """Snapshots record the spec-required timestamp-ms; as_of reads
+    resolve to the latest snapshot at or before the target, refuse a
+    too-early target, and refuse tables whose snapshots predate
+    timestamps (use snapshot_id there)."""
+    import time
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(1, "a")], "id long, v string"), p)
+    mid = time.time() * 1000
+    time.sleep(0.05)
+    write_iceberg(spark, spark.createDataFrame(
+        [(2, "b")], "id long, v string"), p)
+    t = IcebergTable(p)
+    md = t.metadata()
+    assert all("timestamp-ms" in s for s in md["snapshots"])
+    assert md["last-updated-ms"] >= md["snapshots"][0]["timestamp-ms"]
+    assert _rows(read_iceberg(spark, p, as_of=mid)) == [(1, "a")]
+    assert _rows(read_iceberg(spark, p,
+                              as_of=time.time() * 1000)) == \
+        [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="before the first"):
+        read_iceberg(spark, p, as_of=1000)
+    with pytest.raises(ValueError, match="only one of"):
+        read_iceberg(spark, p, snapshot_id=1, as_of=mid)
+    # legacy snapshots without timestamp-ms refuse loudly
+    mdp = t._metadata_path()
+    raw = json.load(open(mdp))
+    for s in raw["snapshots"]:
+        s.pop("timestamp-ms", None)
+    json.dump(raw, open(mdp, "w"))
+    with pytest.raises(ValueError, match="no timestamp-ms"):
+        read_iceberg(spark, p, as_of=mid)
