@@ -137,6 +137,18 @@ class _BatchReader(DataSourceReader):
                              "(.load(path) or .option('path', …))")
         dt = DeltaTable(self.path)
         vao = _opt(options, "versionAsOf")
+        tao = _opt(options, "timestampAsOf")
+        if vao is not None and tao is not None:
+            raise ValueError("minerva_delta: pass versionAsOf OR "
+                             "timestampAsOf, not both")
+        if tao is not None:
+            # epoch-ms if numeric, else ISO-8601 (option values
+            # always arrive as strings)
+            try:
+                tao = int(tao)
+            except ValueError:
+                pass
+            vao = dt.version_at(tao)
         snap = dt._replay(int(vao) if vao is not None else None)
         _check_supported(dt, snap)
         meta = snap["metaData"]

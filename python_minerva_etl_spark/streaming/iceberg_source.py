@@ -97,8 +97,15 @@ class _IceBatchReader(DataSourceReader):
         self.schema_ = _to_spark_schema(tbl._current_schema(md))
         sid = _opt(options, "snapshotId")
         ref = _opt(options, "ref")
+        aot = _opt(options, "as-of-timestamp")  # upstream Spark name
+        if sum(x is not None for x in (sid, ref, aot)) > 1:
+            raise ValueError(
+                "minerva_iceberg: pass only one of snapshotId / ref "
+                "/ as-of-timestamp")
         if ref is not None:
             sid = tbl.resolve_ref(ref)
+        elif aot is not None:
+            sid = tbl.snapshot_at(int(aot))  # epoch ms, as upstream
         files, deletes = tbl._data_files(
             tbl._snapshot(md, int(sid) if sid is not None else None))
         if deletes:
@@ -127,6 +134,15 @@ class _IceStreamReader(DataSourceStreamReader):
         self.schema_ = _to_spark_schema(self.tbl._current_schema(md))
         frm = _opt(options, "fromSnapshotId")
         self.from_snapshot = int(frm) if frm is not None else None
+        # upstream Spark-Iceberg option names; our delete default is
+        # true (documented divergence: this source is an append
+        # stream, so retraction-only snapshots emit nothing anyway)
+        self.skip_deletes = str(_opt(
+            options, "streaming-skip-delete-snapshots",
+            "true")).lower() == "true"
+        self.skip_overwrites = str(_opt(
+            options, "streaming-skip-overwrite-snapshots",
+            "false")).lower() == "true"
 
     def initialOffset(self) -> dict:
         # None → the whole recorded history streams as the first
@@ -177,12 +193,22 @@ class _IceStreamReader(DataSourceStreamReader):
         for s in reversed(chain):
             op = (s.get("summary") or {}).get("operation", "append")
             if op == "delete":
-                continue  # append stream: retractions don't emit
+                if self.skip_deletes:
+                    continue  # append stream: retractions don't emit
+                raise ValueError(
+                    f"minerva_iceberg stream: snapshot "
+                    f"{s['snapshot-id']} is a delete and "
+                    "streaming-skip-delete-snapshots=false")
             if op != "append":
+                if self.skip_overwrites and op in ("overwrite",
+                                                   "replace"):
+                    continue  # user opted into missing their adds
                 raise ValueError(
                     f"minerva_iceberg stream: snapshot "
                     f"{s['snapshot-id']} is {op!r} — rewritten "
-                    "files would double-count in an append stream")
+                    "files would double-count in an append stream "
+                    "(set streaming-skip-overwrite-snapshots=true "
+                    "to skip them)")
             files += self.tbl._added_files(s)
         return [_IceFilePartition(p)
                 for p in _parquet_paths(files)]

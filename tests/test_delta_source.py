@@ -256,3 +256,23 @@ def test_stream_writer_exactly_once_ledger(ds_spark, tmp_path):
     run()
     assert _rows(DeltaTable(sink).read(ds_spark)) == [
         (1, 10.0), (2, 20.0), (3, 30.0)]
+
+
+def test_batch_timestamp_as_of_option(ds_spark, tmp_path):
+    """The `timestampAsOf` reader option (epoch ms or ISO string)
+    resolves through DeltaTable.version_at."""
+    import time
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    dt.write(ds_spark, ds_spark.range(2).toDF("id"))
+    mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    dt.write(ds_spark, ds_spark.range(2, 4).toDF("id"))
+    got = (ds_spark.read.format("minerva_delta")
+           .option("timestampAsOf", mid).load(p))
+    assert sorted(r.id for r in got.collect()) == [0, 1]
+    with pytest.raises(Exception, match="not both"):
+        (ds_spark.read.format("minerva_delta")
+         .option("timestampAsOf", mid)
+         .option("versionAsOf", 0).load(p).collect())

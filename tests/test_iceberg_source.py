@@ -170,3 +170,65 @@ def test_writer_read_back_through_own_source(ice_spark, tmp_path):
      .write.format("minerva_iceberg").mode("append").save(p))
     got = ice_spark.read.format("minerva_iceberg").load(p)
     assert _rows(got) == [(i,) for i in range(5)]
+
+
+def test_batch_as_of_timestamp(ice_spark, tmp_path):
+    """The upstream Spark-Iceberg `as-of-timestamp` option (epoch ms)
+    resolves to the latest snapshot at or before the target."""
+    import time
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(2).toDF("id"), p)
+    mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    write_iceberg(ice_spark, ice_spark.range(2, 4).toDF("id"), p)
+    got = (ice_spark.read.format("minerva_iceberg")
+           .option("as-of-timestamp", mid).load(p))
+    assert _rows(got) == [(0,), (1,)]
+    with pytest.raises(Exception, match="only one of"):
+        (ice_spark.read.format("minerva_iceberg")
+         .option("as-of-timestamp", mid)
+         .option("snapshotId", 1).load(p).collect())
+
+
+def test_stream_skip_overwrite_and_strict_delete_options(ice_spark,
+                                                         tmp_path):
+    """streaming-skip-overwrite-snapshots=true streams PAST a
+    row-level DML (overwrite) snapshot instead of failing; with
+    streaming-skip-delete-snapshots=false a delete snapshot fails the
+    stream instead of silently skipping."""
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        update_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(3).toDF("id"), p)
+    update_iceberg(ice_spark, p, {"id": "id + 10"}, [("id", "=", 1)])
+    write_iceberg(ice_spark, ice_spark.range(3, 5).toDF("id"), p)
+    # default: overwrite snapshot fails the stream
+    q = (ice_spark.readStream.format("minerva_iceberg").load(p)
+         .writeStream.format("memory").queryName("ice_ow0")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="overwrite"):
+        q.awaitTermination(120)
+    # opt-in skip: the overwrite's adds are skipped, appends stream
+    q = (ice_spark.readStream.format("minerva_iceberg")
+         .option("streaming-skip-overwrite-snapshots", "true").load(p)
+         .writeStream.format("memory").queryName("ice_ow1")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _rows(ice_spark.sql("SELECT * FROM ice_ow1")) == [
+        (0,), (1,), (2,), (3,), (4,)]
+    # strict delete mode
+    p2 = str(tmp_path / "t2")
+    write_iceberg(ice_spark, ice_spark.range(3).toDF("id"), p2)
+    delete_iceberg(ice_spark, p2, [("id", "=", 1)])
+    q = (ice_spark.readStream.format("minerva_iceberg")
+         .option("streaming-skip-delete-snapshots", "false").load(p2)
+         .writeStream.format("memory").queryName("ice_dl0")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException,
+                       match="skip-delete-snapshots"):
+        q.awaitTermination(120)
