@@ -351,43 +351,109 @@ def _partition_specs(md: dict) -> dict[int, list[dict]]:
     return {}
 
 
+def _transform_pred_literal(transform: str, type_name: str):
+    """``(decode_type, fn)`` mapping a source-column predicate
+    literal into a partition field's TRANSFORMED domain, for
+    order-preserving transforms only (identity, day/hour/month/year,
+    truncate[W] — Table Spec "Partition Transforms").  ``(None,
+    None)`` means no pruning (bucket is not order-preserving;
+    unknown transforms keep the manifest — always sound)."""
+    import datetime
+
+    if transform == "identity":
+        return type_name, lambda v: v
+
+    def us(v):
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        return None
+
+    if transform == "day":
+        if type_name in ("timestamp", "timestamptz"):
+            return "int", lambda v: (
+                None if us(v) is None else us(v) // 86_400_000_000)
+        if type_name == "date":
+            return "int", lambda v: (
+                v.toordinal() - 719163
+                if isinstance(v, datetime.date)
+                and not isinstance(v, datetime.datetime) else None)
+        return None, None
+    if transform == "hour" and type_name in ("timestamp",
+                                             "timestamptz"):
+        return "int", lambda v: (
+            None if us(v) is None else us(v) // 3_600_000_000)
+    if transform == "month" and type_name == "date":
+        return "int", lambda v: (
+            (v.year - 1970) * 12 + v.month - 1
+            if isinstance(v, datetime.date) else None)
+    if transform == "year" and type_name == "date":
+        return "int", lambda v: (
+            v.year - 1970 if isinstance(v, datetime.date) else None)
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate["):-1])
+        if type_name in ("int", "long"):
+            return type_name, lambda v: (
+                v - ((v % w + w) % w) if isinstance(v, int) else None)
+        if type_name == "string":
+            return "string", lambda v: (
+                v[:w] if isinstance(v, str) else None)
+    return None, None
+
+
 def _manifest_may_match(m: dict, preds, specs: dict,
                         by_id: dict) -> bool:
     """Manifest-list partition-summary pruning (the upper layer of
     Iceberg scan planning): each manifest entry carries per-partition-
     field summaries (contains_null, lower_bound, upper_bound).  For
-    IDENTITY-transform fields whose source column appears in a
+    fields whose transform is ORDER-PRESERVING (identity, day/hour/
+    month/year, truncate) and whose source column appears in a
     predicate, a manifest whose summary range provably excludes the
-    predicate is skipped WITHOUT opening its Avro file.  Non-identity
-    transforms (bucket/truncate/day/...), missing summaries, and
-    undecodable bounds keep the manifest.  ``contains_null`` needs no
-    special case: SQL comparison predicates are never satisfied by
-    NULL, so bound-based exclusion stays sound."""
+    predicate — compared in the TRANSFORMED domain — is skipped
+    WITHOUT opening its Avro file.  Bucket fields, missing summaries,
+    and undecodable bounds/literals keep the manifest.
+    ``contains_null`` needs no special case: SQL comparison
+    predicates are never satisfied by NULL, so bound-based exclusion
+    stays sound.  Transformed-domain comparisons use the WEAK form
+    (strictness is lost by a non-injective transform: rows > lit can
+    share lit's day bucket)."""
     summaries = m.get("partitions")
     spec = specs.get(m.get("partition_spec_id", 0))
     if not summaries or not spec:
         return True
     for fld, summ in zip(spec, summaries):
-        if fld.get("transform") != "identity" or summ is None:
+        if summ is None:
             continue
+        transform = fld.get("transform", "identity")
         src = by_id.get(fld.get("source-id"))
         if src is None:
             continue
         name, type_name = src
-        lo = _decode_bound(type_name, summ.get("lower_bound"))
-        hi = _decode_bound(type_name, summ.get("upper_bound"))
+        dec_type, to_part = _transform_pred_literal(transform,
+                                                    type_name)
+        if dec_type is None:
+            continue
+        strict = transform == "identity"
+        lo = _decode_bound(dec_type, summ.get("lower_bound"))
+        hi = _decode_bound(dec_type, summ.get("upper_bound"))
         for col, op, lit in preds:
             if col != name:
                 continue
             try:
-                if op == "=" and ((lo is not None and lit < lo)
-                                  or (hi is not None and lit > hi)):
+                plit = to_part(lit)
+                if plit is None:
+                    continue
+                if op == "=" and ((lo is not None and plit < lo)
+                                  or (hi is not None and plit > hi)):
                     return False
                 if op in (">", ">=") and hi is not None and (
-                        lit > hi if op == ">=" else lit >= hi):
+                        plit > hi if (op == ">=" or not strict)
+                        else plit >= hi):
                     return False
                 if op in ("<", "<=") and lo is not None and (
-                        lit < lo if op == "<=" else lit <= lo):
+                        plit < lo if (op == "<=" or not strict)
+                        else plit <= lo):
                     return False
             except TypeError:
                 continue

@@ -199,6 +199,279 @@ def _micros(v) -> int:
     return int((v - epoch).total_seconds() * 1_000_000)
 
 
+# --------------------------------------------- partition transforms
+#
+# Iceberg Table Spec "Partition Transforms": identity, day/hour/
+# month/year (order-preserving time buckets), truncate[W]
+# (order-preserving prefixes), bucket[N] (murmur3_x86_32 seed 0 of
+# the single-value binary form, & MAX_INT, % N — Appendix B).  The
+# derived partition value is computed JVM-side for every transform
+# except bucket, whose murmur3 runs as a vectorized Arrow batch
+# (numpy closed form for the fixed 8-byte int/long input; per-value
+# python for variable-length strings inside the same pandas_udf).
+
+
+def _murmur3_bytes(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public domain reference algorithm), the hash
+    Iceberg's bucket transform mandates (seed 0).  Returns a SIGNED
+    32-bit int, matching the Java reference."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    for i in range(0, n - (n % 4), 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n - (n % 4):]
+    for i, b in enumerate(tail):
+        k ^= b << (8 * i)
+    if tail:
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _murmur3_long(v: int) -> int:
+    """Iceberg hashes int AND long as the long's 8-byte
+    little-endian form (spec Appendix B: hash(34) == hash(34L))."""
+    return _murmur3_bytes(
+        int(v).to_bytes(8, "little", signed=True))
+
+
+class _PartField:
+    """One partition-spec field: how to derive, serialize, and name
+    the partition value this writer stages and commits."""
+
+    def __init__(self, transform: str, source: str, name: str,
+                 result_type: str):
+        self.transform = transform    # spec spelling, e.g. bucket[4]
+        self.source = source          # source column name
+        self.name = name              # partition field name
+        self.result_type = result_type  # iceberg type of the value
+
+    def expr(self, src_spark_type: T.DataType):
+        """Spark Column computing the partition value — session-
+        timezone-proof for timestamps (pure unix_micros arithmetic,
+        never calendar functions on an instant)."""
+        from pyspark.sql import functions as F
+
+        c = f"`{self.source}`"
+        is_ts = isinstance(src_spark_type, T.TimestampType)
+        t = self.transform
+        if t == "identity":
+            return F.col(self.source)
+        if t == "day":
+            if is_ts:
+                return F.expr(
+                    f"CAST(floor(unix_micros({c}) / 86400000000) "
+                    "AS INT)")
+            return F.datediff(F.col(self.source),
+                              F.lit("1970-01-01").cast("date"))
+        if t == "hour":
+            return F.expr(
+                f"CAST(floor(unix_micros({c}) / 3600000000) AS INT)")
+        if t == "month":
+            return F.expr(f"(year({c}) - 1970) * 12 + month({c}) - 1")
+        if t == "year":
+            return F.expr(f"year({c}) - 1970")
+        if t.startswith("truncate["):
+            w = int(t[len("truncate["):-1])
+            if isinstance(src_spark_type, T.StringType):
+                return F.expr(f"substring({c}, 1, {w})")
+            sql_t = src_spark_type.simpleString()
+            return F.expr(
+                f"CAST({c} - ((({c} % {w}) + {w}) % {w}) AS {sql_t})")
+        if t.startswith("bucket["):
+            n = int(t[len("bucket["):-1])
+            if isinstance(src_spark_type, T.StringType):
+                @F.pandas_udf("int")
+                def _bucket_str(s):
+                    import pandas as pd
+                    return s.map(
+                        lambda v: None if v is None else
+                        (_murmur3_bytes(v.encode("utf-8"))
+                         & 0x7FFFFFFF) % n).astype("Int32")
+                return _bucket_str(F.col(self.source))
+
+            @F.pandas_udf("int")
+            def _bucket_int(s):
+                # fixed 8-byte little-endian input: closed-form
+                # vectorized murmur3 (two full blocks, no tail)
+                import numpy as np
+                import pandas as pd
+                mask = s.isna()
+                x = s.fillna(0).astype("int64").to_numpy()
+                le = x.astype("<i8").view(np.uint32).reshape(-1, 2)
+
+                def rotl(v, r):
+                    return (v << np.uint32(r)) | (v >> np.uint32(
+                        32 - r))
+
+                c1 = np.uint32(0xCC9E2D51)
+                c2 = np.uint32(0x1B873593)
+                h = np.zeros(len(x), dtype=np.uint32)
+                for blk in (le[:, 0].copy(), le[:, 1].copy()):
+                    k = (blk * c1).astype(np.uint32)
+                    k = rotl(k, 15)
+                    k = (k * c2).astype(np.uint32)
+                    h ^= k
+                    h = rotl(h, 13)
+                    h = (h * np.uint32(5)
+                         + np.uint32(0xE6546B64)).astype(np.uint32)
+                h ^= np.uint32(8)
+                h ^= h >> np.uint32(16)
+                h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+                h ^= h >> np.uint32(13)
+                h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+                h ^= h >> np.uint32(16)
+                out = pd.Series(
+                    ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n))
+                    .astype("int32"))
+                out[mask.to_numpy()] = None
+                return out.astype("Int32")
+            return _bucket_int(F.col(self.source))
+        raise NotImplementedError(
+            f"iceberg: partition transform {t!r} unsupported")
+
+    def parse_dir_value(self, raw: str):
+        """Typed partition value from its staged Hive dir string."""
+        if self.result_type in ("int", "long", "date"):
+            return int(raw)
+        return raw
+
+    def avro_type(self) -> str:
+        return {"int": "int", "long": "long", "string": "string",
+                "date": "int"}[self.result_type]
+
+    def bound_encoder(self):
+        enc_type = ("int" if self.result_type == "date"
+                    else self.result_type)
+        return _BOUND_ENCODERS[enc_type]
+
+
+_TIME_RESULTS = {"day": "date", "hour": "int", "month": "int",
+                 "year": "int"}
+
+
+def _parse_partition_by(spec: str, ice_schema: dict) -> _PartField:
+    """``partition_by`` strings → :class:`_PartField`:
+    ``"col"`` (identity), ``"day(col)"``/``"days(col)"`` (and hour/
+    month/year), ``"truncate(col, W)"``, ``"bucket(col, N)"``."""
+    import re
+
+    types = {f["name"]: f["type"] for f in ice_schema["fields"]
+             if isinstance(f["type"], str)}
+
+    def src_type(col: str) -> str:
+        if col not in {f["name"] for f in ice_schema["fields"]}:
+            raise ValueError(
+                f"iceberg: unknown partition source column {col!r}")
+        if col not in types:
+            raise NotImplementedError(
+                f"iceberg: partition transform over nested-typed "
+                f"column {col!r} unsupported")
+        return types[col]
+
+    m = re.match(r"^\s*(\w+)\s*$", spec)
+    if m:
+        col = m.group(1)
+        t = src_type(col)
+        if t not in ("int", "long", "string"):
+            raise NotImplementedError(
+                f"iceberg append: partition column {col!r} "
+                f"must be int/long/string, got {t!r}")
+        return _PartField("identity", col, col, t)
+    m = re.match(r"^\s*(\w+?)s?\s*\(\s*(\w+)\s*\)\s*$", spec)
+    if m and m.group(1).rstrip("s") in _TIME_RESULTS:
+        kind = m.group(1).rstrip("s")
+        col = m.group(2)
+        t = src_type(col)
+        legal = {"day": ("timestamp", "timestamptz", "date"),
+                 "hour": ("timestamp", "timestamptz"),
+                 "month": ("date",), "year": ("date",)}[kind]
+        if t not in legal:
+            raise NotImplementedError(
+                f"iceberg: {kind}() over {t!r} unsupported "
+                f"(supported source types: {legal}; calendar "
+                "functions on timestamp instants depend on the "
+                "session timezone, so month/year take date columns)")
+        return _PartField(kind, col, f"{col}_{kind}",
+                          _TIME_RESULTS[kind])
+    m = re.match(r"^\s*(bucket|truncate)\s*\(\s*(\w+)\s*,"
+                 r"\s*(\d+)\s*\)\s*$", spec)
+    if m:
+        kind, col, param = m.group(1), m.group(2), int(m.group(3))
+        if param <= 0:
+            raise ValueError(f"iceberg: {kind} width/count must be "
+                             "positive")
+        t = src_type(col)
+        if kind == "bucket":
+            if t not in ("int", "long", "string"):
+                raise NotImplementedError(
+                    f"iceberg: bucket() over {t!r} unsupported "
+                    "(int/long/string)")
+            return _PartField(f"bucket[{param}]", col,
+                              f"{col}_bucket", "int")
+        if t not in ("int", "long", "string"):
+            raise NotImplementedError(
+                f"iceberg: truncate() over {t!r} unsupported "
+                "(int/long/string)")
+        return _PartField(f"truncate[{param}]", col, f"{col}_trunc",
+                          t)
+    raise ValueError(
+        f"iceberg: cannot parse partition_by {spec!r} (want 'col', "
+        "'day(col)', 'hour(col)', 'month(col)', 'year(col)', "
+        "'bucket(col, N)', or 'truncate(col, W)')")
+
+
+def _spec_part_field(spec_fields: list[dict],
+                     ice_schema: dict) -> _PartField:
+    """:class:`_PartField` from an EXISTING table's default spec
+    (single-field specs only — the shape this writer produces)."""
+    if len(spec_fields) != 1:
+        raise NotImplementedError(
+            "iceberg: multi-field partition specs unsupported by "
+            "this writer")
+    f = spec_fields[0]
+    by_id = {x["id"]: x["name"] for x in ice_schema["fields"]}
+    src = by_id.get(f.get("source-id"))
+    if src is None:
+        raise ValueError(
+            f"iceberg: partition spec references unknown source-id "
+            f"{f.get('source-id')}")
+    t = f.get("transform", "identity")
+    types = {x["name"]: x["type"] for x in ice_schema["fields"]
+             if isinstance(x["type"], str)}
+    if t == "identity":
+        result = types.get(src)
+    elif t in _TIME_RESULTS:
+        result = _TIME_RESULTS[t]
+    elif t.startswith("bucket["):
+        result = "int"
+    elif t.startswith("truncate["):
+        result = types.get(src)
+    else:
+        raise NotImplementedError(
+            f"iceberg: partition transform {t!r} unsupported")
+    if result not in ("int", "long", "string", "date"):
+        raise NotImplementedError(
+            f"iceberg: partition value type {result!r} unsupported")
+    return _PartField(t, src, f.get("name") or src, result)
+
+
 def _file_bounds(parquet_path: str, ice_schema: dict
                  ) -> tuple[list, list]:
     """Per-column lower/upper bounds from the parquet footer's
@@ -306,25 +579,25 @@ _MANIFEST_CARRY_KEYS = ("manifest_path", "manifest_length",
 
 
 def _stage_data_files(df: DataFrame, table_path: str,
-                      partition_by: str | None = None,
+                      part: "_PartField | None" = None,
                       ice_schema: dict | None = None) -> list[dict]:
     """Distributed parquet write into a staging dir, then rename each
-    part file to ``data/[<col>=<val>/]<uuid>.parquet``.  Returns
+    part file to ``data/[<field>=<val>/]<uuid>.parquet``.  Returns
     manifest ``data_file`` dicts (path, size, row count from the
     footer, and the typed partition value when partitioned).
 
-    Partitioned staging duplicates the partition column under a temp
-    name for ``partitionBy`` — Spark's Hive layout drops the
-    partition column from the files, but Iceberg data files must
-    carry every schema column."""
-    from pyspark.sql import functions as F
-
+    Partitioned staging derives the partition VALUE (identity copy
+    or the spec transform — day/hour/month/year/bucket/truncate)
+    under a temp name for ``partitionBy`` — Spark's Hive layout
+    drops the partitioning column from the files, but Iceberg data
+    files must carry every schema column."""
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
-    if partition_by is None:
+    if part is None:
         df.write.mode("overwrite").parquet(staging)
         part_dirs = [(staging, None)]
     else:
-        (df.withColumn("__part", F.col(partition_by))
+        src_type = df.schema[part.source].dataType
+        (df.withColumn("__part", part.expr(src_type))
          .write.mode("overwrite").partitionBy("__part")
          .parquet(staging))
         part_dirs = []
@@ -335,15 +608,10 @@ def _stage_data_files(df: DataFrame, table_path: str,
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 shutil.rmtree(staging, ignore_errors=True)
                 raise ValueError(
-                    f"iceberg append: null value in partition column "
-                    f"{partition_by!r}")
+                    f"iceberg append: null value in partition source "
+                    f"column {part.source!r}")
             from urllib.parse import unquote
-            val: object = unquote(raw)
-            ptype = {f["name"]: f["type"]
-                     for f in ice_schema["fields"]
-                     if isinstance(f["type"], str)}[partition_by]
-            if ptype in ("int", "long"):
-                val = int(val)
+            val = part.parse_dir_value(unquote(raw))
             part_dirs.append((os.path.join(staging, name), val))
     data_dir = os.path.join(table_path, "data")
     import pyarrow.parquet as pq
@@ -353,7 +621,7 @@ def _stage_data_files(df: DataFrame, table_path: str,
             dst_dir = data_dir
         else:
             dst_dir = os.path.join(
-                data_dir, f"{partition_by}={pval}")
+                data_dir, f"{part.name}={pval}")
         os.makedirs(dst_dir, exist_ok=True)
         for name in sorted(os.listdir(src_dir)):
             if not name.endswith(".parquet"):
@@ -370,7 +638,7 @@ def _stage_data_files(df: DataFrame, table_path: str,
                 "file_size_in_bytes": os.path.getsize(final),
             }
             if pval is not None:
-                entry["partition"] = {partition_by: pval}
+                entry["partition"] = {part.name: pval}
             out.append(entry)
     shutil.rmtree(staging, ignore_errors=True)
     return out
@@ -449,16 +717,22 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
     """Append ``df`` to the Iceberg table at ``path``, creating the
     table (format-version 2) if absent.
 
-    ``partition_by`` — an identity-transform partition column (int,
-    long, or string; one column).  On create it becomes the table's
-    default spec; on append it must name the existing spec's column.
-    Partitioned staging is still ONE distributed write (the column
-    is duplicated under a temp name for ``partitionBy`` so the data
-    files keep every schema column, unlike Hive layout), and each
-    manifest records per-partition-field summaries so the reader's
-    manifest-level pruning works on tables this writer produces.
-    Null partition values are refused (they would silently land in a
-    Hive default-partition dir).
+    ``partition_by`` — ONE partition field, identity or transformed
+    (Table Spec "Partition Transforms"): ``"col"`` (identity over
+    int/long/string), ``"day(col)"`` / ``"days(col)"`` (timestamp or
+    date), ``"hour(col)"`` (timestamp), ``"month(col)"`` /
+    ``"year(col)"`` (date), ``"bucket(col, N)"`` (murmur3 seed-0 per
+    Appendix B over int/long/string), ``"truncate(col, W)"``
+    (int/long floor-to-multiple, string prefix).  On create it
+    becomes the table's default spec; on append it must match the
+    existing spec's (transform, source column).  Partitioned staging
+    is still ONE distributed write (the derived VALUE goes under a
+    temp name for ``partitionBy`` so the data files keep every
+    schema column, unlike Hive layout), and each manifest records
+    per-partition-field summaries so the reader's manifest-level
+    pruning works on tables this writer produces.  Null partition
+    values are refused (they would silently land in a Hive
+    default-partition dir).
 
     Commit protocol: stage data files once, then CAS the metadata —
     read the current version, write ``v<N+1>.metadata.json`` via
@@ -472,26 +746,27 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
     fields (old files read null), batches may omit optional columns
     (new files read null); the commit publishes the evolved schema
     with a bumped schema-id and last-column-id."""
-    ice_schema = _precheck_append(path, df.schema, partition_by,
-                                  merge_schema)
-    data_files = _stage_data_files(df, path, partition_by, ice_schema)
+    ice_schema, part = _precheck_append(path, df.schema, partition_by,
+                                        merge_schema)
+    data_files = _stage_data_files(df, path, part, ice_schema)
     for f in data_files:
         lo, hi = _file_bounds(f["file_path"], ice_schema)
         f["lower_bounds"] = lo or None
         f["upper_bounds"] = hi or None
-    _commit_staged(path, data_files, ice_schema, partition_by,
+    _commit_staged(path, data_files, ice_schema, part,
                    max_commit_attempts,
                    df_schema=df.schema if merge_schema else None)
 
 
 def _precheck_append(path: str, df_schema: T.StructType,
                      partition_by: str | None,
-                     merge_schema: bool = False) -> dict:
+                     merge_schema: bool = False
+                     ) -> tuple[dict, "_PartField | None"]:
     """The fail-fast half of :func:`write_iceberg` (shared with the
     registered data source's writer, which runs it at planning time
     BEFORE executors stage anything): schema compatibility against an
     existing table, partition-spec agreement, supported partition
-    types.  Returns the Iceberg schema the append will use — the
+    transforms/types.  Returns ``(ice_schema, part_field)`` — the
     EVOLVED schema when ``merge_schema`` adds columns."""
     table = IcebergTable(path)
     mdir = os.path.join(path, "metadata")
@@ -516,33 +791,32 @@ def _precheck_append(path: str, df_schema: T.StructType,
         specs = {s.get("spec-id", 0): s.get("fields", [])
                  for s in md.get("partition-specs", [])}
         spec_fields = specs.get(md.get("default-spec-id", 0), [])
-        by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
-        spec_cols = [by_id.get(f.get("source-id")) for f in spec_fields]
-        if spec_fields and any(f.get("transform") != "identity"
-                               for f in spec_fields):
-            raise NotImplementedError(
-                "iceberg append: non-identity partition transforms "
-                "unsupported")
-        if spec_cols != ([partition_by] if partition_by else []):
+        part = (_parse_partition_by(partition_by, ice_schema)
+                if partition_by is not None else None)
+        if bool(spec_fields) != (part is not None):
             raise ValueError(
                 f"iceberg append: partition_by={partition_by!r} does "
-                f"not match the table's default spec {spec_cols}")
+                f"not match the table's default spec "
+                f"({len(spec_fields)} fields)")
+        if spec_fields:
+            existing = _spec_part_field(spec_fields, ice_schema)
+            if (existing.transform, existing.source) != \
+                    (part.transform, part.source):
+                raise ValueError(
+                    f"iceberg append: partition_by={partition_by!r} "
+                    f"({part.transform} over {part.source!r}) does "
+                    f"not match the table's default spec "
+                    f"({existing.transform} over {existing.source!r})")
+            part = existing  # keep the table's field name
     else:
         ice_schema = _to_iceberg_schema(df_schema)
-
-    if partition_by is not None:
-        ptypes = {f["name"]: f["type"] for f in ice_schema["fields"]
-                  if isinstance(f["type"], str)}
-        if ptypes.get(partition_by) not in ("int", "long", "string"):
-            raise NotImplementedError(
-                f"iceberg append: partition column {partition_by!r} "
-                f"must be int/long/string, got "
-                f"{ptypes.get(partition_by)!r}")
-    return ice_schema
+        part = (_parse_partition_by(partition_by, ice_schema)
+                if partition_by is not None else None)
+    return ice_schema, part
 
 
 def _commit_staged(path: str, data_files: list[dict],
-                   ice_schema: dict, partition_by: str | None,
+                   ice_schema: dict, part: "_PartField | None",
                    max_commit_attempts: int = 5,
                    df_schema: T.StructType | None = None) -> None:
     """The CAS retry half of :func:`write_iceberg`, given
@@ -578,27 +852,21 @@ def _commit_staged(path: str, data_files: list[dict],
                 "current-schema-id": 0,
                 "partition-specs": [{
                     "spec-id": 0,
-                    "fields": [] if partition_by is None else [{
-                        "name": partition_by,
-                        "transform": "identity",
+                    "fields": [] if part is None else [{
+                        "name": part.name,
+                        "transform": part.transform,
                         "source-id": next(
                             f["id"] for f in ice_schema["fields"]
-                            if f["name"] == partition_by),
+                            if f["name"] == part.source),
                         "field-id": 1000,
                     }]}],
                 "default-spec-id": 0,
                 "snapshots": [],
                 "current-snapshot-id": -1,
             }
-        part_info = None
-        if partition_by is not None:
-            ptype = {f["name"]: f["type"]
-                     for f in ice_schema["fields"]
-                     if isinstance(f["type"], str)}[partition_by]
-            part_info = (partition_by, ptype)
         try:
             _commit_append(table, md, data_files, base_version,
-                           part_info, schema_patch=schema_patch)
+                           part, schema_patch=schema_patch)
             return
         except IcebergConcurrentCommit:
             continue
@@ -634,26 +902,26 @@ def _version_of(metadata_path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def _partitioned_entry_schema(col: str, ice_type: str) -> dict:
+def _partitioned_entry_schema(part: "_PartField") -> dict:
     """Manifest-entry Avro schema extended with the data_file
-    ``partition`` record (spec field r102) for one identity field."""
+    ``partition`` record (spec field r102) for one partition field
+    (identity or transformed — the record field is named after the
+    SPEC FIELD, typed as the transform's result)."""
     import copy
-    avro_t = {"int": "int", "long": "long", "string": "string"}[
-        ice_type]
     schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
     df_schema = next(f for f in schema["fields"]
                      if f["name"] == "data_file")["type"]
     df_schema["fields"].insert(2, {
         "name": "partition",
         "type": {"type": "record", "name": "r102", "fields": [
-            {"name": col, "type": avro_t}]}})
+            {"name": part.name, "type": part.avro_type()}]}})
     return schema
 
 
 def _commit_append(table: IcebergTable, md: dict,
                    data_files: list[dict],
                    base_version: int,
-                   part_info: tuple[str, str] | None = None,
+                   part_info: "_PartField | None" = None,
                    carry: bool = True,
                    operation: str = "append",
                    schema_patch: dict | None = None) -> None:
@@ -679,12 +947,11 @@ def _commit_append(table: IcebergTable, md: dict,
         entry_schema = _MANIFEST_ENTRY_SCHEMA
         summaries = None
     else:
-        col, ice_type = part_info
-        entry_schema = _partitioned_entry_schema(col, ice_type)
-        # manifest-list partition summary (one identity field): the
-        # reader's manifest-level pruning consumes these bounds
-        enc = _BOUND_ENCODERS[ice_type]
-        vals = [f["partition"][col] for f in data_files]
+        entry_schema = _partitioned_entry_schema(part_info)
+        # manifest-list partition summary (one field): the reader's
+        # manifest-level pruning consumes these bounds
+        enc = part_info.bound_encoder()
+        vals = [f["partition"][part_info.name] for f in data_files]
         summaries = [{"contains_null": False,
                       "lower_bound": enc(min(vals)),
                       "upper_bound": enc(max(vals))}]
@@ -924,31 +1191,16 @@ def _stage_position_deletes(spark: SparkSession, path: str,
     return del_entries, n_deleted
 
 
-def _spec_partition_col(md: dict, ice_schema: dict) -> str | None:
-    """The table's default-spec partition column (this writer's
-    supported shape: none, or one identity field), for re-staging
-    rewritten rows into the right Hive directories."""
+def _part_info(md: dict, ice_schema: dict) -> "_PartField | None":
+    """The table's default-spec partition field (this writer's
+    supported shape: none, or one identity/transformed field), for
+    re-staging rewritten rows into the right Hive directories."""
     specs = {s.get("spec-id", 0): s.get("fields", [])
              for s in md.get("partition-specs", [])}
     spec_fields = specs.get(md.get("default-spec-id", 0), [])
     if not spec_fields:
         return None
-    if len(spec_fields) > 1 or any(
-            f.get("transform") != "identity" for f in spec_fields):
-        raise NotImplementedError(
-            "iceberg row-level DML: only unpartitioned tables or one "
-            "identity-transform partition column are supported")
-    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
-    return by_id[spec_fields[0]["source-id"]]
-
-
-def _part_info(md: dict, ice_schema: dict) -> tuple | None:
-    col = _spec_partition_col(md, ice_schema)
-    if col is None:
-        return None
-    ptype = {f["name"]: f["type"] for f in ice_schema["fields"]
-             if isinstance(f["type"], str)}[col]
-    return (col, ptype)
+    return _spec_part_field(spec_fields, ice_schema)
 
 
 def _bound_entries(data_files: list[dict], ice_schema: dict) -> None:
@@ -961,7 +1213,7 @@ def _bound_entries(data_files: list[dict], ice_schema: dict) -> None:
 def _commit_row_dml(table: IcebergTable, md: dict,
                     data_entries: list[dict],
                     del_entries: list[dict],
-                    part_info: tuple | None,
+                    part_info: "_PartField | None",
                     base_version: int,
                     operation: str = "overwrite") -> int:
     """Commit ONE snapshot carrying any mix of a content=0 data
@@ -989,10 +1241,10 @@ def _commit_row_dml(table: IcebergTable, md: dict,
             entry_schema = _MANIFEST_ENTRY_SCHEMA
             summaries = None
         else:
-            col, ice_type = part_info
-            entry_schema = _partitioned_entry_schema(col, ice_type)
-            enc = _BOUND_ENCODERS[ice_type]
-            vals = [f["partition"][col] for f in data_entries]
+            entry_schema = _partitioned_entry_schema(part_info)
+            enc = part_info.bound_encoder()
+            vals = [f["partition"][part_info.name]
+                    for f in data_entries]
             summaries = [{"contains_null": False,
                           "lower_bound": enc(min(vals)),
                           "upper_bound": enc(max(vals))}]
@@ -1070,7 +1322,8 @@ def _commit_row_dml(table: IcebergTable, md: dict,
 
 
 def _retry_row_dml(table: IcebergTable, data_entries: list[dict],
-                   del_entries: list[dict], part_info: tuple | None,
+                   del_entries: list[dict],
+                   part_info: "_PartField | None",
                    operation: str, max_commit_attempts: int,
                    verb: str) -> int:
     """The optimistic-concurrency tail every DML verb shares: re-read
@@ -1176,9 +1429,8 @@ def update_iceberg(spark: SparkSession, path: str, set: dict,
             *[(exprs[f.name].cast(f.dataType) if f.name in exprs
                else F.col(f"`{f.name}`")).alias(f.name)
               for f in schema.fields])
-        data_entries = _stage_data_files(
-            updated, path, part_info[0] if part_info else None,
-            ice_schema)
+        data_entries = _stage_data_files(updated, path, part_info,
+                                         ice_schema)
         _bound_entries(data_entries, ice_schema)
     finally:
         matched.unpersist()
@@ -1329,8 +1581,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame,
         data_entries: list[dict] = []
         if new_rows is not None and not new_rows.isEmpty():
             data_entries = _stage_data_files(
-                new_rows, path,
-                part_info[0] if part_info else None, ice_schema)
+                new_rows, path, part_info, ice_schema)
             _bound_entries(data_entries, ice_schema)
     finally:
         if matched is not None:
@@ -1368,28 +1619,13 @@ def compact_iceberg(spark: SparkSession, path: str,
     if len(data_files) <= 1 and not delete_files:
         return None
     ice_schema = table._current_schema(md)
-    specs = {s.get("spec-id", 0): s.get("fields", [])
-             for s in md.get("partition-specs", [])}
-    spec_fields = specs.get(md.get("default-spec-id", 0), [])
-    if len(spec_fields) > 1 or any(
-            f.get("transform") != "identity" for f in spec_fields):
-        raise NotImplementedError(
-            "iceberg compact: only unpartitioned or single "
-            "identity-partitioned tables")
-    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
-    partition_by = (by_id.get(spec_fields[0]["source-id"])
-                    if spec_fields else None)
+    part_info = _part_info(md, ice_schema)
     df = table.read(spark)
-    staged = _stage_data_files(df, path, partition_by, ice_schema)
+    staged = _stage_data_files(df, path, part_info, ice_schema)
     for f in staged:
         lo, hi = _file_bounds(f["file_path"], ice_schema)
         f["lower_bounds"] = lo or None
         f["upper_bounds"] = hi or None
-    part_info = None
-    if partition_by is not None:
-        ptype = {f["name"]: f["type"] for f in ice_schema["fields"]
-                 if isinstance(f["type"], str)}[partition_by]
-        part_info = (partition_by, ptype)
     for _ in range(max_commit_attempts):
         cur_md = table.metadata()
         cur = table._snapshot(cur_md, None)

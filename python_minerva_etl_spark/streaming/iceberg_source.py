@@ -252,8 +252,13 @@ class _IceWriter(DataSourceArrowWriter):
             raise NotImplementedError(
                 "minerva_iceberg: one identity partition column")
         # fail fast on the driver, before any executor writes
-        self.ice_schema = _precheck_append(
+        self.ice_schema, self.part = _precheck_append(
             self.path, schema, self.partition_by)
+        if self.part is not None and self.part.transform != "identity":
+            raise NotImplementedError(
+                "minerva_iceberg writer: identity partitioning only "
+                "(this writer stages per-executor by column value) — "
+                "use write_iceberg() for partition transforms")
 
     def write(self, iterator):
         import uuid as _uuid
@@ -271,7 +276,7 @@ class _IceWriter(DataSourceArrowWriter):
 
         def emit(sub: "pa.Table", pval) -> dict:
             dst = (data_dir if pval is None else os.path.join(
-                data_dir, f"{self.partition_by}={pval}"))
+                data_dir, f"{self.part.name}={pval}"))
             os.makedirs(dst, exist_ok=True)
             final = os.path.join(dst, f"{_uuid.uuid4().hex}.parquet")
             pq.write_table(sub, final, compression="snappy")
@@ -282,32 +287,29 @@ class _IceWriter(DataSourceArrowWriter):
                 "file_size_in_bytes": os.path.getsize(final),
             }
             if pval is not None:
-                entry["partition"] = {self.partition_by: pval}
+                entry["partition"] = {self.part.name: pval}
             lo, hi = _file_bounds(final, self.ice_schema)
             entry["lower_bounds"] = lo or None
             entry["upper_bounds"] = hi or None
             return entry
 
         entries = []
-        if self.partition_by is None:
+        if self.part is None:
             entries.append(emit(tbl, None))
         else:
-            col = tbl.column(self.partition_by)
+            col = tbl.column(self.part.source)
             if col.null_count:
                 raise ValueError(
                     f"iceberg append: null value in partition "
-                    f"column {self.partition_by!r}")
+                    f"column {self.part.source!r}")
             import pandas as pd
 
             keys = pd.Series(col.to_pandas())
             for val, idx in keys.groupby(keys, sort=False).groups \
                     .items():
-                ptype = {f["name"]: f["type"]
-                         for f in self.ice_schema["fields"]
-                         if isinstance(f["type"], str)}[
-                    self.partition_by]
-                pval = int(val) if ptype in ("int", "long") \
-                    else str(val)
+                pval = (int(val)
+                        if self.part.result_type in ("int", "long")
+                        else str(val))
                 sub = tbl.take(pa.array(idx.to_numpy()))
                 entries.append(emit(sub, pval))
         return _IceCommitMessage(entries)
@@ -317,7 +319,7 @@ class _IceWriter(DataSourceArrowWriter):
 
         entries = [e for m in messages if m for e in m.entries]
         _commit_staged(self.path, entries, self.ice_schema,
-                       self.partition_by)
+                       self.part)
 
     def abort(self, messages):
         for m in messages:

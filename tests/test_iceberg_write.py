@@ -77,14 +77,24 @@ def test_schema_mismatch_and_partitioned_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="does not match the table"):
         write_iceberg(spark, spark.createDataFrame(
             [(9, "z")], "id long, v string"), p)
-    # non-identity transforms stay refused
+    # transform-partitioned tables (round 6): an unpartitioned
+    # append still refuses as a spec mismatch, while the MATCHING
+    # transform appends fine
     md["partition-specs"] = [{"spec-id": 0, "fields": [
         {"source-id": 1, "field-id": 1000, "name": "id_bucket",
          "transform": "bucket[16]"}]}]
     json.dump(md, open(md_path, "w"))
-    with pytest.raises(NotImplementedError, match="non-identity"):
+    with pytest.raises(ValueError, match="does not match"):
         write_iceberg(spark, spark.createDataFrame(
             [(9, "z")], "id long, v string"), p)
+    with pytest.raises(ValueError, match="does not match"):
+        write_iceberg(spark, spark.createDataFrame(
+            [(9, "z")], "id long, v string"), p,
+            partition_by="bucket(id, 4)")  # wrong N
+    write_iceberg(spark, spark.createDataFrame(
+        [(9, "z")], "id long, v string"), p,
+        partition_by="bucket(id, 16)")
+    assert (9, "z") in _rows(read_iceberg(spark, p))
 
 
 def test_written_bounds_prune_files(spark, tmp_path):
