@@ -100,6 +100,7 @@ _DEPTH = [
     "source_delta_cdf_update",
     "source_iceberg_incremental",
     "sink_iceberg_merge_roundtrip",
+    "sink_iceberg_days_partitioned",
     "stream_delta_source_parity",
     "skyline_orders",
     "agg_weighted_median",

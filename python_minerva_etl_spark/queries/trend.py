@@ -297,6 +297,62 @@ def _sink_iceberg_roundtrip(spark, sf_dir):
 _SINK_ICEBERG_ROUNDTRIP_SQL = _SINK_DELTA_ROUNDTRIP_SQL
 
 
+def _sink_iceberg_days_partitioned(spark, sf_dir):
+    """OP-SNK / OP-SRC via an Iceberg table PARTITION BY days(ts)
+    (storage/iceberg_write.py:_PartField — the spec's day transform,
+    pure unix_micros arithmetic so the partition values are
+    session-timezone-proof): events land in one partitioned append
+    (data files keep every column, Hive dirs ts_day=<epoch day>,
+    manifest partition summaries in the transformed domain), then a
+    ts-range read must use manifest pruning and still match the
+    oracle's plain filtered aggregate.  The predicate midpoint is a
+    whole-day boundary so the weak transformed-domain bound and the
+    exact filter agree."""
+    from ..storage.iceberg import read_iceberg
+    from ..storage.iceberg_write import write_iceberg
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime
+    mid_day = (lo + (hi - lo) / 2).date()
+    mid = datetime.datetime.combine(mid_day, datetime.time())
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"iceberg_days_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, ev, base, partition_by="days(ts)")
+    return (read_iceberg(spark, base, where=[("ts", ">=", mid)])
+            .groupBy("event_type",
+                     F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SINK_ICEBERG_DAYS_PARTITIONED_SQL = """
+WITH bounds AS (
+  SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events
+),
+cut AS (
+  SELECT CAST(CAST(lo + (hi - lo) / 2 AS DATE) AS TIMESTAMP) AS mid
+  FROM bounds
+)
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM events, cut
+WHERE ts >= mid
+GROUP BY 1, 2
+"""
+
+
 def _sink_delta_dv_roundtrip(spark, sf_dir):
     """OP-SNK merge-on-read DELETE via Delta deletion vectors
     (storage/delta.py + storage/delta_dv.py — no Delta jar): events
@@ -1136,6 +1192,7 @@ QUERIES = [
     DeclaredQuery("source_delta_cdf_update", _source_delta_cdf_update, _SOURCE_DELTA_CDF_UPDATE_SQL, "OP-SRC (Delta CDF write path: UPDATE pre/post images via cdc actions)"),
     DeclaredQuery("source_iceberg_incremental", _source_iceberg_incremental, _SOURCE_ICEBERG_INCREMENTAL_SQL, "OP-SRC (Iceberg incremental append scan between snapshots)"),
     DeclaredQuery("sink_iceberg_merge_roundtrip", _sink_iceberg_merge_roundtrip, _SINK_ICEBERG_MERGE_ROUNDTRIP_SQL, "OP-SNK (Iceberg merge-on-read UPDATE + MERGE INTO)"),
+    DeclaredQuery("sink_iceberg_days_partitioned", _sink_iceberg_days_partitioned, _SINK_ICEBERG_DAYS_PARTITIONED_SQL, "OP-SNK/OP-SRC (Iceberg days(ts) partition transform + transformed-domain pruning)"),
     DeclaredQuery("stream_delta_source_parity", _stream_delta_source_parity, _STREAM_DELTA_SOURCE_PARITY_SQL, "OP-STR-INGEST (registered Python data source tailing the Delta log)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
