@@ -16,10 +16,12 @@ input partition per file, pyarrow decode executor-side), delete
 snapshots are skipped, replace/overwrite snapshots fail the stream
 (rewritten files would double-count).
 
-Scope: parquet data files; tables whose current snapshots carry
-merge-on-read DELETE files refuse in BATCH mode (the registered
-source has no row_index anti-join — ``read_iceberg`` applies them);
-the streaming side never sees delete files (append snapshots only).
+Scope: parquet data files.  BATCH mode applies merge-on-read
+POSITION deletes executor-side (each file's deleted row ordinals
+mask its pyarrow read — positions are 0-based per file, exactly the
+spec's addressing); EQUALITY deletes refuse toward ``read_iceberg``
+(sequence-ordered anti-joins want the full engine).  The streaming
+side never sees delete files (append snapshots only).
 """
 
 from __future__ import annotations
@@ -45,15 +47,45 @@ def _opt(options: dict, name: str, default=None):
 
 
 class _IceFilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, orig_path: str | None = None,
+                 delete_paths: tuple[str, ...] = ()):
         self.file_path = file_path
+        # the manifest's exact spelling — position-delete entries
+        # address data files by THAT string, not the local form
+        self.orig_path = orig_path or file_path
+        self.delete_paths = delete_paths
+
+
+def _deleted_positions(p: _IceFilePartition):
+    """Sorted 0-based row ordinals the snapshot's position-delete
+    files mask out of THIS data file (executor-side: each task reads
+    only the small delete parquet, filtered to its own file path)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def norm(x: str) -> str:
+        return re.sub("^file:/+", "/", x)
+
+    mine = pa.array(sorted({norm(p.orig_path)}))
+    out = set()
+    for dp in p.delete_paths:
+        t = pq.read_table(dp, columns=["file_path", "pos"])
+        mask = pc.is_in(pc.replace_substring_regex(
+            t.column("file_path"), "^file:/+", "/"),
+            value_set=mine)
+        out.update(t.filter(mask).column("pos").to_pylist())
+    return out
 
 
 def _read_ice_partition(p: _IceFilePartition,
                         schema: T.StructType):
     """One Iceberg data file → pyarrow RecordBatches matching the
     table schema (files carry every column — identity-partitioned
-    writers included; schema-evolution gaps null-fill)."""
+    writers included; schema-evolution gaps null-fill); position
+    deletes mask rows by their 0-based ordinal before emission."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -63,6 +95,15 @@ def _read_ice_partition(p: _IceFilePartition,
     want = [f.name for f in schema.fields]
     tbl = pq.read_table(p.file_path,
                         columns=[c for c in want if c in have])
+    if p.delete_paths:
+        dead = _deleted_positions(p)
+        if dead:
+            import numpy as np
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            idx = np.fromiter((i for i in dead if i < tbl.num_rows),
+                              dtype=np.int64)
+            keep[idx] = False
+            tbl = tbl.filter(pa.array(keep))
     arrays = []
     for f in schema.fields:
         at = target.field(f.name).type
@@ -108,15 +149,20 @@ class _IceBatchReader(DataSourceReader):
             sid = tbl.snapshot_at(int(aot))  # epoch ms, as upstream
         files, deletes = tbl._data_files(
             tbl._snapshot(md, int(sid) if sid is not None else None))
-        if deletes:
+        if any(d.get("content") == 2 for d in deletes):
             raise NotImplementedError(
-                "minerva_iceberg: merge-on-read delete files present "
-                "— the registered source cannot apply them; use "
-                "read_iceberg()")
+                "minerva_iceberg: equality-delete files present — "
+                "sequence-ordered application needs the full engine; "
+                "use read_iceberg()")
+        self.delete_paths = tuple(
+            _localize(d["file_path"]) for d in deletes
+            if d.get("content") == 1)
         self.paths = _parquet_paths(files)
+        self.orig_paths = [f["file_path"] for f in files]
 
     def partitions(self):
-        return [_IceFilePartition(p) for p in self.paths]
+        return [_IceFilePartition(p, orig, self.delete_paths)
+                for p, orig in zip(self.paths, self.orig_paths)]
 
     def read(self, partition):
         return _read_ice_partition(partition, self.schema_)

@@ -51,13 +51,24 @@ def test_batch_snapshot_and_ref_time_travel(ice_spark, tmp_path):
     assert _rows(by_ref) == [(0,), (1,)]
 
 
-def test_batch_refuses_merge_on_read_deletes(ice_spark, tmp_path):
+def test_batch_applies_position_deletes(ice_spark, tmp_path):
+    """Merge-on-read POSITION deletes apply executor-side (per-file
+    0-based row-ordinal masks) — DML-produced tables read correctly
+    through the registered source; equality deletes still refuse."""
     p = str(tmp_path / "t")
     write_iceberg(ice_spark, ice_spark.range(4).toDF("id"), p)
     delete_iceberg(ice_spark, p, [("id", "=", 2)])
-    with pytest.raises(Exception, match="read_iceberg"):
-        (ice_spark.read.format("minerva_iceberg").load(p)
-         .collect())
+    got = ice_spark.read.format("minerva_iceberg").load(p)
+    assert _rows(got) == [(0,), (1,), (3,)]
+    # parity with the engine read after an UPDATE too
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        update_iceberg)
+
+    update_iceberg(ice_spark, p, {"id": "id + 100"},
+                   [("id", "=", 0)])
+    got = ice_spark.read.format("minerva_iceberg").load(p)
+    assert _rows(got) == _rows(read_iceberg(ice_spark, p)) == [
+        (1,), (3,), (100,)]
 
 
 def test_stream_available_now_all_appends(ice_spark, tmp_path):
