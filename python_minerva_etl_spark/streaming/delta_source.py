@@ -157,12 +157,34 @@ class _BatchReader(DataSourceReader):
         self.part_cols = meta.get("partitionColumns") or []
         self.table_path = os.path.abspath(self.path)
         self.files = snap["files"]
+        self.preds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """File skipping for the registered source: comparison
+        filters prune add actions on partitionValues + per-file
+        stats (min/max), exactly like ``DeltaTable.read(where=…)``.
+        EVERY filter is handed back to Spark for post-scan
+        evaluation — pushdown here is pruning, never filtering."""
+        from .iceberg_source import _preds_from_filters
+
+        self.preds = _preds_from_filters(
+            filters, {f.name for f in self.schema_.fields})
+        return filters
 
     def partitions(self):
+        files = self.files
+        if self.preds:
+            from ..storage.delta import _add_may_match
+
+            type_of = {f.name: f.dataType
+                       for f in self.schema_.fields}
+            files = [f for f in files
+                     if _add_may_match(f, self.preds,
+                                       self.part_cols, type_of)]
         return [_FilePartition(self.table_path, f["path"],
                                f.get("partitionValues") or {},
                                f.get("deletionVector"))
-                for f in self.files]
+                for f in files]
 
     def read(self, partition):
         return _read_partition(partition, self.schema_,
@@ -464,5 +486,13 @@ class MinervaDeltaDataSource(DataSource):
 
 
 def register_delta_source(spark: SparkSession) -> None:
-    """Register ``minerva_delta`` for this session (idempotent)."""
+    """Register ``minerva_delta`` for this session (idempotent).
+    Also enables Python data source filter pushdown — a reader that
+    implements ``pushFilters`` HARD-FAILS when the conf is off, so
+    registration owns turning it on (runtime conf, session-scoped)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                       "true")
+    except Exception:
+        pass  # static conf in exotic deployments; reads still work
     spark.dataSource.register(MinervaDeltaDataSource)

@@ -128,14 +128,39 @@ def _parquet_paths(files: list[dict]) -> list[str]:
     return out
 
 
+def _preds_from_filters(filters, names: set) -> list[tuple]:
+    """Spark Filter objects → the engine's ``(col, op, lit)``
+    predicate shape, keeping only single-column comparison filters
+    over known top-level columns.  Used for SCAN PLANNING only — the
+    caller always hands every filter back to Spark (`pushFilters`
+    returns "filters that still need to be evaluated"), so pruning
+    can never change results, only skip provably-excluded files."""
+    from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                        GreaterThanOrEqual, LessThan,
+                                        LessThanOrEqual)
+
+    ops = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
+           LessThan: "<", LessThanOrEqual: "<="}
+    preds = []
+    for f in filters:
+        op = ops.get(type(f))
+        if op is None or len(f.attribute) != 1:
+            continue
+        col = f.attribute[0]
+        if col in names:
+            preds.append((col, op, f.value))
+    return preds
+
+
 class _IceBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         path = _opt(options, "path")
         if not path:
             raise ValueError("minerva_iceberg requires a path")
-        tbl = IcebergTable(path)
-        md = tbl.metadata()
-        self.schema_ = _to_spark_schema(tbl._current_schema(md))
+        self.tbl = IcebergTable(path)
+        self.md = self.tbl.metadata()
+        self.ice_schema = self.tbl._current_schema(self.md)
+        self.schema_ = _to_spark_schema(self.ice_schema)
         sid = _opt(options, "snapshotId")
         ref = _opt(options, "ref")
         aot = _opt(options, "as-of-timestamp")  # upstream Spark name
@@ -144,25 +169,49 @@ class _IceBatchReader(DataSourceReader):
                 "minerva_iceberg: pass only one of snapshotId / ref "
                 "/ as-of-timestamp")
         if ref is not None:
-            sid = tbl.resolve_ref(ref)
+            sid = self.tbl.resolve_ref(ref)
         elif aot is not None:
-            sid = tbl.snapshot_at(int(aot))  # epoch ms, as upstream
-        files, deletes = tbl._data_files(
-            tbl._snapshot(md, int(sid) if sid is not None else None))
+            sid = self.tbl.snapshot_at(int(aot))  # epoch ms
+        self.sid = int(sid) if sid is not None else None
+        self.preds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Scan planning for the registered source: comparison
+        filters prune manifests (partition summaries, transformed
+        domain) and files (column bounds) exactly like
+        :meth:`IcebergTable.read`.  EVERY filter is handed back to
+        Spark for post-scan evaluation — pushdown here is pruning,
+        never filtering, so a missed bound can only cost time."""
+        self.preds = _preds_from_filters(
+            filters, {f.name for f in self.schema_.fields})
+        return filters
+
+    def partitions(self):
+        from ..storage.iceberg import _file_may_match
+
+        files, deletes = self.tbl._data_files(
+            self.tbl._snapshot(self.md, self.sid), self.preds,
+            self.md)
         if any(d.get("content") == 2 for d in deletes):
             raise NotImplementedError(
                 "minerva_iceberg: equality-delete files present — "
                 "sequence-ordered application needs the full engine; "
                 "use read_iceberg()")
-        self.delete_paths = tuple(
+        if self.preds:
+            field_id = {f["name"]: f["id"]
+                        for f in self.ice_schema["fields"]}
+            field_type = {f["name"]: f["type"]
+                          for f in self.ice_schema["fields"]
+                          if isinstance(f["type"], str)}
+            files = [f for f in files
+                     if _file_may_match(f, self.preds, field_id,
+                                        field_type)]
+        delete_paths = tuple(
             _localize(d["file_path"]) for d in deletes
             if d.get("content") == 1)
-        self.paths = _parquet_paths(files)
-        self.orig_paths = [f["file_path"] for f in files]
-
-    def partitions(self):
-        return [_IceFilePartition(p, orig, self.delete_paths)
-                for p, orig in zip(self.paths, self.orig_paths)]
+        paths = _parquet_paths(files)
+        return [_IceFilePartition(p, f["file_path"], delete_paths)
+                for p, f in zip(paths, files)]
 
     def read(self, partition):
         return _read_ice_partition(partition, self.schema_)
@@ -400,5 +449,13 @@ class MinervaIcebergDataSource(DataSource):
 
 
 def register_iceberg_source(spark: SparkSession) -> None:
-    """Register ``minerva_iceberg`` for this session (idempotent)."""
+    """Register ``minerva_iceberg`` for this session (idempotent).
+    Also enables Python data source filter pushdown — a reader that
+    implements ``pushFilters`` HARD-FAILS when the conf is off, so
+    registration owns turning it on (runtime conf, session-scoped)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                       "true")
+    except Exception:
+        pass  # static conf in exotic deployments; reads still work
     spark.dataSource.register(MinervaIcebergDataSource)

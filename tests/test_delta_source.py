@@ -276,3 +276,41 @@ def test_batch_timestamp_as_of_option(ds_spark, tmp_path):
         (ds_spark.read.format("minerva_delta")
          .option("timestampAsOf", mid)
          .option("versionAsOf", 0).load(p).collect())
+
+
+def test_batch_filter_pushdown_prunes_files(ds_spark, tmp_path):
+    """pushFilters skips add actions on per-file stats AND
+    partitionValues (Spark still re-applies the filters): pruned
+    files are corrupted on disk to prove they are never opened."""
+    import json as j
+    import os
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    dt.write(ds_spark, ds_spark.createDataFrame(
+        [(i, "x") for i in range(10)],
+        "id long, v string").coalesce(1))
+    dt.write(ds_spark, ds_spark.createDataFrame(
+        [(i, "y") for i in range(100, 110)],
+        "id long, v string").coalesce(1))
+    for f in dt._replay()["files"]:
+        if j.loads(f["stats"])["minValues"]["id"] < 50:
+            open(os.path.join(p, f["path"]), "wb").write(b"garbage")
+    got = (ds_spark.read.format("minerva_delta").load(p)
+           .filter("id >= 100"))
+    assert sorted(r.id for r in got.collect()) == \
+        list(range(100, 110))
+    with pytest.raises(Exception):
+        ds_spark.read.format("minerva_delta").load(p).collect()
+    # partition-value pruning
+    p2 = str(tmp_path / "t2")
+    dt2 = DeltaTable(p2)
+    dt2.write(ds_spark, ds_spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, par string"),
+        partition_by=["par"])
+    for f in dt2._replay()["files"]:
+        if "par=a" in f["path"]:
+            open(os.path.join(p2, f["path"]), "wb").write(b"garbage")
+    got = (ds_spark.read.format("minerva_delta").load(p2)
+           .filter("par = 'b'"))
+    assert [r.id for r in got.collect()] == [2]

@@ -243,3 +243,35 @@ def test_stream_skip_overwrite_and_strict_delete_options(ice_spark,
     with pytest.raises(StreamingQueryException,
                        match="skip-delete-snapshots"):
         q.awaitTermination(120)
+
+
+def test_batch_filter_pushdown_prunes_files(ice_spark, tmp_path):
+    """pushFilters plans the scan (manifest + file-bound pruning)
+    while Spark re-applies every filter post-scan: a pruned file is
+    provably never opened (corrupted on disk), and the unfiltered
+    read fails loudly on it."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(i, "x") for i in range(10)],
+        "id long, v string").coalesce(1), p)
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(i, "y") for i in range(100, 110)],
+        "id long, v string").coalesce(1), p)
+    for f in glob.glob(os.path.join(p, "data", "*.parquet")):
+        if pq.read_table(f).column("id")[0].as_py() < 50:
+            open(f, "wb").write(b"garbage")
+    got = (ice_spark.read.format("minerva_iceberg").load(p)
+           .filter("id >= 100"))
+    assert sorted(r.id for r in got.collect()) == \
+        list(range(100, 110))
+    # exactness: the residual filter still applies inside kept files
+    got = (ice_spark.read.format("minerva_iceberg").load(p)
+           .filter("id = 105"))
+    assert [r.id for r in got.collect()] == [105]
+    with pytest.raises(Exception):
+        ice_spark.read.format("minerva_iceberg").load(p).collect()
