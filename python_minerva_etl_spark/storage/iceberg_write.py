@@ -758,6 +758,46 @@ def write_iceberg(spark: SparkSession, df: DataFrame, path: str,
                    df_schema=df.schema if merge_schema else None)
 
 
+def overwrite_iceberg(spark: SparkSession, df: DataFrame, path: str,
+                      max_commit_attempts: int = 5,
+                      partition_by: str | None = None) -> None:
+    """TRUNCATE-and-replace: commit ONE ``overwrite`` snapshot whose
+    manifest list holds ONLY the new data manifest — every previously
+    live data/delete file drops out of the current snapshot but stays
+    time-travelable until :func:`expire_snapshots`.  Schema and
+    partition spec must match the existing table (this is a data
+    overwrite, not an evolution); a missing table creates, exactly
+    like :func:`write_iceberg`.  Incremental append scans refuse
+    ranges containing the overwrite — correct, a truncation cannot be
+    consumed as appends."""
+    mdir = os.path.join(path, "metadata")
+    if not (os.path.isdir(mdir)
+            and any(n.endswith(".metadata.json")
+                    for n in os.listdir(mdir))):
+        write_iceberg(spark, df, path, max_commit_attempts,
+                      partition_by)
+        return
+    ice_schema, part = _precheck_append(path, df.schema, partition_by)
+    data_files = _stage_data_files(df, path, part, ice_schema)
+    for f in data_files:
+        lo, hi = _file_bounds(f["file_path"], ice_schema)
+        f["lower_bounds"] = lo or None
+        f["upper_bounds"] = hi or None
+    table = IcebergTable(path)
+    for _ in range(max_commit_attempts):
+        md = table.metadata()
+        base_version = _version_of(table._metadata_path())
+        try:
+            _commit_append(table, md, data_files, base_version,
+                           part, carry=False, operation="overwrite")
+            return
+        except IcebergConcurrentCommit:
+            continue
+    raise IcebergConcurrentCommit(
+        f"iceberg overwrite: lost the commit race "
+        f"{max_commit_attempts} times at {path!r}")
+
+
 def _precheck_append(path: str, df_schema: T.StructType,
                      partition_by: str | None,
                      merge_schema: bool = False
@@ -1004,7 +1044,13 @@ def _commit_append(table: IcebergTable, md: dict,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist,
-        "summary": {"operation": operation},
+        # summary metric values are STRINGS per the spec
+        "summary": {
+            "operation": operation,
+            "added-data-files": str(len(data_files)),
+            "added-records": str(sum(f["record_count"]
+                                     for f in data_files)),
+        },
     }
     prev_cur = md.get("current-snapshot-id")
     if prev_cur not in (None, -1):
@@ -1309,7 +1355,16 @@ def _commit_row_dml(table: IcebergTable, md: dict,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist,
-        "summary": {"operation": operation},
+        # summary metric values are STRINGS per the spec
+        "summary": {
+            "operation": operation,
+            "added-data-files": str(len(data_entries)),
+            "added-records": str(sum(f["record_count"]
+                                     for f in data_entries)),
+            "added-delete-files": str(len(del_entries)),
+            "added-position-deletes": str(sum(
+                f["record_count"] for f in del_entries)),
+        },
     }
     prev_cur = md.get("current-snapshot-id")
     if prev_cur not in (None, -1):

@@ -416,3 +416,42 @@ def test_timestamp_travel_as_of(spark, tmp_path):
     json.dump(raw, open(mdp, "w"))
     with pytest.raises(ValueError, match="no timestamp-ms"):
         read_iceberg(spark, p, as_of=mid)
+
+
+def test_overwrite_iceberg_truncate_and_replace(spark, tmp_path):
+    """overwrite_iceberg commits ONE overwrite snapshot holding only
+    the new manifest: prior rows vanish from the current snapshot but
+    stay time-travelable; incremental scans over the range refuse;
+    summary metrics record the adds."""
+    from python_minerva_etl_spark.storage.iceberg import (
+        read_iceberg_incremental)
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        delete_iceberg, overwrite_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), p)
+    delete_iceberg(spark, p, [("id", "=", 1)])
+    s_before = IcebergTable(p).metadata()["current-snapshot-id"]
+    overwrite_iceberg(spark, spark.createDataFrame(
+        [(9, "z")], "id long, v string"), p)
+    assert _rows(read_iceberg(spark, p)) == [(9, "z")]
+    md = IcebergTable(p).metadata()
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["added-records"] == "1"
+    # prior history stays time-travelable (with its delete applied)
+    assert _rows(read_iceberg(spark, p, snapshot_id=s_before)) == \
+        [(2, "b")]
+    with pytest.raises(ValueError, match="overwrite"):
+        read_iceberg_incremental(spark, p, 1).collect()
+    # schema must match (no silent evolution through overwrite)
+    with pytest.raises(ValueError, match="does not match"):
+        overwrite_iceberg(spark, spark.createDataFrame(
+            [(1.5,)], "x double"), p)
+    # creating a fresh table through overwrite works
+    p2 = str(tmp_path / "t2")
+    overwrite_iceberg(spark, spark.createDataFrame(
+        [(1, "a")], "id long, v string"), p2)
+    assert _rows(read_iceberg(spark, p2)) == [(1, "a")]
