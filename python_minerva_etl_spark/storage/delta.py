@@ -1464,7 +1464,7 @@ class DeltaTable:
         conf = snap["metaData"].get("configuration") or {}
         if str(conf.get("delta.appendOnly", "")).lower() == "true" \
                 and operation in ("overwrite", "delete", "update",
-                                  "merge", "restore"):
+                                  "merge", "restore", "replaceWhere"):
             # appendOnly forbids removes with dataChange=true; compaction
             # (dataChange=false) and vacuum stay legal per the protocol
             raise ValueError(
@@ -1727,6 +1727,77 @@ class DeltaTable:
                 "UPDATE", touched, old_dv, extra, cdf)
         finally:
             matched.unpersist()
+
+    def replace_where(self, spark: SparkSession, df: DataFrame,
+                      where) -> int | None:
+        """Atomic predicate-scoped overwrite (delta-spark's
+        ``replaceWhere`` write option): ONE commit masks every
+        existing row matching ``where`` (a Column or SQL string) via
+        deletion vectors AND lands ``df``'s rows in new data files —
+        the backfill idiom (rewrite one day/region without touching
+        the rest, readers never see an in-between state).
+
+        Every incoming row must satisfy the predicate (enforced with
+        one scan — rows outside the replaced region would silently
+        leak into territory the caller promised not to touch).  On
+        ``delta.enableChangeDataFeed`` tables the commit carries
+        delete + insert change rows under ``_change_data/``.
+        Returns the committed version, or None when nothing matched
+        and ``df`` is empty."""
+        snap = self._replay()
+        self._check_writable(snap, "replaceWhere")
+        cond = F.expr(where) if isinstance(where, str) else where
+        meta = snap["metaData"]
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"]))
+        names = [f.name for f in schema.fields]
+        missing = [n for n in names if n not in df.columns]
+        if missing:
+            raise ValueError(
+                f"replaceWhere: dataframe lacks table columns "
+                f"{missing}")
+        new_rows = df.select(
+            *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+              for f in schema.fields])
+        if new_rows.filter(~cond).limit(1).count():
+            raise ValueError(
+                "replaceWhere: incoming rows violate the predicate "
+                "— they fall outside the region being replaced")
+        part_cols = meta.get("partitionColumns") or []
+        table_path = os.path.abspath(self.path)
+        old_dv = {f["path"]: f.get("deletionVector")
+                  for f in snap["files"]}
+        old_json = {os.path.join(table_path, rel): json.dumps(dv)
+                    for rel, dv in old_dv.items() if dv}
+        cdf = self._cdf_enabled(snap)
+        matched = (self.read(spark, snap["version"], _with_pos=True)
+                   .filter(cond))
+        if cdf:
+            matched = matched.persist()
+        try:
+            touched = self._write_dvs(spark, matched, old_json)
+            extra = []
+            if not new_rows.isEmpty():
+                extra = self._stage_data_files(new_rows, part_cols)
+            if cdf:
+                cdc_df = new_rows.withColumn(
+                    "_change_type", F.lit("insert"))
+                if touched:
+                    cdc_df = (matched.drop("_dl_path", "_dl_pos")
+                              .withColumn("_change_type",
+                                          F.lit("delete"))
+                              .unionByName(cdc_df))
+                if not cdc_df.isEmpty():
+                    extra += self._stage_data_files(
+                        cdc_df, part_cols, subdir="_change_data",
+                        action="cdc")
+            if not touched and not extra:
+                return None
+            return self._commit_row_dml(
+                "WRITE", touched, old_dv, extra, cdf)
+        finally:
+            if cdf:
+                matched.unpersist()
 
     def merge(self, spark: SparkSession, source: DataFrame, on,
               when_matched_update: dict | None = None,

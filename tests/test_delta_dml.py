@@ -355,3 +355,54 @@ def test_module_level_wrappers(spark, tmp_path):
                 when_not_matched_insert=True)
     got = _rows(DeltaTable(p).read(spark).select("id", "value"))
     assert (2, 9.0) in got and (5, 5.0) in got
+
+
+def test_replace_where_predicate_scoped_overwrite(spark, tmp_path):
+    """replaceWhere (the backfill idiom): one commit DV-masks every
+    row matching the predicate and lands the replacement rows; the
+    incoming rows must satisfy the predicate; CDF tables materialize
+    delete + insert change rows; appendOnly refuses."""
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame(
+        [(i, "jan" if i < 5 else "feb", float(i)) for i in range(10)],
+        "id long, month string, val double"), partition_by=["month"])
+    fixed = spark.createDataFrame(
+        [(100, "jan", 9.9), (101, "jan", 8.8)],
+        "id long, month string, val double")
+    v = dt.replace_where(spark, fixed, "month = 'jan'")
+    got = {r.id for r in dt.read(spark).collect()}
+    assert got == {100, 101, 5, 6, 7, 8, 9}
+    # atomic: the pre-replace snapshot is intact
+    assert len(dt.read(spark, v - 1).collect()) == 10
+    with pytest.raises(ValueError, match="violate the predicate"):
+        dt.replace_where(spark, spark.createDataFrame(
+            [(1, "mar", 0.0)],
+            "id long, month string, val double"), "month = 'jan'")
+    with pytest.raises(ValueError, match="lacks table columns"):
+        dt.replace_where(spark, spark.createDataFrame(
+            [(1,)], "id long"), "month = 'jan'")
+    # CDF: delete + insert images in one version
+    p2 = str(tmp_path / "t2")
+    dt2 = DeltaTable(p2)
+    dt2.write(spark, spark.createDataFrame([(1, "a")],
+                                           "id long, v string"))
+    dt2.set_properties({"delta.enableChangeDataFeed": "true"})
+    v2 = dt2.replace_where(spark, spark.createDataFrame(
+        [(2, "a")], "id long, v string"), "v = 'a'")
+    kinds = sorted((r.id, r._change_type)
+                   for r in dt2.changes(spark, v2, v2).collect())
+    assert kinds == [(1, "delete"), (2, "insert")]
+    # no match + empty df = no commit
+    assert dt2.replace_where(
+        spark, spark.createDataFrame([], "id long, v string"),
+        "v = 'zzz'") is None
+    # appendOnly refuses
+    p3 = str(tmp_path / "t3")
+    dt3 = DeltaTable(p3)
+    dt3.write(spark, spark.createDataFrame([(1, "a")],
+                                           "id long, v string"))
+    dt3.set_properties({"delta.appendOnly": "true"})
+    with pytest.raises(ValueError, match="append-only"):
+        dt3.replace_where(spark, spark.createDataFrame(
+            [(2, "a")], "id long, v string"), "v = 'a'")
