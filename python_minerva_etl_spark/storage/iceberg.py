@@ -352,16 +352,20 @@ def _partition_specs(md: dict) -> dict[int, list[dict]]:
 
 
 def _transform_pred_literal(transform: str, type_name: str):
-    """``(decode_type, fn)`` mapping a source-column predicate
-    literal into a partition field's TRANSFORMED domain, for
-    order-preserving transforms only (identity, day/hour/month/year,
-    truncate[W] — Table Spec "Partition Transforms").  ``(None,
-    None)`` means no pruning (bucket is not order-preserving;
-    unknown transforms keep the manifest — always sound)."""
+    """``(decode_type, fn, eq_only)`` mapping a source-column
+    predicate literal into a partition field's TRANSFORMED domain
+    (Table Spec "Partition Transforms").  Order-preserving
+    transforms (identity, day/hour/month/year, truncate[W]) prune
+    every comparison; bucket[N] is NOT order-preserving, so its
+    mapping is flagged ``eq_only`` — only equality predicates may
+    prune through it (bucket(lit) outside the summary's bucket range
+    is a sound exclusion; range predicates are not).  ``(None, None,
+    False)`` means no pruning (unknown transform / unsupported
+    literal — always sound)."""
     import datetime
 
     if transform == "identity":
-        return type_name, lambda v: v
+        return type_name, (lambda v: v), False
 
     def us(v):
         if isinstance(v, datetime.datetime):
@@ -372,34 +376,51 @@ def _transform_pred_literal(transform: str, type_name: str):
 
     if transform == "day":
         if type_name in ("timestamp", "timestamptz"):
-            return "int", lambda v: (
-                None if us(v) is None else us(v) // 86_400_000_000)
+            return "int", (lambda v: (
+                None if us(v) is None
+                else us(v) // 86_400_000_000)), False
         if type_name == "date":
-            return "int", lambda v: (
+            return "int", (lambda v: (
                 v.toordinal() - 719163
                 if isinstance(v, datetime.date)
-                and not isinstance(v, datetime.datetime) else None)
-        return None, None
+                and not isinstance(v, datetime.datetime)
+                else None)), False
+        return None, None, False
     if transform == "hour" and type_name in ("timestamp",
                                              "timestamptz"):
-        return "int", lambda v: (
-            None if us(v) is None else us(v) // 3_600_000_000)
+        return "int", (lambda v: (
+            None if us(v) is None
+            else us(v) // 3_600_000_000)), False
     if transform == "month" and type_name == "date":
-        return "int", lambda v: (
+        return "int", (lambda v: (
             (v.year - 1970) * 12 + v.month - 1
-            if isinstance(v, datetime.date) else None)
+            if isinstance(v, datetime.date) else None)), False
     if transform == "year" and type_name == "date":
-        return "int", lambda v: (
-            v.year - 1970 if isinstance(v, datetime.date) else None)
+        return "int", (lambda v: (
+            v.year - 1970
+            if isinstance(v, datetime.date) else None)), False
     if transform.startswith("truncate["):
         w = int(transform[len("truncate["):-1])
         if type_name in ("int", "long"):
-            return type_name, lambda v: (
-                v - ((v % w + w) % w) if isinstance(v, int) else None)
+            return type_name, (lambda v: (
+                v - ((v % w + w) % w)
+                if isinstance(v, int) else None)), False
         if type_name == "string":
-            return "string", lambda v: (
-                v[:w] if isinstance(v, str) else None)
-    return None, None
+            return "string", (lambda v: (
+                v[:w] if isinstance(v, str) else None)), False
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket["):-1])
+        if type_name in ("int", "long"):
+            from .iceberg_write import _murmur3_long
+            return "int", (lambda v: (
+                (_murmur3_long(v) & 0x7FFFFFFF) % n
+                if isinstance(v, int) else None)), True
+        if type_name == "string":
+            from .iceberg_write import _murmur3_bytes
+            return "int", (lambda v: (
+                (_murmur3_bytes(v.encode("utf-8")) & 0x7FFFFFFF) % n
+                if isinstance(v, str) else None)), True
+    return None, None, False
 
 
 def _manifest_may_match(m: dict, preds, specs: dict,
@@ -430,8 +451,8 @@ def _manifest_may_match(m: dict, preds, specs: dict,
         if src is None:
             continue
         name, type_name = src
-        dec_type, to_part = _transform_pred_literal(transform,
-                                                    type_name)
+        dec_type, to_part, eq_only = _transform_pred_literal(
+            transform, type_name)
         if dec_type is None:
             continue
         strict = transform == "identity"
@@ -440,6 +461,8 @@ def _manifest_may_match(m: dict, preds, specs: dict,
         for col, op, lit in preds:
             if col != name:
                 continue
+            if eq_only and op != "=":
+                continue  # bucket: only equality prunes soundly
             try:
                 plit = to_part(lit)
                 if plit is None:

@@ -198,3 +198,41 @@ def test_parse_and_refusal_surface(spark, tmp_path):
     with pytest.raises(ValueError, match="does not match"):
         write_iceberg(spark, spark.createDataFrame(
             [(2, "b")], "id long, v string"), p, partition_by="id")
+
+
+def test_bucket_equality_pruning(spark, tmp_path):
+    """bucket[N] manifest summaries prune EQUALITY predicates only
+    (bucket(lit) outside the summary's bucket range is a sound
+    exclusion; range predicates never prune through a hash) — proven
+    by corrupting the excluded manifest's data file."""
+    import glob
+
+    p = str(tmp_path / "t")
+    # find ids in distinct buckets so the two appends get disjoint
+    # bucket summaries
+    by_bucket = {}
+    for i in range(100):
+        by_bucket.setdefault(
+            (_murmur3_long(i) & 0x7FFFFFFF) % 8, []).append(i)
+    buckets = sorted(by_bucket)
+    a_ids = by_bucket[buckets[0]][:3]
+    b_ids = by_bucket[buckets[-1]][:3]
+    write_iceberg(spark, spark.createDataFrame(
+        [(i,) for i in a_ids], "id long").coalesce(1), p,
+        partition_by="bucket(id, 8)")
+    write_iceberg(spark, spark.createDataFrame(
+        [(i,) for i in b_ids], "id long").coalesce(1), p,
+        partition_by="bucket(id, 8)")
+    # corrupt append A's data file: an equality probe for a B id must
+    # never open it (manifest-level bucket pruning)
+    for f in glob.glob(os.path.join(p, "data", "*", "*.parquet")):
+        if f"id_bucket={buckets[0]}" in f:
+            open(f, "wb").write(b"garbage")
+    got = read_iceberg(spark, p, where=[("id", "=", b_ids[0])])
+    assert [r.id for r in got.collect()] == [b_ids[0]]
+    # a RANGE predicate must NOT prune through the hash: it still
+    # tries to open the corrupt file and fails loudly (sound: no
+    # silent exclusion through a non-order-preserving transform)
+    with pytest.raises(Exception):
+        read_iceberg(spark, p,
+                     where=[("id", ">=", 0)]).collect()
