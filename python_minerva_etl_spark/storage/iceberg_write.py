@@ -858,7 +858,8 @@ def _precheck_append(path: str, df_schema: T.StructType,
 def _commit_staged(path: str, data_files: list[dict],
                    ice_schema: dict, part: "_PartField | None",
                    max_commit_attempts: int = 5,
-                   df_schema: T.StructType | None = None) -> None:
+                   df_schema: T.StructType | None = None,
+                   extra_summary: dict | None = None) -> None:
     """The CAS retry half of :func:`write_iceberg`, given
     already-staged manifest entries (with bounds).  ``df_schema``
     (merge-schema appends only) lets a retry RE-derive the evolved
@@ -906,7 +907,8 @@ def _commit_staged(path: str, data_files: list[dict],
             }
         try:
             _commit_append(table, md, data_files, base_version,
-                           part, schema_patch=schema_patch)
+                           part, schema_patch=schema_patch,
+                           extra_summary=extra_summary)
             return
         except IcebergConcurrentCommit:
             continue
@@ -964,7 +966,8 @@ def _commit_append(table: IcebergTable, md: dict,
                    part_info: "_PartField | None" = None,
                    carry: bool = True,
                    operation: str = "append",
-                   schema_patch: dict | None = None) -> None:
+                   schema_patch: dict | None = None,
+                   extra_summary: dict | None = None) -> None:
     """Commit one snapshot on top of ``md``, which was read from
     metadata version ``base_version``.  ``carry=True`` is a fast
     append (the previous snapshot's manifests carry over unchanged);
@@ -983,7 +986,7 @@ def _commit_append(table: IcebergTable, md: dict,
     entries = [{"status": 1, "snapshot_id": snap_id,
                 "sequence_number": None,  # inherited = commit seq
                 "data_file": f} for f in data_files]
-    if part_info is None:
+    if part_info is None or not data_files:
         entry_schema = _MANIFEST_ENTRY_SCHEMA
         summaries = None
     else:
@@ -1050,6 +1053,7 @@ def _commit_append(table: IcebergTable, md: dict,
             "added-data-files": str(len(data_files)),
             "added-records": str(sum(f["record_count"]
                                      for f in data_files)),
+            **(extra_summary or {}),
         },
     }
     prev_cur = md.get("current-snapshot-id")

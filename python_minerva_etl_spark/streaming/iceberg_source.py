@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (DataSource,
                                     DataSourceArrowWriter,
                                     DataSourceReader,
+                                    DataSourceStreamArrowWriter,
                                     DataSourceStreamReader,
                                     InputPartition,
                                     WriterCommitMessage)
@@ -425,6 +426,74 @@ class _IceWriter(DataSourceArrowWriter):
                     pass
 
 
+class _IceStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once append STREAMING sink, the Flink connector's
+    pattern adapted to this engine (Iceberg has no setTransaction
+    action; Flink records its max committed checkpoint id in the
+    snapshot SUMMARY): every micro-batch commits one append snapshot
+    whose summary carries ``minerva-txn-app-id`` /
+    ``minerva-txn-batch-id``, and a replayed batch whose id is at or
+    below the writer's max committed id cleans up its staged files
+    and commits NOTHING.
+
+    The ledger lives in snapshot summaries, so
+    :func:`storage.iceberg_write.expire_snapshots` must keep enough
+    history to cover the longest possible replay window — the same
+    retention caveat Flink's max-committed-checkpoint-id has.
+    Distinct streams writing one table need distinct ``txnAppId``
+    options.  Empty batches still commit (an empty append snapshot
+    is legal) so the ledger stays monotone across idle triggers."""
+
+    def __init__(self, options: dict, schema: T.StructType,
+                 overwrite: bool):
+        self._batch = _IceWriter(options, schema, overwrite)
+        self.app_id = _opt(options, "txnAppId") or \
+            f"minerva_iceberg_sink:{os.path.abspath(self._batch.path)}"
+
+    def write(self, iterator):
+        return self._batch.write(iterator)
+
+    def _max_committed(self) -> int:
+        mdir = os.path.join(self._batch.path, "metadata")
+        if not (os.path.isdir(mdir)
+                and any(n.endswith(".metadata.json")
+                        for n in os.listdir(mdir))):
+            return -1
+        md = IcebergTable(self._batch.path).metadata()
+        best = -1
+        for s in md.get("snapshots") or []:
+            summ = s.get("summary") or {}
+            if summ.get("minerva-txn-app-id") == self.app_id:
+                try:
+                    best = max(best,
+                               int(summ.get("minerva-txn-batch-id",
+                                            -1)))
+                except (TypeError, ValueError):
+                    pass
+        return best
+
+    def commit(self, messages, batchId: int):
+        from ..storage.iceberg_write import _commit_staged
+
+        entries = [e for m in messages if m for e in m.entries]
+        if int(batchId) <= self._max_committed():
+            for e in entries:  # replay: already committed
+                try:
+                    os.remove(e["file_path"])
+                except OSError:
+                    pass
+            return
+        _commit_staged(
+            self._batch.path, entries, self._batch.ice_schema,
+            self._batch.part,
+            extra_summary={
+                "minerva-txn-app-id": self.app_id,
+                "minerva-txn-batch-id": str(int(batchId))})
+
+    def abort(self, messages, batchId: int):
+        self._batch.abort(messages)
+
+
 class MinervaIcebergDataSource(DataSource):
     """`format("minerva_iceberg")` — see the module docstring."""
 
@@ -446,6 +515,10 @@ class MinervaIcebergDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _IceWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _IceStreamWriter(dict(self.options), schema,
+                                overwrite)
 
 
 def register_iceberg_source(spark: SparkSession) -> None:

@@ -275,3 +275,55 @@ def test_batch_filter_pushdown_prunes_files(ice_spark, tmp_path):
     assert [r.id for r in got.collect()] == [105]
     with pytest.raises(Exception):
         ice_spark.read.format("minerva_iceberg").load(p).collect()
+
+
+def test_stream_sink_exactly_once(ice_spark, tmp_path):
+    """The Iceberg streaming sink commits one append snapshot per
+    micro-batch with a (txnAppId, batchId) ledger in the snapshot
+    summary (the Flink max-committed-checkpoint pattern): restart
+    with the same checkpoint emits only new source rows, and a
+    replayed batchId commits nothing."""
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cp = str(tmp_path / "cp")
+    write_iceberg(ice_spark, ice_spark.range(3).toDF("id"), src)
+
+    def run():
+        q = (ice_spark.readStream.format("minerva_iceberg").load(src)
+             .writeStream.format("minerva_iceberg")
+             .option("path", dst).option("checkpointLocation", cp)
+             .option("txnAppId", "demo")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run()
+    assert _rows(read_iceberg(ice_spark, dst)) == [(0,), (1,), (2,)]
+    write_iceberg(ice_spark, ice_spark.range(3, 6).toDF("id"), src)
+    run()
+    assert _rows(read_iceberg(ice_spark, dst)) == [
+        (i,) for i in range(6)]
+    # the ledger lives in snapshot summaries
+    md = IcebergTable(dst).metadata()
+    batches = sorted(
+        int(s["summary"]["minerva-txn-batch-id"])
+        for s in md["snapshots"]
+        if s["summary"].get("minerva-txn-app-id") == "demo")
+    assert batches and batches == sorted(set(batches))
+    # a replayed batchId is a commit-free no-op
+    from python_minerva_etl_spark.streaming.iceberg_source import (
+        _IceStreamWriter)
+
+    w = _IceStreamWriter({"path": dst, "txnappid": "demo"},
+                         IcebergTable(dst).schema(), False)
+    n_before = len(IcebergTable(dst).metadata()["snapshots"])
+    w.commit([], batches[0])
+    assert len(IcebergTable(dst).metadata()["snapshots"]) == n_before
+    # a FRESH batchId commits (even empty — the ledger stays
+    # monotone across idle triggers)
+    w.commit([], batches[-1] + 7)
+    md = IcebergTable(dst).metadata()
+    assert len(md["snapshots"]) == n_before + 1
+    assert _rows(read_iceberg(ice_spark, dst)) == [
+        (i,) for i in range(6)]
