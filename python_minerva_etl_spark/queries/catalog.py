@@ -101,6 +101,7 @@ _DEPTH = [
     "source_iceberg_incremental",
     "sink_iceberg_merge_roundtrip",
     "sink_iceberg_days_partitioned",
+    "sink_delta_replace_where",
     "stream_delta_source_parity",
     "skyline_orders",
     "agg_weighted_median",

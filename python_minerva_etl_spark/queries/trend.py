@@ -611,6 +611,57 @@ FROM merged GROUP BY 1
 """
 
 
+def _sink_delta_replace_where(spark, sf_dir):
+    """OP-SNK predicate-scoped overwrite via Delta replaceWhere
+    (storage/delta.py:replace_where — the backfill idiom): the table
+    holds every event; ONE commit replaces the 'error' region with a
+    corrected subset (low-event_id error rows, values doubled) while
+    the rest of the table is untouched — merge-on-read, deletion
+    vectors mask the old region, new files land the corrections.
+    The final snapshot must equal the oracle's reconstruction."""
+    from ..storage.delta import DeltaTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    base = os.path.join(_SCRATCH, f"delta_rw_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    dt = DeltaTable(base)
+    dt.write(spark, ev)
+    corrected = (ev.filter((F.col("event_type") == "error")
+                           & (F.col("event_id") <= mid))
+                 .withColumn("value", F.col("value") * 2))
+    dt.replace_where(spark, corrected, "event_type = 'error'")
+    return (dt.read(spark)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SINK_DELTA_REPLACE_WHERE_SQL = """
+WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+final AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE event_type <> 'error'
+  UNION ALL
+  SELECT event_id, user_id, event_type, value * 2 AS value
+  FROM events, mx
+  WHERE event_type = 'error' AND event_id <= m // 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM final GROUP BY 1
+"""
+
+
 def _source_iceberg_incremental(spark, sf_dir):
     """OP-SRC incremental APPEND scan over an Iceberg v2 table
     (storage/iceberg.py:IcebergTable.incremental — the
@@ -1193,6 +1244,7 @@ QUERIES = [
     DeclaredQuery("source_iceberg_incremental", _source_iceberg_incremental, _SOURCE_ICEBERG_INCREMENTAL_SQL, "OP-SRC (Iceberg incremental append scan between snapshots)"),
     DeclaredQuery("sink_iceberg_merge_roundtrip", _sink_iceberg_merge_roundtrip, _SINK_ICEBERG_MERGE_ROUNDTRIP_SQL, "OP-SNK (Iceberg merge-on-read UPDATE + MERGE INTO)"),
     DeclaredQuery("sink_iceberg_days_partitioned", _sink_iceberg_days_partitioned, _SINK_ICEBERG_DAYS_PARTITIONED_SQL, "OP-SNK/OP-SRC (Iceberg days(ts) partition transform + transformed-domain pruning)"),
+    DeclaredQuery("sink_delta_replace_where", _sink_delta_replace_where, _SINK_DELTA_REPLACE_WHERE_SQL, "OP-SNK (Delta replaceWhere: atomic predicate-scoped overwrite)"),
     DeclaredQuery("stream_delta_source_parity", _stream_delta_source_parity, _STREAM_DELTA_SOURCE_PARITY_SQL, "OP-STR-INGEST (registered Python data source tailing the Delta log)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
     DeclaredQuery("cdc_incremental_agg", _cdc_incremental_agg, _CDC_INCREMENTAL_AGG_SQL, "OP-MAT-INC (CDC-maintained aggregate)"),
