@@ -208,6 +208,32 @@ class _StreamReader(DataSourceStreamReader):
         self.part_cols = meta.get("partitionColumns") or []
         self.table_path = os.path.abspath(self.path)
         sv = _opt(options, "startingVersion")
+        st = _opt(options, "startingTimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "minerva_delta: pass startingVersion OR "
+                "startingTimestamp, not both")
+        if st is not None:
+            # upstream semantics: changes committed AT OR AFTER the
+            # timestamp — the EARLIEST surviving version whose
+            # (running-max-adjusted) commit timestamp >= target
+            try:
+                st = int(st)
+            except ValueError:
+                pass
+            from ..storage.delta import _to_epoch_ms
+            ms = _to_epoch_ms(st)
+            run, sv = 0, None
+            for v in self.dt.versions():
+                run = max(run, self.dt._commit_ts_ms(v))
+                if run >= ms:
+                    sv = v
+                    break
+            if sv is None:
+                raise ValueError(
+                    f"minerva_delta: startingTimestamp {ms} ms is "
+                    "after the latest commit — nothing to stream "
+                    "from there")
         self.starting = int(sv) if sv is not None else None
         self.ignore_changes = str(_opt(
             options, "ignoreChanges", "false")).lower() == "true"

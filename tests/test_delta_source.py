@@ -314,3 +314,40 @@ def test_batch_filter_pushdown_prunes_files(ds_spark, tmp_path):
     got = (ds_spark.read.format("minerva_delta").load(p2)
            .filter("par = 'b'"))
     assert [r.id for r in got.collect()] == [2]
+
+
+def test_stream_starting_timestamp(ds_spark, tmp_path):
+    """startingTimestamp (upstream semantics: changes committed AT OR
+    AFTER the timestamp) resolves to the earliest qualifying commit;
+    a timestamp past the newest commit refuses."""
+    import time
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    dt.write(ds_spark, ds_spark.range(2).toDF("id"))
+    time.sleep(0.05)
+    mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    dt.write(ds_spark, ds_spark.range(2, 4).toDF("id"))
+    q = (ds_spark.readStream.format("minerva_delta")
+         .option("startingTimestamp", mid).load(p)
+         .writeStream.format("memory").queryName("dl_st")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.id for r in
+                 ds_spark.sql("SELECT * FROM dl_st").collect())
+    assert got == [2, 3]
+    with pytest.raises(Exception, match="after the latest"):
+        (ds_spark.readStream.format("minerva_delta")
+         .option("startingTimestamp",
+                 int(time.time() * 1000) + 3_600_000).load(p)
+         .writeStream.format("memory").queryName("dl_st2")
+         .outputMode("append").trigger(availableNow=True).start()
+         .awaitTermination(120))
+    with pytest.raises(Exception, match="not both"):
+        (ds_spark.readStream.format("minerva_delta")
+         .option("startingTimestamp", mid)
+         .option("startingVersion", 0).load(p)
+         .writeStream.format("memory").queryName("dl_st3")
+         .outputMode("append").trigger(availableNow=True).start()
+         .awaitTermination(120))
