@@ -80,7 +80,7 @@ _READER_FEATURES = {"deletionVectors", "timestampNtz",
                     "v2Checkpoint"}
 _WRITER_FEATURES = {"deletionVectors", "appendOnly", "invariants",
                     "timestampNtz", "vacuumProtocolCheck",
-                    "changeDataFeed"}
+                    "changeDataFeed", "checkConstraints"}
 
 _CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
@@ -1339,6 +1339,11 @@ class DeltaTable:
             # unknown writer feature's invariants corrupts the table
             pre = self._replay()
             self._check_writable(pre, mode)
+            # NOT NULL applies to appends (overwrite may change the
+            # schema); invariants/CHECK come from the surviving
+            # configuration either way
+            self._enforce_constraints(
+                pre, df, mode, include_not_null=(mode == "append"))
             if mode == "append":
                 table_pcols = pre["metaData"].get(
                     "partitionColumns") or []
@@ -1455,12 +1460,14 @@ class DeltaTable:
                     f"{sorted(_WRITER_FEATURES)}); committing anyway "
                     "would break the invariants other engines rely "
                     "on")
-        elif mwv > 2:
+        elif mwv > 3:
             raise NotImplementedError(
                 f"Delta minWriterVersion {mwv} not supported "
-                "(v3-v6 imply check constraints / change data feed / "
-                "generated columns / column mapping invariants this "
-                "writer cannot honor)")
+                "(v4-v6 imply change data feed / generated columns / "
+                "column mapping invariants this writer cannot "
+                "honor)")
+        # mwv 3 implies CHECK constraints — enforced on every path
+        # that lands new rows (_enforce_constraints), so writable
         conf = snap["metaData"].get("configuration") or {}
         if str(conf.get("delta.appendOnly", "")).lower() == "true" \
                 and operation in ("overwrite", "delete", "update",
@@ -1470,6 +1477,76 @@ class DeltaTable:
             raise ValueError(
                 f"table is append-only (delta.appendOnly=true): "
                 f"{operation} would remove committed data")
+
+    @staticmethod
+    def _write_constraints(snap: dict,
+                           include_not_null: bool = True
+                           ) -> list[tuple[str, str]]:
+        """``(label, SQL expression)`` pairs every NEW row must
+        satisfy before it may be committed (PROTOCOL.md "Column
+        Invariants" and "CHECK Constraints" — a writer that claims
+        the ``invariants``/``checkConstraints`` features and skips
+        enforcement corrupts the table's contract for every other
+        engine): non-nullable columns, per-field
+        ``delta.invariants`` metadata, and the configuration's
+        ``delta.constraints.<name>`` expressions."""
+        out: list[tuple[str, str]] = []
+        schema = T.StructType.fromJson(
+            json.loads(snap["metaData"]["schemaString"]))
+        for f in schema.fields:
+            if include_not_null and not f.nullable:
+                out.append((f"NOT NULL column {f.name!r}",
+                            f"`{f.name}` IS NOT NULL"))
+            inv = (f.metadata or {}).get("delta.invariants")
+            if inv:
+                try:
+                    expr = json.loads(inv)["expression"]["expression"]
+                except (ValueError, KeyError, TypeError):
+                    raise ValueError(
+                        f"unparseable delta.invariants on column "
+                        f"{f.name!r}: {inv!r}")
+                out.append((f"column invariant on {f.name!r}", expr))
+        conf = snap["metaData"].get("configuration") or {}
+        for k in sorted(conf):
+            if k.startswith("delta.constraints."):
+                out.append(
+                    (f"CHECK constraint "
+                     f"{k[len('delta.constraints.'):]!r}", conf[k]))
+        return out
+
+    def _enforce_constraints(self, snap: dict, df: DataFrame,
+                             what: str,
+                             include_not_null: bool = True) -> None:
+        """One validation scan over the rows about to be committed:
+        a row violates when a constraint expression is FALSE or NULL
+        (delta-spark's CheckDeltaInvariant semantics — a null check
+        result is a violation, unlike the SQL-standard CHECK).
+        NOT NULL checks are dropped for columns the incoming batch
+        itself declares non-nullable — Spark already guarantees
+        those, so an unconstrained append of a tight-schema batch
+        costs NO validation job at all."""
+        cons = self._write_constraints(snap, include_not_null)
+        tight = {f.name for f in df.schema.fields if not f.nullable}
+        cons = [(label, expr) for label, expr in cons
+                if not (label.startswith("NOT NULL column ")
+                        and label[len("NOT NULL column '"):-1]
+                        in tight)]
+        if not cons:
+            return
+        viol = None
+        for _, expr in cons:
+            c = ~F.expr(expr).eqNullSafe(F.lit(True))
+            viol = c if viol is None else viol | c
+        if not df.filter(viol).limit(1).count():
+            return
+        for label, expr in cons:  # name the offender in the error
+            if df.filter(~F.expr(expr).eqNullSafe(F.lit(True))) \
+                    .limit(1).count():
+                raise ValueError(
+                    f"Delta {what}: rows violate {label} "
+                    f"({expr!r}) — nothing was committed")
+        raise ValueError(  # racing constraint change; still refuse
+            f"Delta {what}: rows violate a table constraint")
 
     def _cdf_enabled(self, snap: dict) -> bool:
         conf = snap["metaData"].get("configuration") or {}
@@ -1528,7 +1605,9 @@ class DeltaTable:
         mrv = proto.get("minReaderVersion") or 1
         mwv = proto.get("minWriterVersion") or 1
         if not (need_w <= wfeats and need_r <= rfeats):
-            implied = {2: {"appendOnly", "invariants"},
+            implied = {3: {"appendOnly", "invariants",
+                           "checkConstraints"},
+                       2: {"appendOnly", "invariants"},
                        1: set()}.get(mwv, {"appendOnly", "invariants"})
             p: dict = {
                 "minReaderVersion": 3 if (need_r or mrv >= 3) else mrv,
@@ -1713,6 +1792,7 @@ class DeltaTable:
                 *[(exprs[f.name].cast(f.dataType) if f.name in exprs
                    else F.col(f"`{f.name}`")).alias(f.name)
                   for f in schema.fields])
+            self._enforce_constraints(snap, updated, "UPDATE")
             extra = self._stage_data_files(updated, part_cols)
             if cdf:
                 pre = (matched.drop("_dl_path", "_dl_pos")
@@ -1763,6 +1843,7 @@ class DeltaTable:
             raise ValueError(
                 "replaceWhere: incoming rows violate the predicate "
                 "— they fall outside the region being replaced")
+        self._enforce_constraints(snap, new_rows, "replaceWhere")
         part_cols = meta.get("partitionColumns") or []
         table_path = os.path.abspath(self.path)
         old_dv = {f["path"]: f.get("deletionVector")
@@ -1946,6 +2027,7 @@ class DeltaTable:
                     else new_rows.unionByName(piece)
             extra: list[dict] = []
             if new_rows is not None and not new_rows.isEmpty():
+                self._enforce_constraints(snap, new_rows, "MERGE")
                 extra = self._stage_data_files(new_rows, part_cols)
             if not touched and not extra:
                 return None  # nothing matched, nothing to insert
@@ -1987,6 +2069,14 @@ class DeltaTable:
         that ignored it would commit DML without the cdc files the
         CDF contract requires).  Returns the committed version (the
         current one when nothing changes)."""
+        bad = sorted(k for k in props
+                     if k.startswith("delta.constraints."))
+        if bad:
+            raise ValueError(
+                f"set_properties: {bad} would add CHECK constraints "
+                "without validating existing rows — use "
+                "add_constraint(spark, name, expr), which scans the "
+                "table first")
         last_err: Exception | None = None
         for _ in range(_COMMIT_RETRIES):
             cur = self._replay()
@@ -2004,6 +2094,80 @@ class DeltaTable:
                 "operation": "SET TBLPROPERTIES",
                 "operationParameters": {},
                 "engineInfo": "python-minerva-etl-spark"}}] + up
+            version = self._next_version()
+            try:
+                self._commit(version, actions)
+                return version
+            except DeltaConcurrentCommit as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
+    def add_constraint(self, spark: SparkSession, name: str,
+                       expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT (PROTOCOL.md "CHECK
+        Constraints"): validates EVERY existing row against ``expr``
+        first — committing an unvalidated constraint would make the
+        table lie to readers that trust it — then records
+        ``delta.constraints.<name>`` and upgrades the protocol to
+        carry the ``checkConstraints`` writer feature.  Every
+        subsequent write path (append / overwrite / UPDATE / MERGE /
+        replaceWhere) enforces it on the new rows.  Returns the
+        committed version."""
+        if not name or not name.replace("_", "").isalnum():
+            raise ValueError(
+                f"constraint name {name!r} must be alphanumeric/_")
+        key = f"delta.constraints.{name.lower()}"
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            cur = self._replay()
+            self._check_writable(cur, "add_constraint")
+            conf = cur["metaData"].get("configuration") or {}
+            if conf.get(key) == expr:
+                return cur["version"]
+            existing = self.read(spark, cur["version"])
+            bad = existing.filter(
+                ~F.expr(expr).eqNullSafe(F.lit(True))).limit(1)
+            if bad.count():
+                raise ValueError(
+                    f"add_constraint {name!r}: existing rows violate "
+                    f"{expr!r} — nothing was committed")
+            up = self._upgrade_actions(
+                cur, builtins.set(), {"checkConstraints"},
+                {key: expr})
+            actions = [{"commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+                "engineInfo": "python-minerva-etl-spark"}}] + up
+            version = self._next_version()
+            try:
+                self._commit(version, actions)
+                return version
+            except DeltaConcurrentCommit as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
+    def drop_constraint(self, name: str) -> int | None:
+        """ALTER TABLE DROP CONSTRAINT: removes
+        ``delta.constraints.<name>`` with a metaData commit (None
+        when the constraint does not exist — a drop is idempotent)."""
+        key = f"delta.constraints.{name.lower()}"
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            cur = self._replay()
+            self._check_writable(cur, "drop_constraint")
+            conf = dict(cur["metaData"].get("configuration") or {})
+            if key not in conf:
+                return None
+            del conf[key]
+            meta = dict(cur["metaData"])
+            meta["configuration"] = conf
+            actions = [{"commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+                "engineInfo": "python-minerva-etl-spark"}},
+                {"metaData": meta}]
             version = self._next_version()
             try:
                 self._commit(version, actions)
