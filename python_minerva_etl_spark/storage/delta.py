@@ -80,7 +80,8 @@ _READER_FEATURES = {"deletionVectors", "timestampNtz",
                     "v2Checkpoint"}
 _WRITER_FEATURES = {"deletionVectors", "appendOnly", "invariants",
                     "timestampNtz", "vacuumProtocolCheck",
-                    "changeDataFeed", "checkConstraints"}
+                    "changeDataFeed", "checkConstraints",
+                    "generatedColumns"}
 
 _CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
@@ -1460,14 +1461,14 @@ class DeltaTable:
                     f"{sorted(_WRITER_FEATURES)}); committing anyway "
                     "would break the invariants other engines rely "
                     "on")
-        elif mwv > 3:
+        elif mwv > 4:
             raise NotImplementedError(
                 f"Delta minWriterVersion {mwv} not supported "
-                "(v4-v6 imply change data feed / generated columns / "
-                "column mapping invariants this writer cannot "
-                "honor)")
-        # mwv 3 implies CHECK constraints — enforced on every path
-        # that lands new rows (_enforce_constraints), so writable
+                "(v5-v6 imply column mapping / identity-column "
+                "invariants this writer cannot honor)")
+        # mwv 3 implies CHECK constraints, mwv 4 adds CDF (cdc files
+        # on DML — implemented) and generated columns — all enforced
+        # on every path that lands new rows, so both are writable
         conf = snap["metaData"].get("configuration") or {}
         if str(conf.get("delta.appendOnly", "")).lower() == "true" \
                 and operation in ("overwrite", "delete", "update",
@@ -1512,6 +1513,17 @@ class DeltaTable:
                 out.append(
                     (f"CHECK constraint "
                      f"{k[len('delta.constraints.'):]!r}", conf[k]))
+        # generated columns (PROTOCOL.md "Writer Requirements for
+        # Generated Columns"): a writer providing values must ensure
+        # they EQUAL the generation expression — this engine takes
+        # the validate-don't-compute branch (eqNullSafe: both-null
+        # counts as equal, a mismatch or one-sided null violates)
+        for f in schema.fields:
+            gen = (f.metadata or {}).get("delta.generationExpression")
+            if gen:
+                out.append(
+                    (f"generated column {f.name!r}",
+                     f"`{f.name}` <=> ({gen})"))
         return out
 
     def _enforce_constraints(self, snap: dict, df: DataFrame,
@@ -1524,15 +1536,31 @@ class DeltaTable:
         NOT NULL checks are dropped for columns the incoming batch
         itself declares non-nullable — Spark already guarantees
         those, so an unconstrained append of a tight-schema batch
-        costs NO validation job at all."""
+        costs NO validation job at all.  Table columns the batch
+        OMITS validate as nulls for invariants/CHECK (omitted
+        nullable columns land as null in the committed files), while
+        an omitted REQUIRED column is left to the schema-compat /
+        merge-schema refusal downstream."""
         cons = self._write_constraints(snap, include_not_null)
+        have = set(df.columns)
         tight = {f.name for f in df.schema.fields if not f.nullable}
-        cons = [(label, expr) for label, expr in cons
-                if not (label.startswith("NOT NULL column ")
-                        and label[len("NOT NULL column '"):-1]
-                        in tight)]
+
+        def keep(label: str) -> bool:
+            if not label.startswith("NOT NULL column "):
+                return True
+            col = label[len("NOT NULL column '"):-1]
+            return col not in tight and col in have
+        cons = [(label, expr) for label, expr in cons if keep(label)]
         if not cons:
             return
+        table_schema = T.StructType.fromJson(
+            json.loads(snap["metaData"]["schemaString"]))
+        vdf = df
+        for f in table_schema.fields:
+            if f.name not in have:
+                vdf = vdf.withColumn(
+                    f.name, F.lit(None).cast(f.dataType))
+        df = vdf
         viol = None
         for _, expr in cons:
             c = ~F.expr(expr).eqNullSafe(F.lit(True))
@@ -1605,7 +1633,10 @@ class DeltaTable:
         mrv = proto.get("minReaderVersion") or 1
         mwv = proto.get("minWriterVersion") or 1
         if not (need_w <= wfeats and need_r <= rfeats):
-            implied = {3: {"appendOnly", "invariants",
+            implied = {4: {"appendOnly", "invariants",
+                           "checkConstraints", "changeDataFeed",
+                           "generatedColumns"},
+                       3: {"appendOnly", "invariants",
                            "checkConstraints"},
                        2: {"appendOnly", "invariants"},
                        1: set()}.get(mwv, {"appendOnly", "invariants"})

@@ -94,10 +94,10 @@ def test_legacy_mwv3_table_writable_and_enforced(spark, tmp_path):
         dt.write(spark, spark.createDataFrame([(-5,)], "id long"))
     dt.write(spark, spark.createDataFrame([(7,)], "id long"))
     assert sorted(r.id for r in dt.read(spark).collect()) == [1, 7]
-    # v4+ still refuses (CDF / generated columns / column mapping)
+    # v5+ still refuses (column mapping / identity columns)
     for ln in lines:
         if ln.get("protocol"):
-            ln["protocol"]["minWriterVersion"] = 4
+            ln["protocol"]["minWriterVersion"] = 5
     open(cpath, "w").write(
         "\n".join(json.dumps(ln) for ln in lines) + "\n")
     with pytest.raises(NotImplementedError, match="not supported"):
@@ -123,3 +123,55 @@ def test_column_invariants_and_not_null(spark, tmp_path):
     with pytest.raises(ValueError, match="NOT NULL column 'x'"):
         dt.write(spark, spark.createDataFrame([(None, 5)], nullable))
     assert dt.read(spark).count() == 1
+
+
+def test_generated_columns_validated_and_mwv4_writable(spark,
+                                                       tmp_path):
+    """Generated columns take the protocol's validate-don't-compute
+    branch: provided values must EQUAL the generation expression;
+    legacy minWriterVersion-4 tables (CDF + generated columns) are
+    now writable with full enforcement, v5 still refuses."""
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    sch = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("id2", T.LongType(), True, metadata={
+            "delta.generationExpression": "id * 2"}),
+    ])
+    dt.write(spark, spark.createDataFrame([(1, 2)], sch))
+    with pytest.raises(ValueError, match="generated column 'id2'"):
+        dt.write(spark, spark.createDataFrame([(2, 5)], sch))
+    dt.write(spark, spark.createDataFrame([(3, 6)], sch))
+    assert dt.read(spark).count() == 2
+    # a mwv-4 foreign table with CDF enabled: writable, DML carries
+    # cdc, generated column still enforced
+    cpath = glob.glob(os.path.join(p, "_delta_log", "*0.json"))[0]
+    lines = [json.loads(ln) for ln in open(cpath)]
+    for ln in lines:
+        if ln.get("protocol"):
+            ln["protocol"]["minWriterVersion"] = 4
+        if ln.get("metaData"):
+            ln["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"}
+    open(cpath, "w").write(
+        "\n".join(json.dumps(ln) for ln in lines) + "\n")
+    with pytest.raises(ValueError, match="generated column"):
+        dt.write(spark, spark.createDataFrame([(4, 9)], sch))
+    v = dt.update(spark, {"id": "id + 0"}, "id = 1")
+    kinds = {r._change_type
+             for r in dt.changes(spark, v, v).collect()}
+    assert kinds == {"update_preimage", "update_postimage"}
+    # v5 refusal on a fresh table (the update above upgraded this
+    # one's protocol to table features, superseding version 0)
+    p2 = str(tmp_path / "t2")
+    dt2 = DeltaTable(p2)
+    dt2.write(spark, spark.createDataFrame([(1,)], "id long"))
+    c2 = glob.glob(os.path.join(p2, "_delta_log", "*0.json"))[0]
+    lines2 = [json.loads(ln) for ln in open(c2)]
+    for ln in lines2:
+        if ln.get("protocol"):
+            ln["protocol"]["minWriterVersion"] = 5
+    open(c2, "w").write(
+        "\n".join(json.dumps(ln) for ln in lines2) + "\n")
+    with pytest.raises(NotImplementedError, match="v5-v6"):
+        dt2.write(spark, spark.createDataFrame([(5,)], "id long"))
