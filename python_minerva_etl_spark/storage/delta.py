@@ -81,7 +81,7 @@ _READER_FEATURES = {"deletionVectors", "timestampNtz",
 _WRITER_FEATURES = {"deletionVectors", "appendOnly", "invariants",
                     "timestampNtz", "vacuumProtocolCheck",
                     "changeDataFeed", "checkConstraints",
-                    "generatedColumns"}
+                    "generatedColumns", "columnMapping"}
 
 _CP_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
@@ -1060,10 +1060,29 @@ class DeltaTable:
         vs = self.versions()
         return (vs[-1] + 1) if vs else 0
 
+    def _cm_mapping(self, snap: dict) -> dict | None:
+        """{logical name: physical parquet name} for a column-mapped
+        (mode ``name``) table, None when mapping is off — every write
+        path stages parquet under PHYSICAL names on mapped tables
+        (PROTOCOL.md Column Mapping: data files and partitionValues
+        speak physical, the metaData schema speaks logical)."""
+        conf = snap["metaData"].get("configuration") or {}
+        mode = conf.get("delta.columnMapping.mode") or "none"
+        if mode == "none":
+            return None
+        if mode != "name":
+            raise NotImplementedError(
+                f"Delta column mapping mode {mode!r}: writes "
+                "unsupported (field-id resolution)")
+        schema = T.StructType.fromJson(
+            json.loads(snap["metaData"]["schemaString"]))
+        return {f.name: _physical_name(f) for f in schema.fields}
+
     def _stage_data_files(self, df: DataFrame,
                           partition_by: list[str],
                           subdir: str = "",
-                          action: str = "add") -> list[dict]:
+                          action: str = "add",
+                          cm: dict | None = None) -> list[dict]:
         """Write df as parquet part files at the table root with
         delta-style unique names; return add actions.  With
         ``partition_by``, files land in Hive-style ``col=value/``
@@ -1078,6 +1097,13 @@ class DeltaTable:
         dataChange=false — no stats, the files never serve reads)."""
         from urllib.parse import unquote
 
+        if cm:
+            # column-mapped table: the parquet files and Hive dirs
+            # speak PHYSICAL names (extra columns like _change_type
+            # pass through unmapped)
+            df = df.select(*[F.col(f"`{c}`").alias(cm.get(c, c))
+                             for c in df.columns])
+            partition_by = [cm.get(c, c) for c in partition_by]
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
         if partition_by:
@@ -1335,11 +1361,23 @@ class DeltaTable:
             raise ValueError(
                 f"partition_by columns {missing_pcols} not in batch")
         os.makedirs(self.path, exist_ok=True)
+        cm = None
         if self.versions():
             # refuse before staging any data: a commit that ignores an
             # unknown writer feature's invariants corrupts the table
             pre = self._replay()
             self._check_writable(pre, mode)
+            cm = self._cm_mapping(pre)
+            if cm is not None and mode == "overwrite":
+                raise NotImplementedError(
+                    "Delta overwrite on a column-mapped table: "
+                    "restating the schema would need fresh field "
+                    "ids/physical names — append or DML instead")
+            if cm is not None and merge_schema:
+                raise NotImplementedError(
+                    "Delta merge_schema on a column-mapped table: "
+                    "new columns would need fresh field ids/physical "
+                    "names")
             # NOT NULL applies to appends (overwrite may change the
             # schema); invariants/CHECK come from the surviving
             # configuration either way
@@ -1353,7 +1391,7 @@ class DeltaTable:
                         f"append partition_by {partition_by} != "
                         f"table's partitionColumns {table_pcols}")
                 partition_by = table_pcols  # appends inherit it
-        adds = self._stage_data_files(df, partition_by)
+        adds = self._stage_data_files(df, partition_by, cm=cm)
         return self._commit_write(adds, mode, partition_by,
                                   df.schema, txn, merge_schema)
 
@@ -1461,14 +1499,15 @@ class DeltaTable:
                     f"{sorted(_WRITER_FEATURES)}); committing anyway "
                     "would break the invariants other engines rely "
                     "on")
-        elif mwv > 4:
+        elif mwv > 5:
             raise NotImplementedError(
                 f"Delta minWriterVersion {mwv} not supported "
-                "(v5-v6 imply column mapping / identity-column "
-                "invariants this writer cannot honor)")
+                "(v6 implies identity-column high-water-mark state "
+                "this writer cannot maintain)")
         # mwv 3 implies CHECK constraints, mwv 4 adds CDF (cdc files
-        # on DML — implemented) and generated columns — all enforced
-        # on every path that lands new rows, so both are writable
+        # on DML — implemented) and generated columns, mwv 5 adds
+        # column mapping (physical-name staging) — all enforced or
+        # honored on every write path, so 3/4/5 are writable
         conf = snap["metaData"].get("configuration") or {}
         if str(conf.get("delta.appendOnly", "")).lower() == "true" \
                 and operation in ("overwrite", "delete", "update",
@@ -1633,7 +1672,10 @@ class DeltaTable:
         mrv = proto.get("minReaderVersion") or 1
         mwv = proto.get("minWriterVersion") or 1
         if not (need_w <= wfeats and need_r <= rfeats):
-            implied = {4: {"appendOnly", "invariants",
+            implied = {5: {"appendOnly", "invariants",
+                           "checkConstraints", "changeDataFeed",
+                           "generatedColumns", "columnMapping"},
+                       4: {"appendOnly", "invariants",
                            "checkConstraints", "changeDataFeed",
                            "generatedColumns"},
                        3: {"appendOnly", "invariants",
@@ -1769,7 +1811,7 @@ class DeltaTable:
                        .withColumn("_change_type", F.lit("delete")))
                 cdc_actions = self._stage_data_files(
                     pre, part_cols, subdir="_change_data",
-                    action="cdc")
+                    action="cdc", cm=self._cm_mapping(snap))
             return self._commit_row_dml(
                 "DELETE", touched, old_dv, cdc_actions, cdf)
         finally:
@@ -1824,7 +1866,8 @@ class DeltaTable:
                    else F.col(f"`{f.name}`")).alias(f.name)
                   for f in schema.fields])
             self._enforce_constraints(snap, updated, "UPDATE")
-            extra = self._stage_data_files(updated, part_cols)
+            cm = self._cm_mapping(snap)
+            extra = self._stage_data_files(updated, part_cols, cm=cm)
             if cdf:
                 pre = (matched.drop("_dl_path", "_dl_pos")
                        .withColumn("_change_type",
@@ -1833,7 +1876,7 @@ class DeltaTable:
                     "_change_type", F.lit("update_postimage"))
                 extra += self._stage_data_files(
                     pre.unionByName(post), part_cols,
-                    subdir="_change_data", action="cdc")
+                    subdir="_change_data", action="cdc", cm=cm)
             return self._commit_row_dml(
                 "UPDATE", touched, old_dv, extra, cdf)
         finally:
@@ -1888,9 +1931,11 @@ class DeltaTable:
             matched = matched.persist()
         try:
             touched = self._write_dvs(spark, matched, old_json)
+            cm = self._cm_mapping(snap)
             extra = []
             if not new_rows.isEmpty():
-                extra = self._stage_data_files(new_rows, part_cols)
+                extra = self._stage_data_files(new_rows, part_cols,
+                                               cm=cm)
             if cdf:
                 cdc_df = new_rows.withColumn(
                     "_change_type", F.lit("insert"))
@@ -1902,7 +1947,7 @@ class DeltaTable:
                 if not cdc_df.isEmpty():
                     extra += self._stage_data_files(
                         cdc_df, part_cols, subdir="_change_data",
-                        action="cdc")
+                        action="cdc", cm=cm)
             if not touched and not extra:
                 return None
             return self._commit_row_dml(
@@ -2057,9 +2102,11 @@ class DeltaTable:
                 new_rows = piece if new_rows is None \
                     else new_rows.unionByName(piece)
             extra: list[dict] = []
+            cm = self._cm_mapping(snap)
             if new_rows is not None and not new_rows.isEmpty():
                 self._enforce_constraints(snap, new_rows, "MERGE")
-                extra = self._stage_data_files(new_rows, part_cols)
+                extra = self._stage_data_files(new_rows, part_cols,
+                                               cm=cm)
             if not touched and not extra:
                 return None  # nothing matched, nothing to insert
             if cdf:
@@ -2085,7 +2132,7 @@ class DeltaTable:
                 if cdc_df is not None and not cdc_df.isEmpty():
                     extra += self._stage_data_files(
                         cdc_df, part_cols, subdir="_change_data",
-                        action="cdc")
+                        action="cdc", cm=cm)
             return self._commit_row_dml(
                 "MERGE", touched, old_dv, extra, cdf)
         finally:
@@ -2248,6 +2295,11 @@ class DeltaTable:
                 raise ValueError(
                     f"optimize sort_by columns {bad} not in the "
                     "table's data columns")
+        if self._cm_mapping(snap) is not None:
+            raise NotImplementedError(
+                "Delta OPTIMIZE on column-mapped tables unsupported "
+                "(the compaction scan resolves columns by logical "
+                "name; physical-name files would misread)")
         groups: dict[tuple, list[dict]] = {}
         for f in snap["files"]:
             if sort_by or f.get("deletionVector") \

@@ -179,18 +179,81 @@ def test_id_mode_refused_and_missing_physical_name(spark, tmp_path):
         read_delta(spark, p)
 
 
-def test_writes_to_column_mapped_tables_refused(spark, tmp_path):
-    """Appending with logical names would write parquet columns no
-    column-mapping reader can resolve — refuse loudly."""
+def test_column_mapped_append_and_dml(spark, tmp_path):
+    """Round 6: writes to column-mapped (mode name) tables stage
+    parquet under PHYSICAL names with physical-keyed stats, so any
+    column-mapping reader resolves them; UPDATE/DELETE/MERGE/
+    replaceWhere ride the same staging.  Overwrite / merge_schema /
+    OPTIMIZE stay refused (they would need fresh field ids or a
+    logical-name compaction scan)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+
     p = str(tmp_path / "t")
     os.makedirs(p)
-    pq.write_table(pa.table({"col-i": pa.array([1],
-                                               type=pa.int64())}),
+    pq.write_table(pa.table({"col-aaa": pa.array([1, 2], pa.int64()),
+                             "col-bbb": pa.array(["x", "y"])}),
                    os.path.join(p, "f0.parquet"))
-    _log(p, [_fld("id", "long", "col-i", 1)], [_add("f0.parquet")])
-    with pytest.raises(NotImplementedError):
-        write_delta(spark, spark.createDataFrame([(2,)], "id long"),
-                    p)
+    _log(p, [_fld("id", "long", "col-aaa", 1),
+             _fld("v", "string", "col-bbb", 2)],
+         [_add("f0.parquet")])
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame(
+        [(3, "z")], "id long, v string").coalesce(1))
+    assert _rows(dt.read(spark)) == [(1, "x"), (2, "y"), (3, "z")]
+    new = [f for f in dt._replay()["files"]
+           if f["path"] != "f0.parquet"]
+    stats = [json.loads(f["stats"]) for f in new
+             if json.loads(f["stats"])["numRecords"]]
+    # staged files + stats speak physical
+    assert stats and "col-aaa" in stats[0]["minValues"]
+    names = pq.ParquetFile(
+        os.path.join(p, new[0]["path"])).schema_arrow.names
+    assert set(names) == {"col-aaa", "col-bbb"}
+    # row-level DML through the same physical staging
+    dt.update(spark, {"v": "upper(v)"}, "id = 1")
+    dt.delete(spark, "id = 2")
+    dt.merge(spark, spark.createDataFrame(
+        [(9, "nine")], "id long, v string"), "t.id = s.id",
+        when_not_matched_insert=True)
+    dt.replace_where(spark, spark.createDataFrame(
+        [(7, "seven")], "id long, v string"), "id > 5")
+    assert _rows(dt.read(spark)) == [(1, "X"), (3, "z"),
+                                     (7, "seven")]
+    with pytest.raises(NotImplementedError, match="overwrite"):
+        dt.write(spark, spark.createDataFrame(
+            [(1, "a")], "id long, v string"), mode="overwrite")
+    with pytest.raises(NotImplementedError, match="merge_schema"):
+        dt.write(spark, spark.createDataFrame(
+            [(1, "a", 1.0)], "id long, v string, extra double"),
+            merge_schema=True)
+    with pytest.raises(NotImplementedError, match="OPTIMIZE"):
+        dt.optimize(spark)
+
+
+def test_column_mapped_partitioned_append(spark, tmp_path):
+    """Appends into a partitioned cm table record partitionValues
+    keyed by the PHYSICAL partition-column name, matching the
+    foreign layout the reader already resolves."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "col-ppp=a"))
+    pq.write_table(pa.table({"col-qqq": pa.array([1], pa.int64())}),
+                   os.path.join(p, "col-ppp=a", "f0.parquet"))
+    _log(p, [_fld("par", "string", "col-ppp", 1),
+             _fld("id", "long", "col-qqq", 2)],
+         [_add("col-ppp=a/f0.parquet", {"col-ppp": "a"})],
+         partition_cols=["par"])
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame(
+        [("b", 2)], "par string, id long").coalesce(1))
+    assert _rows(dt.read(spark)) == [("a", 1), ("b", 2)]
+    newf = [f for f in dt._replay()["files"]
+            if "f0" not in f["path"]][0]
+    assert newf["partitionValues"] == {"col-ppp": "b"}

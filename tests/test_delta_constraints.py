@@ -94,10 +94,10 @@ def test_legacy_mwv3_table_writable_and_enforced(spark, tmp_path):
         dt.write(spark, spark.createDataFrame([(-5,)], "id long"))
     dt.write(spark, spark.createDataFrame([(7,)], "id long"))
     assert sorted(r.id for r in dt.read(spark).collect()) == [1, 7]
-    # v5+ still refuses (column mapping / identity columns)
+    # v6 still refuses (identity-column high-water-mark state)
     for ln in lines:
         if ln.get("protocol"):
-            ln["protocol"]["minWriterVersion"] = 5
+            ln["protocol"]["minWriterVersion"] = 6
     open(cpath, "w").write(
         "\n".join(json.dumps(ln) for ln in lines) + "\n")
     with pytest.raises(NotImplementedError, match="not supported"):
@@ -161,7 +161,7 @@ def test_generated_columns_validated_and_mwv4_writable(spark,
     kinds = {r._change_type
              for r in dt.changes(spark, v, v).collect()}
     assert kinds == {"update_preimage", "update_postimage"}
-    # v5 refusal on a fresh table (the update above upgraded this
+    # v6 refusal on a fresh table (the update above upgraded this
     # one's protocol to table features, superseding version 0)
     p2 = str(tmp_path / "t2")
     dt2 = DeltaTable(p2)
@@ -170,8 +170,8 @@ def test_generated_columns_validated_and_mwv4_writable(spark,
     lines2 = [json.loads(ln) for ln in open(c2)]
     for ln in lines2:
         if ln.get("protocol"):
-            ln["protocol"]["minWriterVersion"] = 5
+            ln["protocol"]["minWriterVersion"] = 6
     open(c2, "w").write(
         "\n".join(json.dumps(ln) for ln in lines2) + "\n")
-    with pytest.raises(NotImplementedError, match="v5-v6"):
+    with pytest.raises(NotImplementedError, match="identity"):
         dt2.write(spark, spark.createDataFrame([(5,)], "id long"))
