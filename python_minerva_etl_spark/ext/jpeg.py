@@ -702,7 +702,13 @@ def _reconstruct(width: int, height: int, comps, coef, qt,
     for cid, ch, cv, tq in comps:
         grid = coef[cid]                       # (bh, bw, 64) zigzag
         bh, bw = grid.shape[:2]
-        arr = grid.reshape(-1, 64) * qt[tq][ZIGZAG]
+        # grid and the parsed DQT are BOTH in zigzag (file) order —
+        # dequantize elementwise, THEN un-zigzag.  Indexing the table
+        # with ZIGZAG here double-permutes it: low frequencies barely
+        # notice (the tables are smooth there) but mid-frequency AC
+        # terms — e.g. the padding kink of a sub-MCU 4:2:0 image —
+        # get scaled by the wrong quant step (round-6 defect).
+        arr = grid.reshape(-1, 64) * qt[tq]
         deq = np.zeros((arr.shape[0], 64), dtype=np.float64)
         deq[:, ZIGZAG] = arr          # un-zigzag to natural order
         deq = deq.reshape(-1, 8, 8)

@@ -1306,9 +1306,15 @@ def _text_hash_embed(spark, sf_dir):
     counts = [F.sum(F.when(bucket == i, 1).otherwise(0)).cast("bigint")
               .alias(f"f{i}") for i in range(_HASH_EMBED_DIM)]
     agg = toks.groupBy("doc_id").agg(*counts)
+    # `features` is the 16-dim vector serialized as a comma-joined
+    # string: the correctness driver canonicalizes result cells with a
+    # pandas sort, and list cells are unhashable there — scalar columns
+    # only in declared-query output (guarded by
+    # tests/test_catalog_schema.py).
     return agg.select(
         "doc_id",
-        F.array(*[f"f{i}" for i in range(_HASH_EMBED_DIM)])
+        F.concat_ws(",", *[F.col(f"f{i}").cast("string")
+                           for i in range(_HASH_EMBED_DIM)])
         .alias("features"),
         sum((F.col(f"f{i}") for i in range(1, _HASH_EMBED_DIM)),
             F.col("f0")).alias("n_tokens"))
@@ -1320,7 +1326,8 @@ def _hash_embed_oracle() -> str:
     counts = ",\n         ".join(
         f"CAST(SUM(CASE WHEN {b} = {i} THEN 1 ELSE 0 END) AS BIGINT)"
         f" AS f{i}" for i in range(_HASH_EMBED_DIM))
-    fs = ", ".join(f"f{i}" for i in range(_HASH_EMBED_DIM))
+    fs = " || ',' || ".join(
+        f"CAST(f{i} AS VARCHAR)" for i in range(_HASH_EMBED_DIM))
     total = " + ".join(f"f{i}" for i in range(_HASH_EMBED_DIM))
     return f"""
 WITH toks AS (
@@ -1332,7 +1339,7 @@ agg AS (
          {counts}
   FROM toks GROUP BY 1
 )
-SELECT doc_id, [{fs}] AS features, {total} AS n_tokens
+SELECT doc_id, {fs} AS features, {total} AS n_tokens
 FROM agg
 """
 

@@ -238,3 +238,29 @@ def test_jpeg_roundtrip_property_random_images():
             err.max(), err.mean())
 
     check()
+
+
+def test_sub_mcu_420_dequant_regression():
+    """Round-6 falsifying example, pinned: 1x7 px RGB, 4:2:0, q95,
+    seed 0.  The decoder double-permuted the quantization table
+    (DQT is parsed in zigzag order; ``_reconstruct`` indexed it with
+    ZIGZAG again), which mis-scaled mid-frequency AC terms — invisible
+    on smooth full-MCU content, but the padding kink of a sub-MCU
+    4:2:0 image lives exactly there (max err 17, mean 6.24 before the
+    fix; <=3 / <=1.5 after)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    w, h = 1, 7
+    yy, xx = _np.mgrid[0:h, 0:w]
+    img = _np.stack([
+        rng.integers(80, 176)
+        + rng.uniform(-2, 2) * xx + rng.uniform(-2, 2) * yy
+        for _ in range(3)], axis=-1)
+    img = _np.clip(img, 0, 255).astype(_np.uint8)
+    enc = jpeg_encode(img.tobytes(), w, h, 3, quality=95,
+                      subsampling="420")
+    W, H, C, pix = jpeg_decode(enc)
+    got = _np.frombuffer(pix, _np.uint8).astype(int)
+    err = _np.abs(got - img.reshape(-1).astype(int))
+    assert err.max() <= 3 and err.mean() <= 1.5, (err.max(), err.mean())
