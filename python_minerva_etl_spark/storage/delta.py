@@ -27,14 +27,15 @@ for checkpoints), so this engine can:
   remove tombstones, as PROTOCOL.md requires) + ``_last_checkpoint``.
 
 Scope (documented, not hidden): reader supports protocol
-minReaderVersion 1 tables, plus minReaderVersion 3 (table features)
-when every declared readerFeature is implemented — currently
+minReaderVersion 1 tables, minReaderVersion 2 tables whose
+``delta.columnMapping.mode`` is ``none`` or ``name`` (physical
+field names resolved through the mapping; mode ``id`` is refused —
+see COVERAGE.md), and minReaderVersion 3 (table features) when
+every declared readerFeature is implemented — currently
 ``deletionVectors`` (merge-on-read DELETE, applied at scan time via
 the from-scratch roaring-bitmap reader in :mod:`.delta_dv`),
-``timestampNtz``, and ``vacuumProtocolCheck``.  minReaderVersion 2
-raises — it predates feature lists yet changes physical column
-names (column mapping) — and ``delta.columnMapping.mode`` != none
-is refused explicitly for the same reason.  Writes refuse tables
+``timestampNtz``, ``columnMapping`` (name mode), ``v2Checkpoint``,
+and ``vacuumProtocolCheck``.  Writes refuse tables
 whose writerFeatures exceed what this writer implements (an
 oblivious commit breaks the invariants other engines rely on) and
 honor ``delta.appendOnly``.  Writer emits minReaderVersion 1 /
@@ -1913,7 +1914,11 @@ class DeltaTable:
         new_rows = df.select(
             *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
               for f in schema.fields])
-        if new_rows.filter(~cond).limit(1).count():
+        # NULL predicate results count as violations (delta-spark's
+        # replaceWhere contract): plain ~cond drops NULL rows from the
+        # check, letting them land OUTSIDE the replaced region.
+        if new_rows.filter(~cond.eqNullSafe(F.lit(True))) \
+                .limit(1).count():
             raise ValueError(
                 "replaceWhere: incoming rows violate the predicate "
                 "— they fall outside the region being replaced")
@@ -2038,6 +2043,12 @@ class DeltaTable:
                     dcond = F.expr(when_matched_delete)
                 else:
                     dcond = when_matched_delete
+                # SQL MERGE clause semantics: a NULL delete condition
+                # is NOT a delete — eqNullSafe(True) so the delete set
+                # and the update set PARTITION the matched rows
+                # (plain filter(dcond)/filter(~dcond) would both drop
+                # NULL-condition rows, losing them entirely).
+                dcond = dcond.eqNullSafe(F.lit(True))
                 affected = (matched if when_matched_update is not None
                             else matched.filter(dcond))
                 touched = self._write_dvs(

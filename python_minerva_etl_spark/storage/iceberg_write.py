@@ -1217,6 +1217,7 @@ def _stage_position_deletes(spark: SparkSession, path: str,
     import pyarrow.parquet as pq
     del_entries: list[dict] = []
     n_deleted = 0
+    referenced: set[str] = set()
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
@@ -1227,6 +1228,15 @@ def _stage_position_deletes(spark: SparkSession, path: str,
         final = os.path.join(data_dir,
                              f"del-{uuid.uuid4().hex}.parquet")
         os.replace(os.path.join(staging, name), final)
+        # the distinct data files this delete file addresses (one
+        # dictionary-encoded column read per staged part, driver-side
+        # but bounded by the DML's own output) — _retry_row_dml
+        # validates them against the refreshed snapshot before any
+        # retry commit so a concurrent compact/overwrite can't
+        # silently resurrect the deleted rows
+        referenced.update(
+            pq.read_table(final, columns=["file_path"])
+            .column("file_path").unique().to_pylist())
         del_entries.append({
             "content": 1,
             "file_path": final,
@@ -1238,7 +1248,7 @@ def _stage_position_deletes(spark: SparkSession, path: str,
         })
         n_deleted += nrows
     shutil.rmtree(staging, ignore_errors=True)
-    return del_entries, n_deleted
+    return del_entries, n_deleted, referenced
 
 
 def _part_info(md: dict, ice_schema: dict) -> "_PartField | None":
@@ -1384,13 +1394,35 @@ def _retry_row_dml(table: IcebergTable, data_entries: list[dict],
                    del_entries: list[dict],
                    part_info: "_PartField | None",
                    operation: str, max_commit_attempts: int,
-                   verb: str) -> int:
+                   verb: str,
+                   referenced_paths: "set[str] | None" = None) -> int:
     """The optimistic-concurrency tail every DML verb shares: re-read
     metadata, CAS at base_version+1, retry on a lost race with the
     already-staged files (immutable and uniquely named — a retry
-    never rewrites them)."""
+    never rewrites them).
+
+    Before EVERY commit attempt (first included — the CAS re-reads
+    metadata, so a race that landed between the DML's scan and its
+    first commit would otherwise succeed) the data files addressed by
+    the staged position deletes (``referenced_paths``) are validated
+    against the refreshed snapshot's live file set — a concurrent
+    ``compact_iceberg``/overwrite replaces those files, and blindly
+    committing the stale deletes would silently resurrect the
+    deleted/updated rows (the compaction itself checks snapshot-id
+    the same way)."""
     for _ in range(max_commit_attempts):
         md = table.metadata()
+        if referenced_paths:
+            cur_files, _ = table._data_files(table._snapshot(md, None))
+            gone = referenced_paths - {f["file_path"]
+                                       for f in cur_files}
+            if gone:
+                raise IcebergConcurrentCommit(
+                    f"iceberg {verb}: a concurrent commit rewrote "
+                    f"{len(gone)} data file(s) this DML's position "
+                    f"deletes address (e.g. {sorted(gone)[0]!r}) — "
+                    f"the staged deletes are stale; rerun the DML "
+                    f"against the new snapshot")
         base_version = _version_of(table._metadata_path())
         try:
             return _commit_row_dml(table, md, data_entries,
@@ -1431,12 +1463,13 @@ def delete_iceberg(spark: SparkSession, path: str,
     live, files = _live_rows(spark, table, md, list(where))
     if live is None:
         return 0
-    del_entries, n_deleted = _stage_position_deletes(
+    del_entries, n_deleted, refd = _stage_position_deletes(
         spark, path, _position_hits(spark, live, files))
     if not del_entries:
         return 0
     _retry_row_dml(table, [], del_entries, None, "delete",
-                   max_commit_attempts, "delete")
+                   max_commit_attempts, "delete",
+                   referenced_paths=refd)
     return n_deleted
 
 
@@ -1480,7 +1513,7 @@ def update_iceberg(spark: SparkSession, path: str, set: dict,
     part_info = _part_info(md, ice_schema)
     matched = live.persist()
     try:
-        del_entries, n = _stage_position_deletes(
+        del_entries, n, refd = _stage_position_deletes(
             spark, path, _position_hits(spark, matched, files))
         if not del_entries:
             return 0
@@ -1494,7 +1527,8 @@ def update_iceberg(spark: SparkSession, path: str, set: dict,
     finally:
         matched.unpersist()
     _retry_row_dml(table, data_entries, del_entries, part_info,
-                   "overwrite", max_commit_attempts, "update")
+                   "overwrite", max_commit_attempts, "update",
+                   referenced_paths=refd)
     return n
 
 
@@ -1557,6 +1591,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame,
     matched = None
     updated = None
     del_entries: list[dict] = []
+    refd: set[str] = set()
     try:
         if have_matched:
             matched = tgt.join(src, cond, "inner").persist()
@@ -1578,9 +1613,15 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame,
                 dcond = F.expr(when_matched_delete)
             else:
                 dcond = when_matched_delete
+            # SQL MERGE clause semantics: NULL delete condition is
+            # NOT a delete — eqNullSafe(True) so delete-set and
+            # update-set partition the matched rows (same fix as the
+            # Delta twin: plain filter(dcond)/filter(~dcond) both
+            # drop NULL rows, silently losing them).
+            dcond = dcond.eqNullSafe(F.lit(True))
             affected = (matched if when_matched_update is not None
                         else matched.filter(dcond))
-            del_entries, _ = _stage_position_deletes(
+            del_entries, _, refd = _stage_position_deletes(
                 spark, path,
                 _position_hits(
                     spark,
@@ -1650,7 +1691,8 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame,
     operation = "append" if not del_entries else "overwrite"
     return _retry_row_dml(table, data_entries, del_entries,
                           part_info, operation,
-                          max_commit_attempts, "merge")
+                          max_commit_attempts, "merge",
+                          referenced_paths=refd)
 
 
 # ------------------------------------------------------- maintenance

@@ -406,3 +406,39 @@ def test_replace_where_predicate_scoped_overwrite(spark, tmp_path):
     with pytest.raises(ValueError, match="append-only"):
         dt3.replace_where(spark, spark.createDataFrame(
             [(2, "a")], "id long, v string"), "v = 'a'")
+
+
+def test_merge_null_delete_condition_is_update_not_loss(spark,
+                                                        tmp_path):
+    """ADVICE r6 (high): a matched row whose delete condition
+    evaluates to NULL must be treated as delete-condition FALSE (SQL
+    MERGE clause semantics) and fall into the update set — before the
+    eqNullSafe fix it was DV-masked but neither kept as deleted nor
+    rewritten, i.e. silently lost."""
+    p = str(tmp_path / "t")
+    dt = _table(spark, p, n=4)
+    src = spark.createDataFrame(
+        [(1, True), (2, None), (3, False)],
+        "id long, drop boolean")
+    dt.merge(spark, src, "t.id = s.id",
+             when_matched_update={"value": "t.value + 100"},
+             when_matched_delete="s.drop",
+             when_not_matched_insert=False)
+    got = dict((r[0], r[2]) for r in dt.read(spark).collect())
+    assert 1 not in got                     # delete cond TRUE
+    assert got[2] == 102.0                  # NULL -> update, not loss
+    assert got[3] == 103.0                  # FALSE -> update
+    assert got[0] == 0.0 and len(got) == 3
+
+
+def test_replace_where_null_predicate_rows_are_violations(spark,
+                                                          tmp_path):
+    """ADVICE r6 (low): incoming rows whose replaceWhere predicate
+    evaluates to NULL must be rejected, not silently written outside
+    the replaced region."""
+    p = str(tmp_path / "t")
+    dt = _table(spark, p, n=3)
+    bad = spark.createDataFrame(
+        [(None, "u9", 9.0)], "id long, user string, value double")
+    with pytest.raises(ValueError, match="violate the predicate"):
+        dt.replace_where(spark, bad, "id >= 1")

@@ -337,3 +337,54 @@ def test_update_respects_foreign_equality_deletes(spark, tmp_path):
     n = update_iceberg(spark, root, {"v": "upper(v)"})
     assert n == 2
     assert _rows(read_iceberg(spark, root)) == [(1, "A"), (3, "C")]
+
+
+def test_merge_null_delete_condition_is_update_not_loss(spark,
+                                                        tmp_path):
+    """ADVICE r6 (medium): the Iceberg twin of the Delta NULL
+    delete-condition fix — a matched row whose delete condition is
+    NULL is position-deleted, so it MUST be re-staged by the update
+    clause (NULL counts as delete-condition FALSE)."""
+    p = str(tmp_path / "t")
+    _table(spark, p)
+    src = spark.createDataFrame(
+        [(1, 1), (2, None), (3, 0)], "id long, kill int")
+    merge_iceberg(spark, p, src, "t.id = s.id",
+                  when_matched_update={"val": "t.val + 100"},
+                  when_matched_delete="s.kill = 1",
+                  when_not_matched_insert=False)
+    got = {r.id: r.val for r in read_iceberg(spark, p).collect()}
+    assert 1 not in got                    # delete cond TRUE
+    assert got[2] == 120                   # NULL -> update, not loss
+    assert got[3] == 130                   # FALSE -> update
+
+
+def test_retry_dml_refuses_when_compaction_rewrote_target_files(
+        spark, tmp_path):
+    """ADVICE r6 (medium): staged position deletes address specific
+    data files; if a concurrent compaction/overwrite replaces those
+    files between the DML's scan and its commit, the commit must
+    refuse (rerun the DML) instead of silently resurrecting the
+    deleted rows."""
+    from python_minerva_etl_spark.storage.iceberg import IcebergTable
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        IcebergConcurrentCommit, _live_rows, _position_hits,
+        _retry_row_dml, _stage_position_deletes, compact_iceberg)
+
+    p = str(tmp_path / "t")
+    _table(spark, p)
+    write_iceberg(spark, spark.createDataFrame(
+        [(100, "x", 1)], "id long, name string, val long"), p)
+    table = IcebergTable(p)
+    md = table.metadata()
+    live, files = _live_rows(spark, table, md, [("id", "<", 3)])
+    del_entries, n, refd = _stage_position_deletes(
+        spark, p, _position_hits(spark, live, files))
+    assert n == 3 and refd
+    # concurrent compaction replaces every data file
+    assert compact_iceberg(spark, p) is not None
+    with pytest.raises(IcebergConcurrentCommit, match="rerun the DML"):
+        _retry_row_dml(table, [], del_entries, None, "delete",
+                       5, "delete", referenced_paths=refd)
+    # nothing was committed: all 11 rows still live
+    assert read_iceberg(spark, p).count() == 11
