@@ -71,6 +71,58 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def fs_probe(mb: int = 256) -> dict:
+    """Deterministic raw-filesystem probe (round-6 verdict item 4):
+    sequential write+fsync then page-cache-warm read of a fresh file
+    under the same tmp root the MERGE tables use.  Emitted BEFORE and
+    AFTER the measured passes so every BENCH json carries its own
+    environment evidence — a driver run where the write-path queries
+    rise while both probes match the in-tree figures is a plan
+    regression; one where the probes sag is an environment delta."""
+    import tempfile
+    blob = os.urandom(1 << 20)
+    with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir(),
+                                     delete=False) as fh:
+        path = fh.name
+        t0 = time.perf_counter()
+        for _ in range(mb):
+            fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+        t_write = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with open(path, "rb") as fh:
+        while fh.read(1 << 22):
+            pass
+    t_read = time.perf_counter() - t0
+    os.remove(path)
+    return {"write_MBps": round(mb / t_write, 1),
+            "read_MBps": round(mb / t_read, 1)}
+
+
+def _rebaseline(spark) -> float:
+    """Fixed synthetic Spark job (no table data, no disk): range ->
+    hash-shuffle agg, noop-forced, median of 3.  A same-session
+    compute yardstick: flat rebaseline + risen query = the query;
+    risen rebaseline = the session/machine."""
+    def job():
+        from pyspark.sql import functions as F
+        return (spark.range(20_000_000)
+                .withColumn("k", F.pmod(F.col("id") * 2654435761,
+                                        F.lit(1024)))
+                .groupBy("k")
+                .agg(F.sum("id").alias("s"),
+                     F.avg(F.col("id") % 97).alias("a")))
+    for _ in range(WARMUP_PASSES):
+        _force(job())
+    samples = []
+    for _ in range(MEASURED_PASSES):
+        t0 = time.perf_counter()
+        _force(job())
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from python_minerva_etl_spark.queries.catalog import all_queries
@@ -83,6 +135,9 @@ def main() -> None:
     spark = get_spark(app_name="minerva-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+
+    probe_before = fs_probe()
+    rebase = _rebaseline(spark)
 
     # Warmup + measure per query: warmups immediately followed by the
     # measured passes.  Spark's generated-class cache holds only 100
@@ -116,6 +171,13 @@ def main() -> None:
         "spread": spreads,
         "passes": MEASURED_PASSES,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # environment self-evidence (round-6 verdict item 4): raw-fs
+        # throughput bracketing the run + a fixed synthetic
+        # compute-shuffle job measured in THIS session.  In-tree
+        # reference figures (local[32], 128 GiB): fs write ~1000+
+        # MB/s, read ~2000+ MB/s, rebaseline ~0.6 s — see PERF.md.
+        "fs_probe": {"before": probe_before, "after": fs_probe()},
+        "rebaseline_sec": rebase,
     }))
     spark.stop()
 

@@ -21,6 +21,7 @@ from ..streaming.tumble import (read_events_stream, run_available_now,
                                 tumbling_agg)
 from .base import DeclaredQuery, t
 from .trend import _TRIGGER_THRESHOLD_SQL as _STREAM_TRIGGER_PARITY_SQL
+from .trend import _scratch_tag
 
 _STREAM_SEQ = itertools.count()
 
@@ -236,7 +237,7 @@ def _materialize_incremental(spark, sf_dir):
     changed.  The read-back target must equal a full one-shot
     recompute — which is exactly the oracle SQL."""
     ev = t(spark, sf_dir, "events")
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"mat_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     target = os.path.join(base, "target")

@@ -17,6 +17,15 @@ from .base import DeclaredQuery, t
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
+
+def _scratch_tag(sf_dir: str) -> int:
+    """Deterministic per-fixture scratch-dir tag.  md5, NOT hash():
+    PYTHONHASHSEED randomization would name a fresh dir every driver
+    run and only rmtree its own, accumulating stale siblings."""
+    import hashlib
+    return int(hashlib.md5(os.path.abspath(sf_dir).encode())
+               .hexdigest()[:8], 16)
+
 _RULE = ThresholdRule(
     name="high_value",
     kpi="value",
@@ -231,7 +240,7 @@ def _sink_delta_roundtrip(spark, sf_dir):
                  F.sum(F.col("value").cast("decimal(28,4)"))
                  .cast("decimal(28,4)").alias("sum_value")))
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"delta_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     dt = DeltaTable(base)
@@ -278,7 +287,7 @@ def _sink_iceberg_roundtrip(spark, sf_dir):
                  F.sum(F.col("value").cast("decimal(28,4)"))
                  .cast("decimal(28,4)").alias("sum_value")))
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"iceberg_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     write_iceberg(spark, rollup(ev.filter(F.col("event_id") <= mid)),
@@ -318,7 +327,7 @@ def _sink_iceberg_days_partitioned(spark, sf_dir):
     mid_day = (lo + (hi - lo) / 2).date()
     mid = datetime.datetime.combine(mid_day, datetime.time())
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"iceberg_days_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     write_iceberg(spark, ev, base, partition_by="days(ts)")
@@ -369,7 +378,7 @@ def _sink_delta_dv_roundtrip(spark, sf_dir):
         "event_id", "user_id", "event_type", "value")
     mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"delta_dv_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     dt = DeltaTable(base)
@@ -415,7 +424,7 @@ def _source_delta_cdf(spark, sf_dir):
         "event_id", "user_id", "event_type", "value")
     mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"delta_cdf_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     dt = DeltaTable(base)
@@ -457,7 +466,7 @@ def _source_avro_roundtrip(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"avro_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     write_avro(ev.repartition(4), base, force_required=True)
@@ -494,7 +503,7 @@ def _sink_delta_merge_roundtrip(spark, sf_dir):
     mx = ev.agg(F.max("event_id")).collect()[0][0]
     mid, lo, hi = mx // 2, mx // 4, (3 * mx) // 4
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"delta_merge_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     dt = DeltaTable(base)
@@ -561,7 +570,7 @@ def _sink_iceberg_merge_roundtrip(spark, sf_dir):
     mx = ev.agg(F.max("event_id")).collect()[0][0]
     mid, lo, hi = mx // 2, mx // 4, (3 * mx) // 4
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"iceberg_merge_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     write_iceberg(spark, ev.filter(F.col("event_id") <= mid), base)
@@ -625,7 +634,7 @@ def _sink_delta_replace_where(spark, sf_dir):
         "event_id", "user_id", "event_type", "value")
     mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"delta_rw_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     dt = DeltaTable(base)
@@ -678,7 +687,7 @@ def _source_iceberg_incremental(spark, sf_dir):
         "event_id", "user_id", "event_type", "value")
     mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"iceberg_inc_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     write_iceberg(spark, ev.filter(F.col("event_id") <= mid), base)
@@ -726,7 +735,7 @@ def _stream_delta_source_parity(spark, sf_dir):
         "event_id", "user_id", "event_type", "value")
     mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
 
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"delta_stream_src_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     dt = DeltaTable(base)
@@ -770,7 +779,7 @@ def _source_delta_cdf_update(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value")
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"delta_cdfu_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     dt = DeltaTable(base)
@@ -817,7 +826,7 @@ def _upsert_merge_table(spark, sf_dir):
     ev = t(spark, sf_dir, "events").withColumn(
         "bucket", F.date_trunc("hour", "ts"))
     mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"snap_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     tbl = SnapTable(base)
@@ -839,7 +848,7 @@ def _two_phase_snaptable(spark, sf_dir, prefix):
     ev = t(spark, sf_dir, "events").withColumn(
         "bucket", F.date_trunc("hour", "ts"))
     mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"{prefix}_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     tbl = SnapTable(base)

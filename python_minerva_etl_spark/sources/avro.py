@@ -19,6 +19,14 @@ Schema scope (raise otherwise — never silently misread):
   ``date`` (int days → DateType), ``timestamp-micros`` /
   ``timestamp-millis`` (long → TimestampType, UTC).
 
+Two vectorized fast paths (parity-locked in
+``tests/test_avro_vector.py``): all-varint records decode fully in
+numpy (16x), and flat records mixing strings/bytes/float/double and
+``["null", X]`` unions — the dominant LLM-corpus shape — use a lean
+offsets-only structure scan + vectorized column extraction (4-5x on
+narrow rows, ~100 MB/s/worker on wide text; PERF.md).  Everything
+else (nesting, decimal, multi-branch unions) decodes sequentially.
+
 Registered as source plugin ``avro`` (``sources/plugins.py``).
 """
 
@@ -242,6 +250,230 @@ def _decode_block_vectorized(body: bytes, n_records: int, plan):
     return cols
 
 
+# -------------------------------------- general vectorized fast path
+#
+# The all-varint path above needs every byte to be part of a varint.
+# String-bearing schemas — the dominant shape for an LLM text corpus —
+# break that (a string is a zigzag length + raw UTF-8 whose bytes look
+# like arbitrary varint fragments), so they fell back to the ~2 MB/s
+# sequential decoder (round-6 verdict item 5).  This path splits
+# structure from values:
+#
+#   1. a LEAN structure scan walks the block once recording only
+#      field payload offsets (and string/bytes lengths) — O(1) per
+#      field: no value decode, no per-record dicts, no schema
+#      resolution, which is where the sequential decoder's time goes;
+#   2. columns are then extracted VECTORIZED at the known offsets —
+#      varints via one masked-shift gather per column, float/double
+#      via a view, strings as direct slices (one Python slice per
+#      value, the irreducible object cost).
+#
+# The scan validates as it goes (union branch bytes, non-negative
+# lengths, block tiling); any anomaly raises and the caller falls
+# back to the sequential decoder for that file — the fast path never
+# guesses.
+
+_GEN_SIMPLE = {"int": "zigzag", "long": "zigzag", "boolean": "boolean",
+               "string": "string", "bytes": "bytes",
+               "float": "float", "double": "double"}
+
+# blocks larger than this use the sequential decoder: the structure
+# pass keeps a few O(B) int64 arrays alive (~10x B bytes peak)
+_GEN_MAX_BLOCK = 32 << 20
+
+
+def _gen_kind(s):
+    """(kind, extra) for one non-null field schema, or None."""
+    if isinstance(s, str):
+        return (s and _GEN_SIMPLE.get(s)) and (_GEN_SIMPLE[s], None)
+    if isinstance(s, dict):
+        lt = s.get("logicalType")
+        base = s["type"]
+        if lt == "date" and base == "int":
+            return ("date", None)
+        if lt == "timestamp-micros" and base == "long":
+            return ("ts-micros", None)
+        if lt == "timestamp-millis" and base == "long":
+            return ("ts-millis", None)
+        if base == "enum" and lt is None:
+            return ("enum", list(s["symbols"]))
+        if base in _GEN_SIMPLE and lt is None:
+            return (_GEN_SIMPLE[base], None)
+    return None
+
+
+def _vector_plan_general(schema: dict):
+    """Per-field (kind, extra, null_branch) plan covering the
+    string-bearing shapes, or None.  ``null_branch`` is the union
+    index of "null" for ``["null", X]`` fields, else None."""
+    plan = []
+    for f in schema["fields"]:
+        s = f["type"]
+        if isinstance(s, list):
+            if len(s) != 2 or "null" not in s:
+                return None
+            inner = _gen_kind(next(x for x in s if x != "null"))
+            if inner is None:
+                return None
+            plan.append((inner[0], inner[1], s.index("null")))
+            continue
+        k = _gen_kind(s)
+        if k is None:
+            return None
+        plan.append((k[0], k[1], None))
+    return plan
+
+
+def _decode_block_general(body: bytes, n_records: int, plan):
+    """One block body -> list of per-field columns (numpy arrays, or
+    object lists for string/bytes/nullable)."""
+    import numpy as np
+
+    nfields = len(plan)
+    if n_records == 0:
+        return [[] for _ in plan]
+    B = len(body)
+    if B > _GEN_MAX_BLOCK:
+        raise ValueError("avro: block too large for vectorized scan")
+
+    # ---- pass 1: lean structure scan.  Python, but O(1) per field:
+    # it records each field occurrence's payload START (and byte
+    # length for string/bytes) and never decodes values, builds
+    # objects, or resolves schemas — that is where the sequential
+    # decoder spends its time.  starts[f][r] = -1 marks null.
+    starts: list[list[int]] = [[] for _ in range(nfields)]
+    lens: list[list[int]] = [[] for _ in range(nfields)]
+    # precompiled per-field ops: (opcode, null_branch, append fns);
+    # opcode 0 = varint scalar, 1 = string/bytes, 2 = float, 3 = double
+    ops = []
+    for f, (kind, _extra, nb) in enumerate(plan):
+        opc = (1 if kind in ("string", "bytes")
+               else 2 if kind == "float"
+               else 3 if kind == "double" else 0)
+        ops.append((opc, -1 if nb is None else nb,
+                    starts[f].append, lens[f].append))
+    pos = 0
+    try:
+        for _ in range(n_records):
+            for opc, nb, put, putlen in ops:
+                if nb >= 0:
+                    br = body[pos]  # zigzag union index: 0x00 / 0x02
+                    pos += 1
+                    if br not in (0, 2):
+                        raise ValueError("avro: bad union branch")
+                    if (br >> 1) == nb:
+                        put(-1)
+                        putlen(0)
+                        continue
+                if opc == 1:  # string/bytes: zigzag length, skip data
+                    u = 0
+                    sh = 0
+                    while True:
+                        c = body[pos]
+                        pos += 1
+                        u |= (c & 0x7F) << sh
+                        if not c & 0x80:
+                            break
+                        sh += 7
+                    ln = (u >> 1) ^ -(u & 1)
+                    if ln < 0 or pos + ln > B:
+                        raise ValueError("avro: bad string length")
+                    put(pos)
+                    putlen(ln)
+                    pos += ln
+                elif opc == 0:  # varint-coded scalar
+                    put(pos)
+                    while body[pos] & 0x80:
+                        pos += 1
+                    pos += 1
+                elif opc == 2:
+                    put(pos)
+                    pos += 4
+                else:
+                    put(pos)
+                    pos += 8
+            if pos > B:
+                raise ValueError("avro: record ran past block end")
+    except IndexError:
+        raise ValueError(
+            "avro: structure scan ran past block end") from None
+    if pos != B:
+        raise ValueError("avro: structure scan did not tile the block")
+
+    # ---- pass 2: vectorized column extraction at known starts
+    b = np.frombuffer(body, dtype=np.uint8)
+    shift7 = np.uint64(7) * np.arange(10, dtype=np.uint64)
+
+    def vdecode(pos_arr, maxlen):
+        """zigzag varint values starting at ``pos_arr``."""
+        gi = np.minimum(
+            pos_arr[:, None] + np.arange(maxlen, dtype=np.int64),
+            np.int64(max(B - 1, 0)))
+        byts = b[gi]
+        is_end = (byts & 0x80) == 0
+        if not is_end.any(axis=1).all():
+            raise ValueError("avro: varint longer than its type")
+        endoff = is_end.argmax(axis=1)
+        mask = np.arange(maxlen, dtype=np.int64) <= endoff[:, None]
+        u = ((byts.astype(np.uint64) & np.uint64(0x7F))
+             << shift7[:maxlen]) * mask
+        u = u.sum(axis=1, dtype=np.uint64)
+        return ((u >> np.uint64(1)).astype(np.int64)
+                ^ -((u & np.uint64(1)).astype(np.int64)))
+
+    def extract(pos_arr, kind, extra, ln_list):
+        if kind in ("float", "double"):
+            w = 4 if kind == "float" else 8
+            gi = pos_arr[:, None] + np.arange(w, dtype=np.int64)
+            arr = np.ascontiguousarray(b[gi])
+            return arr.view("<f4" if w == 4 else "<f8").ravel()
+        if kind in ("string", "bytes"):
+            s0 = pos_arr.tolist()
+            if kind == "string":
+                return [body[i:i + n].decode("utf-8")
+                        for i, n in zip(s0, ln_list)]
+            return [body[i:i + n] for i, n in zip(s0, ln_list)]
+        val = vdecode(pos_arr, 10)
+        if kind == "boolean":
+            # boolean is a raw 0x00/0x01 byte; the zigzag view of it
+            # is 0/-1 — nonzero == true either way
+            return val != 0
+        if kind == "enum":
+            sym = np.asarray(extra, dtype=object)
+            if len(val) and (val.min() < 0 or val.max() >= len(sym)):
+                raise ValueError("avro: enum index out of range")
+            return sym[val]
+        if kind == "date":
+            return val.astype("datetime64[D]").astype(object)
+        if kind == "ts-micros":
+            return val.astype("datetime64[us]")
+        if kind == "ts-millis":
+            return val.astype("datetime64[ms]").astype("datetime64[us]")
+        return val
+
+    cols = []
+    for f in range(nfields):
+        kind, extra, nb = plan[f]
+        pos_arr = np.asarray(starts[f], dtype=np.int64)
+        lnl = lens[f] if kind in ("string", "bytes") else None
+        if nb is None:
+            cols.append(extract(pos_arr, kind, extra, lnl))
+            continue
+        valid = pos_arr >= 0
+        vlnl = None if lnl is None else \
+            [n for p, n in zip(starts[f], lnl) if p >= 0]
+        live = extract(pos_arr[valid], kind, extra, vlnl)
+        # Python objects + None (the shape the sequential decoder
+        # yields) so Arrow casts from the declared Spark schema
+        if not isinstance(live, list):
+            live = live.tolist()
+        out = np.empty(len(pos_arr), dtype=object)
+        out[~valid] = None
+        out[valid] = live
+        cols.append(out)
+    return cols
+
+
 def _list_files(path: str) -> list[str]:
     if os.path.isdir(path):
         out = sorted(glob.glob(os.path.join(path, "*.avro")))
@@ -272,6 +504,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     canon = _json.dumps(writer_schema, sort_keys=True)
 
     plan = _vector_plan(writer_schema)
+    plan_gen = None if plan is not None \
+        else _vector_plan_general(writer_schema)
     colnames = [f["name"] for f in writer_schema["fields"]]
 
     def decode(batches):
@@ -288,31 +522,48 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                     "differs from the directory's first file — "
                     "mixed-schema reads are refused")
 
+        def sequential(p):
+            with open(p, "rb") as fh:
+                m, recs = avro_read(fh.read())
+            check_schema(m, p)
+            rows = [tuple(_convert(r.get(f["name"]), f["type"])
+                          for f in writer_schema["fields"])
+                    for r in recs]
+            return pd.DataFrame(rows, columns=colnames)
+
+        def vectorized(p, block_fn, nplan):
+            import numpy as np
+            with open(p, "rb") as fh:
+                m, blocks = avro_blocks(fh.read())
+            check_schema(m, p)
+            per_block = [block_fn(body, n, nplan)
+                         for n, body in blocks if n]
+            if not per_block:
+                return pd.DataFrame(columns=colnames)
+            cols = []
+            for i in range(len(nplan)):
+                parts = [blk[i] for blk in per_block]
+                if isinstance(parts[0], list):
+                    cols.append([v for part in parts for v in part])
+                else:
+                    cols.append(np.concatenate(parts))
+            return pd.DataFrame(dict(zip(colnames, cols)))
+
         for pdf in batches:
             for p in pdf["path"]:
                 if plan is not None:
-                    import numpy as np
-                    with open(p, "rb") as fh:
-                        m, blocks = avro_blocks(fh.read())
-                    check_schema(m, p)
-                    per_block = [
-                        _decode_block_vectorized(body, n, plan)
-                        for n, body in blocks if n]
-                    if not per_block:
-                        yield pd.DataFrame(columns=colnames)
-                        continue
-                    cols = [np.concatenate([blk[i]
-                                            for blk in per_block])
-                            for i in range(len(plan))]
-                    yield pd.DataFrame(dict(zip(colnames, cols)))
-                    continue
-                with open(p, "rb") as fh:
-                    m, recs = avro_read(fh.read())
-                check_schema(m, p)
-                rows = [tuple(_convert(r.get(f["name"]), f["type"])
-                              for f in writer_schema["fields"])
-                        for r in recs]
-                yield pd.DataFrame(rows, columns=colnames)
+                    yield vectorized(p, _decode_block_vectorized, plan)
+                elif plan_gen is not None:
+                    # malformed-looking blocks (oversized, structure
+                    # scan fails to tile) re-decode sequentially —
+                    # the fast path never guesses
+                    try:
+                        yield vectorized(p, _decode_block_general,
+                                         plan_gen)
+                    except ValueError:
+                        yield sequential(p)
+                else:
+                    yield sequential(p)
 
     fdf = (spark.createDataFrame([(p,) for p in files], "path string")
            .repartition(len(files)))
@@ -390,11 +641,27 @@ def write_avro(df: DataFrame, path: str,
             {"type": "map", "values": "bytes"})
         out += sync
         n_total = 0
+
+        def flush(n, body):
+            nonlocal n_total
+            body = bytes(body)
+            if codec == "deflate":
+                import zlib as _zlib
+                co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+                body = co.compress(body) + co.flush()
+            out.extend(_zigzag(n) + _zigzag(len(body)) + body + sync)
+            n_total += n
+
+        # flush blocks at ~4 MiB: keeps every block inside the
+        # vectorized reader's size cap and bounds per-block decode
+        # memory, like production writers' sync-interval defaults
+        block_bytes = 4 << 20
+        body = bytearray()
+        n_block = 0
         for pdf in batches:
             n = len(pdf)
             if not n:
                 continue
-            body = bytearray()
             cols = [pdf[name] for name, _ in fields]
             for i in range(n):
                 for (name, ftype), col in zip(fields, cols):
@@ -409,13 +676,13 @@ def write_avro(df: DataFrame, path: str,
                             f"{name!r} (written with "
                             "force_required=True)")
                     body += _avro_encode(v, ftype)
-            body = bytes(body)
-            if codec == "deflate":
-                import zlib as _zlib
-                co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
-                body = co.compress(body) + co.flush()
-            out += _zigzag(n) + _zigzag(len(body)) + body + sync
-            n_total += n
+                n_block += 1
+                if len(body) >= block_bytes:
+                    flush(n_block, body)
+                    body = bytearray()
+                    n_block = 0
+        if n_block:
+            flush(n_block, body)
         if not n_total:
             yield pd.DataFrame({"path": [], "rows": []})
             return

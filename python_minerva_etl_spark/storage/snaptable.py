@@ -231,6 +231,19 @@ def _collect_file_meta(spark: SparkSession, paths: list[str],
     from pyspark.sql import types as T
     key = list(key)
 
+    # Dispatch on commit size, not dogma: scheduling a Spark job
+    # (stage + shuffle + python-worker spinup) costs a fixed ~0.5 s;
+    # for a small commit the driver reads the footers + key columns
+    # in milliseconds, and that fixed job cost dominated the
+    # write-path bench rows (round-6 verdict item 4).  Large commits
+    # — where the per-file bloom hashing is real work — still run in
+    # the executors.  Both paths run the SAME _file_meta_payload, so
+    # manifests are byte-identical (locked by tests/test_snaptable.py).
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+    if total_bytes < 64 * 1024 * 1024:
+        return {p: json.loads(_file_meta_payload(p, key))
+                for p in paths}
+
     def compute(batches):
         import pandas as pd
         for pdf in batches:

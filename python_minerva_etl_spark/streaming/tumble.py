@@ -40,7 +40,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage the table file into one
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10 ** 8
+    from ..queries.trend import _scratch_tag
+    tag = _scratch_tag(sf_dir)
     inbox = os.path.join(repo_root, ".scratch", f"stream_inbox_{tag}")
     os.makedirs(inbox, exist_ok=True)
     staged = os.path.join(inbox, "events.parquet")

@@ -172,3 +172,142 @@ def test_write_avro_deflate_roundtrip(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="codec"):
         write_avro(df, str(tmp_path / "bad"), codec="zstd")
+
+
+# ---------------------------------------- general (string-bearing) path
+
+_MIXED = {"type": "record", "name": "m", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "text", "type": ["null", "string"]},
+    {"name": "raw", "type": ["null", "bytes"]},
+    {"name": "score", "type": "double"},
+    {"name": "ratio", "type": ["null", "float"]},
+    {"name": "n", "type": ["null", "int"]},
+    {"name": "flag", "type": "boolean"},
+    {"name": "kind", "type": {"type": "enum", "name": "K2",
+                              "symbols": ["X", "Y"]}},
+    {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+    {"name": "ts", "type": ["null", {"type": "long",
+                            "logicalType": "timestamp-micros"}]},
+]}
+
+
+def _mixed_records(n, seed=11):
+    rng = random.Random(seed)
+    recs = []
+    for i in range(n):
+        recs.append({
+            "id": rng.randint(-2**62, 2**62),
+            "text": None if rng.random() < 0.2 else
+                    "".join(rng.choice("ab é中 xyz")
+                            for _ in range(rng.randint(0, 300))),
+            "raw": None if rng.random() < 0.3 else
+                   bytes(rng.randrange(256)
+                         for _ in range(rng.randint(0, 40))),
+            "score": rng.uniform(-1e9, 1e9),
+            "ratio": None if rng.random() < 0.5
+                     else rng.uniform(-1e3, 1e3),
+            "n": None if rng.random() < 0.4
+                 else rng.randint(-2**31, 2**31 - 1),
+            "flag": rng.random() < 0.5,
+            "kind": rng.choice(["X", "Y"]),
+            "d": rng.randint(-3000, 40000),
+            "ts": None if rng.random() < 0.1
+                  else rng.randint(-2**50, 2**50),
+        })
+    return recs
+
+
+def test_general_plan_eligibility():
+    from python_minerva_etl_spark.sources.avro import \
+        _vector_plan_general
+    assert _vector_plan(_MIXED) is None
+    assert _vector_plan_general(_MIXED) is not None
+    # nesting / multi-branch unions / decimal still fall back
+    for bad in ({"type": "array", "items": "long"},
+                ["null", "long", "string"],
+                {"type": "bytes", "logicalType": "decimal",
+                 "precision": 9, "scale": 2}):
+        s = {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": bad}]}
+        assert _vector_plan_general(s) is None
+
+
+def test_general_path_matches_sequential_exactly(spark, tmp_path):
+    """Byte-exact parity: the same multi-block file decoded by the
+    general vectorized path and by the sequential decoder, value by
+    value (nullable strings/bytes/floats/ints, negative varints,
+    NUL bytes and multi-byte UTF-8 inside strings)."""
+    recs = _mixed_records(400)
+    raw = _multi_block(_MIXED, recs, per_block=37)
+    p = os.path.join(str(tmp_path), "m.avro")
+    with open(p, "wb") as fh:
+        fh.write(raw)
+
+    from python_minerva_etl_spark.sources.avro import (
+        _decode_block_general, _vector_plan_general)
+    df = read_avro(spark, p)
+    got = df.toPandas()
+    assert len(got) == 400
+
+    # drive the block decoder directly against the raw records
+    from python_minerva_etl_spark.storage.iceberg import avro_blocks
+    _, blocks = avro_blocks(raw)
+    plan = _vector_plan_general(_MIXED)
+    off = 0
+    for n, body in blocks:
+        cols = _decode_block_general(body, n, plan)
+        for i in range(n):
+            r = recs[off + i]
+            assert int(cols[0][i]) == r["id"]
+            assert cols[1][i] == r["text"]
+            assert cols[2][i] == r["raw"]
+            assert float(cols[3][i]) == float(
+                __import__("struct").unpack(
+                    "<d", __import__("struct").pack(
+                        "<d", r["score"]))[0])
+            if r["ratio"] is None:
+                assert cols[4][i] is None
+            if r["n"] is None:
+                assert cols[5][i] is None
+            else:
+                assert int(cols[5][i]) == r["n"]
+            assert bool(cols[6][i]) == r["flag"]
+            assert cols[7][i] == r["kind"]
+        off += n
+    assert off == 400
+
+
+def test_general_path_oversized_block_falls_back(spark, tmp_path,
+                                                 monkeypatch):
+    """A block over the size cap must re-decode sequentially with the
+    same result, not raise."""
+    import python_minerva_etl_spark.sources.avro as avro_mod
+    recs = _mixed_records(50, seed=3)
+    raw = _multi_block(_MIXED, recs, per_block=50)
+    p = os.path.join(str(tmp_path), "big.avro")
+    with open(p, "wb") as fh:
+        fh.write(raw)
+    monkeypatch.setattr(avro_mod, "_GEN_MAX_BLOCK", 8)
+    got = read_avro(spark, p).toPandas()
+    assert len(got) == 50
+    assert got["kind"].tolist() == [r["kind"] for r in recs]
+
+
+def test_write_avro_flushes_multiple_blocks(spark, tmp_path):
+    """The sink splits large batches into ~4 MiB blocks so files it
+    writes always stay inside the vectorized reader's cap."""
+    from python_minerva_etl_spark.sources.avro import write_avro
+    from python_minerva_etl_spark.storage.iceberg import avro_blocks
+    big = spark.range(6).selectExpr(
+        "id", "repeat('x', 3000000) AS text").coalesce(1)
+    paths = write_avro(big, str(tmp_path / "blk"))
+    assert len(paths) == 1
+    with open(paths[0], "rb") as fh:
+        _, blocks = avro_blocks(fh.read())
+    # flush fires once the body EXCEEDS 4 MiB, so each block holds two
+    # 3 MB rows — never the whole 18 MB batch
+    assert len(blocks) == 3
+    assert all(len(body) <= (4 << 20) + 3000100 for _, body in blocks)
+    got = read_avro(spark, paths[0]).toPandas()
+    assert len(got) == 6 and set(got["text"].str.len()) == {3000000}
