@@ -251,8 +251,10 @@ def cmd_iceberg(args) -> int:
             print("delete requires --where col<op>value", flush=True)
             return 2
         n = delete_iceberg(_spark(), args.path,
-                           _iceberg_preds(args.where))
-        print(json.dumps({"deleted_rows": n}))
+                           _iceberg_preds(args.where),
+                           equality=args.equality)
+        print(json.dumps({"deleted_rows": n,
+                          "equality": bool(args.equality)}))
     elif args.action == "update":
         if not args.set:
             print("update requires --set col=expr", flush=True)
@@ -472,6 +474,10 @@ def main(argv: list[str] | None = None) -> int:
                         "repeatable, ANDed")
     s.add_argument("--set", action="append", default=[],
                    help="col=expr (update); repeatable")
+    s.add_argument("--equality", action="store_true",
+                   help="delete: write a BLIND equality-delete row "
+                        "instead of scanning for positions (all "
+                        "--where ops must be '=')")
     s.set_defaults(fn=cmd_iceberg)
 
     s = sub.add_parser("validate",

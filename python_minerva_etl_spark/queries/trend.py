@@ -1233,6 +1233,62 @@ SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
 """
 
 
+def _sink_iceberg_eqdelete_roundtrip(spark, sf_dir):
+    """OP-SNK blind equality delete (storage/iceberg_write.py:
+    equality_delete_iceberg — the Flink/Paimon CDC-upsert delete
+    shape): the table holds every event; ONE O(|keys|) commit stages
+    the user_ids divisible by 7 as an equality-delete file (no scan,
+    no position lookup); a LATER append re-inserts corrected rows
+    (value+1000) for the users divisible by 14 — those must SURVIVE
+    the earlier delete (sequence-number ordering), which is exactly
+    the semantics that separates an equality delete from a filter."""
+    from ..storage.iceberg import read_iceberg
+    from ..storage.iceberg_write import (equality_delete_iceberg,
+                                         write_iceberg)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"iceberg_eqdel_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, ev, base)
+    keys = (ev.filter(F.col("user_id") % 7 == 0)
+            .select("user_id").distinct())
+    equality_delete_iceberg(spark, base, keys)
+    corrected = (ev.filter(F.col("user_id") % 14 == 0)
+                 .withColumn("value", F.col("value") + 1000))
+    write_iceberg(spark, corrected, base)
+    return (read_iceberg(spark, base)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SINK_ICEBERG_EQDELETE_ROUNDTRIP_SQL = """
+WITH kept AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE user_id % 7 <> 0
+),
+reinserted AS (
+  SELECT event_id, user_id, event_type, value + 1000 AS value
+  FROM events WHERE user_id % 14 = 0
+),
+final AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM reinserted
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM final GROUP BY 1
+"""
+
+
 QUERIES = [
     DeclaredQuery("reshape_wide", _reshape_wide, _RESHAPE_WIDE_SQL, "OP-TYPE/loader pivot"),
     DeclaredQuery("reshape_long", _reshape_long, _RESHAPE_LONG_SQL, "OP-TYPE/loader unpivot"),
@@ -1252,6 +1308,7 @@ QUERIES = [
     DeclaredQuery("source_delta_cdf_update", _source_delta_cdf_update, _SOURCE_DELTA_CDF_UPDATE_SQL, "OP-SRC (Delta CDF write path: UPDATE pre/post images via cdc actions)"),
     DeclaredQuery("source_iceberg_incremental", _source_iceberg_incremental, _SOURCE_ICEBERG_INCREMENTAL_SQL, "OP-SRC (Iceberg incremental append scan between snapshots)"),
     DeclaredQuery("sink_iceberg_merge_roundtrip", _sink_iceberg_merge_roundtrip, _SINK_ICEBERG_MERGE_ROUNDTRIP_SQL, "OP-SNK (Iceberg merge-on-read UPDATE + MERGE INTO)"),
+    DeclaredQuery("sink_iceberg_eqdelete_roundtrip", _sink_iceberg_eqdelete_roundtrip, _SINK_ICEBERG_EQDELETE_ROUNDTRIP_SQL, "OP-SNK (Iceberg blind equality delete + sequence-ordered re-insert)"),
     DeclaredQuery("sink_iceberg_days_partitioned", _sink_iceberg_days_partitioned, _SINK_ICEBERG_DAYS_PARTITIONED_SQL, "OP-SNK/OP-SRC (Iceberg days(ts) partition transform + transformed-domain pruning)"),
     DeclaredQuery("sink_delta_replace_where", _sink_delta_replace_where, _SINK_DELTA_REPLACE_WHERE_SQL, "OP-SNK (Delta replaceWhere: atomic predicate-scoped overwrite)"),
     DeclaredQuery("stream_delta_source_parity", _stream_delta_source_parity, _STREAM_DELTA_SOURCE_PARITY_SQL, "OP-STR-INGEST (registered Python data source tailing the Delta log)"),

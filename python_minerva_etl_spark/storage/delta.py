@@ -27,14 +27,17 @@ for checkpoints), so this engine can:
   remove tombstones, as PROTOCOL.md requires) + ``_last_checkpoint``.
 
 Scope (documented, not hidden): reader supports protocol
-minReaderVersion 1 tables, minReaderVersion 2 tables whose
-``delta.columnMapping.mode`` is ``none`` or ``name`` (physical
-field names resolved through the mapping; mode ``id`` is refused —
-see COVERAGE.md), and minReaderVersion 3 (table features) when
+minReaderVersion 1 tables, minReaderVersion 2 tables in every
+``delta.columnMapping.mode`` (``none``; ``name`` via physical-name
+resolution; ``id`` via Spark's parquet field-id resolution — the
+read schema carries ``parquet.field.id`` metadata, so files keep
+resolving across renames), and minReaderVersion 3 (table features)
+when
 every declared readerFeature is implemented — currently
 ``deletionVectors`` (merge-on-read DELETE, applied at scan time via
 the from-scratch roaring-bitmap reader in :mod:`.delta_dv`),
-``timestampNtz``, ``columnMapping`` (name mode), ``v2Checkpoint``,
+``timestampNtz``, ``columnMapping`` (name and id modes),
+``v2Checkpoint``,
 and ``vacuumProtocolCheck``.  Writes refuse tables
 whose writerFeatures exceed what this writer implements (an
 oblivious commit breaks the invariants other engines rely on) and
@@ -239,19 +242,41 @@ def _physical_name(f: T.StructField) -> str:
     return pname
 
 
-def _physical_type(dt: T.DataType) -> T.DataType:
+def _field_id(f: T.StructField) -> int:
+    """The stable column id of a mapped field (PROTOCOL.md Column
+    Mapping: ``delta.columnMapping.id``) — mode ``id`` tables resolve
+    parquet columns by this id, not by name."""
+    cid = (f.metadata or {}).get("delta.columnMapping.id")
+    if cid is None:
+        raise ValueError(
+            f"Delta column mapping mode 'id' but field {f.name!r} "
+            "carries no delta.columnMapping.id metadata")
+    return int(cid)
+
+
+def _physical_type(dt: T.DataType,
+                   with_ids: bool = False) -> T.DataType:
     """Recursively rewrite a logical type to its physical (parquet)
-    shape: struct field names become their physicalName."""
+    shape: struct field names become their physicalName.  With
+    ``with_ids`` each struct field also carries ``parquet.field.id``
+    metadata so Spark's field-id parquet resolution
+    (``spark.sql.parquet.fieldId.read.enabled``) matches columns by
+    id — mode ``id`` tables' files may spell ANY physical name (e.g.
+    pre-rename ones); only the id is stable."""
     if isinstance(dt, T.StructType):
         return T.StructType([
-            T.StructField(_physical_name(f), _physical_type(f.dataType),
-                          f.nullable) for f in dt.fields])
+            T.StructField(_physical_name(f),
+                          _physical_type(f.dataType, with_ids),
+                          f.nullable,
+                          {"parquet.field.id": _field_id(f)}
+                          if with_ids else None)
+            for f in dt.fields])
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_type(dt.elementType),
+        return T.ArrayType(_physical_type(dt.elementType, with_ids),
                            dt.containsNull)
     if isinstance(dt, T.MapType):
-        return T.MapType(_physical_type(dt.keyType),
-                         _physical_type(dt.valueType),
+        return T.MapType(_physical_type(dt.keyType, with_ids),
+                         _physical_type(dt.valueType, with_ids),
                          dt.valueContainsNull)
     return dt
 
@@ -659,15 +684,24 @@ class DeltaTable:
         part_cols = meta.get("partitionColumns") or []
         cm_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode") or "none"
-        if cm_mode == "id":
-            raise NotImplementedError(
-                "Delta column mapping mode 'id' not supported (it "
-                "resolves columns by parquet field id; mode 'name' "
-                "tables are supported)")
-        if cm_mode not in ("none", "name"):
+        if cm_mode not in ("none", "name", "id"):
             raise NotImplementedError(
                 f"Delta column mapping mode {cm_mode!r} unknown")
-        mapped = cm_mode == "name"
+        mapped = cm_mode if cm_mode != "none" else None
+        if mapped:
+            # validate the mapping metadata EAGERLY (plan time, even
+            # for empty tables): a table claiming column mapping with
+            # unmapped schema fields is malformed, never misread
+            for f in schema.fields:
+                _physical_name(f)
+                if mapped == "id":
+                    _field_id(f)
+        if mapped == "id":
+            # Spark resolves parquet columns by the field ids we put
+            # in the read schema's metadata — a session conf, safe to
+            # pin (it only changes behavior when ids are present)
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                           "true")
         files = snap["files"]
         pos_fields = [T.StructField("_dl_path", T.StringType()),
                       T.StructField("_dl_pos", T.LongType())]
@@ -766,20 +800,28 @@ class DeltaTable:
 
     def _scan_files(self, spark: SparkSession, files: list[dict],
                     schema: T.StructType, part_cols: list[str],
-                    mapped: bool, need_pos: bool) -> DataFrame:
+                    mapped, need_pos: bool) -> DataFrame:
         """One DataFrame over explicit file-action entries (add or
         cdc): files group by their ``partitionValues`` and the
         partition columns come back as typed literals; column-mapped
-        tables read physical names and rebuild logical ones; with
-        ``need_pos`` each row carries ``_dl_path``/``_dl_pos``
-        provenance from the parquet reader's ``_metadata``.
-        Hive-conformant partitioned layouts short-circuit to the
-        single-scan :meth:`_scan_hive` fast path."""
+        tables (``mapped`` = "name" or "id") read physical names —
+        mode "id" additionally stamps ``parquet.field.id`` metadata so
+        Spark matches parquet columns by the stable field id even
+        when a file spells a different (pre-rename) physical name —
+        and rebuild logical ones; with ``need_pos`` each row carries
+        ``_dl_path``/``_dl_pos`` provenance from the parquet reader's
+        ``_metadata``.  Hive-conformant partitioned layouts
+        short-circuit to the single-scan :meth:`_scan_hive` fast
+        path."""
         data_fields = [f for f in schema.fields
                        if f.name not in part_cols]
+        by_id = mapped == "id"
         data_schema = T.StructType([
-            T.StructField(_physical_name(f), _physical_type(f.dataType),
-                          f.nullable) for f in data_fields
+            T.StructField(_physical_name(f),
+                          _physical_type(f.dataType, by_id),
+                          f.nullable,
+                          {"parquet.field.id": _field_id(f)}
+                          if by_id else None) for f in data_fields
         ] if mapped else data_fields)
         # partitionValues are keyed by PHYSICAL name once mapping is
         # on (files and stats live in the physical world); fall back

@@ -311,6 +311,25 @@ def _decode_bound(type_name: str, raw: bytes):
         return None
 
 
+def _lit_physical(type_name: str, lit):
+    """Predicate literal in the same physical domain the decoded
+    bounds use: timestamps are int epoch-micros and dates int
+    epoch-days in manifests, but callers pass datetime/date objects —
+    without this mapping every temporal comparison raised TypeError
+    and file-level pruning silently kept everything."""
+    import datetime
+
+    if type_name in ("timestamp", "timestamptz") \
+            and isinstance(lit, datetime.datetime):
+        v = lit if lit.tzinfo is not None \
+            else lit.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if type_name == "date" and isinstance(lit, datetime.date) \
+            and not isinstance(lit, datetime.datetime):
+        return lit.toordinal() - 719163
+    return lit
+
+
 def _file_may_match(df_entry: dict, preds, field_id: dict,
                     field_type: dict) -> bool:
     """Conservative column-bound pruning (Iceberg spec 'Scan
@@ -319,10 +338,11 @@ def _file_may_match(df_entry: dict, preds, field_id: dict,
     unknown types, or undecodable bounds keep the file."""
     lowers = _bounds_map(df_entry.get("lower_bounds"))
     uppers = _bounds_map(df_entry.get("upper_bounds"))
-    for col, op, lit in preds:
+    for col, op, raw_lit in preds:
         fid = field_id.get(col)
         if fid is None:
             continue
+        lit = _lit_physical(field_type.get(col), raw_lit)
         lo = _decode_bound(field_type.get(col), lowers.get(fid))
         hi = _decode_bound(field_type.get(col), uppers.get(fid))
         try:

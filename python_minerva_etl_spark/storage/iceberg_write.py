@@ -251,6 +251,39 @@ def _murmur3_long(v: int) -> int:
         int(v).to_bytes(8, "little", signed=True))
 
 
+def _murmur3_long_vec(x):
+    """Vectorized :func:`_murmur3_long` over an int64 numpy array —
+    fixed 8-byte little-endian input means exactly two full murmur3
+    blocks and no tail, so the whole hash is closed-form numpy.
+    Returns the raw uint32 hashes.  Shared by the Spark pandas_udf
+    bucket transform and the Arrow-batch writer path."""
+    import numpy as np
+
+    le = x.astype("<i8").view(np.uint32).reshape(-1, 2)
+
+    def rotl(v, r):
+        return (v << np.uint32(r)) | (v >> np.uint32(32 - r))
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(len(x), dtype=np.uint32)
+    for blk in (le[:, 0].copy(), le[:, 1].copy()):
+        k = (blk * c1).astype(np.uint32)
+        k = rotl(k, 15)
+        k = (k * c2).astype(np.uint32)
+        h ^= k
+        h = rotl(h, 13)
+        h = (h * np.uint32(5)
+             + np.uint32(0xE6546B64)).astype(np.uint32)
+    h ^= np.uint32(8)
+    h ^= h >> np.uint32(16)
+    h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    h ^= h >> np.uint32(13)
+    h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    return h
+
+
 class _PartField:
     """One partition-spec field: how to derive, serialize, and name
     the partition value this writer stages and commits."""
@@ -314,29 +347,7 @@ class _PartField:
                 import pandas as pd
                 mask = s.isna()
                 x = s.fillna(0).astype("int64").to_numpy()
-                le = x.astype("<i8").view(np.uint32).reshape(-1, 2)
-
-                def rotl(v, r):
-                    return (v << np.uint32(r)) | (v >> np.uint32(
-                        32 - r))
-
-                c1 = np.uint32(0xCC9E2D51)
-                c2 = np.uint32(0x1B873593)
-                h = np.zeros(len(x), dtype=np.uint32)
-                for blk in (le[:, 0].copy(), le[:, 1].copy()):
-                    k = (blk * c1).astype(np.uint32)
-                    k = rotl(k, 15)
-                    k = (k * c2).astype(np.uint32)
-                    h ^= k
-                    h = rotl(h, 13)
-                    h = (h * np.uint32(5)
-                         + np.uint32(0xE6546B64)).astype(np.uint32)
-                h ^= np.uint32(8)
-                h ^= h >> np.uint32(16)
-                h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
-                h ^= h >> np.uint32(13)
-                h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
-                h ^= h >> np.uint32(16)
+                h = _murmur3_long_vec(x)
                 out = pd.Series(
                     ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n))
                     .astype("int32"))
@@ -345,6 +356,63 @@ class _PartField:
             return _bucket_int(F.col(self.source))
         raise NotImplementedError(
             f"iceberg: partition transform {t!r} unsupported")
+
+    def values_arrow(self, col):
+        """Per-row partition values for a pyarrow column — the
+        executor-side (Arrow batch) twin of :meth:`expr`, used by the
+        registered ``minerva_iceberg`` writer.  Must agree with
+        ``expr`` value-for-value (locked by
+        ``tests/test_iceberg_source.py``): day/hour are pure
+        unix-micros arithmetic (timezone-proof), month/year calendar
+        over DATE only, bucket is the same murmur3 kernel."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        t = self.transform
+        pat = col.type
+        if t == "identity":
+            return col.to_pandas()
+        if t in ("day", "hour") and pa.types.is_timestamp(pat):
+            # normalize the UNIT first (tz preserved — the int64 view
+            # of a timestamp is epoch-based regardless of tz, but an
+            # ns-unit column would come out 1000x off)
+            us = col.cast(pa.timestamp("us", tz=pat.tz)) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            div = 86_400_000_000 if t == "day" else 3_600_000_000
+            return pd.Series(np.floor_divide(us, div).astype("int64"))
+        if pa.types.is_date(pat):
+            days = col.cast(pa.date32()).cast(pa.int32()) \
+                .to_numpy(zero_copy_only=False).astype("int64")
+            if t == "day":
+                return pd.Series(days)
+            dt = pd.to_datetime(days, unit="D")
+            if t == "month":
+                return pd.Series(
+                    ((dt.year - 1970) * 12 + dt.month - 1).to_numpy())
+            if t == "year":
+                return pd.Series((dt.year - 1970).to_numpy())
+        if t.startswith("truncate["):
+            w = int(t[len("truncate["):-1])
+            if pa.types.is_string(pat) or pa.types.is_large_string(pat):
+                return col.to_pandas().str.slice(0, w)
+            x = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pd.Series(x - (((x % w) + w) % w))
+        if t.startswith("bucket["):
+            n = int(t[len("bucket["):-1])
+            if pa.types.is_string(pat) or pa.types.is_large_string(pat):
+                return col.to_pandas().map(
+                    lambda v: None if v is None else
+                    (_murmur3_bytes(v.encode("utf-8"))
+                     & 0x7FFFFFFF) % n)
+            x = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            h = _murmur3_long_vec(x)
+            return pd.Series(
+                ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n))
+                .astype("int64"))
+        raise NotImplementedError(
+            f"iceberg: partition transform {t!r} unsupported on the "
+            f"arrow write path")
 
     def parse_dir_value(self, raw: str):
         """Typed partition value from its staged Hive dir string."""
@@ -535,6 +603,11 @@ _MANIFEST_ENTRY_SCHEMA = {
                  "type": ["null", _KV_BYTES]},
                 {"name": "upper_bounds",
                  "type": ["null", _KV_BYTES]},
+                # spec field 135: the schema field ids an
+                # equality-delete file (content=2) matches on; null
+                # for data files and position deletes
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
             ]}},
     ]}
 
@@ -1437,7 +1510,8 @@ def _retry_row_dml(table: IcebergTable, data_entries: list[dict],
 
 def delete_iceberg(spark: SparkSession, path: str,
                    where: list[tuple],
-                   max_commit_attempts: int = 5) -> int:
+                   max_commit_attempts: int = 5,
+                   equality: bool = False) -> int:
     """Merge-on-read DELETE: write position-delete files for every
     live row matching ``where`` (the same ``(column, op, literal)``
     predicate shape the reader takes) and commit them as a new
@@ -1451,8 +1525,15 @@ def delete_iceberg(spark: SparkSession, path: str,
     not a duplicate entry); they are written as spec-conformant
     position-delete parquet and CAS-committed like appends.
 
+    ``equality=True`` (requires every predicate op to be ``=``)
+    writes ONE spec-conformant equality-delete row instead — a BLIND
+    O(1) write with no table scan, the Flink-upsert shape; see
+    :func:`equality_delete_iceberg` for the many-keys form.
+
     Returns the number of deleted row positions (0 = no matching
-    rows, in which case NO commit is made)."""
+    rows, in which case NO commit is made); with ``equality=True``
+    the write is blind, so it returns 1 (one delete row staged) and
+    always commits."""
     if not where:
         raise ValueError(
             "iceberg delete: empty predicate would delete every row; "
@@ -1460,6 +1541,22 @@ def delete_iceberg(spark: SparkSession, path: str,
     table = IcebergTable(path)
     md = table.metadata()
     _validate_preds(table._current_schema(md), list(where))
+    if equality:
+        bad = [p for p in where if p[1] != "="]
+        if bad:
+            raise ValueError(
+                f"iceberg delete: equality=True needs '=' predicates "
+                f"only, got {bad}")
+        ice_schema = table._current_schema(md)
+        spark_schema = _to_spark_schema(ice_schema)
+        by_name = {f.name: f.dataType for f in spark_schema.fields}
+        keys = spark.createDataFrame(
+            [tuple(lit for _c, _op, lit in where)],
+            T.StructType([T.StructField(c, by_name[c])
+                          for c, _op, _lit in where]))
+        equality_delete_iceberg(spark, path, keys,
+                                max_commit_attempts=max_commit_attempts)
+        return 1
     live, files = _live_rows(spark, table, md, list(where))
     if live is None:
         return 0
@@ -1471,6 +1568,80 @@ def delete_iceberg(spark: SparkSession, path: str,
                    max_commit_attempts, "delete",
                    referenced_paths=refd)
     return n_deleted
+
+
+def equality_delete_iceberg(spark: SparkSession, path: str,
+                            keys: DataFrame,
+                            max_commit_attempts: int = 5) -> int:
+    """BLIND equality delete (Iceberg spec "Equality Delete Files"):
+    every table row whose values match ANY row of ``keys`` on all of
+    ``keys``' columns (null-safe: a null key value means IS NULL) is
+    deleted, PROVIDED its data file's sequence number is strictly
+    smaller than this commit's — a later re-insert of the same key
+    survives, which is exactly what makes this the streaming-upsert
+    delete shape (Flink/Paimon-style CDC writers emit these).
+
+    No table scan, no position lookup: ``keys`` is staged as
+    equality-delete parquet (distributed write, driver touches only
+    the file list) and committed with ``equality_ids`` naming the key
+    columns' schema field ids.  Cost is O(|keys|) regardless of table
+    size — the read side applies them as broadcast anti joins
+    (:meth:`storage.iceberg.IcebergTable.read`).
+
+    Returns the committed snapshot id."""
+    from pyspark.sql import functions as F
+
+    table = IcebergTable(path)
+    md = table.metadata()
+    ice_schema = table._current_schema(md)
+    by_name = {f["name"]: f for f in ice_schema["fields"]
+               if isinstance(f["type"], str)}
+    unknown = [c for c in keys.columns if c not in by_name]
+    if unknown:
+        raise ValueError(
+            f"iceberg equality delete: key columns {unknown} are not "
+            f"primitive table columns")
+    if not keys.columns:
+        raise ValueError("iceberg equality delete: no key columns")
+    spark_schema = _to_spark_schema(ice_schema)
+    by_sname = {f.name: f.dataType for f in spark_schema.fields}
+    eq_ids = [by_name[c]["id"] for c in keys.columns]
+    cast = keys.select(*[F.col(f"`{c}`").cast(by_sname[c]).alias(c)
+                         for c in keys.columns])
+
+    # stage like position deletes: one parquet part per partition,
+    # empties dropped, entries carry content=2 + the field ids
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    cast.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+    del_entries: list[dict] = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        nrows = pq.ParquetFile(
+            os.path.join(staging, name)).metadata.num_rows
+        if nrows == 0:
+            continue
+        final = os.path.join(data_dir,
+                             f"eqdel-{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(staging, name), final)
+        del_entries.append({
+            "content": 2,
+            "file_path": final,
+            "file_format": "PARQUET",
+            "record_count": nrows,
+            "file_size_in_bytes": os.path.getsize(final),
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": list(eq_ids),
+        })
+    shutil.rmtree(staging, ignore_errors=True)
+    if not del_entries:
+        raise ValueError("iceberg equality delete: empty key set")
+    return _retry_row_dml(table, [], del_entries, None, "delete",
+                          max_commit_attempts, "equality-delete")
 
 
 def update_iceberg(spark: SparkSession, path: str, set: dict,

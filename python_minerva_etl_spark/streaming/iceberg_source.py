@@ -27,6 +27,7 @@ side never sees delete files (append snapshots only).
 from __future__ import annotations
 
 import os
+import re as _re
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
@@ -344,17 +345,20 @@ class _IceWriter(DataSourceArrowWriter):
         self.schema_ = schema
         pb = _opt(options, "partitionBy")
         self.partition_by = pb.strip() if pb else None
-        if self.partition_by and "," in self.partition_by:
+        # one partition FIELD only (a comma inside transform parens —
+        # bucket(col, 4) / truncate(col, 10) — is fine)
+        if self.partition_by and "," in _re.sub(
+                r"\([^)]*\)", "", self.partition_by):
             raise NotImplementedError(
-                "minerva_iceberg: one identity partition column")
-        # fail fast on the driver, before any executor writes
+                "minerva_iceberg: one partition field")
+        # fail fast on the driver, before any executor writes.
+        # partitionBy takes the same forms write_iceberg does:
+        # "col" (identity), "days(ts)"/"day(ts)", "hour(ts)",
+        # "month(d)"/"year(d)", "bucket(col, N)", "truncate(col, W)"
+        # — each executor computes the transformed value per Arrow
+        # batch (_PartField.values_arrow) and stages per value.
         self.ice_schema, self.part = _precheck_append(
             self.path, schema, self.partition_by)
-        if self.part is not None and self.part.transform != "identity":
-            raise NotImplementedError(
-                "minerva_iceberg writer: identity partitioning only "
-                "(this writer stages per-executor by column value) — "
-                "use write_iceberg() for partition transforms")
 
     def write(self, iterator):
         import uuid as _uuid
@@ -400,11 +404,12 @@ class _IceWriter(DataSourceArrowWriter):
                     f"column {self.part.source!r}")
             import pandas as pd
 
-            keys = pd.Series(col.to_pandas())
+            keys = pd.Series(self.part.values_arrow(col))
             for val, idx in keys.groupby(keys, sort=False).groups \
                     .items():
                 pval = (int(val)
-                        if self.part.result_type in ("int", "long")
+                        if self.part.result_type in ("int", "long",
+                                                     "date")
                         else str(val))
                 sub = tbl.take(pa.array(idx.to_numpy()))
                 entries.append(emit(sub, pval))

@@ -306,3 +306,25 @@ def test_cli_delta_and_iceberg_maintenance(spark, tmp_path, capsys):
     assert out["replace_snapshot_id"] is not None
     assert main(["iceberg", "expire", "--path", ip]) == 0
     assert read_iceberg(spark, ip).count() == 40
+
+
+def test_cli_iceberg_equality_delete(spark, tmp_path, capsys):
+    import json as _json
+
+    from python_minerva_etl_spark.cli import main
+    from python_minerva_etl_spark.storage.iceberg import read_iceberg
+    from python_minerva_etl_spark.storage.iceberg_write import \
+        write_iceberg
+
+    p = str(tmp_path / "i")
+    write_iceberg(spark, spark.range(0, 10).toDF("id"), p)
+    assert main(["iceberg", "delete", "--path", p,
+                 "--where", "id=3", "--equality"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"deleted_rows": 1, "equality": True}
+    assert read_iceberg(spark, p).count() == 9
+    # mixed op refuses under --equality
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="'=' predicates only"):
+        main(["iceberg", "delete", "--path", p,
+              "--where", "id<5", "--equality"])

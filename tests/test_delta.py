@@ -190,7 +190,11 @@ def test_reader_v2_name_mode_reads_physical_columns(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [(7,)]
 
 
-def test_column_mapping_config_refused_even_at_reader_v1(spark, tmp_path):
+def test_column_mapping_without_field_metadata_is_loud(spark,
+                                                       tmp_path):
+    """id-mode reads are supported (tests/test_delta_cm.py), but a
+    table CLAIMING column mapping whose schema fields carry no
+    mapping metadata is malformed — refuse loudly, never misread."""
     p = str(tmp_path / "t")
     os.makedirs(os.path.join(p, "_delta_log"))
     actions = [
@@ -200,8 +204,8 @@ def test_column_mapping_config_refused_even_at_reader_v1(spark, tmp_path):
     ]
     with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions))
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        read_delta(spark, p)
+    with pytest.raises(ValueError, match="physicalName"):
+        read_delta(spark, p).collect()
 
 
 def test_append_schema_mismatch_refused(spark, tmp_path):

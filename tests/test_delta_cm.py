@@ -158,7 +158,7 @@ def test_column_mapping_with_deletion_vector(spark, tmp_path):
     assert z85_encode  # imported for fixture parity with DV tests
 
 
-def test_id_mode_refused_and_missing_physical_name(spark, tmp_path):
+def test_missing_physical_name_raises(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -167,10 +167,6 @@ def test_id_mode_refused_and_missing_physical_name(spark, tmp_path):
     pq.write_table(pa.table({"col-i": pa.array([1],
                                                type=pa.int64())}),
                    os.path.join(p, "f0.parquet"))
-    _log(p, [_fld("id", "long", "col-i", 1)], [_add("f0.parquet")],
-         mode="id")
-    with pytest.raises(NotImplementedError, match="'id'"):
-        read_delta(spark, p)
     # name mode but a field without physicalName metadata: loud
     fields = [{"name": "id", "type": "long", "nullable": True,
                "metadata": {}}]
@@ -257,3 +253,109 @@ def test_column_mapped_partitioned_append(spark, tmp_path):
     newf = [f for f in dt._replay()["files"]
             if "f0" not in f["path"]][0]
     assert newf["partitionValues"] == {"col-ppp": "b"}
+
+
+# ------------------------------------------------------ mode 'id'
+
+
+def _pq_with_ids(path, cols):
+    """Write parquet whose fields carry PARQUET:field_id metadata —
+    the physical shape every id-mode Delta writer produces.
+    ``cols`` = [(parquet_name, field_id, pa_array)]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [pa.field(n, arr.type,
+                       metadata={b"PARQUET:field_id": str(i).encode()})
+              for n, i, arr in cols]
+    pq.write_table(
+        pa.Table.from_arrays([arr for _n, _i, arr in cols],
+                             schema=pa.schema(fields)), path)
+
+
+def test_flat_column_mapping_id_mode(spark, tmp_path):
+    """Mode 'id' resolves parquet columns by FIELD ID: the file here
+    deliberately spells physical names that differ from the schema's
+    physicalName (the post-rename situation id mode exists for)."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    _pq_with_ids(os.path.join(p, "f0.parquet"),
+                 [("old-name-1", 1, pa.array([1, 2],
+                                             type=pa.int64())),
+                  ("old-name-2", 2, pa.array(["x", "y"]))])
+    _log(p, [_fld("id", "long", "col-aaa", 1),
+             _fld("v", "string", "col-bbb", 2)],
+         [_add("f0.parquet")], mode="id")
+    got = read_delta(spark, p)
+    assert got.columns == ["id", "v"]
+    assert _rows(got) == [(1, "x"), (2, "y")]
+
+
+def test_id_mode_mixed_physical_names_across_files(spark, tmp_path):
+    """Two files from different epochs of the table's rename history
+    — different parquet column names, same field ids — read as one
+    consistent table."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    _pq_with_ids(os.path.join(p, "f0.parquet"),
+                 [("alpha", 1, pa.array([1], type=pa.int64())),
+                  ("beta", 2, pa.array(["a"]))])
+    _pq_with_ids(os.path.join(p, "f1.parquet"),
+                 [("renamed", 1, pa.array([2], type=pa.int64())),
+                  ("also_renamed", 2, pa.array(["b"]))])
+    _log(p, [_fld("id", "long", "col-aaa", 1),
+             _fld("v", "string", "col-bbb", 2)],
+         [_add("f0.parquet"), _add("f1.parquet")], mode="id")
+    assert _rows(read_delta(spark, p)) == [(1, "a"), (2, "b")]
+
+
+def test_id_mode_partitioned(spark, tmp_path):
+    import pyarrow as pa
+
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "part"))
+    _pq_with_ids(os.path.join(p, "part", "f0.parquet"),
+                 [("i", 1, pa.array([1, 2], type=pa.int64()))])
+    _pq_with_ids(os.path.join(p, "part", "f1.parquet"),
+                 [("i", 1, pa.array([3], type=pa.int64()))])
+    _log(p, [_fld("id", "long", "col-i", 1),
+             _fld("region", "string", "col-r", 2)],
+         [_add("part/f0.parquet", {"col-r": "emea"}),
+          _add("part/f1.parquet", {"col-r": "apac"})],
+         partition_cols=["region"], mode="id")
+    got = read_delta(spark, p)
+    assert _rows(got) == [(1, "emea"), (2, "emea"), (3, "apac")]
+
+
+def test_id_mode_missing_field_id_metadata_raises(spark, tmp_path):
+    import pyarrow as pa
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    _pq_with_ids(os.path.join(p, "f0.parquet"),
+                 [("x", 1, pa.array([1], type=pa.int64()))])
+    fld = {"name": "id", "type": "long", "nullable": True,
+           "metadata": {"delta.columnMapping.physicalName": "col-a"}}
+    _log(p, [fld], [_add("f0.parquet")], mode="id")
+    with pytest.raises(ValueError, match="delta.columnMapping.id"):
+        read_delta(spark, p).collect()
+
+
+def test_id_mode_writes_still_refuse(spark, tmp_path):
+    import pyarrow as pa
+
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    _pq_with_ids(os.path.join(p, "f0.parquet"),
+                 [("x", 1, pa.array([1], type=pa.int64()))])
+    _log(p, [_fld("id", "long", "col-a", 1)], [_add("f0.parquet")],
+         mode="id")
+    df = spark.createDataFrame([(2,)], "id long")
+    with pytest.raises(NotImplementedError, match="mode 'id'"):
+        DeltaTable(p).write(spark, df)

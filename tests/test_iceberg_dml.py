@@ -388,3 +388,89 @@ def test_retry_dml_refuses_when_compaction_rewrote_target_files(
                        5, "delete", referenced_paths=refd)
     # nothing was committed: all 11 rows still live
     assert read_iceberg(spark, p).count() == 11
+
+
+# ------------------------------------------------- equality deletes
+
+
+def test_equality_delete_blind_write_and_reinsert_survives(
+        spark, tmp_path):
+    """Spec 'Equality Delete Files': rows matching the staged keys
+    vanish, but a LATER re-insert of the same key survives (sequence
+    ordering) — the streaming-upsert delete shape."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    _table(spark, p)
+    sid = equality_delete_iceberg(
+        spark, p, spark.createDataFrame([(1,), (3,)], "id long"))
+    assert sid == _snap(p)["snapshot-id"]
+    got = {r.id for r in read_iceberg(spark, p).collect()}
+    assert got == {0, 2, 4, 5, 6, 7, 8, 9}
+    # re-insert id=1: its data file has a HIGHER sequence number than
+    # the delete, so it must survive the equality delete
+    write_iceberg(spark, spark.createDataFrame(
+        [(1, "back", 111)], "id long, name string, val long"), p)
+    got = {r.id: r.val for r in read_iceberg(spark, p).collect()}
+    assert got[1] == 111 and 3 not in got and len(got) == 9
+
+
+def test_equality_delete_multi_column_and_via_delete_iceberg(
+        spark, tmp_path):
+    p = str(tmp_path / "t")
+    _table(spark, p)
+    n = delete_iceberg(spark, p,
+                       [("id", "=", 2), ("name", "=", "n2")],
+                       equality=True)
+    assert n == 1
+    got = {r.id for r in read_iceberg(spark, p).collect()}
+    assert got == set(range(10)) - {2}
+    # mixed-op predicates refuse the equality form
+    with pytest.raises(ValueError, match="'=' predicates only"):
+        delete_iceberg(spark, p, [("id", "<", 5)], equality=True)
+
+
+def test_equality_delete_null_key_matches_is_null(spark, tmp_path):
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    _table(spark, p, rows=[(1, None, 10), (2, "b", 20), (3, None, 30)])
+    equality_delete_iceberg(
+        spark, p, spark.createDataFrame([(None,)], "name string"))
+    got = {r.id for r in read_iceberg(spark, p).collect()}
+    assert got == {2}
+
+
+def test_equality_delete_rejects_unknown_columns(spark, tmp_path):
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    _table(spark, p)
+    with pytest.raises(ValueError, match="not primitive table"):
+        equality_delete_iceberg(
+            spark, p, spark.createDataFrame([(1,)], "nope long"))
+
+
+def test_equality_delete_manifest_shape(spark, tmp_path):
+    """The committed delete manifest carries content=2 entries with
+    the key columns' field ids — the exact shape the reader (and a
+    foreign engine) resolves."""
+    from python_minerva_etl_spark.storage.iceberg import IcebergTable
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    _table(spark, p)
+    equality_delete_iceberg(
+        spark, p, spark.createDataFrame([(5,)], "id long"))
+    t = IcebergTable(p)
+    md = t.metadata()
+    _data, deletes = t._data_files(t._snapshot(md, None))
+    eq = [d for d in deletes if d.get("content") == 2]
+    assert len(eq) == 1
+    ids = {f["name"]: f["id"] for f in t._current_schema(md)["fields"]}
+    assert eq[0]["equality_ids"] == [ids["id"]]
+    assert eq[0]["_seq"] is not None

@@ -327,3 +327,89 @@ def test_stream_sink_exactly_once(ice_spark, tmp_path):
     assert len(md["snapshots"]) == n_before + 1
     assert _rows(read_iceberg(ice_spark, dst)) == [
         (i,) for i in range(6)]
+
+
+def test_writer_transform_partitioned_append(ice_spark, tmp_path):
+    """Round-6 verdict item 7: the registered writer supports the
+    same partition transforms write_iceberg does — days(ts) here —
+    with manifest pruning proven on the result."""
+    import datetime as _dt
+    import os
+
+    p = str(tmp_path / "w")
+    rows = [(i, _dt.datetime(2024, 3, 1 + i % 3, 10 + i % 5, 0, 0))
+            for i in range(12)]
+    (ice_spark.createDataFrame(rows, "id long, ts timestamp")
+     .write.format("minerva_iceberg").option("partitionBy", "days(ts)")
+     .mode("append").save(p))
+    got = read_iceberg(ice_spark, p)
+    assert got.count() == 12
+    # the Hive dirs carry the TRANSFORMED (days-since-epoch) values,
+    # identical to what write_iceberg's Spark path stages
+    days = {e.name for e in os.scandir(os.path.join(p, "data"))
+            if e.is_dir()}
+    base = (_dt.date(2024, 3, 1) - _dt.date(1970, 1, 1)).days
+    assert days == {f"ts_day={base + k}" for k in range(3)}
+    # reader prunes in the transformed domain: corrupt the other
+    # days' files — the single-day read must never open them
+    keep = f"ts_day={base}"
+    for d in days - {keep}:
+        for n in os.listdir(os.path.join(p, "data", d)):
+            with open(os.path.join(p, "data", d, n), "wb") as fh:
+                fh.write(b"garbage")
+    got = read_iceberg(
+        ice_spark, p,
+        where=[("ts", ">=", _dt.datetime(2024, 3, 1)),
+               ("ts", "<", _dt.datetime(2024, 3, 2))])
+    assert got.count() == 4
+
+
+def test_writer_transform_parity_with_spark_path(ice_spark, tmp_path):
+    """bucket(id, 4) through the Arrow writer must land every row in
+    the SAME bucket dir the Spark path (write_iceberg) chooses, and
+    both halves must read back as one consistent table."""
+    import os
+
+    p = str(tmp_path / "w")
+    write_iceberg(ice_spark,
+                  ice_spark.range(0, 50).toDF("id"), p,
+                  partition_by="bucket(id, 4)")
+    (ice_spark.range(50, 100).toDF("id")
+     .write.format("minerva_iceberg")
+     .option("partitionBy", "bucket(id, 4)")
+     .mode("append").save(p))
+    got = read_iceberg(ice_spark, p)
+    assert got.count() == 100
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        _murmur3_long)
+    import pyarrow.parquet as pq
+    data = os.path.join(p, "data")
+    for d in os.scandir(data):
+        if not d.is_dir():
+            continue
+        b = int(d.name.split("=")[1])
+        for n in os.listdir(d.path):
+            ids = pq.read_table(os.path.join(d.path, n),
+                                columns=["id"])["id"].to_pylist()
+            assert all((_murmur3_long(i) & 0x7FFFFFFF) % 4 == b
+                       for i in ids), (d.name, n)
+
+
+def test_writer_truncate_string_and_multi_field_refusal(ice_spark,
+                                                        tmp_path):
+    import os
+
+    p = str(tmp_path / "w")
+    (ice_spark.createDataFrame(
+        [(1, "alpha"), (2, "alps"), (3, "beta")], "id long, w string")
+     .write.format("minerva_iceberg")
+     .option("partitionBy", "truncate(w, 3)")
+     .mode("append").save(p))
+    dirs = {e.name for e in os.scandir(os.path.join(p, "data"))
+            if e.is_dir()}
+    assert dirs == {"w_trunc=alp", "w_trunc=bet"}
+    with pytest.raises(Exception, match="one partition field"):
+        (ice_spark.createDataFrame([(1, "a")], "id long, w string")
+         .write.format("minerva_iceberg")
+         .option("partitionBy", "id, w")
+         .mode("append").save(str(tmp_path / "w2")))
