@@ -50,12 +50,20 @@ def _opt(options: dict, name: str, default=None):
 
 class _IceFilePartition(InputPartition):
     def __init__(self, file_path: str, orig_path: str | None = None,
-                 delete_paths: tuple[str, ...] = ()):
+                 delete_paths: tuple[str, ...] = (),
+                 file_seq: int | None = None,
+                 eq_deletes: tuple = ()):
         self.file_path = file_path
         # the manifest's exact spelling — position-delete entries
         # address data files by THAT string, not the local form
         self.orig_path = orig_path or file_path
         self.delete_paths = delete_paths
+        # equality deletes: ((delete_parquet_path, delete_seq,
+        # (key_col, ...)), ...) — applied executor-side to THIS file
+        # when file_seq < delete_seq (spec ordering: later re-inserts
+        # survive)
+        self.file_seq = file_seq
+        self.eq_deletes = eq_deletes
 
 
 def _deleted_positions(p: _IceFilePartition):
@@ -106,6 +114,24 @@ def _read_ice_partition(p: _IceFilePartition,
                               dtype=np.int64)
             keep[idx] = False
             tbl = tbl.filter(pa.array(keep))
+    for dpath, dseq, key_cols in p.eq_deletes:
+        # spec ordering: an equality delete applies only to data
+        # files with a STRICTLY smaller sequence number
+        if p.file_seq is None or p.file_seq >= dseq:
+            continue
+        if tbl.num_rows == 0:
+            break
+        dels = (pq.read_table(dpath, columns=list(key_cols))
+                .to_pandas().drop_duplicates())
+        if not len(dels):
+            continue
+        import pandas as pd
+        keys = tbl.select(list(key_cols)).to_pandas()
+        # pandas merge matches missing values against each other —
+        # exactly the null-safe (IS NULL) match the spec requires
+        hit = keys.merge(dels.assign(__eqdel=1), how="left",
+                         on=list(key_cols))["__eqdel"].notna()
+        tbl = tbl.filter(pa.array(~hit.to_numpy()))
     arrays = []
     for f in schema.fields:
         at = target.field(f.name).type
@@ -194,11 +220,32 @@ class _IceBatchReader(DataSourceReader):
         files, deletes = self.tbl._data_files(
             self.tbl._snapshot(self.md, self.sid), self.preds,
             self.md)
+        eq_deletes = ()
         if any(d.get("content") == 2 for d in deletes):
-            raise NotImplementedError(
-                "minerva_iceberg: equality-delete files present — "
-                "sequence-ordered application needs the full engine; "
-                "use read_iceberg()")
+            # sequence-ordered equality deletes, applied EXECUTOR-side
+            # per file (each task anti-joins its own rows against the
+            # small delete parquet) — refuse only when the ordering is
+            # undefined, mirroring read_iceberg
+            if any(f.get("_seq") is None for f in files):
+                raise NotImplementedError(
+                    "minerva_iceberg: equality deletes present but a "
+                    "data file carries no sequence number — ordering "
+                    "is undefined; use read_iceberg()")
+            by_id = {f["id"]: f["name"]
+                     for f in self.ice_schema["fields"]}
+            eq = []
+            for d in deletes:
+                if d.get("content") != 2:
+                    continue
+                cols = tuple(by_id.get(i) for i in
+                             (d.get("equality_ids") or ()))
+                if not cols or any(c is None for c in cols):
+                    raise ValueError(
+                        "minerva_iceberg: equality delete references "
+                        "unknown field ids")
+                eq.append((_localize(d["file_path"]),
+                           int(d["_seq"]), cols))
+            eq_deletes = tuple(eq)
         if self.preds:
             field_id = {f["name"]: f["id"]
                         for f in self.ice_schema["fields"]}
@@ -212,7 +259,11 @@ class _IceBatchReader(DataSourceReader):
             _localize(d["file_path"]) for d in deletes
             if d.get("content") == 1)
         paths = _parquet_paths(files)
-        return [_IceFilePartition(p, f["file_path"], delete_paths)
+        return [_IceFilePartition(
+                    p, f["file_path"], delete_paths,
+                    file_seq=(int(f["_seq"])
+                              if f.get("_seq") is not None else None),
+                    eq_deletes=eq_deletes)
                 for p, f in zip(paths, files)]
 
     def read(self, partition):

@@ -413,3 +413,29 @@ def test_writer_truncate_string_and_multi_field_refusal(ice_spark,
          .write.format("minerva_iceberg")
          .option("partitionBy", "id, w")
          .mode("append").save(str(tmp_path / "w2")))
+
+
+def test_batch_reader_applies_equality_deletes(ice_spark, tmp_path):
+    """The registered source now applies equality deletes
+    executor-side with sequence ordering: deleted keys vanish, a
+    LATER re-insert of a deleted key survives, null keys match
+    IS NULL — parity with read_iceberg on the same table."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")],
+        "id long, name string"), p)
+    equality_delete_iceberg(
+        ice_spark, p, ice_spark.createDataFrame([(1,), (3,)],
+                                                "id long"))
+    equality_delete_iceberg(
+        ice_spark, p, ice_spark.createDataFrame([(None,)],
+                                                "name string"))
+    # re-insert id=1 AFTER the delete: must survive
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(1, "back")], "id long, name string"), p)
+    got = ice_spark.read.format("minerva_iceberg").load(p)
+    assert _rows(got) == [(1, "back"), (4, "d")]
+    assert _rows(got) == _rows(read_iceberg(ice_spark, p))
