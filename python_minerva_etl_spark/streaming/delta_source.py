@@ -18,10 +18,13 @@ upstream source's "data update detected" error; ``ignoreChanges`` /
 ``ignoreDeletes`` opt into the upstream's documented
 may-emit-duplicates behavior.
 
-Scope: tables this engine can read EXCEPT column-mapped ones and
-exotic partition types (refused loudly — ``read_delta`` remains the
-full-fidelity batch path).  Data files must carry every non-partition
-column (true for Spark-written tables).
+Scope: tables this engine can read, including column-mapped ones
+with FLAT columns (mode "name" resolves physicalName, mode "id"
+resolves the file's own PARQUET:field_id — rename-proof); nested
+mapped columns and exotic partition types refuse loudly —
+``read_delta`` remains the full-fidelity batch path.  Data files
+must carry every non-partition column (true for Spark-written
+tables).
 """
 
 from __future__ import annotations
@@ -52,11 +55,14 @@ def _opt(options: dict, name: str, default=None):
 
 class _FilePartition(InputPartition):
     def __init__(self, table_path: str, rel_path: str,
-                 pvals: dict, dv: dict | None):
+                 pvals: dict, dv: dict | None, cm=None):
         self.table_path = table_path
         self.rel_path = rel_path
         self.pvals = pvals
         self.dv = dv
+        # column mapping: ("name"|"id", ((logical, physical, fid),
+        # ...)) or None — resolved executor-side per file
+        self.cm = cm
 
 
 def _parse_pval(raw: str | None, dt: T.DataType):
@@ -86,7 +92,11 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
     """One data file → pyarrow RecordBatches matching ``schema``:
     file columns cast to the Arrow types Spark expects, partition
     columns attached as typed constants, deletion-vector positions
-    masked out by row index."""
+    masked out by row index.  Column-mapped tables resolve each
+    logical column to its file column executor-side — by
+    physicalName (mode "name") or by the PARQUET:field_id the file
+    declares (mode "id", rename-proof); a column the file lacks
+    null-fills (schema evolution)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -96,10 +106,34 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
 
     target = to_arrow_schema(schema)
     fpath = os.path.join(p.table_path, p.rel_path)
-    have = set(pq.ParquetFile(fpath).schema_arrow.names)
-    want = [f.name for f in schema.fields if f.name not in part_cols]
-    tbl = pq.read_table(fpath,
-                        columns=[c for c in want if c in have])
+    pf = pq.ParquetFile(fpath)
+    file_names = set(pf.schema_arrow.names)
+    mode, fmap = p.cm if p.cm else (None, ())
+    # logical -> (file column name or None, partitionValues key)
+    col_of: dict[str, str | None] = {}
+    pkey: dict[str, str] = {}
+    if mode is None:
+        for f in schema.fields:
+            col_of[f.name] = f.name if f.name in file_names else None
+            pkey[f.name] = f.name
+    elif mode == "name":
+        for lg, ph, _fid in fmap:
+            col_of[lg] = ph if ph in file_names else None
+            pkey[lg] = ph
+    else:  # id: match by the field ids the FILE declares
+        sa = pf.schema_arrow
+        id_to_name = {}
+        for i in range(len(sa.names)):
+            fld = sa.field(i)
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                id_to_name[int(raw)] = fld.name
+        for lg, ph, fid in fmap:
+            col_of[lg] = id_to_name.get(fid)
+            pkey[lg] = ph
+    want = sorted({c for lg, c in col_of.items()
+                   if c is not None and lg not in part_cols})
+    tbl = pq.read_table(fpath, columns=want)
     if p.dv:
         positions = dv_load(p.table_path, p.dv)
         mask = np.ones(tbl.num_rows, dtype=bool)
@@ -109,24 +143,49 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
     for f in schema.fields:
         at = target.field(f.name).type
         if f.name in part_cols:
-            v = _parse_pval(p.pvals.get(f.name), f.dataType)
+            v = _parse_pval(p.pvals.get(pkey[f.name],
+                                        p.pvals.get(f.name)),
+                            f.dataType)
             arrays.append(pa.array([v] * tbl.num_rows).cast(at))
-        elif f.name not in have:
+        elif col_of[f.name] is None:
             # schema evolution: old files lack the new column
             arrays.append(pa.nulls(tbl.num_rows, type=at))
         else:
-            arrays.append(tbl.column(f.name).cast(at))
+            arrays.append(tbl.column(col_of[f.name]).cast(at))
     out = pa.table(arrays, schema=target)
     for batch in out.to_batches():
         yield batch
 
 
-def _check_supported(dt: DeltaTable, snap: dict) -> None:
+def _check_supported(dt: DeltaTable, snap: dict):
+    """Returns the partition descriptor's column-mapping tuple
+    (("name"|"id", ((logical, physical, fid), ...)) or None) —
+    raising on unknown modes and on NESTED mapped columns (the
+    registered source resolves flat columns only; read_delta()
+    handles the nested rebuild)."""
+    import json as _json
+
+    from ..storage.delta import _field_id, _physical_name
+
     conf = snap["metaData"].get("configuration") or {}
-    if (conf.get("delta.columnMapping.mode") or "none") != "none":
+    mode = conf.get("delta.columnMapping.mode") or "none"
+    if mode == "none":
+        return None
+    if mode not in ("name", "id"):
         raise NotImplementedError(
-            "minerva_delta: column-mapped tables not supported by "
-            "the registered source — use read_delta()")
+            f"minerva_delta: column mapping mode {mode!r} unknown")
+    schema = T.StructType.fromJson(
+        _json.loads(snap["metaData"]["schemaString"]))
+    if any(isinstance(f.dataType, (T.StructType, T.ArrayType,
+                                   T.MapType)) for f in schema.fields):
+        raise NotImplementedError(
+            "minerva_delta: nested columns on a column-mapped table "
+            "— use read_delta() (the registered source resolves flat "
+            "columns only)")
+    return (mode, tuple(
+        (f.name, _physical_name(f),
+         _field_id(f) if mode == "id" else None)
+        for f in schema.fields))
 
 
 class _BatchReader(DataSourceReader):
@@ -150,7 +209,7 @@ class _BatchReader(DataSourceReader):
                 pass
             vao = dt.version_at(tao)
         snap = dt._replay(int(vao) if vao is not None else None)
-        _check_supported(dt, snap)
+        self.cm = _check_supported(dt, snap)
         meta = snap["metaData"]
         self.schema_ = T.StructType.fromJson(
             json.loads(meta["schemaString"]))
@@ -183,7 +242,7 @@ class _BatchReader(DataSourceReader):
                                        self.part_cols, type_of)]
         return [_FilePartition(self.table_path, f["path"],
                                f.get("partitionValues") or {},
-                               f.get("deletionVector"))
+                               f.get("deletionVector"), cm=self.cm)
                 for f in files]
 
     def read(self, partition):
@@ -201,7 +260,7 @@ class _StreamReader(DataSourceStreamReader):
             raise ValueError("minerva_delta requires a path")
         self.dt = DeltaTable(self.path)
         snap = self.dt._replay()
-        _check_supported(self.dt, snap)
+        self.cm = _check_supported(self.dt, snap)
         meta = snap["metaData"]
         self.schema_ = T.StructType.fromJson(
             json.loads(meta["schemaString"]))
@@ -284,7 +343,7 @@ class _StreamReader(DataSourceStreamReader):
             out.append([
                 _FilePartition(self.table_path, a["path"],
                                a.get("partitionValues") or {},
-                               a.get("deletionVector"))
+                               a.get("deletionVector"), cm=self.cm)
                 for a in adds])
         return [p for grp in out for p in grp] or []
 

@@ -167,7 +167,10 @@ def test_batch_refuses_column_mapped_table(ds_spark, tmp_path):
         {"commitInfo": {"timestamp": 0, "operation": "SET",
                         "operationParameters": {}}},
         {"metaData": meta}])
-    with pytest.raises(Exception, match="column-mapped"):
+    # mapped tables are READABLE now (flat columns) — but one whose
+    # schema fields carry no mapping metadata is malformed: loud,
+    # never misread
+    with pytest.raises(Exception, match="physicalName"):
         ds_spark.read.format("minerva_delta").load(p).collect()
 
 
@@ -351,3 +354,67 @@ def test_stream_starting_timestamp(ds_spark, tmp_path):
          .writeStream.format("memory").queryName("dl_st3")
          .outputMode("append").trigger(availableNow=True).start()
          .awaitTermination(120))
+
+
+def test_batch_reader_column_mapping_name_and_id(ds_spark, tmp_path):
+    """The registered source resolves flat column-mapped tables:
+    mode 'name' by physicalName, mode 'id' by the file's own
+    PARQUET:field_id (different physical spellings across files)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_delta_cm import _add, _fld, _log, _pq_with_ids
+
+    # name mode
+    p = str(tmp_path / "n")
+    os.makedirs(p)
+    pq.write_table(pa.table({
+        "col-aaa": pa.array([1, 2], type=pa.int64()),
+        "col-bbb": pa.array(["x", "y"])}),
+        os.path.join(p, "f0.parquet"))
+    _log(p, [_fld("id", "long", "col-aaa", 1),
+             _fld("v", "string", "col-bbb", 2)],
+         [_add("f0.parquet")])
+    got = ds_spark.read.format("minerva_delta").load(p)
+    assert got.columns == ["id", "v"]
+    assert sorted(tuple(r) for r in got.collect()) == \
+        [(1, "x"), (2, "y")]
+
+    # id mode, mixed physical spellings across files
+    p = str(tmp_path / "i")
+    os.makedirs(p)
+    _pq_with_ids(os.path.join(p, "f0.parquet"),
+                 [("alpha", 1, pa.array([1], type=pa.int64())),
+                  ("beta", 2, pa.array(["a"]))])
+    _pq_with_ids(os.path.join(p, "f1.parquet"),
+                 [("renamed", 1, pa.array([2], type=pa.int64())),
+                  ("also", 2, pa.array(["b"]))])
+    _log(p, [_fld("id", "long", "col-aaa", 1),
+             _fld("v", "string", "col-bbb", 2)],
+         [_add("f0.parquet"), _add("f1.parquet")], mode="id")
+    got = ds_spark.read.format("minerva_delta").load(p)
+    assert sorted(tuple(r) for r in got.collect()) == \
+        [(1, "a"), (2, "b")]
+
+
+def test_batch_reader_nested_mapped_refuses(ds_spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_delta_cm import _add, _fld, _log
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    inner = pa.struct([("col-x", pa.int64())])
+    pq.write_table(pa.table({
+        "col-s": pa.array([{"col-x": 1}], type=inner)}),
+        os.path.join(p, "f0.parquet"))
+    struct_t = {"type": "struct",
+                "fields": [_fld("x", "long", "col-x", 2)]}
+    _log(p, [_fld("s", struct_t, "col-s", 1)], [_add("f0.parquet")])
+    with pytest.raises(Exception, match="nested"):
+        (ds_spark.read.format("minerva_delta").load(p)).collect()
