@@ -960,15 +960,22 @@ class DeltaTable:
         meta = snap["metaData"]
         cm_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode") or "none"
-        if cm_mode != "none":
+        if cm_mode == "id":
             raise NotImplementedError(
-                "Delta changes: CDF over column-mapped tables "
-                "unsupported")
+                "Delta changes: CDF over id-mapped tables "
+                "unsupported (the synthetic _change_type column "
+                "carries no field id)")
+        mapped = "name" if cm_mode == "name" else None
         schema = T.StructType.fromJson(
             json.loads(meta["schemaString"]))
+        # _change_type is synthetic: cdc files store it under its own
+        # literal name even on mapped tables, so its "physical" name
+        # is itself
         cdc_schema = T.StructType(
             schema.fields
-            + [T.StructField("_change_type", T.StringType())])
+            + [T.StructField("_change_type", T.StringType(), True,
+                             {_CM_PHYS: "_change_type"}
+                             if mapped else None)])
         cols = [f.name for f in schema.fields] + ["_change_type"]
         # metadata evolves inside the range: a commit's REMOVES
         # reference files written under the PRE-commit partitioning,
@@ -1017,7 +1024,8 @@ class DeltaTable:
             cdc = [a["cdc"] for a in actions if a.get("cdc")]
             if cdc:
                 pieces.append(stamp(self._scan_files(
-                    spark, cdc, cdc_schema, part_cols, False, False)))
+                    spark, cdc, cdc_schema, part_cols, mapped,
+                    False)))
                 continue
             adds = {a["add"]["path"]: a["add"] for a in actions
                     if a.get("add")}
@@ -1055,7 +1063,7 @@ class DeltaTable:
                 dvm = {e["path"]: e["deletionVector"]
                        for e in entries if e.get("deletionVector")}
                 df = self._scan_files(spark, entries, schema,
-                                      pcols, False, bool(dvm))
+                                      pcols, mapped, bool(dvm))
                 if dvm:
                     df = self._apply_dvs(spark, df, dvm).drop(
                         "_dl_path", "_dl_pos")
@@ -1079,7 +1087,7 @@ class DeltaTable:
                         json.dumps(old) if old else None))
                 posdf = self._dv_positions(spark, rows)
                 df = self._scan_files(spark, dv_diffs, schema,
-                                      part_before, False, True)
+                                      part_before, mapped, True)
                 df = df.join(
                     posdf,
                     (df["_dl_path"] == posdf["_del_path"])
@@ -2339,20 +2347,29 @@ class DeltaTable:
         schema = T.StructType.fromJson(
             json.loads(snap["metaData"]["schemaString"]))
         part_cols = snap["metaData"].get("partitionColumns") or []
-        data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols])
+        data_fields = [f for f in schema.fields
+                       if f.name not in part_cols]
         if sort_by:
             bad = [c for c in sort_by
-                   if c not in {f.name for f in data_schema.fields}]
+                   if c not in {f.name for f in data_fields}]
             if bad:
                 raise ValueError(
                     f"optimize sort_by columns {bad} not in the "
                     "table's data columns")
-        if self._cm_mapping(snap) is not None:
-            raise NotImplementedError(
-                "Delta OPTIMIZE on column-mapped tables unsupported "
-                "(the compaction scan resolves columns by logical "
-                "name; physical-name files would misread)")
+        # column-mapped (name mode): compact entirely in the PHYSICAL
+        # world — read physical columns, re-stage physical columns —
+        # so files, stats, and partitionValues stay physically keyed
+        # with no rename round-trip (id mode refuses in _cm_mapping)
+        cm = self._cm_mapping(snap)
+        if cm is None:
+            data_schema = T.StructType(data_fields)
+        else:
+            data_schema = T.StructType([
+                T.StructField(_physical_name(f),
+                              _physical_type(f.dataType), f.nullable)
+                for f in data_fields])
+            if sort_by:
+                sort_by = [cm[c] for c in sort_by]
         groups: dict[tuple, list[dict]] = {}
         for f in snap["files"]:
             if sort_by or f.get("deletionVector") \

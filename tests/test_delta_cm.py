@@ -179,9 +179,9 @@ def test_column_mapped_append_and_dml(spark, tmp_path):
     """Round 6: writes to column-mapped (mode name) tables stage
     parquet under PHYSICAL names with physical-keyed stats, so any
     column-mapping reader resolves them; UPDATE/DELETE/MERGE/
-    replaceWhere ride the same staging.  Overwrite / merge_schema /
-    OPTIMIZE stay refused (they would need fresh field ids or a
-    logical-name compaction scan)."""
+    replaceWhere ride the same staging.  Overwrite / merge_schema
+    stay refused (they would need fresh field ids); OPTIMIZE
+    compacts in the physical world (test below)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -225,8 +225,6 @@ def test_column_mapped_append_and_dml(spark, tmp_path):
         dt.write(spark, spark.createDataFrame(
             [(1, "a", 1.0)], "id long, v string, extra double"),
             merge_schema=True)
-    with pytest.raises(NotImplementedError, match="OPTIMIZE"):
-        dt.optimize(spark)
 
 
 def test_column_mapped_partitioned_append(spark, tmp_path):
@@ -359,3 +357,52 @@ def test_id_mode_writes_still_refuse(spark, tmp_path):
     df = spark.createDataFrame([(2,)], "id long")
     with pytest.raises(NotImplementedError, match="mode 'id'"):
         DeltaTable(p).write(spark, df)
+
+
+def test_column_mapped_optimize_and_cdf(spark, tmp_path):
+    """Round 7: OPTIMIZE compacts name-mode tables entirely in the
+    physical world (physical columns read, physical files staged,
+    physical stats), and changes() reconstructs the CDF with logical
+    column names."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    pq.write_table(pa.table({"col-aaa": pa.array([1, 2], pa.int64()),
+                             "col-bbb": pa.array(["x", "y"])}),
+                   os.path.join(p, "f0.parquet"))
+    _log(p, [_fld("id", "long", "col-aaa", 1),
+             _fld("v", "string", "col-bbb", 2)],
+         [_add("f0.parquet")])
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame(
+        [(3, "z")], "id long, v string").coalesce(1))
+    dt.write(spark, spark.createDataFrame(
+        [(4, "w")], "id long, v string").coalesce(1))
+
+    # OPTIMIZE: bin-packs the small physical files; rewritten files
+    # keep physical columns + physically-keyed stats
+    v = dt.optimize(spark, small_file_bytes=1 << 20)
+    assert v is not None
+    assert _rows(dt.read(spark)) == [(1, "x"), (2, "y"), (3, "z"),
+                                     (4, "w")]
+    live = dt._replay()["files"]
+    assert len(live) == 1
+    names = pq.ParquetFile(
+        os.path.join(p, live[0]["path"])).schema_arrow.names
+    assert set(names) == {"col-aaa", "col-bbb"}
+    stats = json.loads(live[0]["stats"])
+    assert "col-aaa" in stats["minValues"]
+
+    # CDF over the mapped table: enable it, run an update, read the
+    # feed back with LOGICAL names
+    dt.set_properties({"delta.enableChangeDataFeed": "true"})
+    dt.update(spark, {"v": "upper(v)"}, "id = 3")
+    last = dt.versions()[-1]
+    feed = dt.changes(spark, last, last)
+    rows = {(r.id, r.v, r._change_type) for r in feed.collect()}
+    assert (3, "z", "update_preimage") in rows
+    assert (3, "Z", "update_postimage") in rows
