@@ -816,12 +816,21 @@ class DeltaTable:
         data_fields = [f for f in schema.fields
                        if f.name not in part_cols]
         by_id = mapped == "id"
+
+        def _meta(f):
+            # a mapped field WITHOUT an id (e.g. the synthetic
+            # _change_type in cdc files) matches by name — Spark's
+            # field-id resolution falls back per field
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if by_id and fid is not None:
+                return {"parquet.field.id": int(fid)}
+            return None
+
         data_schema = T.StructType([
             T.StructField(_physical_name(f),
-                          _physical_type(f.dataType, by_id),
-                          f.nullable,
-                          {"parquet.field.id": _field_id(f)}
-                          if by_id else None) for f in data_fields
+                          _physical_type(f.dataType, by_id
+                                         and _meta(f) is not None),
+                          f.nullable, _meta(f)) for f in data_fields
         ] if mapped else data_fields)
         # partitionValues are keyed by PHYSICAL name once mapping is
         # on (files and stats live in the physical world); fall back
@@ -960,17 +969,16 @@ class DeltaTable:
         meta = snap["metaData"]
         cm_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode") or "none"
-        if cm_mode == "id":
-            raise NotImplementedError(
-                "Delta changes: CDF over id-mapped tables "
-                "unsupported (the synthetic _change_type column "
-                "carries no field id)")
-        mapped = "name" if cm_mode == "name" else None
+        mapped = cm_mode if cm_mode != "none" else None
+        if mapped == "id":
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                           "true")
         schema = T.StructType.fromJson(
             json.loads(meta["schemaString"]))
         # _change_type is synthetic: cdc files store it under its own
         # literal name even on mapped tables, so its "physical" name
-        # is itself
+        # is itself and (carrying no field id) it matches by NAME
+        # even under id-mode resolution
         cdc_schema = T.StructType(
             schema.fields
             + [T.StructField("_change_type", T.StringType(), True,

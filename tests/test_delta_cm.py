@@ -406,3 +406,44 @@ def test_column_mapped_optimize_and_cdf(spark, tmp_path):
     rows = {(r.id, r.v, r._change_type) for r in feed.collect()}
     assert (3, "z", "update_preimage") in rows
     assert (3, "Z", "update_postimage") in rows
+
+
+def test_id_mode_cdf_foreign_fixture(spark, tmp_path):
+    """CDF over an id-mapped table (foreign fixture): the cdc file's
+    data columns resolve by field id — spelled differently than the
+    schema's physicalName — while the synthetic _change_type matches
+    by name."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "_change_data"))
+    _pq_with_ids(os.path.join(p, "f0.parquet"),
+                 [("oldname", 1, pa.array([1, 2], type=pa.int64()))])
+    _log(p, [_fld("id", "long", "col-a", 1)], [_add("f0.parquet")],
+         mode="id")
+    # commit 1: an insert recorded via an explicit cdc action
+    import pyarrow.parquet as pq
+    fields = [pa.field("newname", pa.int64(),
+                       metadata={b"PARQUET:field_id": b"1"}),
+              pa.field("_change_type", pa.string())]
+    pq.write_table(pa.Table.from_arrays(
+        [pa.array([3], type=pa.int64()), pa.array(["insert"])],
+        schema=pa.schema(fields)),
+        os.path.join(p, "_change_data", "c1.parquet"))
+    _pq_with_ids(os.path.join(p, "f1.parquet"),
+                 [("newname", 1, pa.array([3], type=pa.int64()))])
+    with open(os.path.join(p, "_delta_log",
+                           f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 1000}})
+                 + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "f1.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+        fh.write(json.dumps({"cdc": {
+            "path": "_change_data/c1.parquet", "partitionValues": {},
+            "size": 1, "dataChange": False}}) + "\n")
+
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+    feed = DeltaTable(p).changes(spark, 1, 1)
+    rows = [(r.id, r._change_type) for r in feed.collect()]
+    assert rows == [(3, "insert")]
