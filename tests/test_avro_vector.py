@@ -311,3 +311,58 @@ def test_write_avro_flushes_multiple_blocks(spark, tmp_path):
     assert all(len(body) <= (4 << 20) + 3000100 for _, body in blocks)
     got = read_avro(spark, paths[0]).toPandas()
     assert len(got) == 6 and set(got["text"].str.len()) == {3000000}
+
+
+def test_general_path_property_random_values(tmp_path):
+    """Hypothesis: arbitrary values through the mixed schema decode
+    identically on the vectorized and sequential paths — including
+    adversarial strings (varint-terminator-looking bytes, NULs,
+    astral-plane UTF-8), float payloads that look like varint ends,
+    and every null combination."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_minerva_etl_spark.sources.avro import (
+        _convert, _decode_block_general, _vector_plan_general)
+    from python_minerva_etl_spark.storage.iceberg import avro_blocks
+
+    plan = _vector_plan_general(_MIXED)
+
+    rec = st.fixed_dictionaries({
+        "id": st.integers(min_value=-2**63, max_value=2**63 - 1),
+        "text": st.none() | st.text(max_size=60),
+        "raw": st.none() | st.binary(max_size=30),
+        "score": st.floats(allow_nan=False),
+        "ratio": st.none() | st.floats(allow_nan=False, width=32),
+        "n": st.none() | st.integers(min_value=-2**31,
+                                     max_value=2**31 - 1),
+        "flag": st.booleans(),
+        "kind": st.sampled_from(["X", "Y"]),
+        "d": st.integers(min_value=-100000, max_value=100000),
+        # within datetime's representable span (years 1..9999): the
+        # REFERENCE path (_convert) builds datetime objects
+        "ts": st.none() | st.integers(min_value=-62_000_000_000_000_000,
+                                      max_value=250_000_000_000_000_000),
+    })
+
+    @settings(max_examples=60, deadline=None)
+    @given(recs=st.lists(rec, min_size=1, max_size=25))
+    def check(recs):
+        raw = _multi_block(_MIXED, recs, per_block=7)
+        _, blocks = avro_blocks(raw)
+        off = 0
+        for n, body in blocks:
+            cols = _decode_block_general(body, n, plan)
+            for i in range(n):
+                r = recs[off + i]
+                for c, f in enumerate(_MIXED["fields"]):
+                    got = cols[c][i]
+                    if hasattr(got, "item"):
+                        got = got.item()
+                    wantv = _convert(r[f["name"]], f["type"])
+                    assert got == wantv or (got is None
+                                            and wantv is None), \
+                        (f["name"], got, wantv)
+            off += n
+
+    check()
