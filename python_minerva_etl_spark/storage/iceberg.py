@@ -1043,6 +1043,15 @@ class IcebergTable:
             out = out.join(F.broadcast(seq_df),
                            out["_ice_path"] == seq_df["_seq_path"],
                            "left").drop("_seq_path")
+            # GROUP delete files by their key-column set: a long CDC
+            # history accumulates many small delete files, and one
+            # anti-join per FILE grows the plan linearly.  Per key
+            # set, the union collapses to max(seq) per key — a key is
+            # deleted from a data file iff SOME matching delete has a
+            # larger seq, iff the LARGEST matching seq does — so the
+            # whole group applies as ONE aggregated broadcast anti
+            # join, O(1) plan size per key set at any batch count.
+            groups: dict[tuple, list] = {}
             for d in eq:
                 cols = []
                 for fid in d["equality_ids"]:
@@ -1052,16 +1061,25 @@ class IcebergTable:
                             f"iceberg: equality delete references "
                             f"unknown field id {fid}")
                     cols.append(name)
-                dset = (spark.read.parquet(_localize(d["file_path"]))
-                        .select([F.col(c).alias(f"_eq_{c}")
-                                 for c in cols])
-                        .dropDuplicates())
+                groups.setdefault(tuple(cols), []).append(d)
+            for cols, ds in sorted(groups.items()):
+                dset = None
+                for d in ds:
+                    piece = (spark.read
+                             .parquet(_localize(d["file_path"]))
+                             .select([F.col(c).alias(f"_eq_{c}")
+                                      for c in cols])
+                             .withColumn("_del_seq",
+                                         F.lit(int(d["_seq"]))))
+                    dset = piece if dset is None \
+                        else dset.unionByName(piece)
+                dset = (dset.groupBy(*[f"_eq_{c}" for c in cols])
+                        .agg(F.max("_del_seq").alias("_del_seq")))
                 cond = F.lit(True)
                 for c in cols:
                     cond = cond & out[c].eqNullSafe(
                         dset[f"_eq_{c}"])
-                cond = cond & (out["_file_seq"] <
-                               F.lit(int(d["_seq"])))
+                cond = cond & (out["_file_seq"] < dset["_del_seq"])
                 out = out.join(F.broadcast(dset), cond, "left_anti")
         keep = [F.col(f.name) for f in schema.fields]
         if keep_pos:

@@ -114,24 +114,32 @@ def _read_ice_partition(p: _IceFilePartition,
                               dtype=np.int64)
             keep[idx] = False
             tbl = tbl.filter(pa.array(keep))
-    for dpath, dseq, key_cols in p.eq_deletes:
-        # spec ordering: an equality delete applies only to data
-        # files with a STRICTLY smaller sequence number
-        if p.file_seq is None or p.file_seq >= dseq:
-            continue
-        if tbl.num_rows == 0:
-            break
-        dels = (pq.read_table(dpath, columns=list(key_cols))
-                .to_pandas().drop_duplicates())
-        if not len(dels):
-            continue
+    if p.eq_deletes and tbl.num_rows:
         import pandas as pd
-        keys = tbl.select(list(key_cols)).to_pandas()
-        # pandas merge matches missing values against each other —
-        # exactly the null-safe (IS NULL) match the spec requires
-        hit = keys.merge(dels.assign(__eqdel=1), how="left",
-                         on=list(key_cols))["__eqdel"].notna()
-        tbl = tbl.filter(pa.array(~hit.to_numpy()))
+
+        # spec ordering first (an equality delete applies only to
+        # data files with a STRICTLY smaller sequence number), then
+        # ONE merge per key-column set regardless of how many CDC
+        # batches' delete files apply
+        groups: dict = {}
+        for dpath, dseq, key_cols in p.eq_deletes:
+            if p.file_seq is None or p.file_seq >= dseq:
+                continue
+            groups.setdefault(key_cols, []).append(dpath)
+        for key_cols, dpaths in groups.items():
+            if tbl.num_rows == 0:
+                break
+            dels = pd.concat(
+                [pq.read_table(dp, columns=list(key_cols)).to_pandas()
+                 for dp in dpaths]).drop_duplicates()
+            if not len(dels):
+                continue
+            keys = tbl.select(list(key_cols)).to_pandas()
+            # pandas merge matches missing values against each other
+            # — exactly the null-safe (IS NULL) match the spec needs
+            hit = keys.merge(dels.assign(__eqdel=1), how="left",
+                             on=list(key_cols))["__eqdel"].notna()
+            tbl = tbl.filter(pa.array(~hit.to_numpy()))
     arrays = []
     for f in schema.fields:
         at = target.field(f.name).type

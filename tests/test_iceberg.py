@@ -1044,3 +1044,32 @@ def test_position_and_equality_deletes_combined(spark, tmp_path):
            _seq_entry(eqd, seq=2, content=2, eq_ids=[2])], 1)],
         inherit_seqs=[None, None])
     assert _rows(read_iceberg(spark, root)) == [(2, "b"), (4, "d")]
+
+
+def test_equality_delete_plan_constant_in_batch_count(spark,
+                                                      tmp_path):
+    """Many CDC batches' equality-delete files over the same key set
+    apply as ONE aggregated broadcast anti join (max(seq) per key),
+    not one join per file — plan size stays O(1) as history grows."""
+    from python_minerva_etl_spark.storage.iceberg import read_iceberg
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg, write_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.range(0, 100).toDF("id"), p)
+    for k in range(6):
+        equality_delete_iceberg(
+            spark, p,
+            spark.createDataFrame([(k * 10,), (k * 10 + 1,)],
+                                  "id long"))
+    df = read_iceberg(spark, p)
+    assert df.count() == 100 - 12
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    # one LeftAnti for ALL six delete commits (plus none extra)
+    assert len(re.findall("LeftAnti", plan)) == 1, plan[:2000]
+    # re-deleting an already-deleted key in a later batch stays
+    # correct (max-seq collapse)
+    equality_delete_iceberg(
+        spark, p, spark.createDataFrame([(0,), (55,)], "id long"))
+    assert read_iceberg(spark, p).count() == 100 - 13
