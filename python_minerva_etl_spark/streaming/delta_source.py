@@ -55,7 +55,8 @@ def _opt(options: dict, name: str, default=None):
 
 class _FilePartition(InputPartition):
     def __init__(self, table_path: str, rel_path: str,
-                 pvals: dict, dv: dict | None, cm=None):
+                 pvals: dict, dv: dict | None, cm=None,
+                 keep_positions=None):
         self.table_path = table_path
         self.rel_path = rel_path
         self.pvals = pvals
@@ -63,6 +64,9 @@ class _FilePartition(InputPartition):
         # column mapping: ("name"|"id", ((logical, physical, fid),
         # ...)) or None — resolved executor-side per file
         self.cm = cm
+        # when set: emit ONLY these 0-based row ordinals (the CDF
+        # dv-diff case — rows newly masked by a deletion vector)
+        self.keep_positions = keep_positions
 
 
 def _parse_pval(raw: str | None, dt: T.DataType):
@@ -129,7 +133,10 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
             if raw is not None:
                 id_to_name[int(raw)] = fld.name
         for lg, ph, fid in fmap:
-            col_of[lg] = id_to_name.get(fid)
+            # a mapped field with no id (the synthetic _change_type
+            # in cdc files) matches by its physical NAME
+            col_of[lg] = (id_to_name.get(fid) if fid is not None
+                          else (ph if ph in file_names else None))
             pkey[lg] = ph
     want = sorted({c for lg, c in col_of.items()
                    if c is not None and lg not in part_cols})
@@ -138,6 +145,12 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
         positions = dv_load(p.table_path, p.dv)
         mask = np.ones(tbl.num_rows, dtype=bool)
         mask[positions] = False
+        tbl = tbl.filter(pa.array(mask))
+    if p.keep_positions is not None:
+        mask = np.zeros(tbl.num_rows, dtype=bool)
+        idx = np.fromiter((i for i in p.keep_positions
+                           if i < tbl.num_rows), dtype=np.int64)
+        mask[idx] = True
         tbl = tbl.filter(pa.array(mask))
     arrays = []
     for f in schema.fields:
@@ -248,6 +261,202 @@ class _BatchReader(DataSourceReader):
     def read(self, partition):
         return _read_partition(partition, self.schema_,
                                self.part_cols)
+
+
+class _CdfPartition(InputPartition):
+    def __init__(self, fp: _FilePartition, kind: str, version: int,
+                 ts_ms: int):
+        self.fp = fp
+        self.kind = kind      # "cdc" | "insert" | "delete"
+        self.version = version
+        self.ts_ms = ts_ms
+
+
+class _CdfBatchReader(DataSourceReader):
+    """``option("readChangeFeed", "true")`` — the delta-spark CDF
+    batch interface over this engine's change reconstruction
+    (mirrors :meth:`storage.delta.DeltaTable.changes`; parity with it
+    is locked by tests): per commit, explicit cdc files read as-is,
+    add-only commits emit inserts, remove-only commits emit the
+    removed files' then-live rows as deletes, and a remove+add pair
+    with a grown deletion vector emits exactly the newly-masked rows
+    (computed executor-side from the two DV bins).  Output columns =
+    table schema + _change_type, _commit_version, _commit_timestamp.
+    In-place rewrites without cdc actions refuse (not derivable),
+    as do schema changes inside the range."""
+
+    def __init__(self, options: dict):
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("minerva_delta requires a path")
+        dt = DeltaTable(self.path)
+        avail = dt.versions()
+        if not avail:
+            raise FileNotFoundError(f"no Delta log at {self.path!r}")
+        start = int(_opt(options, "startingVersion", 0))
+        endo = _opt(options, "endingVersion")
+        end = avail[-1] if endo is None else int(endo)
+        snap = dt._replay(end)
+        self.cm = _check_supported(dt, snap)
+        meta = snap["metaData"]
+        self.schema_ = T.StructType.fromJson(
+            json.loads(meta["schemaString"]))
+        self.part_cols = meta.get("partitionColumns") or []
+        self.table_path = os.path.abspath(self.path)
+        self.dt = dt
+        self.start, self.end = start, end
+        missing = sorted(set(range(start, end + 1)) - set(avail))
+        if missing:
+            raise ValueError(
+                f"minerva_delta CDF: commits {missing[0]}.."
+                f"{missing[-1]} are missing (expired or future)")
+
+    def cdf_schema(self) -> T.StructType:
+        return T.StructType(
+            self.schema_.fields
+            + [T.StructField("_change_type", T.StringType()),
+               T.StructField("_commit_version", T.LongType()),
+               T.StructField("_commit_timestamp", T.TimestampType())])
+
+    def partitions(self):
+        from ..storage.delta import _CM_PHYS
+
+        cm_ct = None
+        if self.cm:
+            cm_ct = (self.cm[0],
+                     self.cm[1] + (("_change_type", "_change_type",
+                                    None),))
+        names = [f.name for f in self.schema_.fields]
+        cur_meta = (self.dt._replay(self.start - 1)["metaData"]
+                    if self.start > 0 else None)
+        out: list[_CdfPartition] = []
+        prev_files: dict | None = None
+        for v in range(self.start, self.end + 1):
+            cpath = _commit_path(self.path, v)
+            with open(cpath) as fh:
+                actions = [json.loads(line) for line in fh
+                           if line.strip()]
+            info = next((a["commitInfo"] for a in actions
+                         if a.get("commitInfo")), {}) or {}
+            ts = int(info.get("timestamp")
+                     or os.path.getmtime(cpath) * 1000)
+            new_meta = next((a["metaData"] for a in actions
+                             if a.get("metaData")), None)
+            meta_after = new_meta or cur_meta
+            if meta_after is not None:
+                got = [f.name for f in T.StructType.fromJson(
+                    json.loads(meta_after["schemaString"])).fields]
+                if got != names:
+                    raise NotImplementedError(
+                        f"minerva_delta CDF: the schema changed "
+                        f"inside the range at commit {v}")
+            part_before = ((cur_meta or meta_after)
+                           .get("partitionColumns") or [])
+            cur_meta = meta_after
+
+            cdc = [a["cdc"] for a in actions if a.get("cdc")]
+            if cdc:
+                for c in cdc:
+                    out.append(_CdfPartition(_FilePartition(
+                        self.table_path, c["path"],
+                        c.get("partitionValues") or {}, None,
+                        cm=cm_ct), "cdc", v, ts))
+                continue
+            adds = {a["add"]["path"]: a["add"] for a in actions
+                    if a.get("add")}
+            removes = {a["remove"]["path"]: a["remove"]
+                       for a in actions if a.get("remove")}
+            need_prev = any(
+                (adds.get(pth) and removes.get(pth))
+                or (removes.get(pth, {}).get("dataChange")
+                    and removes.get(pth, {}).get("partitionValues")
+                    is None)
+                for pth in removes)
+            if need_prev:
+                prev_files = {f["path"]: f for f in
+                              self.dt._replay(v - 1)["files"]}
+            for pth in sorted(set(adds) | set(removes)):
+                a, r = adds.get(pth), removes.get(pth)
+                if a and r:
+                    if not (a.get("dataChange")
+                            or r.get("dataChange")):
+                        continue  # compaction pair
+                    if not a.get("deletionVector"):
+                        raise NotImplementedError(
+                            f"minerva_delta CDF: commit {v} rewrites "
+                            f"{pth!r} in place without cdc actions — "
+                            "the row-level delta is not derivable")
+                    old = (prev_files.get(pth) or {}).get(
+                        "deletionVector")
+                    # newly-masked positions = new DV minus old DV,
+                    # resolved executor-side from the descriptors
+                    out.append(_CdfPartition(_FilePartition(
+                        self.table_path, pth,
+                        a.get("partitionValues") or {}, None,
+                        cm=self.cm,
+                        keep_positions=("__dv_diff__",
+                                        a["deletionVector"], old)),
+                        "delete", v, ts))
+                elif a is not None:
+                    if a.get("dataChange"):
+                        out.append(_CdfPartition(_FilePartition(
+                            self.table_path, pth,
+                            a.get("partitionValues") or {},
+                            a.get("deletionVector"), cm=self.cm),
+                            "insert", v, ts))
+                elif r.get("dataChange"):
+                    pv = r.get("partitionValues")
+                    if pv is None and part_before:
+                        pv = (prev_files.get(pth) or {}).get(
+                            "partitionValues")
+                    out.append(_CdfPartition(_FilePartition(
+                        self.table_path, pth, pv or {},
+                        r.get("deletionVector"), cm=self.cm),
+                        "delete", v, ts))
+        return out
+
+    def read(self, partition: _CdfPartition):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..storage.delta_dv import dv_load
+
+        fp = partition.fp
+        if isinstance(fp.keep_positions, tuple) \
+                and fp.keep_positions \
+                and fp.keep_positions[0] == "__dv_diff__":
+            _tag, new_dv, old_dv = fp.keep_positions
+            dead_new = set(dv_load(fp.table_path, new_dv))
+            dead_old = set(dv_load(fp.table_path, old_dv)) \
+                if old_dv else set()
+            fp.keep_positions = sorted(dead_new - dead_old)
+        if partition.kind == "cdc":
+            read_schema = T.StructType(
+                self.schema_.fields
+                + [T.StructField("_change_type", T.StringType())])
+            batches = _read_partition(fp, read_schema,
+                                      self.part_cols)
+        else:
+            batches = _read_partition(fp, self.schema_,
+                                      self.part_cols)
+        target = to_arrow_schema(self.cdf_schema())
+        ts_type = target.field("_commit_timestamp").type
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            n = tbl.num_rows
+            if partition.kind != "cdc":
+                tbl = tbl.append_column(
+                    "_change_type",
+                    pa.array([partition.kind] * n, pa.string()))
+            tbl = tbl.append_column(
+                "_commit_version",
+                pa.array([partition.version] * n, pa.int64()))
+            tbl = tbl.append_column(
+                "_commit_timestamp",
+                pa.array([partition.ts_ms] * n, pa.int64())
+                .cast(pa.timestamp("ms")).cast(ts_type))
+            for b in tbl.cast(target).to_batches():
+                yield b
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -550,13 +759,21 @@ class MinervaDeltaDataSource(DataSource):
     def name(cls) -> str:
         return "minerva_delta"
 
+    def _cdf(self) -> bool:
+        return str(_opt(dict(self.options), "readChangeFeed",
+                        "false")).lower() == "true"
+
     def schema(self):
         path = _opt(dict(self.options), "path")
         if not path:
             raise ValueError("minerva_delta requires a path")
+        if self._cdf():
+            return _CdfBatchReader(dict(self.options)).cdf_schema()
         return DeltaTable(path).schema()
 
     def reader(self, schema) -> DataSourceReader:
+        if self._cdf():
+            return _CdfBatchReader(dict(self.options))
         return _BatchReader(dict(self.options))
 
     def streamReader(self, schema) -> DataSourceStreamReader:

@@ -418,3 +418,61 @@ def test_batch_reader_nested_mapped_refuses(ds_spark, tmp_path):
     _log(p, [_fld("s", struct_t, "col-s", 1)], [_add("f0.parquet")])
     with pytest.raises(Exception, match="nested"):
         (ds_spark.read.format("minerva_delta").load(p)).collect()
+
+
+def test_batch_cdf_parity_with_engine_changes(ds_spark, tmp_path):
+    """option("readChangeFeed","true") must reproduce the engine's
+    changes() feed bit-for-bit across every change shape: cdc-file
+    commits (UPDATE/MERGE with CDF enabled), plain-append inserts,
+    DV-diff deletes, and remove deletes."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)  # v0: append
+    dt.set_properties({"delta.enableChangeDataFeed": "true"})  # v1
+    dt.update(ds_spark, {"value": "value + 100"}, "id >= 3")   # v3 cdc
+    dt.delete(ds_spark, "id < 2")                              # v4
+    dt.merge(ds_spark, ds_spark.createDataFrame(
+        [(3, "a", 5.5), (99, "b", 9.9)],
+        "id long, grp string, value double"),
+        "t.id = s.id",
+        when_matched_update={"value": "s.value"},
+        when_not_matched_insert=True)                          # v5
+    end = dt.versions()[-1]
+
+    want = dt.changes(ds_spark, 0, end)
+    got = (ds_spark.read.format("minerva_delta")
+           .option("readChangeFeed", "true")
+           .option("startingVersion", 0)
+           .option("endingVersion", end).load(p))
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(want.columns)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert canon(got) == canon(want)
+    # and the per-kind counts are non-trivial (cdc + insert + delete
+    # all exercised)
+    kinds = {r[0] for r in got.select("_change_type").collect()}
+    assert {"insert", "delete",
+            "update_preimage", "update_postimage"} <= kinds
+
+
+def test_batch_cdf_version_range_and_refusals(ds_spark, tmp_path):
+    p = str(tmp_path / "t")
+    dt = _table(ds_spark, p)
+    dt.write(ds_spark, ds_spark.createDataFrame(
+        [(50, "x", 1.0)], "id long, grp string, value double"))
+    got = (ds_spark.read.format("minerva_delta")
+           .option("readChangeFeed", "true")
+           .option("startingVersion", 2).load(p))
+    rows = got.collect()
+    assert {r.id for r in rows} == {50}
+    assert all(r._change_type == "insert"
+               and r._commit_version == 2 for r in rows)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="not in Delta log"):
+        (ds_spark.read.format("minerva_delta")
+         .option("readChangeFeed", "true")
+         .option("endingVersion", 99).load(p).collect())
