@@ -7,7 +7,8 @@ against their DuckDB oracles (CORRECTNESS window).  ``_WINDOW`` below
 rotates every round toward full-catalog driver coverage.  Round 7's
 window CLOSES the catalog: the 9 lake queries added after round 6's
 window froze, the fixed ``text_hash_embed`` (r6's one hard failure),
-this round's new ``sink_iceberg_eqdelete_roundtrip``, and repeats for
+this round's three new queries (blind equality delete + the two
+registered-data-source twins), and repeats for
 the two beyond-spread bench rows — green across it means every
 declared query has a driver CORRECTNESS row.  Everything else —
 previously verified representatives — sits after it in ``_DEPTH``.
@@ -22,7 +23,7 @@ from .base import DeclaredQuery
 # The driver's correctness window.  Keep this at <= 50 entries.
 #
 # ROTATION (round 7): the final mini-rotation — green across it
-# closes the catalog at 212/212 driver-offered (rounds 1-6 verified
+# closes the catalog at 214/214 driver-offered (rounds 1-6 verified
 # 202 distinct queries; the 9 lake queries below landed after r6's
 # window froze, text_hash_embed was r6's one hard failure, and
 # sink_iceberg_eqdelete_roundtrip is new this round).
@@ -45,6 +46,10 @@ _WINDOW = [
     # NEW this round: blind equality delete + sequence-ordered
     # re-insert (storage/iceberg_write.py:equality_delete_iceberg)
     "sink_iceberg_eqdelete_roundtrip",
+    # NEW: the same lake surfaces driven through the REGISTERED data
+    # sources (readChangeFeed CDF; executor-side equality deletes)
+    "source_delta_cdf_datasource",
+    "source_iceberg_eqdelete_datasource",
     # repeats for the two beyond-spread r6 bench rows (the snaptable
     # commit fixed-cost fix + the fs-probe/rebaseline bench evidence
     # land this round — these give the judge correctness datapoints)

@@ -1289,6 +1289,77 @@ FROM final GROUP BY 1
 """
 
 
+def _source_delta_cdf_datasource(spark, sf_dir):
+    """OP-SRC change-data-feed through the REGISTERED data source
+    (streaming/delta_source.py:_CdfBatchReader — the delta-spark
+    ``option("readChangeFeed", "true")`` interface): the same
+    two-append + merge-on-read-DELETE table as ``source_delta_cdf``,
+    but the feed is read back via
+    ``spark.read.format("minerva_delta")`` so the per-commit
+    classification (insert adds, DV-diff deletes) runs through the
+    executor-side pyarrow path instead of the engine's DataFrames.
+    Same oracle: every row inserted once, 'error' rows also deleted
+    once."""
+    from ..storage.delta import DeltaTable, delete_delta
+    from ..streaming.delta_source import register_delta_source
+
+    register_delta_source(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"delta_cdfds_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    dt = DeltaTable(base)
+    dt.write(spark, ev.filter(F.col("event_id") <= mid))
+    dt.write(spark, ev.filter(F.col("event_id") > mid))
+    delete_delta(spark, base, "event_type = 'error'")
+    feed = (spark.read.format("minerva_delta")
+            .option("readChangeFeed", "true").load(base))
+    return (feed.groupBy("_change_type", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+def _source_iceberg_eqdelete_datasource(spark, sf_dir):
+    """OP-SRC equality deletes through the REGISTERED Iceberg source
+    (streaming/iceberg_source.py): the same blind-delete-then-
+    re-insert table as ``sink_iceberg_eqdelete_roundtrip``, read back
+    via ``spark.read.format("minerva_iceberg")`` — each executor task
+    null-safe anti-joins its own file's rows against the delete
+    parquet with sequence ordering, so the re-inserted rows survive
+    there too.  Same oracle as the engine-read twin."""
+    from ..storage.iceberg_write import (equality_delete_iceberg,
+                                         write_iceberg)
+    from ..streaming.iceberg_source import register_iceberg_source
+
+    register_iceberg_source(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"iceberg_eqds_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, ev, base)
+    keys = (ev.filter(F.col("user_id") % 7 == 0)
+            .select("user_id").distinct())
+    equality_delete_iceberg(spark, base, keys)
+    corrected = (ev.filter(F.col("user_id") % 14 == 0)
+                 .withColumn("value", F.col("value") + 1000))
+    write_iceberg(spark, corrected, base)
+    return (spark.read.format("minerva_iceberg").load(base)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
 QUERIES = [
     DeclaredQuery("reshape_wide", _reshape_wide, _RESHAPE_WIDE_SQL, "OP-TYPE/loader pivot"),
     DeclaredQuery("reshape_long", _reshape_long, _RESHAPE_LONG_SQL, "OP-TYPE/loader unpivot"),
@@ -1308,6 +1379,8 @@ QUERIES = [
     DeclaredQuery("source_delta_cdf_update", _source_delta_cdf_update, _SOURCE_DELTA_CDF_UPDATE_SQL, "OP-SRC (Delta CDF write path: UPDATE pre/post images via cdc actions)"),
     DeclaredQuery("source_iceberg_incremental", _source_iceberg_incremental, _SOURCE_ICEBERG_INCREMENTAL_SQL, "OP-SRC (Iceberg incremental append scan between snapshots)"),
     DeclaredQuery("sink_iceberg_merge_roundtrip", _sink_iceberg_merge_roundtrip, _SINK_ICEBERG_MERGE_ROUNDTRIP_SQL, "OP-SNK (Iceberg merge-on-read UPDATE + MERGE INTO)"),
+    DeclaredQuery("source_delta_cdf_datasource", _source_delta_cdf_datasource, _SOURCE_DELTA_CDF_SQL, "OP-SRC (registered data source readChangeFeed — delta-spark CDF interface)"),
+    DeclaredQuery("source_iceberg_eqdelete_datasource", _source_iceberg_eqdelete_datasource, _SINK_ICEBERG_EQDELETE_ROUNDTRIP_SQL, "OP-SRC (registered Iceberg source applying equality deletes executor-side)"),
     DeclaredQuery("sink_iceberg_eqdelete_roundtrip", _sink_iceberg_eqdelete_roundtrip, _SINK_ICEBERG_EQDELETE_ROUNDTRIP_SQL, "OP-SNK (Iceberg blind equality delete + sequence-ordered re-insert)"),
     DeclaredQuery("sink_iceberg_days_partitioned", _sink_iceberg_days_partitioned, _SINK_ICEBERG_DAYS_PARTITIONED_SQL, "OP-SNK/OP-SRC (Iceberg days(ts) partition transform + transformed-domain pruning)"),
     DeclaredQuery("sink_delta_replace_where", _sink_delta_replace_where, _SINK_DELTA_REPLACE_WHERE_SQL, "OP-SNK (Delta replaceWhere: atomic predicate-scoped overwrite)"),
