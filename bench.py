@@ -174,8 +174,8 @@ def main() -> None:
         # environment self-evidence (round-6 verdict item 4): raw-fs
         # throughput bracketing the run + a fixed synthetic
         # compute-shuffle job measured in THIS session.  In-tree
-        # reference figures (local[32], 128 GiB): fs write ~1000+
-        # MB/s, read ~2000+ MB/s, rebaseline ~0.6 s — see PERF.md.
+        # reference figures (local[32], 128 GiB): fs write ~400-500
+        # MB/s, read ~5000+ MB/s, rebaseline ~0.8-1.1 s — PERF.md.
         "fs_probe": {"before": probe_before, "after": fs_probe()},
         "rebaseline_sec": rebase,
     }))
