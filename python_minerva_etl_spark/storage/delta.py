@@ -242,6 +242,13 @@ def _physical_name(f: T.StructField) -> str:
     return pname
 
 
+class _CmMap(dict):
+    """{logical: physical} column mapping with an optional ``.ids``
+    ({logical: column id}) attribute for mode-id staging."""
+
+    ids: dict | None = None
+
+
 def _field_id(f: T.StructField) -> int:
     """The stable column id of a mapped field (PROTOCOL.md Column
     Mapping: ``delta.columnMapping.id``) — mode ``id`` tables resolve
@@ -1119,23 +1126,40 @@ class DeltaTable:
         vs = self.versions()
         return (vs[-1] + 1) if vs else 0
 
-    def _cm_mapping(self, snap: dict) -> dict | None:
+    def _cm_mapping(self, snap: dict) -> "_CmMap | None":
         """{logical name: physical parquet name} for a column-mapped
-        (mode ``name``) table, None when mapping is off — every write
-        path stages parquet under PHYSICAL names on mapped tables
-        (PROTOCOL.md Column Mapping: data files and partitionValues
-        speak physical, the metaData schema speaks logical)."""
+        table (modes ``name`` AND ``id``), None when mapping is off —
+        every write path stages parquet under PHYSICAL names on
+        mapped tables (PROTOCOL.md Column Mapping: data files and
+        partitionValues speak physical, the metaData schema speaks
+        logical).  For mode ``id`` the returned mapping additionally
+        carries ``.ids`` ({logical: column id}) so the staging can
+        stamp ``parquet.field.id`` metadata — Spark then writes the
+        PARQUET:field_id every id-resolving reader (including ours)
+        matches on.  id-mode writes support FLAT columns only (a
+        nested rename would need per-level physical names in the
+        written files)."""
         conf = snap["metaData"].get("configuration") or {}
         mode = conf.get("delta.columnMapping.mode") or "none"
         if mode == "none":
             return None
-        if mode != "name":
+        if mode not in ("name", "id"):
             raise NotImplementedError(
                 f"Delta column mapping mode {mode!r}: writes "
-                "unsupported (field-id resolution)")
+                "unsupported")
         schema = T.StructType.fromJson(
             json.loads(snap["metaData"]["schemaString"]))
-        return {f.name: _physical_name(f) for f in schema.fields}
+        out = _CmMap({f.name: _physical_name(f)
+                      for f in schema.fields})
+        if mode == "id":
+            if any(isinstance(f.dataType, (T.StructType, T.ArrayType,
+                                           T.MapType))
+                   for f in schema.fields):
+                raise NotImplementedError(
+                    "Delta id-mode writes: nested columns "
+                    "unsupported (flat columns only)")
+            out.ids = {f.name: _field_id(f) for f in schema.fields}
+        return out
 
     def _stage_data_files(self, df: DataFrame,
                           partition_by: list[str],
@@ -1159,9 +1183,17 @@ class DeltaTable:
         if cm:
             # column-mapped table: the parquet files and Hive dirs
             # speak PHYSICAL names (extra columns like _change_type
-            # pass through unmapped)
-            df = df.select(*[F.col(f"`{c}`").alias(cm.get(c, c))
-                             for c in df.columns])
+            # pass through unmapped); mode id additionally stamps
+            # parquet.field.id metadata so Spark writes the
+            # PARQUET:field_id the id-resolving readers match on
+            ids = getattr(cm, "ids", None) or {}
+            df = df.select(*[
+                F.col(f"`{c}`").alias(
+                    cm.get(c, c),
+                    metadata={"parquet.field.id": ids[c]})
+                if c in ids else
+                F.col(f"`{c}`").alias(cm.get(c, c))
+                for c in df.columns])
             partition_by = [cm.get(c, c) for c in partition_by]
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
@@ -2372,9 +2404,15 @@ class DeltaTable:
         if cm is None:
             data_schema = T.StructType(data_fields)
         else:
+            by_id = getattr(cm, "ids", None) is not None
+            if by_id:
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.read.enabled", "true")
             data_schema = T.StructType([
                 T.StructField(_physical_name(f),
-                              _physical_type(f.dataType), f.nullable)
+                              _physical_type(f.dataType), f.nullable,
+                              {"parquet.field.id": cm.ids[f.name]}
+                              if by_id else None)
                 for f in data_fields])
             if sort_by:
                 sort_by = [cm[c] for c in sort_by]

@@ -345,20 +345,47 @@ def test_id_mode_missing_field_id_metadata_raises(spark, tmp_path):
         read_delta(spark, p).collect()
 
 
-def test_id_mode_writes_still_refuse(spark, tmp_path):
+def test_id_mode_append_and_dml_roundtrip(spark, tmp_path):
+    """Round 7: id-mode WRITES — staged parquet carries
+    PARQUET:field_id (Spark's fieldId.write from the alias metadata),
+    so id-resolving readers match the new files regardless of their
+    physical column spelling; UPDATE/DELETE ride the same staging;
+    OPTIMIZE compacts reading by field id."""
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from python_minerva_etl_spark.storage.delta import DeltaTable
 
     p = str(tmp_path / "t")
     os.makedirs(p)
+    # foreign file spelled differently than the schema physicalName
     _pq_with_ids(os.path.join(p, "f0.parquet"),
-                 [("x", 1, pa.array([1], type=pa.int64()))])
-    _log(p, [_fld("id", "long", "col-a", 1)], [_add("f0.parquet")],
-         mode="id")
-    df = spark.createDataFrame([(2,)], "id long")
-    with pytest.raises(NotImplementedError, match="mode 'id'"):
-        DeltaTable(p).write(spark, df)
+                 [("oldname", 1, pa.array([1], type=pa.int64())),
+                  ("oldv", 2, pa.array(["a"]))])
+    _log(p, [_fld("id", "long", "col-a", 1),
+             _fld("v", "string", "col-b", 2)],
+         [_add("f0.parquet")], mode="id")
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame(
+        [(2, "b")], "id long, v string").coalesce(1))
+    assert _rows(dt.read(spark)) == [(1, "a"), (2, "b")]
+    new = [f for f in dt._replay()["files"]
+           if f["path"] != "f0.parquet"][0]
+    sa = pq.ParquetFile(os.path.join(p, new["path"])).schema_arrow
+    got = {sa.field(i).name:
+           (sa.field(i).metadata or {}).get(b"PARQUET:field_id")
+           for i in range(len(sa.names))}
+    assert got == {"col-a": b"1", "col-b": b"2"}
+    # row-level DML through the same id-stamped staging
+    dt.update(spark, {"v": "upper(v)"}, "id = 1")
+    dt.delete(spark, "id = 2")
+    assert _rows(dt.read(spark)) == [(1, "A")]
+    # OPTIMIZE reads by field id (mixed physical spellings) and
+    # rewrites with ids intact
+    dt.write(spark, spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1))
+    assert dt.optimize(spark, small_file_bytes=1 << 20) is not None
+    assert _rows(dt.read(spark)) == [(1, "A"), (3, "c")]
 
 
 def test_column_mapped_optimize_and_cdf(spark, tmp_path):
