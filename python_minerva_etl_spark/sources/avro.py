@@ -2,11 +2,15 @@
 
 Built on the same from-scratch Avro decoder as the Iceberg interop
 (:func:`storage.iceberg.avro_read`, Avro 1.11 spec).  The read is
-DISTRIBUTED: the driver touches only the FIRST file's header (to
-derive the Spark schema); decoding runs as one ``mapInPandas`` task
-per file, so at 100 TB the bytes never pass through the driver and
-files decode in parallel across executors.  Every task re-checks its
-file's embedded writer schema against the driver's and raises on
+DISTRIBUTED and SPLITTABLE: the driver touches only the FIRST file's
+header (to derive the Spark schema); decoding runs as ``mapInPandas``
+tasks over BYTE-RANGE SPLITS aligned on the container's 16-byte sync
+markers (default 128 MiB per split), so one multi-GB file decodes
+across many executors, blocks are streamed (never ``fh.read()`` of a
+whole file), and per-task memory is bounded by the Arrow-batch flush
+target — at 100 TB the bytes never pass through the driver, and no
+single file is a straggler or a memory cliff.  Every task re-checks
+its file's embedded writer schema against the driver's and raises on
 drift (mixed-schema directories must fail loudly, not coerce).
 
 Schema scope (raise otherwise — never silently misread):
@@ -485,17 +489,159 @@ def _list_files(path: str) -> list[str]:
     return out
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Read ``path`` (a file, glob, or directory of ``*.avro``) as a
-    DataFrame.  Driver reads one header; executors decode one file
-    per task and refuse files whose writer schema differs."""
-    import json as _json
+# -------------------------------------------------- split machinery
+#
+# Avro object-container files are splittable by design: every block
+# is delimited by the file's random 16-byte sync marker (Avro 1.11
+# "Object Container Files").  A byte range [start, end) of a file
+# OWNS exactly the blocks whose preceding sync marker begins at an
+# offset p with start <= p < end, the header's own trailing sync
+# standing in for the first block's delimiter — so every block
+# belongs to exactly one range and a file decodes across N tasks
+# with no coordination.  Range scans locate the first owned sync by
+# pattern search (the spec's sanctioned strategy; a coincidental
+# 16-byte match in block data has probability 2^-128 per offset and
+# would fail loudly at the next trailing-sync check, never decode
+# garbage).  Blocks are STREAMED — a task holds one compressed block
+# plus at most ``batch_bytes`` of decoded output, never the file.
 
-    from ..storage.iceberg import avro_read
+def _read_header(fh) -> tuple[dict, bytes, int]:
+    """(metadata, sync_marker, header_end_offset) from an open file,
+    reading only the header bytes (doubling probe, not the file)."""
+    from ..storage.iceberg import _AVRO_MAGIC, _Cursor, _decode
+
+    size = 1 << 16
+    while True:
+        fh.seek(0)
+        buf = fh.read(size)
+        cur = _Cursor(buf)
+        try:
+            if cur.read(4) != _AVRO_MAGIC:
+                raise ValueError("not an Avro object-container file")
+            meta = _decode(cur, {"type": "map", "values": "bytes"}, {})
+            sync = cur.read(16)
+            return meta, sync, cur.pos
+        except ValueError as exc:
+            if "truncated" in str(exc) and len(buf) == size:
+                size *= 2  # header longer than the probe; widen
+                continue
+            raise
+
+
+def _find_sync(fh, sync: bytes, start: int, limit: int):
+    """First offset p in [start, limit) where the 16-byte ``sync``
+    pattern begins, scanning forward in 1 MiB chunks with a 15-byte
+    overlap so straddling matches are found.  None if absent."""
+    chunk_size = 1 << 20
+    fh.seek(start)
+    buf = b""
+    base = start  # absolute offset of buf[0]
+    while base < limit:
+        chunk = fh.read(chunk_size)
+        if not chunk:
+            return None
+        buf += chunk
+        i = buf.find(sync)
+        if i != -1:
+            p = base + i
+            return p if p < limit else None
+        keep = min(15, len(buf))
+        base += len(buf) - keep
+        buf = buf[-keep:]
+    return None
+
+
+def _read_varint_stream(fh) -> int:
+    """Zigzag varint from a (buffered) file object."""
+    shift = acc = 0
+    while True:
+        b = fh.read(1)
+        if not b:
+            raise ValueError("avro: truncated input")
+        v = b[0]
+        acc |= (v & 0x7F) << shift
+        if not v & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _split_blocks(fh, sync: bytes, codec: str, start: int, end: int,
+                  header_end: int, file_size: int):
+    """Yield ``(count, decompressed_bytes)`` for the blocks OWNED by
+    byte range [start, end) under the preceding-sync ownership rule.
+    Streams: reads each block's two varints, its body, and its
+    trailing sync — never the whole file."""
+    from ..storage.iceberg import _snappy
+
+    hsync = header_end - 16  # the first block's "preceding sync"
+    if hsync >= end:
+        return  # range lies entirely inside the header
+    if start <= hsync:
+        pos = header_end
+    else:
+        p = _find_sync(fh, sync, start, end)
+        if p is None:
+            return  # no block starts in this range
+        pos = p + 16
+    if pos >= file_size:
+        return  # range's sync is the file's final one — no block
+    fh.seek(pos)
+    while True:
+        n = _read_varint_stream(fh)
+        size = _read_varint_stream(fh)
+        body = fh.read(size)
+        if len(body) != size:
+            raise ValueError("avro: truncated block")
+        if fh.read(16) != sync:
+            raise ValueError("avro: sync marker mismatch")
+        if codec == "deflate":
+            import zlib
+            body = zlib.decompress(body, -15)
+        elif codec == "snappy":
+            body = _snappy(body)
+        elif codec != "null":
+            raise ValueError(f"avro: unsupported codec {codec!r}")
+        yield n, body
+        pos = fh.tell()
+        if pos >= file_size or pos - 16 >= end:
+            return  # EOF, or the next block's sync is past our range
+
+
+def plan_splits(files: list[str],
+                split_bytes: int) -> list[tuple[str, int, int]]:
+    """(path, start, end) byte-range input partitions — large files
+    shatter into ``split_bytes`` ranges so one multi-GB file decodes
+    across many tasks instead of one."""
+    splits = []
+    for p in files:
+        sz = os.path.getsize(p)
+        s = 0
+        while True:
+            e = min(s + split_bytes, sz)
+            splits.append((p, s, e))
+            if e >= sz:
+                break
+            s = e
+    return splits
+
+
+def read_avro(spark: SparkSession, path: str,
+              split_bytes: int = 128 << 20,
+              batch_bytes: int = 64 << 20) -> DataFrame:
+    """Read ``path`` (a file, glob, or directory of ``*.avro``) as a
+    DataFrame.  Driver reads one header; executors decode BYTE-RANGE
+    SPLITS (``split_bytes`` each, sync-marker aligned — see the
+    split-machinery comment above) and stream blocks, yielding an
+    Arrow batch per ~``batch_bytes`` of decoded block data, so both
+    parallelism and per-task memory are independent of file size.
+    Every split re-checks its file's embedded writer schema against
+    the driver's and raises on drift."""
+    import json as _json
 
     files = _list_files(path)
     with open(files[0], "rb") as fh:
-        meta, _ = avro_read(fh.read())
+        meta, _, _ = _read_header(fh)
     writer_schema = _json.loads(meta["avro.schema"].decode("utf-8"))
     if not (isinstance(writer_schema, dict)
             and writer_schema.get("type") == "record"):
@@ -511,7 +657,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     def decode(batches):
         import pandas as pd
 
-        from ..storage.iceberg import avro_blocks
+        from ..storage.iceberg import _Cursor, _decode
 
         def check_schema(m, p):
             if _json.dumps(_json.loads(
@@ -522,51 +668,61 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                     "differs from the directory's first file — "
                     "mixed-schema reads are refused")
 
-        def sequential(p):
-            with open(p, "rb") as fh:
-                m, recs = avro_read(fh.read())
-            check_schema(m, p)
-            rows = [tuple(_convert(r.get(f["name"]), f["type"])
-                          for f in writer_schema["fields"])
-                    for r in recs]
+        def seq_block(body, n):
+            bcur = _Cursor(body)
+            names: dict = {}
+            rows = []
+            for _ in range(n):
+                r = _decode(bcur, writer_schema, names)
+                rows.append(tuple(_convert(r.get(f["name"]), f["type"])
+                                  for f in writer_schema["fields"]))
             return pd.DataFrame(rows, columns=colnames)
 
-        def vectorized(p, block_fn, nplan):
-            import numpy as np
-            with open(p, "rb") as fh:
-                m, blocks = avro_blocks(fh.read())
-            check_schema(m, p)
-            per_block = [block_fn(body, n, nplan)
-                         for n, body in blocks if n]
-            if not per_block:
-                return pd.DataFrame(columns=colnames)
-            cols = []
-            for i in range(len(nplan)):
-                parts = [blk[i] for blk in per_block]
-                if isinstance(parts[0], list):
-                    cols.append([v for part in parts for v in part])
-                else:
-                    cols.append(np.concatenate(parts))
+        def block_df(body, n):
+            # per-BLOCK dispatch: a malformed-looking block
+            # (oversized, structure scan fails to tile) re-decodes
+            # sequentially — the fast path never guesses
+            if plan is not None:
+                fn, nplan = _decode_block_vectorized, plan
+            elif plan_gen is not None:
+                fn, nplan = _decode_block_general, plan_gen
+            else:
+                return seq_block(body, n)
+            try:
+                cols = fn(body, n, nplan)
+            except ValueError:
+                return seq_block(body, n)
             return pd.DataFrame(dict(zip(colnames, cols)))
 
-        for pdf in batches:
-            for p in pdf["path"]:
-                if plan is not None:
-                    yield vectorized(p, _decode_block_vectorized, plan)
-                elif plan_gen is not None:
-                    # malformed-looking blocks (oversized, structure
-                    # scan fails to tile) re-decode sequentially —
-                    # the fast path never guesses
-                    try:
-                        yield vectorized(p, _decode_block_general,
-                                         plan_gen)
-                    except ValueError:
-                        yield sequential(p)
-                else:
-                    yield sequential(p)
+        def split_frames(p, start, end):
+            file_size = os.path.getsize(p)
+            with open(p, "rb") as fh:
+                m, sync, header_end = _read_header(fh)
+                check_schema(m, p)
+                codec = m.get("avro.codec", b"null").decode("utf-8")
+                pending, pending_bytes = [], 0
+                for n, body in _split_blocks(
+                        fh, sync, codec, start, end, header_end,
+                        file_size):
+                    if not n:
+                        continue
+                    pending.append(block_df(body, n))
+                    pending_bytes += len(body)
+                    if pending_bytes >= batch_bytes:
+                        yield pd.concat(pending, ignore_index=True)
+                        pending, pending_bytes = [], 0
+                if pending:
+                    yield pd.concat(pending, ignore_index=True)
 
-    fdf = (spark.createDataFrame([(p,) for p in files], "path string")
-           .repartition(len(files)))
+        for pdf in batches:
+            for p, start, end in zip(pdf["path"], pdf["start"],
+                                     pdf["end"]):
+                yield from split_frames(p, int(start), int(end))
+
+    splits = plan_splits(files, split_bytes)
+    fdf = (spark.createDataFrame(splits,
+                                 "path string, start long, end long")
+           .repartition(len(splits)))
     return fdf.mapInPandas(decode, spark_schema)
 
 
@@ -603,7 +759,8 @@ def _avro_schema_of(spark_schema, force_required: bool) -> dict:
 
 def write_avro(df: DataFrame, path: str,
                force_required: bool = False,
-               codec: str = "null") -> list[str]:
+               codec: str = "null",
+               block_bytes: int = 4 << 20) -> list[str]:
     """Distributed Avro sink: one object-container file per non-empty
     partition, encoded executor-side (the driver never sees row
     data — only the bounded per-file summary).  Returns the written
@@ -652,10 +809,10 @@ def write_avro(df: DataFrame, path: str,
             out.extend(_zigzag(n) + _zigzag(len(body)) + body + sync)
             n_total += n
 
-        # flush blocks at ~4 MiB: keeps every block inside the
-        # vectorized reader's size cap and bounds per-block decode
-        # memory, like production writers' sync-interval defaults
-        block_bytes = 4 << 20
+        # flush blocks at ~block_bytes (default 4 MiB): keeps every
+        # block inside the vectorized reader's size cap and bounds
+        # per-block decode memory, like production writers'
+        # sync-interval defaults
         body = bytearray()
         n_block = 0
         for pdf in batches:

@@ -107,8 +107,9 @@ def _read_iceberg(spark: SparkSession, path: str, config=None) -> DataFrame:
 @register("avro")
 def _read_avro(spark: SparkSession, path: str, config=None) -> DataFrame:
     """Avro object-container read via the stdlib decoder
-    (sources/avro.py) — no spark-avro jar; one executor task per
-    file, logical types (decimal/date/timestamp) converted."""
+    (sources/avro.py) — no spark-avro jar; sync-marker byte-range
+    splits (one task per ~128 MiB, not per file), logical types
+    (decimal/date/timestamp) converted."""
     from .avro import read_avro
     return read_avro(spark, path)
 
