@@ -253,8 +253,16 @@ def cmd_iceberg(args) -> int:
         n = delete_iceberg(_spark(), args.path,
                            _iceberg_preds(args.where),
                            equality=args.equality)
-        print(json.dumps({"deleted_rows": n,
-                          "equality": bool(args.equality)}))
+        if args.equality:
+            # blind write: n is the count of STAGED delete rows, not
+            # rows removed (no scan happens) — keyed differently so
+            # JSON consumers can't misread it as a row count
+            print(json.dumps({"deleted_rows": None,
+                              "delete_rows_staged": n,
+                              "equality": True}))
+        else:
+            print(json.dumps({"deleted_rows": n,
+                              "equality": False}))
     elif args.action == "update":
         if not args.set:
             print("update requires --set col=expr", flush=True)

@@ -1316,7 +1316,8 @@ def _source_delta_cdf_datasource(spark, sf_dir):
     dt.write(spark, ev.filter(F.col("event_id") > mid))
     delete_delta(spark, base, "event_type = 'error'")
     feed = (spark.read.format("minerva_delta")
-            .option("readChangeFeed", "true").load(base))
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 0).load(base))
     return (feed.groupBy("_change_type", "event_type")
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.sum(F.col("value").cast("decimal(28,4)"))

@@ -323,7 +323,12 @@ def _lit_physical(type_name: str, lit):
             and isinstance(lit, datetime.datetime):
         v = lit if lit.tzinfo is not None \
             else lit.replace(tzinfo=datetime.timezone.utc)
-        return int(v.timestamp() * 1_000_000)
+        # exact integer micros: float .timestamp() can land 1µs off
+        # near representability edges, and pruning must stay
+        # conservative even for equality on a bound value
+        epoch = datetime.datetime(1970, 1, 1,
+                                  tzinfo=datetime.timezone.utc)
+        return (v - epoch) // datetime.timedelta(microseconds=1)
     if type_name == "date" and isinstance(lit, datetime.date) \
             and not isinstance(lit, datetime.datetime):
         return lit.toordinal() - 719163

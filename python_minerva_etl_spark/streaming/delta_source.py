@@ -134,9 +134,17 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
                 id_to_name[int(raw)] = fld.name
         for lg, ph, fid in fmap:
             # a mapped field with no id (the synthetic _change_type
-            # in cdc files) matches by its physical NAME
-            col_of[lg] = (id_to_name.get(fid) if fid is not None
-                          else (ph if ph in file_names else None))
+            # in cdc files) matches by its physical NAME; a FILE
+            # with no PARQUET:field_id metadata at all (written by
+            # an engine that skipped id stamping) resolves by
+            # physicalName like mode "name" — id_to_name is empty,
+            # so an id lookup would null-fill every column and
+            # silently return all-null rows where the batch reader
+            # (parquet.fieldId.read.enabled) fails loudly
+            if fid is not None and id_to_name:
+                col_of[lg] = id_to_name.get(fid)
+            else:
+                col_of[lg] = ph if ph in file_names else None
             pkey[lg] = ph
     want = sorted({c for lg, c in col_of.items()
                    if c is not None and lg not in part_cols})
@@ -293,7 +301,16 @@ class _CdfBatchReader(DataSourceReader):
         avail = dt.versions()
         if not avail:
             raise FileNotFoundError(f"no Delta log at {self.path!r}")
-        start = int(_opt(options, "startingVersion", 0))
+        sv = _opt(options, "startingVersion")
+        if sv is None:
+            # delta-spark's batch readChangeFeed errors without a
+            # starting option; defaulting to 0 here would silently
+            # read the table's FULL change history — very expensive
+            # and semantically different for ported callers
+            raise ValueError(
+                "minerva_delta readChangeFeed requires "
+                "option('startingVersion', …)")
+        start = int(sv)
         endo = _opt(options, "endingVersion")
         end = avail[-1] if endo is None else int(endo)
         snap = dt._replay(end)

@@ -321,7 +321,10 @@ def test_cli_iceberg_equality_delete(spark, tmp_path, capsys):
     assert main(["iceberg", "delete", "--path", p,
                  "--where", "id=3", "--equality"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out == {"deleted_rows": 1, "equality": True}
+    # blind write: staged-row count is keyed separately; deleted_rows
+    # is null so JSON consumers can't misread it as a row count
+    assert out == {"deleted_rows": None, "delete_rows_staged": 1,
+                   "equality": True}
     assert read_iceberg(spark, p).count() == 9
     # mixed op refuses under --equality
     import pytest as _pytest

@@ -399,6 +399,39 @@ def test_batch_reader_column_mapping_name_and_id(ds_spark, tmp_path):
         [(1, "a"), (2, "b")]
 
 
+def test_id_mode_file_without_field_ids_falls_back_to_name(
+        ds_spark, tmp_path):
+    """A file in an id-mode table that carries NO PARQUET:field_id
+    metadata (written by an engine that skipped id stamping) must
+    resolve by physicalName like mode 'name' — NOT silently
+    null-fill every column as 'schema evolution' (the batch reader
+    via parquet.fieldId.read.enabled fails loudly on such files, so
+    returning all-null rows here would be a silent divergence)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_delta_cm import _add, _fld, _log, _pq_with_ids
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    _pq_with_ids(os.path.join(p, "f0.parquet"),
+                 [("col-aaa", 1, pa.array([1], type=pa.int64())),
+                  ("col-bbb", 2, pa.array(["a"]))])
+    # f1: same physical names, NO field_id metadata
+    pq.write_table(pa.table({
+        "col-aaa": pa.array([2], type=pa.int64()),
+        "col-bbb": pa.array(["b"])}),
+        os.path.join(p, "f1.parquet"))
+    _log(p, [_fld("id", "long", "col-aaa", 1),
+             _fld("v", "string", "col-bbb", 2)],
+         [_add("f0.parquet"), _add("f1.parquet")], mode="id")
+    got = ds_spark.read.format("minerva_delta").load(p)
+    assert sorted(tuple(r) for r in got.collect()) == \
+        [(1, "a"), (2, "b")]
+
+
 def test_batch_reader_nested_mapped_refuses(ds_spark, tmp_path):
     import os
 
@@ -475,4 +508,10 @@ def test_batch_cdf_version_range_and_refusals(ds_spark, tmp_path):
     with _pytest.raises(Exception, match="not in Delta log"):
         (ds_spark.read.format("minerva_delta")
          .option("readChangeFeed", "true")
+         .option("startingVersion", 0)
          .option("endingVersion", 99).load(p).collect())
+    # missing startingVersion must ERROR (delta-spark parity), not
+    # silently read the full history
+    with _pytest.raises(Exception, match="startingVersion"):
+        (ds_spark.read.format("minerva_delta")
+         .option("readChangeFeed", "true").load(p).collect())

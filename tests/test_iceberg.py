@@ -1073,3 +1073,24 @@ def test_equality_delete_plan_constant_in_batch_count(spark,
     equality_delete_iceberg(
         spark, p, spark.createDataFrame([(0,), (55,)], "id long"))
     assert read_iceberg(spark, p).count() == 100 - 13
+
+
+def test_lit_physical_timestamp_micros_exact():
+    """Timestamp literals must convert to epoch-micros with EXACT
+    integer arithmetic: float .timestamp()*1e6 drifts 1-3µs for
+    far-future values, and a drifted equality literal that equals a
+    file's lower/upper bound would wrongly prune a matching file."""
+    import datetime as dt
+
+    from python_minerva_etl_spark.storage.iceberg import _lit_physical
+
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    for base, us in [(1704067200, 1), (4102444800, 999999),
+                     (32503680000, 7), (32503680000, 500001)]:
+        t = dt.datetime.fromtimestamp(
+            base, dt.timezone.utc).replace(microsecond=us)
+        want = (t - epoch) // dt.timedelta(microseconds=1)
+        assert _lit_physical("timestamptz", t) == want, t
+        # naive datetimes are treated as UTC
+        assert _lit_physical(
+            "timestamp", t.replace(tzinfo=None)) == want, t
