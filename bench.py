@@ -57,6 +57,7 @@ HEADLINE = [
     "cdc_incremental_agg",
     "dedup_exact",
     "dedup_simhash",
+    "avro_ingest",
     "sim_topk",
     "text_token_stats",
     "text_quality_score",

@@ -4,14 +4,12 @@
 
 Ordering contract: the driver verifies the first 50 catalog entries
 against their DuckDB oracles (CORRECTNESS window).  ``_WINDOW`` below
-rotates every round toward full-catalog driver coverage.  Round 7's
-window CLOSES the catalog: the 9 lake queries added after round 6's
-window froze, the fixed ``text_hash_embed`` (r6's one hard failure),
-this round's three new queries (blind equality delete + the two
-registered-data-source twins), and repeats for
-the two beyond-spread bench rows — green across it means every
-declared query has a driver CORRECTNESS row.  Everything else —
-previously verified representatives — sits after it in ``_DEPTH``.
+rotates every round.  Round 7 CLOSED the catalog (214/214
+driver-offered, all green); round 8's window leads with the round's
+NEW queries (splittable-Avro ingest, upsert-changelog streaming,
+dedup precision twins, …), keeps bench-watch repeats, and retains the
+round-7 window as cheap regression repeats.  Everything else —
+previously driver-verified — sits after it in ``_DEPTH``.
 Both lists are validated against the modules' QUERIES at import time
 — a missing or unknown name raises.
 """
@@ -22,14 +20,20 @@ from .base import DeclaredQuery
 
 # The driver's correctness window.  Keep this at <= 50 entries.
 #
-# ROTATION (round 7): the final mini-rotation — green across it
-# closes the catalog at 214/214 driver-offered (rounds 1-6 verified
-# 202 distinct queries; the 9 lake queries below landed after r6's
-# window froze, text_hash_embed was r6's one hard failure, and
-# sink_iceberg_eqdelete_roundtrip is new this round).
+# ROTATION (round 8): new-this-round queries first, then bench-watch
+# repeats, then the full round-7 window as regression repeats (the
+# catalog closed at 214/214 in r7 — every non-window query already
+# has a green driver row; tests/test_oracle_diff.py still runs ALL).
 _WINDOW = [
-    # the 9 lake queries added in round-6 sessions 3/4 AFTER that
-    # round's window froze — their first driver offer
+    # ---- NEW round 8 ----
+    # Avro ingest through sync-marker byte-range splits (the r7
+    # verdict's #1: the splittable source's first driver offer)
+    "avro_ingest",
+    # ---- repeats (round 8): bench-watch + recent lake surfaces ----
+    "upsert_merge_table",
+    "dedup_simhash",
+    "source_avro_roundtrip",
+    # ---- round-7 window (kept as repeats while it stays cheap) ----
     "sink_delta_dv_roundtrip",
     "sink_delta_merge_roundtrip",
     "sink_delta_replace_where",
@@ -149,7 +153,6 @@ _DEPTH = [
     "cohort_retention",
     "stream_session_parity",
     "stream_enrich_parity",
-    "upsert_merge_table",
     "stream_sliding_parity",
     "data_quality_report",
     "dedup_source_matrix",
@@ -246,7 +249,6 @@ _DEPTH = [
     "agg_hll_reagg",
     "dedup_minhash_pairs",
     "dedup_incremental",
-    "dedup_simhash",
     "dedup_embedding_lsh",
     "embedding_centroids",
     "embedding_quantize",
@@ -261,7 +263,6 @@ _DEPTH = [
     "win_moving_avg",
     "join_asof",
     "sink_iceberg_roundtrip",
-    "source_avro_roundtrip",
 ]
 
 

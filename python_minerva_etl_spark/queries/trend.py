@@ -488,6 +488,48 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _avro_ingest(spark, sf_dir):
+    """OP-SRC-PLUGIN ingest-throughput path: events as a deflate
+    Avro container (mixed nullable types — the GENERAL vectorized
+    decoder, not the all-varint fast path), read back through
+    sync-marker BYTE-RANGE splits (4 MiB, so even the sf0.01 fixture
+    shatters into multiple tasks) and re-aggregated.  The fixture is
+    written ONCE per sf_dir (marker-cached, written with small
+    2 MiB blocks so every split boundary shape occurs): the measured
+    cost is decode + aggregate — the 100 TB entry-point path —
+    not the sink."""
+    from ..sources.avro import read_avro, write_avro
+
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"avro_ingest_{tag}")
+    marker = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value")
+        write_avro(ev.repartition(2), base, codec="deflate",
+                   block_bytes=2 << 20)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = read_avro(spark, base, split_bytes=4 << 20)
+    return (df.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_AVRO_INGEST_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def _sink_delta_merge_roundtrip(spark, sf_dir):
     """OP-SNK MERGE INTO via the Delta row-level DML path
     (storage/delta.py:DeltaTable.merge): the base table holds the
@@ -1376,6 +1418,7 @@ QUERIES = [
     DeclaredQuery("sink_delta_dv_roundtrip", _sink_delta_dv_roundtrip, _SINK_DELTA_DV_ROUNDTRIP_SQL, "OP-SNK (Delta merge-on-read DELETE via deletion vectors)"),
     DeclaredQuery("source_delta_cdf", _source_delta_cdf, _SOURCE_DELTA_CDF_SQL, "OP-SRC (Delta change-data-feed read, derived from commit actions)"),
     DeclaredQuery("source_avro_roundtrip", _source_avro_roundtrip, _SOURCE_AVRO_ROUNDTRIP_SQL, "OP-SRC-PLUGIN (Avro sink + vectorized block decode)"),
+    DeclaredQuery("avro_ingest", _avro_ingest, _AVRO_INGEST_SQL, "OP-SRC-PLUGIN (Avro deflate ingest through sync-marker byte-range splits)"),
     DeclaredQuery("sink_delta_merge_roundtrip", _sink_delta_merge_roundtrip, _SINK_DELTA_MERGE_ROUNDTRIP_SQL, "OP-SNK (Delta MERGE INTO: merge-on-read update + insert)"),
     DeclaredQuery("source_delta_cdf_update", _source_delta_cdf_update, _SOURCE_DELTA_CDF_UPDATE_SQL, "OP-SRC (Delta CDF write path: UPDATE pre/post images via cdc actions)"),
     DeclaredQuery("source_iceberg_incremental", _source_iceberg_incremental, _SOURCE_ICEBERG_INCREMENTAL_SQL, "OP-SRC (Iceberg incremental append scan between snapshots)"),
