@@ -214,16 +214,25 @@ def _decode_block_vectorized(body: bytes, n_records: int, plan):
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    # shift each byte's 7-bit group into place, then sum per varint.
-    # Group offsets never exceed 9 (10-byte max varint), so the shift
-    # fits uint64; np.add.reduceat sums disjoint bit ranges exactly.
-    group = np.zeros(len(b), dtype=np.int64)
-    np.add.at(group, starts[1:], 1)
-    group = np.cumsum(group)
-    offset = np.arange(len(b), dtype=np.int64) - starts[group]
-    shifted = ((b & 0x7F).astype(np.uint64)
-               << (7 * offset).astype(np.uint64))
-    u = np.add.reduceat(shifted, starts)
+    # level iteration: OR each varint's k-th continuation byte into
+    # place, shrinking to the still-continuing subset each level —
+    # O(total varint bytes) with per-VARINT vector ops, ~1.5x the
+    # per-BYTE group/cumsum/reduceat formulation it replaces (and
+    # far less peak memory: no O(B) int64 scratch).  Levels are
+    # bounded by the 10-byte max varint; the b[-1] continuation
+    # check above plus the ends-count check guarantee starts[idx]+k
+    # stays in bounds.
+    first = b[starts].astype(np.uint64)
+    u = first & np.uint64(0x7F)
+    idx = np.flatnonzero(first & np.uint64(0x80))
+    k = 1
+    while idx.size:
+        if k > 9:  # 10-byte max varint; more = malformed block
+            raise ValueError("avro: varint longer than 10 bytes")
+        byt = b[starts[idx] + k].astype(np.uint64)
+        u[idx] |= (byt & np.uint64(0x7F)) << np.uint64(7 * k)
+        idx = idx[(byt & np.uint64(0x80)) != 0]
+        k += 1
     mat = u.reshape(n_records, nfields)
     cols = []
     for i, (kind, extra) in enumerate(plan):
