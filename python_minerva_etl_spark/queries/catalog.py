@@ -29,6 +29,9 @@ _WINDOW = [
     # Avro ingest through sync-marker byte-range splits (the r7
     # verdict's #1: the splittable source's first driver offer)
     "avro_ingest",
+    # upsert-table changelog streaming consumer (r7 verdict #2) —
+    # oracle-backed: delete PRE-IMAGE values enter the signed sum
+    "stream_iceberg_upsert_parity",
     # ---- repeats (round 8): bench-watch + recent lake surfaces ----
     "upsert_merge_table",
     "dedup_simhash",

@@ -1403,7 +1403,80 @@ def _source_iceberg_eqdelete_datasource(spark, sf_dir):
                  .alias("sum_value")))
 
 
+def _stream_iceberg_upsert_parity(spark, sf_dir):
+    """OP-STR-INGEST changelog over an Iceberg UPSERT table (the
+    consumer half of the Flink/Paimon CDC story;
+    streaming/iceberg_source.py `option("changelog","true")`): the
+    same blind-equality-delete-then-re-insert table as
+    ``sink_iceberg_eqdelete_roundtrip``, tailed as a RETRACTION
+    stream.  The feed's SIGNED aggregate must equal the oracle's
+    reconstruction of insert/delete traffic computed directly on
+    events — the delete rows' PRE-IMAGE values enter net_sum with
+    their original values, so a wrong pre-image breaks the hash, not
+    just the row count."""
+    import uuid as _uuid
+
+    from ..storage.iceberg_write import (equality_delete_iceberg,
+                                         write_iceberg)
+    from ..streaming.iceberg_source import register_iceberg_source
+
+    register_iceberg_source(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"iceberg_upsert_cl_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, ev, base)
+    keys = (ev.filter(F.col("user_id") % 7 == 0)
+            .select("user_id").distinct())
+    equality_delete_iceberg(spark, base, keys)
+    corrected = (ev.filter(F.col("user_id") % 14 == 0)
+                 .withColumn("value", F.col("value") + 1000))
+    write_iceberg(spark, corrected, base)
+
+    sink = f"ice_upsert_cl_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("minerva_iceberg")
+         .option("changelog", "true").load(base)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    feed = spark.table(sink)
+    ins = F.col("_change_type") == "insert"
+    vdec = F.col("value").cast("decimal(28,4)")
+    return (feed.groupBy("event_type")
+            .agg(F.sum(F.when(ins, 1).otherwise(-1))
+                 .cast("bigint").alias("net_n"),
+                 F.sum(F.when(ins, vdec).otherwise(-vdec))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("net_sum"),
+                 F.sum(F.when(ins, 0).otherwise(1))
+                 .cast("bigint").alias("del_n")))
+
+
+_STREAM_ICEBERG_UPSERT_PARITY_SQL = """
+WITH feed AS (
+  SELECT 'i' AS kind, event_type, value FROM events
+  UNION ALL
+  SELECT 'i', event_type, value + 1000 FROM events
+  WHERE user_id % 14 = 0
+  UNION ALL
+  SELECT 'd', event_type, value FROM events WHERE user_id % 7 = 0
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN kind = 'i' THEN 1 ELSE -1 END)
+            AS BIGINT) AS net_n,
+       CAST(CAST(SUM(CASE WHEN kind = 'i'
+                          THEN CAST(value AS DECIMAL(28,4))
+                          ELSE -CAST(value AS DECIMAL(28,4)) END)
+                 AS DECIMAL(28,4)) AS DOUBLE) AS net_sum,
+       CAST(SUM(CASE WHEN kind = 'd' THEN 1 ELSE 0 END)
+            AS BIGINT) AS del_n
+FROM feed GROUP BY 1
+"""
+
+
 QUERIES = [
+    DeclaredQuery("stream_iceberg_upsert_parity", _stream_iceberg_upsert_parity, _STREAM_ICEBERG_UPSERT_PARITY_SQL, "OP-STR-INGEST/OP-SRC (Iceberg upsert-table changelog streaming consumer)"),
     DeclaredQuery("reshape_wide", _reshape_wide, _RESHAPE_WIDE_SQL, "OP-TYPE/loader pivot"),
     DeclaredQuery("reshape_long", _reshape_long, _RESHAPE_LONG_SQL, "OP-TYPE/loader unpivot"),
     DeclaredQuery("trigger_threshold", _trigger_threshold, _TRIGGER_THRESHOLD_SQL, "OP-TRIG-THRESH"),

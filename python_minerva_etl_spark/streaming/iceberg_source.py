@@ -16,12 +16,22 @@ input partition per file, pyarrow decode executor-side), delete
 snapshots are skipped, replace/overwrite snapshots fail the stream
 (rewritten files would double-count).
 
+``option("changelog", "true")`` upgrades the stream to a RETRACTION
+feed over a Flink/Paimon-style upsert table (the consumer half of
+:func:`storage.iceberg_write.equality_delete_iceberg`'s producer
+story): appends emit ``_change_type='insert'`` rows, delete
+snapshots emit the full PRE-IMAGES of the newly-dead rows as
+``_change_type='delete'`` (position AND equality deletes,
+sequence-ordered), replace/compaction snapshots emit nothing, and
+``_change_ordinal`` / ``_commit_snapshot_id`` give the feed a total
+order — a downstream aggregate can be maintained with signed
+re-aggregation exactly like the Delta CDF path.
+
 Scope: parquet data files.  BATCH mode applies merge-on-read
 POSITION deletes executor-side (each file's deleted row ordinals
 mask its pyarrow read — positions are 0-based per file, exactly the
-spec's addressing); EQUALITY deletes refuse toward ``read_iceberg``
-(sequence-ordered anti-joins want the full engine).  The streaming
-side never sees delete files (append snapshots only).
+spec's addressing) and sequence-ordered EQUALITY deletes (each task
+anti-joins its own rows against the small delete parquet).
 """
 
 from __future__ import annotations
@@ -66,10 +76,10 @@ class _IceFilePartition(InputPartition):
         self.eq_deletes = eq_deletes
 
 
-def _deleted_positions(p: _IceFilePartition):
-    """Sorted 0-based row ordinals the snapshot's position-delete
-    files mask out of THIS data file (executor-side: each task reads
-    only the small delete parquet, filtered to its own file path)."""
+def _deleted_positions(orig_path: str, delete_paths):
+    """0-based row ordinals the given position-delete files mask out
+    of THIS data file (executor-side: each task reads only the small
+    delete parquet, filtered to its own file path)."""
     import re
 
     import pyarrow as pa
@@ -79,9 +89,9 @@ def _deleted_positions(p: _IceFilePartition):
     def norm(x: str) -> str:
         return re.sub("^file:/+", "/", x)
 
-    mine = pa.array(sorted({norm(p.orig_path)}))
+    mine = pa.array(sorted({norm(orig_path)}))
     out = set()
-    for dp in p.delete_paths:
+    for dp in delete_paths:
         t = pq.read_table(dp, columns=["file_path", "pos"])
         mask = pc.is_in(pc.replace_substring_regex(
             t.column("file_path"), "^file:/+", "/"),
@@ -90,12 +100,62 @@ def _deleted_positions(p: _IceFilePartition):
     return out
 
 
+def _pos_dead_mask(orig_path: str, delete_paths, nrows: int):
+    """Bool mask over the RAW file ordinals: True = row masked by a
+    position-delete file (0-based per-file addressing, the spec's)."""
+    import numpy as np
+
+    mask = np.zeros(nrows, dtype=bool)
+    if not delete_paths:
+        return mask
+    dead = _deleted_positions(orig_path, delete_paths)
+    if dead:
+        idx = np.fromiter((i for i in dead if i < nrows),
+                          dtype=np.int64)
+        mask[idx] = True
+    return mask
+
+
+def _eq_dead_mask(tbl, file_seq, eq_deletes):
+    """Bool mask over ``tbl``'s rows: True = row killed by one of
+    the sequence-ordered equality deletes (an equality delete
+    applies only to data files with a STRICTLY smaller sequence
+    number).  ONE merge per key-column set regardless of how many
+    CDC batches' delete files apply."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    mask = np.zeros(tbl.num_rows, dtype=bool)
+    if not eq_deletes or not tbl.num_rows:
+        return mask
+    groups: dict = {}
+    for dpath, dseq, key_cols in eq_deletes:
+        if file_seq is None or file_seq >= dseq:
+            continue
+        groups.setdefault(key_cols, []).append(dpath)
+    for key_cols, dpaths in groups.items():
+        dels = pd.concat(
+            [pq.read_table(dp, columns=list(key_cols)).to_pandas()
+             for dp in dpaths]).drop_duplicates()
+        if not len(dels):
+            continue
+        keys = tbl.select(list(key_cols)).to_pandas()
+        # pandas merge matches missing values against each other
+        # — exactly the null-safe (IS NULL) match the spec needs
+        hit = keys.merge(dels.assign(__eqdel=1), how="left",
+                         on=list(key_cols))["__eqdel"].notna()
+        mask |= hit.to_numpy()
+    return mask
+
+
 def _read_ice_partition(p: _IceFilePartition,
                         schema: T.StructType):
     """One Iceberg data file → pyarrow RecordBatches matching the
     table schema (files carry every column — identity-partitioned
     writers included; schema-evolution gaps null-fill); position
-    deletes mask rows by their 0-based ordinal before emission."""
+    deletes mask rows by their 0-based ordinal, then sequence-ordered
+    equality deletes mask by key match, before emission."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -105,41 +165,11 @@ def _read_ice_partition(p: _IceFilePartition,
     want = [f.name for f in schema.fields]
     tbl = pq.read_table(p.file_path,
                         columns=[c for c in want if c in have])
-    if p.delete_paths:
-        dead = _deleted_positions(p)
-        if dead:
-            import numpy as np
-            keep = np.ones(tbl.num_rows, dtype=bool)
-            idx = np.fromiter((i for i in dead if i < tbl.num_rows),
-                              dtype=np.int64)
-            keep[idx] = False
-            tbl = tbl.filter(pa.array(keep))
-    if p.eq_deletes and tbl.num_rows:
-        import pandas as pd
-
-        # spec ordering first (an equality delete applies only to
-        # data files with a STRICTLY smaller sequence number), then
-        # ONE merge per key-column set regardless of how many CDC
-        # batches' delete files apply
-        groups: dict = {}
-        for dpath, dseq, key_cols in p.eq_deletes:
-            if p.file_seq is None or p.file_seq >= dseq:
-                continue
-            groups.setdefault(key_cols, []).append(dpath)
-        for key_cols, dpaths in groups.items():
-            if tbl.num_rows == 0:
-                break
-            dels = pd.concat(
-                [pq.read_table(dp, columns=list(key_cols)).to_pandas()
-                 for dp in dpaths]).drop_duplicates()
-            if not len(dels):
-                continue
-            keys = tbl.select(list(key_cols)).to_pandas()
-            # pandas merge matches missing values against each other
-            # — exactly the null-safe (IS NULL) match the spec needs
-            hit = keys.merge(dels.assign(__eqdel=1), how="left",
-                             on=list(key_cols))["__eqdel"].notna()
-            tbl = tbl.filter(pa.array(~hit.to_numpy()))
+    keep = ~(_pos_dead_mask(p.orig_path, p.delete_paths,
+                            tbl.num_rows)
+             | _eq_dead_mask(tbl, p.file_seq, p.eq_deletes))
+    if not keep.all():
+        tbl = tbl.filter(pa.array(keep))
     arrays = []
     for f in schema.fields:
         at = target.field(f.name).type
@@ -150,6 +180,106 @@ def _read_ice_partition(p: _IceFilePartition,
     out = pa.table(arrays, schema=target)
     for batch in out.to_batches():
         yield batch
+
+
+# --------------------------------------------- changelog streaming
+#
+# ``option("changelog", "true")`` turns the stream into a RETRACTION
+# feed (the consumer half of the Flink/Paimon-style upsert-table CDC
+# story; mirrors upstream Iceberg's create_changelog_view column
+# convention): every emitted row is the FULL table row plus
+# ``_change_type`` ('insert' | 'delete'), ``_change_ordinal`` (the
+# commit's data sequence number — total order across the feed) and
+# ``_commit_snapshot_id``.  Per snapshot:
+#
+#   append    → the added files' rows as 'insert'
+#   delete    → the PRE-IMAGES of the newly-dead rows as 'delete':
+#               rows live under the PARENT snapshot's delete state
+#               that the snapshot's newly-added position/equality
+#               delete files kill (computed executor-side per parent
+#               data file — one task per file, each reading only its
+#               own file plus the small delete parquets)
+#   replace   → nothing (compaction is row-set-neutral)
+#   overwrite → refuse (row-level delta not derivable)
+
+_CHANGELOG_COLS = [("_change_type", T.StringType()),
+                   ("_change_ordinal", T.LongType()),
+                   ("_commit_snapshot_id", T.LongType())]
+
+
+def _changelog_schema(base: T.StructType) -> T.StructType:
+    fields = list(base.fields)
+    for name, dtype in _CHANGELOG_COLS:
+        fields.append(T.StructField(name, dtype, False))
+    return T.StructType(fields)
+
+
+class _IceChangePartition(InputPartition):
+    def __init__(self, fp: _IceFilePartition, kind: str,
+                 snapshot_id: int, ordinal: int,
+                 new_pos: tuple[str, ...] = (),
+                 new_eq: tuple = ()):
+        self.fp = fp          # parent-state deletes live on fp
+        self.kind = kind      # "insert" | "delete"
+        self.snapshot_id = snapshot_id
+        self.ordinal = ordinal
+        self.new_pos = new_pos  # position-delete files ADDED by the
+        self.new_eq = new_eq    # snapshot; kind == "delete" only
+
+
+def _read_change_partition(p: _IceChangePartition,
+                           base_schema: T.StructType,
+                           out_schema: T.StructType):
+    """One changelog input partition → RecordBatches of table rows +
+    change columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(out_schema)
+
+    def tag(tbl: "pa.Table"):
+        n = tbl.num_rows
+        arrays = [tbl.column(i) for i in range(tbl.num_columns)]
+        for (name, _), v in zip(_CHANGELOG_COLS,
+                                (p.kind, p.ordinal, p.snapshot_id)):
+            arrays.append(pa.array([v] * n).cast(
+                target.field(name).type))
+        out = pa.table(arrays, schema=target)
+        yield from out.to_batches()
+
+    if p.kind == "insert":
+        for batch in _read_ice_partition(p.fp, base_schema):
+            yield from tag(pa.Table.from_batches([batch]))
+        return
+
+    fp = p.fp
+    have = set(pq.ParquetFile(fp.file_path).schema_arrow.names)
+    want = [f.name for f in base_schema.fields]
+    tbl = pq.read_table(fp.file_path,
+                        columns=[c for c in want if c in have])
+    # live under the PARENT's delete state ...
+    alive = ~(_pos_dead_mask(fp.orig_path, fp.delete_paths,
+                             tbl.num_rows)
+              | _eq_dead_mask(tbl, fp.file_seq, fp.eq_deletes))
+    # ... and killed by the snapshot's NEW delete files
+    newly_dead = (_pos_dead_mask(fp.orig_path, p.new_pos,
+                                 tbl.num_rows)
+                  | _eq_dead_mask(tbl, fp.file_seq, p.new_eq))
+    emit = alive & newly_dead
+    if not emit.any():
+        return
+    tbl = tbl.filter(pa.array(emit))
+    arrays = []
+    for f in base_schema.fields:
+        at = target.field(f.name).type
+        if f.name not in have:
+            arrays.append(pa.nulls(tbl.num_rows, type=at))
+        else:
+            arrays.append(tbl.column(f.name).cast(at))
+    named = pa.table(arrays, schema=pa.schema(
+        [target.field(f.name) for f in base_schema.fields]))
+    yield from tag(named)
 
 
 def _parquet_paths(files: list[dict]) -> list[str]:
@@ -287,15 +417,21 @@ class _IceStreamReader(DataSourceStreamReader):
             raise ValueError("minerva_iceberg requires a path")
         self.tbl = IcebergTable(self.path)
         md = self.tbl.metadata()
-        self.schema_ = _to_spark_schema(self.tbl._current_schema(md))
+        self.ice_schema = self.tbl._current_schema(md)
+        self.schema_ = _to_spark_schema(self.ice_schema)
         frm = _opt(options, "fromSnapshotId")
         self.from_snapshot = int(frm) if frm is not None else None
+        self.changelog = str(_opt(
+            options, "changelog", "false")).lower() == "true"
+        self.out_schema = (_changelog_schema(self.schema_)
+                           if self.changelog else self.schema_)
         # upstream Spark-Iceberg option names; our delete default is
-        # true (documented divergence: this source is an append
-        # stream, so retraction-only snapshots emit nothing anyway)
+        # true for the APPEND stream (documented divergence:
+        # retraction-only snapshots emit nothing there anyway) and
+        # false for the CHANGELOG stream (deletes are its point)
         self.skip_deletes = str(_opt(
             options, "streaming-skip-delete-snapshots",
-            "true")).lower() == "true"
+            "false" if self.changelog else "true")).lower() == "true"
         self.skip_overwrites = str(_opt(
             options, "streaming-skip-overwrite-snapshots",
             "false")).lower() == "true"
@@ -345,6 +481,9 @@ class _IceStreamReader(DataSourceStreamReader):
                 f"{start_id} is not an ancestor of {end_id} — the "
                 "table history diverged (rollback?); restart the "
                 "stream from a valid snapshot")
+        if self.changelog:
+            return self._changelog_partitions(md, snaps, ordered,
+                                              chain)
         files: list[dict] = []
         for s in reversed(chain):
             op = (s.get("summary") or {}).get("operation", "append")
@@ -354,7 +493,9 @@ class _IceStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"minerva_iceberg stream: snapshot "
                     f"{s['snapshot-id']} is a delete and "
-                    "streaming-skip-delete-snapshots=false")
+                    "streaming-skip-delete-snapshots=false — pass "
+                    "option('changelog', 'true') for a retraction "
+                    "stream")
             if op != "append":
                 if self.skip_overwrites and op in ("overwrite",
                                                    "replace"):
@@ -369,7 +510,94 @@ class _IceStreamReader(DataSourceStreamReader):
         return [_IceFilePartition(p)
                 for p in _parquet_paths(files)]
 
+    def _changelog_partitions(self, md, snaps, ordered, chain):
+        """Chain (oldest→newest) → changelog input partitions."""
+        by_id = {f["id"]: f["name"]
+                 for f in self.ice_schema["fields"]}
+
+        def eq_state(dels):
+            eq = []
+            for d in dels:
+                if d.get("content") != 2:
+                    continue
+                cols = tuple(by_id.get(i) for i in
+                             (d.get("equality_ids") or ()))
+                if not cols or any(c is None for c in cols):
+                    raise ValueError(
+                        "minerva_iceberg changelog: equality delete "
+                        "references unknown field ids")
+                if d.get("_seq") is None:
+                    raise ValueError(
+                        "minerva_iceberg changelog: equality delete "
+                        "without a sequence number")
+                eq.append((_localize(d["file_path"]),
+                           int(d["_seq"]), cols))
+            return tuple(eq)
+
+        parts: list[_IceChangePartition] = []
+        for s in reversed(chain):
+            sid = s["snapshot-id"]
+            ordinal = int(s.get("sequence-number") or 0)
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction: row-set neutral
+            if op == "append":
+                files = self.tbl._added_files(s)
+                paths = _parquet_paths(files)
+                for p, f in zip(paths, files):
+                    parts.append(_IceChangePartition(
+                        _IceFilePartition(p, f["file_path"]),
+                        "insert", sid, ordinal))
+                continue
+            if op != "delete":
+                raise ValueError(
+                    f"minerva_iceberg changelog: snapshot {sid} is "
+                    f"{op!r} — the row-level delta of an overwrite "
+                    "is not derivable")
+            if self.skip_deletes:
+                continue
+            parent_id = s.get("parent-snapshot-id")
+            if parent_id is None:
+                i = ordered.index(sid)
+                parent_id = ordered[i - 1] if i > 0 else None
+            parent = snaps.get(parent_id) \
+                if parent_id is not None else None
+            if parent is None:
+                continue  # nothing was live: nothing to retract
+            files_p, dels_p = self.tbl._data_files(parent, (), md)
+            _, dels_s = self.tbl._data_files(s, (), md)
+            seen = {d["file_path"] for d in dels_p}
+            new = [d for d in dels_s
+                   if d["file_path"] not in seen]
+            new_pos = tuple(_localize(d["file_path"]) for d in new
+                            if d.get("content") == 1)
+            new_eq = eq_state(new)
+            if not new_pos and not new_eq:
+                continue
+            parent_pos = tuple(_localize(d["file_path"])
+                               for d in dels_p
+                               if d.get("content") == 1)
+            parent_eq = eq_state(dels_p)
+            max_dseq = max((dseq for _, dseq, _ in new_eq),
+                           default=None)
+            paths = _parquet_paths(files_p)
+            for p, f in zip(paths, files_p):
+                fseq = (int(f["_seq"])
+                        if f.get("_seq") is not None else None)
+                if not new_pos and max_dseq is not None \
+                        and fseq is not None and fseq >= max_dseq:
+                    continue  # no new delete can touch this file
+                parts.append(_IceChangePartition(
+                    _IceFilePartition(p, f["file_path"], parent_pos,
+                                      file_seq=fseq,
+                                      eq_deletes=parent_eq),
+                    "delete", sid, ordinal, new_pos, new_eq))
+        return parts
+
     def read(self, partition):
+        if isinstance(partition, _IceChangePartition):
+            return _read_change_partition(partition, self.schema_,
+                                          self.out_schema)
         return _read_ice_partition(partition, self.schema_)
 
     def commit(self, end: dict) -> None:
@@ -569,7 +797,11 @@ class MinervaIcebergDataSource(DataSource):
         path = _opt(dict(self.options), "path")
         if not path:
             raise ValueError("minerva_iceberg requires a path")
-        return IcebergTable(path).schema()
+        base = IcebergTable(path).schema()
+        if str(_opt(dict(self.options), "changelog",
+                    "false")).lower() == "true":
+            return _changelog_schema(base)
+        return base
 
     def reader(self, schema) -> DataSourceReader:
         return _IceBatchReader(dict(self.options))

@@ -439,3 +439,161 @@ def test_batch_reader_applies_equality_deletes(ice_spark, tmp_path):
     got = ice_spark.read.format("minerva_iceberg").load(p)
     assert _rows(got) == [(1, "back"), (4, "d")]
     assert _rows(got) == _rows(read_iceberg(ice_spark, p))
+
+
+# ------------------------------------------------ changelog stream
+
+
+def _changelog(ice_spark, p, qname, **opts):
+    r = ice_spark.readStream.format("minerva_iceberg") \
+        .option("changelog", "true")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (r.load(p).writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return ice_spark.sql(f"SELECT * FROM {qname}")
+
+
+def test_changelog_upsert_feed_and_net_state(ice_spark, tmp_path):
+    """The retraction feed over a Flink/Paimon-style upsert table:
+    appends emit inserts, an equality-delete snapshot emits the full
+    PRE-IMAGES of the killed rows, a later re-insert survives, a
+    position-delete snapshot emits its pre-images — and the SIGNED
+    sum of the feed reconstructs the batch read exactly."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(10)],
+        "id long, grp string, v double"), p)
+    equality_delete_iceberg(ice_spark, p, ice_spark.createDataFrame(
+        [(2,), (5,), (8,)], "id long"))
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(5, "u9", 55.0), (20, "u9", 20.0)],
+        "id long, grp string, v double"), p)
+    delete_iceberg(ice_spark, p, [("grp", "=", "u1")])
+
+    feed = _changelog(ice_spark, p, "cl_net")
+    assert sorted(feed.columns) == sorted(
+        ["id", "grp", "v", "_change_type", "_change_ordinal",
+         "_commit_snapshot_id"])
+    # eq-delete pre-images carry the ORIGINAL row values
+    dels2 = _rows(feed.filter("_change_ordinal = 2")
+                  .select("id", "grp", "v", "_change_type"))
+    assert dels2 == [(2, "u2", 2.0, "delete"),
+                     (5, "u2", 5.0, "delete"),
+                     (8, "u2", 8.0, "delete")]
+    # position-delete pre-images: the grp=u1 rows live at that point
+    dels4 = _rows(feed.filter("_change_ordinal = 4")
+                  .select("id", "grp", "v", "_change_type"))
+    assert dels4 == [(1, "u1", 1.0, "delete"),
+                     (4, "u1", 4.0, "delete"),
+                     (7, "u1", 7.0, "delete")]
+    net = (feed.withColumn(
+        "sgn", F.when(F.col("_change_type") == "insert", 1)
+        .otherwise(-1))
+        .groupBy("id", "grp", "v").agg(F.sum("sgn").alias("s"))
+        .filter("s <> 0"))
+    assert net.filter("s <> 1").count() == 0
+    assert _rows(net.select("id", "grp", "v")) == \
+        _rows(read_iceberg(ice_spark, p))
+
+
+def test_changelog_maintained_aggregate_parity(ice_spark, tmp_path):
+    """cdc_incremental_agg's shape from an Iceberg upsert table: a
+    per-group SUM/COUNT maintained by signed re-aggregation of the
+    changelog equals the from-scratch aggregate of the final
+    snapshot."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(i, f"g{i % 4}", float(i * 3 % 17)) for i in range(40)],
+        "id long, grp string, v double"), p)
+    equality_delete_iceberg(ice_spark, p, ice_spark.createDataFrame(
+        [(i,) for i in range(0, 40, 5)], "id long"))
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(100 + i, f"g{i % 4}", 9.0) for i in range(6)],
+        "id long, grp string, v double"), p)
+
+    feed = _changelog(ice_spark, p, "cl_agg")
+    sgn = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    maintained = (feed.groupBy("grp").agg(
+        F.sum(sgn * F.col("v")).alias("sum_v"),
+        F.sum(sgn).alias("n")))
+    fresh = (read_iceberg(ice_spark, p).groupBy("grp").agg(
+        F.sum("v").alias("sum_v"),
+        F.count("*").cast("long").alias("n")))
+    assert _rows(maintained) == _rows(fresh)
+
+
+def test_changelog_compaction_emits_nothing(ice_spark, tmp_path):
+    """A replace (compaction) snapshot is row-set-neutral: the feed
+    must not re-emit rewritten rows."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        compact_iceberg, equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(6).toDF("id"), p)
+    equality_delete_iceberg(ice_spark, p, ice_spark.createDataFrame(
+        [(1,), (4,)], "id long"))
+    compact_iceberg(ice_spark, p)
+    feed = _changelog(ice_spark, p, "cl_comp")
+    assert feed.count() == 6 + 2  # 6 inserts + 2 deletes, no re-emit
+    # and post-compaction appends still stream
+    write_iceberg(ice_spark, ice_spark.range(10, 12).toDF("id"), p)
+    feed = _changelog(ice_spark, p, "cl_comp2")
+    assert feed.count() == 10
+
+
+def test_changelog_from_snapshot_and_skip_option(ice_spark,
+                                                 tmp_path):
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(4).toDF("id"), p)
+    s1 = IcebergTable(p).metadata()["current-snapshot-id"]
+    equality_delete_iceberg(ice_spark, p, ice_spark.createDataFrame(
+        [(0,)], "id long"))
+    write_iceberg(ice_spark, ice_spark.range(7, 9).toDF("id"), p)
+    feed = _changelog(ice_spark, p, "cl_from", fromSnapshotId=s1)
+    assert _rows(feed.select("id", "_change_type")) == [
+        (0, "delete"), (7, "insert"), (8, "insert")]
+    # explicit skip-delete opt-out still works in changelog mode
+    feed = _changelog(ice_spark, p, "cl_skip", fromSnapshotId=s1,
+                      **{"streaming-skip-delete-snapshots": "true"})
+    assert _rows(feed.select("id", "_change_type")) == [
+        (7, "insert"), (8, "insert")]
+
+
+def test_changelog_overwrite_refuses(ice_spark, tmp_path):
+    """An overwrite snapshot's row-level delta is not derivable —
+    the changelog stream must fail loudly, not guess."""
+    import json
+    import os
+
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(3).toDF("id"), p)
+    # hand-stamp the snapshot summary to an overwrite operation
+    mdir = os.path.join(p, "metadata")
+    mfile = sorted(f for f in os.listdir(mdir)
+                   if f.endswith(".metadata.json"))[-1]
+    fp = os.path.join(mdir, mfile)
+    md = json.load(open(fp))
+    md["snapshots"][-1]["summary"]["operation"] = "overwrite"
+    json.dump(md, open(fp, "w"))
+    with pytest.raises(StreamingQueryException,
+                       match="not derivable|overwrite"):
+        q = (ice_spark.readStream.format("minerva_iceberg")
+             .option("changelog", "true").load(p)
+             .writeStream.format("memory").queryName("cl_ow")
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
