@@ -244,8 +244,23 @@ def cmd_iceberg(args) -> int:
 
     if args.action == "compact":
         spark = _spark()
-        sid = compact_iceberg(spark, args.path)
-        print(json.dumps({"replace_snapshot_id": sid}))
+        if args.max_delete_files is not None \
+                or args.max_deleted_ratio is not None:
+            from .storage.iceberg_write import (compaction_stats,
+                                                maybe_compact_iceberg)
+            stats = compaction_stats(args.path)
+            kw = {}
+            if args.max_delete_files is not None:
+                kw["max_delete_files"] = args.max_delete_files
+            if args.max_deleted_ratio is not None:
+                kw["max_deleted_ratio"] = args.max_deleted_ratio
+            sid = maybe_compact_iceberg(spark, args.path, **kw)
+            print(json.dumps({"replace_snapshot_id": sid,
+                              "compacted": sid is not None,
+                              "stats_before": stats}))
+        else:
+            sid = compact_iceberg(spark, args.path)
+            print(json.dumps({"replace_snapshot_id": sid}))
     elif args.action == "delete":
         if not args.where:
             print("delete requires --where col<op>value", flush=True)
@@ -486,6 +501,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="delete: write a BLIND equality-delete row "
                         "instead of scanning for positions (all "
                         "--where ops must be '=')")
+    s.add_argument("--max-delete-files", type=int, default=None,
+                   help="compact: only when the live snapshot has "
+                        "more delete files than this (policy mode)")
+    s.add_argument("--max-deleted-ratio", type=float, default=None,
+                   help="compact: only when delete-file rows / "
+                        "data-file rows exceeds this (policy mode)")
     s.set_defaults(fn=cmd_iceberg)
 
     s = sub.add_parser("validate",

@@ -1919,6 +1919,62 @@ def compact_iceberg(spark: SparkSession, path: str,
         f"{max_commit_attempts} times at {path!r}")
 
 
+def compaction_stats(path: str) -> dict:
+    """Bounded, manifest-only stats the compaction policy reads (no
+    data-file access, no Spark job): live delete-file count and the
+    estimated deleted-row ratio.  ``deleted_ratio`` is
+    delete-file record_count over data-file record_count — exact for
+    position deletes, a LOWER bound for equality deletes (one key
+    row can kill many data rows), so a policy keyed on it compacts
+    no later than the true ratio warrants for position deletes and
+    conservatively for equality deletes; the delete-FILE count bound
+    exists precisely to cap the per-read join count either way."""
+    table = IcebergTable(path)
+    md = table.metadata()
+    snap = table._snapshot(md, None)
+    if not snap:
+        return {"delete_files": 0, "deleted_ratio": 0.0,
+                "data_files": 0}
+    data_files, delete_files = table._data_files(snap)
+    data_rows = sum(int(f.get("record_count") or 0)
+                    for f in data_files)
+    del_rows = sum(int(f.get("record_count") or 0)
+                   for f in delete_files)
+    return {"delete_files": len(delete_files),
+            "data_files": len(data_files),
+            "deleted_ratio": (del_rows / data_rows
+                              if data_rows else 0.0)}
+
+
+def maybe_compact_iceberg(spark: SparkSession, path: str,
+                          max_delete_files: int = 8,
+                          max_deleted_ratio: float = 0.10,
+                          max_commit_attempts: int = 5
+                          ) -> int | None:
+    """Threshold-policy compaction for merge-on-read tables (the
+    cadence hook the CDC-upsert story needs: every equality-delete
+    epoch adds one anti-join to every subsequent read until a
+    compaction reclaims it — PERF.md's measured +0.59 s/epoch at
+    1M rows).  Compacts via :func:`compact_iceberg` when the live
+    snapshot exceeds EITHER bound:
+
+    - ``max_delete_files``: caps the number of delete files (and so
+      the per-read join count) regardless of table size;
+    - ``max_deleted_ratio``: caps the fraction of masked rows (dead
+      bytes scanned and filtered on every read).
+
+    Returns the replace-snapshot id when it compacted, else None.
+    The decision reads MANIFEST stats only (:func:`compaction_stats`
+    — no data scan), so calling this every micro-batch from a
+    ``foreachBatch`` sink costs microseconds until it triggers."""
+    st = compaction_stats(path)
+    if st["delete_files"] <= max_delete_files \
+            and st["deleted_ratio"] <= max_deleted_ratio:
+        return None
+    return compact_iceberg(spark, path,
+                           max_commit_attempts=max_commit_attempts)
+
+
 def tag_iceberg(path: str, name: str,
                 snapshot_id: int | None = None,
                 ref_type: str = "tag") -> int:

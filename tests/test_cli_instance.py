@@ -331,3 +331,30 @@ def test_cli_iceberg_equality_delete(spark, tmp_path, capsys):
     with _pytest.raises(ValueError, match="'=' predicates only"):
         main(["iceberg", "delete", "--path", p,
               "--where", "id<5", "--equality"])
+
+
+def test_cli_iceberg_compact_policy(spark, tmp_path, capsys):
+    import json as _json
+
+    from python_minerva_etl_spark.cli import main
+    from python_minerva_etl_spark.storage.iceberg import read_iceberg
+    from python_minerva_etl_spark.storage.iceberg_write import \
+        write_iceberg
+
+    p = str(tmp_path / "i")
+    write_iceberg(spark, spark.range(0, 20).toDF("id"), p)
+    assert main(["iceberg", "delete", "--path", p,
+                 "--where", "id=3", "--equality"]) == 0
+    capsys.readouterr()
+    # below threshold: policy declines
+    assert main(["iceberg", "compact", "--path", p,
+                 "--max-delete-files", "5"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is False
+    assert out["stats_before"]["delete_files"] == 1
+    # over threshold: policy compacts
+    assert main(["iceberg", "compact", "--path", p,
+                 "--max-delete-files", "0"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is True
+    assert read_iceberg(spark, p).count() == 19

@@ -136,3 +136,119 @@ def test_expire_validates_keep_last(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         expire_snapshots(p, keep_last=0)
     assert expire_snapshots(p, keep_last=1) == []  # nothing to expire
+
+
+# ------------------------------------------ compaction policy (r8)
+
+
+def test_maybe_compact_thresholds(spark, tmp_path):
+    """Policy mode: no-op below both bounds; compacts (and clears
+    every delete file) once the delete-FILE count bound is crossed;
+    content parity throughout."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        compaction_stats, equality_delete_iceberg,
+        maybe_compact_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"), p)
+    for k in range(3):
+        equality_delete_iceberg(spark, p, spark.createDataFrame(
+            [(k * 10 + j,) for j in range(3)], "id long")
+            .coalesce(1))
+    st = compaction_stats(p)
+    assert st["delete_files"] == 3
+    # below both bounds: no-op
+    assert maybe_compact_iceberg(spark, p, max_delete_files=8,
+                                 max_deleted_ratio=0.5) is None
+    assert compaction_stats(p)["delete_files"] == 3
+    # delete-file bound crossed: compacts, read state clean again
+    sid = maybe_compact_iceberg(spark, p, max_delete_files=2,
+                                max_deleted_ratio=0.5)
+    assert sid is not None
+    st = compaction_stats(p)
+    assert st["delete_files"] == 0
+    got = sorted(r.id for r in read_iceberg(spark, p).collect())
+    assert got == [i for i in range(100)
+                   if i not in {j for k in range(3)
+                                for j in range(k * 10, k * 10 + 3)}]
+
+
+def test_maybe_compact_ratio_trigger(spark, tmp_path):
+    """The deleted-row-ratio bound triggers independently of the
+    file-count bound (position deletes: record_count is exact)."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        compaction_stats, delete_iceberg, maybe_compact_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"), p)
+    delete_iceberg(spark, p, [("id", "<", 20)])  # 40% masked
+    assert compaction_stats(p)["deleted_ratio"] > 0.3
+    nfiles = compaction_stats(p)["delete_files"]
+    assert maybe_compact_iceberg(spark, p,
+                                 max_delete_files=nfiles,
+                                 max_deleted_ratio=0.5) is None
+    sid = maybe_compact_iceberg(spark, p,
+                                max_delete_files=nfiles,
+                                max_deleted_ratio=0.3)
+    assert sid is not None
+    assert compaction_stats(p)["deleted_ratio"] == 0.0
+    assert read_iceberg(spark, p).count() == 30
+
+
+def test_policy_cadence_bounds_delete_files(spark, tmp_path):
+    """The CDC-upsert cadence: an equality-delete epoch per
+    micro-batch, the policy called after each — the live delete-file
+    count stays bounded by the policy (never grows past
+    max_delete_files + 1) and parity holds after every epoch."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        compaction_stats, equality_delete_iceberg,
+        maybe_compact_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(60)], "id long, v double"), p)
+    dead: set[int] = set()
+    for epoch in range(6):
+        keys = [epoch * 9 + j for j in range(2)]
+        dead.update(keys)
+        equality_delete_iceberg(spark, p, spark.createDataFrame(
+            [(k,) for k in keys], "id long").coalesce(1))
+        maybe_compact_iceberg(spark, p, max_delete_files=2,
+                              max_deleted_ratio=1.0)
+        assert compaction_stats(p)["delete_files"] <= 3
+        got = {r.id for r in read_iceberg(spark, p).collect()}
+        assert got == set(range(60)) - dead
+
+
+def test_policy_from_foreach_batch_sink(spark, tmp_path):
+    """maybe_compact_iceberg as the foreachBatch cadence hook: a
+    streaming query applies each micro-batch of keys as an equality
+    delete then runs the policy — after the run the table is
+    compacted and correct."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        compaction_stats, equality_delete_iceberg,
+        maybe_compact_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"), p)
+    # a keys stream: one parquet file per micro-batch
+    src = str(tmp_path / "keys")
+    os.makedirs(src)
+    spark.createDataFrame([(3,), (7,)], "id long") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def apply_batch(batch_df, batch_id):
+        equality_delete_iceberg(spark, p, batch_df)
+        maybe_compact_iceberg(spark, p, max_delete_files=0,
+                              max_deleted_ratio=1.0)
+
+    q = (spark.readStream.schema("id long").parquet(src)
+         .writeStream.foreachBatch(apply_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert compaction_stats(p)["delete_files"] == 0
+    got = sorted(r.id for r in read_iceberg(spark, p).collect())
+    assert got == [i for i in range(40) if i not in (3, 7)]
