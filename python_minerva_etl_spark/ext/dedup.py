@@ -329,6 +329,97 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def simhash_md5(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Cross-engine 64-bit SimHash as TWO 32-bit halves ``(hi, lo)``:
+    per token, the first 16 hex chars of md5 (bit b<32 from the
+    second 8 chars, b>=32 from the first — pure hex-digit
+    definition, no byte-order assumptions), per bit vote ±occurrence,
+    fingerprint bit = vote > 0.
+
+    Exists so the SimHash pipeline is ORACLE-VERIFIABLE: md5 is the
+    one hash Spark and DuckDB compute identically, so a DuckDB query
+    can rebuild these exact fingerprints and brute-force-check every
+    emitted pair (`dedup_simhash_verified`).  The xxhash64 variant
+    (:func:`simhash64`) stays the scale path — one 64-bit column,
+    no hex parsing.  Halves keep every shift below bit 32, so no
+    engine's signed-overflow rules are in play."""
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.expr(f"explode(split(lower(`{text_col}`), ' '))")
+        .alias("tok"))
+    hashed = toks.select(
+        "doc",
+        F.expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)")
+        .alias("h1"),
+        F.expr("CAST(conv(substr(md5(tok), 9, 8), 16, 10) AS BIGINT)")
+        .alias("h2"))
+    weighted = hashed.groupBy("doc", "h1", "h2").agg(
+        F.count("*").alias("cnt"))
+    # 64 signed votes; per-half assembly, every shift < 32
+    votes = [F.expr(
+        f"sum(cnt * (2 * (shiftright("
+        f"{'h2' if b < 32 else 'h1'}, {b if b < 32 else b - 32})"
+        f" & 1) - 1))").alias(f"v{b}") for b in range(64)]
+    agg = weighted.groupBy("doc").agg(*votes)
+    lo = " + ".join(
+        f"shiftleft(CAST(v{b} > 0 AS BIGINT), {b})" for b in range(32))
+    hi = " + ".join(
+        f"shiftleft(CAST(v{b} > 0 AS BIGINT), {b - 32})"
+        for b in range(32, 64))
+    return agg.select("doc", F.expr(hi).alias("hi"),
+                      F.expr(lo).alias("lo"))
+
+
+def simhash_md5_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Oracle-verifiable SimHash near-dup pairs: md5 fingerprints
+    (:func:`simhash_md5`), pigeonhole banding (4 x 16-bit bands —
+    recall is EXACTLY 1 for hamming <= 3, not probabilistic), exact
+    popcount filter.  Output (doc_a, doc_b, hamming) equals the
+    brute-force all-pairs set, which a DuckDB oracle recomputes
+    independently."""
+    if max_hamming != 3:
+        raise ValueError("verified variant is fixed at 4x16 banding "
+                         "(max_hamming=3)")
+    fp = simhash_md5(docs, id_col, text_col)
+    pieces = fp.select("doc", "hi", "lo", F.expr(
+        "explode(array("
+        "struct(0 AS band, lo & 65535 AS piece), "
+        "struct(1 AS band, shiftright(lo, 16) & 65535 AS piece), "
+        "struct(2 AS band, hi & 65535 AS piece), "
+        "struct(3 AS band, shiftright(hi, 16) & 65535 AS piece)))")
+        .alias("bp")
+    ).select("doc", "hi", "lo", "bp.band", "bp.piece")
+    a, b = pieces.alias("a"), pieces.alias("b")
+    joined = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.piece") == F.col("b.piece"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.col("a.hi").alias("hi_a"), F.col("a.lo").alias("lo_a"),
+                F.col("b.hi").alias("hi_b"), F.col("b.lo").alias("lo_b"),
+                F.col("a.band").alias("band")))
+    # emit each pair from its FIRST agreeing band only (scan-local —
+    # no dedup shuffle), mirroring simhash_near_pairs
+    bands_expr = ("array(lo_a & 65535, shiftright(lo_a, 16) & 65535, "
+                  "hi_a & 65535, shiftright(hi_a, 16) & 65535)",
+                  "array(lo_b & 65535, shiftright(lo_b, 16) & 65535, "
+                  "hi_b & 65535, shiftright(hi_b, 16) & 65535)")
+    first_band_only = F.expr(
+        f"band = 0 OR size(filter(sequence(0, CAST(band AS INT) - 1), "
+        f"k -> element_at({bands_expr[0]}, k + 1) = "
+        f"element_at({bands_expr[1]}, k + 1))) = 0")
+    hamming = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+               + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+               ).cast("bigint")
+    return (joined.filter(first_band_only)
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:

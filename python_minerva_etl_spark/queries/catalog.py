@@ -32,6 +32,11 @@ _WINDOW = [
     # upsert-table changelog streaming consumer (r7 verdict #2) —
     # oracle-backed: delete PRE-IMAGE values enter the signed sum
     "stream_iceberg_upsert_parity",
+    # precision-verified twins for the two rows-only dedup entries
+    # (r7 verdict #6): LSH two-phase ≡ brute force; md5 simhash
+    # rebuilt bit-for-bit in DuckDB
+    "dedup_minhash_pairs_verified",
+    "dedup_simhash_verified",
     # ---- repeats (round 8): bench-watch + recent lake surfaces ----
     "upsert_merge_table",
     "dedup_simhash",

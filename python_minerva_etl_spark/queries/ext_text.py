@@ -70,6 +70,68 @@ def _dedup_simhash(spark, sf_dir):
         parallelism=spark.sparkContext.defaultParallelism)
 
 
+def _dedup_minhash_pairs_verified(spark, sf_dir):
+    """EXT-DEDUP-NEAR, precision-VERIFIED twin of the rows-only
+    `dedup_minhash_pairs` (round-7 verdict #6): the full two-phase
+    scale pipeline — MinHash+LSH candidates (64 hashes, 16 bands x 4
+    rows: per-pair miss probability (1-s^4)^16 ≈ 4e-8 at s=0.9, so
+    banding recall is 1 on any fixture) followed by EXACT token
+    Jaccard on candidates only.  Output ≡ the brute-force >= 0.9
+    pair set, which the oracle computes independently — precision
+    AND recall both hash-checked."""
+    return D.near_dup_pairs_lsh(t(spark, sf_dir, "documents"),
+                                threshold=0.9, num_hashes=64,
+                                bands=16)
+
+
+def _dedup_simhash_verified(spark, sf_dir):
+    """EXT-DEDUP (SimHash), ORACLE-VERIFIED twin of the rows-only
+    `dedup_simhash`: md5-based fingerprints (the one hash both
+    engines compute identically), pigeonhole 4x16-bit banding —
+    recall EXACTLY 1 for hamming <= 3 by construction — then the
+    exact popcount filter.  The oracle rebuilds every fingerprint
+    bit-for-bit in DuckDB and brute-forces all pairs, so a wrong
+    hash, vote, band, or popcount anywhere breaks the value hash."""
+    return D.simhash_md5_near_pairs(t(spark, sf_dir, "documents"),
+                                    max_hamming=3)
+
+
+_DEDUP_MINHASH_PAIRS_VERIFIED_SQL = _DEDUP_NEAR_PAIRS_SQL
+
+_DEDUP_SIMHASH_VERIFIED_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+tw AS (
+  SELECT doc_id, tok, COUNT(*) AS w,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+  FROM tok GROUP BY 1, 2
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(w * (2 * ((CASE WHEN b < 32 THEN (h2 >> b)
+                        ELSE (h1 >> (b - 32)) END) & 1) - 1)) AS v
+  FROM tw CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN b >= 32 AND v > 0
+                  THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS hi,
+         SUM(CASE WHEN b < 32 AND v > 0
+                  THEN (1::BIGINT << b) ELSE 0 END) AS lo
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.hi, b.hi))
+            + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+"""
+
+
 def _dedup_ngram_jaccard(spark, sf_dir):
     """EXT-DEDUP (n-gram): character-3-gram Jaccard >= 0.95 pairs —
     the shingle-level near-dup variant."""
@@ -1200,6 +1262,8 @@ QUERIES = [
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
     DeclaredQuery("dedup_simhash", _dedup_simhash, None, "EXT-DEDUP (SimHash)"),
+    DeclaredQuery("dedup_minhash_pairs_verified", _dedup_minhash_pairs_verified, _DEDUP_MINHASH_PAIRS_VERIFIED_SQL, "EXT-DEDUP-NEAR (LSH two-phase, precision+recall oracle-verified)"),
+    DeclaredQuery("dedup_simhash_verified", _dedup_simhash_verified, _DEDUP_SIMHASH_VERIFIED_SQL, "EXT-DEDUP (SimHash, md5 fingerprints oracle-verified bit-for-bit)"),
     DeclaredQuery("dedup_incremental", _dedup_incremental, None, "EXT-DEDUP (incremental ingest)"),
     DeclaredQuery("dedup_ngram_jaccard", _dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, "EXT-DEDUP (n-gram)"),
     DeclaredQuery("dedup_clusters", _dedup_clusters, _DEDUP_CLUSTERS_SQL, "EXT-DEDUP (connected components)"),

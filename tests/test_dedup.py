@@ -532,3 +532,58 @@ def test_semantic_dedup_indexed_recall_on_planted_dups(spark, tmp_path):
     assert planted_ids <= declared_drop  # the declared form catches all
     recall = len(declared_drop & indexed_drop) / len(declared_drop)
     assert recall == 1.0, (recall, sorted(declared_drop - indexed_drop))
+
+
+def test_simhash_md5_pairs_equal_brute_force(spark):
+    """The oracle-verifiable md5 SimHash: pigeonhole banding + exact
+    popcount must equal the brute-force all-pairs hamming set, on
+    docs with repeated tokens, near-dups, and a single-token doc."""
+    from itertools import combinations
+
+    from python_minerva_etl_spark.ext.dedup import (
+        simhash_md5, simhash_md5_near_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "extra"), (3, base.replace("fox", "cat")),
+         (4, "solo"), (5, "completely different words entirely here"),
+         (6, base)],  # exact dup of 1 -> hamming 0
+        "doc_id long, text string")
+    fp = {r.doc: (r.hi, r.lo) for r in simhash_md5(docs).collect()}
+    assert all(0 <= h < (1 << 32) and 0 <= l < (1 << 32)
+               for h, l in fp.values())
+    want = sorted(
+        (a, b, bin((fp[a][0] ^ fp[b][0])).count("1")
+         + bin((fp[a][1] ^ fp[b][1])).count("1"))
+        for a, b in combinations(sorted(fp), 2)
+        if bin(fp[a][0] ^ fp[b][0]).count("1")
+        + bin(fp[a][1] ^ fp[b][1]).count("1") <= 3)
+    got = sorted(tuple(r) for r in
+                 simhash_md5_near_pairs(docs).collect())
+    assert got == want
+    assert (1, 6) in {(a, b) for a, b, _ in got}  # exact dup found
+
+
+def test_minhash_verified_two_phase_equals_exact(spark):
+    """near_dup_pairs_lsh at 16x4 banding must reproduce the exact
+    >= 0.9 pair set on a corpus with planted near-dups (recall-1
+    banding + exact verification)."""
+    from python_minerva_etl_spark.ext.dedup import (
+        near_dup_pairs_exact, near_dup_pairs_lsh)
+
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(20):
+        toks = list(words)
+        if d % 3 == 1:
+            toks[d % 40] = f"mut{d}"  # 39/41 jaccard ~ 0.95
+        if d % 3 == 2:
+            toks = toks[:20] + [f"x{d}{i}" for i in range(20)]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(tuple(r) for r in
+                   near_dup_pairs_exact(docs, 0.9).collect())
+    lsh = sorted(tuple(r) for r in
+                 near_dup_pairs_lsh(docs, 0.9, num_hashes=64,
+                                    bands=16).collect())
+    assert lsh == exact and len(exact) > 10
