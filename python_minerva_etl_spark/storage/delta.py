@@ -244,9 +244,13 @@ def _physical_name(f: T.StructField) -> str:
 
 class _CmMap(dict):
     """{logical: physical} column mapping with an optional ``.ids``
-    ({logical: column id}) attribute for mode-id staging."""
+    ({logical: column id}) attribute for mode-id staging and a
+    ``.fields`` ({logical: StructField}) attribute carrying the full
+    mapped schema fields (nested physicalName/id metadata included)
+    so staging can rebuild nested columns physically."""
 
     ids: dict | None = None
+    fields: dict | None = None
 
 
 def _field_id(f: T.StructField) -> int:
@@ -284,6 +288,63 @@ def _physical_type(dt: T.DataType,
     if isinstance(dt, T.MapType):
         return T.MapType(_physical_type(dt.keyType, with_ids),
                          _physical_type(dt.valueType, with_ids),
+                         dt.valueContainsNull)
+    return dt
+
+
+def _physical_expr(col, ldt: T.DataType):
+    """Inverse of :func:`_logical_expr`: rebuild a LOGICAL column
+    under its physical names for staging (structs field-by-field,
+    null-preserving; arrays/maps via transform/transform_values —
+    JVM-side, no UDFs).  Nested parquet.field.id metadata is applied
+    afterwards via ``DataFrame.to`` (expressions cannot carry nested
+    metadata)."""
+    if isinstance(ldt, T.StructType):
+        rebuilt = F.struct(*[
+            _physical_expr(col[f.name], f.dataType)
+            .alias(_physical_name(f)) for f in ldt.fields])
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    if isinstance(ldt, T.ArrayType) and _needs_rename(ldt.elementType):
+        return F.transform(
+            col, lambda x: _physical_expr(x, ldt.elementType))
+    if isinstance(ldt, T.MapType) and _needs_rename(ldt.valueType):
+        return F.transform_values(
+            col, lambda k, v: _physical_expr(v, ldt.valueType))
+    return col
+
+
+def _pin_no_nested_pruning(spark: SparkSession,
+                           schema: T.StructType) -> None:
+    """Disable nested-schema pruning for the session when an id-mode
+    table carries NESTED mapped columns: Spark's SchemaPruning
+    rebuilds the pruned struct types WITHOUT their per-field
+    ``parquet.field.id`` metadata, so a pruned scan of a pre-rename
+    file (physical spelling != read schema) silently falls back to
+    name matching and null-fills — ``df.filter("s.x = 10")``
+    returned 0 rows while ``df.select("s")`` showed x=10.  Wrong
+    results beat pruned scans; flat id-mode tables (the common case)
+    keep pruning."""
+    if any(_needs_rename(f.dataType) for f in schema.fields):
+        spark.conf.set(
+            "spark.sql.optimizer.nestedSchemaPruning.enabled",
+            "false")
+
+
+def _strip_meta(dt: T.DataType) -> T.DataType:
+    """The type with all NESTED field metadata removed — schema
+    compatibility must compare shapes, not the column-mapping
+    physicalName/id annotations a mapped table's nested types carry
+    (PySpark type equality includes StructField metadata)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _strip_meta(f.dataType), f.nullable)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_meta(dt.elementType),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_strip_meta(dt.keyType),
+                         _strip_meta(dt.valueType),
                          dt.valueContainsNull)
     return dt
 
@@ -709,6 +770,7 @@ class DeltaTable:
             # pin (it only changes behavior when ids are present)
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                            "true")
+            _pin_no_nested_pruning(spark, schema)
         files = snap["files"]
         pos_fields = [T.StructField("_dl_path", T.StringType()),
                       T.StructField("_dl_pos", T.LongType())]
@@ -977,11 +1039,12 @@ class DeltaTable:
         cm_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode") or "none"
         mapped = cm_mode if cm_mode != "none" else None
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"]))
         if mapped == "id":
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                            "true")
-        schema = T.StructType.fromJson(
-            json.loads(meta["schemaString"]))
+            _pin_no_nested_pruning(spark, schema)
         # _change_type is synthetic: cdc files store it under its own
         # literal name even on mapped tables, so its "physical" name
         # is itself and (carrying no field id) it matches by NAME
@@ -1136,9 +1199,10 @@ class DeltaTable:
         carries ``.ids`` ({logical: column id}) so the staging can
         stamp ``parquet.field.id`` metadata — Spark then writes the
         PARQUET:field_id every id-resolving reader (including ours)
-        matches on.  id-mode writes support FLAT columns only (a
-        nested rename would need per-level physical names in the
-        written files)."""
+        matches on, at EVERY nesting level (``.fields`` carries the
+        full mapped StructFields; staging rebuilds nested columns
+        physically — :func:`_physical_expr` — and applies nested
+        metadata via ``DataFrame.to``)."""
         conf = snap["metaData"].get("configuration") or {}
         mode = conf.get("delta.columnMapping.mode") or "none"
         if mode == "none":
@@ -1151,13 +1215,8 @@ class DeltaTable:
             json.loads(snap["metaData"]["schemaString"]))
         out = _CmMap({f.name: _physical_name(f)
                       for f in schema.fields})
+        out.fields = {f.name: f for f in schema.fields}
         if mode == "id":
-            if any(isinstance(f.dataType, (T.StructType, T.ArrayType,
-                                           T.MapType))
-                   for f in schema.fields):
-                raise NotImplementedError(
-                    "Delta id-mode writes: nested columns "
-                    "unsupported (flat columns only)")
             out.ids = {f.name: _field_id(f) for f in schema.fields}
         return out
 
@@ -1182,18 +1241,37 @@ class DeltaTable:
 
         if cm:
             # column-mapped table: the parquet files and Hive dirs
-            # speak PHYSICAL names (extra columns like _change_type
-            # pass through unmapped); mode id additionally stamps
-            # parquet.field.id metadata so Spark writes the
-            # PARQUET:field_id the id-resolving readers match on
-            ids = getattr(cm, "ids", None) or {}
-            df = df.select(*[
-                F.col(f"`{c}`").alias(
-                    cm.get(c, c),
-                    metadata={"parquet.field.id": ids[c]})
-                if c in ids else
-                F.col(f"`{c}`").alias(cm.get(c, c))
-                for c in df.columns])
+            # speak PHYSICAL names at EVERY nesting level (extra
+            # columns like _change_type pass through unmapped);
+            # mode id additionally stamps parquet.field.id metadata
+            # (nested included, applied via DataFrame.to — column
+            # expressions cannot carry nested metadata) so Spark
+            # writes the PARQUET:field_id the id-resolving readers
+            # match on
+            with_ids = getattr(cm, "ids", None) is not None
+            fields = getattr(cm, "fields", None) or {}
+            exprs = []
+            for c in df.columns:
+                f = fields.get(c)
+                if f is None:  # unmapped extra column
+                    exprs.append(F.col(f"`{c}`"))
+                    continue
+                expr = _physical_expr(F.col(f"`{c}`"), f.dataType)
+                if _needs_rename(f.dataType):
+                    # nested: the physical TYPE (with per-level
+                    # parquet.field.id metadata in id mode) rides the
+                    # cast — top-level Column metadata does not reach
+                    # nested fields, and DataFrame.to() drops
+                    # metadata-only changes on the floor
+                    expr = expr.cast(
+                        _physical_type(f.dataType, with_ids))
+                if with_ids:
+                    exprs.append(expr.alias(
+                        _physical_name(f),
+                        metadata={"parquet.field.id": _field_id(f)}))
+                else:
+                    exprs.append(expr.alias(_physical_name(f)))
+            df = df.select(*exprs)
             partition_by = [cm.get(c, c) for c in partition_by]
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
@@ -1287,7 +1365,7 @@ class DeltaTable:
         if [f.name for f in table.fields] != [f.name for f in df.fields]:
             return False
         for tf, wf in zip(table.fields, df.fields):
-            if tf.dataType != wf.dataType:
+            if _strip_meta(tf.dataType) != _strip_meta(wf.dataType):
                 return False
             if not tf.nullable and wf.nullable:
                 return False
@@ -2396,10 +2474,11 @@ class DeltaTable:
                 raise ValueError(
                     f"optimize sort_by columns {bad} not in the "
                     "table's data columns")
-        # column-mapped (name mode): compact entirely in the PHYSICAL
-        # world — read physical columns, re-stage physical columns —
-        # so files, stats, and partitionValues stay physically keyed
-        # with no rename round-trip (id mode refuses in _cm_mapping)
+        # column-mapped: compact entirely in the PHYSICAL world —
+        # read physical columns, re-stage physical columns — so
+        # files, stats, and partitionValues stay physically keyed
+        # with no rename round-trip; mode id resolves (and re-emits)
+        # parquet.field.id metadata at every nesting level
         cm = self._cm_mapping(snap)
         if cm is None:
             data_schema = T.StructType(data_fields)
@@ -2410,7 +2489,8 @@ class DeltaTable:
                     "spark.sql.parquet.fieldId.read.enabled", "true")
             data_schema = T.StructType([
                 T.StructField(_physical_name(f),
-                              _physical_type(f.dataType), f.nullable,
+                              _physical_type(f.dataType, by_id),
+                              f.nullable,
                               {"parquet.field.id": cm.ids[f.name]}
                               if by_id else None)
                 for f in data_fields])

@@ -19,10 +19,12 @@ upstream source's "data update detected" error; ``ignoreChanges`` /
 may-emit-duplicates behavior.
 
 Scope: tables this engine can read, including column-mapped ones
-with FLAT columns (mode "name" resolves physicalName, mode "id"
-resolves the file's own PARQUET:field_id — rename-proof); nested
-mapped columns and exotic partition types refuse loudly —
-``read_delta`` remains the full-fidelity batch path.  Data files
+(mode "name" resolves physicalName, mode "id" resolves the file's
+own PARQUET:field_id — rename-proof), NESTED mapped columns
+included (executor-side arrow rebuild, struct children by field id
+or physical name, missing children null-fill); exotic partition
+types refuse loudly — ``read_delta`` remains the full-fidelity
+batch path.  Data files
 must carry every non-partition column (true for Spark-written
 tables).
 """
@@ -116,14 +118,17 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
     # logical -> (file column name or None, partitionValues key)
     col_of: dict[str, str | None] = {}
     pkey: dict[str, str] = {}
+    spec_of: dict[str, tuple | None] = {}
     if mode is None:
         for f in schema.fields:
             col_of[f.name] = f.name if f.name in file_names else None
             pkey[f.name] = f.name
+            spec_of[f.name] = None
     elif mode == "name":
-        for lg, ph, _fid in fmap:
+        for lg, ph, _fid, spc in fmap:
             col_of[lg] = ph if ph in file_names else None
             pkey[lg] = ph
+            spec_of[lg] = spc
     else:  # id: match by the field ids the FILE declares
         sa = pf.schema_arrow
         id_to_name = {}
@@ -132,7 +137,7 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
             raw = (fld.metadata or {}).get(b"PARQUET:field_id")
             if raw is not None:
                 id_to_name[int(raw)] = fld.name
-        for lg, ph, fid in fmap:
+        for lg, ph, fid, spc in fmap:
             # a mapped field with no id (the synthetic _change_type
             # in cdc files) matches by its physical NAME; a FILE
             # with no PARQUET:field_id metadata at all (written by
@@ -146,6 +151,7 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
             else:
                 col_of[lg] = ph if ph in file_names else None
             pkey[lg] = ph
+            spec_of[lg] = spc
     want = sorted({c for lg, c in col_of.items()
                    if c is not None and lg not in part_cols})
     tbl = pq.read_table(fpath, columns=want)
@@ -171,6 +177,10 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
         elif col_of[f.name] is None:
             # schema evolution: old files lack the new column
             arrays.append(pa.nulls(tbl.num_rows, type=at))
+        elif spec_of.get(f.name) is not None:
+            arrays.append(_arrow_rebuild(
+                tbl.column(col_of[f.name]), spec_of[f.name], at,
+                mode))
         else:
             arrays.append(tbl.column(col_of[f.name]).cast(at))
     out = pa.table(arrays, schema=target)
@@ -178,12 +188,89 @@ def _read_partition(p: _FilePartition, schema: T.StructType,
         yield batch
 
 
+def _nested_spec(dt_: T.DataType, mode: str):
+    """Picklable nested-resolution spec for one mapped column, or
+    None when nothing below needs renaming:
+
+        ("struct", ((logical, physical, fid, child_spec), ...))
+        ("array", element_spec)
+        ("map", value_spec)         # map keys carry no field names
+    """
+    from ..storage.delta import (_field_id, _needs_rename,
+                                 _physical_name)
+
+    if not _needs_rename(dt_):
+        return None
+    if isinstance(dt_, T.StructType):
+        return ("struct", tuple(
+            (f.name, _physical_name(f),
+             _field_id(f) if mode == "id" else None,
+             _nested_spec(f.dataType, mode))
+            for f in dt_.fields))
+    if isinstance(dt_, T.ArrayType):
+        return ("array", _nested_spec(dt_.elementType, mode))
+    return ("map", _nested_spec(dt_.valueType, mode))
+
+
+def _arrow_rebuild(arr, spec, target_type, mode):
+    """Rebuild a physical arrow column under its LOGICAL nested
+    names (executor-side twin of storage.delta._logical_expr):
+    struct children located by PARQUET:field_id (mode 'id', when the
+    file declares ids) or physical name, missing children null-fill
+    (nested schema evolution), nulls preserved at every level."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if spec is None:
+        return arr.cast(target_type)
+    kind = spec[0]
+    if kind == "struct":
+        st = arr.type
+        by_name = {st.field(i).name: i for i in range(st.num_fields)}
+        by_id = {}
+        for i in range(st.num_fields):
+            raw = (st.field(i).metadata or {}).get(
+                b"PARQUET:field_id")
+            if raw is not None:
+                by_id[int(raw)] = i
+        children, tfields = [], []
+        for i, (lg, ph, fid, cspec) in enumerate(spec[1]):
+            tf = target_type.field(i)
+            if fid is not None and by_id:
+                idx = by_id.get(fid)
+            else:
+                idx = by_name.get(ph)
+            if idx is None:
+                children.append(pa.nulls(len(arr), type=tf.type))
+            else:
+                children.append(_arrow_rebuild(
+                    arr.field(idx), cspec, tf.type, mode))
+            tfields.append(tf)
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(children, fields=tfields,
+                                          mask=mask)
+    if kind == "array":
+        values = _arrow_rebuild(arr.values, spec[1],
+                                target_type.value_type, mode)
+        offsets = arr.offsets  # carries parent nulls in pyarrow
+        cls = (pa.LargeListArray if pa.types.is_large_list(arr.type)
+               else pa.ListArray)
+        return cls.from_arrays(offsets, values).cast(target_type)
+    # map: keys are unmapped (no field names), values rebuild
+    items = _arrow_rebuild(arr.items, spec[1],
+                           target_type.item_type, mode)
+    keys = arr.keys.cast(target_type.key_type)
+    return pa.MapArray.from_arrays(
+        arr.offsets, keys, items).cast(target_type)
+
+
 def _check_supported(dt: DeltaTable, snap: dict):
     """Returns the partition descriptor's column-mapping tuple
-    (("name"|"id", ((logical, physical, fid), ...)) or None) —
-    raising on unknown modes and on NESTED mapped columns (the
-    registered source resolves flat columns only; read_delta()
-    handles the nested rebuild)."""
+    (("name"|"id", ((logical, physical, fid, nested_spec), ...)) or
+    None) — raising on unknown modes.  Nested mapped columns carry a
+    :func:`_nested_spec` resolved executor-side by
+    :func:`_arrow_rebuild`."""
     import json as _json
 
     from ..storage.delta import _field_id, _physical_name
@@ -197,15 +284,10 @@ def _check_supported(dt: DeltaTable, snap: dict):
             f"minerva_delta: column mapping mode {mode!r} unknown")
     schema = T.StructType.fromJson(
         _json.loads(snap["metaData"]["schemaString"]))
-    if any(isinstance(f.dataType, (T.StructType, T.ArrayType,
-                                   T.MapType)) for f in schema.fields):
-        raise NotImplementedError(
-            "minerva_delta: nested columns on a column-mapped table "
-            "— use read_delta() (the registered source resolves flat "
-            "columns only)")
     return (mode, tuple(
         (f.name, _physical_name(f),
-         _field_id(f) if mode == "id" else None)
+         _field_id(f) if mode == "id" else None,
+         _nested_spec(f.dataType, mode))
         for f in schema.fields))
 
 
@@ -342,7 +424,7 @@ class _CdfBatchReader(DataSourceReader):
         if self.cm:
             cm_ct = (self.cm[0],
                      self.cm[1] + (("_change_type", "_change_type",
-                                    None),))
+                                    None, None),))
         names = [f.name for f in self.schema_.fields]
         cur_meta = (self.dt._replay(self.start - 1)["metaData"]
                     if self.start > 0 else None)

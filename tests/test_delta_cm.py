@@ -476,3 +476,168 @@ def test_id_mode_cdf_foreign_fixture(spark, tmp_path):
     feed = DeltaTable(p).changes(spark, 1, 1)
     rows = [(r.id, r._change_type) for r in feed.collect()]
     assert rows == [(3, "insert")]
+
+
+# ------------------------------------------- nested id-mode (r8)
+
+
+def _pq_nested_ids(path, names):
+    """Foreign nested id-mode parquet: struct + array-of-struct with
+    PARQUET:field_id at EVERY level (UNIQUE per field, as Delta's
+    maxColumnId allocation guarantees), physical spellings from
+    ``names`` = (top_id, top_s, sx, sy, top_arr)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ni, ns, nx, ny, na = names
+
+    def inner(xid, yid):
+        return pa.struct([
+            pa.field(nx, pa.int64(),
+                     metadata={b"PARQUET:field_id": str(xid).encode()}),
+            pa.field(ny, pa.string(),
+                     metadata={b"PARQUET:field_id": str(yid).encode()})])
+
+    s_t, e_t = inner(3, 4), inner(6, 7)
+    fields = [
+        pa.field(ni, pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field(ns, s_t, metadata={b"PARQUET:field_id": b"2"}),
+        pa.field(na, pa.list_(e_t),
+                 metadata={b"PARQUET:field_id": b"5"})]
+    tbl = pa.Table.from_arrays(
+        [pa.array([1, 2], type=pa.int64()),
+         pa.array([{nx: 10, ny: "a"}, None], type=s_t),
+         pa.array([[{nx: 20, ny: "z"}], []], type=pa.list_(e_t))],
+        schema=pa.schema(fields))
+    pq.write_table(tbl, path)
+
+
+def _nested_schema_fields():
+    def struct_t(xid, yid):
+        return {"type": "struct", "fields": [
+            _fld("x", "long", "col-x", xid),
+            _fld("y", "string", "col-y", yid)]}
+
+    return [
+        _fld("id", "long", "col-i", 1),
+        _fld("s", struct_t(3, 4), "col-s", 2),
+        _fld("arr", {"type": "array", "elementType": struct_t(6, 7),
+                     "containsNull": True}, "col-r", 5)]
+
+
+def _walk_ids(field, out, prefix=""):
+    import pyarrow as pa
+    out[prefix + field.name] = (field.metadata or {}).get(
+        b"PARQUET:field_id")
+    t = field.type
+    if pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            _walk_ids(t.field(i), out, prefix + field.name + ".")
+    elif pa.types.is_list(t):
+        _walk_ids(t.value_field, out, prefix + field.name + ".")
+
+
+def test_id_mode_nested_write_read_dml_cdf_roundtrip(spark,
+                                                     tmp_path):
+    """Round 8: NESTED id-mode columns — a foreign fixture whose
+    nested physical spellings differ from the schema's physicalName
+    (the post-rename epoch), appended to, updated, deleted from, and
+    change-fed, with every staged file carrying PARQUET:field_id at
+    every nesting level."""
+    import pyarrow.parquet as pq
+
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    _pq_nested_ids(os.path.join(p, "f0.parquet"),
+                   ("old-i", "old-s", "old-x", "old-y", "old-r"))
+    _log(p, _nested_schema_fields(), [_add("f0.parquet")], mode="id")
+    dt = DeltaTable(p)
+
+    got = read_delta(spark, p)
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1]["s"]["x"] == 10 and rows[1]["s"]["y"] == "a"
+    assert rows[1]["arr"][0]["x"] == 20
+    assert rows[2]["s"] is None and rows[2]["arr"] == []
+
+    # append with LOGICAL nested rows: staged file must carry ids at
+    # every level so any id-resolving reader matches it
+    dt.write(spark, spark.createDataFrame(
+        [(3, (30, "c"), [(31, "d")])],
+        "id long, s struct<x:long,y:string>, "
+        "arr array<struct<x:long,y:string>>").coalesce(1))
+    new = [f for f in dt._replay()["files"]
+           if f["path"] != "f0.parquet"][0]
+    sa = pq.ParquetFile(os.path.join(p, new["path"])).schema_arrow
+    ids: dict = {}
+    for i in range(len(sa.names)):
+        _walk_ids(sa.field(i), ids)
+    assert ids["col-i"] == b"1" and ids["col-s"] == b"2"
+    assert ids["col-s.col-x"] == b"3" and ids["col-s.col-y"] == b"4"
+    assert ids["col-r"] == b"5"
+    assert ids["col-r.element.col-x"] == b"6"
+    got = {r.id: r for r in dt.read(spark).collect()}
+    assert got[3]["s"]["x"] == 30 and got[3]["arr"][0]["y"] == "d"
+    # nested predicate against the PRE-RENAME file: schema pruning
+    # must not drop the field-id metadata (name fallback would
+    # silently null-fill and match nothing)
+    assert dt.read(spark).filter("s.x = 10").count() == 1
+
+    # DML with a NESTED predicate through the same staging
+    dt.set_properties({"delta.enableChangeDataFeed": "true"})
+    v_before = dt.versions()[-1]
+    dt.update(spark, {"id": "id + 100"}, "s.x = 10")
+    dt.delete(spark, "id = 2")
+    got = sorted(r.id for r in dt.read(spark).collect())
+    assert got == [3, 101]
+    feed = dt.changes(spark, v_before + 1, dt.versions()[-1])
+    kinds = sorted((r.id, r._change_type) for r in feed.collect())
+    assert (101, "update_postimage") in kinds
+    assert (1, "update_preimage") in kinds
+    assert (2, "delete") in kinds
+    # cdf pre-image keeps nested values
+    pre = [r for r in feed.collect()
+           if r._change_type == "update_preimage"][0]
+    assert pre["s"]["x"] == 10 and pre["arr"][0]["y"] == "z"
+
+
+def test_name_mode_nested_write_stages_physical_names(spark,
+                                                      tmp_path):
+    """Round 8: NAME-mode nested writes must stage nested children
+    under their PHYSICAL names (a foreign physical-name reader
+    resolves them); previously only top-level columns were renamed."""
+    import pyarrow.parquet as pq
+
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    import pyarrow as pa
+    inner = pa.struct([("col-x", pa.int64()), ("col-y", pa.string())])
+    pq.write_table(pa.table({
+        "col-i": pa.array([1], type=pa.int64()),
+        "col-s": pa.array([{"col-x": 10, "col-y": "a"}], type=inner),
+        "col-r": pa.array([[{"col-x": 20, "col-y": "z"}]],
+                          type=pa.list_(inner))}),
+        os.path.join(p, "f0.parquet"))
+    _log(p, _nested_schema_fields(), [_add("f0.parquet")],
+         mode="name")
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame(
+        [(2, (30, "c"), [(31, "d")])],
+        "id long, s struct<x:long,y:string>, "
+        "arr array<struct<x:long,y:string>>").coalesce(1))
+    new = [f for f in dt._replay()["files"]
+           if f["path"] != "f0.parquet"][0]
+    sa = pq.ParquetFile(os.path.join(p, new["path"])).schema_arrow
+    s_field = sa.field(sa.names.index("col-s"))
+    assert [s_field.type.field(i).name
+            for i in range(s_field.type.num_fields)] == \
+        ["col-x", "col-y"]
+    arr_field = sa.field(sa.names.index("col-r"))
+    assert [arr_field.type.value_type.field(i).name
+            for i in range(2)] == ["col-x", "col-y"]
+    got = {r.id: r for r in dt.read(spark).collect()}
+    assert got[1]["s"]["x"] == 10 and got[2]["s"]["y"] == "c"
+    assert got[2]["arr"][0]["x"] == 31

@@ -432,7 +432,10 @@ def test_id_mode_file_without_field_ids_falls_back_to_name(
         [(1, "a"), (2, "b")]
 
 
-def test_batch_reader_nested_mapped_refuses(ds_spark, tmp_path):
+def test_batch_reader_nested_name_mode(ds_spark, tmp_path):
+    """Round 8: NESTED mapped columns through the registered source
+    (mode name) — struct, array<struct>, map<string,struct> rebuilt
+    executor-side under logical names, null structs preserved."""
     import os
 
     import pyarrow as pa
@@ -442,15 +445,73 @@ def test_batch_reader_nested_mapped_refuses(ds_spark, tmp_path):
 
     p = str(tmp_path / "t")
     os.makedirs(p)
-    inner = pa.struct([("col-x", pa.int64())])
+    inner = pa.struct([("col-x", pa.int64()), ("col-y", pa.string())])
     pq.write_table(pa.table({
-        "col-s": pa.array([{"col-x": 1}], type=inner)}),
+        "col-s": pa.array([{"col-x": 1, "col-y": "a"}, None],
+                          type=inner),
+        "col-r": pa.array([[{"col-x": 2, "col-y": "b"}], []],
+                          type=pa.list_(inner)),
+        "col-m": pa.array([[("k", {"col-x": 3, "col-y": "c"})], []],
+                          type=pa.map_(pa.string(), inner))}),
         os.path.join(p, "f0.parquet"))
-    struct_t = {"type": "struct",
-                "fields": [_fld("x", "long", "col-x", 2)]}
-    _log(p, [_fld("s", struct_t, "col-s", 1)], [_add("f0.parquet")])
-    with pytest.raises(Exception, match="nested"):
-        (ds_spark.read.format("minerva_delta").load(p)).collect()
+    inner_fields = [_fld("x", "long", "col-x", 4),
+                    _fld("y", "string", "col-y", 5)]
+    struct_t = {"type": "struct", "fields": inner_fields}
+    _log(p, [
+        _fld("s", struct_t, "col-s", 1),
+        _fld("arr", {"type": "array", "elementType": struct_t,
+                     "containsNull": True}, "col-r", 2),
+        _fld("m", {"type": "map", "keyType": "string",
+                   "valueType": struct_t,
+                   "valueContainsNull": True}, "col-m", 3)],
+        [_add("f0.parquet")])
+    got = ds_spark.read.format("minerva_delta").load(p)
+    rows = got.orderBy("s").collect()
+    r0 = rows[1]
+    assert r0["s"]["x"] == 1 and r0["s"]["y"] == "a"
+    assert r0["arr"][0]["x"] == 2 and r0["m"]["k"]["y"] == "c"
+    assert rows[0]["s"] is None and rows[0]["arr"] == []
+    # parity with the engine read
+    from python_minerva_etl_spark.storage.delta import read_delta
+    eng = read_delta(ds_spark, p)
+    assert sorted(map(str, got.collect())) == \
+        sorted(map(str, eng.collect()))
+
+
+def test_batch_reader_nested_id_mode_rename_epochs(ds_spark,
+                                                   tmp_path):
+    """Round 8: NESTED id-mode through the registered source — a
+    pre-rename file (different physical spellings at every level)
+    resolves by PARQUET:field_id, an id-stamped engine-written file
+    coexists, and streaming reads ride the same partition path."""
+    import os
+
+    from tests.test_delta_cm import (_log, _add, _pq_nested_ids,
+                                     _nested_schema_fields)
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    _pq_nested_ids(os.path.join(p, "f0.parquet"),
+                   ("old-i", "old-s", "old-x", "old-y", "old-r"))
+    _log(p, _nested_schema_fields(), [_add("f0.parquet")], mode="id")
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+    DeltaTable(p).write(ds_spark, ds_spark.createDataFrame(
+        [(3, (30, "c"), [(31, "d")])],
+        "id long, s struct<x:long,y:string>, "
+        "arr array<struct<x:long,y:string>>").coalesce(1))
+    got = ds_spark.read.format("minerva_delta").load(p)
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1]["s"]["x"] == 10 and rows[1]["arr"][0]["y"] == "z"
+    assert rows[2]["s"] is None
+    assert rows[3]["s"]["y"] == "c" and rows[3]["arr"][0]["x"] == 31
+    # streaming source resolves the same nested files
+    q = (ds_spark.readStream.format("minerva_delta").load(p)
+         .writeStream.format("memory").queryName("dl_nested")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sgot = {r.id: r for r in
+            ds_spark.sql("SELECT * FROM dl_nested").collect()}
+    assert sgot[1]["s"]["x"] == 10 and sgot[3]["arr"][0]["y"] == "d"
 
 
 def test_batch_cdf_parity_with_engine_changes(ds_spark, tmp_path):
