@@ -20,10 +20,12 @@ from .base import DeclaredQuery
 
 # The driver's correctness window.  Keep this at <= 50 entries.
 #
-# ROTATION (round 8): new-this-round queries first, then bench-watch
-# repeats, then the full round-7 window as regression repeats (the
-# catalog closed at 214/214 in r7 — every non-window query already
-# has a green driver row; tests/test_oracle_diff.py still runs ALL).
+# ROTATION (round 8): new-this-round queries first (splittable-Avro
+# ingest, upsert-changelog consumer, the two verified dedup twins),
+# then bench-watch repeats, the round-7 window as regression repeats,
+# and a 28-entry re-verification rotation drawn from _DEPTH — the
+# catalog closed at 214/214 in r7, so every _DEPTH query already has
+# a green driver row; tests/test_oracle_diff.py still runs ALL.
 _WINDOW = [
     # ---- NEW round 8 ----
     # Avro ingest through sync-marker byte-range splits (the r7
@@ -67,6 +69,38 @@ _WINDOW = [
     # land this round — these give the judge correctness datapoints)
     "cdc_incremental_agg",
     "dedup_exact",
+    # ---- round-8 re-verification rotation (drawn from _DEPTH):
+    # diverse cheap representatives across agg/window/join/anomaly/
+    # dedup/text/mm/streaming families — fills the 50-slot window
+    # with fresh driver datapoints for previously-verified rows
+    "agg_time_sliding",
+    "agg_busy_hour",
+    "agg_cube",
+    "agg_weighted_median",
+    "win_drawdown",
+    "win_ewma",
+    "win_rolling_zscore",
+    "join_range",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "anomaly_mad",
+    "notif_storm_collapse",
+    "gap_fill",
+    "funnel_conversion",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_semantic",
+    "sim_topk",
+    "text_tfidf_topk",
+    "dataset_fingerprint",
+    "corpus_filter_funnel",
+    "mm_decode_jpeg",
+    "mm_resize",
+    "stream_dedup_parity",
+    "events_session_window",
+    "agg_time_localtz",
+    "rollup_relation",
+    "materialize_incremental",
 ]
 
 # Everything previously driver-verified (rounds 1-5) plus nothing
@@ -79,37 +113,21 @@ _DEPTH = [
     "agg_reagg_avg",
     "sink_delta_roundtrip",
     "skyline_orders",
-    "agg_weighted_median",
-    "dataset_fingerprint",
     "intervals_merge",
     "peak_concurrency",
-    "agg_cube",
     "seq_gap_ranges",
-    "agg_time_sliding",
-    "stream_dedup_parity",
     "stream_trigger_parity",
-    "agg_busy_hour",
     "agg_mode",
     "agg_arg_extremes",
     "agg_user_growth",
     "agg_time_weighted_avg",
     "agg_pctl_from_hist",
     "agg_salted_hot_keys",
-    "gap_fill",
     "gap_interpolate",
     "anomaly_zscore",
-    "anomaly_mad",
     "anomaly_cusum",
-    "funnel_conversion",
-    "join_range",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "win_drawdown",
     "win_streaks",
-    "win_ewma",
-    "win_rolling_zscore",
     "agg_moments",
-    "notif_storm_collapse",
     "store_staleness",
     "path_signatures",
     "report_abc_class",
@@ -127,7 +145,6 @@ _DEPTH = [
     "mm_decode_png",
     "mm_decode_wav",
     "mm_wav_frames",
-    "agg_time_localtz",
     "agg_navigated_1d",
     "agg_distinct_reagg",
     "agg_conditional",
@@ -166,8 +183,6 @@ _DEPTH = [
     "dedup_source_matrix",
     "dedup_containment",
     "dedup_spans",
-    "dedup_semantic",
-    "sim_topk",
     "text_heavy_hitters",
     "corpus_quality_prune",
     "text_langid_confusion",
@@ -181,7 +196,6 @@ _DEPTH = [
     "entity_resolve",
     "join_inner",
     "join_anti",
-    "rollup_relation",
     "sort_report",
     "attr_curr",
     "attr_change_detect",
@@ -192,7 +206,6 @@ _DEPTH = [
     "stream_join_parity",
     "upsert_last_wins",
     "stream_tumble_parity",
-    "materialize_incremental",
     "table_changes",
     "dedup_near_pairs",
     "dedup_embedding_pairs",
@@ -204,7 +217,6 @@ _DEPTH = [
     "mm_passthrough",
     "agg_rollup_sets",
     "agg_time_15m",
-    "events_session_window",
     "agg_time_1d",
     "agg_time_1w",
     "agg_time_1month",
@@ -221,7 +233,6 @@ _DEPTH = [
     "win_next_event_gap",
     "reshape_wide",
     "reshape_long",
-    "dedup_ngram_jaccard",
     "text_fingerprint",
     "agg_approx_distinct",
     "anomaly_prefix_zscore",
@@ -245,13 +256,10 @@ _DEPTH = [
     "text_repetition",
     "text_vocab_topk",
     "text_fertility",
-    "text_tfidf_topk",
-    "corpus_filter_funnel",
     "dataset_mix_epochs",
     "dataset_length_buckets",
     "text_diversity",
     "text_bigram_score",
-    "dedup_clusters",
     "dedup_keep_canonical",
     "text_dup_rate",
     "agg_hll_reagg",
@@ -266,8 +274,6 @@ _DEPTH = [
     "sim_topk_pq",
     "dedup_embedding_pivot",
     "dedup_semantic_indexed",
-    "mm_decode_jpeg",
-    "mm_resize",
     "win_moving_avg",
     "join_asof",
     "sink_iceberg_roundtrip",
