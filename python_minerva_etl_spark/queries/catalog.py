@@ -39,6 +39,9 @@ _WINDOW = [
     # rebuilt bit-for-bit in DuckDB
     "dedup_minhash_pairs_verified",
     "dedup_simhash_verified",
+    # registered Avro data source: streaming directory tail over
+    # byte-range splits (the ingest-drop pattern)
+    "stream_avro_ingest_parity",
     # ---- repeats (round 8): bench-watch + recent lake surfaces ----
     "upsert_merge_table",
     "dedup_simhash",
@@ -100,7 +103,6 @@ _WINDOW = [
     "events_session_window",
     "agg_time_localtz",
     "rollup_relation",
-    "materialize_incremental",
 ]
 
 # Everything previously driver-verified (rounds 1-5) plus nothing
@@ -109,6 +111,7 @@ _WINDOW = [
 # (tests/test_oracle_diff.py runs ALL queries), just outside the
 # driver's 50-entry window this round.
 _DEPTH = [
+    "materialize_incremental",
     "rollup_entity",
     "agg_reagg_avg",
     "sink_delta_roundtrip",

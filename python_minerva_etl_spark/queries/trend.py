@@ -1475,8 +1475,58 @@ FROM feed GROUP BY 1
 """
 
 
+def _stream_avro_ingest_parity(spark, sf_dir):
+    """OP-STR-INGEST via the registered `minerva_avro` PYTHON DATA
+    SOURCE (streaming/avro_source.py): events land as deflate Avro
+    container files (the Kafka-archive drop-directory shape), then a
+    Structured Streaming query tails the directory with sorted-name
+    offsets — each file shatters into sync-marker byte-range splits
+    exactly like the batch path — into a memory sink; the streamed
+    aggregate must equal the oracle computed directly on events."""
+    import uuid as _uuid
+
+    from ..sources.avro import write_avro
+    from ..streaming.avro_source import register_avro_source
+
+    register_avro_source(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"avro_stream_{tag}")
+    marker = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        write_avro(ev.repartition(2), base, codec="deflate",
+                   block_bytes=2 << 20)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    sink = f"avro_ingest_stream_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("minerva_avro")
+         .option("split_bytes", 4 << 20).load(base)
+         .groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("value").cast("decimal(28,4)"))
+              .cast("decimal(28,4)").alias("sv"))
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(sink)
+            .select("event_type", "n",
+                    F.col("sv").cast("double").alias("sum_value")))
+
+
+_STREAM_AVRO_INGEST_PARITY_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = [
     DeclaredQuery("stream_iceberg_upsert_parity", _stream_iceberg_upsert_parity, _STREAM_ICEBERG_UPSERT_PARITY_SQL, "OP-STR-INGEST/OP-SRC (Iceberg upsert-table changelog streaming consumer)"),
+    DeclaredQuery("stream_avro_ingest_parity", _stream_avro_ingest_parity, _STREAM_AVRO_INGEST_PARITY_SQL, "OP-STR-INGEST/OP-SRC-PLUGIN (registered Avro data source: streaming directory tail over byte-range splits)"),
     DeclaredQuery("reshape_wide", _reshape_wide, _RESHAPE_WIDE_SQL, "OP-TYPE/loader pivot"),
     DeclaredQuery("reshape_long", _reshape_long, _RESHAPE_LONG_SQL, "OP-TYPE/loader unpivot"),
     DeclaredQuery("trigger_threshold", _trigger_threshold, _TRIGGER_THRESHOLD_SQL, "OP-TRIG-THRESH"),

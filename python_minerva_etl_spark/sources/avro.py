@@ -635,17 +635,12 @@ def plan_splits(files: list[str],
     return splits
 
 
-def read_avro(spark: SparkSession, path: str,
-              split_bytes: int = 128 << 20,
-              batch_bytes: int = 64 << 20) -> DataFrame:
-    """Read ``path`` (a file, glob, or directory of ``*.avro``) as a
-    DataFrame.  Driver reads one header; executors decode BYTE-RANGE
-    SPLITS (``split_bytes`` each, sync-marker aligned — see the
-    split-machinery comment above) and stream blocks, yielding an
-    Arrow batch per ~``batch_bytes`` of decoded block data, so both
-    parallelism and per-task memory are independent of file size.
-    Every split re-checks its file's embedded writer schema against
-    the driver's and raises on drift."""
+def plan_read(path: str):
+    """Driver-side read planning shared by :func:`read_avro` and the
+    registered ``minerva_avro`` data source: list files, read ONE
+    header, derive the Spark schema and the vectorized decode plans.
+    Returns (files, writer_schema, spark_schema, canon, plan,
+    plan_gen, colnames)."""
     import json as _json
 
     files = _list_files(path)
@@ -657,76 +652,99 @@ def read_avro(spark: SparkSession, path: str,
         raise ValueError("avro: top-level schema must be a record")
     spark_schema = _record_type(writer_schema)
     canon = _json.dumps(writer_schema, sort_keys=True)
-
     plan = _vector_plan(writer_schema)
     plan_gen = None if plan is not None \
         else _vector_plan_general(writer_schema)
     colnames = [f["name"] for f in writer_schema["fields"]]
+    return (files, writer_schema, spark_schema, canon, plan,
+            plan_gen, colnames)
+
+
+def split_frames(p: str, start: int, end: int, canon: str,
+                 writer_schema: dict, plan, plan_gen,
+                 colnames: list[str], batch_bytes: int):
+    """Decode one byte-range split of one file into pandas frames
+    (~``batch_bytes`` of decoded block data each) — the executor
+    body shared by :func:`read_avro`'s mapInPandas and the
+    registered ``minerva_avro`` data source.  Refuses files whose
+    writer schema differs from ``canon`` (mixed-schema directories
+    fail loudly).  Per-block dispatch: vectorized fast paths with an
+    exact sequential fallback for malformed-looking blocks."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..storage.iceberg import _Cursor, _decode
+
+    def seq_block(body, n):
+        bcur = _Cursor(body)
+        names: dict = {}
+        rows = []
+        for _ in range(n):
+            r = _decode(bcur, writer_schema, names)
+            rows.append(tuple(_convert(r.get(f["name"]), f["type"])
+                              for f in writer_schema["fields"]))
+        return pd.DataFrame(rows, columns=colnames)
+
+    def block_df(body, n):
+        if plan is not None:
+            fn, nplan = _decode_block_vectorized, plan
+        elif plan_gen is not None:
+            fn, nplan = _decode_block_general, plan_gen
+        else:
+            return seq_block(body, n)
+        try:
+            cols = fn(body, n, nplan)
+        except ValueError:
+            return seq_block(body, n)
+        return pd.DataFrame(dict(zip(colnames, cols)))
+
+    file_size = os.path.getsize(p)
+    with open(p, "rb") as fh:
+        m, sync, header_end = _read_header(fh)
+        if _json.dumps(_json.loads(
+                m["avro.schema"].decode("utf-8")),
+                sort_keys=True) != canon:
+            raise ValueError(
+                f"avro: {os.path.basename(p)!r} writer schema "
+                "differs from the directory's first file — "
+                "mixed-schema reads are refused")
+        codec = m.get("avro.codec", b"null").decode("utf-8")
+        pending, pending_bytes = [], 0
+        for n, body in _split_blocks(fh, sync, codec, start, end,
+                                     header_end, file_size):
+            if not n:
+                continue
+            pending.append(block_df(body, n))
+            pending_bytes += len(body)
+            if pending_bytes >= batch_bytes:
+                yield pd.concat(pending, ignore_index=True)
+                pending, pending_bytes = [], 0
+        if pending:
+            yield pd.concat(pending, ignore_index=True)
+
+
+def read_avro(spark: SparkSession, path: str,
+              split_bytes: int = 128 << 20,
+              batch_bytes: int = 64 << 20) -> DataFrame:
+    """Read ``path`` (a file, glob, or directory of ``*.avro``) as a
+    DataFrame.  Driver reads one header; executors decode BYTE-RANGE
+    SPLITS (``split_bytes`` each, sync-marker aligned — see the
+    split-machinery comment above) and stream blocks, yielding an
+    Arrow batch per ~``batch_bytes`` of decoded block data, so both
+    parallelism and per-task memory are independent of file size.
+    Every split re-checks its file's embedded writer schema against
+    the driver's and raises on drift."""
+    (files, writer_schema, spark_schema, canon, plan, plan_gen,
+     colnames) = plan_read(path)
 
     def decode(batches):
-        import pandas as pd
-
-        from ..storage.iceberg import _Cursor, _decode
-
-        def check_schema(m, p):
-            if _json.dumps(_json.loads(
-                    m["avro.schema"].decode("utf-8")),
-                    sort_keys=True) != canon:
-                raise ValueError(
-                    f"avro: {os.path.basename(p)!r} writer schema "
-                    "differs from the directory's first file — "
-                    "mixed-schema reads are refused")
-
-        def seq_block(body, n):
-            bcur = _Cursor(body)
-            names: dict = {}
-            rows = []
-            for _ in range(n):
-                r = _decode(bcur, writer_schema, names)
-                rows.append(tuple(_convert(r.get(f["name"]), f["type"])
-                                  for f in writer_schema["fields"]))
-            return pd.DataFrame(rows, columns=colnames)
-
-        def block_df(body, n):
-            # per-BLOCK dispatch: a malformed-looking block
-            # (oversized, structure scan fails to tile) re-decodes
-            # sequentially — the fast path never guesses
-            if plan is not None:
-                fn, nplan = _decode_block_vectorized, plan
-            elif plan_gen is not None:
-                fn, nplan = _decode_block_general, plan_gen
-            else:
-                return seq_block(body, n)
-            try:
-                cols = fn(body, n, nplan)
-            except ValueError:
-                return seq_block(body, n)
-            return pd.DataFrame(dict(zip(colnames, cols)))
-
-        def split_frames(p, start, end):
-            file_size = os.path.getsize(p)
-            with open(p, "rb") as fh:
-                m, sync, header_end = _read_header(fh)
-                check_schema(m, p)
-                codec = m.get("avro.codec", b"null").decode("utf-8")
-                pending, pending_bytes = [], 0
-                for n, body in _split_blocks(
-                        fh, sync, codec, start, end, header_end,
-                        file_size):
-                    if not n:
-                        continue
-                    pending.append(block_df(body, n))
-                    pending_bytes += len(body)
-                    if pending_bytes >= batch_bytes:
-                        yield pd.concat(pending, ignore_index=True)
-                        pending, pending_bytes = [], 0
-                if pending:
-                    yield pd.concat(pending, ignore_index=True)
-
         for pdf in batches:
             for p, start, end in zip(pdf["path"], pdf["start"],
                                      pdf["end"]):
-                yield from split_frames(p, int(start), int(end))
+                yield from split_frames(
+                    p, int(start), int(end), canon, writer_schema,
+                    plan, plan_gen, colnames, batch_bytes)
 
     splits = plan_splits(files, split_bytes)
     fdf = (spark.createDataFrame(splits,

@@ -1,0 +1,137 @@
+"""The registered `minerva_avro` Python data source: batch parity
+with read_avro over byte-range splits, logical-type schema
+derivation, and the streaming source tailing a growing directory
+with sorted-name offsets (checkpointed continuation; out-of-order
+arrivals fail loudly)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_minerva_etl_spark.sources.avro import read_avro, write_avro
+from python_minerva_etl_spark.streaming.avro_source import (
+    register_avro_source)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def av_spark(spark):
+    register_avro_source(spark)
+    return spark
+
+
+def _write(spark, path, lo, hi, name=None, codec="deflate"):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 5}", float(i), i % 3 == 0)
+         for i in range(lo, hi)],
+        "id long, name string, v double, f boolean")
+    files = write_avro(df.coalesce(1), path, codec=codec,
+                       block_bytes=1 << 12)
+    if name:  # deterministic, append-ordered file name
+        dst = os.path.join(path, name)
+        os.rename(files[0], dst)
+        return dst
+    return files[0]
+
+
+def test_batch_parity_and_split_option(av_spark, tmp_path):
+    p = str(tmp_path / "av")
+    _write(av_spark, p, 0, 4000, name="part-000.avro")
+    got = (av_spark.read.format("minerva_avro")
+           .option("split_bytes", 1 << 12).load(p))
+    assert _rows(got) == _rows(read_avro(av_spark, p))
+    assert got.schema == read_avro(av_spark, p).schema
+    # small split_bytes shatters the single file into many tasks
+    assert got.rdd.getNumPartitions() >= 4
+    assert got.agg(F.sum("id")).collect()[0][0] == \
+        4000 * 3999 // 2
+
+
+def test_batch_logical_types_schema(av_spark, tmp_path):
+    """Schema derivation through the data source: date /
+    timestamp-micros logical types map to Spark date/timestamp."""
+    from tests.test_avro_vector import _ALL_VARINT
+    from tests.test_iceberg import _avro_file
+
+    d = tmp_path / "av"
+    os.makedirs(d)
+    recs = [{"id": 1, "small": 2, "flag": True, "kind": "B",
+             "d": 19000, "ts": 1_700_000_000_000_000,
+             "tms": 1_700_000_000_000}]
+    (d / "p.avro").write_bytes(_avro_file(_ALL_VARINT, recs))
+    got = av_spark.read.format("minerva_avro").load(str(d))
+    types = dict((f.name, f.dataType.simpleString())
+                 for f in got.schema.fields)
+    assert types["d"] == "date"
+    assert types["ts"] == "timestamp" and types["tms"] == "timestamp"
+    assert _rows(got) == _rows(read_avro(av_spark, str(d)))
+
+
+def test_stream_checkpointed_continuation(av_spark, tmp_path):
+    """availableNow + checkpoint (parquet sink, which supports
+    recovery): the second run appends ONLY the file that arrived
+    after the first run's high-water mark."""
+    p = str(tmp_path / "av")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write(av_spark, p, 0, 100, name="part-000.avro")
+    _write(av_spark, p, 100, 200, name="part-001.avro")
+
+    def run():
+        q = (av_spark.readStream.format("minerva_avro").load(p)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    run()
+    assert av_spark.read.parquet(out).count() == 200
+    _write(av_spark, p, 200, 250, name="part-002.avro")
+    run()
+    got = _rows(av_spark.read.parquet(out).select("id"))
+    assert got == [(i,) for i in range(250)]
+
+
+def test_stream_out_of_order_file_fails_loudly(av_spark, tmp_path):
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+
+    p = str(tmp_path / "av")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write(av_spark, p, 0, 50, name="part-005.avro")
+
+    def run():
+        q = (av_spark.readStream.format("minerva_avro").load(p)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    run()
+    # arrives sorting BEFORE the processed part-005
+    _write(av_spark, p, 50, 60, name="part-001.avro")
+    with pytest.raises(StreamingQueryException,
+                       match="high-water|append-ordered"):
+        run()
+
+
+def test_batch_mixed_schema_refuses(av_spark, tmp_path):
+    from tests.test_avro_vector import _ALL_VARINT
+    from tests.test_iceberg import _avro_file
+
+    p = str(tmp_path / "av")
+    _write(av_spark, p, 0, 10, name="part-000.avro")
+    with open(os.path.join(p, "part-001.avro"), "wb") as fh:
+        fh.write(_avro_file(_ALL_VARINT, []))
+    with pytest.raises(Exception, match="differs|mixed-schema"):
+        av_spark.read.format("minerva_avro").load(p).collect()
