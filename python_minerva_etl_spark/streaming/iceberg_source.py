@@ -318,6 +318,164 @@ def _preds_from_filters(filters, names: set) -> list[tuple]:
     return preds
 
 
+def _walk_chain(md: dict, start_id: int, end_id: int,
+                ctx: str = "stream"):
+    """(snaps, ordered, chain oldest-exclusive..end) along the parent
+    ancestry — shared by the streaming offsets and the batch
+    changelog view.  start_id == -1 means the whole history."""
+    snaps = {s["snapshot-id"]: s
+             for s in md.get("snapshots") or []}
+    ordered = [s["snapshot-id"] for s in md.get("snapshots") or []]
+    chain: list[dict] = []
+    cur = snaps.get(end_id)
+    if cur is None:
+        raise ValueError(
+            f"minerva_iceberg {ctx}: snapshot {end_id} not in "
+            "metadata (expired?)")
+    found = start_id == -1
+    while cur is not None:
+        if cur["snapshot-id"] == start_id:
+            found = True
+            break
+        chain.append(cur)
+        parent = cur.get("parent-snapshot-id")
+        if parent is None:
+            i = ordered.index(cur["snapshot-id"])
+            parent = ordered[i - 1] if i > 0 else None
+        cur = snaps.get(parent) if parent is not None else None
+    if not found:
+        raise ValueError(
+            f"minerva_iceberg {ctx}: snapshot {start_id} is not an "
+            f"ancestor of {end_id} — the table history diverged "
+            "(rollback?)")
+    return snaps, ordered, chain
+
+
+def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
+                                md: dict, snaps: dict, ordered: list,
+                                chain: list[dict],
+                                skip_deletes: bool):
+    """Chain (oldest→newest) → changelog input partitions — shared
+    by the streaming source and the batch changelog view."""
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+
+    def eq_state(dels):
+        eq = []
+        for d in dels:
+            if d.get("content") != 2:
+                continue
+            cols = tuple(by_id.get(i) for i in
+                         (d.get("equality_ids") or ()))
+            if not cols or any(c is None for c in cols):
+                raise ValueError(
+                    "minerva_iceberg changelog: equality delete "
+                    "references unknown field ids")
+            if d.get("_seq") is None:
+                raise ValueError(
+                    "minerva_iceberg changelog: equality delete "
+                    "without a sequence number")
+            eq.append((_localize(d["file_path"]),
+                       int(d["_seq"]), cols))
+        return tuple(eq)
+
+    parts: list[_IceChangePartition] = []
+    for s in reversed(chain):
+        sid = s["snapshot-id"]
+        ordinal = int(s.get("sequence-number") or 0)
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            continue  # compaction: row-set neutral
+        if op == "append":
+            files = tbl._added_files(s)
+            paths = _parquet_paths(files)
+            for p, f in zip(paths, files):
+                parts.append(_IceChangePartition(
+                    _IceFilePartition(p, f["file_path"]),
+                    "insert", sid, ordinal))
+            continue
+        if op != "delete":
+            raise ValueError(
+                f"minerva_iceberg changelog: snapshot {sid} is "
+                f"{op!r} — the row-level delta of an overwrite "
+                "is not derivable")
+        if skip_deletes:
+            continue
+        parent_id = s.get("parent-snapshot-id")
+        if parent_id is None:
+            i = ordered.index(sid)
+            parent_id = ordered[i - 1] if i > 0 else None
+        parent = snaps.get(parent_id) \
+            if parent_id is not None else None
+        if parent is None:
+            continue  # nothing was live: nothing to retract
+        files_p, dels_p = tbl._data_files(parent, (), md)
+        _, dels_s = tbl._data_files(s, (), md)
+        seen = {d["file_path"] for d in dels_p}
+        new = [d for d in dels_s if d["file_path"] not in seen]
+        new_pos = tuple(_localize(d["file_path"]) for d in new
+                        if d.get("content") == 1)
+        new_eq = eq_state(new)
+        if not new_pos and not new_eq:
+            continue
+        parent_pos = tuple(_localize(d["file_path"]) for d in dels_p
+                           if d.get("content") == 1)
+        parent_eq = eq_state(dels_p)
+        max_dseq = max((dseq for _, dseq, _ in new_eq),
+                       default=None)
+        paths = _parquet_paths(files_p)
+        for p, f in zip(paths, files_p):
+            fseq = (int(f["_seq"])
+                    if f.get("_seq") is not None else None)
+            if not new_pos and max_dseq is not None \
+                    and fseq is not None and fseq >= max_dseq:
+                continue  # no new delete can touch this file
+            parts.append(_IceChangePartition(
+                _IceFilePartition(p, f["file_path"], parent_pos,
+                                  file_seq=fseq,
+                                  eq_deletes=parent_eq),
+                "delete", sid, ordinal, new_pos, new_eq))
+    return parts
+
+
+class _IceChangelogBatchReader(DataSourceReader):
+    """``option("changelog", "true")`` on a BATCH read — the
+    upstream create_changelog_view shape: every insert/delete change
+    row between ``fromSnapshotId`` (exclusive; default the whole
+    history) and ``toSnapshotId`` (inclusive; default current), with
+    the same pre-image semantics as the streaming changelog."""
+
+    def __init__(self, options: dict):
+        path = _opt(options, "path")
+        if not path:
+            raise ValueError("minerva_iceberg requires a path")
+        self.tbl = IcebergTable(path)
+        self.md = self.tbl.metadata()
+        self.ice_schema = self.tbl._current_schema(self.md)
+        self.base_schema = _to_spark_schema(self.ice_schema)
+        self.schema_ = _changelog_schema(self.base_schema)
+        frm = _opt(options, "fromSnapshotId")
+        self.start_id = int(frm) if frm is not None else -1
+        to = _opt(options, "toSnapshotId")
+        if to is not None:
+            self.end_id = int(to)
+        else:
+            cur = self.md.get("current-snapshot-id")
+            self.end_id = cur if cur not in (None, -1) else -1
+
+    def partitions(self):
+        if self.end_id == -1:
+            return []
+        snaps, ordered, chain = _walk_chain(
+            self.md, self.start_id, self.end_id, "changelog")
+        return _build_changelog_partitions(
+            self.tbl, self.ice_schema, self.md, snaps, ordered,
+            chain, skip_deletes=False)
+
+    def read(self, partition):
+        return _read_change_partition(partition, self.base_schema,
+                                      self.schema_)
+
+
 class _IceBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         path = _opt(options, "path")
@@ -454,36 +612,12 @@ class _IceStreamReader(DataSourceStreamReader):
             return []
         start_id = int(start["snapshot"])
         md = self.tbl.metadata()
-        snaps = {s["snapshot-id"]: s
-                 for s in md.get("snapshots") or []}
-        ordered = [s["snapshot-id"]
-                   for s in md.get("snapshots") or []]
-        chain: list[dict] = []
-        cur = snaps.get(end_id)
-        if cur is None:
-            raise ValueError(
-                f"minerva_iceberg stream: snapshot {end_id} not in "
-                "metadata (expired?)")
-        found = start_id == -1
-        while cur is not None:
-            if cur["snapshot-id"] == start_id:
-                found = True
-                break
-            chain.append(cur)
-            parent = cur.get("parent-snapshot-id")
-            if parent is None:
-                i = ordered.index(cur["snapshot-id"])
-                parent = ordered[i - 1] if i > 0 else None
-            cur = snaps.get(parent) if parent is not None else None
-        if not found:
-            raise ValueError(
-                f"minerva_iceberg stream: committed offset "
-                f"{start_id} is not an ancestor of {end_id} — the "
-                "table history diverged (rollback?); restart the "
-                "stream from a valid snapshot")
+        snaps, ordered, chain = _walk_chain(md, start_id, end_id,
+                                            "stream")
         if self.changelog:
-            return self._changelog_partitions(md, snaps, ordered,
-                                              chain)
+            return _build_changelog_partitions(
+                self.tbl, self.ice_schema, md, snaps, ordered,
+                chain, self.skip_deletes)
         files: list[dict] = []
         for s in reversed(chain):
             op = (s.get("summary") or {}).get("operation", "append")
@@ -509,90 +643,6 @@ class _IceStreamReader(DataSourceStreamReader):
             files += self.tbl._added_files(s)
         return [_IceFilePartition(p)
                 for p in _parquet_paths(files)]
-
-    def _changelog_partitions(self, md, snaps, ordered, chain):
-        """Chain (oldest→newest) → changelog input partitions."""
-        by_id = {f["id"]: f["name"]
-                 for f in self.ice_schema["fields"]}
-
-        def eq_state(dels):
-            eq = []
-            for d in dels:
-                if d.get("content") != 2:
-                    continue
-                cols = tuple(by_id.get(i) for i in
-                             (d.get("equality_ids") or ()))
-                if not cols or any(c is None for c in cols):
-                    raise ValueError(
-                        "minerva_iceberg changelog: equality delete "
-                        "references unknown field ids")
-                if d.get("_seq") is None:
-                    raise ValueError(
-                        "minerva_iceberg changelog: equality delete "
-                        "without a sequence number")
-                eq.append((_localize(d["file_path"]),
-                           int(d["_seq"]), cols))
-            return tuple(eq)
-
-        parts: list[_IceChangePartition] = []
-        for s in reversed(chain):
-            sid = s["snapshot-id"]
-            ordinal = int(s.get("sequence-number") or 0)
-            op = (s.get("summary") or {}).get("operation", "append")
-            if op == "replace":
-                continue  # compaction: row-set neutral
-            if op == "append":
-                files = self.tbl._added_files(s)
-                paths = _parquet_paths(files)
-                for p, f in zip(paths, files):
-                    parts.append(_IceChangePartition(
-                        _IceFilePartition(p, f["file_path"]),
-                        "insert", sid, ordinal))
-                continue
-            if op != "delete":
-                raise ValueError(
-                    f"minerva_iceberg changelog: snapshot {sid} is "
-                    f"{op!r} — the row-level delta of an overwrite "
-                    "is not derivable")
-            if self.skip_deletes:
-                continue
-            parent_id = s.get("parent-snapshot-id")
-            if parent_id is None:
-                i = ordered.index(sid)
-                parent_id = ordered[i - 1] if i > 0 else None
-            parent = snaps.get(parent_id) \
-                if parent_id is not None else None
-            if parent is None:
-                continue  # nothing was live: nothing to retract
-            files_p, dels_p = self.tbl._data_files(parent, (), md)
-            _, dels_s = self.tbl._data_files(s, (), md)
-            seen = {d["file_path"] for d in dels_p}
-            new = [d for d in dels_s
-                   if d["file_path"] not in seen]
-            new_pos = tuple(_localize(d["file_path"]) for d in new
-                            if d.get("content") == 1)
-            new_eq = eq_state(new)
-            if not new_pos and not new_eq:
-                continue
-            parent_pos = tuple(_localize(d["file_path"])
-                               for d in dels_p
-                               if d.get("content") == 1)
-            parent_eq = eq_state(dels_p)
-            max_dseq = max((dseq for _, dseq, _ in new_eq),
-                           default=None)
-            paths = _parquet_paths(files_p)
-            for p, f in zip(paths, files_p):
-                fseq = (int(f["_seq"])
-                        if f.get("_seq") is not None else None)
-                if not new_pos and max_dseq is not None \
-                        and fseq is not None and fseq >= max_dseq:
-                    continue  # no new delete can touch this file
-                parts.append(_IceChangePartition(
-                    _IceFilePartition(p, f["file_path"], parent_pos,
-                                      file_seq=fseq,
-                                      eq_deletes=parent_eq),
-                    "delete", sid, ordinal, new_pos, new_eq))
-        return parts
 
     def read(self, partition):
         if isinstance(partition, _IceChangePartition):
@@ -804,7 +854,10 @@ class MinervaIcebergDataSource(DataSource):
         return base
 
     def reader(self, schema) -> DataSourceReader:
-        return _IceBatchReader(dict(self.options))
+        opts = dict(self.options)
+        if str(_opt(opts, "changelog", "false")).lower() == "true":
+            return _IceChangelogBatchReader(opts)
+        return _IceBatchReader(opts)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _IceStreamReader(dict(self.options))

@@ -597,3 +597,38 @@ def test_changelog_overwrite_refuses(ice_spark, tmp_path):
              .outputMode("append").trigger(availableNow=True)
              .start())
         q.awaitTermination(120)
+
+
+def test_changelog_batch_view(ice_spark, tmp_path):
+    """The BATCH changelog view (option changelog=true on
+    spark.read): full history by default; fromSnapshotId scopes it;
+    rows match the streaming feed."""
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        equality_delete_iceberg)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id long, v double"), p)
+    s1 = IcebergTable(p).metadata()["current-snapshot-id"]
+    equality_delete_iceberg(ice_spark, p, ice_spark.createDataFrame(
+        [(2,), (5,)], "id long"))
+    write_iceberg(ice_spark, ice_spark.createDataFrame(
+        [(20, 20.0)], "id long, v double"), p)
+
+    full = (ice_spark.read.format("minerva_iceberg")
+            .option("changelog", "true").load(p))
+    assert _rows(full.select("id", "_change_type")) == sorted(
+        [(i, "insert") for i in range(8)]
+        + [(2, "delete"), (5, "delete"), (20, "insert")])
+    # scoped: changes strictly after s1
+    scoped = (ice_spark.read.format("minerva_iceberg")
+              .option("changelog", "true")
+              .option("fromSnapshotId", s1).load(p))
+    assert _rows(scoped.select("id", "_change_type")) == [
+        (2, "delete"), (5, "delete"), (20, "insert")]
+    # parity with the streaming feed
+    feed = _changelog(ice_spark, p, "cl_batch_par")
+    assert _rows(full.select("id", "v", "_change_type",
+                             "_change_ordinal")) == \
+        _rows(feed.select("id", "v", "_change_type",
+                          "_change_ordinal"))
