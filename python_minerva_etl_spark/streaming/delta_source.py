@@ -253,16 +253,28 @@ def _arrow_rebuild(arr, spec, target_type, mode):
     if kind == "array":
         values = _arrow_rebuild(arr.values, spec[1],
                                 target_type.value_type, mode)
-        offsets = arr.offsets  # carries parent nulls in pyarrow
-        cls = (pa.LargeListArray if pa.types.is_large_list(arr.type)
-               else pa.ListArray)
-        return cls.from_arrays(offsets, values).cast(target_type)
+        # rebuild ON THE ORIGINAL BUFFERS (validity + offsets) with
+        # the rebuilt child swapped in — from_arrays(offsets, …)
+        # silently drops the parent validity (null lists became [])
+        lt = (pa.large_list(values.type)
+              if pa.types.is_large_list(arr.type)
+              else pa.list_(values.type))
+        out = pa.Array.from_buffers(
+            lt, len(arr), arr.buffers()[:2],
+            null_count=arr.null_count, offset=arr.offset,
+            children=[values])
+        return out.cast(target_type)
     # map: keys are unmapped (no field names), values rebuild
     items = _arrow_rebuild(arr.items, spec[1],
                            target_type.item_type, mode)
     keys = arr.keys.cast(target_type.key_type)
-    return pa.MapArray.from_arrays(
-        arr.offsets, keys, items).cast(target_type)
+    entries = pa.StructArray.from_arrays(
+        [keys, items], names=["key", "value"])
+    out = pa.Array.from_buffers(
+        pa.map_(keys.type, items.type), len(arr),
+        arr.buffers()[:2], null_count=arr.null_count,
+        offset=arr.offset, children=[entries])
+    return out.cast(target_type)
 
 
 def _check_supported(dt: DeltaTable, snap: dict):

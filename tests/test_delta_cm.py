@@ -641,3 +641,67 @@ def test_name_mode_nested_write_stages_physical_names(spark,
     got = {r.id: r for r in dt.read(spark).collect()}
     assert got[1]["s"]["x"] == 10 and got[2]["s"]["y"] == "c"
     assert got[2]["arr"][0]["x"] == 31
+
+
+def test_deep_nesting_roundtrip_both_modes(spark, tmp_path):
+    """Torture the nested rebuild recursion in BOTH directions:
+    struct-inside-array-inside-struct plus a map of structs, nulls
+    at every level, written through the engine's staging and read
+    back through read_delta AND the registered source, name and id
+    modes."""
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+    from python_minerva_etl_spark.streaming.delta_source import (
+        register_delta_source)
+
+    register_delta_source(spark)
+    inner = {"type": "struct", "fields": [
+        _fld("a", "long", "col-a", 10),
+        _fld("b", "string", "col-b", 11)]}
+    mid = {"type": "struct", "fields": [
+        _fld("xs", {"type": "array", "elementType": inner,
+                    "containsNull": True}, "col-xs", 7),
+        _fld("m", {"type": "map", "keyType": "string",
+                   "valueType": {"type": "struct", "fields": [
+                       _fld("a", "long", "col-a2", 12),
+                       _fld("b", "string", "col-b2", 13)]},
+                   "valueContainsNull": True}, "col-m", 8)]}
+    fields = [_fld("id", "long", "col-i", 1),
+              _fld("s", mid, "col-s", 2)]
+    ddl = ("id long, s struct<xs: array<struct<a:long,b:string>>, "
+           "m: map<string, struct<a:long,b:string>>>")
+    rows = [
+        (1, ([( 5, "x"), None, (6, None)],
+             {"k1": (7, "y"), "k2": None})),
+        (2, None),
+        (3, ([], {})),
+        (4, (None, {"z": (None, "w")})),
+    ]
+    for mode in ("name", "id"):
+        p = str(tmp_path / f"t_{mode}")
+        os.makedirs(p)
+        _log(p, fields, [], mode=mode)
+        dt = DeltaTable(p)
+        dt.write(spark, spark.createDataFrame(rows, ddl).coalesce(1))
+        eng = {r.id: r for r in dt.read(spark).collect()}
+        assert eng[1]["s"]["xs"][0]["a"] == 5
+        assert eng[1]["s"]["xs"][1] is None
+        assert eng[1]["s"]["xs"][2]["b"] is None
+        assert eng[1]["s"]["m"]["k1"]["b"] == "y"
+        assert eng[1]["s"]["m"]["k2"] is None
+        assert eng[2]["s"] is None
+        assert eng[3]["s"]["xs"] == [] and eng[3]["s"]["m"] == {}
+        assert eng[4]["s"]["xs"] is None
+        assert eng[4]["s"]["m"]["z"]["a"] is None
+        # written file speaks PHYSICAL names at depth
+        import pyarrow.parquet as pq
+        f = dt._replay()["files"][0]
+        sa = pq.ParquetFile(os.path.join(p, f["path"])).schema_arrow
+        top = sa.field(sa.names.index("col-s"))
+        assert {top.type.field(i).name
+                for i in range(top.type.num_fields)} == \
+            {"col-xs", "col-m"}
+        # registered source parity
+        got = {r.id: r for r in spark.read.format("minerva_delta")
+               .load(p).collect()}
+        assert sorted(map(str, got.values())) == \
+            sorted(map(str, eng.values())), mode
