@@ -802,78 +802,94 @@ def write_avro(df: DataFrame, path: str,
 
     ``codec``: "null" (default) or "deflate" (raw zlib per the Avro
     spec — what most production writers emit)."""
-    import json as _json
     import uuid as _uuid
 
     if codec not in ("null", "deflate"):
         raise ValueError(
             f"avro sink: unsupported codec {codec!r} (null/deflate)")
 
-    from ..storage.iceberg_write import _avro_encode, _zigzag
-
     schema = _avro_schema_of(df.schema, force_required)
-    canon = _json.dumps(schema).encode()
     os.makedirs(path, exist_ok=True)
-    fields = [(f["name"], f["type"]) for f in schema["fields"]]
 
     def encode(batches):
         import pandas as pd
-        sync = _uuid.uuid4().bytes
-        out = bytearray(b"Obj\x01")
-        out += _avro_encode(
-            {"avro.schema": canon, "avro.codec": codec.encode()},
-            {"type": "map", "values": "bytes"})
-        out += sync
-        n_total = 0
 
-        def flush(n, body):
-            nonlocal n_total
-            body = bytes(body)
-            if codec == "deflate":
-                import zlib as _zlib
-                co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
-                body = co.compress(body) + co.flush()
-            out.extend(_zigzag(n) + _zigzag(len(body)) + body + sync)
-            n_total += n
-
-        # flush blocks at ~block_bytes (default 4 MiB): keeps every
-        # block inside the vectorized reader's size cap and bounds
-        # per-block decode memory, like production writers'
-        # sync-interval defaults
-        body = bytearray()
-        n_block = 0
-        for pdf in batches:
-            n = len(pdf)
-            if not n:
-                continue
-            cols = [pdf[name] for name, _ in fields]
-            for i in range(n):
-                for (name, ftype), col in zip(fields, cols):
-                    v = col.iloc[i]
-                    if v is not None and v == v:  # NaN -> null
-                        v = v.item() if hasattr(v, "item") else v
-                    else:
-                        v = None
-                    if v is None and not isinstance(ftype, list):
-                        raise ValueError(
-                            f"avro sink: null in required column "
-                            f"{name!r} (written with "
-                            "force_required=True)")
-                    body += _avro_encode(v, ftype)
-                n_block += 1
-                if len(body) >= block_bytes:
-                    flush(n_block, body)
-                    body = bytearray()
-                    n_block = 0
-        if n_block:
-            flush(n_block, body)
-        if not n_total:
+        blob, n_total = encode_container(batches, schema, codec,
+                                         block_bytes)
+        if blob is None:
             yield pd.DataFrame({"path": [], "rows": []})
             return
         fname = os.path.join(path, f"part-{_uuid.uuid4().hex}.avro")
         with open(fname, "wb") as fh:
-            fh.write(bytes(out))
+            fh.write(blob)
         yield pd.DataFrame({"path": [fname], "rows": [n_total]})
 
     summary = df.mapInPandas(encode, "path string, rows long").collect()
     return sorted(r["path"] for r in summary)
+
+
+def encode_container(pdfs, schema: dict, codec: str = "null",
+                     block_bytes: int = 4 << 20
+                     ) -> tuple[bytes | None, int]:
+    """Encode an iterable of pandas frames as ONE Avro
+    object-container (bytes, n_rows) — (None, 0) when empty.  The
+    executor body shared by :func:`write_avro`'s mapInPandas and the
+    registered ``minerva_avro`` writer.  Blocks flush at
+    ~``block_bytes`` (default 4 MiB): keeps every block inside the
+    vectorized reader's size cap and bounds per-block decode memory,
+    like production writers' sync-interval defaults."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..storage.iceberg_write import _avro_encode, _zigzag
+
+    canon = _json.dumps(schema).encode()
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    sync = _uuid.uuid4().bytes
+    out = bytearray(b"Obj\x01")
+    out += _avro_encode(
+        {"avro.schema": canon, "avro.codec": codec.encode()},
+        {"type": "map", "values": "bytes"})
+    out += sync
+    n_total = 0
+
+    def flush(n, body):
+        nonlocal n_total
+        body = bytes(body)
+        if codec == "deflate":
+            import zlib as _zlib
+            co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+            body = co.compress(body) + co.flush()
+        out.extend(_zigzag(n) + _zigzag(len(body)) + body + sync)
+        n_total += n
+
+    body = bytearray()
+    n_block = 0
+    for pdf in pdfs:
+        n = len(pdf)
+        if not n:
+            continue
+        cols = [pdf[name] for name, _ in fields]
+        for i in range(n):
+            for (name, ftype), col in zip(fields, cols):
+                v = col.iloc[i]
+                if v is not None and v == v:  # NaN -> null
+                    v = v.item() if hasattr(v, "item") else v
+                else:
+                    v = None
+                if v is None and not isinstance(ftype, list):
+                    raise ValueError(
+                        f"avro sink: null in required column "
+                        f"{name!r} (written with "
+                        "force_required=True)")
+                body += _avro_encode(v, ftype)
+            n_block += 1
+            if len(body) >= block_bytes:
+                flush(n_block, body)
+                body = bytearray()
+                n_block = 0
+    if n_block:
+        flush(n_block, body)
+    if not n_total:
+        return None, 0
+    return bytes(out), n_total

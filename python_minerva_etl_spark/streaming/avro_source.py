@@ -31,9 +31,13 @@ import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
+from pyspark.sql.datasource import (DataSource,
+                                    DataSourceArrowWriter,
+                                    DataSourceReader,
+                                    DataSourceStreamArrowWriter,
                                     DataSourceStreamReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    WriterCommitMessage)
 
 
 def _opt(options: dict, name: str, default=None):
@@ -160,6 +164,115 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
         pass
 
 
+class _AvroCommit(WriterCommitMessage):
+    def __init__(self, tmp: str | None, rows: int):
+        self.tmp = tmp
+        self.rows = rows
+
+
+class _AvroWriter(DataSourceArrowWriter):
+    """Append-only batch writer: each task encodes ONE
+    object-container to a hidden ``.tmp`` (invisible to readers —
+    ``_list_files`` globs ``*.avro``), the driver renames them to
+    final ``part-<seq>-<i>.avro`` names on commit; abort deletes the
+    temps.  ``<seq>`` is a zero-padded epoch-ms stamp so files from
+    successive jobs keep the SORTED-NAME append order the streaming
+    source's offsets rely on."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        from ..sources.avro import _avro_schema_of
+
+        if overwrite:
+            raise NotImplementedError(
+                "minerva_avro writer is append-only "
+                "(mode('append')); a drop directory is never "
+                "rewritten in place")
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("minerva_avro requires a path")
+        self.codec = _opt(options, "codec", "deflate")
+        self.force_required = str(_opt(
+            options, "force_required", "false")).lower() == "true"
+        self.block_bytes = int(_opt(options, "block_bytes",
+                                    4 << 20))
+        # fail fast on the driver: unsupported column types raise at
+        # planning, before any executor work
+        self.avro_schema = _avro_schema_of(schema,
+                                           self.force_required)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        from ..sources.avro import encode_container
+
+        blob, rows = encode_container(
+            (b.to_pandas() for b in iterator), self.avro_schema,
+            self.codec, self.block_bytes)
+        if blob is None:
+            return _AvroCommit(None, 0)
+        tmp = os.path.join(self.path,
+                           f".stage-{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        return _AvroCommit(tmp, rows)
+
+    def _finalize(self, messages, seq: str) -> int:
+        total = 0
+        i = 0
+        for m in messages:
+            if not m or not m.tmp:
+                continue
+            dst = os.path.join(
+                self.path, f"part-{seq}-{i:05d}.avro")
+            os.rename(m.tmp, dst)
+            total += m.rows
+            i += 1
+        return total
+
+    def commit(self, messages):
+        import time as _time
+
+        self._finalize(messages, f"{int(_time.time() * 1000):015d}")
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.tmp:
+                try:
+                    os.remove(m.tmp)
+                except OSError:
+                    pass
+
+
+class _AvroStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once STREAMING sink for the drop directory: each
+    micro-batch's files commit under a ``part-<batchId>-…`` prefix
+    (10-digit zero-padded, so batches keep the sorted-name append
+    order); a REPLAYED batch finds its prefix already present,
+    deletes its staged temps, and commits nothing — the prefix IS
+    the ledger."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self._batch = _AvroWriter(options, schema, overwrite)
+
+    def write(self, iterator):
+        return self._batch.write(iterator)
+
+    def commit(self, messages, batchId: int):
+        import glob as _glob
+
+        seq = f"{int(batchId):010d}"
+        already = _glob.glob(os.path.join(
+            self._batch.path, f"part-{seq}-*.avro"))
+        if already:
+            self.abort(messages, batchId)  # replay: ledger hit
+            return
+        self._batch._finalize(messages, seq)
+
+    def abort(self, messages, batchId: int):
+        self._batch.abort(messages)
+
+
 class MinervaAvroDataSource(DataSource):
     """`format("minerva_avro")` — see the module docstring."""
 
@@ -180,6 +293,13 @@ class MinervaAvroDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _AvroStreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        return _AvroWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _AvroStreamWriter(dict(self.options), schema,
+                                 overwrite)
 
 
 def register_avro_source(spark: SparkSession) -> None:

@@ -135,3 +135,77 @@ def test_batch_mixed_schema_refuses(av_spark, tmp_path):
         fh.write(_avro_file(_ALL_VARINT, []))
     with pytest.raises(Exception, match="differs|mixed-schema"):
         av_spark.read.format("minerva_avro").load(p).collect()
+
+
+# ------------------------------------------------------------ writer
+
+
+def test_batch_writer_roundtrip_and_append_order(av_spark, tmp_path):
+    """df.write.format('minerva_avro'): append-only, one container
+    per task, final names keep sorted append order across jobs so
+    the streaming source can tail the directory."""
+    import time
+
+    p = str(tmp_path / "out")
+    df1 = av_spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5)], "id long, s string, v double")
+    df1.coalesce(1).write.format("minerva_avro").mode("append").save(p)
+    time.sleep(0.01)
+    df2 = av_spark.createDataFrame(
+        [(3, "c", 3.5)], "id long, s string, v double")
+    df2.coalesce(1).write.format("minerva_avro").mode("append").save(p)
+    names = sorted(f for f in os.listdir(p) if f.endswith(".avro"))
+    assert len(names) == 2 and names == sorted(names)
+    back = read_avro(av_spark, p)
+    assert _rows(back) == [(1, "a", 1.5), (2, None, 2.5),
+                           (3, "c", 3.5)]
+    # and through the registered reader too
+    assert _rows(av_spark.read.format("minerva_avro").load(p)) == \
+        _rows(back)
+    # overwrite refuses (drop directories are append-only)
+    with pytest.raises(Exception, match="append-only"):
+        df1.write.format("minerva_avro").mode("overwrite").save(p)
+
+
+def test_stream_writer_end_to_end_and_exactly_once(av_spark,
+                                                   tmp_path):
+    """Streaming sink: parquet-dir source → minerva_avro sink with a
+    checkpoint; a replayed batch id commits nothing (the
+    part-<batchId> prefix is the ledger)."""
+    import pyarrow as pa
+
+    from python_minerva_etl_spark.streaming.avro_source import (
+        _AvroStreamWriter)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    av_spark.createDataFrame([(i, float(i)) for i in range(50)],
+                             "id long, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = (av_spark.readStream.schema("id long, v double").parquet(src)
+         .writeStream.format("minerva_avro").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = read_avro(av_spark, out)
+    assert got.count() == 50
+    assert sorted(f for f in os.listdir(out)
+                  if f.endswith(".avro"))[0].startswith("part-00000")
+
+    # unit-level replay: same batchId committed twice adds nothing
+    w = _AvroStreamWriter(
+        {"path": out}, av_spark.createDataFrame(
+            [], "id long, v double").schema, False)
+    batch = pa.RecordBatch.from_pydict(
+        {"id": pa.array([99], type=pa.int64()),
+         "v": pa.array([9.0])})
+    msgs = [w.write(iter([batch]))]
+    w.commit(msgs, 7)
+    n_after_first = read_avro(av_spark, out).count()
+    msgs = [w.write(iter([batch]))]
+    w.commit(msgs, 7)  # replay of batch 7
+    assert read_avro(av_spark, out).count() == n_after_first == 51
+    # temps are cleaned either way
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
