@@ -218,13 +218,18 @@ class _AvroWriter(DataSourceArrowWriter):
         return _AvroCommit(tmp, rows)
 
     def _finalize(self, messages, seq: str) -> int:
+        import uuid as _uuid
+
         total = 0
         i = 0
         for m in messages:
             if not m or not m.tmp:
                 continue
+            # uuid suffix: two batch jobs committing in the same
+            # epoch-ms must not silently os.rename over each other
             dst = os.path.join(
-                self.path, f"part-{seq}-{i:05d}.avro")
+                self.path,
+                f"part-{seq}-{i:05d}-{_uuid.uuid4().hex[:8]}.avro")
             os.rename(m.tmp, dst)
             total += m.rows
             i += 1
