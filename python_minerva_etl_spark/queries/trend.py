@@ -18,6 +18,14 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
 
+def _fixture_key(sf_dir: str, table: str = "events") -> str:
+    """Staleness key for marker-cached scratch fixtures: the source
+    parquet's (size, mtime_ns).  A regenerated fixture invalidates
+    the cache instead of silently serving stale derived data."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def _scratch_tag(sf_dir: str) -> int:
     """Deterministic per-fixture scratch-dir tag.  md5, NOT hash():
     PYTHONHASHSEED randomization would name a fresh dir every driver
@@ -503,14 +511,16 @@ def _avro_ingest(spark, sf_dir):
     tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"avro_ingest_{tag}")
     marker = os.path.join(base, "_COMPLETE")
-    if not os.path.exists(marker):
+    key = _fixture_key(sf_dir)
+    if not (os.path.exists(marker)
+            and open(marker).read() == key):
         shutil.rmtree(base, ignore_errors=True)
         ev = t(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value")
         write_avro(ev.repartition(2), base, codec="deflate",
                    block_bytes=2 << 20)
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(key)
     df = read_avro(spark, base, split_bytes=4 << 20)
     return (df.groupBy("event_type")
             .agg(F.count("*").cast("bigint").alias("n"),
@@ -1494,12 +1504,14 @@ def _stream_avro_ingest_parity(spark, sf_dir):
     tag = _scratch_tag(sf_dir)
     base = os.path.join(_SCRATCH, f"avro_stream_{tag}")
     marker = os.path.join(base, "_COMPLETE")
-    if not os.path.exists(marker):
+    key = _fixture_key(sf_dir)
+    if not (os.path.exists(marker)
+            and open(marker).read() == key):
         shutil.rmtree(base, ignore_errors=True)
         write_avro(ev.repartition(2), base, codec="deflate",
                    block_bytes=2 << 20)
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(key)
     sink = f"avro_ingest_stream_{_uuid.uuid4().hex[:8]}"
     q = (spark.readStream.format("minerva_avro")
          .option("split_bytes", 4 << 20).load(base)
