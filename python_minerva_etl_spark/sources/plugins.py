@@ -109,8 +109,12 @@ def _read_avro(spark: SparkSession, path: str, config=None) -> DataFrame:
     """Avro object-container read via the stdlib decoder
     (sources/avro.py) — no spark-avro jar; sync-marker byte-range
     splits (one task per ~128 MiB, not per file), logical types
-    (decimal/date/timestamp) converted."""
+    (decimal/date/timestamp) converted.  ``config`` may carry
+    ``split_bytes`` to retune the range size."""
     from .avro import read_avro
+    sb = getattr(config, "split_bytes", None) if config else None
+    if sb is not None:
+        return read_avro(spark, path, split_bytes=int(sb))
     return read_avro(spark, path)
 
 
