@@ -127,7 +127,14 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
     def _listing(self) -> list[str]:
         from ..sources.avro import _list_files
 
-        return _list_files(self.path)  # sorted
+        try:
+            return _list_files(self.path)  # sorted
+        except FileNotFoundError:
+            # an ingest-drop directory that is empty RIGHT NOW is a
+            # normal streaming state (producer not started yet) —
+            # idle trigger, not a crash.  Schema was derived at plan
+            # time, so nothing else needs the files.
+            return []
 
     def initialOffset(self) -> dict:
         return {"n": 0, "hw": ""}
