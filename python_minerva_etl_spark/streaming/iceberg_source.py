@@ -404,10 +404,16 @@ def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
         if parent_id is None:
             i = ordered.index(sid)
             parent_id = ordered[i - 1] if i > 0 else None
-        parent = snaps.get(parent_id) \
-            if parent_id is not None else None
+        if parent_id is None:
+            continue  # table began with a delete: nothing was live
+        parent = snaps.get(parent_id)
         if parent is None:
-            continue  # nothing was live: nothing to retract
+            # the parent EXPIRED: pre-images are not derivable —
+            # emitting nothing here would silently lose retractions
+            raise ValueError(
+                f"minerva_iceberg changelog: snapshot {sid}'s parent "
+                f"{parent_id} is expired — the delete's pre-images "
+                "cannot be reconstructed; start the feed after it")
         files_p, dels_p = tbl._data_files(parent, (), md)
         _, dels_s = tbl._data_files(s, (), md)
         seen = {d["file_path"] for d in dels_p}
