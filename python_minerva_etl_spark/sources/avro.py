@@ -196,13 +196,19 @@ def _vector_plan(schema: dict):
     return plan
 
 
-def _decode_block_vectorized(body: bytes, n_records: int, plan):
-    """One block body -> list of per-field numpy/pandas columns."""
+def _decode_block_vectorized(body: bytes, n_records: int, plan,
+                             keep=None):
+    """One block body -> list of per-field numpy/pandas columns.
+    ``keep`` (sorted field indices) prunes the CONVERSION stage —
+    every varint still decodes (the block is a packed varint
+    stream), but unwanted columns skip their zigzag/logical-type
+    conversion and materialization."""
     import numpy as np
 
     nfields = len(plan)
+    sel = range(nfields) if keep is None else keep
     if n_records == 0:
-        return [np.empty(0, dtype=np.int64) for _ in plan]
+        return [np.empty(0, dtype=np.int64) for _ in sel]
     b = np.frombuffer(body, dtype=np.uint8)
     if len(b) == 0 or (b[-1] & 0x80):
         raise ValueError("avro: truncated varint block")
@@ -235,7 +241,8 @@ def _decode_block_vectorized(body: bytes, n_records: int, plan):
         k += 1
     mat = u.reshape(n_records, nfields)
     cols = []
-    for i, (kind, extra) in enumerate(plan):
+    for i in sel:
+        kind, extra = plan[i]
         raw = mat[:, i]
         if kind == "boolean":
             cols.append(raw != 0)
@@ -337,14 +344,20 @@ def _vector_plan_general(schema: dict):
     return plan
 
 
-def _decode_block_general(body: bytes, n_records: int, plan):
+def _decode_block_general(body: bytes, n_records: int, plan,
+                          keep=None):
     """One block body -> list of per-field columns (numpy arrays, or
-    object lists for string/bytes/nullable)."""
+    object lists for string/bytes/nullable).  ``keep`` (sorted field
+    indices) prunes the EXTRACTION stage — the structure scan still
+    walks every field (records are variable-width), but unwanted
+    columns never pay their value decode (for strings, the per-value
+    Python slices — the dominant cost on text corpora)."""
     import numpy as np
 
     nfields = len(plan)
+    sel = range(nfields) if keep is None else keep
     if n_records == 0:
-        return [[] for _ in plan]
+        return [[] for _ in sel]
     B = len(body)
     if B > _GEN_MAX_BLOCK:
         raise ValueError("avro: block too large for vectorized scan")
@@ -465,7 +478,7 @@ def _decode_block_general(body: bytes, n_records: int, plan):
         return val
 
     cols = []
-    for f in range(nfields):
+    for f in sel:
         kind, extra, nb = plan[f]
         pos_arr = np.asarray(starts[f], dtype=np.int64)
         lnl = lens[f] if kind in ("string", "bytes") else None
@@ -662,7 +675,8 @@ def plan_read(path: str):
 
 def split_frames(p: str, start: int, end: int, canon: str,
                  writer_schema: dict, plan, plan_gen,
-                 colnames: list[str], batch_bytes: int):
+                 colnames: list[str], batch_bytes: int,
+                 keep=None):
     """Decode one byte-range split of one file into pandas frames
     (~``batch_bytes`` of decoded block data each) — the executor
     body shared by :func:`read_avro`'s mapInPandas and the
@@ -676,6 +690,10 @@ def split_frames(p: str, start: int, end: int, canon: str,
 
     from ..storage.iceberg import _Cursor, _decode
 
+    fields = writer_schema["fields"]
+    out_fields = fields if keep is None else [fields[i] for i in keep]
+    out_names = [f["name"] for f in out_fields]
+
     def seq_block(body, n):
         bcur = _Cursor(body)
         names: dict = {}
@@ -683,8 +701,8 @@ def split_frames(p: str, start: int, end: int, canon: str,
         for _ in range(n):
             r = _decode(bcur, writer_schema, names)
             rows.append(tuple(_convert(r.get(f["name"]), f["type"])
-                              for f in writer_schema["fields"]))
-        return pd.DataFrame(rows, columns=colnames)
+                              for f in out_fields))
+        return pd.DataFrame(rows, columns=out_names)
 
     def block_df(body, n):
         if plan is not None:
@@ -694,10 +712,10 @@ def split_frames(p: str, start: int, end: int, canon: str,
         else:
             return seq_block(body, n)
         try:
-            cols = fn(body, n, nplan)
+            cols = fn(body, n, nplan, keep)
         except ValueError:
             return seq_block(body, n)
-        return pd.DataFrame(dict(zip(colnames, cols)))
+        return pd.DataFrame(dict(zip(out_names, cols)))
 
     file_size = os.path.getsize(p)
     with open(p, "rb") as fh:
@@ -726,7 +744,8 @@ def split_frames(p: str, start: int, end: int, canon: str,
 
 def read_avro(spark: SparkSession, path: str,
               split_bytes: int = 128 << 20,
-              batch_bytes: int = 64 << 20) -> DataFrame:
+              batch_bytes: int = 64 << 20,
+              columns: list[str] | None = None) -> DataFrame:
     """Read ``path`` (a file, glob, or directory of ``*.avro``) as a
     DataFrame.  Driver reads one header; executors decode BYTE-RANGE
     SPLITS (``split_bytes`` each, sync-marker aligned — see the
@@ -734,9 +753,26 @@ def read_avro(spark: SparkSession, path: str,
     Arrow batch per ~``batch_bytes`` of decoded block data, so both
     parallelism and per-task memory are independent of file size.
     Every split re-checks its file's embedded writer schema against
-    the driver's and raises on drift."""
+    the driver's and raises on drift.
+
+    ``columns`` prunes the projection at the DECODE level (Catalyst
+    cannot push projections through mapInPandas): records must still
+    be structure-scanned field-by-field (Avro rows are
+    variable-width), but pruned columns skip value extraction — for
+    strings the per-value Python slices, the dominant cost — and
+    never cross the Arrow boundary."""
     (files, writer_schema, spark_schema, canon, plan, plan_gen,
      colnames) = plan_read(path)
+    keep = None
+    if columns is not None:
+        missing = sorted(set(columns) - set(colnames))
+        if missing:
+            raise ValueError(
+                f"avro: unknown columns {missing} (have {colnames})")
+        want = set(columns)
+        keep = [i for i, c in enumerate(colnames) if c in want]
+        spark_schema = T.StructType(
+            [spark_schema.fields[i] for i in keep])
 
     def decode(batches):
         for pdf in batches:
@@ -744,7 +780,7 @@ def read_avro(spark: SparkSession, path: str,
                                      pdf["end"]):
                 yield from split_frames(
                     p, int(start), int(end), canon, writer_schema,
-                    plan, plan_gen, colnames, batch_bytes)
+                    plan, plan_gen, colnames, batch_bytes, keep)
 
     splits = plan_splits(files, split_bytes)
     fdf = (spark.createDataFrame(splits,

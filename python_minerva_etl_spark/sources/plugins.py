@@ -110,12 +110,17 @@ def _read_avro(spark: SparkSession, path: str, config=None) -> DataFrame:
     (sources/avro.py) — no spark-avro jar; sync-marker byte-range
     splits (one task per ~128 MiB, not per file), logical types
     (decimal/date/timestamp) converted.  ``config`` may carry
-    ``split_bytes`` to retune the range size."""
+    ``split_bytes`` (range size) and ``columns`` (decode-level
+    projection pruning)."""
     from .avro import read_avro
+    kw = {}
     sb = getattr(config, "split_bytes", None) if config else None
     if sb is not None:
-        return read_avro(spark, path, split_bytes=int(sb))
-    return read_avro(spark, path)
+        kw["split_bytes"] = int(sb)
+    cols = getattr(config, "columns", None) if config else None
+    if cols is not None:
+        kw["columns"] = list(cols)
+    return read_avro(spark, path, **kw)
 
 
 @register("jsonl")

@@ -145,3 +145,38 @@ def test_schema_drift_refused_per_split(spark, tmp_path):
         fh.write(_avro_file(other, [{"z": 1}]))
     with pytest.raises(Exception, match="mixed-schema|differs"):
         read_avro(spark, d, split_bytes=1 << 10).collect()
+
+
+def test_column_pruning_parity_all_paths(spark, tmp_path):
+    """read_avro(columns=…) must return exactly the full read's
+    projection — through the all-varint fast path, the general
+    (string-bearing) path, and the sequential fallback — with the
+    schema subset in writer order."""
+    import pytest
+
+    d = str(tmp_path / "av")
+    _write_mixed(spark, d, n=2000, block_bytes=1 << 12)
+    full = read_avro(spark, d)
+    for cols in (["id", "x"], ["s"], ["f", "id"]):
+        got = read_avro(spark, d, split_bytes=1 << 12, columns=cols)
+        want_order = [c for c in ("id", "s", "x", "f") if c in cols]
+        assert got.columns == want_order
+        assert sorted(map(repr, got.collect())) == \
+            sorted(map(repr, full.select(*want_order).collect()))
+    with pytest.raises(ValueError, match="unknown columns"):
+        read_avro(spark, d, columns=["nope"])
+
+    # all-varint path
+    from tests.test_avro_vector import _ALL_VARINT, _multi_block
+    import os as _os
+    recs = [{"id": i, "small": i % 7, "flag": i % 2 == 0,
+             "kind": "B", "d": 1, "ts": 2, "tms": 3}
+            for i in range(100)]
+    d2 = tmp_path / "av2"
+    _os.makedirs(d2)
+    (d2 / "p.avro").write_bytes(_multi_block(_ALL_VARINT, recs, 5))
+    full = read_avro(spark, str(d2))
+    got = read_avro(spark, str(d2), columns=["small", "id"])
+    assert got.columns == ["id", "small"]
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, full.select("id", "small").collect()))
