@@ -313,21 +313,96 @@ def _physical_expr(col, ldt: T.DataType):
     return col
 
 
-def _pin_no_nested_pruning(spark: SparkSession,
-                           schema: T.StructType) -> None:
-    """Disable nested-schema pruning for the session when an id-mode
-    table carries NESTED mapped columns: Spark's SchemaPruning
-    rebuilds the pruned struct types WITHOUT their per-field
-    ``parquet.field.id`` metadata, so a pruned scan of a pre-rename
-    file (physical spelling != read schema) silently falls back to
-    name matching and null-fills — ``df.filter("s.x = 10")``
-    returned 0 rows while ``df.select("s")`` showed x=10.  Wrong
-    results beat pruned scans; flat id-mode tables (the common case)
-    keep pruning."""
-    if any(_needs_rename(f.dataType) for f in schema.fields):
-        spark.conf.set(
-            "spark.sql.optimizer.nestedSchemaPruning.enabled",
-            "false")
+def _cm_id(f: T.StructField):
+    """``delta.columnMapping.id`` as an int, or None when the field
+    carries none (synthetic columns like ``_change_type``)."""
+    cid = (f.metadata or {}).get("delta.columnMapping.id")
+    return int(cid) if cid is not None else None
+
+
+def _arrow_field_id(af):
+    """The ``PARQUET:field_id`` of a pyarrow field, or None."""
+    raw = (af.metadata or {}).get(b"PARQUET:field_id")
+    try:
+        return int(raw) if raw is not None else None
+    except ValueError:
+        return None
+
+
+def _localize_type(dt: T.DataType, at) -> T.DataType:
+    """Recurse :func:`_localize_field` through containers; ``at`` is
+    the file's pyarrow type at the same position (or None when the
+    file lacks it — the schema's own spelling is kept and the scan
+    null-fills)."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.StructType):
+        sub: dict[int, object] = {}
+        if at is not None and pa.types.is_struct(at):
+            for i in range(at.num_fields):
+                sf = at.field(i)
+                fid = _arrow_field_id(sf)
+                if fid is not None:
+                    sub[fid] = sf
+        return T.StructType([_localize_field(f, sub.get(_cm_id(f)))
+                             for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        elem = (at.value_field.type
+                if at is not None
+                and (pa.types.is_list(at) or pa.types.is_large_list(at))
+                else None)
+        return T.ArrayType(_localize_type(dt.elementType, elem),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        kt = vt = None
+        if at is not None and pa.types.is_map(at):
+            kt, vt = at.key_type, at.item_type
+        return T.MapType(_localize_type(dt.keyType, kt),
+                         _localize_type(dt.valueType, vt),
+                         dt.valueContainsNull)
+    return dt
+
+
+def _localize_field(f: T.StructField, af) -> T.StructField:
+    """Copy of a mapped logical field whose ``physicalName`` metadata
+    (at EVERY nesting level) is rewritten to ONE FILE's actual
+    spelling, matched by parquet field id — the per-file half of
+    id-mode resolution (PROTOCOL.md Column Mapping: "in `id` mode
+    readers must resolve columns by field id"), done HERE instead of
+    via ``spark.sql.parquet.fieldId.read.enabled`` because Spark's
+    nested SchemaPruning rebuilds pruned struct types WITHOUT their
+    per-field ``parquet.field.id`` metadata: a pruned scan of a
+    pre-rename file silently fell back to name matching and
+    null-filled (``df.filter("s.x = 10")`` returned 0 rows while
+    ``df.select("s")`` showed x=10).  With the file's own spelling in
+    the read schema, plain NAME resolution is exact and nested
+    pruning stays enabled — no session conf is touched.  ``af`` None
+    (file lacks the id) keeps the schema's spelling: the scan
+    null-fills, the schema-evolution contract."""
+    md = dict(f.metadata or {})
+    if af is not None:
+        md[_CM_PHYS] = af.name
+    return T.StructField(
+        f.name,
+        _localize_type(f.dataType, af.type if af is not None else None),
+        f.nullable, md)
+
+
+def _localized_fields(data_fields: list[T.StructField],
+                      path: str) -> tuple:
+    """The mapped data fields localized to ``path``'s footer schema
+    (one driver-side footer read — metadata only, never row data)."""
+    import pyarrow.parquet as pq
+
+    arrow = pq.ParquetFile(path).schema_arrow
+    top = {}
+    for i in range(len(arrow.names)):
+        af = arrow.field(i)
+        fid = _arrow_field_id(af)
+        if fid is not None:
+            top[fid] = af
+    return tuple(_localize_field(f, top.get(_cm_id(f)))
+                 for f in data_fields)
 
 
 def _strip_meta(dt: T.DataType) -> T.DataType:
@@ -765,12 +840,13 @@ class DeltaTable:
                 if mapped == "id":
                     _field_id(f)
         if mapped == "id":
-            # Spark resolves parquet columns by the field ids we put
-            # in the read schema's metadata — a session conf, safe to
-            # pin (it only changes behavior when ids are present)
+            # flat id columns resolve via Spark's field-id parquet
+            # path — a session conf, safe to pin (it only changes
+            # behavior when ids are present in the read schema);
+            # NESTED id columns resolve per file in _scan_files
+            # instead, so no pruning conf is ever touched
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                            "true")
-            _pin_no_nested_pruning(spark, schema)
         files = snap["files"]
         pos_fields = [T.StructField("_dl_path", T.StringType()),
                       T.StructField("_dl_pos", T.LongType())]
@@ -876,8 +952,15 @@ class DeltaTable:
         tables (``mapped`` = "name" or "id") read physical names —
         mode "id" additionally stamps ``parquet.field.id`` metadata so
         Spark matches parquet columns by the stable field id even
-        when a file spells a different (pre-rename) physical name —
-        and rebuild logical ones; with ``need_pos`` each row carries
+        when a file spells a different (pre-rename) physical name.
+        Mode "id" with NESTED mapped columns resolves ids per file
+        FROM THE FOOTER instead (:func:`_localized_fields`, files
+        sub-grouped by spelling and scanned by name): Spark's nested
+        SchemaPruning drops ``parquet.field.id`` metadata from pruned
+        struct types, so its field-id path null-fills pre-rename
+        files — per-file localization keeps name resolution exact AND
+        nested pruning enabled, with no session conf pinned.  Logical
+        names are rebuilt on top; with ``need_pos`` each row carries
         ``_dl_path``/``_dl_pos`` provenance from the parquet reader's
         ``_metadata``.  Hive-conformant partitioned layouts
         short-circuit to the single-scan :meth:`_scan_hive` fast
@@ -927,13 +1010,14 @@ class DeltaTable:
             keep += ["_dl_path", "_dl_pos"]
         # None-safe ordering: null partition values sort first (the
         # order is cosmetic — determinism only)
-        for pv, paths in sorted(
-                by_part.items(),
-                key=lambda kv: tuple((v is not None, v or "")
-                                     for v in kv[0])):
-            df = spark.read.schema(data_schema).parquet(*paths)
+        id_nested = by_id and any(_needs_rename(f.dataType)
+                                  for f in data_fields)
+        loc_cache: dict[str, tuple] = {}
+
+        def _scan_group(paths: list[str], fields, dschema) -> DataFrame:
+            df = spark.read.schema(dschema).parquet(*paths)
             sel = ([_logical_expr(F.col(_physical_name(f)), f.dataType)
-                    .alias(f.name) for f in data_fields]
+                    .alias(f.name) for f in fields]
                    if mapped else ["*"])
             if need_pos:
                 # 'file:///p' -> '/p' so descriptor paths and Spark's
@@ -945,6 +1029,40 @@ class DeltaTable:
                     F.col("_metadata.row_index").alias("_dl_pos")]
             if mapped or need_pos:
                 df = df.select(*sel)
+            return df
+
+        for pv, paths in sorted(
+                by_part.items(),
+                key=lambda kv: tuple((v is not None, v or "")
+                                     for v in kv[0])):
+            if id_nested:
+                # sub-group by the files' actual nested spellings —
+                # typically ONE group (all files post-mapping); a
+                # group per spelling era otherwise
+                groups: dict[str, list[str]] = {}
+                locs: dict[str, tuple] = {}
+                for fp in paths:
+                    if fp not in loc_cache:
+                        loc_cache[fp] = _localized_fields(
+                            data_fields, fp)
+                    loc = loc_cache[fp]
+                    key = json.dumps([f.jsonValue() for f in loc],
+                                     sort_keys=True)
+                    groups.setdefault(key, []).append(fp)
+                    locs[key] = loc
+                df = None
+                for key in sorted(groups):
+                    loc = locs[key]
+                    dschema = T.StructType([
+                        T.StructField(_physical_name(lf),
+                                      _physical_type(lf.dataType),
+                                      lf.nullable) for lf in loc])
+                    piece = _scan_group(sorted(groups[key]), loc,
+                                        dschema)
+                    df = piece if df is None \
+                        else df.unionByName(piece)
+            else:
+                df = _scan_group(paths, data_fields, data_schema)
             for c, v in zip(part_cols, pv):
                 # Delta serializes partition values as strings (null
                 # encoded as JSON null); cast back per table schema
@@ -1044,7 +1162,6 @@ class DeltaTable:
         if mapped == "id":
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                            "true")
-            _pin_no_nested_pruning(spark, schema)
         # _change_type is synthetic: cdc files store it under its own
         # literal name even on mapped tables, so its "physical" name
         # is itself and (carrying no field id) it matches by NAME

@@ -602,6 +602,47 @@ def test_id_mode_nested_write_read_dml_cdf_roundtrip(spark,
     assert pre["s"]["x"] == 10 and pre["arr"][0]["y"] == "z"
 
 
+def test_id_mode_nested_read_leaves_session_confs_alone(spark,
+                                                        tmp_path):
+    """Round 9 (r8 advice): a nested id-mode read must NOT pin
+    ``nestedSchemaPruning`` off session-wide — per-file footer
+    localization resolves ids itself, so the nested filter stays
+    correct even with pruning EXPLICITLY enabled, and unrelated
+    queries keep nested pruning afterwards."""
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+
+    conf = "spark.sql.optimizer.nestedSchemaPruning.enabled"
+    before = spark.conf.get(conf)
+    spark.conf.set(conf, "true")
+    try:
+        p = str(tmp_path / "t")
+        os.makedirs(p)
+        _pq_nested_ids(os.path.join(p, "f0.parquet"),
+                       ("old-i", "old-s", "old-x", "old-y", "old-r"))
+        _log(p, _nested_schema_fields(), [_add("f0.parquet")],
+             mode="id")
+        dt = DeltaTable(p)
+        df = dt.read(spark)
+        # the r8 wrong-results shape: nested predicate against a
+        # PRE-RENAME file, with nested schema pruning ACTIVE
+        assert spark.conf.get(conf) == "true"
+        assert df.filter("s.x = 10").count() == 1
+        assert df.filter("exists(arr, e -> e.x = 20)").count() == 1
+        assert spark.conf.get(conf) == "true"
+        # a second spelling era: append through the engine, filter
+        # must see rows from BOTH eras in one plan
+        dt.write(spark, spark.createDataFrame(
+            [(3, (10, "c"), [(31, "d")])],
+            "id long, s struct<x:long,y:string>, "
+            "arr array<struct<x:long,y:string>>").coalesce(1))
+        assert sorted(
+            r.id for r in
+            dt.read(spark).filter("s.x = 10").collect()) == [1, 3]
+        assert spark.conf.get(conf) == "true"
+    finally:
+        spark.conf.set(conf, before)
+
+
 def test_name_mode_nested_write_stages_physical_names(spark,
                                                       tmp_path):
     """Round 8: NAME-mode nested writes must stage nested children
