@@ -588,6 +588,45 @@ def _read_varint_stream(fh) -> int:
     return (acc >> 1) ^ -(acc & 1)
 
 
+def _zstd_frame_size(body: bytes):
+    """Frame_Content_Size of a zstd frame (RFC 8878 §3.1.1.1), or
+    None when the header omits it.  Parsed so pyarrow's zstd
+    decompressor (which requires the exact output size) can run
+    without the optional ``zstandard`` package; every whole-buffer
+    zstd writer (fastavro via zstandard.compress, Java avro, pyarrow)
+    records the size because it is known at compress time."""
+    if len(body) < 6 or body[:4] != b"\x28\xb5\x2f\xfd":
+        return None  # not a (single, non-skippable) zstd frame
+    fhd = body[4]
+    fcs_flag = fhd >> 6
+    single = (fhd >> 5) & 1
+    pos = 5 + (0 if single else 1)          # window descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]            # dictionary id
+    if fcs_flag == 0:
+        return body[pos] if single else None
+    if fcs_flag == 1:
+        return int.from_bytes(body[pos:pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(body[pos:pos + 4], "little")
+    return int.from_bytes(body[pos:pos + 8], "little")
+
+
+def _zstd(body: bytes) -> bytes:
+    """Decompress one Avro-zstandard block (a bare zstd frame, no
+    checksum suffix — Avro 1.11 "Required Codecs... zstandard")."""
+    import pyarrow as pa
+
+    size = _zstd_frame_size(body)
+    if size is None:
+        raise ValueError(
+            "avro: zstandard block's frame header carries no "
+            "content size — streaming-compressed frames are not "
+            "supported (re-encode with whole-block compression)")
+    out = pa.Codec("zstd").decompress(body, size)
+    return out.to_pybytes() if hasattr(out, "to_pybytes") \
+        else bytes(out)
+
+
 def _split_blocks(fh, sync: bytes, codec: str, start: int, end: int,
                   header_end: int, file_size: int):
     """Yield ``(count, decompressed_bytes)`` for the blocks OWNED by
@@ -622,6 +661,8 @@ def _split_blocks(fh, sync: bytes, codec: str, start: int, end: int,
             body = zlib.decompress(body, -15)
         elif codec == "snappy":
             body = _snappy(body)
+        elif codec == "zstandard":
+            body = _zstd(body)
         elif codec != "null":
             raise ValueError(f"avro: unsupported codec {codec!r}")
         yield n, body
@@ -820,6 +861,9 @@ def _avro_schema_of(spark_schema, force_required: bool) -> dict:
     return {"type": "record", "name": "row", "fields": fields}
 
 
+_WRITE_CODECS = ("null", "deflate", "snappy", "zstandard")
+
+
 def write_avro(df: DataFrame, path: str,
                force_required: bool = False,
                codec: str = "null",
@@ -836,13 +880,17 @@ def write_avro(df: DataFrame, path: str,
     vectorized read path; an actual null then raises at encode time
     instead of silently writing an unreadable file.
 
-    ``codec``: "null" (default) or "deflate" (raw zlib per the Avro
-    spec — what most production writers emit)."""
+    ``codec``: "null" (default), "deflate" (raw zlib per the Avro
+    spec — what most production writers emit), "snappy" (raw snappy
+    + big-endian CRC32 of the uncompressed data) or "zstandard"
+    (bare zstd frame) — the Avro 1.11 required-codec set minus
+    bzip2/xz."""
     import uuid as _uuid
 
-    if codec not in ("null", "deflate"):
+    if codec not in _WRITE_CODECS:
         raise ValueError(
-            f"avro sink: unsupported codec {codec!r} (null/deflate)")
+            f"avro sink: unsupported codec {codec!r} "
+            f"({'/'.join(_WRITE_CODECS)})")
 
     schema = _avro_schema_of(df.schema, force_required)
     os.makedirs(path, exist_ok=True)
@@ -896,6 +944,26 @@ def encode_container(pdfs, schema: dict, codec: str = "null",
             import zlib as _zlib
             co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
+        elif codec == "snappy":
+            import zlib as _zlib
+
+            import pyarrow as pa
+            crc = _zlib.crc32(body) & 0xFFFFFFFF
+            comp = pa.Codec("snappy").compress(body)
+            comp = comp.to_pybytes() if hasattr(comp, "to_pybytes") \
+                else bytes(comp)
+            body = comp + crc.to_bytes(4, "big")
+        elif codec == "zstandard":
+            import pyarrow as pa
+            comp = pa.Codec("zstd").compress(body)
+            comp = comp.to_pybytes() if hasattr(comp, "to_pybytes") \
+                else bytes(comp)
+            if _zstd_frame_size(comp) != len(body):
+                raise ValueError(
+                    "avro sink: zstd frame lost its content size")
+            body = comp
+        elif codec != "null":
+            raise ValueError(f"avro sink: unsupported codec {codec!r}")
         out.extend(_zigzag(n) + _zigzag(len(body)) + body + sync)
         n_total += n
 

@@ -49,11 +49,39 @@ def test_split_parity_sweep(spark, tmp_path):
         assert _collect_ids(spark, d, split) == want, split
 
 
-def test_split_parity_deflate(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("codec", ["deflate", "snappy", "zstandard"])
+def test_split_parity_codecs(spark, tmp_path, codec):
+    """Write+read parity under splitting for every compressed codec
+    the sink supports (r8 verdict #6 added zstandard; snappy carries
+    the spec's big-endian CRC32 suffix)."""
     d = str(tmp_path / "av")
-    _write_mixed(spark, d, n=3000, block_bytes=1 << 12,
-                 codec="deflate")
+    _write_mixed(spark, d, n=3000, block_bytes=1 << 12, codec=codec)
     assert _collect_ids(spark, d, 1 << 11) == list(range(3000))
+
+
+def test_zstd_frame_content_size():
+    """The RFC 8878 frame-header parse that lets pyarrow decompress
+    without the zstandard package: exact content size for sizes
+    exercising every FCS field width, None for a frame with the
+    size omitted and for non-zstd bytes."""
+    import pyarrow as pa
+
+    from python_minerva_etl_spark.sources.avro import \
+        _zstd_frame_size
+
+    for size in (0, 1, 255, 256, 300, 65_791, 65_792, 1 << 20):
+        blob = bytes(i & 0xFF for i in range(size))
+        comp = pa.Codec("zstd").compress(blob)
+        comp = comp.to_pybytes() if hasattr(comp, "to_pybytes") \
+            else bytes(comp)
+        assert _zstd_frame_size(comp) == size, size
+    assert _zstd_frame_size(b"not a zstd frame") is None
+    # FCS flag 0 without single-segment: size genuinely unknown
+    headerless = bytes([0x28, 0xB5, 0x2F, 0xFD, 0x00, 0x00, 0x00])
+    assert _zstd_frame_size(headerless) is None
 
 
 def test_split_parity_all_varint_path(spark, tmp_path):
