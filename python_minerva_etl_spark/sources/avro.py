@@ -40,6 +40,7 @@ import datetime
 import decimal
 import glob
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -500,9 +501,29 @@ def _decode_block_general(body: bytes, n_records: int, plan,
     return cols
 
 
+_STREAM_PART_RE = re.compile(
+    r"^part-(\d{10})-\d{5}-[0-9a-f]{8}\.avro$")
+
+
 def _list_files(path: str) -> list[str]:
     if os.path.isdir(path):
-        out = sorted(glob.glob(os.path.join(path, "*.avro")))
+        # the streaming sink's batches become visible ATOMICALLY:
+        # its part-<10-digit batchId>-… files count only once their
+        # .batch-<batchId>.committed ledger exists.  Ledgers are
+        # globbed FIRST — a ledger present implies every file of its
+        # batch was already renamed, so the later file glob cannot
+        # see a partial batch.  Other names (batch-writer 15-digit
+        # seqs, foreign writers) are always visible.
+        committed = {
+            os.path.basename(m)[len(".batch-"):-len(".committed")]
+            for m in glob.glob(
+                os.path.join(path, ".batch-*.committed"))}
+        out = []
+        for f in sorted(glob.glob(os.path.join(path, "*.avro"))):
+            m = _STREAM_PART_RE.match(os.path.basename(f))
+            if m and m.group(1) not in committed:
+                continue  # in-flight / crashed stream batch
+            out.append(f)
     else:
         out = sorted(glob.glob(path)) or (
             [path] if os.path.exists(path) else [])

@@ -15,14 +15,18 @@ re-checks its file's writer schema against the directory's first
 file (mixed-schema directories fail loudly).
 
 The STREAMING source tails a GROWING DIRECTORY — the Kafka-archive /
-ingest-drop pattern.  Offsets are the count of processed files in
-sorted-name order, so file names must be append-ordered (uuid- or
-timestamp-prefixed part files, the shape every distributed writer
-produces — including :func:`sources.avro.write_avro`).  A file that
-sorts BEFORE the high-water mark after the stream has passed it is
-never picked up (same contract as Spark's file sources without
-their journal); each trigger's new files shatter into splits like
-the batch path.
+ingest-drop pattern.  Offsets carry the high-water file NAME; each
+batch owns the name range (previous hw, hw] — so file names must be
+append-ordered (uuid- or timestamp-prefixed part files, the shape
+every distributed writer produces — including
+:func:`sources.avro.write_avro`).  A file arriving that sorts at or
+below a processed high-water mark FAILS the stream loudly at the
+next batch (same contract as Spark's file sources without their
+journal, but never silent); each trigger's new files shatter into
+splits like the batch path.  The STREAMING sink commits each
+micro-batch atomically: files land under a ``part-<batchId>-…``
+prefix and a ``.batch-<batchId>.committed`` ledger marker, created
+last, makes them visible to readers.
 """
 
 from __future__ import annotations
@@ -114,12 +118,18 @@ class _AvroBatchReader(DataSourceReader, _AvroPlanMixin):
 
 
 class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
-    """Offsets: {"n": count of processed files, "hw": last processed
-    file name} in sorted-name order.  A file arriving that sorts AT
-    OR BEFORE the high-water mark FAILS the stream (silently
-    skipping it, or double-reading the tail, would both be worse) —
-    the same append-ordered-names contract Spark's file sources
-    have without their journal."""
+    """Offsets: {"hw": the last processed file NAME (the high-water
+    mark), "n": count of files at or below it when the offset was
+    taken}.  A batch owns the NAME RANGE (start.hw, end.hw] — name
+    ranges tile the name space, so every file is processed by
+    exactly one batch even when it lands between ``latestOffset``
+    and ``partitions`` (r8 advice: a bare count silently selected a
+    DIFFERENT file set than the offset claimed).  A file arriving
+    that sorts AT OR BEFORE a processed high-water mark FAILS the
+    stream via the count cross-check (silently skipping it, or
+    double-reading the tail, would both be worse) — the same
+    append-ordered-names contract Spark's file sources have without
+    their journal."""
 
     def __init__(self, options: dict):
         self._plan(options)
@@ -146,22 +156,34 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
 
     def partitions(self, start: dict, end: dict):
         listing = self._listing()
-        sn, en = int(start["n"]), int(end["n"])
-        if len(listing) < en:
+        names = [os.path.basename(f) for f in listing]
+        shw = start.get("hw") or ""
+        ehw = end.get("hw") or ""
+        sn, en = int(start.get("n", 0)), int(end.get("n", 0))
+        below = sum(1 for n in names if n <= shw)
+        if below != sn:
             raise ValueError(
-                f"minerva_avro stream: offset {en} but only "
-                f"{len(listing)} files remain — files were removed "
-                "under a running stream")
-        files = listing[sn:en]
-        hw = start.get("hw") or ""
-        bad = [f for f in files if os.path.basename(f) <= hw]
-        if bad:
+                "minerva_avro stream: the file set at or below the "
+                f"processed high-water mark {shw!r} changed "
+                f"({sn} files at offset time, {below} now) — either "
+                "a file arrived sorting below the watermark "
+                "(append-ordered names required; reprocess with a "
+                "batch read) or files were removed under a running "
+                "stream")
+        if ehw <= shw:
+            return []  # empty range (restart re-plans start == end)
+        files = [f for f, n in zip(listing, names) if shw < n <= ehw]
+        if not files or os.path.basename(files[-1]) != ehw:
             raise ValueError(
-                "minerva_avro stream: file(s) arrived sorting at or "
-                f"before the processed high-water mark {hw!r}: "
-                f"{[os.path.basename(f) for f in bad]} — the source "
-                "requires append-ordered file names (uuid/timestamp "
-                "part files); reprocess with a batch read")
+                f"minerva_avro stream: offset end file {ehw!r} is "
+                "missing — files were removed under a running "
+                "stream")
+        if len(files) < en - sn:
+            raise ValueError(
+                "minerva_avro stream: the offset claims "
+                f"{en - sn} files in ({shw!r}, {ehw!r}] but only "
+                f"{len(files)} remain — files were removed under a "
+                "running stream")
         return self._partitions_for(files)
 
     def read(self, partition):
@@ -182,9 +204,13 @@ class _AvroWriter(DataSourceArrowWriter):
     object-container to a hidden ``.tmp`` (invisible to readers —
     ``_list_files`` globs ``*.avro``), the driver renames them to
     final ``part-<seq>-<i>.avro`` names on commit; abort deletes the
-    temps.  ``<seq>`` is a zero-padded epoch-ms stamp so files from
-    successive jobs keep the SORTED-NAME append order the streaming
-    source's offsets rely on."""
+    temps.  ``<seq>`` is 15 digits: max(existing seq + 1, epoch-ms)
+    — a MONOTONIC LADDER, so successive jobs keep the SORTED-NAME
+    append order the streaming source's offsets rely on even under
+    wall-clock regression (r8 advice).  A directory owned by the
+    STREAMING sink (10-digit batch-id seqs + ledgers, which sort
+    against 15-digit ones) is refused — the two writers must not
+    share a drop directory."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
         from ..sources.avro import _avro_schema_of
@@ -224,6 +250,42 @@ class _AvroWriter(DataSourceArrowWriter):
             fh.write(blob)
         return _AvroCommit(tmp, rows)
 
+    def _part_seq_tokens(self) -> list[str]:
+        """The digit <seq> tokens of existing ``part-<seq>-…`` avro
+        files (committed or not — ladder and ownership checks must
+        see in-flight stream batches too)."""
+        import glob as _glob
+
+        toks = []
+        for f in _glob.glob(os.path.join(self.path, "part-*.avro")):
+            tok = os.path.basename(f).split("-", 2)[1]
+            if tok.isdigit():
+                toks.append(tok)
+        return toks
+
+    def _next_seq(self) -> str:
+        """Monotonic ladder: strictly above every existing batch seq
+        AND at or above wall-clock epoch-ms (fresh directories get
+        time-ordered names across directories; clock regression can
+        never break in-directory append order)."""
+        import glob as _glob
+        import time as _time
+
+        prior = [int(t) for t in self._part_seq_tokens()
+                 if len(t) == 15]
+        stream_owned = (
+            any(len(t) == 10 for t in self._part_seq_tokens())
+            or _glob.glob(os.path.join(self.path,
+                                       ".batch-*.committed")))
+        if stream_owned:
+            raise ValueError(
+                f"minerva_avro: {self.path!r} is a STREAMING-sink "
+                "drop directory (10-digit batch seqs / batch "
+                "ledgers present) — batch appends would sort "
+                "against the stream's file order; write to a "
+                "separate directory")
+        return f"{max([int(_time.time() * 1000)] + [s + 1 for s in prior]):015d}"
+
     def _finalize(self, messages, seq: str) -> int:
         import uuid as _uuid
 
@@ -243,9 +305,7 @@ class _AvroWriter(DataSourceArrowWriter):
         return total
 
     def commit(self, messages):
-        import time as _time
-
-        self._finalize(messages, f"{int(_time.time() * 1000):015d}")
+        self._finalize(messages, self._next_seq())
 
     def abort(self, messages):
         for m in messages:
@@ -260,9 +320,15 @@ class _AvroStreamWriter(DataSourceStreamArrowWriter):
     """Exactly-once STREAMING sink for the drop directory: each
     micro-batch's files commit under a ``part-<batchId>-…`` prefix
     (10-digit zero-padded, so batches keep the sorted-name append
-    order); a REPLAYED batch finds its prefix already present,
-    deletes its staged temps, and commits nothing — the prefix IS
-    the ledger."""
+    order), then a ``.batch-<batchId>.committed`` LEDGER marker is
+    created O_EXCL as the LAST step.  Readers (``_list_files``)
+    ignore stream-prefixed files whose ledger is absent, so a batch
+    becomes visible ATOMICALLY when the marker lands.  A driver
+    crash mid-rename leaves a markerless partial prefix — invisible
+    to readers; the REPLAYED batch deletes it and redoes the full
+    rename set (the r8 prefix-as-ledger scheme silently LOST the
+    unrenamed tasks' rows here).  A replay that finds the marker
+    aborts its staged temps and commits nothing."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
         self._batch = _AvroWriter(options, schema, overwrite)
@@ -274,12 +340,24 @@ class _AvroStreamWriter(DataSourceStreamArrowWriter):
         import glob as _glob
 
         seq = f"{int(batchId):010d}"
-        already = _glob.glob(os.path.join(
-            self._batch.path, f"part-{seq}-*.avro"))
-        if already:
-            self.abort(messages, batchId)  # replay: ledger hit
+        path = self._batch.path
+        ledger = os.path.join(path, f".batch-{seq}.committed")
+        if os.path.exists(ledger):
+            self.abort(messages, batchId)  # replay: already committed
             return
+        if any(len(t) != 10
+               for t in self._batch._part_seq_tokens()):
+            raise ValueError(
+                f"minerva_avro stream sink: {path!r} contains "
+                "batch-writer files (non-10-digit seqs, which sort "
+                "against streaming batch ids) — the batch and "
+                "streaming writers must not share a drop directory")
+        for f in _glob.glob(os.path.join(path,
+                                         f"part-{seq}-*.avro")):
+            os.remove(f)  # markerless partial prefix from a crash
         self._batch._finalize(messages, seq)
+        fd = os.open(ledger, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
 
     def abort(self, messages, batchId: int):
         self._batch.abort(messages)

@@ -209,3 +209,145 @@ def test_stream_writer_end_to_end_and_exactly_once(av_spark,
     assert read_avro(av_spark, out).count() == n_after_first == 51
     # temps are cleaned either way
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def _mk_stream_writer(spark, out):
+    from python_minerva_etl_spark.streaming.avro_source import (
+        _AvroStreamWriter)
+
+    return _AvroStreamWriter(
+        {"path": out},
+        spark.createDataFrame([], "id long, v double").schema, False)
+
+
+def _batch_of(ids):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_pydict(
+        {"id": pa.array(ids, type=pa.int64()),
+         "v": pa.array([float(i) for i in ids])})
+
+
+def test_stream_sink_crash_between_renames_replays_fully(
+        av_spark, tmp_path):
+    """r8 advice (medium): a driver crash after SOME renames but
+    before the ledger must not lose the unrenamed tasks' rows — the
+    markerless partial prefix stays invisible to readers and the
+    replayed batch deletes it and commits the FULL batch exactly
+    once."""
+    out = str(tmp_path / "out")
+    w = _mk_stream_writer(av_spark, out)
+    # attempt 1: two task outputs; simulate a crash by renaming only
+    # the first temp to its final name (what a mid-_finalize death
+    # leaves) and never writing the ledger
+    m1, m2 = (w.write(iter([_batch_of([1])])),
+              w.write(iter([_batch_of([2])])))
+    os.rename(m1.tmp,
+              os.path.join(out, "part-0000000003-00000-aaaaaaaa.avro"))
+    os.remove(m2.tmp)  # this task's rename never happened
+    # the partial batch is INVISIBLE (no ledger): reader sees nothing
+    import pytest as _pytest
+
+    from python_minerva_etl_spark.sources.avro import _list_files
+    with _pytest.raises(FileNotFoundError):
+        _list_files(out)
+    # replay of batch 3 with fresh task outputs
+    msgs = [w.write(iter([_batch_of([1])])),
+            w.write(iter([_batch_of([2])]))]
+    w.commit(msgs, 3)
+    assert os.path.exists(
+        os.path.join(out, ".batch-0000000003.committed"))
+    got = _rows(read_avro(av_spark, out).select("id"))
+    assert got == [(1,), (2,)]  # full batch, exactly once
+    # the crashed attempt's stray file was removed
+    names = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert len(names) == 2
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_batch_writer_monotonic_ladder_under_clock_regression(
+        av_spark, tmp_path, monkeypatch):
+    """r8 advice: batch seqs derive from the directory's max existing
+    seq, not bare wall clock — a backwards clock cannot break the
+    sorted-name append order."""
+    import time
+
+    from python_minerva_etl_spark.streaming.avro_source import (
+        _AvroWriter)
+
+    p = str(tmp_path / "out")
+    schema = av_spark.createDataFrame(
+        [], "id long, v double").schema
+    w = _AvroWriter({"path": p}, schema, False)
+    w.commit([w.write(iter([_batch_of([1])]))])
+    first = sorted(os.listdir(p))[0]
+    real_time = time.time
+    monkeypatch.setattr(time, "time", lambda: real_time() - 3600)
+    w.commit([w.write(iter([_batch_of([2])]))])
+    names = sorted(f for f in os.listdir(p) if f.endswith(".avro"))
+    assert len(names) == 2 and names[0] == first
+    seqs = [int(n.split("-", 2)[1]) for n in names]
+    assert seqs[1] == seqs[0] + 1  # ladder, not the regressed clock
+    assert read_avro(av_spark, p).count() == 2
+
+
+def test_batch_and_stream_writers_refuse_shared_directory(
+        av_spark, tmp_path):
+    """10-digit stream seqs and 15-digit batch seqs sort against
+    each other — each writer refuses a directory owned by the
+    other, loudly."""
+    import pytest as _pytest
+
+    df = av_spark.createDataFrame([(1, 1.0)], "id long, v double")
+    # stream-owned dir: batch append refuses
+    s_dir = str(tmp_path / "s")
+    w = _mk_stream_writer(av_spark, s_dir)
+    w.commit([w.write(iter([_batch_of([9])]))], 0)
+    with _pytest.raises(Exception, match="STREAMING-sink"):
+        df.coalesce(1).write.format("minerva_avro") \
+            .mode("append").save(s_dir)
+    # batch-owned dir: stream commit refuses
+    b_dir = str(tmp_path / "b")
+    df.coalesce(1).write.format("minerva_avro").mode("append") \
+        .save(b_dir)
+    w2 = _mk_stream_writer(av_spark, b_dir)
+    msg = w2.write(iter([_batch_of([9])]))
+    with _pytest.raises(ValueError, match="must not share"):
+        w2.commit([msg], 0)
+
+
+def test_stream_offsets_name_range_semantics(av_spark, tmp_path):
+    """r8 advice (low): a file landing between latestOffset and
+    partitions that sorts INSIDE the batch's name range is processed
+    by that batch (name ranges tile the name space); one sorting at
+    or below a processed high-water mark fails the NEXT batch
+    loudly."""
+    import pytest as _pytest
+
+    from python_minerva_etl_spark.streaming.avro_source import (
+        _AvroStreamReader)
+
+    p = str(tmp_path / "av")
+    _write(av_spark, p, 0, 10, name="part-000.avro")
+    _write(av_spark, p, 10, 20, name="part-004.avro")
+    r = _AvroStreamReader({"path": p, "split_bytes": str(1 << 30)})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert end == {"n": 2, "hw": "part-004.avro"}
+    # straggler arrives inside ("", "part-004.avro"] before planning
+    _write(av_spark, p, 20, 30, name="part-002.avro")
+    parts = r.partitions(start, end)
+    assert len(parts) == 3  # the straggler is owned by THIS batch
+    assert sorted(os.path.basename(q.path) for q in parts) == \
+        ["part-000.avro", "part-002.avro", "part-004.avro"]
+    # next batch: the count below the watermark no longer matches —
+    # append-order contract violation surfaces loudly
+    with _pytest.raises(ValueError, match="below the watermark|changed"):
+        r.partitions(end, r.latestOffset())
+    # removal of the end file is equally loud
+    start2 = {"n": 3, "hw": "part-004.avro"}
+    _write(av_spark, p, 30, 40, name="part-006.avro")
+    end2 = r.latestOffset()
+    os.remove(os.path.join(p, "part-006.avro"))
+    with _pytest.raises(ValueError, match="missing|removed"):
+        r.partitions(start2, end2)
