@@ -1307,17 +1307,22 @@ def _stage_position_deletes(spark: SparkSession, path: str,
         # validates them against the refreshed snapshot before any
         # retry commit so a concurrent compact/overwrite can't
         # silently resurrect the deleted rows
-        referenced.update(
-            pq.read_table(final, columns=["file_path"])
-            .column("file_path").unique().to_pylist())
+        refs = (pq.read_table(final, columns=["file_path"])
+                .column("file_path").unique().to_pylist())
+        referenced.update(refs)
+        # bounds on the reserved file_path field (spec id 2147483546):
+        # a changelog/read planner can then skip data files no
+        # position delete of this commit references
         del_entries.append({
             "content": 1,
             "file_path": final,
             "file_format": "PARQUET",
             "record_count": nrows,
             "file_size_in_bytes": os.path.getsize(final),
-            "lower_bounds": None,
-            "upper_bounds": None,
+            "lower_bounds": [{"key": 2147483546,
+                              "value": min(refs).encode("utf-8")}],
+            "upper_bounds": [{"key": 2147483546,
+                              "value": max(refs).encode("utf-8")}],
         })
         n_deleted += nrows
     shutil.rmtree(staging, ignore_errors=True)
@@ -1627,14 +1632,17 @@ def equality_delete_iceberg(spark: SparkSession, path: str,
         final = os.path.join(data_dir,
                              f"eqdel-{uuid.uuid4().hex}.parquet")
         os.replace(os.path.join(staging, name), final)
+        # key-column bounds let planners skip data files whose own
+        # bounds cannot overlap any deleted key
+        lo, hi = _file_bounds(final, ice_schema)
         del_entries.append({
             "content": 2,
             "file_path": final,
             "file_format": "PARQUET",
             "record_count": nrows,
             "file_size_in_bytes": os.path.getsize(final),
-            "lower_bounds": None,
-            "upper_bounds": None,
+            "lower_bounds": lo or None,
+            "upper_bounds": hi or None,
             "equality_ids": list(eq_ids),
         })
     shutil.rmtree(staging, ignore_errors=True)

@@ -186,11 +186,17 @@ def _read_ice_partition(p: _IceFilePartition,
 #
 # ``option("changelog", "true")`` turns the stream into a RETRACTION
 # feed (the consumer half of the Flink/Paimon-style upsert-table CDC
-# story; mirrors upstream Iceberg's create_changelog_view column
-# convention): every emitted row is the FULL table row plus
-# ``_change_type`` ('insert' | 'delete'), ``_change_ordinal`` (the
-# commit's data sequence number — total order across the feed) and
-# ``_commit_snapshot_id``.  Per snapshot:
+# story).  Column NAMES follow upstream Iceberg's
+# create_changelog_view; the VALUES deliberately diverge (documented
+# contract, r8 advice): ``_change_type`` is LOWERCASE
+# 'insert' | 'delete' — the Delta CDF convention every consumer in
+# this repo (operators/materialization.py's signed re-agg, the CDF
+# feeds) already speaks — where upstream emits uppercase
+# 'INSERT'/'DELETE'; and ``_change_ordinal`` is the commit's data
+# SEQUENCE NUMBER (a total order across the feed, stable under
+# compaction) rather than upstream's dense commit-order index.
+# Every emitted row is the FULL table row plus ``_change_type``,
+# ``_change_ordinal`` and ``_commit_snapshot_id``.  Per snapshot:
 #
 #   append    → the added files' rows as 'insert'
 #   delete    → the PRE-IMAGES of the newly-dead rows as 'delete':
@@ -351,6 +357,72 @@ def _walk_chain(md: dict, start_id: int, end_id: int,
     return snaps, ordered, chain
 
 
+_PATH_FIELD_ID = 2147483546  # reserved: position-delete file_path
+
+
+def _new_delete_touches(f: dict, new_entries: list[dict],
+                        types_by_id: dict) -> bool:
+    """Manifest-bounds pruning for changelog delete epochs (r8
+    verdict #3): can ANY of the snapshot's newly-added delete files
+    kill rows of parent data file ``f``?  Decided from manifest
+    entries ALONE — no parquet is opened.  Conservative per the
+    Iceberg scan-planning contract: missing bounds, unknown types,
+    or undecodable values keep the file.
+
+    - position deletes (content=1): compared on the reserved
+      ``file_path`` column's bounds (field id 2147483546) against
+      ``f``'s own path;
+    - equality deletes (content=2): a data file written at or after
+      the delete's sequence number is untouchable; otherwise the
+      delete's key-column bounds must overlap the data file's.
+    """
+    from ..storage.iceberg import _bounds_map, _decode_bound
+
+    fseq = int(f["_seq"]) if f.get("_seq") is not None else None
+    f_lo = _bounds_map(f.get("lower_bounds"))
+    f_hi = _bounds_map(f.get("upper_bounds"))
+    fpath = f["file_path"]
+    for d in new_entries:
+        d_lo = _bounds_map(d.get("lower_bounds"))
+        d_hi = _bounds_map(d.get("upper_bounds"))
+        if d.get("content") == 1:
+            lo, hi = d_lo.get(_PATH_FIELD_ID), d_hi.get(_PATH_FIELD_ID)
+            if lo is None or hi is None:
+                return True  # no path bounds: may reference f
+            try:
+                if (lo.decode("utf-8") <= fpath
+                        <= hi.decode("utf-8")):
+                    return True
+            except UnicodeDecodeError:
+                return True
+            continue
+        if d.get("content") == 2:
+            dseq = int(d["_seq"]) if d.get("_seq") is not None \
+                else None
+            if fseq is not None and dseq is not None \
+                    and fseq >= dseq:
+                continue  # equality deletes only reach OLDER files
+            overlap = True
+            for fid in (d.get("equality_ids") or ()):
+                t = types_by_id.get(fid)
+                dl = _decode_bound(t, d_lo.get(fid))
+                dh = _decode_bound(t, d_hi.get(fid))
+                fl = _decode_bound(t, f_lo.get(fid))
+                fh = _decode_bound(t, f_hi.get(fid))
+                try:
+                    if (dh is not None and fl is not None
+                            and dh < fl) or \
+                       (dl is not None and fh is not None
+                            and dl > fh):
+                        overlap = False
+                        break
+                except TypeError:
+                    continue  # incomparable: stay conservative
+            if overlap:
+                return True
+    return False
+
+
 def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
                                 md: dict, snaps: dict, ordered: list,
                                 chain: list[dict],
@@ -426,15 +498,17 @@ def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
         parent_pos = tuple(_localize(d["file_path"]) for d in dels_p
                            if d.get("content") == 1)
         parent_eq = eq_state(dels_p)
-        max_dseq = max((dseq for _, dseq, _ in new_eq),
-                       default=None)
+        types_by_id = {fld["id"]: fld["type"]
+                       for fld in ice_schema["fields"]
+                       if isinstance(fld["type"], str)}
         paths = _parquet_paths(files_p)
         for p, f in zip(paths, files_p):
             fseq = (int(f["_seq"])
                     if f.get("_seq") is not None else None)
-            if not new_pos and max_dseq is not None \
-                    and fseq is not None and fseq >= max_dseq:
-                continue  # no new delete can touch this file
+            if not _new_delete_touches(f, new, types_by_id):
+                continue  # manifest bounds prove no new delete
+                # reaches this file — planned partitions stay
+                # proportional to TOUCHED files, not table size
             parts.append(_IceChangePartition(
                 _IceFilePartition(p, f["file_path"], parent_pos,
                                   file_seq=fseq,
