@@ -4,12 +4,16 @@
 
 Ordering contract: the driver verifies the first 50 catalog entries
 against their DuckDB oracles (CORRECTNESS window).  ``_WINDOW`` below
-rotates every round.  Round 7 CLOSED the catalog (214/214
-driver-offered, all green); round 8's window leads with the round's
-NEW queries (splittable-Avro ingest, upsert-changelog streaming,
-dedup precision twins, …), keeps bench-watch repeats, and retains the
-round-7 window as cheap regression repeats.  Everything else —
-previously driver-verified — sits after it in ``_DEPTH``.
+rotates every round.  Round 9 leads with the round's NEW queries
+(Avro zstandard roundtrip; changelog with manifest-bounds
+delete-epoch pruning), then the r8 bench-watch set for attribution
+datapoints (``dedup_simhash_verified`` takes the rows-only
+``dedup_simhash``'s window slot — r8 verdict #7 — so every offered
+row is oracle-backed; ``dedup_simhash`` itself stays in bench.py for
+the perf signal), then every surface the round's code touched (Avro
+source/sink, Iceberg changelog, Delta _scan_files), then a fresh
+25-entry re-verification rotation disjoint from r8's.  Everything
+else — previously driver-verified — sits after it in ``_DEPTH``.
 Both lists are validated against the modules' QUERIES at import time
 — a missing or unknown name raises.
 """
@@ -19,63 +23,74 @@ from __future__ import annotations
 from .base import DeclaredQuery
 
 # The driver's correctness window.  Keep this at <= 50 entries.
-#
-# ROTATION (round 8): new-this-round queries first (splittable-Avro
-# ingest, upsert-changelog consumer, the two verified dedup twins),
-# then bench-watch repeats, the round-7 window as regression repeats,
-# and a 28-entry re-verification rotation drawn from _DEPTH — the
-# catalog closed at 214/214 in r7, so every _DEPTH query already has
-# a green driver row; tests/test_oracle_diff.py still runs ALL.
 _WINDOW = [
-    # ---- NEW round 8 ----
-    # Avro ingest through sync-marker byte-range splits (the r7
-    # verdict's #1: the splittable source's first driver offer)
-    "avro_ingest",
-    # upsert-table changelog streaming consumer (r7 verdict #2) —
-    # oracle-backed: delete PRE-IMAGE values enter the signed sum
-    "stream_iceberg_upsert_parity",
-    # precision-verified twins for the two rows-only dedup entries
-    # (r7 verdict #6): LSH two-phase ≡ brute force; md5 simhash
-    # rebuilt bit-for-bit in DuckDB
-    "dedup_minhash_pairs_verified",
+    # ---- NEW round 9 ----
+    "source_avro_zstd_roundtrip",
+    "stream_iceberg_pruned_delete_parity",
+    # ---- bench-watch correctness repeats (r8 verdict #1) ----
+    "join_asof",
+    "join_inner",
     "dedup_simhash_verified",
-    # registered Avro data source: streaming directory tail over
-    # byte-range splits (the ingest-drop pattern)
+    "text_quality_score",
+    # ---- surfaces the round-9 code touched: Avro source/sink,
+    # Iceberg changelog + delete-writer bounds, Delta _scan_files ----
+    "avro_ingest",
     "stream_avro_ingest_parity",
-    # ---- repeats (round 8): bench-watch + recent lake surfaces ----
-    "upsert_merge_table",
-    "dedup_simhash",
     "source_avro_roundtrip",
-    # ---- round-7 window (kept as repeats while it stays cheap) ----
+    "stream_iceberg_upsert_parity",
+    "sink_iceberg_eqdelete_roundtrip",
+    "source_iceberg_eqdelete_datasource",
     "sink_delta_dv_roundtrip",
     "sink_delta_merge_roundtrip",
     "sink_delta_replace_where",
     "source_delta_cdf",
     "source_delta_cdf_update",
-    "source_iceberg_incremental",
+    "source_delta_cdf_datasource",
+    "stream_delta_source_parity",
     "sink_iceberg_merge_roundtrip",
     "sink_iceberg_days_partitioned",
-    "stream_delta_source_parity",
-    # round-6's one hard failure, re-offered with the fix (features
-    # serialized as a string — the driver canonicalizer cannot sort
-    # array cells; guarded catalog-wide by tests/test_catalog_schema.py)
-    "text_hash_embed",
-    # NEW this round: blind equality delete + sequence-ordered
-    # re-insert (storage/iceberg_write.py:equality_delete_iceberg)
-    "sink_iceberg_eqdelete_roundtrip",
-    # NEW: the same lake surfaces driven through the REGISTERED data
-    # sources (readChangeFeed CDF; executor-side equality deletes)
-    "source_delta_cdf_datasource",
-    "source_iceberg_eqdelete_datasource",
-    # repeats for the two beyond-spread r6 bench rows (the snaptable
-    # commit fixed-cost fix + the fs-probe/rebaseline bench evidence
-    # land this round — these give the judge correctness datapoints)
+    "source_iceberg_incremental",
+    # ---- bench write-path repeats ----
+    "upsert_merge_table",
     "cdc_incremental_agg",
+    "dedup_minhash_pairs_verified",
+    # ---- round-9 re-verification rotation (drawn from _DEPTH,
+    # disjoint from the r8 rotation) ----
+    "materialize_incremental",
+    "rollup_entity",
+    "agg_reagg_avg",
+    "skyline_orders",
+    "intervals_merge",
+    "peak_concurrency",
+    "seq_gap_ranges",
+    "stream_trigger_parity",
+    "agg_mode",
+    "agg_arg_extremes",
+    "agg_time_weighted_avg",
+    "agg_pctl_from_hist",
+    "agg_salted_hot_keys",
+    "anomaly_cusum",
+    "win_streaks",
+    "agg_moments",
+    "trend_fit",
+    "rfm_segmentation",
+    "rolling_active_users",
+    "mm_decode_png",
+    "mm_decode_wav",
+    "agg_distinct_reagg",
+    "json_extract",
+    "entity_fuzzy_match",
+    "join_anti_null_aware",
+]
+
+# Everything previously driver-verified: every declared query outside
+# the window has at least one green driver row from rounds 1-8.  Same
+# local test rigor (tests/test_oracle_diff.py runs ALL queries), just
+# outside the driver's 50-entry window this round.
+_DEPTH = [
+    "dedup_simhash",
+    "text_hash_embed",
     "dedup_exact",
-    # ---- round-8 re-verification rotation (drawn from _DEPTH):
-    # diverse cheap representatives across agg/window/join/anomaly/
-    # dedup/text/mm/streaming families — fills the 50-slot window
-    # with fresh driver datapoints for previously-verified rows
     "agg_time_sliding",
     "agg_busy_hour",
     "agg_cube",
@@ -103,41 +118,14 @@ _WINDOW = [
     "events_session_window",
     "agg_time_localtz",
     "rollup_relation",
-]
-
-# Everything previously driver-verified (rounds 1-5) plus nothing
-# else: with this rotation every declared query has been offered to
-# the driver at least once.  Same local test rigor
-# (tests/test_oracle_diff.py runs ALL queries), just outside the
-# driver's 50-entry window this round.
-_DEPTH = [
-    "materialize_incremental",
-    "rollup_entity",
-    "agg_reagg_avg",
     "sink_delta_roundtrip",
-    "skyline_orders",
-    "intervals_merge",
-    "peak_concurrency",
-    "seq_gap_ranges",
-    "stream_trigger_parity",
-    "agg_mode",
-    "agg_arg_extremes",
     "agg_user_growth",
-    "agg_time_weighted_avg",
-    "agg_pctl_from_hist",
-    "agg_salted_hot_keys",
     "gap_interpolate",
     "anomaly_zscore",
-    "anomaly_cusum",
-    "win_streaks",
-    "agg_moments",
     "store_staleness",
     "path_signatures",
     "report_abc_class",
-    "trend_fit",
     "clean_winsorize",
-    "rfm_segmentation",
-    "rolling_active_users",
     "late_data_report",
     "backlog_over_time",
     "events_burstiness",
@@ -145,22 +133,16 @@ _DEPTH = [
     "interarrival_percentiles",
     "agg_benford",
     "report_week_movers",
-    "mm_decode_png",
-    "mm_decode_wav",
     "mm_wav_frames",
     "agg_navigated_1d",
-    "agg_distinct_reagg",
     "agg_conditional",
     "project_select",
     "filter_time_range",
-    "json_extract",
     "dn_reparent",
-    "entity_fuzzy_match",
     "fn_map_ops",
     "join_salted_hot_keys",
     "join_left",
     "join_semi",
-    "join_anti_null_aware",
     "graph_reach",
     "join_asof_nearest",
     "rank_global",
@@ -197,7 +179,6 @@ _DEPTH = [
     "agg_count_distinct",
     "dn_parse",
     "entity_resolve",
-    "join_inner",
     "join_anti",
     "sort_report",
     "attr_curr",
@@ -213,7 +194,6 @@ _DEPTH = [
     "dedup_near_pairs",
     "dedup_embedding_pairs",
     "text_token_stats",
-    "text_quality_score",
     "text_langid",
     "text_chunk",
     "dataset_hash_split",
@@ -278,7 +258,6 @@ _DEPTH = [
     "dedup_embedding_pivot",
     "dedup_semantic_indexed",
     "win_moving_avg",
-    "join_asof",
     "sink_iceberg_roundtrip",
 ]
 

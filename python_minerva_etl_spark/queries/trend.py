@@ -1536,7 +1536,119 @@ FROM events GROUP BY 1
 """
 
 
+def _source_avro_zstd_roundtrip(spark, sf_dir):
+    """OP-SRC-PLUGIN zstandard roundtrip (r8 verdict #6): events as
+    a ZSTANDARD Avro container (bare zstd frames per the Avro 1.11
+    required-codec set, decompressed through the frame header's
+    content size — sources/avro.py:_zstd), read back through
+    byte-range splits and re-aggregated against the parquet
+    oracle."""
+    from ..sources.avro import read_avro, write_avro
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"avro_zstd_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_avro(ev.repartition(2), base, codec="zstandard",
+               block_bytes=2 << 20)
+    df = read_avro(spark, base, split_bytes=4 << 20)
+    return (df.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SOURCE_AVRO_ZSTD_ROUNDTRIP_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def _stream_iceberg_pruned_delete_parity(spark, sf_dir):
+    """OP-STR-INGEST changelog with MANIFEST-BOUNDS pruning live (r8
+    verdict #3): three appends with DISJOINT event_id ranges, then
+    one equality delete whose keys live only in the middle range —
+    the delete epoch plans pre-image partitions only for files its
+    key bounds overlap (plan-size proven in
+    tests/test_iceberg_source.py), and the feed's SIGNED aggregate
+    must still reconstruct the oracle's insert/delete traffic
+    exactly (wrong pruning would drop pre-images and break the
+    hash)."""
+    import uuid as _uuid
+
+    from ..storage.iceberg_write import (equality_delete_iceberg,
+                                         write_iceberg)
+    from ..streaming.iceberg_source import register_iceberg_source
+
+    register_iceberg_source(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    a, b = hi // 3, 2 * hi // 3
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"iceberg_pruned_cl_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, ev.filter(F.col("event_id") < a), base)
+    write_iceberg(spark, ev.filter((F.col("event_id") >= a)
+                                   & (F.col("event_id") < b)), base)
+    write_iceberg(spark, ev.filter(F.col("event_id") >= b), base)
+    keys = (ev.filter((F.col("event_id") >= a)
+                      & (F.col("event_id") < b)
+                      & (F.col("event_id") % 97 == 0))
+            .select("event_id"))
+    equality_delete_iceberg(spark, base, keys)
+
+    sink = f"ice_pruned_cl_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("minerva_iceberg")
+         .option("changelog", "true").load(base)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    feed = spark.table(sink)
+    ins = F.col("_change_type") == "insert"
+    vdec = F.col("value").cast("decimal(28,4)")
+    return (feed.groupBy("event_type")
+            .agg(F.sum(F.when(ins, 1).otherwise(-1))
+                 .cast("bigint").alias("net_n"),
+                 F.sum(F.when(ins, vdec).otherwise(-vdec))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("net_sum"),
+                 F.sum(F.when(ins, 0).otherwise(1))
+                 .cast("bigint").alias("del_n")))
+
+
+_STREAM_ICEBERG_PRUNED_DELETE_PARITY_SQL = """
+WITH hi AS (SELECT MAX(event_id) AS h FROM events),
+feed AS (
+  SELECT 'i' AS kind, event_type, value FROM events
+  UNION ALL
+  SELECT 'd', event_type, value FROM events, hi
+  WHERE event_id >= h // 3 AND event_id < 2 * h // 3
+    AND event_id % 97 = 0
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN kind = 'i' THEN 1 ELSE -1 END)
+            AS BIGINT) AS net_n,
+       CAST(CAST(SUM(CASE WHEN kind = 'i'
+                          THEN CAST(value AS DECIMAL(28,4))
+                          ELSE -CAST(value AS DECIMAL(28,4)) END)
+                 AS DECIMAL(28,4)) AS DOUBLE) AS net_sum,
+       CAST(SUM(CASE WHEN kind = 'd' THEN 1 ELSE 0 END)
+            AS BIGINT) AS del_n
+FROM feed GROUP BY 1
+"""
+
+
 QUERIES = [
+    DeclaredQuery("source_avro_zstd_roundtrip", _source_avro_zstd_roundtrip, _SOURCE_AVRO_ZSTD_ROUNDTRIP_SQL, "OP-SRC-PLUGIN (Avro zstandard codec roundtrip through byte-range splits)"),
+    DeclaredQuery("stream_iceberg_pruned_delete_parity", _stream_iceberg_pruned_delete_parity, _STREAM_ICEBERG_PRUNED_DELETE_PARITY_SQL, "OP-STR-INGEST (Iceberg changelog with manifest-bounds delete-epoch pruning)"),
     DeclaredQuery("stream_iceberg_upsert_parity", _stream_iceberg_upsert_parity, _STREAM_ICEBERG_UPSERT_PARITY_SQL, "OP-STR-INGEST/OP-SRC (Iceberg upsert-table changelog streaming consumer)"),
     DeclaredQuery("stream_avro_ingest_parity", _stream_avro_ingest_parity, _STREAM_AVRO_INGEST_PARITY_SQL, "OP-STR-INGEST/OP-SRC-PLUGIN (registered Avro data source: streaming directory tail over byte-range splits)"),
     DeclaredQuery("reshape_wide", _reshape_wide, _RESHAPE_WIDE_SQL, "OP-TYPE/loader pivot"),

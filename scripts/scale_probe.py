@@ -36,10 +36,35 @@ def measure(q, spark, sf_dir):
             round(max(samples) - min(samples), 3))
 
 
+# the default probe set: the most expensive headline rows of the
+# last bench round — the plans whose scale exponents matter most
+TOP5 = ["cdc_incremental_agg", "upsert_merge_table", "rollup_entity",
+        "dedup_simhash", "avro_ingest"]
+
+
 def main() -> None:
-    scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
-    names = sys.argv[2:] or ["dedup_simhash", "rollup_entity",
-                             "cdc_incremental_agg"]
+    """``python scripts/scale_probe.py [--json OUT] [--k K]
+    [scaled_dir] [query ...]`` — with ``--json`` also writes the
+    round artifact (r8 verdict #8: SCALE_r{N}.json, exponents
+    tracked like bench times).  ``K`` is the scaled fixture's
+    replica factor (default 10, /tmp/sf1's)."""
+    import json
+    import math
+
+    args = sys.argv[1:]
+    json_out = None
+    k = 10.0
+    while args and args[0].startswith("--"):
+        if args[0] == "--json":
+            json_out = args[1]
+            args = args[2:]
+        elif args[0] == "--k":
+            k = float(args[1])
+            args = args[2:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
+    scaled = args[0] if args else "/tmp/sf1"
+    names = args[1:] or TOP5
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from python_minerva_etl_spark.queries.catalog import all_queries
@@ -48,15 +73,29 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    rows = {}
     print("| query | base median (spread) | scaled median (spread) | "
-          "ratio |")
-    print("|---|---|---|---|")
+          "ratio | exp |")
+    print("|---|---|---|---|---|")
     for name in names:
         q = queries[name]
         bm, bs = measure(q, spark, base)
         sm, ss = measure(q, spark, scaled)
+        ratio = round(sm / bm, 3)
+        # time ~ rows^exp: exp = log(ratio)/log(K); < 1 means
+        # sub-linear (fixed costs amortize), > 1 is a plan smell
+        exp = round(math.log(max(ratio, 1e-9)) / math.log(k), 3)
+        rows[name] = {"base_sec": bm, "base_spread": bs,
+                      "scaled_sec": sm, "scaled_spread": ss,
+                      "ratio": ratio, "exp": exp}
         print(f"| {name} | {bm} ({bs}) | {sm} ({ss}) | "
-              f"{round(sm / bm, 2)}x |", flush=True)
+              f"{ratio}x | {exp} |", flush=True)
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"metric": "scale_probe", "k": k,
+                       "base": base, "scaled": scaled,
+                       "queries": rows}, fh, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
 
 
