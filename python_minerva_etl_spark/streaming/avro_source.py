@@ -284,7 +284,22 @@ class _AvroWriter(DataSourceArrowWriter):
                 "ledgers present) — batch appends would sort "
                 "against the stream's file order; write to a "
                 "separate directory")
-        return f"{max([int(_time.time() * 1000)] + [s + 1 for s in prior]):015d}"
+        seq = max([int(_time.time() * 1000)]
+                  + [s + 1 for s in prior])
+        # O_EXCL claim: two jobs committing in the same ms with the
+        # same ladder top would otherwise share a seq, and the
+        # SECOND job's files would sort below a tailing stream's
+        # high-water mark; the loser bumps past the claimed seq
+        while True:
+            claim = os.path.join(self.path,
+                                 f".seq-{seq:015d}.claim")
+            try:
+                os.close(os.open(claim,
+                                 os.O_CREAT | os.O_EXCL
+                                 | os.O_WRONLY))
+                return f"{seq:015d}"
+            except FileExistsError:
+                seq += 1
 
     def _finalize(self, messages, seq: str) -> int:
         import uuid as _uuid

@@ -360,14 +360,12 @@ def _walk_chain(md: dict, start_id: int, end_id: int,
 _PATH_FIELD_ID = 2147483546  # reserved: position-delete file_path
 
 
-def _new_delete_touches(f: dict, new_entries: list[dict],
-                        types_by_id: dict) -> bool:
-    """Manifest-bounds pruning for changelog delete epochs (r8
-    verdict #3): can ANY of the snapshot's newly-added delete files
-    kill rows of parent data file ``f``?  Decided from manifest
-    entries ALONE — no parquet is opened.  Conservative per the
-    Iceberg scan-planning contract: missing bounds, unknown types,
-    or undecodable values keep the file.
+def _delete_may_touch(f: dict, d: dict, types_by_id: dict) -> bool:
+    """Manifest-bounds check: can delete file ``d`` kill rows of
+    data file ``f``?  Decided from manifest entries ALONE — no
+    parquet is opened.  Conservative per the Iceberg scan-planning
+    contract: missing bounds, unknown types, or undecodable values
+    keep the pair.
 
     - position deletes (content=1): compared on the reserved
       ``file_path`` column's bounds (field id 2147483546) against
@@ -378,49 +376,49 @@ def _new_delete_touches(f: dict, new_entries: list[dict],
     """
     from ..storage.iceberg import _bounds_map, _decode_bound
 
-    fseq = int(f["_seq"]) if f.get("_seq") is not None else None
-    f_lo = _bounds_map(f.get("lower_bounds"))
-    f_hi = _bounds_map(f.get("upper_bounds"))
-    fpath = f["file_path"]
-    for d in new_entries:
-        d_lo = _bounds_map(d.get("lower_bounds"))
-        d_hi = _bounds_map(d.get("upper_bounds"))
-        if d.get("content") == 1:
-            lo, hi = d_lo.get(_PATH_FIELD_ID), d_hi.get(_PATH_FIELD_ID)
-            if lo is None or hi is None:
-                return True  # no path bounds: may reference f
+    d_lo = _bounds_map(d.get("lower_bounds"))
+    d_hi = _bounds_map(d.get("upper_bounds"))
+    if d.get("content") == 1:
+        lo, hi = d_lo.get(_PATH_FIELD_ID), d_hi.get(_PATH_FIELD_ID)
+        if lo is None or hi is None:
+            return True  # no path bounds: may reference f
+        try:
+            return (lo.decode("utf-8") <= f["file_path"]
+                    <= hi.decode("utf-8"))
+        except UnicodeDecodeError:
+            return True
+    if d.get("content") == 2:
+        fseq = int(f["_seq"]) if f.get("_seq") is not None else None
+        dseq = int(d["_seq"]) if d.get("_seq") is not None else None
+        if fseq is not None and dseq is not None and fseq >= dseq:
+            return False  # equality deletes only reach OLDER files
+        f_lo = _bounds_map(f.get("lower_bounds"))
+        f_hi = _bounds_map(f.get("upper_bounds"))
+        for fid in (d.get("equality_ids") or ()):
+            t = types_by_id.get(fid)
+            dl = _decode_bound(t, d_lo.get(fid))
+            dh = _decode_bound(t, d_hi.get(fid))
+            fl = _decode_bound(t, f_lo.get(fid))
+            fh = _decode_bound(t, f_hi.get(fid))
             try:
-                if (lo.decode("utf-8") <= fpath
-                        <= hi.decode("utf-8")):
-                    return True
-            except UnicodeDecodeError:
-                return True
-            continue
-        if d.get("content") == 2:
-            dseq = int(d["_seq"]) if d.get("_seq") is not None \
-                else None
-            if fseq is not None and dseq is not None \
-                    and fseq >= dseq:
-                continue  # equality deletes only reach OLDER files
-            overlap = True
-            for fid in (d.get("equality_ids") or ()):
-                t = types_by_id.get(fid)
-                dl = _decode_bound(t, d_lo.get(fid))
-                dh = _decode_bound(t, d_hi.get(fid))
-                fl = _decode_bound(t, f_lo.get(fid))
-                fh = _decode_bound(t, f_hi.get(fid))
-                try:
-                    if (dh is not None and fl is not None
-                            and dh < fl) or \
-                       (dl is not None and fh is not None
-                            and dl > fh):
-                        overlap = False
-                        break
-                except TypeError:
-                    continue  # incomparable: stay conservative
-            if overlap:
-                return True
-    return False
+                if (dh is not None and fl is not None
+                        and dh < fl) or \
+                   (dl is not None and fh is not None
+                        and dl > fh):
+                    return False
+            except TypeError:
+                continue  # incomparable: stay conservative
+        return True
+    return True  # unknown content: never drop silently
+
+
+def _new_delete_touches(f: dict, new_entries: list[dict],
+                        types_by_id: dict) -> bool:
+    """Changelog delete-epoch pruning (r8 verdict #3): can ANY of
+    the snapshot's newly-added delete files kill rows of parent
+    data file ``f``?"""
+    return any(_delete_may_touch(f, d, types_by_id)
+               for d in new_entries)
 
 
 def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
@@ -495,12 +493,20 @@ def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
         new_eq = eq_state(new)
         if not new_pos and not new_eq:
             continue
-        parent_pos = tuple(_localize(d["file_path"]) for d in dels_p
-                           if d.get("content") == 1)
-        parent_eq = eq_state(dels_p)
         types_by_id = {fld["id"]: fld["type"]
                        for fld in ice_schema["fields"]
                        if isinstance(fld["type"], str)}
+        # per-file attach pruning for BOTH delete-state sets: a
+        # pre-image task only opens the parent/new delete parquets
+        # whose manifest bounds can touch its file
+        parent_pos_d = [d for d in dels_p if d.get("content") == 1]
+        parent_eq_pairs = list(zip(
+            eq_state(dels_p),
+            [d for d in dels_p if d.get("content") == 2]))
+        new_pos_pairs = [(_localize(d["file_path"]), d)
+                         for d in new if d.get("content") == 1]
+        new_eq_pairs = list(zip(
+            new_eq, [d for d in new if d.get("content") == 2]))
         paths = _parquet_paths(files_p)
         for p, f in zip(paths, files_p):
             fseq = (int(f["_seq"])
@@ -510,10 +516,20 @@ def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
                 # reaches this file — planned partitions stay
                 # proportional to TOUCHED files, not table size
             parts.append(_IceChangePartition(
-                _IceFilePartition(p, f["file_path"], parent_pos,
-                                  file_seq=fseq,
-                                  eq_deletes=parent_eq),
-                "delete", sid, ordinal, new_pos, new_eq))
+                _IceFilePartition(
+                    p, f["file_path"],
+                    tuple(_localize(d["file_path"])
+                          for d in parent_pos_d
+                          if _delete_may_touch(f, d, types_by_id)),
+                    file_seq=fseq,
+                    eq_deletes=tuple(
+                        t for t, d in parent_eq_pairs
+                        if _delete_may_touch(f, d, types_by_id))),
+                "delete", sid, ordinal,
+                tuple(lp for lp, d in new_pos_pairs
+                      if _delete_may_touch(f, d, types_by_id)),
+                tuple(t for t, d in new_eq_pairs
+                      if _delete_may_touch(f, d, types_by_id))))
     return parts
 
 
@@ -631,15 +647,29 @@ class _IceBatchReader(DataSourceReader):
             files = [f for f in files
                      if _file_may_match(f, self.preds, field_id,
                                         field_type)]
-        delete_paths = tuple(
-            _localize(d["file_path"]) for d in deletes
-            if d.get("content") == 1)
+        # per-file delete-state attach pruning: a task only opens
+        # the delete parquets whose manifest bounds say they can
+        # touch ITS file — on a long-lived upsert table the delete
+        # list grows with commit count, and attaching all of it to
+        # every file made each task's work O(deletes), not
+        # O(touching deletes)
+        types_by_id = {fld["id"]: fld["type"]
+                       for fld in self.ice_schema["fields"]
+                       if isinstance(fld["type"], str)}
+        pos_dels = [d for d in deletes if d.get("content") == 1]
+        eq_pairs = list(zip(eq_deletes,
+                            [d for d in deletes
+                             if d.get("content") == 2]))
         paths = _parquet_paths(files)
         return [_IceFilePartition(
-                    p, f["file_path"], delete_paths,
+                    p, f["file_path"],
+                    tuple(_localize(d["file_path"]) for d in pos_dels
+                          if _delete_may_touch(f, d, types_by_id)),
                     file_seq=(int(f["_seq"])
                               if f.get("_seq") is not None else None),
-                    eq_deletes=eq_deletes)
+                    eq_deletes=tuple(
+                        t for t, d in eq_pairs
+                        if _delete_may_touch(f, d, types_by_id)))
                 for p, f in zip(paths, files)]
 
     def read(self, partition):

@@ -280,7 +280,8 @@ def test_batch_writer_monotonic_ladder_under_clock_regression(
         [], "id long, v double").schema
     w = _AvroWriter({"path": p}, schema, False)
     w.commit([w.write(iter([_batch_of([1])]))])
-    first = sorted(os.listdir(p))[0]
+    first = sorted(f for f in os.listdir(p)
+                   if f.endswith(".avro"))[0]
     real_time = time.time
     monkeypatch.setattr(time, "time", lambda: real_time() - 3600)
     w.commit([w.write(iter([_batch_of([2])]))])

@@ -677,3 +677,19 @@ def test_changelog_delete_epochs_prune_by_manifest_bounds(
         .groupBy("id", "v").agg(F.sum("sgn").alias("s"))
         .filter("s <> 0"))
     assert net.count() == 28
+    # per-file ATTACH pruning on the registered batch reader: each
+    # data-file task carries only the delete files whose bounds can
+    # touch it — the eq delete (key 105) attaches to the middle
+    # file only, the pos delete (row of 205) to the last file only
+    from python_minerva_etl_spark.streaming.iceberg_source import (
+        _IceBatchReader)
+    dparts = sorted(_IceBatchReader({"path": p}).partitions(),
+                    key=lambda q: q.orig_path)
+    assert len(dparts) == 3
+    n_eq = [len(q.eq_deletes) for q in dparts]
+    n_pos = [len(q.delete_paths) for q in dparts]
+    assert sum(n_eq) == 1 and sum(n_pos) == 1
+    # batch read still exact under attach pruning
+    got = sorted(r.id for r in ice_spark.read
+                 .format("minerva_iceberg").load(p).collect())
+    assert len(got) == 28 and 105 not in got and 205 not in got
