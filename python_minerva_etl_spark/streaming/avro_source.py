@@ -343,7 +343,13 @@ class _AvroStreamWriter(DataSourceStreamArrowWriter):
     to readers; the REPLAYED batch deletes it and redoes the full
     rename set (the r8 prefix-as-ledger scheme silently LOST the
     unrenamed tasks' rows here).  A replay that finds the marker
-    aborts its staged temps and commits nothing."""
+    aborts its staged temps and commits nothing.
+
+    OWNERSHIP: a drop directory belongs to ONE query lineage (one
+    checkpoint).  A different query — or the same query with a
+    RESET checkpoint — restarts batch ids at 0, collides with the
+    existing ledgers, and its batches are treated as replays; point
+    each new checkpoint lineage at a fresh directory."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
         self._batch = _AvroWriter(options, schema, overwrite)
