@@ -684,6 +684,12 @@ def _split_blocks(fh, sync: bytes, codec: str, start: int, end: int,
             body = _snappy(body)
         elif codec == "zstandard":
             body = _zstd(body)
+        elif codec == "bzip2":
+            import bz2
+            body = bz2.decompress(body)
+        elif codec == "xz":
+            import lzma
+            body = lzma.decompress(body, format=lzma.FORMAT_XZ)
         elif codec != "null":
             raise ValueError(f"avro: unsupported codec {codec!r}")
         yield n, body
@@ -882,7 +888,8 @@ def _avro_schema_of(spark_schema, force_required: bool) -> dict:
     return {"type": "record", "name": "row", "fields": fields}
 
 
-_WRITE_CODECS = ("null", "deflate", "snappy", "zstandard")
+_WRITE_CODECS = ("null", "deflate", "snappy", "zstandard",
+                 "bzip2", "xz")
 
 
 def write_avro(df: DataFrame, path: str,
@@ -903,9 +910,9 @@ def write_avro(df: DataFrame, path: str,
 
     ``codec``: "null" (default), "deflate" (raw zlib per the Avro
     spec — what most production writers emit), "snappy" (raw snappy
-    + big-endian CRC32 of the uncompressed data) or "zstandard"
-    (bare zstd frame) — the Avro 1.11 required-codec set minus
-    bzip2/xz."""
+    + big-endian CRC32 of the uncompressed data), "zstandard" (bare
+    zstd frame), "bzip2" or "xz" — the COMPLETE Avro 1.11 codec
+    set."""
     import uuid as _uuid
 
     if codec not in _WRITE_CODECS:
@@ -983,6 +990,12 @@ def encode_container(pdfs, schema: dict, codec: str = "null",
                 raise ValueError(
                     "avro sink: zstd frame lost its content size")
             body = comp
+        elif codec == "bzip2":
+            import bz2 as _bz2
+            body = _bz2.compress(body)
+        elif codec == "xz":
+            import lzma as _lzma
+            body = _lzma.compress(body, format=_lzma.FORMAT_XZ)
         elif codec != "null":
             raise ValueError(f"avro sink: unsupported codec {codec!r}")
         out.extend(_zigzag(n) + _zigzag(len(body)) + body + sync)

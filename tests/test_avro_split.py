@@ -52,11 +52,13 @@ def test_split_parity_sweep(spark, tmp_path):
 import pytest
 
 
-@pytest.mark.parametrize("codec", ["deflate", "snappy", "zstandard"])
+@pytest.mark.parametrize("codec", ["deflate", "snappy", "zstandard",
+                                   "bzip2", "xz"])
 def test_split_parity_codecs(spark, tmp_path, codec):
     """Write+read parity under splitting for every compressed codec
-    the sink supports (r8 verdict #6 added zstandard; snappy carries
-    the spec's big-endian CRC32 suffix)."""
+    of the Avro 1.11 spec — the complete set (r8 verdict #6 asked
+    for zstandard; bzip2/xz ride the stdlib; snappy carries the
+    spec's big-endian CRC32 suffix)."""
     d = str(tmp_path / "av")
     _write_mixed(spark, d, n=3000, block_bytes=1 << 12, codec=codec)
     assert _collect_ids(spark, d, 1 << 11) == list(range(3000))
