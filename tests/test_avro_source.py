@@ -352,3 +352,83 @@ def test_stream_offsets_name_range_semantics(av_spark, tmp_path):
     os.remove(os.path.join(p, "part-006.avro"))
     with _pytest.raises(ValueError, match="missing|removed"):
         r.partitions(start2, end2)
+
+
+def test_stream_offsets_exactly_once_property():
+    """Property (hypothesis): for ANY arrival order of file names and
+    ANY trigger cut points — including a file landing in the race
+    window between latestOffset and partitions — the name-range
+    offset semantics either process every visible file EXACTLY once
+    or fail loudly at the first append-order violation.  No Spark:
+    drives _AvroStreamReader's offset methods directly."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_minerva_etl_spark.streaming.avro_source import (
+        _AvroStreamReader)
+    from tests.test_avro_vector import _ALL_VARINT
+    from tests.test_iceberg import _avro_file
+
+    names = [f"part-{i:03d}.avro" for i in range(10)]
+    blob = _avro_file(_ALL_VARINT, [
+        {"id": 1, "small": 2, "flag": True, "kind": "B",
+         "d": 1, "ts": 2, "tms": 3}])
+
+    @settings(max_examples=30, deadline=None)
+    @given(order=st.permutations(names),
+           cuts=st.lists(st.integers(min_value=1, max_value=4),
+                         min_size=2, max_size=6),
+           race=st.booleans())
+    def run(order, cuts, race):
+        d = tempfile.mkdtemp(prefix="avro_prop_")
+        try:
+            pending = list(order)
+
+            def land(k):
+                new = pending[:k]
+                del pending[:k]
+                for n in new:
+                    with open(os.path.join(d, n), "wb") as fh:
+                        fh.write(blob)
+                return new
+
+            land(1)  # reader needs one file for schema planning
+            r = _AvroStreamReader({"path": d})
+            start = r.initialOffset()
+            processed: list[str] = []
+            dead = False
+            for i, k in enumerate(cuts):
+                arrived = land(k) if i else []
+                end = r.latestOffset()
+                if race and pending:
+                    arrived += land(1)  # the latestOffset→partitions
+                    # race window
+                violation = any(n <= (start.get("hw") or "")
+                                for n in arrived)
+                try:
+                    parts = r.partitions(start, end)
+                except ValueError:
+                    assert violation, (
+                        "raised without an append-order violation: "
+                        f"arrived={arrived} start={start} end={end}")
+                    dead = True
+                    break
+                got = [os.path.basename(q.path) for q in parts]
+                processed.extend(got)
+                start = end
+            if not dead:
+                # exactly once: nothing twice, and everything at or
+                # below the final high-water mark exactly once
+                assert len(processed) == len(set(processed))
+                hw = start.get("hw") or ""
+                on_disk = sorted(
+                    n for n in os.listdir(d)
+                    if n.endswith(".avro") and n <= hw)
+                assert sorted(processed) == on_disk
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run()
