@@ -1038,7 +1038,19 @@ class DeltaTable:
             if id_nested:
                 # sub-group by the files' actual nested spellings —
                 # typically ONE group (all files post-mapping); a
-                # group per spelling era otherwise
+                # group per spelling era otherwise.  Footer reads
+                # are metadata-sized and I/O-bound: fetch them with
+                # a bounded thread pool so a many-file table plans
+                # in parallel, not one footer at a time
+                todo = [fp for fp in paths if fp not in loc_cache]
+                if len(todo) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(
+                            max_workers=min(16, len(todo))) as ex:
+                        for fp, loc in zip(todo, ex.map(
+                                lambda q: _localized_fields(
+                                    data_fields, q), todo)):
+                            loc_cache[fp] = loc
                 groups: dict[str, list[str]] = {}
                 locs: dict[str, tuple] = {}
                 for fp in paths:
