@@ -585,3 +585,151 @@ def simpson_diversity(text_col: str = "text") -> list[Column]:
     simpson = (F.lit(1.0) - c2.cast("double")
                / (n.cast("double") * n.cast("double")))
     return [n.alias("n_tokens"), simpson.alias("simpson")]
+
+
+def token_chars(text_col: str = "text") -> Column:
+    """Total characters across whitespace tokens (separators
+    excluded) — the denominator of the Gopher repetition fractions.
+    One fold over the token array, scan-local."""
+    return F.expr(
+        f"aggregate(split(lower({text_col}), ' '), "
+        "CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+
+
+def _dup_unit_counts_sql(split_sql: str) -> str:
+    """SQL for struct(n, dup_n, chars, dup_chars) over one array of
+    text units (lines / paragraphs): a unit instance is 'duplicated'
+    when its value occurs more than once in the document (ALL
+    occurrences count, the Gopher convention).  One fold over the
+    sorted unit array — runs close on value change and at the end."""
+    return (
+        f"aggregate(array_sort({split_sql}), "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "       CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS dn, "
+        "       CAST(0 AS BIGINT) AS ch, CAST(0 AS BIGINT) AS dch), "
+        "(s, x) -> IF(s.prev IS NULL OR x != s.prev, "
+        "  struct(x AS prev, CAST(1 AS BIGINT) AS run, "
+        "         s.n + 1 AS n, "
+        "         s.dn + IF(s.run >= 2, s.run, CAST(0 AS BIGINT)) AS dn, "
+        "         s.ch + length(x) AS ch, "
+        "         s.dch + IF(s.run >= 2, s.run * length(s.prev), "
+        "                    CAST(0 AS BIGINT)) AS dch), "
+        "  struct(x AS prev, s.run + 1 AS run, s.n + 1 AS n, s.dn AS dn, "
+        "         s.ch + length(x) AS ch, s.dch AS dch)), "
+        "s -> struct(s.n AS n, "
+        "            s.dn + IF(s.run >= 2, s.run, CAST(0 AS BIGINT)) AS dn, "
+        "            s.ch AS ch, "
+        "            s.dch + IF(s.run >= 2, s.run * length(s.prev), "
+        "                       CAST(0 AS BIGINT)) AS dch))")
+
+
+def gopher_line_counts(text_col: str = "text") -> list[Column]:
+    """Gopher rules (Rae et al. 2021, A1.1) duplicate line /
+    paragraph counters, as exact INTEGER components so corpus-level
+    fractions aggregate as ratio-of-sums (hash-stable; never
+    avg-of-doubles): ``n_lines, dup_lines, line_chars,
+    dup_line_chars`` and the paragraph quadruple.  Lines split on
+    \\n, paragraphs on \\n\\n.  Scan-local folds — no shuffle, no
+    UDF; the corpus quality pass stays one pass over the scan."""
+    ln = F.expr(_dup_unit_counts_sql(f"split({text_col}, '\\n')"))
+    pa = F.expr(_dup_unit_counts_sql(f"split({text_col}, '\\n\\n')"))
+    return [
+        ln["n"].alias("n_lines"), ln["dn"].alias("dup_lines"),
+        ln["ch"].alias("line_chars"), ln["dch"].alias("dup_line_chars"),
+        pa["n"].alias("n_paras"), pa["dn"].alias("dup_paras"),
+        pa["ch"].alias("para_chars"), pa["dch"].alias("dup_para_chars"),
+    ]
+
+
+def top_ngram_chars(n: int, text_col: str = "text") -> Column:
+    """Characters contained in occurrences of the document's most
+    frequent token ``n``-gram (count × the gram's token characters,
+    separators excluded) — the numerator of Gopher's top-n-gram
+    fraction over :func:`token_chars`.  Ties break toward the
+    lexicographically smallest gram (the fold walks the SORTED gram
+    array, so the first run to reach the maximum wins and later
+    equal runs cannot displace it — deterministic, oracle-exact).
+    Documents shorter than ``n`` tokens contribute 0."""
+    if n < 2:
+        raise ValueError("top_ngram_chars needs n >= 2 (unigram "
+                         "repetition is repetition_stats)")
+    toks = f"split(lower({text_col}), ' ')"
+    grams = (f"transform(sequence(1, size({toks}) - {n - 1}), "
+             f"i -> concat_ws(' ', slice({toks}, i, {n})))")
+    # the finish lambda resolves the final run AND produces the
+    # numerator, so the fold is referenced (and evaluated) once
+    fold = (
+        f"aggregate(array_sort({grams}), "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "       CAST(0 AS BIGINT) AS best, CAST('' AS STRING) AS bv), "
+        "(s, x) -> IF(s.prev IS NULL OR x != s.prev, "
+        "  struct(x AS prev, CAST(1 AS BIGINT) AS run, "
+        "         IF(s.run > s.best, s.run, s.best) AS best, "
+        "         IF(s.run > s.best, s.prev, s.bv) AS bv), "
+        "  struct(x AS prev, s.run + 1 AS run, s.best AS best, "
+        "         s.bv AS bv)), "
+        "s -> IF(s.prev IS NULL, CAST(0 AS BIGINT), "
+        f"  IF(s.run > s.best, "
+        f"     s.run * (length(s.prev) - {n - 1}), "
+        f"     s.best * (length(s.bv) - {n - 1}))))")
+    return F.expr(
+        f"IF(size({toks}) < {n}, CAST(0 AS BIGINT), {fold})")
+
+
+def with_dup_ngram_coverage(docs: DataFrame, n: int,
+                            text_col: str = "text",
+                            out_col: str | None = None) -> DataFrame:
+    """Gopher's duplicate-n-gram character coverage: characters of
+    token positions covered by at least one occurrence of an n-gram
+    that appears 2+ times in the document, counting each character
+    ONCE (the paper's 'we do not count characters more than once' —
+    overlapping and adjacent occurrences union, never sum).
+
+    Scan shape for 100 TB: everything is per-row array expressions —
+    gram+position structs sorted once, duplicated occurrences marked
+    by sorted-neighbor equality, and a single fold over the sorted
+    start positions merges intervals while summing token lengths
+    via slices of the bound token array.  The intermediates are REAL
+    columns (each referenced more than once), so Catalyst keeps them
+    as per-row values instead of re-evaluating inside lambdas; no
+    shuffle, no UDF, no explode."""
+    if n < 2:
+        raise ValueError("with_dup_ngram_coverage needs n >= 2")
+    out = out_col or f"dup{n}gram_chars"
+    toks_c, s_c, st_c = f"__t{n}", f"__s{n}", f"__st{n}"
+    toks = f"split(lower({text_col}), ' ')"
+    gp = (f"transform(sequence(1, greatest(size({toks_c}) - {n - 1}, "
+          "CAST(0 AS INT))), "
+          f"i -> struct(concat_ws(' ', slice({toks_c}, i, {n})) AS g, "
+          "i AS p))")
+    dup_starts = (
+        f"array_sort(transform(filter(sequence(1, size({s_c})), "
+        f"i -> (i > 1 AND element_at({s_c}, i).g = "
+        f"       element_at({s_c}, i - 1).g) "
+        f"   OR (i < size({s_c}) AND element_at({s_c}, i).g = "
+        f"       element_at({s_c}, i + 1).g)), "
+        f"i -> element_at({s_c}, i).p))")
+    # interval-union fold: state (cover_end, chars); each start s
+    # contributes tokens [max(s, cover_end+1) .. s+n-1]
+    covered = (
+        f"aggregate({st_c}, "
+        "struct(CAST(0 AS INT) AS ce, CAST(0 AS BIGINT) AS ch), "
+        "(s, t) -> struct("
+        f"  greatest(s.ce, t + {n - 1}) AS ce, "
+        f"  s.ch + IF(greatest(t, s.ce + 1) <= t + {n - 1}, "
+        f"    aggregate(slice({toks_c}, greatest(t, s.ce + 1), "
+        f"              t + {n - 1} - greatest(t, s.ce + 1) + 1), "
+        "      CAST(0 AS BIGINT), (a, w) -> a + length(w)), "
+        "    CAST(0 AS BIGINT)) AS ch), "
+        "s -> s.ch)")
+    # the size guard keeps sequence() ascending (sequence(1, 0)
+    # would DESCEND in Spark SQL) and types the empty branch
+    empty = f"CAST(array() AS ARRAY<STRUCT<g: STRING, p: INT>>)"
+    return (docs
+            .withColumn(toks_c, F.expr(toks))
+            .withColumn(s_c, F.expr(
+                f"IF(size({toks_c}) < {n}, {empty}, "
+                f"array_sort({gp}))"))
+            .withColumn(st_c, F.expr(dup_starts))
+            .withColumn(out, F.expr(covered))
+            .drop(toks_c, s_c, st_c))

@@ -6,7 +6,9 @@ Ordering contract: the driver verifies the first 50 catalog entries
 against their DuckDB oracles (CORRECTNESS window).  ``_WINDOW`` below
 rotates every round.  Round 9 leads with the round's NEW queries
 (Avro zstandard roundtrip; changelog with manifest-bounds
-delete-epoch pruning), then the r8 bench-watch set for attribution
+delete-epoch pruning; the Gopher repetition-rule pair — n-gram
+repetition numerators and duplicate-line counters over synthesized
+pages), then the r8 bench-watch set for attribution
 datapoints (``dedup_simhash_verified`` takes the rows-only
 ``dedup_simhash``'s window slot — r8 verdict #7 — so every offered
 row is oracle-backed; ``dedup_simhash`` itself stays in bench.py for
@@ -27,6 +29,8 @@ _WINDOW = [
     # ---- NEW round 9 ----
     "source_avro_zstd_roundtrip",
     "stream_iceberg_pruned_delete_parity",
+    "text_gopher_ngrams",
+    "text_gopher_lines",
     # ---- bench-watch correctness repeats (r8 verdict #1) ----
     "join_asof",
     "join_inner",
@@ -79,8 +83,6 @@ _WINDOW = [
     "mm_decode_wav",
     "agg_distinct_reagg",
     "json_extract",
-    "entity_fuzzy_match",
-    "join_anti_null_aware",
 ]
 
 # Everything previously driver-verified: every declared query outside
@@ -88,6 +90,8 @@ _WINDOW = [
 # local test rigor (tests/test_oracle_diff.py runs ALL queries), just
 # outside the driver's 50-entry window this round.
 _DEPTH = [
+    "entity_fuzzy_match",
+    "join_anti_null_aware",
     "dedup_simhash",
     "text_hash_embed",
     "dedup_exact",

@@ -1657,3 +1657,210 @@ QUERIES.append(
     DeclaredQuery("corpus_token_budget", _corpus_token_budget,
                   _token_budget_sql(),
                   "EXT corpus curation (best-first token-budget trim)"))
+
+
+def _text_gopher_ngrams(spark, sf_dir):
+    """EXT-TEXT Gopher repetition rules (Rae et al. 2021 A1.1), the
+    n-gram half: per-language ratio-of-sums of top-2/3/4-gram
+    character numerators and duplicate-5-gram character COVERAGE
+    (overlap-aware union — characters never counted twice).  Every
+    per-document numerator is an exact integer from scan-local fold
+    expressions (ext/text.py — no shuffle, no UDF, no explode), so
+    the corpus aggregate is one hash-exact groupBy; the two
+    fractions divide exact bigints as doubles (IEEE-identical
+    across engines)."""
+    from ..ext.text import (token_chars, top_ngram_chars,
+                            with_dup_ngram_coverage)
+
+    docs = t(spark, sf_dir, "documents")
+    per = with_dup_ngram_coverage(docs, 5).select(
+        "lang",
+        token_chars().alias("tc"),
+        top_ngram_chars(2).alias("t2"),
+        top_ngram_chars(3).alias("t3"),
+        top_ngram_chars(4).alias("t4"),
+        F.col("dup5gram_chars").alias("d5"))
+    g = per.groupBy("lang").agg(
+        F.sum("tc").alias("token_chars"),
+        F.sum("t2").alias("top2_chars"),
+        F.sum("t3").alias("top3_chars"),
+        F.sum("t4").alias("top4_chars"),
+        F.sum("d5").alias("dup5_chars"))
+    return g.select(
+        "lang", "token_chars", "top2_chars", "top3_chars",
+        "top4_chars", "dup5_chars",
+        (F.col("top2_chars").cast("double")
+         / F.col("token_chars").cast("double")).alias("top2_frac"),
+        (F.col("dup5_chars").cast("double")
+         / F.col("token_chars").cast("double")).alias("dup5_frac"))
+
+
+def _gopher_top_sql(n: int) -> str:
+    """Per-doc top-n-gram numerator CTE body (count × token chars of
+    the winner; ties -> lexicographically smallest gram — the same
+    contract as the sorted-array fold in ext/text.py)."""
+    return f"""
+  SELECT doc_id, numer FROM (
+    SELECT doc_id, cnt * (length(gram) - {n - 1}) AS numer,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram ASC) AS rk
+    FROM (SELECT doc_id, gram, count(*) AS cnt
+          FROM (SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+                         AS gram
+                FROM toked)
+          GROUP BY 1, 2))
+  WHERE rk = 1"""
+
+
+_TEXT_GOPHER_NGRAMS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, lang,
+         coalesce(list_aggregate(
+           list_transform(toks, x -> length(x)), 'sum'), 0) AS tc
+  FROM toked
+),
+top2 AS ({_gopher_top_sql(2)}),
+top3 AS ({_gopher_top_sql(3)}),
+top4 AS ({_gopher_top_sql(4)}),
+p5 AS (
+  SELECT doc_id, struct_extract(e, 'p') AS p,
+         struct_extract(e, 'g') AS g
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 4, 0)),
+                 i -> {{'p': i,
+                       'g': array_to_string(toks[i:i+4], ' ')}})) AS e
+        FROM toked)
+),
+cpos AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT doc_id, unnest(generate_series(p, p + 4)) AS pos
+        FROM (SELECT doc_id, p FROM
+               (SELECT doc_id, p,
+                       count(*) OVER (PARTITION BY doc_id, g) AS c
+                FROM p5)
+              WHERE c >= 2))
+),
+tl AS (
+  SELECT doc_id, unnest(list_transform(toks, x -> length(x))) AS tl,
+         generate_subscripts(toks, 1) AS pos
+  FROM toked
+),
+d5 AS (
+  SELECT c.doc_id, SUM(t.tl) AS d5
+  FROM cpos c JOIN tl t USING (doc_id, pos) GROUP BY 1
+),
+per AS (
+  SELECT tc.lang, tc.tc,
+         coalesce(top2.numer, 0) AS t2,
+         coalesce(top3.numer, 0) AS t3,
+         coalesce(top4.numer, 0) AS t4,
+         coalesce(d5.d5, 0) AS d5
+  FROM tc
+  LEFT JOIN top2 USING (doc_id)
+  LEFT JOIN top3 USING (doc_id)
+  LEFT JOIN top4 USING (doc_id)
+  LEFT JOIN d5 USING (doc_id)
+)
+SELECT lang,
+       CAST(SUM(tc) AS BIGINT) AS token_chars,
+       CAST(SUM(t2) AS BIGINT) AS top2_chars,
+       CAST(SUM(t3) AS BIGINT) AS top3_chars,
+       CAST(SUM(t4) AS BIGINT) AS top4_chars,
+       CAST(SUM(d5) AS BIGINT) AS dup5_chars,
+       CAST(SUM(t2) AS DOUBLE) / CAST(SUM(tc) AS DOUBLE) AS top2_frac,
+       CAST(SUM(d5) AS DOUBLE) / CAST(SUM(tc) AS DOUBLE) AS dup5_frac
+FROM per GROUP BY 1
+"""
+
+
+def _text_gopher_lines(spark, sf_dir):
+    """EXT-TEXT Gopher repetition rules, the line half: the corpus
+    has no newlines, so multi-line 'pages' are synthesized
+    deterministically — documents of one (source, doc_id%16) bucket
+    joined by \\n in doc_id order — and the corpus' real duplicate
+    documents become genuine duplicate LINES.  Per-source
+    ratio-of-sums of the scan-local integer line counters
+    (ext/text.py gopher_line_counts)."""
+    from ..ext.text import gopher_line_counts
+
+    docs = t(spark, sf_dir, "documents")
+    pages = (docs
+             .groupBy("source", (F.col("doc_id") % 16).alias("b"))
+             .agg(F.array_sort(
+                 F.collect_list(F.struct("doc_id", "text")))
+                 .alias("a"))
+             .select("source", F.concat_ws(
+                 "\n", F.expr("transform(a, x -> x.text)"))
+                 .alias("page")))
+    per = pages.select("source", *gopher_line_counts("page"))
+    g = per.groupBy("source").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("dup_lines").alias("dup_lines"),
+        F.sum("line_chars").alias("line_chars"),
+        F.sum("dup_line_chars").alias("dup_line_chars"))
+    return g.select(
+        "source", "n_pages", "n_lines", "dup_lines", "line_chars",
+        "dup_line_chars",
+        (F.col("dup_lines").cast("double")
+         / F.col("n_lines").cast("double")).alias("dup_line_frac"),
+        (F.col("dup_line_chars").cast("double")
+         / F.col("line_chars").cast("double"))
+        .alias("dup_line_char_frac"))
+
+
+_TEXT_GOPHER_LINES_SQL = """
+WITH pages AS (
+  SELECT source, doc_id % 16 AS b,
+         string_agg(text, chr(10) ORDER BY doc_id) AS page
+  FROM documents GROUP BY 1, 2
+),
+lc AS (
+  SELECT source, b, line, count(*) AS cnt
+  FROM (SELECT source, b,
+               unnest(string_split(page, chr(10))) AS line
+        FROM pages)
+  GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT source, b,
+         SUM(cnt) AS n_lines,
+         SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_lines,
+         SUM(length(line) * cnt) AS line_chars,
+         SUM(CASE WHEN cnt >= 2 THEN length(line) * cnt
+                  ELSE 0 END) AS dup_line_chars
+  FROM lc GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(dup_lines) AS BIGINT) AS dup_lines,
+       CAST(SUM(line_chars) AS BIGINT) AS line_chars,
+       CAST(SUM(dup_line_chars) AS BIGINT) AS dup_line_chars,
+       CAST(SUM(dup_lines) AS DOUBLE) / CAST(SUM(n_lines) AS DOUBLE)
+         AS dup_line_frac,
+       CAST(SUM(dup_line_chars) AS DOUBLE)
+         / CAST(SUM(line_chars) AS DOUBLE) AS dup_line_char_frac
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("text_gopher_ngrams", _text_gopher_ngrams,
+                  _TEXT_GOPHER_NGRAMS_SQL,
+                  "EXT-TEXT (Gopher n-gram repetition rules: "
+                  "top-n-gram chars + overlap-aware dup-5-gram "
+                  "coverage)"))
+QUERIES.append(
+    DeclaredQuery("text_gopher_lines", _text_gopher_lines,
+                  _TEXT_GOPHER_LINES_SQL,
+                  "EXT-TEXT (Gopher duplicate-line rules over "
+                  "synthesized pages)"))

@@ -129,10 +129,49 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
     stream via the count cross-check (silently skipping it, or
     double-reading the tail, would both be worse) — the same
     append-ordered-names contract Spark's file sources have without
-    their journal."""
+    their journal.
+
+    ADMISSION CONTROL: ``option("maxFilesPerTrigger", K)`` bounds
+    a micro-batch to at most K new files (Spark's file-source
+    option name), so producer bursts against a LIVE stream — the
+    consumer pauses, the drop directory piles up — drain in
+    bounded batches (bounded task count, bounded executor memory,
+    steady checkpoint cadence) instead of one ever-growing scan.
+    The Python DataSource API exposes no ``ReadLimit`` hook:
+    ``latestOffset`` is called before the reader learns ANY start
+    offset (before ``initialOffset`` on a fresh start, before
+    ``partitions`` on a restart — measured, both trigger modes), so
+    the cap rides a driver-side watermark and the FIRST batch of a
+    (re)started query is necessarily uncapped.  Returning a
+    deliberately low first offset instead would be WRONG, not just
+    ugly: Spark's offset log records whatever ``latestOffset``
+    says, a value below the restart point regresses the log, and
+    the next crash replays files that were already processed.  The
+    watermark only ever grows (primed by every offset this reader
+    returns or is handed), so a capped stream keeps exactly-once.
+    ``Trigger.AvailableNow`` latches a single target up front and
+    is therefore uncapped end-to-end; use a processing-time trigger
+    when admission control matters."""
 
     def __init__(self, options: dict):
         self._plan(options)
+        mft = _opt(options, "maxFilesPerTrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError(
+                "minerva_avro: maxFilesPerTrigger must be a "
+                f"positive integer, got {mft!r}")
+        # driver-side rate-limit watermark (the highest end name
+        # this reader has returned or observed); None = unknown
+        # (restart — see the docstring's one documented hole)
+        self._hw_seen: str | None = None
+
+    def _prime(self, *hws) -> None:
+        known = [h for h in hws if h]
+        if self._hw_seen is not None:
+            known.append(self._hw_seen)
+        if known:
+            self._hw_seen = max(known)
 
     def _listing(self) -> list[str]:
         from ..sources.avro import _list_files
@@ -147,14 +186,30 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
             return []
 
     def initialOffset(self) -> dict:
+        # fresh start (never called on restart).  Spark happens to
+        # call latestOffset BEFORE this today (measured), but if a
+        # future release flips the order, priming the epoch here
+        # tightens the cap to cover the cold-start backlog too.
+        if self._hw_seen is None:
+            self._hw_seen = ""
         return {"n": 0, "hw": ""}
 
     def latestOffset(self) -> dict:
         files = self._listing()
-        return {"n": len(files),
-                "hw": os.path.basename(files[-1]) if files else ""}
+        names = [os.path.basename(f) for f in files]
+        end = names[-1] if names else ""
+        if self.max_files is not None and self._hw_seen is not None:
+            beyond = [n for n in names if n > self._hw_seen]
+            end = (beyond[:self.max_files][-1] if beyond
+                   else self._hw_seen)
+        self._prime(end)
+        return {"n": sum(1 for n in names if n <= end), "hw": end}
 
     def partitions(self, start: dict, end: dict):
+        # a restart replaying an uncommitted batch reaches here
+        # before any latestOffset — prime the rate-limit watermark
+        # so the NEXT planned batch is capped relative to it
+        self._prime(start.get("hw") or "", end.get("hw") or "")
         listing = self._listing()
         names = [os.path.basename(f) for f in listing]
         shw = start.get("hw") or ""
@@ -190,7 +245,7 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
         return _read_split(partition, self.schema_)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._prime(end.get("hw") or "")
 
 
 class _AvroCommit(WriterCommitMessage):

@@ -618,8 +618,43 @@ class _StreamReader(DataSourceStreamReader):
             options, "ignoreChanges", "false")).lower() == "true"
         self.ignore_deletes = str(_opt(
             options, "ignoreDeletes", "false")).lower() == "true"
+        # ADMISSION CONTROL (upstream delta-spark's option name,
+        # commit-boundary granularity: our offsets are whole
+        # versions, so a batch takes consecutive commits while their
+        # cumulative dataChange-add file count stays <= K — always
+        # at least one commit).  The Python DataSource API calls
+        # latestOffset before revealing any start offset, so the
+        # FIRST batch of a (re)started query is uncapped (same
+        # measured limitation, same reasoning as the minerva_avro
+        # source: a deliberately low first offset would regress
+        # Spark's offset log and double-read after a crash).
+        mft = _opt(options, "maxFilesPerTrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError(
+                "minerva_delta: maxFilesPerTrigger must be a "
+                f"positive integer, got {mft!r}")
+        self._v_seen: int | None = None  # rate-limit watermark
+
+    def _commit_add_count(self, v: int) -> int:
+        with open(_commit_path(self.path, v)) as fh:
+            return sum(1 for line in fh if line.strip()
+                       and json.loads(line).get("add", {})
+                       .get("dataChange"))
+
+    def _prime(self, *vers) -> None:
+        known = [int(v) for v in vers if v is not None]
+        if self._v_seen is not None:
+            known.append(self._v_seen)
+        if known:
+            self._v_seen = max(known)
 
     def initialOffset(self) -> dict:
+        first = (self.starting - 1 if self.starting is not None
+                 else -1)
+        # fresh start: prime the rate-limit watermark so the cap
+        # covers the cold backlog if Spark ever calls this first
+        self._prime(first)
         if self.starting is not None:
             # process versions >= startingVersion
             return {"version": self.starting - 1}
@@ -629,9 +664,25 @@ class _StreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = self.dt.versions()
-        return {"version": vs[-1] if vs else -1}
+        latest = vs[-1] if vs else -1
+        if self.max_files is not None and self._v_seen is not None:
+            end, total = self._v_seen, 0
+            for v in vs:
+                if v <= self._v_seen:
+                    continue
+                n = self._commit_add_count(v)
+                if end > self._v_seen and total + n > self.max_files:
+                    break
+                total += n
+                end = v
+            latest = max(end, self._v_seen)
+        self._prime(latest)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        # restart replaying an uncommitted batch lands here before
+        # any latestOffset — prime the rate-limit watermark
+        self._prime(start.get("version"), end.get("version"))
         out = []
         for v in range(int(start["version"]) + 1,
                        int(end["version"]) + 1):
@@ -672,7 +723,7 @@ class _StreamReader(DataSourceStreamReader):
                                self.part_cols)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._prime(end.get("version"))
 
 
 def _pval_str(v, dt: T.DataType) -> str | None:

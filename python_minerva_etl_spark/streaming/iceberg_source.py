@@ -703,20 +703,74 @@ class _IceStreamReader(DataSourceStreamReader):
         self.skip_overwrites = str(_opt(
             options, "streaming-skip-overwrite-snapshots",
             "false")).lower() == "true"
+        # ADMISSION CONTROL (upstream Spark-Iceberg's option name,
+        # snapshot-boundary granularity: a batch takes consecutive
+        # snapshots along the parent chain while their cumulative
+        # summary file count stays <= K — always at least one).
+        # The Python DataSource API calls latestOffset before
+        # revealing any start offset, so the FIRST batch of a
+        # (re)started query is uncapped (same measured limitation
+        # and reasoning as the minerva_avro source: an artificially
+        # low first offset would regress Spark's offset log and
+        # double-read after a crash).
+        mfb = _opt(options, "streaming-max-files-per-micro-batch")
+        self.max_files = int(mfb) if mfb is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError(
+                "minerva_iceberg: streaming-max-files-per-micro-"
+                f"batch must be a positive integer, got {mfb!r}")
+        self._snap_seen: int | None = None  # rate-limit watermark
+
+    @staticmethod
+    def _snap_file_count(s: dict) -> int:
+        """Admission cost of one snapshot, from its summary alone
+        (no manifest reads on the offset path); snapshots without
+        the spec summary metrics cost one unit."""
+        summ = s.get("summary") or {}
+        n = 0
+        for k in ("added-data-files", "added-delete-files"):
+            try:
+                n += int(summ.get(k, 0))
+            except (TypeError, ValueError):
+                pass
+        return max(n, 1)
 
     def initialOffset(self) -> dict:
         # None → the whole recorded history streams as the first
         # batches; fromSnapshotId → strictly after that snapshot
-        return {"snapshot": (self.from_snapshot
-                             if self.from_snapshot is not None
-                             else -1)}
+        first = (self.from_snapshot
+                 if self.from_snapshot is not None else -1)
+        # fresh start: prime the rate-limit watermark so the cap
+        # covers the cold backlog if Spark ever calls this first
+        if self._snap_seen is None:
+            self._snap_seen = first
+        return {"snapshot": first}
 
     def latestOffset(self) -> dict:
         md = self.tbl.metadata()
         cur = md.get("current-snapshot-id")
-        return {"snapshot": cur if cur not in (None, -1) else -1}
+        cur = cur if cur not in (None, -1) else -1
+        if (self.max_files is not None
+                and self._snap_seen is not None
+                and cur != -1 and cur != self._snap_seen):
+            _, _, chain = _walk_chain(md, self._snap_seen, cur)
+            end, total = None, 0
+            for s in reversed(chain):  # oldest first
+                n = self._snap_file_count(s)
+                if end is not None and total + n > self.max_files:
+                    break
+                total += n
+                end = s["snapshot-id"]
+            cur = end if end is not None else self._snap_seen
+        self._snap_seen = cur if cur != -1 else self._snap_seen
+        return {"snapshot": cur}
 
     def partitions(self, start: dict, end: dict):
+        # restart replaying an uncommitted batch lands here before
+        # any latestOffset — prime the rate-limit watermark (the
+        # planned batch's end is the next walk's start)
+        if int(end["snapshot"]) != -1:
+            self._snap_seen = int(end["snapshot"])
         end_id = int(end["snapshot"])
         if end_id == -1:
             return []
@@ -761,7 +815,8 @@ class _IceStreamReader(DataSourceStreamReader):
         return _read_ice_partition(partition, self.schema_)
 
     def commit(self, end: dict) -> None:
-        pass
+        if int(end.get("snapshot", -1)) != -1:
+            self._snap_seen = int(end["snapshot"])
 
 
 class _IceCommitMessage(WriterCommitMessage):

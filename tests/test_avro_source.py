@@ -400,20 +400,28 @@ def test_stream_offsets_exactly_once_property():
             start = r.initialOffset()
             processed: list[str] = []
             dead = False
+            # an arrival sorting at or below ANY offset hw issued
+            # so far violates append order; the stream may legally
+            # detect it at any LATER partitions call (the count
+            # cross-check fires when the next batch is planned), so
+            # the flag is cumulative, not per-iteration
+            issued = start.get("hw") or ""
+            violated = False
             for i, k in enumerate(cuts):
                 arrived = land(k) if i else []
+                violated |= any(n <= issued for n in arrived)
                 end = r.latestOffset()
+                issued = max(issued, end.get("hw") or "")
                 if race and pending:
-                    arrived += land(1)  # the latestOffset→partitions
+                    late = land(1)  # the latestOffset→partitions
                     # race window
-                violation = any(n <= (start.get("hw") or "")
-                                for n in arrived)
+                    violated |= any(n <= issued for n in late)
                 try:
                     parts = r.partitions(start, end)
                 except ValueError:
-                    assert violation, (
+                    assert violated, (
                         "raised without an append-order violation: "
-                        f"arrived={arrived} start={start} end={end}")
+                        f"start={start} end={end}")
                     dead = True
                     break
                 got = [os.path.basename(q.path) for q in parts]
@@ -432,3 +440,103 @@ def test_stream_offsets_exactly_once_property():
             shutil.rmtree(d, ignore_errors=True)
 
     run()
+
+
+def test_max_files_per_trigger_offset_walk(av_spark, tmp_path):
+    """Admission-control semantics, locked at the offset level
+    (Spark's measured call order: latestOffset BEFORE any start
+    knowledge, so the first offset of a run is uncapped; every
+    later one advances at most K files past the watermark)."""
+    from python_minerva_etl_spark.streaming.avro_source import (
+        _AvroStreamReader)
+
+    p = str(tmp_path / "av")
+    for i in range(5):
+        _write(av_spark, p, i * 10, (i + 1) * 10,
+               name=f"part-{i:03d}.avro")
+
+    r = _AvroStreamReader({"path": p, "maxFilesPerTrigger": "2"})
+    # blind first call: uncapped (no start offset exists yet)
+    o1 = r.latestOffset()
+    assert o1 == {"n": 5, "hw": "part-004.avro"}
+    # live arrivals: capped walk, 2 files per trigger
+    for i in range(5, 9):
+        _write(av_spark, p, i * 10, (i + 1) * 10,
+               name=f"part-{i:03d}.avro")
+    o2 = r.latestOffset()
+    assert o2 == {"n": 7, "hw": "part-006.avro"}
+    # the batch owns exactly the capped name range
+    parts = r.partitions(o1, o2)
+    assert sorted(os.path.basename(x.path) for x in parts) == \
+        ["part-005.avro", "part-006.avro"]
+    o3 = r.latestOffset()
+    assert o3["hw"] == "part-008.avro"
+    # drained: offset stops advancing (no empty batch churn)
+    assert r.latestOffset() == o3
+
+    # restart replaying an uncommitted batch: partitions() primes
+    # the watermark, so the NEXT offset is capped relative to it
+    r2 = _AvroStreamReader({"path": p, "maxFilesPerTrigger": "2"})
+    r2.partitions(o2, o3)
+    _write(av_spark, p, 90, 100, name="part-009.avro")
+    assert r2.latestOffset() == {"n": 10, "hw": "part-009.avro"}
+
+    # fresh-start order with initialOffset first (future-proofing):
+    # the epoch primes the watermark, cold backlog drains capped
+    r3 = _AvroStreamReader({"path": p, "maxFilesPerTrigger": "3"})
+    r3.initialOffset()
+    assert r3.latestOffset() == {"n": 3, "hw": "part-002.avro"}
+
+    # uncapped reader unchanged by the feature
+    r4 = _AvroStreamReader({"path": p})
+    assert r4.latestOffset()["hw"] == "part-009.avro"
+
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        _AvroStreamReader({"path": p, "maxFilesPerTrigger": "0"})
+
+
+def test_max_files_per_trigger_live_stream(av_spark, tmp_path):
+    """End-to-end admission control: files dropped while the query
+    runs drain at most one per micro-batch, and every row arrives
+    exactly once."""
+    import time
+    import uuid as _uuid
+
+    p = str(tmp_path / "av")
+    stage = str(tmp_path / "stage")
+
+    def drop(lo, hi, name):
+        # stage OUTSIDE the watched directory, then one atomic
+        # rename in — a live tail must never see half-landed names
+        src = _write(av_spark, stage, lo, hi, name=name)
+        os.makedirs(p, exist_ok=True)
+        os.rename(src, os.path.join(p, name))
+
+    drop(0, 10, "part-000.avro")
+    sink = f"mft_live_{_uuid.uuid4().hex[:8]}"
+    q = (av_spark.readStream.format("minerva_avro")
+         .option("maxFilesPerTrigger", "1").load(p)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(processingTime="250 milliseconds").start())
+    try:
+        deadline = time.time() + 120
+        while (av_spark.table(sink).count() < 10
+               and time.time() < deadline):
+            time.sleep(0.25)
+        assert av_spark.table(sink).count() == 10
+        for i in range(1, 5):
+            drop(i * 10, (i + 1) * 10, f"part-{i:03d}.avro")
+        while (av_spark.table(sink).count() < 50
+               and time.time() < deadline):
+            time.sleep(0.25)
+        got = _rows(av_spark.table(sink).select("id"))
+        assert got == [(i,) for i in range(50)]
+        # every non-empty batch after the blind first one took at
+        # most one file (10 rows)
+        sizes = [int(pr["numInputRows"]) for pr in q.recentProgress
+                 if int(pr["batchId"]) >= 1
+                 and int(pr["numInputRows"]) > 0]
+        assert sizes and max(sizes) <= 10 and len(sizes) >= 4
+    finally:
+        q.stop()

@@ -576,3 +576,56 @@ def test_batch_cdf_version_range_and_refusals(ds_spark, tmp_path):
     with _pytest.raises(Exception, match="startingVersion"):
         (ds_spark.read.format("minerva_delta")
          .option("readChangeFeed", "true").load(p).collect())
+
+
+def test_max_files_per_trigger_offset_walk(ds_spark, tmp_path):
+    """Admission control at the offset level: after the blind first
+    offset (the API reveals no start), each latestOffset advances
+    whole commits while their cumulative dataChange-add file count
+    stays within the cap — always at least one commit."""
+    from python_minerva_etl_spark.streaming.delta_source import (
+        _StreamReader)
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    # v0: 2 files (repartition(2)); v1..v3: 1 file each
+    dt.write(ds_spark, ds_spark.range(4).toDF("id")
+             .repartition(2))
+    for i in range(1, 4):
+        dt.write(ds_spark,
+                 ds_spark.range(i * 10, i * 10 + 2).toDF("id")
+                 .coalesce(1))
+
+    r = _StreamReader({"path": p, "maxFilesPerTrigger": "2"})
+    # blind first call: uncapped
+    assert r.latestOffset() == {"version": 3}
+    # four more single-file commits arrive against the live stream
+    for i in range(4, 8):
+        dt.write(ds_spark,
+                 ds_spark.range(i * 10, i * 10 + 2).toDF("id")
+                 .coalesce(1))
+    assert r.latestOffset() == {"version": 5}   # v4+v5 = 2 files
+    assert r.latestOffset() == {"version": 7}
+    assert r.latestOffset() == {"version": 7}   # drained: no churn
+
+    # a commit BIGGER than the cap still goes through alone
+    dt.write(ds_spark, ds_spark.range(100, 112).toDF("id")
+             .repartition(4))
+    assert r.latestOffset() == {"version": 8}
+
+    # restart replaying an uncommitted batch primes via partitions
+    r2 = _StreamReader({"path": p, "maxFilesPerTrigger": "1"})
+    r2.partitions({"version": 5}, {"version": 7})
+    dt.write(ds_spark, ds_spark.range(200, 202).toDF("id")
+             .coalesce(1))
+    assert r2.latestOffset() == {"version": 8}
+    assert r2.latestOffset() == {"version": 9}
+
+    # startingVersion + initialOffset-first order (future-proof)
+    r3 = _StreamReader({"path": p, "maxFilesPerTrigger": "1",
+                        "startingVersion": "6"})
+    r3.initialOffset()
+    assert r3.latestOffset() == {"version": 6}
+
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        _StreamReader({"path": p, "maxFilesPerTrigger": "0"})

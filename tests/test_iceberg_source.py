@@ -693,3 +693,57 @@ def test_changelog_delete_epochs_prune_by_manifest_bounds(
     got = sorted(r.id for r in ice_spark.read
                  .format("minerva_iceberg").load(p).collect())
     assert len(got) == 28 and 105 not in got and 205 not in got
+
+
+def test_max_files_per_micro_batch_offset_walk(ice_spark, tmp_path):
+    """Admission control at the offset level: after the blind first
+    offset, each latestOffset advances whole snapshots along the
+    parent chain while their cumulative summary file count stays
+    within streaming-max-files-per-micro-batch (upstream Iceberg's
+    option name) — always at least one snapshot."""
+    from python_minerva_etl_spark.streaming.iceberg_source import (
+        _IceStreamReader)
+
+    p = str(tmp_path / "t")
+    write_iceberg(ice_spark, ice_spark.range(4).toDF("id")
+                  .coalesce(1), p)
+    ids = [IcebergTable(p).metadata()["current-snapshot-id"]]
+
+    r = _IceStreamReader(
+        {"path": p, "streaming-max-files-per-micro-batch": "2"})
+    # blind first call: uncapped
+    assert r.latestOffset() == {"snapshot": ids[0]}
+    # four more single-file appends against the live stream
+    for i in range(1, 5):
+        write_iceberg(ice_spark,
+                      ice_spark.range(i * 10, i * 10 + 2)
+                      .toDF("id").coalesce(1), p)
+        ids.append(IcebergTable(p).metadata()["current-snapshot-id"])
+    assert r.latestOffset() == {"snapshot": ids[2]}  # two snaps
+    assert r.latestOffset() == {"snapshot": ids[4]}
+    assert r.latestOffset() == {"snapshot": ids[4]}  # drained
+
+    # a snapshot BIGGER than the cap still goes through alone
+    write_iceberg(ice_spark, ice_spark.range(100, 112).toDF("id")
+                  .repartition(4), p)
+    ids.append(IcebergTable(p).metadata()["current-snapshot-id"])
+    assert r.latestOffset() == {"snapshot": ids[5]}
+
+    # restart replaying an uncommitted batch primes via partitions
+    r2 = _IceStreamReader(
+        {"path": p, "streaming-max-files-per-micro-batch": "1"})
+    r2.partitions({"snapshot": ids[2]}, {"snapshot": ids[3]})
+    assert r2.latestOffset() == {"snapshot": ids[4]}
+    assert r2.latestOffset() == {"snapshot": ids[5]}
+
+    # fromSnapshotId + initialOffset-first order (future-proof)
+    r3 = _IceStreamReader(
+        {"path": p, "streaming-max-files-per-micro-batch": "1",
+         "fromSnapshotId": str(ids[2])})
+    r3.initialOffset()
+    assert r3.latestOffset() == {"snapshot": ids[3]}
+
+    with pytest.raises(ValueError, match="micro-batch"):
+        _IceStreamReader(
+            {"path": p,
+             "streaming-max-files-per-micro-batch": "0"})

@@ -277,3 +277,68 @@ def test_mix_epochs_budget_extremes(spark):
     huge = mix_epochs(docs, budget_tokens=10**12, max_epochs=4)
     assert {r.epochs for r in huge.select("epochs").distinct().collect()} \
         == {4}
+
+
+def test_gopher_line_counts_exact(spark):
+    from python_minerva_etl_spark.ext.text import gopher_line_counts
+
+    df = spark.createDataFrame(
+        [(1, "foo\nbar\nfoo\nbaz"),           # one duplicated line
+         (2, "a\n\nb\n\na"),                  # duplicated paragraph
+         (3, "only one line")],
+        "doc_id long, text string")
+    got = {r.doc_id: tuple(r)[1:]
+           for r in df.select("doc_id", *gopher_line_counts())
+           .collect()}
+    # (n_lines, dup_lines, line_chars, dup_line_chars,
+    #  n_paras, dup_paras, para_chars, dup_para_chars)
+    assert got[1] == (4, 2, 12, 6, 1, 0, 15, 0)
+    # lines ['a','','b','','a']: 'a' x2 AND '' x2 duplicate
+    assert got[2] == (5, 4, 3, 2, 3, 2, 3, 2)
+    assert got[3] == (1, 0, 13, 0, 1, 0, 13, 0)
+
+
+def test_top_ngram_chars_exact(spark):
+    from python_minerva_etl_spark.ext.text import (token_chars,
+                                                   top_ngram_chars)
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"),        # top 2-gram 'a b' x2, 2 chars
+         (2, "x x x x"),          # 'x x' x3 (overlaps COUNT here)
+         (3, "solo"),             # shorter than n -> 0
+         (4, "p q r s"),          # all unique: count 1 x 2 chars
+         # count-2 tie 'bb c' vs 'a d': lexicographically smaller
+         # 'a d' wins -> 2*2, not 2*3
+         (5, "bb c bb c a d a d")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.tc, r.top2) for r in df.select(
+        "doc_id", token_chars().alias("tc"),
+        top_ngram_chars(2).alias("top2")).collect()}
+    assert got[1] == (5, 4)
+    assert got[2] == (4, 6)
+    assert got[3] == (4, 0)
+    assert got[4] == (4, 2)
+    assert got[5] == (10, 4)
+
+
+def test_dup_ngram_coverage_unions_overlaps(spark):
+    from python_minerva_etl_spark.ext.text import (
+        with_dup_ngram_coverage)
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"),    # starts 1,3 -> tokens 1..4 -> 4 chars
+         (2, "x x x x"),      # starts 1,2,3 UNION [1,4] -> 4 not 6
+         (3, "p q r s"),      # no duplicated 2-gram -> 0
+         (4, "z")],           # shorter than n -> 0
+        "doc_id long, text string")
+    got = {r.doc_id: r.dup2gram_chars
+           for r in with_dup_ngram_coverage(df, 2).collect()}
+    assert got == {1: 4, 2: 4, 3: 0, 4: 0}
+    # adjacent-but-distinct duplicated grams merge intervals too:
+    # 'm n m n o m n' 3-grams: 'm n m','n m n','m n o' unique,
+    # but 2-grams 'm n'(1,3,6) 'n m'(2) 'n o'(4) 'o m'(5):
+    # dup 'm n' covers [1,2]+[3,4]+[6,7] = 6 tokens = 6 chars
+    df2 = spark.createDataFrame([(9, "m n m n o m n")],
+                                "doc_id long, text string")
+    assert with_dup_ngram_coverage(df2, 2).collect()[0] \
+        .dup2gram_chars == 6
