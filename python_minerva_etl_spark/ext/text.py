@@ -733,3 +733,32 @@ def with_dup_ngram_coverage(docs: DataFrame, n: int,
             .withColumn(st_c, F.expr(dup_starts))
             .withColumn(out, F.expr(covered))
             .drop(toks_c, s_c, st_c))
+
+
+def gopher_word_rules(text_col: str = "text",
+                      min_words: int = 24,
+                      max_words: int = 100_000) -> list[Column]:
+    """Gopher quality rules (Rae et al. 2021, A1.1), the word-level
+    half, as per-document booleans: word count in range, mean word
+    length in [3, 10], >= 80% of words contain an alphabetic
+    character, symbol-to-word ratio (# and ...) <= 0.1, and at
+    least 2 stopword hits.  EVERY comparison is integer arithmetic
+    (mean in [3,10] becomes 3n <= chars <= 10n; 80% becomes
+    5*alpha >= 4*n) — no float divisions, so the booleans are
+    hash-exact across engines.  Scan-local expressions only."""
+    toks = f"split(lower({text_col}), ' ')"
+    n = F.expr(f"size({toks})").cast("bigint")
+    tc = token_chars(text_col)
+    alpha = F.expr(
+        f"size(filter({toks}, x -> x rlike '[a-z]'))").cast("bigint")
+    symbols = (F.expr(f"regexp_count({text_col}, '#')")
+               + F.expr(f"regexp_count({text_col}, '\\\\.\\\\.\\\\.')")
+               ).cast("bigint")
+    stops = stopword_hits("en", text_col)
+    return [
+        ((n >= min_words) & (n <= max_words)).alias("word_count_ok"),
+        ((tc >= 3 * n) & (tc <= 10 * n)).alias("mean_len_ok"),
+        (alpha * 5 >= n * 4).alias("alpha_ok"),
+        (symbols * 10 <= n).alias("symbol_ok"),
+        (stops >= 2).alias("stopword_ok"),
+    ]

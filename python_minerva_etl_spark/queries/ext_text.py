@@ -1864,3 +1864,72 @@ QUERIES.append(
                   _TEXT_GOPHER_LINES_SQL,
                   "EXT-TEXT (Gopher duplicate-line rules over "
                   "synthesized pages)"))
+
+
+def _text_gopher_quality(spark, sf_dir):
+    """EXT-TEXT Gopher quality rules (Rae et al. 2021 A1.1), the
+    word-level half: per-source conditional aggregation of the five
+    rule booleans — ONE scan, one tiny aggregate (the funnel shape
+    that matters at 100 TB; never one pass per rule).  All booleans
+    are integer-arithmetic comparisons (ext/text.py
+    gopher_word_rules), so counts are hash-exact."""
+    from ..ext.text import gopher_word_rules
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("source", *gopher_word_rules())
+    rules = ["word_count_ok", "mean_len_ok", "alpha_ok",
+             "symbol_ok", "stopword_ok"]
+    all_ok = F.lit(True)
+    for r in rules:
+        all_ok = all_ok & F.col(r)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[F.count(F.when(F.col(r), 1)).alias("n_" + r[:-3])
+          for r in rules],
+        F.count(F.when(all_ok, 1)).alias("n_pass_all"))
+
+
+def _gopher_quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in X.LANG_PROFILES["en"])
+    return f"""
+WITH f AS (
+  SELECT source,
+         len(string_split(lower(text), ' ')) AS n,
+         coalesce(list_aggregate(list_transform(
+           string_split(lower(text), ' '), x -> length(x)),
+           'sum'), 0) AS tc,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ({stops}))) AS stops
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n >= 24 AND n <= 100000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_word_count,
+  CAST(SUM(CASE WHEN tc >= 3 * n AND tc <= 10 * n THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_mean_len,
+  CAST(SUM(CASE WHEN alpha * 5 >= n * 4 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_alpha,
+  CAST(SUM(CASE WHEN symbols * 10 <= n THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_symbol,
+  CAST(SUM(CASE WHEN stops >= 2 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_stopword,
+  CAST(SUM(CASE WHEN n >= 24 AND n <= 100000
+                 AND tc >= 3 * n AND tc <= 10 * n
+                 AND alpha * 5 >= n * 4
+                 AND symbols * 10 <= n
+                 AND stops >= 2 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_pass_all
+FROM f GROUP BY 1
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("text_gopher_quality", _text_gopher_quality,
+                  _gopher_quality_sql(),
+                  "EXT-TEXT (Gopher word-level quality rules, "
+                  "integer-exact funnel)"))

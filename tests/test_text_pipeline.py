@@ -342,3 +342,23 @@ def test_dup_ngram_coverage_unions_overlaps(spark):
                                 "doc_id long, text string")
     assert with_dup_ngram_coverage(df2, 2).collect()[0] \
         .dup2gram_chars == 6
+
+
+def test_gopher_word_rules_booleans(spark):
+    from python_minerva_etl_spark.ext.text import gopher_word_rules
+
+    good = " ".join(["the", "and", "to", "value"] * 7)   # 28 words
+    df = spark.createDataFrame(
+        [(1, good),                          # passes all five
+         (2, "the and to"),                  # too few words
+         (3, " ".join(["extraordinarily"] * 30)),  # mean len > 10
+         (4, " ".join(["#"] * 30)),          # symbols + no alpha
+         (5, " ".join(["zq", "xv"] * 15))],  # no stopwords
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", *gopher_word_rules(min_words=24)).collect()}
+    assert all(tuple(rows[1])[1:])           # every rule True
+    assert not rows[2].word_count_ok
+    assert not rows[3].mean_len_ok
+    assert not rows[4].alpha_ok and not rows[4].symbol_ok
+    assert not rows[5].stopword_ok
