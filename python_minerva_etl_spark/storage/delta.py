@@ -2565,7 +2565,8 @@ class DeltaTable:
     def optimize(self, spark: SparkSession,
                  small_file_bytes: int = 128 << 20,
                  target_file_bytes: int = 256 << 20,
-                 sort_by: list[str] | None = None) -> int | None:
+                 sort_by: list[str] | None = None,
+                 zorder_by: list[str] | None = None) -> int | None:
         """Compaction (the OPTIMIZE maintenance op): bin-pack active
         files smaller than ``small_file_bytes`` — per partition, files
         from different partitions can never merge — and physically
@@ -2577,18 +2578,27 @@ class DeltaTable:
         group rewrites as its own distributed job sized by
         ``target_file_bytes``; the driver holds only file metadata.
 
-        ``sort_by`` turns the pass into a CLUSTERING rewrite (the
-        OPTIMIZE ZORDER use case): EVERY active file of each
-        partition rewrites, range-partitioned + sorted on the given
-        columns, so each output file covers a narrow value range and
-        the per-file stats written at stage time make
-        ``read(where=...)`` skipping actually effective.
+        ``sort_by`` turns the pass into a CLUSTERING rewrite: EVERY
+        active file of each partition rewrites, range-partitioned +
+        sorted on the given columns, so each output file covers a
+        narrow value range and the per-file stats written at stage
+        time make ``read(where=...)`` skipping actually effective —
+        for predicates on the LEADING column.
+
+        ``zorder_by`` is the multi-dimensional version (OPTIMIZE
+        ZORDER BY): quantile-binned Morton interleaving clusters
+        every listed column at once, so stats prune predicates on
+        ANY of them (see :func:`_zorder_cluster`).  Mutually
+        exclusive with ``sort_by``.
 
         Returns the committed version, or None when nothing needs
         compacting.  Raises :class:`DeltaConcurrentCommit` if a racer
         touches a candidate file between scan and commit."""
         import math
 
+        if sort_by and zorder_by:
+            raise ValueError(
+                "optimize: pass sort_by OR zorder_by, not both")
         snap = self._replay()
         self._check_writable(snap, "optimize")
         schema = T.StructType.fromJson(
@@ -2596,13 +2606,19 @@ class DeltaTable:
         part_cols = snap["metaData"].get("partitionColumns") or []
         data_fields = [f for f in schema.fields
                        if f.name not in part_cols]
-        if sort_by:
-            bad = [c for c in sort_by
+        for label, cols in (("sort_by", sort_by),
+                            ("zorder_by", zorder_by)):
+            bad = [c for c in cols or []
                    if c not in {f.name for f in data_fields}]
             if bad:
                 raise ValueError(
-                    f"optimize sort_by columns {bad} not in the "
+                    f"optimize {label} columns {bad} not in the "
                     "table's data columns")
+        if zorder_by:
+            # type support fails fast on the driver, pre-rename
+            for f in data_fields:
+                if f.name in zorder_by:
+                    _zorder_proxy_sql(f.name, f.dataType)
         # column-mapped: compact entirely in the PHYSICAL world —
         # read physical columns, re-stage physical columns — so
         # files, stats, and partitionValues stay physically keyed
@@ -2625,15 +2641,18 @@ class DeltaTable:
                 for f in data_fields])
             if sort_by:
                 sort_by = [cm[c] for c in sort_by]
+            if zorder_by:
+                zorder_by = [cm[c] for c in zorder_by]
+        clustering = bool(sort_by or zorder_by)
         groups: dict[tuple, list[dict]] = {}
         for f in snap["files"]:
-            if sort_by or f.get("deletionVector") \
+            if clustering or f.get("deletionVector") \
                     or (f.get("size") or 0) < small_file_bytes:
                 pv = tuple(sorted(
                     (f.get("partitionValues") or {}).items()))
                 groups.setdefault(pv, []).append(f)
         todo = {pv: fs for pv, fs in groups.items()
-                if sort_by or len(fs) > 1
+                if clustering or len(fs) > 1
                 or any(f.get("deletionVector") for f in fs)}
         if not todo:
             return None
@@ -2657,7 +2676,12 @@ class DeltaTable:
                     "_dl_path", "_dl_pos")
             total = sum(f.get("size") or 0 for f in fs)
             nparts = max(1, math.ceil(total / target_file_bytes))
-            if sort_by:
+            if zorder_by:
+                df = _zorder_cluster(
+                    df, zorder_by,
+                    {f.name: f.dataType for f in data_schema.fields},
+                    nparts)
+            elif sort_by:
                 # range-cluster: each output file covers a narrow
                 # sort-key range, so its stats prune tightly
                 df = (df.repartitionByRange(nparts, *sort_by)
@@ -2680,7 +2704,9 @@ class DeltaTable:
             now = int(time.time() * 1000)
             actions: list[dict] = [{"commitInfo": {
                 "timestamp": now, "operation": "OPTIMIZE",
-                "operationParameters": {},
+                "operationParameters": (
+                    {"zOrderBy": json.dumps(zorder_by)}
+                    if zorder_by else {}),
                 "engineInfo": "python-minerva-etl-spark"}}]
             for rel in rewritten:
                 f = by_path.get(rel)
@@ -2878,6 +2904,79 @@ class DeltaTable:
         with open(os.path.join(_log_dir(self.path),
                                "_last_checkpoint"), "w") as fh:
             json.dump({"version": version, "size": len(rows)}, fh)
+
+
+def _zorder_proxy_sql(col: str, dt: T.DataType) -> str:
+    """An order-preserving DOUBLE proxy for a Z-ORDER column.  Only
+    the RELATIVE order matters (values feed quantile binning), so
+    lossy mappings are fine as long as they are monotonic: strings
+    map through their first 4 UTF-8 bytes as a big-endian integer,
+    timestamps through epoch seconds."""
+    q = f"`{col}`"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.LongType, T.FloatType, T.DoubleType,
+                       T.DecimalType)):
+        return f"CAST({q} AS DOUBLE)"
+    if isinstance(dt, T.DateType):
+        return f"CAST(datediff({q}, DATE'1970-01-01') AS DOUBLE)"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return f"CAST(CAST({q} AS TIMESTAMP) AS DOUBLE)"
+    if isinstance(dt, T.StringType):
+        return ("CAST(CAST(conv(hex(substring(CAST(" + q +
+                " AS BINARY), 1, 4)), 16, 10) AS BIGINT) AS DOUBLE)")
+    raise ValueError(
+        f"zorder_by column {col!r} has unsupported type "
+        f"{dt.simpleString()} (numeric, decimal, date, timestamp "
+        "and string are supported)")
+
+
+_Z_BITS = 8  # 256 quantile bins per dimension
+
+
+def _zorder_cluster(df, zcols: list[str],
+                    type_of: dict[str, "T.DataType"],
+                    nparts: int):
+    """Multi-dimensional Z-ORDER clustering for OPTIMIZE: each
+    column is quantile-binned into 256 buckets (percentile_approx
+    boundaries — ONE extra aggregation job over the group, adapting
+    to the actual distribution, never min/max linear bins that
+    collapse under skew), bucket bits are Morton-interleaved into a
+    single bigint key, and the rewrite range-partitions + sorts on
+    that key.  Every output file then covers a narrow hyper-rectangle
+    in ALL clustering dimensions, so per-file min/max stats prune
+    predicates on ANY of them — the property a lexicographic
+    sort_by only gives the leading column.  Clustering placement
+    does not need to be deterministic (file contents and stats stay
+    exact either way); bit budget caps the dimensions at 7
+    (7 cols x 8 bits < the bigint sign bit)."""
+    if len(zcols) > 7:
+        raise ValueError("zorder_by supports at most 7 columns "
+                         f"(got {len(zcols)})")
+    d = len(zcols)
+    fracs = [i / (1 << _Z_BITS) for i in range(1, 1 << _Z_BITS)]
+    proxies = [_zorder_proxy_sql(c, type_of[c]) for c in zcols]
+    bounds = df.agg(*[
+        F.percentile_approx(F.expr(px), fracs, 10000).alias(f"b{i}")
+        for i, px in enumerate(proxies)]).first()
+    bucket_cols = {}
+    for i, px in enumerate(proxies):
+        bs = [float(v) for v in (bounds[f"b{i}"] or [])
+              if v is not None]
+        arr = ("CAST(array() AS ARRAY<DOUBLE>)" if not bs else
+               "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)"
+                                    for v in bs) + ")")
+        # NULL proxy -> lambda NULL -> filtered out -> bucket 0
+        bucket_cols[f"__zb{i}"] = F.expr(
+            f"size(filter({arr}, b -> b <= ({px})))")
+    df = df.withColumns(bucket_cols)
+    morton = " + ".join(
+        f"shiftleft(shiftright(CAST(__zb{i} AS BIGINT), {j}) & 1, "
+        f"{j * d + i})"
+        for i in range(d) for j in range(_Z_BITS))
+    df = df.withColumn("__zm", F.expr(morton))
+    return (df.repartitionByRange(nparts, "__zm")
+            .sortWithinPartitions("__zm")
+            .drop("__zm", *bucket_cols))
 
 
 def read_delta(spark: SparkSession, path: str,

@@ -9,6 +9,8 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from python_minerva_etl_spark.storage.delta import (DeltaTable,
                                                     delete_delta,
@@ -174,3 +176,106 @@ def test_vacuum_handles_dv_bins(spark, tmp_path):
     got = read_delta(spark, p)
     assert got.count() == 10000
     assert got.filter("id % 2 = 0").count() == 0
+
+
+def test_optimize_zorder_prunes_every_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after the Morton-interleaved
+    rewrite, per-file stats prune range predicates on EITHER
+    dimension — the property a lexicographic sort_by=['x'] only
+    gives its leading column.  Pruning is proven the hard way:
+    the excluded parquet files are DELETED from disk and the
+    filtered read still answers exactly."""
+    import os
+
+    from python_minerva_etl_spark.storage.delta import _add_may_match
+
+    def grid_table(p):
+        dt = DeltaTable(p)
+        # the full 64x64 grid: x and y are INDEPENDENT (y is the
+        # high digit, not an affine image of x -- 37*x%64 style
+        # mappings are bijections of x and would cluster for free)
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") / 64).cast("long") % 64).alias("y"),
+            F.col("id").alias("v"))
+        dt.write(spark, df.repartition(8))
+        return dt
+
+    def candidates(dt, preds):
+        snap = dt._replay()
+        type_of = {"x": T.LongType(), "y": T.LongType(),
+                   "v": T.LongType()}
+        return snap["files"], [
+            f for f in snap["files"]
+            if _add_may_match(f, preds, [], type_of)]
+
+    box = [("x", ">=", 0), ("x", "<=", 7),
+           ("y", ">=", 0), ("y", "<=", 7)]
+    y_only = [("y", ">=", 0), ("y", "<=", 7)]
+
+    # lexicographic clustering on x: y-only predicates prune NOTHING
+    p1 = str(tmp_path / "lex")
+    dt1 = grid_table(p1)
+    total = sum(f["size"] for f in dt1._replay()["files"])
+    dt1.optimize(spark, target_file_bytes=max(1, total // 16),
+                 sort_by=["x"])
+    all1, y1 = candidates(dt1, y_only)
+    assert len(all1) >= 8
+    assert len(y1) == len(all1)          # every file spans full y
+
+    # Z-ORDER on (x, y): both dimensions prune
+    p2 = str(tmp_path / "zo")
+    dt2 = grid_table(p2)
+    expected = sorted(
+        (r.x, r.y, r.v) for r in dt2.read(spark).collect()
+        if r.x <= 7 and r.y <= 7)
+    total = sum(f["size"] for f in dt2._replay()["files"])
+    v = dt2.optimize(spark, target_file_bytes=max(1, total // 16),
+                     zorder_by=["x", "y"])
+    assert v is not None
+    all2, y2 = candidates(dt2, y_only)
+    _, xy2 = candidates(dt2, box)
+    assert len(all2) >= 8
+    assert len(y2) < len(all2)           # y alone prunes files
+    assert len(xy2) <= len(y2)
+    assert len(xy2) < len(all2) // 2     # the box touches a corner
+
+    # never-opened proof: remove every non-candidate file, then the
+    # filtered read must still answer bit-for-bit
+    keep = {f["path"] for f in xy2}
+    for f in all2:
+        if f["path"] not in keep:
+            os.remove(os.path.join(p2, f["path"]))
+    got = sorted((r.x, r.y, r.v)
+                 for r in dt2.read(spark, where=box).collect())
+    assert got == expected
+
+
+def test_optimize_zorder_typed_proxies_and_refusals(spark, tmp_path):
+    """String/timestamp/date columns Z-ORDER through order-preserving
+    proxies; unsupported types and sort_by+zorder_by refuse."""
+    import datetime
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    rows = [(i, f"user{i % 50:03d}",
+             datetime.datetime(2024, 1, 1 + i % 28, i % 24),
+             datetime.date(2024, 1 + i % 12, 1),
+             [i]) for i in range(600)]
+    dt.write(spark, spark.createDataFrame(
+        rows, "v long, name string, ts timestamp, d date,"
+        " arr array<bigint>").repartition(4))
+    before = sorted((r.v, r.name, r.ts, r.d, tuple(r.arr))
+                    for r in dt.read(spark).collect())
+    assert dt.optimize(spark, target_file_bytes=1 << 12,
+                       zorder_by=["name", "ts", "d"]) is not None
+    after = sorted((r.v, r.name, r.ts, r.d, tuple(r.arr))
+                   for r in dt.read(spark).collect())
+    assert after == before                # rewrite is content-exact
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        dt.optimize(spark, zorder_by=["arr"])
+    with pytest.raises(ValueError, match="not both"):
+        dt.optimize(spark, sort_by=["v"], zorder_by=["name"])
+    with pytest.raises(ValueError, match="not in the"):
+        dt.optimize(spark, zorder_by=["nope"])
