@@ -1878,7 +1878,9 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame,
 
 
 def compact_iceberg(spark: SparkSession, path: str,
-                    max_commit_attempts: int = 5) -> int | None:
+                    max_commit_attempts: int = 5,
+                    zorder_by: list[str] | None = None,
+                    target_file_bytes: int = 256 << 20) -> int | None:
     """Rewrite the current snapshot into fresh, delete-free data files
     (Iceberg's ``rewrite_data_files`` maintenance op): one distributed
     read with position/equality deletes applied, one distributed
@@ -1889,18 +1891,51 @@ def compact_iceberg(spark: SparkSession, path: str,
     None) when the table already is a single delete-free file; raises
     :class:`IcebergConcurrentCommit` if the table changed between the
     scan and the commit (a blind replace would drop the racer's
-    rows)."""
+    rows).
+
+    ``zorder_by`` turns the pass into a multi-dimensional CLUSTERING
+    rewrite (rewrite_data_files sort-order with a Z-curve): the
+    shared quantile-binned Morton machinery (storage/delta.py
+    ``_zorder_cluster``) range-partitions the rewrite so each new
+    data file covers a narrow hyper-rectangle, and the per-file
+    lower/upper bounds written into the manifest make the reader's
+    ``where=`` file pruning effective on EVERY clustered column.
+    Unpartitioned specs only (a partitioned rewrite would mix
+    partition values across clustering tasks); a zorder rewrite
+    always runs even when the table is a single delete-free file."""
     table = IcebergTable(path)
     md = table.metadata()
     snap = table._snapshot(md, None)
     if not snap:
         return None
     data_files, delete_files = table._data_files(snap)
-    if len(data_files) <= 1 and not delete_files:
+    if len(data_files) <= 1 and not delete_files and not zorder_by:
         return None
     ice_schema = table._current_schema(md)
     part_info = _part_info(md, ice_schema)
     df = table.read(spark)
+    if zorder_by:
+        import math
+
+        from .delta import _zorder_cluster, _zorder_proxy_sql
+
+        if part_info is not None:
+            raise ValueError(
+                "compact_iceberg zorder_by supports unpartitioned "
+                "tables only (a partitioned rewrite would mix "
+                "partition values across clustering tasks)")
+        type_of = {f.name: f.dataType for f in df.schema.fields}
+        bad = [c for c in zorder_by if c not in type_of]
+        if bad:
+            raise ValueError(
+                f"compact_iceberg zorder_by columns {bad} not in "
+                "the table schema")
+        for c in zorder_by:
+            _zorder_proxy_sql(c, type_of[c])  # fail fast on types
+        total = sum(int(f.get("file_size_in_bytes") or 0)
+                    for f in data_files)
+        nparts = max(1, math.ceil(total / target_file_bytes))
+        df = _zorder_cluster(df, zorder_by, type_of, nparts)
     staged = _stage_data_files(df, path, part_info, ice_schema)
     for f in staged:
         lo, hi = _file_bounds(f["file_path"], ice_schema)

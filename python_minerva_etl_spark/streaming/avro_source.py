@@ -133,7 +133,10 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
 
     ADMISSION CONTROL: ``option("maxFilesPerTrigger", K)`` bounds
     a micro-batch to at most K new files (Spark's file-source
-    option name), so producer bursts against a LIVE stream — the
+    option name), and ``option("maxBytesPerTrigger", B)`` to at
+    most B new bytes (a single larger file still drains alone —
+    the cap can bound, not wedge); both may combine, and the
+    stricter wins.  So producer bursts against a LIVE stream — the
     consumer pauses, the drop directory piles up — drain in
     bounded batches (bounded task count, bounded executor memory,
     steady checkpoint cadence) instead of one ever-growing scan.
@@ -161,6 +164,12 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
             raise ValueError(
                 "minerva_avro: maxFilesPerTrigger must be a "
                 f"positive integer, got {mft!r}")
+        mbt = _opt(options, "maxBytesPerTrigger")
+        self.max_bytes = int(mbt) if mbt is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError(
+                "minerva_avro: maxBytesPerTrigger must be a "
+                f"positive integer, got {mbt!r}")
         # driver-side rate-limit watermark (the highest end name
         # this reader has returned or observed); None = unknown
         # (restart — see the docstring's one documented hole)
@@ -198,10 +207,26 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
         files = self._listing()
         names = [os.path.basename(f) for f in files]
         end = names[-1] if names else ""
-        if self.max_files is not None and self._hw_seen is not None:
-            beyond = [n for n in names if n > self._hw_seen]
-            end = (beyond[:self.max_files][-1] if beyond
-                   else self._hw_seen)
+        capped = (self.max_files is not None
+                  or self.max_bytes is not None)
+        if capped and self._hw_seen is not None:
+            beyond = [(n, f) for n, f in zip(names, files)
+                      if n > self._hw_seen]
+            # take files in name order until a cap would be
+            # exceeded — but always at least one (a single file
+            # bigger than maxBytesPerTrigger must still drain)
+            end, taken, size = self._hw_seen, 0, 0
+            for n, f in beyond:
+                fsz = os.path.getsize(f)
+                if taken >= 1 and (
+                        (self.max_files is not None
+                         and taken >= self.max_files)
+                        or (self.max_bytes is not None
+                            and size + fsz > self.max_bytes)):
+                    break
+                taken += 1
+                size += fsz
+                end = n
         self._prime(end)
         return {"n": sum(1 for n in names if n <= end), "hw": end}
 

@@ -540,3 +540,47 @@ def test_max_files_per_trigger_live_stream(av_spark, tmp_path):
         assert sizes and max(sizes) <= 10 and len(sizes) >= 4
     finally:
         q.stop()
+
+
+def test_max_bytes_per_trigger_offset_walk(av_spark, tmp_path):
+    """maxBytesPerTrigger: the capped walk stops before the byte
+    budget overflows, one oversized file still drains alone, and
+    combining with maxFilesPerTrigger applies the stricter cap."""
+    from python_minerva_etl_spark.streaming.avro_source import (
+        _AvroStreamReader)
+
+    p = str(tmp_path / "av")
+    for i in range(3):
+        _write(av_spark, p, i * 10, (i + 1) * 10,
+               name=f"part-{i:03d}.avro")
+    sizes = {n: os.path.getsize(os.path.join(p, n))
+             for n in sorted(os.listdir(p))}
+    one = sizes["part-000.avro"]  # files are same-shaped
+
+    # budget of ~1.5 files -> one file per trigger
+    r = _AvroStreamReader({"path": p,
+                           "maxBytesPerTrigger": str(int(one * 1.5))})
+    r.latestOffset()  # blind first call, uncapped
+    for i in range(3, 7):
+        _write(av_spark, p, i * 10, (i + 1) * 10,
+               name=f"part-{i:03d}.avro")
+    assert r.latestOffset()["hw"] == "part-003.avro"
+    assert r.latestOffset()["hw"] == "part-004.avro"
+
+    # budget below ONE file: still advances one per trigger
+    r2 = _AvroStreamReader({"path": p, "maxBytesPerTrigger": "1"})
+    r2.partitions({"n": 5, "hw": "part-004.avro"},
+                  {"n": 5, "hw": "part-004.avro"})
+    assert r2.latestOffset()["hw"] == "part-005.avro"
+    assert r2.latestOffset()["hw"] == "part-006.avro"
+
+    # combined caps: bytes allow 2+, files cap at 1 -> stricter wins
+    r3 = _AvroStreamReader({"path": p,
+                            "maxBytesPerTrigger": str(one * 10),
+                            "maxFilesPerTrigger": "1"})
+    r3.partitions({"n": 4, "hw": "part-003.avro"},
+                  {"n": 4, "hw": "part-003.avro"})
+    assert r3.latestOffset()["hw"] == "part-004.avro"
+
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        _AvroStreamReader({"path": p, "maxBytesPerTrigger": "0"})

@@ -252,3 +252,64 @@ def test_policy_from_foreach_batch_sink(spark, tmp_path):
     assert compaction_stats(p)["delete_files"] == 0
     got = sorted(r.id for r in read_iceberg(spark, p).collect())
     assert got == [i for i in range(40) if i not in (3, 7)]
+
+
+def test_compact_zorder_prunes_every_dimension(spark, tmp_path):
+    """compact_iceberg(zorder_by=['x','y']): after the Morton
+    clustering rewrite, manifest lower/upper bounds prune range
+    predicates on EITHER dimension; proven never-opened by deleting
+    the excluded parquet files before the filtered read."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.storage.iceberg import (
+        _file_may_match, _localize)
+
+    p = str(tmp_path / "t")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),
+        F.col("id").alias("v"))
+    write_iceberg(spark, df.repartition(8), p)
+
+    t = IcebergTable(p)
+    expected = sorted((r.x, r.y, r.v) for r in t.read(spark).collect()
+                      if r.x <= 7 and r.y <= 7)
+    total = sum(int(f["file_size_in_bytes"])
+                for f in t._data_files(t._snapshot(t.metadata(),
+                                                   None))[0])
+    sid = compact_iceberg(spark, p, zorder_by=["x", "y"],
+                          target_file_bytes=max(1, total // 16))
+    assert sid is not None
+
+    md = t.metadata()
+    ice_schema = t._current_schema(md)
+    field_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    field_type = {f["name"]: f["type"]
+                  for f in ice_schema["fields"]}
+    files, dels = t._data_files(t._snapshot(md, None))
+    assert not dels and len(files) >= 8
+
+    box = [("x", ">=", 0), ("x", "<=", 7),
+           ("y", ">=", 0), ("y", "<=", 7)]
+    y_only = [("y", ">=", 0), ("y", "<=", 7)]
+    match_y = [f for f in files
+               if _file_may_match(f, y_only, field_id, field_type)]
+    match_box = [f for f in files
+                 if _file_may_match(f, box, field_id, field_type)]
+    assert len(match_y) < len(files)      # y alone prunes
+    assert len(match_box) < len(files) // 2
+
+    keep = {f["file_path"] for f in match_box}
+    for f in files:
+        if f["file_path"] not in keep:
+            os.remove(_localize(f["file_path"]))
+    got = sorted((r.x, r.y, r.v)
+                 for r in t.read(spark, where=box).collect())
+    assert got == expected
+
+    # partitioned tables refuse the clustering rewrite
+    p2 = str(tmp_path / "part")
+    write_iceberg(spark, df.withColumn("pt", F.col("x") % 2), p2,
+                  partition_by="pt")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        compact_iceberg(spark, p2, zorder_by=["x"])
