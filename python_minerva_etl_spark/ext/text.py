@@ -762,3 +762,101 @@ def gopher_word_rules(text_col: str = "text",
         (symbols * 10 <= n).alias("symbol_ok"),
         (stops >= 2).alias("stopword_ok"),
     ]
+
+
+def _bigram_bucket_sql(toks: str, i: str, n_buckets: int) -> str:
+    """Hashed-bigram feature bucket (md5-based so DuckDB rebuilds it
+    bit-for-bit): first 8 hex digits of md5('w1 w2') mod B."""
+    return (f"CAST(conv(substring(md5(concat_ws(' ', "
+            f"slice({toks}, {i}, 2))), 1, 8), 16, 10) AS BIGINT) "
+            f"% {n_buckets}")
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 n_buckets: int = 1024, scale: int = 1_000_000,
+                 text_col: str = "text") -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, 'Data
+    Selection for Language Models via Importance Resampling'):
+    hashed-bigram bucket frequencies of a TARGET corpus vs the RAW
+    corpus.  This is the log-free variant — per-bucket weight
+    ``floor(scale * (c_target+1) / (c_raw+1))`` is an exact INTEGER
+    (the paper's log-ratio estimator needs ln(), whose last-ulp
+    differs across engines and breaks oracle hashing; the integer
+    ratio keeps the same up-weight-target-like-buckets direction
+    and is hash-exact).  Normalization constants drop out of any
+    ranking.  Returns ``(bucket, w)`` — ``n_buckets`` rows.
+
+    Scale shape: two wordcount-style aggregations whose outputs are
+    B rows each; the corpora never leave the executors un-combined
+    (map-side partial aggregation collapses each partition to at
+    most B rows before the shuffle)."""
+    def counts(df, name):
+        toks = f"split(lower({text_col}), ' ')"
+        b = df.select(F.explode(F.expr(
+            f"transform(sequence(1, greatest(size({toks}) - 1, 0)), "
+            f"i -> {_bigram_bucket_sql(toks, 'i', n_buckets)})"))
+            .alias("bucket"))
+        return b.groupBy("bucket").agg(F.count("*").alias(name))
+    spark = raw.sparkSession
+    buckets = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"))
+    return (buckets
+            .join(counts(raw, "cr"), "bucket", "left")
+            .join(counts(target, "ct"), "bucket", "left")
+            .select("bucket",
+                    F.floor(F.lit(scale)
+                            * (F.coalesce("ct", F.lit(0)) + 1)
+                            / (F.coalesce("cr", F.lit(0)) + 1))
+                    .cast("bigint").alias("w")))
+
+
+def dsir_importance(docs: DataFrame, weights: DataFrame,
+                    n_buckets: int = 1024,
+                    text_col: str = "text") -> DataFrame:
+    """Per-document DSIR importance over precomputed bucket weights:
+    ``imp_mass = Σ_bigrams w(bucket)`` (exact bigint) and
+    ``importance = imp_mass / n_bigrams`` (one IEEE division).
+
+    The B weights are COLLECTED (bounded: n_buckets rows) and
+    embedded as a literal array, so the corpus pass is scan-local —
+    a fold over each document's bigram buckets with element_at into
+    the literal; no explode, no join, no shuffle.  Documents with
+    fewer than 2 tokens drop (no bigrams, no importance)."""
+    rows = {int(r["bucket"]): int(r["w"])
+            for r in weights.collect()}
+    arr = "array(" + ", ".join(
+        f"CAST({rows.get(i, 0)} AS BIGINT)"
+        for i in range(n_buckets)) + ")"
+    toks = f"split(lower({text_col}), ' ')"
+    mass = (f"aggregate(sequence(1, size({toks}) - 1), "
+            f"CAST(0 AS BIGINT), (a, i) -> a + element_at({arr}, "
+            f"CAST({_bigram_bucket_sql(toks, 'i', n_buckets)} "
+            f"AS INT) + 1))")
+    n_bi = F.expr(f"size({toks}) - 1").cast("bigint")
+    return (docs
+            .filter(F.expr(f"size({toks})") >= 2)
+            .withColumn("n_bigrams", n_bi)
+            .withColumn("imp_mass", F.expr(mass))
+            .withColumn("importance",
+                        F.col("imp_mass").cast("double")
+                        / F.col("n_bigrams").cast("double")))
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, k: int,
+                n_buckets: int = 1024,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministic DSIR selection: top-``k`` documents by
+    importance (ties break on ``id_col`` — reproducible across
+    runs and cluster sizes; the paper's Gumbel-noise resampling
+    swaps in a hash-draw when statistical sampling is wanted)."""
+    scored = dsir_importance(docs, dsir_weights(docs, target,
+                                                n_buckets,
+                                                text_col=text_col),
+                             n_buckets, text_col)
+    # distributed TopK (TakeOrderedAndProject), THEN rank over the
+    # k survivors — never a global single-partition window
+    top = scored.orderBy(F.desc("importance"), F.asc(id_col)) \
+        .limit(k)
+    w = Window.orderBy(F.desc("importance"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -32,6 +32,7 @@ _WINDOW = [
     "text_gopher_ngrams",
     "text_gopher_lines",
     "text_gopher_quality",
+    "dataset_dsir_select",
     # ---- bench-watch correctness repeats (r8 verdict #1) ----
     "join_asof",
     "join_inner",
@@ -82,7 +83,6 @@ _WINDOW = [
     "rolling_active_users",
     "mm_decode_png",
     "mm_decode_wav",
-    "agg_distinct_reagg",
 ]
 
 # Everything previously driver-verified: every declared query outside
@@ -90,6 +90,7 @@ _WINDOW = [
 # local test rigor (tests/test_oracle_diff.py runs ALL queries), just
 # outside the driver's 50-entry window this round.
 _DEPTH = [
+    "agg_distinct_reagg",
     "json_extract",
     "entity_fuzzy_match",
     "join_anti_null_aware",

@@ -1933,3 +1933,70 @@ QUERIES.append(
                   _gopher_quality_sql(),
                   "EXT-TEXT (Gopher word-level quality rules, "
                   "integer-exact funnel)"))
+
+
+def _dataset_dsir_select(spark, sf_dir):
+    """EXT dataset curation: DSIR importance resampling (Xie et al.
+    2023) — select the 200 raw documents whose hashed-bigram
+    feature distribution looks most like the TARGET domain (here:
+    the English-labeled subset).  Weights are the log-free
+    integer-scaled bucket ratios (ext/text.py dsir_weights — exact
+    bigints, hash-stable); the corpus scoring pass is scan-local
+    (the 1024 weights ride along as a literal array, no join), and
+    selection is a distributed TopK, never a global window."""
+    from ..ext.text import dsir_select
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return (dsir_select(docs, target, 200)
+            .select("doc_id", "lang", "n_bigrams", "imp_mass",
+                    "importance",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+_DATASET_DSIR_SELECT_SQL = """
+WITH tk AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(array_to_string(w[i:i+1], ' ')),
+                                 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM tk, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cr AS (SELECT bucket, COUNT(*) AS cr FROM bi GROUP BY 1),
+ct AS (SELECT bucket, COUNT(*) AS ct FROM bi WHERE lang = 'en'
+       GROUP BY 1),
+wts AS (
+  SELECT b.range AS bucket,
+         CAST(floor(1000000 * (coalesce(ct.ct, 0) + 1)
+                    / (coalesce(cr.cr, 0) + 1)) AS BIGINT) AS w
+  FROM range(1024) b
+  LEFT JOIN cr ON cr.bucket = b.range
+  LEFT JOIN ct ON ct.bucket = b.range
+),
+scored AS (
+  SELECT bi.doc_id, any_value(bi.lang) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(wts.w) AS BIGINT) AS imp_mass,
+         CAST(SUM(wts.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS importance
+  FROM bi JOIN wts USING (bucket)
+  GROUP BY bi.doc_id
+)
+SELECT doc_id, lang, n_bigrams, imp_mass, importance,
+       CAST(row_number() OVER (ORDER BY importance DESC, doc_id)
+            AS BIGINT) AS rank
+FROM scored
+ORDER BY importance DESC, doc_id
+LIMIT 200
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("dataset_dsir_select", _dataset_dsir_select,
+                  _DATASET_DSIR_SELECT_SQL,
+                  "EXT dataset curation (DSIR importance "
+                  "resampling, hashed-bigram integer weights)"))

@@ -362,3 +362,34 @@ def test_gopher_word_rules_booleans(spark):
     assert not rows[3].mean_len_ok
     assert not rows[4].alpha_ok and not rows[4].symbol_ok
     assert not rows[5].stopword_ok
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    from python_minerva_etl_spark.ext.text import (dsir_importance,
+                                                   dsir_select,
+                                                   dsir_weights)
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the value of the table is the value"),
+         (2, "en", "the value of the key is the value"),
+         (3, "xx", "zq wv pk zq wv pk zq wv"),
+         (4, "xx", "the value of the row is the value"),   # target-like
+         (5, "xx", "mm nn oo pp qq rr ss tt")],
+        "doc_id long, lang string, text string")
+    target = docs.filter("lang = 'en'")
+
+    w = dsir_weights(docs, target, n_buckets=256)
+    assert w.count() == 256                 # dense bucket table
+    got = dsir_select(docs, target, 5, n_buckets=256,
+                      id_col="doc_id").collect()
+    by_rank = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    # the raw doc sharing the target's bigrams outranks the two
+    # off-target docs
+    assert by_rank.index(4) < by_rank.index(3)
+    assert by_rank.index(4) < by_rank.index(5)
+    # importance is exact integer mass over bigram count
+    sc = {r.doc_id: r for r in dsir_importance(
+        docs, w, n_buckets=256).collect()}
+    for r in sc.values():
+        assert r.importance == r.imp_mass / r.n_bigrams
+    assert sc[1].n_bigrams == 7
