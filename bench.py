@@ -61,6 +61,12 @@ HEADLINE = [
     "sim_topk",
     "text_token_stats",
     "text_quality_score",
+    # round 9 additions: Gopher n-gram repetition (scan-local fold
+    # chain) and DSIR selection (two weight aggregations + a
+    # scan-local scoring pass + TopK) — tracked from r9 on; the
+    # r1-comparable subtotal in PERF.md excludes them
+    "text_gopher_ngrams",
+    "dataset_dsir_select",
 ]
 
 WARMUP_PASSES = 2
