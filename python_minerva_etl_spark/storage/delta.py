@@ -2562,11 +2562,54 @@ class DeltaTable:
                 last_err = e
         raise last_err  # type: ignore[misc]
 
+    def _add_versions(self) -> dict[str, int]:
+        """path → latest commit version carrying an ``add`` for it,
+        from the surviving commit JSONs (driver-side metadata walk).
+        Paths only reachable through a checkpoint are absent —
+        callers must treat 'unknown' as 'old'."""
+        seen: dict[str, int] = {}
+        for v in self.versions():
+            try:
+                with open(_commit_path(self.path, v)) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        a = json.loads(line).get("add")
+                        if a:
+                            seen[a["path"]] = v
+            except FileNotFoundError:
+                continue  # checkpoint-swallowed prefix
+        return seen
+
+    def _last_zorder_version(self,
+                             zorder_by: list[str]) -> int | None:
+        """Latest surviving OPTIMIZE commit whose commitInfo records
+        the SAME zOrderBy column list (order matters — a different
+        curve is a different clustering)."""
+        want = json.dumps(zorder_by)
+        for v in reversed(self.versions()):
+            try:
+                with open(_commit_path(self.path, v)) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        ci = json.loads(line).get("commitInfo")
+                        if not ci:
+                            continue
+                        if (ci.get("operation") == "OPTIMIZE"
+                                and (ci.get("operationParameters")
+                                     or {}).get("zOrderBy") == want):
+                            return v
+            except FileNotFoundError:
+                continue
+        return None
+
     def optimize(self, spark: SparkSession,
                  small_file_bytes: int = 128 << 20,
                  target_file_bytes: int = 256 << 20,
                  sort_by: list[str] | None = None,
-                 zorder_by: list[str] | None = None) -> int | None:
+                 zorder_by: list[str] | None = None,
+                 incremental: bool = False) -> int | None:
         """Compaction (the OPTIMIZE maintenance op): bin-pack active
         files smaller than ``small_file_bytes`` — per partition, files
         from different partitions can never merge — and physically
@@ -2591,6 +2634,15 @@ class DeltaTable:
         ANY of them (see :func:`_zorder_cluster`).  Mutually
         exclusive with ``sort_by``.
 
+        ``incremental=True`` (with ``zorder_by``) rewrites ONLY the
+        files added since the last OPTIMIZE commit that recorded the
+        SAME zOrderBy — the 100 TB maintenance shape: appended data
+        clusters as its own sorted run (LSM-style) while the big
+        clustered set stays untouched; stats still prune both runs,
+        and a periodic full pass (incremental=False) merges the
+        runs.  Falls back to the full rewrite when no prior zorder
+        commit survives; returns None when no new files arrived.
+
         Returns the committed version, or None when nothing needs
         compacting.  Raises :class:`DeltaConcurrentCommit` if a racer
         touches a candidate file between scan and commit."""
@@ -2599,6 +2651,9 @@ class DeltaTable:
         if sort_by and zorder_by:
             raise ValueError(
                 "optimize: pass sort_by OR zorder_by, not both")
+        if incremental and not zorder_by:
+            raise ValueError(
+                "optimize: incremental=True needs zorder_by")
         snap = self._replay()
         self._check_writable(snap, "optimize")
         schema = T.StructType.fromJson(
@@ -2644,8 +2699,21 @@ class DeltaTable:
             if zorder_by:
                 zorder_by = [cm[c] for c in zorder_by]
         clustering = bool(sort_by or zorder_by)
+        candidate: set[str] | None = None  # None = all files
+        if incremental and zorder_by:
+            zv = self._last_zorder_version(zorder_by)
+            if zv is not None:
+                added = self._add_versions()
+                # unknown (checkpoint-swallowed) counts as OLD:
+                # it predates every surviving commit, hence zv
+                candidate = {f["path"] for f in snap["files"]
+                             if added.get(f["path"], -1) > zv}
+                if not candidate:
+                    return None
         groups: dict[tuple, list[dict]] = {}
         for f in snap["files"]:
+            if candidate is not None and f["path"] not in candidate:
+                continue
             if clustering or f.get("deletionVector") \
                     or (f.get("size") or 0) < small_file_bytes:
                 pv = tuple(sorted(

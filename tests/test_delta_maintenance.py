@@ -279,3 +279,68 @@ def test_optimize_zorder_typed_proxies_and_refusals(spark, tmp_path):
         dt.optimize(spark, sort_by=["v"], zorder_by=["name"])
     with pytest.raises(ValueError, match="not in the"):
         dt.optimize(spark, zorder_by=["nope"])
+
+
+def test_optimize_zorder_incremental_rewrites_only_new_files(
+        spark, tmp_path):
+    """incremental=True clusters ONLY files added since the last
+    same-column zorder commit: the big clustered set is untouched
+    (paths survive byte-for-byte), the appended run clusters on its
+    own, stats prune both runs, and a drained table no-ops."""
+    import os
+
+    from python_minerva_etl_spark.storage.delta import _add_may_match
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    base = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),
+        F.col("id").alias("v"))
+    dt.write(spark, base.repartition(8))
+    total = sum(f["size"] for f in dt._replay()["files"])
+    assert dt.optimize(spark, target_file_bytes=max(1, total // 8),
+                       zorder_by=["x", "y"]) is not None
+    clustered = {f["path"] for f in dt._replay()["files"]}
+    mtimes = {f: os.path.getmtime(os.path.join(p, f))
+              for f in clustered}
+
+    extra = spark.range(4096, 8192).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),
+        F.col("id").alias("v"))
+    dt.write(spark, extra.repartition(4))
+    v = dt.optimize(spark, target_file_bytes=max(1, total // 8),
+                    zorder_by=["x", "y"], incremental=True)
+    assert v is not None
+    after = {f["path"] for f in dt._replay()["files"]}
+    # the original clustered run survives untouched
+    assert clustered <= after
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(p, f)) == mt
+    new_run = after - clustered
+    assert new_run  # the appended files were re-clustered
+
+    # stats prune across BOTH runs
+    t_of = {"x": T.LongType(), "y": T.LongType(), "v": T.LongType()}
+    box = [("x", ">=", 0), ("x", "<=", 7),
+           ("y", ">=", 0), ("y", "<=", 7)]
+    files = dt._replay()["files"]
+    match = [f for f in files if _add_may_match(f, box, [], t_of)]
+    assert len(match) < len(files) // 2
+
+    # content exact: both appends fully present
+    got = sorted((r.x, r.y, r.v) for r in dt.read(spark).collect())
+    want = sorted((r.x, r.y, r.v)
+                  for r in base.unionAll(extra).collect())
+    assert got == want
+
+    # nothing new arrived -> no-op, no empty commit
+    assert dt.optimize(spark, zorder_by=["x", "y"],
+                       incremental=True) is None
+    # different column list = different curve: NOT incremental over
+    # the (x,y) history; falls back to a full rewrite
+    assert dt.optimize(spark, zorder_by=["y", "x"],
+                       incremental=True) is not None
+    with pytest.raises(ValueError, match="needs zorder_by"):
+        dt.optimize(spark, incremental=True)
