@@ -170,7 +170,10 @@ def cmd_delta(args) -> int:
     spark = _spark()
     dt = DeltaTable(args.path)
     if args.action == "optimize":
-        v = dt.optimize(spark)
+        v = dt.optimize(spark,
+                        zorder_by=args.zorder_by.split(",")
+                        if args.zorder_by else None,
+                        incremental=args.incremental)
         print(json.dumps({"optimized_version": v}))
     elif args.action == "vacuum":
         deleted = dt.vacuum(args.retention_hours,
@@ -478,6 +481,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--retention-hours", type=float, default=168)
     s.add_argument("--force", action="store_true",
                    help="allow retention below the 168h floor")
+    s.add_argument("--zorder-by", default=None,
+                   help="comma-separated columns: OPTIMIZE ZORDER "
+                        "(multi-dimensional Morton clustering)")
+    s.add_argument("--incremental", action="store_true",
+                   help="with --zorder-by: cluster only files "
+                        "added since the last same-column zorder")
     s.add_argument("--start", type=int, default=0,
                    help="starting commit version (changes)")
     s.add_argument("--end", type=int, default=-1,
