@@ -3047,6 +3047,43 @@ def _zorder_cluster(df, zcols: list[str],
             .drop("__zm", *bucket_cols))
 
 
+def maybe_optimize_delta(spark: SparkSession, path: str,
+                         zorder_by: list[str],
+                         max_unclustered_bytes: int = 1 << 30,
+                         max_unclustered_files: int = 16,
+                         target_file_bytes: int = 256 << 20
+                         ) -> int | None:
+    """Threshold-policy INCREMENTAL Z-ORDER — the maintenance hook a
+    continuously-loaded clustered table needs: appended files arrive
+    unclustered and degrade file skipping until a clustering pass
+    absorbs them.  Triggers :meth:`DeltaTable.optimize` with
+    ``incremental=True`` when the un-zordered debt exceeds EITHER
+    bound (bytes or file count).  The decision walks LOG METADATA
+    only — file sizes from add actions, add-versions from the commit
+    JSONs; no data is scanned — so calling it after every append (or
+    from a foreachBatch sink) costs milliseconds until it fires.
+    A table with no prior same-column zorder commit counts ALL
+    active files as debt (the first firing does the full rewrite).
+    Returns the committed version when it clustered, else None."""
+    dt = DeltaTable(path)
+    snap = dt._replay()
+    if not snap["files"]:
+        return None
+    zv = dt._last_zorder_version(zorder_by)
+    if zv is None:
+        debt = snap["files"]
+    else:
+        added = dt._add_versions()
+        debt = [f for f in snap["files"]
+                if added.get(f["path"], -1) > zv]
+    if (len(debt) <= max_unclustered_files
+            and sum(f.get("size") or 0 for f in debt)
+            <= max_unclustered_bytes):
+        return None
+    return dt.optimize(spark, target_file_bytes=target_file_bytes,
+                       zorder_by=zorder_by, incremental=True)
+
+
 def read_delta(spark: SparkSession, path: str,
                version_as_of: int | None = None,
                where: list[tuple] | None = None,

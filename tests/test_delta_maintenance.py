@@ -344,3 +344,49 @@ def test_optimize_zorder_incremental_rewrites_only_new_files(
                        incremental=True) is not None
     with pytest.raises(ValueError, match="needs zorder_by"):
         dt.optimize(spark, incremental=True)
+
+
+def test_maybe_optimize_delta_policy(spark, tmp_path):
+    """The metadata-only trigger: below both bounds -> None (and no
+    commit); over the file bound -> incremental zorder fires and
+    resets the debt; a table with no prior zorder counts ALL files
+    as debt."""
+    from python_minerva_etl_spark.storage.delta import (
+        maybe_optimize_delta)
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    df = spark.range(2048).select(
+        (F.col("id") % 32).alias("x"),
+        ((F.col("id") / 32).cast("long") % 32).alias("y"),
+        F.col("id").alias("v"))
+    dt.write(spark, df.repartition(4))
+
+    # no prior zorder: all 4 files are debt; file bound 8 holds it
+    assert maybe_optimize_delta(
+        spark, p, ["x", "y"], max_unclustered_files=8) is None
+    v0 = dt.versions()[-1]
+    # tighten the bound -> the first firing is the full rewrite
+    assert maybe_optimize_delta(
+        spark, p, ["x", "y"], max_unclustered_files=3,
+        target_file_bytes=1 << 62) is not None
+    assert dt._last_zorder_version(["x", "y"]) == v0 + 1
+
+    # debt reset: immediately after, nothing to do
+    assert maybe_optimize_delta(
+        spark, p, ["x", "y"], max_unclustered_files=0) is None
+
+    # new appends accumulate debt until the bound trips
+    for i in range(2):
+        dt.write(spark, df.limit(100).repartition(1))
+    assert maybe_optimize_delta(
+        spark, p, ["x", "y"], max_unclustered_files=4) is None
+    got = maybe_optimize_delta(
+        spark, p, ["x", "y"], max_unclustered_files=1,
+        target_file_bytes=1 << 62)
+    assert got is not None
+    # and the byte bound works too
+    dt.write(spark, df.limit(100).repartition(1))
+    assert maybe_optimize_delta(
+        spark, p, ["x", "y"], max_unclustered_files=99,
+        max_unclustered_bytes=1) is not None
