@@ -587,12 +587,20 @@ def simpson_diversity(text_col: str = "text") -> list[Column]:
     return [n.alias("n_tokens"), simpson.alias("simpson")]
 
 
-def token_chars(text_col: str = "text") -> Column:
+def token_chars(text_col: str = "text",
+                toks_col: str | None = None) -> Column:
     """Total characters across whitespace tokens (separators
     excluded) — the denominator of the Gopher repetition fractions.
-    One fold over the token array, scan-local."""
+    One fold over the token array, scan-local.  Pass ``toks_col``
+    (the name of a pre-split token-array column) when combining
+    several token ops in one projection — expressions inside HOF
+    lambdas are re-evaluated PER ELEMENT, so an inline split would
+    re-tokenize the document for every element (measured 4-5x on
+    the n-gram ops; binding the array once makes every element_at a
+    slot read)."""
+    toks = toks_col or f"split(lower({text_col}), ' ')"
     return F.expr(
-        f"aggregate(split(lower({text_col}), ' '), "
+        f"aggregate({toks}, "
         "CAST(0 AS BIGINT), (a, x) -> a + length(x))")
 
 
@@ -641,7 +649,8 @@ def gopher_line_counts(text_col: str = "text") -> list[Column]:
     ]
 
 
-def top_ngram_chars(n: int, text_col: str = "text") -> Column:
+def top_ngram_chars(n: int, text_col: str = "text",
+                    toks_col: str | None = None) -> Column:
     """Characters contained in occurrences of the document's most
     frequent token ``n``-gram (count × the gram's token characters,
     separators excluded) — the numerator of Gopher's top-n-gram
@@ -653,9 +662,14 @@ def top_ngram_chars(n: int, text_col: str = "text") -> Column:
     if n < 2:
         raise ValueError("top_ngram_chars needs n >= 2 (unigram "
                          "repetition is repetition_stats)")
-    toks = f"split(lower({text_col}), ' ')"
+    # bind the token array when the caller provides a column —
+    # an inline split inside the transform lambda re-tokenizes the
+    # document per gram (measured 1.49s -> 0.29s at sf0.1)
+    toks = toks_col or f"split(lower({text_col}), ' ')"
+    gram = " || ' ' || ".join(f"element_at({toks}, i + {j})"
+                              for j in range(n))
     grams = (f"transform(sequence(1, size({toks}) - {n - 1}), "
-             f"i -> concat_ws(' ', slice({toks}, i, {n})))")
+             f"i -> {gram})")
     # the finish lambda resolves the final run AND produces the
     # numerator, so the fold is referenced (and evaluated) once
     fold = (
@@ -678,7 +692,8 @@ def top_ngram_chars(n: int, text_col: str = "text") -> Column:
 
 def with_dup_ngram_coverage(docs: DataFrame, n: int,
                             text_col: str = "text",
-                            out_col: str | None = None) -> DataFrame:
+                            out_col: str | None = None,
+                            toks_col: str | None = None) -> DataFrame:
     """Gopher's duplicate-n-gram character coverage: characters of
     token positions covered by at least one occurrence of an n-gram
     that appears 2+ times in the document, counting each character
@@ -696,7 +711,7 @@ def with_dup_ngram_coverage(docs: DataFrame, n: int,
     if n < 2:
         raise ValueError("with_dup_ngram_coverage needs n >= 2")
     out = out_col or f"dup{n}gram_chars"
-    toks_c, s_c, st_c = f"__t{n}", f"__s{n}", f"__st{n}"
+    toks_c, s_c, st_c = toks_col or f"__t{n}", f"__s{n}", f"__st{n}"
     toks = f"split(lower({text_col}), ' ')"
     gp = (f"transform(sequence(1, greatest(size({toks_c}) - {n - 1}, "
           "CAST(0 AS INT))), "
@@ -725,14 +740,16 @@ def with_dup_ngram_coverage(docs: DataFrame, n: int,
     # the size guard keeps sequence() ascending (sequence(1, 0)
     # would DESCEND in Spark SQL) and types the empty branch
     empty = f"CAST(array() AS ARRAY<STRUCT<g: STRING, p: INT>>)"
-    return (docs
-            .withColumn(toks_c, F.expr(toks))
-            .withColumn(s_c, F.expr(
-                f"IF(size({toks_c}) < {n}, {empty}, "
-                f"array_sort({gp}))"))
-            .withColumn(st_c, F.expr(dup_starts))
-            .withColumn(out, F.expr(covered))
-            .drop(toks_c, s_c, st_c))
+    if toks_col is None:
+        docs = docs.withColumn(toks_c, F.expr(toks))
+    out_df = (docs
+              .withColumn(s_c, F.expr(
+                  f"IF(size({toks_c}) < {n}, {empty}, "
+                  f"array_sort({gp}))"))
+              .withColumn(st_c, F.expr(dup_starts))
+              .withColumn(out, F.expr(covered))
+              .drop(s_c, st_c))
+    return out_df if toks_col else out_df.drop(toks_c)
 
 
 def gopher_word_rules(text_col: str = "text",
@@ -772,9 +789,10 @@ def _bigram_bucket_sql(toks: str, i: str, n_buckets: int) -> str:
             f"% {n_buckets}")
 
 
-def dsir_weights(raw: DataFrame, target: DataFrame,
+def dsir_weights(raw: DataFrame, target: DataFrame | None = None,
                  n_buckets: int = 1024, scale: int = 1_000_000,
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 target_where: str | None = None) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, 'Data
     Selection for Language Models via Importance Resampling'):
     hashed-bigram bucket frequencies of a TARGET corpus vs the RAW
@@ -786,28 +804,55 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     and is hash-exact).  Normalization constants drop out of any
     ranking.  Returns ``(bucket, w)`` — ``n_buckets`` rows.
 
-    Scale shape: two wordcount-style aggregations whose outputs are
+    ``target_where`` (SQL predicate) replaces the separate
+    ``target`` frame when the target is a SUBSET of raw — then the
+    whole weight table comes from ONE corpus pass (conditional
+    count), not two.
+
+    Scale shape: wordcount-style aggregation(s) whose outputs are
     B rows each; the corpora never leave the executors un-combined
     (map-side partial aggregation collapses each partition to at
-    most B rows before the shuffle)."""
-    def counts(df, name):
-        toks = f"split(lower({text_col}), ' ')"
-        b = df.select(F.explode(F.expr(
-            f"transform(sequence(1, greatest(size({toks}) - 1, 0)), "
-            f"i -> {_bigram_bucket_sql(toks, 'i', n_buckets)})"))
-            .alias("bucket"))
-        return b.groupBy("bucket").agg(F.count("*").alias(name))
+    most B rows before the shuffle).  The token array is BOUND as a
+    column before the bucket transform — an inline split inside the
+    lambda would re-tokenize the document per bigram."""
+    def exploded(df, extra=None):
+        d = df.withColumn("__tk",
+                          F.expr(f"split(lower({text_col}), ' ')"))
+        cols = [F.explode(F.expr(
+            "transform(sequence(1, greatest(size(__tk) - 1, 0)), "
+            f"i -> {_bigram_bucket_sql('__tk', 'i', n_buckets)})"))
+            .alias("bucket")]
+        if extra is not None:
+            cols.append(extra)
+        return d.select(*cols)
+
     spark = raw.sparkSession
     buckets = spark.range(n_buckets).select(
         F.col("id").alias("bucket"))
-    return (buckets
-            .join(counts(raw, "cr"), "bucket", "left")
-            .join(counts(target, "ct"), "bucket", "left")
-            .select("bucket",
-                    F.floor(F.lit(scale)
-                            * (F.coalesce("ct", F.lit(0)) + 1)
-                            / (F.coalesce("cr", F.lit(0)) + 1))
-                    .cast("bigint").alias("w")))
+    if target_where is not None:
+        if target is not None:
+            raise ValueError("dsir_weights: pass target OR "
+                             "target_where, not both")
+        both = (exploded(raw, F.expr(target_where).alias("__t"))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("cr"),
+                     F.count(F.when(F.col("__t"), 1)).alias("ct")))
+        joined = buckets.join(both, "bucket", "left")
+    else:
+        if target is None:
+            raise ValueError("dsir_weights: need target or "
+                             "target_where")
+        cr = exploded(raw).groupBy("bucket").agg(
+            F.count("*").alias("cr"))
+        ct = exploded(target).groupBy("bucket").agg(
+            F.count("*").alias("ct"))
+        joined = (buckets.join(cr, "bucket", "left")
+                  .join(ct, "bucket", "left"))
+    return joined.select(
+        "bucket",
+        F.floor(F.lit(scale) * (F.coalesce("ct", F.lit(0)) + 1)
+                / (F.coalesce("cr", F.lit(0)) + 1))
+        .cast("bigint").alias("w"))
 
 
 def dsir_importance(docs: DataFrame, weights: DataFrame,
@@ -827,33 +872,42 @@ def dsir_importance(docs: DataFrame, weights: DataFrame,
     arr = "array(" + ", ".join(
         f"CAST({rows.get(i, 0)} AS BIGINT)"
         for i in range(n_buckets)) + ")"
-    toks = f"split(lower({text_col}), ' ')"
-    mass = (f"aggregate(sequence(1, size({toks}) - 1), "
-            f"CAST(0 AS BIGINT), (a, i) -> a + element_at({arr}, "
-            f"CAST({_bigram_bucket_sql(toks, 'i', n_buckets)} "
+    # bind tokens AND the weight array as columns: both appear
+    # inside the fold lambda and would otherwise be re-built per
+    # bigram (the literal array survives constant folding, but the
+    # inline split does not — measured 4x)
+    mass = (f"aggregate(sequence(1, size(__tk) - 1), "
+            f"CAST(0 AS BIGINT), (a, i) -> a + element_at(__wt, "
+            f"CAST({_bigram_bucket_sql('__tk', 'i', n_buckets)} "
             f"AS INT) + 1))")
-    n_bi = F.expr(f"size({toks}) - 1").cast("bigint")
     return (docs
-            .filter(F.expr(f"size({toks})") >= 2)
-            .withColumn("n_bigrams", n_bi)
+            .withColumn("__tk",
+                        F.expr(f"split(lower({text_col}), ' ')"))
+            .filter(F.expr("size(__tk)") >= 2)
+            .withColumn("__wt", F.expr(arr))
+            .withColumn("n_bigrams",
+                        F.expr("size(__tk) - 1").cast("bigint"))
             .withColumn("imp_mass", F.expr(mass))
             .withColumn("importance",
                         F.col("imp_mass").cast("double")
-                        / F.col("n_bigrams").cast("double")))
+                        / F.col("n_bigrams").cast("double"))
+            .drop("__tk", "__wt"))
 
 
-def dsir_select(docs: DataFrame, target: DataFrame, k: int,
+def dsir_select(docs: DataFrame, target: DataFrame | None, k: int,
                 n_buckets: int = 1024,
                 id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                target_where: str | None = None) -> DataFrame:
     """Deterministic DSIR selection: top-``k`` documents by
     importance (ties break on ``id_col`` — reproducible across
     runs and cluster sizes; the paper's Gumbel-noise resampling
     swaps in a hash-draw when statistical sampling is wanted)."""
-    scored = dsir_importance(docs, dsir_weights(docs, target,
-                                                n_buckets,
-                                                text_col=text_col),
-                             n_buckets, text_col)
+    scored = dsir_importance(
+        docs, dsir_weights(docs, target, n_buckets,
+                           text_col=text_col,
+                           target_where=target_where),
+        n_buckets, text_col)
     # distributed TopK (TakeOrderedAndProject), THEN rank over the
     # k survivors — never a global single-partition window
     top = scored.orderBy(F.desc("importance"), F.asc(id_col)) \

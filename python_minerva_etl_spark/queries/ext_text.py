@@ -1672,13 +1672,18 @@ def _text_gopher_ngrams(spark, sf_dir):
     from ..ext.text import (token_chars, top_ngram_chars,
                             with_dup_ngram_coverage)
 
-    docs = t(spark, sf_dir, "documents")
-    per = with_dup_ngram_coverage(docs, 5).select(
+    docs = (t(spark, sf_dir, "documents")
+            .withColumn("__toks",
+                        F.expr("split(lower(text), ' ')")))
+    # one bound token array feeds every op: expressions inside HOF
+    # lambdas re-evaluate per ELEMENT, so an inline split would
+    # re-tokenize each doc per gram (measured 4x on this query)
+    per = with_dup_ngram_coverage(docs, 5, toks_col="__toks").select(
         "lang",
-        token_chars().alias("tc"),
-        top_ngram_chars(2).alias("t2"),
-        top_ngram_chars(3).alias("t3"),
-        top_ngram_chars(4).alias("t4"),
+        token_chars(toks_col="__toks").alias("tc"),
+        top_ngram_chars(2, toks_col="__toks").alias("t2"),
+        top_ngram_chars(3, toks_col="__toks").alias("t3"),
+        top_ngram_chars(4, toks_col="__toks").alias("t4"),
         F.col("dup5gram_chars").alias("d5"))
     g = per.groupBy("lang").agg(
         F.sum("tc").alias("token_chars"),
@@ -1947,8 +1952,8 @@ def _dataset_dsir_select(spark, sf_dir):
     from ..ext.text import dsir_select
 
     docs = t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    return (dsir_select(docs, target, 200)
+    return (dsir_select(docs, None, 200,
+                        target_where="lang = 'en'")
             .select("doc_id", "lang", "n_bigrams", "imp_mass",
                     "importance",
                     F.col("rank").cast("bigint").alias("rank")))
