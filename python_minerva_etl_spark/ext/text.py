@@ -110,10 +110,16 @@ def normalized_fingerprint(text_col: str = "text") -> Column:
 def shingle_fingerprint(text_col: str = "text", k: int = 5) -> Column:
     """Rolling-shingle fingerprint: min over md5 of all k-token
     shingles — a 1-permutation MinHash; two docs sharing any minimal
-    shingle collide (near-dup blocking key)."""
+    shingle collide (near-dup blocking key).
+
+    The token array is LET-BOUND through a one-element transform
+    (lambda variables are slot reads), so the document is tokenized
+    once — an inline split inside the shingle lambda would
+    re-tokenize per shingle (see PERF.md, HOF-lambda inlining)."""
     return F.array_min(F.expr(
-        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {k - 1}, 1)), "
-        f"i -> md5(concat_ws(' ', slice(split(lower({text_col}), ' '), i, {k}))))"))
+        f"element_at(transform(array(split(lower({text_col}), ' ')), "
+        f"__T -> transform(sequence(1, greatest(size(__T) - {k - 1}, 1)), "
+        f"i -> md5(concat_ws(' ', slice(__T, i, {k}))))), 1)"))
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
@@ -662,10 +668,11 @@ def top_ngram_chars(n: int, text_col: str = "text",
     if n < 2:
         raise ValueError("top_ngram_chars needs n >= 2 (unigram "
                          "repetition is repetition_stats)")
-    # bind the token array when the caller provides a column —
-    # an inline split inside the transform lambda re-tokenizes the
-    # document per gram (measured 1.49s -> 0.29s at sf0.1)
-    toks = toks_col or f"split(lower({text_col}), ' ')"
+    # bind the token array: an inline split inside the transform
+    # lambda re-tokenizes the document per gram (measured 1.49s ->
+    # 0.29s at sf0.1).  Without a caller-provided column, LET-BIND
+    # it through a one-element transform below.
+    toks = toks_col or "__T"
     gram = " || ' ' || ".join(f"element_at({toks}, i + {j})"
                               for j in range(n))
     grams = (f"transform(sequence(1, size({toks}) - {n - 1}), "
@@ -686,8 +693,11 @@ def top_ngram_chars(n: int, text_col: str = "text",
         f"  IF(s.run > s.best, "
         f"     s.run * (length(s.prev) - {n - 1}), "
         f"     s.best * (length(s.bv) - {n - 1}))))")
-    return F.expr(
-        f"IF(size({toks}) < {n}, CAST(0 AS BIGINT), {fold})")
+    body = f"IF(size({toks}) < {n}, CAST(0 AS BIGINT), {fold})"
+    if toks_col is None:
+        body = (f"element_at(transform(array("
+                f"split(lower({text_col}), ' ')), __T -> {body}), 1)")
+    return F.expr(body)
 
 
 def with_dup_ngram_coverage(docs: DataFrame, n: int,
