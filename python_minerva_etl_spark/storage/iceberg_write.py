@@ -1880,7 +1880,8 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame,
 def compact_iceberg(spark: SparkSession, path: str,
                     max_commit_attempts: int = 5,
                     zorder_by: list[str] | None = None,
-                    target_file_bytes: int = 256 << 20) -> int | None:
+                    target_file_bytes: int = 256 << 20,
+                    incremental: bool = False) -> int | None:
     """Rewrite the current snapshot into fresh, delete-free data files
     (Iceberg's ``rewrite_data_files`` maintenance op): one distributed
     read with position/equality deletes applied, one distributed
@@ -1902,7 +1903,19 @@ def compact_iceberg(spark: SparkSession, path: str,
     ``where=`` file pruning effective on EVERY clustered column.
     Unpartitioned specs only (a partitioned rewrite would mix
     partition values across clustering tasks); a zorder rewrite
-    always runs even when the table is a single delete-free file."""
+    always runs even when the table is a single delete-free file.
+
+    ``incremental=True`` (with ``zorder_by``) rewrites ONLY the data
+    files whose sequence number postdates the last snapshot that
+    recorded the SAME zorder-by (the summary marker both zorder
+    paths write): appended data clusters as its own run while the
+    big clustered set is untouched — its manifests are rewritten
+    schema-preservingly to drop the absorbed entries, delete
+    manifests carry verbatim, and explicit per-entry sequence
+    numbers keep merge-on-read ordering exact.  Falls back to the
+    full clustering rewrite when no live marker survives (an
+    intervening plain compaction invalidates clustering); returns
+    None when nothing new arrived."""
     table = IcebergTable(path)
     md = table.metadata()
     snap = table._snapshot(md, None)
@@ -1913,7 +1926,10 @@ def compact_iceberg(spark: SparkSession, path: str,
         return None
     ice_schema = table._current_schema(md)
     part_info = _part_info(md, ice_schema)
-    df = table.read(spark)
+    if incremental and not zorder_by:
+        raise ValueError(
+            "compact_iceberg: incremental=True needs zorder_by")
+    rewritten: set[str] | None = None
     if zorder_by:
         import math
 
@@ -1924,6 +1940,21 @@ def compact_iceberg(spark: SparkSession, path: str,
                 "compact_iceberg zorder_by supports unpartitioned "
                 "tables only (a partitioned rewrite would mix "
                 "partition values across clustering tasks)")
+        target = data_files
+        if incremental:
+            z = _last_zorder_snapshot(md, zorder_by)
+            if z is not None:
+                zseq = z.get("sequence-number") or 0
+                target = [f for f in data_files
+                          if (f.get("_seq") or 0) > zseq]
+                if not target:
+                    return None
+                rewritten = {f["file_path"] for f in target}
+        if rewritten is not None:
+            df = table._scan_planned(spark, target, delete_files,
+                                     md, [])
+        else:
+            df = table.read(spark)
         type_of = {f.name: f.dataType for f in df.schema.fields}
         bad = [c for c in zorder_by if c not in type_of]
         if bad:
@@ -1933,9 +1964,11 @@ def compact_iceberg(spark: SparkSession, path: str,
         for c in zorder_by:
             _zorder_proxy_sql(c, type_of[c])  # fail fast on types
         total = sum(int(f.get("file_size_in_bytes") or 0)
-                    for f in data_files)
+                    for f in target)
         nparts = max(1, math.ceil(total / target_file_bytes))
         df = _zorder_cluster(df, zorder_by, type_of, nparts)
+    else:
+        df = table.read(spark)
     staged = _stage_data_files(df, path, part_info, ice_schema)
     for f in staged:
         lo, hi = _file_bounds(f["file_path"], ice_schema)
@@ -1950,9 +1983,17 @@ def compact_iceberg(spark: SparkSession, path: str,
                 "compaction scanned it — rerun compact_iceberg")
         base_version = _version_of(table._metadata_path())
         try:
-            _commit_append(table, cur_md, staged, base_version,
-                           part_info, carry=False,
-                           operation="replace")
+            if rewritten is not None:
+                _commit_zorder_incremental(table, cur_md, staged,
+                                           base_version, rewritten,
+                                           zorder_by)
+            else:
+                _commit_append(
+                    table, cur_md, staged, base_version,
+                    part_info, carry=False, operation="replace",
+                    extra_summary=(
+                        {"zorder-by": json.dumps(zorder_by)}
+                        if zorder_by else None))
             return table._snapshot(table.metadata(),
                                    None).get("snapshot-id")
         except IcebergConcurrentCommit:
@@ -1960,6 +2001,144 @@ def compact_iceberg(spark: SparkSession, path: str,
     raise IcebergConcurrentCommit(
         f"iceberg compact: lost the commit race "
         f"{max_commit_attempts} times at {path!r}")
+
+
+def _last_zorder_snapshot(md: dict, zorder_by: list[str]) -> dict | None:
+    """Walk the CURRENT ancestry newest-first for the latest snapshot
+    whose summary records the SAME zorder-by column list.  The walk
+    stops at any intervening plain ``replace`` snapshot (a later
+    un-clustered compaction rewrote the files and invalidated the
+    clustering); appends/deletes/DML don't invalidate — their new
+    files carry higher sequence numbers and become candidates."""
+    want = json.dumps(zorder_by)
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+    ordered = [s["snapshot-id"] for s in md.get("snapshots") or []]
+    cur = snaps.get(md.get("current-snapshot-id"))
+    while cur is not None:
+        summ = cur.get("summary") or {}
+        if summ.get("zorder-by") == want:
+            return cur
+        if summ.get("operation") == "replace":
+            return None
+        parent = cur.get("parent-snapshot-id")
+        if parent is None:
+            i = ordered.index(cur["snapshot-id"])
+            parent = ordered[i - 1] if i > 0 else None
+        cur = snaps.get(parent) if parent is not None else None
+    return None
+
+
+def _commit_zorder_incremental(table: IcebergTable, md: dict,
+                               staged: list[dict],
+                               base_version: int,
+                               rewritten: set[str],
+                               zorder_by: list[str]) -> None:
+    """One REPLACE snapshot for an incremental clustering pass: the
+    new clustered manifest, every old DATA manifest rewritten to drop
+    the absorbed entries (SCHEMA-PRESERVING — the old manifest's own
+    Avro schema re-encodes the survivors, so foreign column stats are
+    never lost — with EXPLICIT per-entry sequence numbers so ordering
+    survives the move), untouched data manifests and all DELETE
+    manifests carried verbatim."""
+    from .iceberg import avro_read
+
+    mdir = os.path.join(table.path, "metadata")
+    snap_cur = table._snapshot(md, None)
+    with open(_localize(snap_cur["manifest-list"]), "rb") as fh:
+        _, lentries = avro_read(fh.read())
+    seq = md.get("last-sequence-number", 0) + 1
+    snap_id = max([s["snapshot-id"]
+                   for s in md.get("snapshots", [])], default=0) + 1
+    commit_uuid = uuid.uuid4().hex
+    cleanup: list[str] = []
+
+    manifest = os.path.join(mdir, f"m-{commit_uuid}.avro")
+    with open(manifest, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_ENTRY_SCHEMA,
+                            [{"status": 1, "snapshot_id": snap_id,
+                              "sequence_number": None,
+                              "data_file": f} for f in staged]))
+    cleanup.append(manifest)
+    out = [{
+        "manifest_path": manifest,
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(staged),
+        "added_rows_count": sum(f["record_count"] for f in staged),
+        "partitions": None,
+    }]
+    for m in lentries:
+        carry = {k: m.get(k) for k in _MANIFEST_CARRY_KEYS}
+        if m.get("content", 0) == 1:   # delete manifest: verbatim
+            out.append(carry)
+            continue
+        mseq = m.get("sequence_number")
+        with open(_localize(m["manifest_path"]), "rb") as fh:
+            mschema, recs = avro_read(fh.read())
+        live = [r for r in recs if r.get("status") != 2]
+        hit = [r for r in live
+               if r["data_file"]["file_path"] in rewritten]
+        if not hit:
+            out.append(carry)
+            continue
+        survivors = []
+        for r in live:
+            if r["data_file"]["file_path"] in rewritten:
+                continue
+            r = dict(r)
+            r["status"] = 0  # EXISTING
+            if r.get("sequence_number") is None:
+                r["sequence_number"] = mseq
+            if r.get("file_sequence_number") is None:
+                r["file_sequence_number"] = mseq
+            survivors.append(r)
+        if not survivors:
+            continue  # manifest fully absorbed by the rewrite
+        new_m = os.path.join(
+            mdir, f"m-{commit_uuid}-{len(out)}.avro")
+        with open(new_m, "wb") as fh:
+            fh.write(_avro_file(mschema, survivors))
+        cleanup.append(new_m)
+        carry["manifest_path"] = new_m
+        carry["manifest_length"] = os.path.getsize(new_m)
+        carry["added_files_count"] = 0
+        carry["added_rows_count"] = 0
+        # partition summaries copied from the old entry stay
+        # conservative: dropping entries can only NARROW true bounds
+        out.append(carry)
+
+    mlist = os.path.join(mdir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(_avro_file(_MANIFEST_FILE_SCHEMA, out))
+    cleanup.append(mlist)
+
+    now_ms = int(time.time() * 1000)
+    new_md = dict(md)
+    new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now_ms
+    snap = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist,
+        "summary": {
+            "operation": "replace",
+            "zorder-by": json.dumps(zorder_by),
+            "added-data-files": str(len(staged)),
+            "added-records": str(sum(f["record_count"]
+                                     for f in staged)),
+        },
+    }
+    prev_cur = md.get("current-snapshot-id")
+    if prev_cur not in (None, -1):
+        snap["parent-snapshot-id"] = prev_cur
+    new_md["snapshots"] = md.get("snapshots", []) + [snap]
+    new_md["current-snapshot-id"] = snap_id
+    _cas_metadata(table, new_md, base_version,
+                  cleanup=tuple(cleanup))
 
 
 def compaction_stats(path: str) -> dict:

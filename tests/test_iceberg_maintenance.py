@@ -313,3 +313,84 @@ def test_compact_zorder_prunes_every_dimension(spark, tmp_path):
                   partition_by="pt")
     with pytest.raises(ValueError, match="unpartitioned"):
         compact_iceberg(spark, p2, zorder_by=["x"])
+
+
+def test_compact_zorder_incremental(spark, tmp_path):
+    """Incremental clustering: files appended after the marker
+    snapshot rewrite as their own run; the clustered set's parquet
+    is untouched on disk (mtime), its manifests are rewritten
+    schema-preservingly (stats/bounds survive -> pruning still
+    works on BOTH runs), deletes stay correct, a drained table
+    no-ops, and an intervening plain compaction invalidates the
+    marker (falls back to full)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.storage.iceberg import (
+        _file_may_match, _localize)
+
+    p = str(tmp_path / "t")
+
+    def grid(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") / 64).cast("long") % 64).alias("y"),
+            F.col("id").alias("v"))
+
+    write_iceberg(spark, grid(0, 4096).repartition(8), p)
+    t = IcebergTable(p)
+    total = sum(int(f["file_size_in_bytes"]) for f in
+                t._data_files(t._snapshot(t.metadata(), None))[0])
+    assert compact_iceberg(spark, p, zorder_by=["x", "y"],
+                           target_file_bytes=max(1, total // 8))
+    clustered = {f["file_path"]: _os.path.getmtime(
+        _localize(f["file_path"]))
+        for f in t._data_files(t._snapshot(t.metadata(), None))[0]}
+
+    # appended run + a delete against the OLD clustered set
+    write_iceberg(spark, grid(4096, 8192).repartition(4), p)
+    delete_iceberg(spark, p, [("v", "<", 10)])
+    sid = compact_iceberg(spark, p, zorder_by=["x", "y"],
+                          target_file_bytes=max(1, total // 8),
+                          incremental=True)
+    assert sid is not None
+    files, dels = t._data_files(t._snapshot(t.metadata(), None))
+    # old clustered parquet untouched on disk
+    for fp, mt in clustered.items():
+        assert _os.path.getmtime(_localize(fp)) == mt
+        assert fp in {f["file_path"] for f in files}
+    # the delete against the old set still applies
+    assert dels
+    got = sorted(r.v for r in t.read(spark).collect())
+    assert got == list(range(10, 8192))
+
+    # pruning works across both runs (bounds survived the
+    # schema-preserving manifest rewrite)
+    md = t.metadata()
+    sch = t._current_schema(md)
+    fid = {f["name"]: f["id"] for f in sch["fields"]}
+    fty = {f["name"]: f["type"] for f in sch["fields"]}
+    box = [("x", ">=", 0), ("x", "<=", 7),
+           ("y", ">=", 0), ("y", "<=", 7)]
+    match = [f for f in files if _file_may_match(f, box, fid, fty)]
+    assert len(match) < len(files)
+
+    # drained: nothing new since the incremental pass
+    assert compact_iceberg(spark, p, zorder_by=["x", "y"],
+                           incremental=True) is None
+
+    # a plain compaction wipes the marker: incremental falls back
+    # to the FULL rewrite (every file fresh)
+    assert compact_iceberg(spark, p) is not None
+    before = {f["file_path"] for f in
+              t._data_files(t._snapshot(t.metadata(), None))[0]}
+    assert compact_iceberg(spark, p, zorder_by=["x", "y"],
+                           target_file_bytes=max(1, total // 8),
+                           incremental=True) is not None
+    after = {f["file_path"] for f in
+             t._data_files(t._snapshot(t.metadata(), None))[0]}
+    assert not (before & after)          # full rewrite, no carry
+
+    with pytest.raises(ValueError, match="needs zorder_by"):
+        compact_iceberg(spark, p, incremental=True)
