@@ -2197,6 +2197,46 @@ def maybe_compact_iceberg(spark: SparkSession, path: str,
                            max_commit_attempts=max_commit_attempts)
 
 
+def maybe_zorder_iceberg(spark: SparkSession, path: str,
+                         zorder_by: list[str],
+                         max_unclustered_bytes: int = 1 << 30,
+                         max_unclustered_files: int = 16,
+                         target_file_bytes: int = 256 << 20
+                         ) -> int | None:
+    """Threshold-policy INCREMENTAL Z-ORDER for Iceberg — the
+    manifest-stats twin of :func:`maybe_optimize_delta`: fires
+    :func:`compact_iceberg` with ``incremental=True`` when the data
+    files whose sequence number postdates the last same-column
+    zorder marker exceed EITHER debt bound.  The decision replays
+    manifests only (entry sizes + sequence numbers; no parquet is
+    opened), so a ``foreachBatch`` sink can call it every
+    micro-batch.  No surviving marker counts the WHOLE table as
+    debt (the first firing is the full clustering rewrite).
+    Returns the replace-snapshot id when it clustered, else None."""
+    table = IcebergTable(path)
+    md = table.metadata()
+    snap = table._snapshot(md, None)
+    if not snap:
+        return None
+    data_files, _ = table._data_files(snap)
+    if not data_files:
+        return None
+    z = _last_zorder_snapshot(md, zorder_by)
+    if z is None:
+        debt = data_files
+    else:
+        zseq = z.get("sequence-number") or 0
+        debt = [f for f in data_files
+                if (f.get("_seq") or 0) > zseq]
+    if (len(debt) <= max_unclustered_files
+            and sum(int(f.get("file_size_in_bytes") or 0)
+                    for f in debt) <= max_unclustered_bytes):
+        return None
+    return compact_iceberg(spark, path, zorder_by=zorder_by,
+                           target_file_bytes=target_file_bytes,
+                           incremental=True)
+
+
 def tag_iceberg(path: str, name: str,
                 snapshot_id: int | None = None,
                 ref_type: str = "tag") -> int:

@@ -394,3 +394,47 @@ def test_compact_zorder_incremental(spark, tmp_path):
 
     with pytest.raises(ValueError, match="needs zorder_by"):
         compact_iceberg(spark, p, incremental=True)
+
+
+def test_maybe_zorder_iceberg_policy(spark, tmp_path):
+    """Manifest-stats-only trigger: below bounds -> None (no new
+    snapshot); over the file bound -> incremental clustering fires
+    and resets the debt; no marker counts the whole table as debt."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        maybe_zorder_iceberg)
+
+    p = str(tmp_path / "t")
+    df = spark.range(2048).select(
+        (F.col("id") % 32).alias("x"),
+        ((F.col("id") / 32).cast("long") % 32).alias("y"),
+        F.col("id").alias("v"))
+    write_iceberg(spark, df.repartition(4), p)
+    t = IcebergTable(p)
+
+    # all 4 files are debt (no marker); bound 8 holds it back
+    assert maybe_zorder_iceberg(
+        spark, p, ["x", "y"], max_unclustered_files=8) is None
+    n_snaps = len(t.metadata()["snapshots"])
+    assert len(t.metadata()["snapshots"]) == n_snaps  # no commit
+
+    # tighter bound: first firing is the full rewrite + marker
+    sid = maybe_zorder_iceberg(spark, p, ["x", "y"],
+                               max_unclustered_files=3,
+                               target_file_bytes=1 << 62)
+    assert sid is not None
+    # debt reset
+    assert maybe_zorder_iceberg(
+        spark, p, ["x", "y"], max_unclustered_files=0) is None
+
+    # appends accumulate debt; byte bound fires incrementally
+    write_iceberg(spark, df.limit(100).coalesce(1), p)
+    assert maybe_zorder_iceberg(
+        spark, p, ["x", "y"], max_unclustered_files=4) is None
+    assert maybe_zorder_iceberg(
+        spark, p, ["x", "y"], max_unclustered_files=99,
+        max_unclustered_bytes=1,
+        target_file_bytes=1 << 62) is not None
+    got = sorted(r.v for r in t.read(spark).collect())
+    assert got == sorted(list(range(2048)) + list(range(100)))
