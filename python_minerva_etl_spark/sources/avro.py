@@ -518,12 +518,27 @@ def _list_files(path: str) -> list[str]:
             os.path.basename(m)[len(".batch-"):-len(".committed")]
             for m in glob.glob(
                 os.path.join(path, ".batch-*.committed"))}
-        out = []
+        out, hidden = [], 0
         for f in sorted(glob.glob(os.path.join(path, "*.avro"))):
             m = _STREAM_PART_RE.match(os.path.basename(f))
             if m and m.group(1) not in committed:
-                continue  # in-flight / crashed stream batch
+                # in-flight / crashed stream batch: uncommitted data
+                # is INVISIBLE by design (a reader racing the sink's
+                # rename→ledger window must see nothing, not raise)
+                hidden += 1
+                continue
             out.append(f)
+        if not out and hidden:
+            # nothing committed but stream-named files exist: a
+            # crashed first batch (the sink's replay will redo it)
+            # or an archive from a pre-ledger sink scheme — say so
+            # instead of the generic no-files message
+            raise FileNotFoundError(
+                f"no committed .avro files at {path!r}: "
+                f"{hidden} stream part file(s) lack their "
+                ".batch-<id>.committed ledger (crashed batch — "
+                "restart the stream to replay it; or a pre-ledger "
+                "archive — touch the markers to re-commit it)")
     else:
         out = sorted(glob.glob(path)) or (
             [path] if os.path.exists(path) else [])

@@ -2990,8 +2990,12 @@ def _zorder_proxy_sql(col: str, dt: T.DataType) -> str:
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return f"CAST(CAST({q} AS TIMESTAMP) AS DOUBLE)"
     if isinstance(dt, T.StringType):
-        return ("CAST(CAST(conv(hex(substring(CAST(" + q +
-                " AS BINARY), 1, 4)), 16, 10) AS BIGINT) AS DOUBLE)")
+        # rpad to exactly 4 bytes so short strings stay monotone
+        # against longer ones sharing their prefix ('a' must bin
+        # BELOW 'a~~~': 0x61000000 < 0x617E7E7E)
+        return ("CAST(CAST(conv(hex(rpad(substring(CAST(" + q +
+                " AS BINARY), 1, 4), 4, X'00')), 16, 10) "
+                "AS BIGINT) AS DOUBLE)")
     raise ValueError(
         f"zorder_by column {col!r} has unsupported type "
         f"{dt.simpleString()} (numeric, decimal, date, timestamp "
@@ -3017,6 +3021,8 @@ def _zorder_cluster(df, zcols: list[str],
     does not need to be deterministic (file contents and stats stay
     exact either way); bit budget caps the dimensions at 7
     (7 cols x 8 bits < the bigint sign bit)."""
+    import math
+
     if len(zcols) > 7:
         raise ValueError("zorder_by supports at most 7 columns "
                          f"(got {len(zcols)})")
@@ -3028,8 +3034,12 @@ def _zorder_cluster(df, zcols: list[str],
         for i, px in enumerate(proxies)]).first()
     bucket_cols = {}
     for i, px in enumerate(proxies):
+        # non-finite boundaries would pretty-print as inf/nan and
+        # fail SQL analysis; dropping them is sound (an inf value
+        # compares above every finite boundary -> last bucket, a
+        # NaN proxy fails every comparison -> bucket 0)
         bs = [float(v) for v in (bounds[f"b{i}"] or [])
-              if v is not None]
+              if v is not None and math.isfinite(float(v))]
         arr = ("CAST(array() AS ARRAY<DOUBLE>)" if not bs else
                "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)"
                                     for v in bs) + ")")
@@ -3069,7 +3079,12 @@ def maybe_optimize_delta(spark: SparkSession, path: str,
     snap = dt._replay()
     if not snap["files"]:
         return None
-    zv = dt._last_zorder_version(zorder_by)
+    # the marker in commitInfo records PHYSICAL column names on
+    # column-mapped tables (optimize() renames before recording) —
+    # look it up the same way or the debt never resets
+    cm = dt._cm_mapping(snap)
+    zv = dt._last_zorder_version(
+        [cm[c] for c in zorder_by] if cm is not None else zorder_by)
     if zv is None:
         debt = snap["files"]
     else:

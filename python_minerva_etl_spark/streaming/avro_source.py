@@ -129,7 +129,14 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
     stream via the count cross-check (silently skipping it, or
     double-reading the tail, would both be worse) — the same
     append-ordered-names contract Spark's file sources have without
-    their journal.
+    their journal.  Operational corollary: CONCURRENT batch writers
+    can violate append order against a LIVE tail (two jobs claim
+    seqs S1 < S2, S2's files land first, S1's appear below the
+    already-issued high-water mark) — exactly-once is never
+    violated (a file landing inside a planned range is absorbed by
+    that batch), but the count cross-check may stop the stream
+    loudly; keep a tailed drop directory single-writer, or restart
+    the tail from a batch backfill after concurrent loads.
 
     ADMISSION CONTROL: ``option("maxFilesPerTrigger", K)`` bounds
     a micro-batch to at most K new files (Spark's file-source
@@ -351,10 +358,10 @@ class _AvroWriter(DataSourceArrowWriter):
         import glob as _glob
         import time as _time
 
-        prior = [int(t) for t in self._part_seq_tokens()
-                 if len(t) == 15]
+        toks = self._part_seq_tokens()
+        prior = [int(t) for t in toks if len(t) == 15]
         stream_owned = (
-            any(len(t) == 10 for t in self._part_seq_tokens())
+            any(len(t) == 10 for t in toks)
             or _glob.glob(os.path.join(self.path,
                                        ".batch-*.committed")))
         if stream_owned:

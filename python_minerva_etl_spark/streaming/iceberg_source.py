@@ -448,6 +448,9 @@ def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
                        int(d["_seq"]), cols))
         return tuple(eq)
 
+    types_by_id = {fld["id"]: fld["type"]
+                   for fld in ice_schema["fields"]
+                   if isinstance(fld["type"], str)}
     parts: list[_IceChangePartition] = []
     for s in reversed(chain):
         sid = s["snapshot-id"]
@@ -493,9 +496,6 @@ def _build_changelog_partitions(tbl: IcebergTable, ice_schema: dict,
         new_eq = eq_state(new)
         if not new_pos and not new_eq:
             continue
-        types_by_id = {fld["id"]: fld["type"]
-                       for fld in ice_schema["fields"]
-                       if isinstance(fld["type"], str)}
         # per-file attach pruning for BOTH delete-state sets: a
         # pre-image task only opens the parent/new delete parquets
         # whose manifest bounds can touch its file

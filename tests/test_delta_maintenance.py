@@ -390,3 +390,60 @@ def test_maybe_optimize_delta_policy(spark, tmp_path):
     assert maybe_optimize_delta(
         spark, p, ["x", "y"], max_unclustered_files=99,
         max_unclustered_bytes=1) is not None
+
+
+def test_maybe_optimize_delta_cm_marker_resets_debt(spark, tmp_path):
+    """Column-mapped tables record the zorder marker under PHYSICAL
+    column names; the policy hook must look it up the same way or
+    the debt never resets and it fires on every call."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_minerva_etl_spark.storage.delta import (
+        maybe_optimize_delta)
+    from tests.test_delta_cm import _add, _fld, _log
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    pq.write_table(pa.table({
+        "col-aaa": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "col-bbb": pa.array([9, 8, 7, 6], type=pa.int64())}),
+        os.path.join(p, "f0.parquet"))
+    _log(p, [_fld("x", "long", "col-aaa", 1),
+             _fld("y", "long", "col-bbb", 2)],
+         [_add("f0.parquet")])
+    dt = DeltaTable(p)
+    dt.write(spark, spark.createDataFrame(
+        [(5, 5), (6, 4)], "x long, y long").coalesce(1))
+
+    # fires: no marker yet -> whole table is debt
+    assert maybe_optimize_delta(
+        spark, p, ["x", "y"], max_unclustered_files=0,
+        target_file_bytes=1 << 62) is not None
+    # debt reset: the physical-name marker must be found
+    assert maybe_optimize_delta(
+        spark, p, ["x", "y"], max_unclustered_files=0) is None
+    got = sorted((r.x, r.y) for r in dt.read(spark).collect())
+    assert got == [(1, 9), (2, 8), (3, 7), (4, 6), (5, 5), (6, 4)]
+
+
+def test_optimize_zorder_nonfinite_doubles(spark, tmp_path):
+    """inf/-inf/NaN in a zorder column must not crash the boundary
+    literals (non-finite percentile boundaries are dropped; inf rows
+    bin last, NaN rows bin first — content stays exact)."""
+    import math
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    rows = [(float(i), i) for i in range(200)]
+    rows += [(float("inf"), 900), (float("-inf"), 901),
+             (float("nan"), 902)]
+    dt.write(spark, spark.createDataFrame(
+        rows, "d double, v long").repartition(4))
+    assert dt.optimize(spark, target_file_bytes=1 << 12,
+                       zorder_by=["d"]) is not None
+    got = sorted(r.v for r in dt.read(spark).collect())
+    assert got == sorted(list(range(200)) + [900, 901, 902])
+    vals = {r.v: r.d for r in dt.read(spark).collect()}
+    assert math.isinf(vals[900]) and math.isinf(vals[901])
+    assert math.isnan(vals[902])
