@@ -381,8 +381,9 @@ def test_stream_offsets_exactly_once_property():
     @given(order=st.permutations(names),
            cuts=st.lists(st.integers(min_value=1, max_value=4),
                          min_size=2, max_size=6),
-           race=st.booleans())
-    def run(order, cuts, race):
+           race=st.booleans(),
+           cap=st.sampled_from([None, 1, 2]))
+    def run(order, cuts, race, cap):
         d = tempfile.mkdtemp(prefix="avro_prop_")
         try:
             pending = list(order)
@@ -396,7 +397,12 @@ def test_stream_offsets_exactly_once_property():
                 return new
 
             land(1)  # reader needs one file for schema planning
-            r = _AvroStreamReader({"path": d})
+            opts = {"path": d}
+            if cap is not None:  # admission control under the same
+                # adversarial schedules: exactly-once must hold and
+                # loud failures stay tied to append-order violations
+                opts["maxFilesPerTrigger"] = str(cap)
+            r = _AvroStreamReader(opts)
             start = r.initialOffset()
             processed: list[str] = []
             dead = False
@@ -407,7 +413,11 @@ def test_stream_offsets_exactly_once_property():
             # the flag is cumulative, not per-iteration
             issued = start.get("hw") or ""
             violated = False
-            for i, k in enumerate(cuts):
+            # capped readers advance at most `cap` files per trigger:
+            # append drain-only triggers so every schedule reaches
+            # its fixpoint before the exactly-once assertion
+            steps = list(cuts) + [0] * (len(names) // (cap or 99) + 1)
+            for i, k in enumerate(steps):
                 arrived = land(k) if i else []
                 violated |= any(n <= issued for n in arrived)
                 end = r.latestOffset()
