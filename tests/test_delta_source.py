@@ -629,3 +629,43 @@ def test_max_files_per_trigger_offset_walk(ds_spark, tmp_path):
 
     with pytest.raises(ValueError, match="maxFilesPerTrigger"):
         _StreamReader({"path": p, "maxFilesPerTrigger": "0"})
+
+
+def test_max_files_per_trigger_live_stream(ds_spark, tmp_path):
+    """End-to-end admission control on the delta streaming source:
+    commits landing against a LIVE stream drain one per micro-batch
+    under maxFilesPerTrigger=1, every row exactly once."""
+    import time
+    import uuid as _uuid
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    dt.write(ds_spark, ds_spark.range(10).toDF("id").coalesce(1))
+    sink = f"dmft_{_uuid.uuid4().hex[:8]}"
+    q = (ds_spark.readStream.format("minerva_delta")
+         .option("maxFilesPerTrigger", "1").load(p)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(processingTime="250 milliseconds").start())
+    try:
+        deadline = time.time() + 120
+        while (ds_spark.table(sink).count() < 10
+               and time.time() < deadline):
+            time.sleep(0.25)
+        assert ds_spark.table(sink).count() == 10
+        for i in range(1, 5):
+            dt.write(ds_spark,
+                     ds_spark.range(i * 10, (i + 1) * 10)
+                     .toDF("id").coalesce(1))
+        while (ds_spark.table(sink).count() < 50
+               and time.time() < deadline):
+            time.sleep(0.25)
+        got = _rows(ds_spark.table(sink).select("id"))
+        assert got == [(i,) for i in range(50)]
+        sizes = [int(pr["numInputRows"]) for pr in q.recentProgress
+                 if int(pr["batchId"]) >= 1
+                 and int(pr["numInputRows"]) > 0]
+        # each post-first batch took at most one commit (10 rows)
+        assert sizes and max(sizes) <= 10 and len(sizes) >= 4
+    finally:
+        q.stop()
