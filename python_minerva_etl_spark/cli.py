@@ -262,7 +262,11 @@ def cmd_iceberg(args) -> int:
                               "compacted": sid is not None,
                               "stats_before": stats}))
         else:
-            sid = compact_iceberg(spark, args.path)
+            sid = compact_iceberg(
+                spark, args.path,
+                zorder_by=args.zorder_by.split(",")
+                if args.zorder_by else None,
+                incremental=args.incremental)
             print(json.dumps({"replace_snapshot_id": sid}))
     elif args.action == "delete":
         if not args.where:
@@ -506,6 +510,13 @@ def main(argv: list[str] | None = None) -> int:
                         "repeatable, ANDed")
     s.add_argument("--set", action="append", default=[],
                    help="col=expr (update); repeatable")
+    s.add_argument("--zorder-by", default=None,
+                   help="comma-separated columns: clustering "
+                        "rewrite (Morton curve; unpartitioned "
+                        "tables)")
+    s.add_argument("--incremental", action="store_true",
+                   help="with --zorder-by: cluster only files "
+                        "newer than the last same-column zorder")
     s.add_argument("--equality", action="store_true",
                    help="delete: write a BLIND equality-delete row "
                         "instead of scanning for positions (all "
