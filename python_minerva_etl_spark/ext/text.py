@@ -826,10 +826,18 @@ def dsir_weights(raw: DataFrame, target: DataFrame | None = None,
     column before the bucket transform — an inline split inside the
     lambda would re-tokenize the document per bigram."""
     def exploded(df, extra=None):
-        d = df.withColumn("__tk",
-                          F.expr(f"split(lower({text_col}), ' ')"))
+        # Docs with <2 tokens carry no bigrams: filter them out
+        # BEFORE building the index sequence (mirrors
+        # dsir_importance).  Without the guard, size(__tk)=1 makes
+        # sequence(1, 0) DESCEND to [1, 0] and slice(__tk, 0, 2)
+        # throws INVALID_PARAMETER_VALUE.START — and the i=1 term
+        # would count a unigram as a bigram, diverging from the
+        # oracle's bigram-only semantics.
+        d = (df.withColumn("__tk",
+                           F.expr(f"split(lower({text_col}), ' ')"))
+             .filter(F.expr("size(__tk)") >= 2))
         cols = [F.explode(F.expr(
-            "transform(sequence(1, greatest(size(__tk) - 1, 0)), "
+            "transform(sequence(1, size(__tk) - 1), "
             f"i -> {_bigram_bucket_sql('__tk', 'i', n_buckets)})"))
             .alias("bucket")]
         if extra is not None:

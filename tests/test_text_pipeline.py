@@ -393,3 +393,33 @@ def test_dsir_ranks_target_like_docs_first(spark):
     for r in sc.values():
         assert r.importance == r.imp_mass / r.n_bigrams
     assert sc[1].n_bigrams == 7
+
+
+def test_dsir_single_token_and_empty_docs(spark):
+    """Docs with <2 tokens carry no bigrams: they contribute nothing
+    to the weight table (the r9 advice crash: sequence(1, 0)
+    descends to [1, 0] and slice(__tk, 0, 2) throws) and never rank
+    in the selection."""
+    from python_minerva_etl_spark.ext.text import (dsir_select,
+                                                   dsir_weights)
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the value of the table"),
+         (2, "en", "one"),                    # single token
+         (3, "en", ""),                       # empty -> [''] (1 tok)
+         (4, "xx", "zq"),
+         (5, "xx", "the value of the row")],
+        "doc_id long, lang string, text string")
+    target = docs.filter("lang = 'en'")
+
+    w = dsir_weights(docs, target, n_buckets=64)
+    assert w.count() == 64                    # no crash, dense
+    # target_where single-pass variant hits the same guard
+    w2 = dsir_weights(docs, None, n_buckets=64,
+                      target_where="lang = 'en'")
+    assert {(r.bucket, r.w) for r in w.collect()} == \
+        {(r.bucket, r.w) for r in w2.collect()}
+    got = dsir_select(docs, target, 5, n_buckets=64,
+                      id_col="doc_id").collect()
+    # only the two multi-token docs have an importance
+    assert sorted(r.doc_id for r in got) == [1, 5]
