@@ -11,12 +11,15 @@ stream draining a producer burst in BOUNDED micro-batches:
      the burst drains as 2-file steps, and every row arrives
      exactly once
 
-The first batch of a (re)started query is uncapped: the Python
+The first batch of a query's FIRST run is uncapped: the Python
 DataSource API exposes no ReadLimit hook and calls latestOffset
 before revealing any start offset; an artificially low first offset
 would regress Spark's offset log and double-read after a crash.
-The cap governs every later trigger — which is where bursts land on
-a long-running ingest stream.
+The cap governs every later trigger — and with
+``option("admissionStateDir", dir)`` (added round 10) the watermark
+persists across RESTARTS too, so a restarted query drains a
+piled-up backlog in capped batches from micro-batch zero
+(tests/test_admission_state.py proves it end-to-end).
 
 Run: python examples/rate_limited_ingest.py
      (writes under .scratch/ratelimit_demo)

@@ -152,12 +152,21 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
     offset (before ``initialOffset`` on a fresh start, before
     ``partitions`` on a restart — measured, both trigger modes), so
     the cap rides a driver-side watermark and the FIRST batch of a
-    (re)started query is necessarily uncapped.  Returning a
-    deliberately low first offset instead would be WRONG, not just
-    ugly: Spark's offset log records whatever ``latestOffset``
-    says, a value below the restart point regresses the log, and
-    the next crash replays files that were already processed.  The
-    watermark only ever grows (primed by every offset this reader
+    (re)started query is uncapped UNLESS
+    ``option("admissionStateDir", dir)`` is set — then the watermark
+    PERSISTS across restarts (one tiny JSON, atomic rename; scope
+    the dir to one query, like a checkpoint) and a restart against a
+    piled-up backlog drains in capped batches from micro-batch zero.
+    Returning a deliberately low first offset instead would be
+    WRONG, not just ugly: Spark's offset log records whatever
+    ``latestOffset`` says, a value below the restart point regresses
+    the log, and the next crash replays files that were already
+    processed.  The persisted watermark cannot cause that: it is
+    saved at ``latestOffset`` time, so the reloaded value is at or
+    AHEAD of everything in Spark's offset log (worst case — crash
+    between persist and Spark's log write — the first restarted
+    batch covers up to two caps' worth, never the whole backlog).
+    The watermark only ever grows (primed by every offset this reader
     returns or is handed), so a capped stream keeps exactly-once.
     ``Trigger.AvailableNow`` latches a single target up front and
     is therefore uncapped end-to-end; use a processing-time trigger
@@ -178,9 +187,17 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
                 "minerva_avro: maxBytesPerTrigger must be a "
                 f"positive integer, got {mbt!r}")
         # driver-side rate-limit watermark (the highest end name
-        # this reader has returned or observed); None = unknown
-        # (restart — see the docstring's one documented hole)
-        self._hw_seen: str | None = None
+        # this reader has returned or observed); None = unknown.
+        # option("admissionStateDir", dir) persists it across
+        # restarts so even the FIRST batch of a restarted query is
+        # capped (without it, the restart backlog plans as one
+        # uncapped batch — the documented API limitation).
+        from .admission import attach_state
+        self._wm_state = attach_state(
+            lambda n: _opt(options, n), "minerva_avro", self.path,
+            self.max_files is not None or self.max_bytes is not None)
+        self._hw_seen: str | None = (
+            self._wm_state.load() if self._wm_state else None)
 
     def _prime(self, *hws) -> None:
         known = [h for h in hws if h]
@@ -224,7 +241,18 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
             # bigger than maxBytesPerTrigger must still drain)
             end, taken, size = self._hw_seen, 0, 0
             for n, f in beyond:
-                fsz = os.path.getsize(f)
+                # stat only when a byte cap needs it, and tolerate a
+                # file removed between the listing and the stat
+                # (retention race): count it as 0 bytes here and let
+                # partitions()' cross-check raise the deliberate
+                # removed-under-running-stream diagnostic if it was
+                # inside the planned range.
+                fsz = 0
+                if self.max_bytes is not None:
+                    try:
+                        fsz = os.path.getsize(f)
+                    except OSError:
+                        fsz = 0
                 if taken >= 1 and (
                         (self.max_files is not None
                          and taken >= self.max_files)
@@ -235,6 +263,11 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
                 size += fsz
                 end = n
         self._prime(end)
+        if self._wm_state is not None:
+            # persist at latestOffset so the state file stays at or
+            # ahead of every offset Spark logs — a reload can then
+            # never make this method return BELOW the restart point
+            self._wm_state.save(self._hw_seen)
         return {"n": sum(1 for n in names if n <= end), "hw": end}
 
     def partitions(self, start: dict, end: dict):
@@ -278,6 +311,8 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
 
     def commit(self, end: dict) -> None:
         self._prime(end.get("hw") or "")
+        if self._wm_state is not None:
+            self._wm_state.save(self._hw_seen)
 
 
 class _AvroCommit(WriterCommitMessage):

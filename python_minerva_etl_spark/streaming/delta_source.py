@@ -627,14 +627,25 @@ class _StreamReader(DataSourceStreamReader):
         # FIRST batch of a (re)started query is uncapped (same
         # measured limitation, same reasoning as the minerva_avro
         # source: a deliberately low first offset would regress
-        # Spark's offset log and double-read after a crash).
+        # Spark's offset log and double-read after a crash) UNLESS
+        # option("admissionStateDir", dir) persists the watermark
+        # across restarts (saved at latestOffset time so the reload
+        # is at or ahead of Spark's offset log — see
+        # streaming/admission.py for the full argument).
         mft = _opt(options, "maxFilesPerTrigger")
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError(
                 "minerva_delta: maxFilesPerTrigger must be a "
                 f"positive integer, got {mft!r}")
-        self._v_seen: int | None = None  # rate-limit watermark
+        from .admission import attach_state
+        self._wm_state = attach_state(
+            lambda n: _opt(options, n), "minerva_delta", self.path,
+            self.max_files is not None)
+        loaded = (self._wm_state.load() if self._wm_state else None)
+        # rate-limit watermark (last version this reader returned)
+        self._v_seen: int | None = (
+            int(loaded) if loaded is not None else None)
 
     def _commit_add_count(self, v: int) -> int:
         with open(_commit_path(self.path, v)) as fh:
@@ -677,6 +688,11 @@ class _StreamReader(DataSourceStreamReader):
                 end = v
             latest = max(end, self._v_seen)
         self._prime(latest)
+        if self._wm_state is not None:
+            # persist at latestOffset so the state file stays at or
+            # ahead of every offset Spark logs (reload can never
+            # regress the log)
+            self._wm_state.save(self._v_seen)
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
@@ -724,6 +740,8 @@ class _StreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._prime(end.get("version"))
+        if self._wm_state is not None:
+            self._wm_state.save(self._v_seen)
 
 
 def _pval_str(v, dt: T.DataType) -> str | None:

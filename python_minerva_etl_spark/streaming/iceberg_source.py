@@ -712,14 +712,27 @@ class _IceStreamReader(DataSourceStreamReader):
         # (re)started query is uncapped (same measured limitation
         # and reasoning as the minerva_avro source: an artificially
         # low first offset would regress Spark's offset log and
-        # double-read after a crash).
+        # double-read after a crash) UNLESS
+        # option("admissionStateDir", dir) persists the watermark
+        # across restarts (saved at latestOffset time so the reload
+        # is at or ahead of Spark's offset log — see
+        # streaming/admission.py for the full argument).
         mfb = _opt(options, "streaming-max-files-per-micro-batch")
         self.max_files = int(mfb) if mfb is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError(
                 "minerva_iceberg: streaming-max-files-per-micro-"
                 f"batch must be a positive integer, got {mfb!r}")
-        self._snap_seen: int | None = None  # rate-limit watermark
+        from .admission import attach_state
+        self._wm_state = attach_state(
+            lambda n: _opt(options, n), "minerva_iceberg",
+            self.path, self.max_files is not None)
+        loaded = (self._wm_state.load() if self._wm_state else None)
+        # rate-limit watermark (last snapshot id this reader
+        # returned); persisted ids are valid chain anchors because
+        # they were once latestOffset returns of this same query
+        self._snap_seen: int | None = (
+            int(loaded) if loaded is not None else None)
 
     @staticmethod
     def _snap_file_count(s: dict) -> int:
@@ -763,6 +776,11 @@ class _IceStreamReader(DataSourceStreamReader):
                 end = s["snapshot-id"]
             cur = end if end is not None else self._snap_seen
         self._snap_seen = cur if cur != -1 else self._snap_seen
+        if self._wm_state is not None:
+            # persist at latestOffset so the state file stays at or
+            # ahead of every offset Spark logs (reload can never
+            # regress the log or anchor a start→ancestor walk)
+            self._wm_state.save(self._snap_seen)
         return {"snapshot": cur}
 
     def partitions(self, start: dict, end: dict):
@@ -817,6 +835,12 @@ class _IceStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         if int(end.get("snapshot", -1)) != -1:
             self._snap_seen = int(end["snapshot"])
+        # no state-file save here: snapshot ids carry no natural
+        # order, and a restart's replayed commit hands this method
+        # an OLDER end than the latestOffset the run already
+        # persisted — saving it would regress the state file.
+        # latestOffset (called at least once per run, before any
+        # partitions — measured) is the monotone persistence point.
 
 
 class _IceCommitMessage(WriterCommitMessage):
