@@ -512,8 +512,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="col=expr (update); repeatable")
     s.add_argument("--zorder-by", default=None,
                    help="comma-separated columns: clustering "
-                        "rewrite (Morton curve; unpartitioned "
-                        "tables)")
+                        "rewrite (Morton curve; partitioned specs "
+                        "cluster per partition value)")
     s.add_argument("--incremental", action="store_true",
                    help="with --zorder-by: cluster only files "
                         "newer than the last same-column zorder")

@@ -1901,9 +1901,12 @@ def compact_iceberg(spark: SparkSession, path: str,
     data file covers a narrow hyper-rectangle, and the per-file
     lower/upper bounds written into the manifest make the reader's
     ``where=`` file pruning effective on EVERY clustered column.
-    Unpartitioned specs only (a partitioned rewrite would mix
-    partition values across clustering tasks); a zorder rewrite
-    always runs even when the table is a single delete-free file.
+    Partitioned specs cluster PER PARTITION VALUE (the Delta
+    optimize shape): each partition's files quantile-bin and rewrite
+    as their own group, so clustering tasks never mix partition
+    values and bin boundaries adapt to each partition's own
+    distribution.  A zorder rewrite always runs even when the table
+    is a single delete-free file.
 
     ``incremental=True`` (with ``zorder_by``) rewrites ONLY the data
     files whose sequence number postdates the last snapshot that
@@ -1935,11 +1938,15 @@ def compact_iceberg(spark: SparkSession, path: str,
 
         from .delta import _zorder_cluster, _zorder_proxy_sql
 
-        if part_info is not None:
+        type_of = {f.name: f.dataType
+                   for f in _to_spark_schema(ice_schema).fields}
+        bad = [c for c in zorder_by if c not in type_of]
+        if bad:
             raise ValueError(
-                "compact_iceberg zorder_by supports unpartitioned "
-                "tables only (a partitioned rewrite would mix "
-                "partition values across clustering tasks)")
+                f"compact_iceberg zorder_by columns {bad} not in "
+                "the table schema")
+        for c in zorder_by:
+            _zorder_proxy_sql(c, type_of[c])  # fail fast on types
         target = data_files
         if incremental:
             z = _last_zorder_snapshot(md, zorder_by)
@@ -1950,26 +1957,37 @@ def compact_iceberg(spark: SparkSession, path: str,
                 if not target:
                     return None
                 rewritten = {f["file_path"] for f in target}
-        if rewritten is not None:
-            df = table._scan_planned(spark, target, delete_files,
-                                     md, [])
+        # per-partition clustering (the Delta optimize shape): each
+        # partition value clusters and quantile-bins as its OWN
+        # group — its files cover narrow hyper-rectangles within the
+        # partition, and groups never mix partition values across
+        # clustering tasks.  At 100 TB each group is its own
+        # distributed job; the driver holds only file metadata.
+        if part_info is not None:
+            by_pv: dict = {}
+            for f in target:
+                pv = (f.get("partition") or {}).get(part_info.name)
+                by_pv.setdefault(pv, []).append(f)
+            groups = [fs for _, fs in
+                      sorted(by_pv.items(), key=lambda kv: str(kv[0]))]
         else:
-            df = table.read(spark)
-        type_of = {f.name: f.dataType for f in df.schema.fields}
-        bad = [c for c in zorder_by if c not in type_of]
-        if bad:
-            raise ValueError(
-                f"compact_iceberg zorder_by columns {bad} not in "
-                "the table schema")
-        for c in zorder_by:
-            _zorder_proxy_sql(c, type_of[c])  # fail fast on types
-        total = sum(int(f.get("file_size_in_bytes") or 0)
-                    for f in target)
-        nparts = max(1, math.ceil(total / target_file_bytes))
-        df = _zorder_cluster(df, zorder_by, type_of, nparts)
+            groups = [target]
+        staged = []
+        for fs in groups:
+            if rewritten is not None or part_info is not None:
+                df = table._scan_planned(spark, fs, delete_files,
+                                         md, [])
+            else:
+                df = table.read(spark)
+            total = sum(int(f.get("file_size_in_bytes") or 0)
+                        for f in fs)
+            nparts = max(1, math.ceil(total / target_file_bytes))
+            df = _zorder_cluster(df, zorder_by, type_of, nparts)
+            staged += _stage_data_files(df, path, part_info,
+                                        ice_schema)
     else:
         df = table.read(spark)
-    staged = _stage_data_files(df, path, part_info, ice_schema)
+        staged = _stage_data_files(df, path, part_info, ice_schema)
     for f in staged:
         lo, hi = _file_bounds(f["file_path"], ice_schema)
         f["lower_bounds"] = lo or None
@@ -1986,7 +2004,7 @@ def compact_iceberg(spark: SparkSession, path: str,
             if rewritten is not None:
                 _commit_zorder_incremental(table, cur_md, staged,
                                            base_version, rewritten,
-                                           zorder_by)
+                                           zorder_by, part_info)
             else:
                 _commit_append(
                     table, cur_md, staged, base_version,
@@ -2032,7 +2050,9 @@ def _commit_zorder_incremental(table: IcebergTable, md: dict,
                                staged: list[dict],
                                base_version: int,
                                rewritten: set[str],
-                               zorder_by: list[str]) -> None:
+                               zorder_by: list[str],
+                               part_info: "_PartField | None" = None
+                               ) -> None:
     """One REPLACE snapshot for an incremental clustering pass: the
     new clustered manifest, every old DATA manifest rewritten to drop
     the absorbed entries (SCHEMA-PRESERVING — the old manifest's own
@@ -2052,9 +2072,19 @@ def _commit_zorder_incremental(table: IcebergTable, md: dict,
     commit_uuid = uuid.uuid4().hex
     cleanup: list[str] = []
 
+    if part_info is None or not staged:
+        entry_schema = _MANIFEST_ENTRY_SCHEMA
+        summaries = None
+    else:
+        entry_schema = _partitioned_entry_schema(part_info)
+        enc = part_info.bound_encoder()
+        vals = [f["partition"][part_info.name] for f in staged]
+        summaries = [{"contains_null": False,
+                      "lower_bound": enc(min(vals)),
+                      "upper_bound": enc(max(vals))}]
     manifest = os.path.join(mdir, f"m-{commit_uuid}.avro")
     with open(manifest, "wb") as fh:
-        fh.write(_avro_file(_MANIFEST_ENTRY_SCHEMA,
+        fh.write(_avro_file(entry_schema,
                             [{"status": 1, "snapshot_id": snap_id,
                               "sequence_number": None,
                               "data_file": f} for f in staged]))
@@ -2068,7 +2098,7 @@ def _commit_zorder_incremental(table: IcebergTable, md: dict,
         "added_snapshot_id": snap_id,
         "added_files_count": len(staged),
         "added_rows_count": sum(f["record_count"] for f in staged),
-        "partitions": None,
+        "partitions": summaries,
     }]
     for m in lentries:
         carry = {k: m.get(k) for k in _MANIFEST_CARRY_KEYS}

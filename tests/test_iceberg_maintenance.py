@@ -307,12 +307,103 @@ def test_compact_zorder_prunes_every_dimension(spark, tmp_path):
                  for r in t.read(spark, where=box).collect())
     assert got == expected
 
-    # partitioned tables refuse the clustering rewrite
-    p2 = str(tmp_path / "part")
-    write_iceberg(spark, df.withColumn("pt", F.col("x") % 2), p2,
+def test_compact_zorder_partitioned(spark, tmp_path):
+    """Partitioned specs cluster PER PARTITION VALUE: every output
+    file carries exactly one partition value, manifest bounds prune
+    a 2-D box within each partition (never-opened proof: the
+    excluded parquet is deleted before the filtered read), partition
+    pruning itself still works, and incremental mode clusters only
+    the new files while the clustered set's parquet is untouched."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.storage.iceberg import (
+        _file_may_match, _localize)
+
+    p = str(tmp_path / "t")
+
+    def grid(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") / 64).cast("long") % 64).alias("y"),
+            (F.col("id") % 2).alias("pt"),
+            F.col("id").alias("v"))
+
+    write_iceberg(spark, grid(0, 4096).repartition(8), p,
                   partition_by="pt")
-    with pytest.raises(ValueError, match="unpartitioned"):
-        compact_iceberg(spark, p2, zorder_by=["x"])
+    t = IcebergTable(p)
+    expected = sorted(
+        (r.x, r.y, r.pt, r.v) for r in t.read(spark).collect()
+        if r.x <= 7 and r.y <= 7)
+    total = sum(int(f["file_size_in_bytes"]) for f in
+                t._data_files(t._snapshot(t.metadata(), None))[0])
+    sid = compact_iceberg(spark, p, zorder_by=["x", "y"],
+                          target_file_bytes=max(1, total // 16))
+    assert sid is not None
+
+    md = t.metadata()
+    sch = t._current_schema(md)
+    fid = {f["name"]: f["id"] for f in sch["fields"]}
+    fty = {f["name"]: f["type"] for f in sch["fields"]}
+    files, dels = t._data_files(t._snapshot(md, None))
+    assert not dels and len(files) >= 8
+    # every rewritten file carries exactly one partition value
+    assert all(f.get("partition", {}).get("pt") in (0, 1)
+               for f in files)
+    both = {f["partition"]["pt"] for f in files}
+    assert both == {0, 1}
+
+    # partition pruning still works after the clustering rewrite
+    pt_files = [f for f in files
+                if _file_may_match(f, [("pt", "=", 0)], fid, fty)]
+    assert 0 < len(pt_files) < len(files)
+    assert all(f["partition"]["pt"] == 0 for f in pt_files)
+
+    # the 2-D box prunes within partitions; never-opened proof
+    box = [("x", ">=", 0), ("x", "<=", 7),
+           ("y", ">=", 0), ("y", "<=", 7)]
+    match_box = [f for f in files
+                 if _file_may_match(f, box, fid, fty)]
+    assert len(match_box) < len(files) // 2
+    keep = {f["file_path"] for f in match_box}
+    for f in files:
+        if f["file_path"] not in keep:
+            os.remove(_localize(f["file_path"]))
+    got = sorted((r.x, r.y, r.pt, r.v)
+                 for r in t.read(spark, where=box).collect())
+    assert got == expected
+
+    # incremental on the partitioned spec: only the new run rewrites
+    p2 = str(tmp_path / "t2")
+    write_iceberg(spark, grid(0, 4096).repartition(8), p2,
+                  partition_by="pt")
+    t2 = IcebergTable(p2)
+    total2 = sum(int(f["file_size_in_bytes"]) for f in
+                 t2._data_files(t2._snapshot(t2.metadata(),
+                                             None))[0])
+    assert compact_iceberg(spark, p2, zorder_by=["x", "y"],
+                           target_file_bytes=max(1, total2 // 8))
+    clustered = {f["file_path"]: _os.path.getmtime(
+        _localize(f["file_path"]))
+        for f in t2._data_files(t2._snapshot(t2.metadata(),
+                                             None))[0]}
+    write_iceberg(spark, grid(4096, 8192).repartition(4), p2,
+                  partition_by="pt")
+    assert compact_iceberg(spark, p2, zorder_by=["x", "y"],
+                           target_file_bytes=max(1, total2 // 8),
+                           incremental=True) is not None
+    files2, _ = t2._data_files(t2._snapshot(t2.metadata(), None))
+    for fp, mt in clustered.items():
+        assert _os.path.getmtime(_localize(fp)) == mt
+        assert fp in {f["file_path"] for f in files2}
+    assert all(f.get("partition", {}).get("pt") in (0, 1)
+               for f in files2)
+    got2 = sorted(r.v for r in t2.read(spark).collect())
+    assert got2 == list(range(8192))
+    # drained
+    assert compact_iceberg(spark, p2, zorder_by=["x", "y"],
+                           incremental=True) is None
 
 
 def test_compact_zorder_incremental(spark, tmp_path):
