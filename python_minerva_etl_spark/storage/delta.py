@@ -3032,8 +3032,14 @@ def _zorder_cluster(df, zcols: list[str],
     bounds = df.agg(*[
         F.percentile_approx(F.expr(px), fracs, 10000).alias(f"b{i}")
         for i, px in enumerate(proxies)]).first()
+    # bind each proxy as a column BEFORE the boundary filter: the
+    # lambda references it once per boundary element, and an inlined
+    # expression (for strings: conv(hex(rpad(substring(...))))) would
+    # re-evaluate ~255x per row — the measured inline-HOF trap
+    df = df.withColumns({f"__zp{i}": F.expr(px)
+                         for i, px in enumerate(proxies)})
     bucket_cols = {}
-    for i, px in enumerate(proxies):
+    for i in range(d):
         # non-finite boundaries would pretty-print as inf/nan and
         # fail SQL analysis; dropping them is sound (an inf value
         # compares above every finite boundary -> last bucket, a
@@ -3045,7 +3051,7 @@ def _zorder_cluster(df, zcols: list[str],
                                     for v in bs) + ")")
         # NULL proxy -> lambda NULL -> filtered out -> bucket 0
         bucket_cols[f"__zb{i}"] = F.expr(
-            f"size(filter({arr}, b -> b <= ({px})))")
+            f"size(filter({arr}, b -> b <= __zp{i}))")
     df = df.withColumns(bucket_cols)
     morton = " + ".join(
         f"shiftleft(shiftright(CAST(__zb{i} AS BIGINT), {j}) & 1, "
@@ -3054,7 +3060,8 @@ def _zorder_cluster(df, zcols: list[str],
     df = df.withColumn("__zm", F.expr(morton))
     return (df.repartitionByRange(nparts, "__zm")
             .sortWithinPartitions("__zm")
-            .drop("__zm", *bucket_cols))
+            .drop("__zm", *bucket_cols,
+                  *[f"__zp{i}" for i in range(d)]))
 
 
 def maybe_optimize_delta(spark: SparkSession, path: str,
