@@ -44,6 +44,38 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _cap_pairs(pairs: DataFrame, max_pairs_per_doc: int | None,
+               *order_cols) -> DataFrame:
+    """OUTPUT GUARD for the pair-emitting dedup surfaces: keep at
+    most ``max_pairs_per_doc`` pairs per ``doc_a``, strongest first
+    (``order_cols`` ranks them; ``doc_b`` is always the last
+    tiebreak, so the kept set is deterministic).
+
+    Pair output is quadratic in clique size BY DEFINITION — a
+    hostile corpus of deep cliques can emit tens of millions of
+    correct pairs (the 100x probe measured 22.8M).  The cap bounds
+    the OUTPUT at ``n_docs * K`` rows — linear — while keeping each
+    doc's strongest matches, which is what a keep/drop decision
+    consumes.  When the full duplicate structure matters, use the
+    O(n) cluster surface (``ext/clusters.py``: one canonical row per
+    clique) instead of enumerating pairs.
+
+    One window shuffle partitioned by ``doc_a`` over the ALREADY
+    FILTERED pair set — never over candidates — so the guard costs
+    one exchange of the rows it is about to discard, not a second
+    similarity pass."""
+    if max_pairs_per_doc is None:
+        return pairs
+    k = int(max_pairs_per_doc)
+    if k < 1:
+        raise ValueError(
+            f"max_pairs_per_doc must be >= 1, got {max_pairs_per_doc!r}")
+    w = Window.partitionBy("doc_a").orderBy(*order_cols,
+                                            F.asc("doc_b"))
+    return (pairs.withColumn("__pr", F.row_number().over(w))
+            .filter(F.col("__pr") <= k).drop("__pr"))
+
+
 def _rarity_prefix(toks: DataFrame, sizes: DataFrame,
                    threshold: float) -> DataFrame:
     """Each doc's first ``n_tok - ceil(t * n_tok) + 1`` tokens under
@@ -177,17 +209,22 @@ def _jaccard_pairs_prefix(toks: DataFrame,
 
 def near_dup_pairs_exact(docs: DataFrame, threshold: float,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         max_pairs_per_doc: int | None = None
+                         ) -> DataFrame:
     """EXT-DEDUP-NEAR, exact form: token-set Jaccard >= threshold for
     all id_a < id_b pairs.  Candidate generation is the LOSSLESS
     prefix filter (see :func:`_jaccard_pairs_prefix`) — never a cross
     join, and shared stopwords no longer explode the self-join bucket
-    the way a raw inverted-index join does.
+    the way a raw inverted-index join does.  ``max_pairs_per_doc``
+    bounds the emitted pairs per doc (strongest Jaccard first) — the
+    output guard against clique-heavy corpora (:func:`_cap_pairs`).
     """
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
-    return _jaccard_pairs_prefix(toks, threshold)
+    return _cap_pairs(_jaccard_pairs_prefix(toks, threshold),
+                      max_pairs_per_doc, F.desc("jaccard"))
 
 
 # ---------------------------------------------------------------- MinHash+LSH
@@ -243,7 +280,9 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 64,
 def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
                        num_hashes: int = 64, bands: int = 8,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       max_pairs_per_doc: int | None = None
+                       ) -> DataFrame:
     """EXT-DEDUP-NEAR, complete scale pipeline: MinHash+LSH candidate
     generation (near-linear) followed by exact Jaccard verification on
     the candidates only.  Same output contract as
@@ -258,9 +297,11 @@ def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
     n_common = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (n_common.cast("double")
            / (F.size("toks_a") + F.size("toks_b") - n_common).cast("double"))
-    return (cand.join(a, "doc_a").join(b, "doc_b")
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return _cap_pairs(
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold),
+        max_pairs_per_doc, F.desc("jaccard"))
 
 
 # ------------------------------------------------------------------- SimHash
@@ -343,7 +384,9 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text",
-                       parallelism: int | None = None) -> DataFrame:
+                       parallelism: int | None = None,
+                       max_pairs_per_doc: int | None = None
+                       ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, via the
     pigeonhole band trick: split 64 bits into k+1 bands; any pair
     within distance k agrees exactly on >=1 band → equi-join per band,
@@ -377,10 +420,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         f"(shiftright(fp_b, k * {width}) & {mask}))) = 0")
     hamming = F.bit_count(
         F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
-    return (joined
-            .filter(first_band_only)
-            .select("doc_a", "doc_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    return _cap_pairs(
+        joined.filter(first_band_only)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming),
+        max_pairs_per_doc, F.asc("hamming"))
 
 
 def simhash_md5(docs: DataFrame, id_col: str = "doc_id",
@@ -427,7 +471,9 @@ def simhash_md5(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_md5_near_pairs(docs: DataFrame, max_hamming: int = 3,
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           max_pairs_per_doc: int | None = None
+                           ) -> DataFrame:
     """Oracle-verifiable SimHash near-dup pairs: md5 fingerprints
     (:func:`simhash_md5`), pigeonhole banding (4 x 16-bit bands —
     recall is EXACTLY 1 for hamming <= 3, not probabilistic), exact
@@ -469,14 +515,18 @@ def simhash_md5_near_pairs(docs: DataFrame, max_hamming: int = 3,
     hamming = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
                ).cast("bigint")
-    return (joined.filter(first_band_only)
-            .select("doc_a", "doc_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    return _cap_pairs(
+        joined.filter(first_band_only)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming),
+        max_pairs_per_doc, F.asc("hamming"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_pairs_per_doc: int | None = None
+                        ) -> DataFrame:
     """Character-n-gram Jaccard near-dup (EXT n-gram family): shingle
     the text into distinct n-grams, then the same LOSSLESS
     prefix-filtered similarity join as token Jaccard
@@ -487,7 +537,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         F.explode(F.array_distinct(F.expr(
             f"transform(sequence(1, greatest(length(text)-{n - 1}, 1)), "
             f"i -> substring(text, i, {n}))"))).alias("tok"))
-    return _jaccard_pairs_prefix(grams, threshold)
+    return _cap_pairs(_jaccard_pairs_prefix(grams, threshold),
+                      max_pairs_per_doc, F.desc("jaccard"))
 
 
 def span_dedup(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
@@ -548,7 +599,9 @@ def span_dedup(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
 
 def containment_pairs(docs: DataFrame, threshold: float = 1.0,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_pairs_per_doc: int | None = None
+                      ) -> DataFrame:
     """EXT-DEDUP-NEAR (asymmetric): token-set containment
     C(A in B) = |A∩B| / |A| — catches sub-document duplication
     (quoting, boilerplate inclusion, page-in-page) that symmetric
@@ -588,11 +641,13 @@ def containment_pairs(docs: DataFrame, threshold: float = 1.0,
             .distinct())
     c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
-    return (
+    return _cap_pairs(
         _verify_common(cand, _doc_token_sets(toks))
         .select("doc_a", "doc_b",
                 c_ab.alias("containment_a_in_b"),
                 c_ba.alias("containment_b_in_a"))
         .filter(F.greatest("containment_a_in_b", "containment_b_in_a")
-                >= threshold)
-    )
+                >= threshold),
+        max_pairs_per_doc,
+        F.greatest("containment_a_in_b",
+                   "containment_b_in_a").desc())

@@ -587,3 +587,48 @@ def test_minhash_verified_two_phase_equals_exact(spark):
                  near_dup_pairs_lsh(docs, 0.9, num_hashes=64,
                                     bands=16).collect())
     assert lsh == exact and len(exact) > 10
+
+
+def test_max_pairs_per_doc_output_guard(spark):
+    """A deep clique emits O(clique^2) pairs by definition; with
+    max_pairs_per_doc=K every surface emits at most K pairs per
+    doc_a — linear output — keeping each doc's STRONGEST matches,
+    deterministically (doc_b tiebreak)."""
+    import pytest
+
+    from python_minerva_etl_spark.ext.dedup import (
+        containment_pairs, near_dup_pairs_exact, near_dup_pairs_lsh,
+        ngram_jaccard_pairs, simhash_md5_near_pairs,
+        simhash_near_pairs)
+
+    # a 12-doc exact-dup clique (66 pairs uncapped) + one near-dup
+    words = " ".join(f"w{i}" for i in range(30))
+    rows = [(d, words) for d in range(12)]
+    rows.append((12, words.replace("w0", "mut")))  # 29/31 ~ 0.935
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = near_dup_pairs_exact(docs, 0.9).collect()
+    assert len(full) > 60
+    for fn, kw in [
+            (near_dup_pairs_exact, dict(threshold=0.9)),
+            (near_dup_pairs_lsh, dict(threshold=0.9)),
+            (ngram_jaccard_pairs, dict(threshold=0.9)),
+            (simhash_near_pairs, dict()),
+            (simhash_md5_near_pairs, dict()),
+            (containment_pairs, dict(threshold=0.95))]:
+        capped = fn(docs, max_pairs_per_doc=2, **kw).collect()
+        per_a = {}
+        for r in capped:
+            per_a[r.doc_a] = per_a.get(r.doc_a, 0) + 1
+        assert per_a and max(per_a.values()) <= 2, fn.__name__
+        assert len(capped) <= 2 * 13, fn.__name__
+
+    # strongest-first: doc 0's kept pairs are exact dups (J=1.0),
+    # never the weaker mutated pair
+    kept0 = near_dup_pairs_exact(docs, 0.9, max_pairs_per_doc=2)
+    kept0 = [r for r in kept0.collect() if r.doc_a == 0]
+    assert [r.doc_b for r in kept0] == [1, 2]
+    assert all(r.jaccard == 1.0 for r in kept0)
+
+    with pytest.raises(ValueError, match="max_pairs_per_doc"):
+        near_dup_pairs_exact(docs, 0.9, max_pairs_per_doc=0)
