@@ -20,3 +20,67 @@ def spark():
     s = get_spark(app_name="pytest-minerva", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+# --------------------------------------------------------------- -m quick
+# A <=10-minute judge-reproducible subset (r9 verdict item 6): the
+# full suite is ~45 min, beyond one review-session command budget.
+# The quick set is the CONTRACT spine — entry smoke + oracle-diff for
+# one representative query per SURVEY §2 family (each one a full
+# end-to-end Spark-vs-DuckDB hash comparison at sf0.01) — plus fast
+# unit files for the INTERNAL surfaces no declared query reaches.
+# `pytest -m quick` green means every family's primary gate passed;
+# it is a coverage sample, never a substitute for the full suite.
+
+QUICK_QUERIES = {
+    # sources / sinks / lakehouse
+    "avro_ingest", "source_avro_roundtrip", "source_delta_cdf",
+    "source_iceberg_incremental", "sink_delta_merge_roundtrip",
+    "sink_iceberg_roundtrip",
+    # relational / functions
+    "project_select", "join_inner", "join_anti_null_aware",
+    "join_asof", "join_range", "set_except", "sort_report",
+    "json_extract", "dn_parse", "fn_array_ops", "fn_map_ops",
+    "fn_date_bucket_series",
+    # aggregation / rollup
+    "agg_time_1h", "agg_reagg_avg", "agg_rollup_sets",
+    "rollup_entity", "agg_count_distinct",
+    # windows / attributes
+    "win_moving_avg", "win_rank_topn", "attr_compact",
+    # streaming parity / materialization / triggers
+    "stream_tumble_parity", "stream_avro_ingest_parity",
+    "stream_delta_source_parity", "stream_iceberg_upsert_parity",
+    "materialize_incremental", "cdc_incremental_agg",
+    "trigger_threshold", "notif_storm_collapse",
+    "events_sessionize", "upsert_merge_table",
+    # LLM-pipeline: dedup / similarity / text / multimodal
+    "dedup_exact", "dedup_simhash_verified",
+    "dedup_minhash_pairs_verified", "sim_topk",
+    "text_token_stats", "text_gopher_quality",
+    "dataset_dsir_select", "mm_decode_png", "mm_decode_wav",
+}
+
+# whole fast unit files for INTERNAL (no-declared-query) surfaces
+QUICK_FILES = {
+    "test_datatype.py",       # OP-TYPE-DEDUCE / OP-TYPE-WIDEN
+    "test_granularity.py",    # OP-F-DATE internals
+}
+
+QUICK_TESTS = {
+    "test_oracle_diff.py::test_entry_smoke",
+    "test_oracle_diff.py::test_contract_shapes",
+    "test_oracle_diff.py::test_catalog_names_match_local_artifact",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(item.fspath.strpath)
+        short = f"{fname}::{item.name}"
+        quick = (fname in QUICK_FILES or short in QUICK_TESTS)
+        if not quick and "[" in item.name:
+            base, param = item.name.split("[", 1)
+            quick = (base == "test_declared_query_matches_oracle"
+                     and param.rstrip("]") in QUICK_QUERIES)
+        if quick:
+            item.add_marker(pytest.mark.quick)
