@@ -4,17 +4,16 @@
 
 Ordering contract: the driver verifies the first 50 catalog entries
 against their DuckDB oracles (CORRECTNESS window).  ``_WINDOW`` below
-rotates every round.  Round 9 leads with the round's NEW queries
-(Avro zstandard roundtrip; changelog with manifest-bounds
-delete-epoch pruning; the Gopher repetition-rule pair — n-gram
-repetition numerators and duplicate-line counters over synthesized
-pages), then the r8 bench-watch set for attribution
-datapoints (``dedup_simhash_verified`` takes the rows-only
-``dedup_simhash``'s window slot — r8 verdict #7 — so every offered
-row is oracle-backed; ``dedup_simhash`` itself stays in bench.py for
-the perf signal), then every surface the round's code touched (Avro
-source/sink, Iceberg changelog, Delta _scan_files), then a fresh
-25-entry re-verification rotation disjoint from r8's.  Everything
+rotates every round.  Round 10 leads with the round's NEW queries
+(the dedup output-guard twin ``dedup_near_pairs_capped``; the
+per-partition Iceberg OPTIMIZE ZORDER roundtrip), then the r9
+verdict's two bench-watch movers for driver-side attribution
+datapoints, then the surfaces the round's code touched (the DSIR
+<2-token guard; admission-state persistence on all three streaming
+sources), then a 42-entry LEAST-RECENTLY-OFFERED rotation picked by
+``scripts/window_ledger.py --stalest`` from the committed
+CORRECTNESS_r* history (WINDOWS.md is the generated ledger —
+every declared query's offer history is now auditable).  Everything
 else — previously driver-verified — sits after it in ``_DEPTH``.
 Both lists are validated against the modules' QUERIES at import time
 — a missing or unknown name raises.
@@ -26,24 +25,74 @@ from .base import DeclaredQuery
 
 # The driver's correctness window.  Keep this at <= 50 entries.
 _WINDOW = [
-    # ---- NEW round 9 ----
+    "dedup_near_pairs_capped",
+    "sink_iceberg_zorder_partitioned",
+    "win_moving_avg",
+    "agg_reagg_avg",
+    "dataset_dsir_select",
+    "stream_avro_ingest_parity",
+    "stream_delta_source_parity",
+    "stream_iceberg_upsert_parity",
+    "agg_corr_exact",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_rollup_sets",
+    "agg_string_concat",
+    "agg_time_15m",
+    "agg_time_1d",
+    "agg_time_1month",
+    "agg_time_1w",
+    "agg_variance_exact",
+    "gap_detect",
+    "reshape_long",
+    "reshape_wide",
+    "set_intersect",
+    "win_distribution",
+    "win_first_last",
+    "win_next_event_gap",
+    "win_running_total",
+    "text_fingerprint",
+    "agg_count_distinct",
+    "agg_time_1h",
+    "attr_change_detect",
+    "attr_curr",
+    "dataset_hash_split",
+    "dedup_embedding_pairs",
+    "dedup_near_pairs",
+    "dn_parse",
+    "entity_resolve",
+    "events_sessionize",
+    "join_anti",
+    "mm_passthrough",
+    "notif_window_count",
+    "sort_report",
+    "stream_join_parity",
+    "stream_tumble_parity",
+    "table_changes",
+    "text_chunk",
+    "text_langid",
+    "text_token_stats",
+    "trigger_threshold",
+    "upsert_last_wins",
+    "win_delta_prev",
+]
+
+# Everything previously driver-verified: every declared query outside
+# the window has at least one green driver row from rounds 1-8.  Same
+# local test rigor (tests/test_oracle_diff.py runs ALL queries), just
+# outside the driver's 50-entry window this round.
+_DEPTH = [
     "source_avro_zstd_roundtrip",
     "stream_iceberg_pruned_delete_parity",
     "text_gopher_ngrams",
     "text_gopher_lines",
     "text_gopher_quality",
-    "dataset_dsir_select",
-    # ---- bench-watch correctness repeats (r8 verdict #1) ----
     "join_asof",
     "join_inner",
     "dedup_simhash_verified",
     "text_quality_score",
-    # ---- surfaces the round-9 code touched: Avro source/sink,
-    # Iceberg changelog + delete-writer bounds, Delta _scan_files ----
     "avro_ingest",
-    "stream_avro_ingest_parity",
     "source_avro_roundtrip",
-    "stream_iceberg_upsert_parity",
     "sink_iceberg_eqdelete_roundtrip",
     "source_iceberg_eqdelete_datasource",
     "sink_delta_dv_roundtrip",
@@ -52,19 +101,14 @@ _WINDOW = [
     "source_delta_cdf",
     "source_delta_cdf_update",
     "source_delta_cdf_datasource",
-    "stream_delta_source_parity",
     "sink_iceberg_merge_roundtrip",
     "sink_iceberg_days_partitioned",
     "source_iceberg_incremental",
-    # ---- bench write-path repeats ----
     "upsert_merge_table",
     "cdc_incremental_agg",
     "dedup_minhash_pairs_verified",
-    # ---- round-9 re-verification rotation (drawn from _DEPTH,
-    # disjoint from the r8 rotation) ----
     "materialize_incremental",
     "rollup_entity",
-    "agg_reagg_avg",
     "skyline_orders",
     "intervals_merge",
     "peak_concurrency",
@@ -83,13 +127,6 @@ _WINDOW = [
     "rolling_active_users",
     "mm_decode_png",
     "mm_decode_wav",
-]
-
-# Everything previously driver-verified: every declared query outside
-# the window has at least one green driver row from rounds 1-8.  Same
-# local test rigor (tests/test_oracle_diff.py runs ALL queries), just
-# outside the driver's 50-entry window this round.
-_DEPTH = [
     "agg_distinct_reagg",
     "json_extract",
     "entity_fuzzy_match",
@@ -181,48 +218,6 @@ _DEPTH = [
     "text_redact",
     "dataset_leakage_safe_split",
     "mm_frame_sample",
-    "agg_time_1h",
-    "agg_count_distinct",
-    "dn_parse",
-    "entity_resolve",
-    "join_anti",
-    "sort_report",
-    "attr_curr",
-    "attr_change_detect",
-    "win_delta_prev",
-    "trigger_threshold",
-    "notif_window_count",
-    "events_sessionize",
-    "stream_join_parity",
-    "upsert_last_wins",
-    "stream_tumble_parity",
-    "table_changes",
-    "dedup_near_pairs",
-    "dedup_embedding_pairs",
-    "text_token_stats",
-    "text_langid",
-    "text_chunk",
-    "dataset_hash_split",
-    "mm_passthrough",
-    "agg_rollup_sets",
-    "agg_time_15m",
-    "agg_time_1d",
-    "agg_time_1w",
-    "agg_time_1month",
-    "agg_percentiles",
-    "agg_variance_exact",
-    "agg_string_concat",
-    "agg_corr_exact",
-    "agg_histogram",
-    "gap_detect",
-    "set_intersect",
-    "win_running_total",
-    "win_distribution",
-    "win_first_last",
-    "win_next_event_gap",
-    "reshape_wide",
-    "reshape_long",
-    "text_fingerprint",
     "agg_approx_distinct",
     "anomaly_prefix_zscore",
     "stream_anomaly_feed",
@@ -263,7 +258,6 @@ _DEPTH = [
     "sim_topk_pq",
     "dedup_embedding_pivot",
     "dedup_semantic_indexed",
-    "win_moving_avg",
     "sink_iceberg_roundtrip",
 ]
 

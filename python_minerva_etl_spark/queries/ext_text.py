@@ -50,6 +50,38 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+def _dedup_near_pairs_capped(spark, sf_dir):
+    """EXT-DEDUP-NEAR with the OUTPUT GUARD (r9 verdict #5): same
+    exact >= 0.9 pair set, but at most 3 pairs per doc_a, strongest
+    Jaccard first with doc_b as the deterministic tiebreak
+    (ext/dedup.py:_cap_pairs) — output bounded at n_docs * K rows on
+    any corpus, clique-heavy or not.  The oracle replays the cap as
+    a QUALIFY row_number() window over the full pair set."""
+    return D.near_dup_pairs_exact(t(spark, sf_dir, "documents"), 0.9,
+                                  max_pairs_per_doc=3)
+
+
+_DEDUP_NEAR_PAIRS_CAPPED_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           AS jaccard
+  FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard
+FROM pairs
+WHERE jaccard >= 0.9
+QUALIFY row_number() OVER (
+  PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) <= 3
+"""
+
+
 def _dedup_minhash_pairs(spark, sf_dir):
     """EXT-DEDUP-NEAR (scale path): MinHash+LSH candidate pairs
     (64 hashes, 8 bands x 8 rows — the threshold curve s^8 keeps the
@@ -1260,6 +1292,7 @@ QUERIES = [
     DeclaredQuery("text_dup_rate", _text_dup_rate, _TEXT_DUP_RATE_SQL, "EXT-DEDUP (per-source dup-rate report)"),
     DeclaredQuery("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, "EXT-DEDUP-EXACT"),
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
+    DeclaredQuery("dedup_near_pairs_capped", _dedup_near_pairs_capped, _DEDUP_NEAR_PAIRS_CAPPED_SQL, "EXT-DEDUP-NEAR (max_pairs_per_doc output guard)"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
     DeclaredQuery("dedup_simhash", _dedup_simhash, None, "EXT-DEDUP (SimHash)"),
     DeclaredQuery("dedup_minhash_pairs_verified", _dedup_minhash_pairs_verified, _DEDUP_MINHASH_PAIRS_VERIFIED_SQL, "EXT-DEDUP-NEAR (LSH two-phase, precision+recall oracle-verified)"),

@@ -350,6 +350,58 @@ def _sink_iceberg_days_partitioned(spark, sf_dir):
                  .alias("sum_value")))
 
 
+def _sink_iceberg_zorder_partitioned(spark, sf_dir):
+    """OP-SNK / OP-SRC / maintenance: a PARTITIONED Iceberg table
+    (identity event_type spec) goes through OPTIMIZE ZORDER BY
+    (user_id, ts) — r9 verdict #2: clustering now runs PER PARTITION
+    VALUE instead of refusing partitioned specs
+    (storage/iceberg_write.py:compact_iceberg) — and the clustered
+    table must still read back exactly: a user_id-range read (which
+    the clustered manifest bounds prune file-wise) aggregated per
+    event_type against the oracle's plain filtered aggregate.  The
+    small target_file_bytes forces multiple clustered files per
+    partition so the range read actually exercises the per-partition
+    Morton layout."""
+    from ..storage.iceberg import read_iceberg
+    from ..storage.iceberg_write import compact_iceberg, write_iceberg
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    hi = ev.agg(F.max("user_id")).collect()[0][0]
+    cut = int(hi) // 2
+
+    tag = _scratch_tag(sf_dir)
+    base = os.path.join(_SCRATCH, f"iceberg_zorder_part_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_iceberg(spark, ev, base, partition_by="event_type")
+    compact_iceberg(spark, base, zorder_by=["user_id", "ts"],
+                    target_file_bytes=64 << 10)
+    return (read_iceberg(spark, base,
+                         where=[("user_id", "<=", cut)])
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("users"),
+                 F.sum(F.col("value").cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_value")))
+
+
+_SINK_ICEBERG_ZORDER_PARTITIONED_SQL = """
+WITH cut AS (
+  SELECT CAST(MAX(user_id) AS BIGINT) // 2 AS c FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            AS DOUBLE) AS sum_value
+FROM events, cut
+WHERE user_id <= cut.c
+GROUP BY 1
+"""
+
+
 _SINK_ICEBERG_DAYS_PARTITIONED_SQL = """
 WITH bounds AS (
   SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events
@@ -1674,6 +1726,7 @@ QUERIES = [
     DeclaredQuery("source_iceberg_eqdelete_datasource", _source_iceberg_eqdelete_datasource, _SINK_ICEBERG_EQDELETE_ROUNDTRIP_SQL, "OP-SRC (registered Iceberg source applying equality deletes executor-side)"),
     DeclaredQuery("sink_iceberg_eqdelete_roundtrip", _sink_iceberg_eqdelete_roundtrip, _SINK_ICEBERG_EQDELETE_ROUNDTRIP_SQL, "OP-SNK (Iceberg blind equality delete + sequence-ordered re-insert)"),
     DeclaredQuery("sink_iceberg_days_partitioned", _sink_iceberg_days_partitioned, _SINK_ICEBERG_DAYS_PARTITIONED_SQL, "OP-SNK/OP-SRC (Iceberg days(ts) partition transform + transformed-domain pruning)"),
+    DeclaredQuery("sink_iceberg_zorder_partitioned", _sink_iceberg_zorder_partitioned, _SINK_ICEBERG_ZORDER_PARTITIONED_SQL, "OP-SNK/OP-SRC + maintenance (per-partition OPTIMIZE ZORDER BY on a partitioned Iceberg spec)"),
     DeclaredQuery("sink_delta_replace_where", _sink_delta_replace_where, _SINK_DELTA_REPLACE_WHERE_SQL, "OP-SNK (Delta replaceWhere: atomic predicate-scoped overwrite)"),
     DeclaredQuery("stream_delta_source_parity", _stream_delta_source_parity, _STREAM_DELTA_SOURCE_PARITY_SQL, "OP-STR-INGEST (registered Python data source tailing the Delta log)"),
     DeclaredQuery("table_changes", _table_changes, _TABLE_CHANGES_SQL, "OP-SNK (snapshot change feed / CDC)"),
