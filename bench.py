@@ -72,14 +72,17 @@ HEADLINE = [
 WARMUP_PASSES = 2
 MEASURED_PASSES = 3
 
-# r8 bench-watch (r8 verdict #1): the four queries that moved beyond
-# spread in the r8 driver run with untouched code.  After the main
-# pass, each is re-measured from scratch LATE in the session; a
-# repass matching the first pass (within spread) pins the figure to
-# the session, not plan drift — read alongside rebaseline_sec /
-# rebaseline_after and the fs probes.
+# Bench-watch: queries that moved beyond spread in a driver run with
+# untouched code.  After the main pass, each is re-measured from
+# scratch LATE in the session; a repass matching the first pass
+# (within spread) pins the figure to the session, not plan drift —
+# read alongside rebaseline_sec / rebaseline_after and the fs probes.
+# r8 set (all restored by the r9 repass) + the r9 verdict's two new
+# movers: win_moving_avg (2.00x its r1 figure) and agg_reagg_avg
+# (+24% r9, 1.52x r1) — both moved with untouched code while the
+# in-run fs probe degraded 532->343 MB/s.
 WATCH = ["join_asof", "join_inner", "dedup_simhash",
-         "text_quality_score"]
+         "text_quality_score", "win_moving_avg", "agg_reagg_avg"]
 
 
 def _force(df) -> None:
