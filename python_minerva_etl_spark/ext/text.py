@@ -791,6 +791,77 @@ def gopher_word_rules(text_col: str = "text",
     ]
 
 
+# ------------------------------------------------------------------- C4
+# Raffel et al. 2020 ("Exploring the Limits of Transfer Learning",
+# §2.2) — the C4 cleaning recipe, the other most-cited public
+# curation rule set next to Gopher's.  Same design contract as the
+# Gopher ops: scan-local expressions only (no shuffle/UDF/explode),
+# integer counters and booleans so corpus fractions aggregate as
+# ratio-of-sums and every output is hash-exact across engines.
+
+# "terminal punctuation mark (i.e. a period, exclamation mark,
+# question mark, or end quotation mark)"
+_C4_TERMINAL = (".", "!", "?", '"')
+
+# placeholder blocklist — the paper uses the public "List of Dirty,
+# Naughty, Obscene or Otherwise Bad Words"; swap in the full list at
+# deployment (the operator is the mechanism, not the lexicon)
+C4_BLOCKLIST: tuple[str, ...] = ("nsfw", "xxx")
+
+
+def _c4_keep_line_sql(line_var: str) -> str:
+    """C4's line filter for one line expression: ends in a terminal
+    punctuation mark, has >= 5 words, and does not mention
+    'javascript' (case-insensitive)."""
+    terms = ", ".join(f"'{c}'" for c in _C4_TERMINAL)
+    return (f"right(rtrim({line_var}), 1) IN ({terms}) "
+            f"AND size(split(trim({line_var}), ' +')) >= 5 "
+            f"AND NOT contains(lower({line_var}), 'javascript')")
+
+
+def c4_line_stats(text_col: str = "text") -> list[Column]:
+    """C4 line-filter counters + the retained page, as columns:
+    ``n_lines``, ``kept_lines``, ``kept_chars`` (exact bigints) and
+    ``clean_text`` (the kept lines re-joined).  One bound line-array
+    column per document; the keep predicate references only the
+    lambda variable, so the filter is a single scan-local pass."""
+    lines = f"split({text_col}, '\\n')"
+    kept = f"filter({lines}, l -> {_c4_keep_line_sql('l')})"
+    return [
+        F.expr(f"size({lines})").cast("bigint").alias("n_lines"),
+        F.expr(f"size({kept})").cast("bigint").alias("kept_lines"),
+        F.expr(f"aggregate({kept}, CAST(0 AS BIGINT), "
+               "(a, l) -> a + length(l))").alias("kept_chars"),
+        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+    ]
+
+
+def c4_page_rules(text_col: str = "text",
+                  clean_col: str | None = None,
+                  blocklist: tuple[str, ...] = C4_BLOCKLIST
+                  ) -> list[Column]:
+    """C4 page-level booleans: >= 3 sentences on the RETAINED text
+    (terminal-punct occurrences as the sentence proxy), no
+    'lorem ipsum', no curly brace (code), and no blocklist hit —
+    each an independent column so a funnel report can attribute
+    drops per rule.  ``clean_col`` names a pre-computed
+    :func:`c4_line_stats` ``clean_text`` column (the paper counts
+    sentences after line filtering); defaults to recomputing it."""
+    clean = clean_col or (
+        f"array_join(filter(split({text_col}, '\\n'), "
+        f"l -> {_c4_keep_line_sql('l')}), '\\n')")
+    lo = f"lower({text_col})"
+    bad = " OR ".join(f"contains({lo}, '{w}')" for w in blocklist) \
+        or "false"
+    return [
+        (F.expr(f"regexp_count({clean}, '[.!?]')") >= 3)
+        .alias("sentences_ok"),
+        (~F.expr(f"contains({lo}, 'lorem ipsum')")).alias("lorem_ok"),
+        (~F.expr(f"contains({text_col}, '{{')")).alias("brace_ok"),
+        (~F.expr(bad)).alias("blocklist_ok"),
+    ]
+
+
 def _bigram_bucket_sql(toks: str, i: str, n_buckets: int) -> str:
     """Hashed-bigram feature bucket (md5-based so DuckDB rebuilds it
     bit-for-bit): first 8 hex digits of md5('w1 w2') mod B."""

@@ -6,11 +6,12 @@ Ordering contract: the driver verifies the first 50 catalog entries
 against their DuckDB oracles (CORRECTNESS window).  ``_WINDOW`` below
 rotates every round.  Round 10 leads with the round's NEW queries
 (the dedup output-guard twin ``dedup_near_pairs_capped``; the
-per-partition Iceberg OPTIMIZE ZORDER roundtrip), then the r9
-verdict's two bench-watch movers for driver-side attribution
-datapoints, then the surfaces the round's code touched (the DSIR
-<2-token guard; admission-state persistence on all three streaming
-sources), then a 42-entry LEAST-RECENTLY-OFFERED rotation picked by
+per-partition Iceberg OPTIMIZE ZORDER roundtrip; the C4 cleaning
+recipe ``text_c4_rules``), then the r9 verdict's two bench-watch
+movers for driver-side attribution datapoints, then the surfaces
+the round's code touched (the DSIR <2-token guard; admission-state
+persistence on all three streaming sources), then a 41-entry
+LEAST-RECENTLY-OFFERED rotation picked by
 ``scripts/window_ledger.py --stalest`` from the committed
 CORRECTNESS_r* history (WINDOWS.md is the generated ledger —
 every declared query's offer history is now auditable).  Everything
@@ -27,6 +28,7 @@ from .base import DeclaredQuery
 _WINDOW = [
     "dedup_near_pairs_capped",
     "sink_iceberg_zorder_partitioned",
+    "text_c4_rules",
     "win_moving_avg",
     "agg_reagg_avg",
     "dataset_dsir_select",
@@ -74,7 +76,6 @@ _WINDOW = [
     "text_token_stats",
     "trigger_threshold",
     "upsert_last_wins",
-    "win_delta_prev",
 ]
 
 # Everything previously driver-verified: every declared query outside
@@ -82,6 +83,7 @@ _WINDOW = [
 # local test rigor (tests/test_oracle_diff.py runs ALL queries), just
 # outside the driver's 50-entry window this round.
 _DEPTH = [
+    "win_delta_prev",
     "source_avro_zstd_roundtrip",
     "stream_iceberg_pruned_delete_parity",
     "text_gopher_ngrams",

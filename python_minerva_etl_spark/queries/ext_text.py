@@ -1973,6 +1973,95 @@ QUERIES.append(
                   "integer-exact funnel)"))
 
 
+# deterministic line enrichment: the fixture corpus has no newlines
+# or punctuation, so multi-line 'pages' are synthesized (the
+# text_gopher_lines pattern: one page per (source, doc_id%16) bucket,
+# doc_id order) and each line gets a doc_id-keyed ending so every C4
+# rule has both passing and failing instances on the fixture
+_C4_ENRICH = ("CASE CAST(doc_id % 6 AS INT) "
+              "WHEN 0 THEN text || '.' "
+              "WHEN 1 THEN text || '?' "
+              "WHEN 2 THEN 'javascript ' || text || '.' "
+              "WHEN 3 THEN text || ' {' "
+              "WHEN 4 THEN text || ' lorem ipsum.' "
+              "ELSE text END")
+
+
+def _text_c4_rules(spark, sf_dir):
+    """EXT-TEXT C4 cleaning recipe (Raffel et al. 2020 §2.2): the
+    line filter (terminal punctuation, >= 5 words, no 'javascript')
+    with exact retained-line/char counters plus the page-level
+    booleans (>= 3 sentences on the RETAINED text, no lorem ipsum,
+    no curly brace, no blocklist hit) and the cleaned page itself —
+    all scan-local expressions (ext/text.py c4_line_stats /
+    c4_page_rules), one pass over the pages, hash-exact down to the
+    rebuilt clean_text string.  Pages are synthesized
+    deterministically from the fixture corpus (``_C4_ENRICH``)."""
+    from ..ext.text import c4_line_stats, c4_page_rules
+
+    docs = t(spark, sf_dir, "documents")
+    pages = (docs
+             .select("source", (F.col("doc_id") % 16).alias("b"),
+                     F.struct("doc_id",
+                              F.expr(_C4_ENRICH).alias("l"))
+                     .alias("s"))
+             .groupBy("source", "b")
+             .agg(F.array_sort(F.collect_list("s")).alias("a"))
+             .select("source", "b", F.concat_ws(
+                 "\n", F.expr("transform(a, x -> x.l)"))
+                 .alias("page")))
+    d = pages.select("source", "b", "page",
+                     *c4_line_stats("page"))
+    return d.select(
+        "source", "b", "n_lines", "kept_lines", "kept_chars",
+        *c4_page_rules("page", clean_col="clean_text"),
+        "clean_text")
+
+
+_TEXT_C4_RULES_SQL = f"""
+WITH el AS (
+  SELECT source, doc_id, doc_id % 16 AS b,
+         {_C4_ENRICH} AS l
+  FROM documents
+),
+pages AS (
+  SELECT source, b, string_agg(l, chr(10) ORDER BY doc_id) AS page
+  FROM el GROUP BY 1, 2
+),
+k AS (
+  SELECT source, b, page,
+         len(string_split(page, chr(10))) AS n_lines,
+         list_filter(string_split(page, chr(10)), l ->
+             right(rtrim(l), 1) IN ('.', '!', '?', '"')
+             AND len(regexp_split_to_array(trim(l), ' +')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM pages
+)
+SELECT source, CAST(b AS BIGINT) AS b,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       CAST(coalesce(list_aggregate(
+            list_transform(kept, l -> length(l)), 'sum'), 0)
+            AS BIGINT) AS kept_chars,
+       len(regexp_extract_all(
+           coalesce(array_to_string(kept, chr(10)), ''),
+           '[.!?]')) >= 3 AS sentences_ok,
+       NOT contains(lower(page), 'lorem ipsum') AS lorem_ok,
+       NOT contains(page, '{{') AS brace_ok,
+       NOT (contains(lower(page), 'nsfw')
+            OR contains(lower(page), 'xxx')) AS blocklist_ok,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM k
+"""
+
+
+QUERIES.append(
+    DeclaredQuery("text_c4_rules", _text_c4_rules,
+                  _TEXT_C4_RULES_SQL,
+                  "EXT-TEXT (C4 cleaning recipe: line filter + "
+                  "page rules, scan-local, hash-exact)"))
+
+
 def _dataset_dsir_select(spark, sf_dir):
     """EXT dataset curation: DSIR importance resampling (Xie et al.
     2023) — select the 200 raw documents whose hashed-bigram

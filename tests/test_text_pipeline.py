@@ -423,3 +423,49 @@ def test_dsir_single_token_and_empty_docs(spark):
                       id_col="doc_id").collect()
     # only the two multi-token docs have an importance
     assert sorted(r.doc_id for r in got) == [1, 5]
+
+
+def test_c4_rules_line_and_page_semantics(spark):
+    """C4 recipe (Raffel et al. 2020 §2.2): line filter keeps only
+    terminal-punctuated >= 5-word lines without 'javascript';
+    page rules flag sentence count (on RETAINED text), lorem ipsum,
+    curly braces, and blocklist hits."""
+    from python_minerva_etl_spark.ext.text import (c4_line_stats,
+                                                   c4_page_rules)
+
+    page_ok = ("one two three four five.\n"
+               "does this line have five words?\n"
+               "short line.\n"                    # < 5 words: drop
+               "no terminal punctuation here at all\n"
+               "Enable JavaScript to view this page.\n"
+               'he said "five words are enough."')
+    rows = [
+        (1, page_ok),
+        (2, "a { code block } lorem ipsum here.\nplain line"),
+        (3, "this page mentions nsfw content in one line."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", "text", *c4_line_stats()).select(
+        "doc_id", "n_lines", "kept_lines", "kept_chars",
+        *c4_page_rules(clean_col="clean_text"),
+        "clean_text").collect()}
+
+    r1 = got[1]
+    assert r1.n_lines == 6 and r1.kept_lines == 3
+    assert r1.clean_text.splitlines() == [
+        "one two three four five.",
+        "does this line have five words?",
+        'he said "five words are enough."']
+    assert r1.kept_chars == sum(
+        len(line) for line in r1.clean_text.splitlines())
+    # 3 sentences on the retained text
+    assert r1.sentences_ok and r1.lorem_ok and r1.brace_ok \
+        and r1.blocklist_ok
+
+    r2 = got[2]
+    assert not r2.lorem_ok and not r2.brace_ok and r2.blocklist_ok
+    assert not r2.sentences_ok            # 1 kept sentence only
+
+    r3 = got[3]
+    assert not r3.blocklist_ok and r3.lorem_ok and r3.brace_ok
