@@ -125,6 +125,14 @@ def attach_state(options_get, source: str, source_path: str,
     """
     sd = options_get("admissionStateDir")
     if sd is None:
+        if str(options_get("assumeFreshStart") or
+               "false").lower() == "true":
+            raise ValueError(
+                "assumeFreshStart requires admissionStateDir — the "
+                "state file is how a restart is told apart from a "
+                "fresh start; without it a restarted query would "
+                "cap from the epoch, regress Spark's offset log, "
+                "and double-read after a crash")
         return None
     if not has_cap:
         raise ValueError(
@@ -132,3 +140,33 @@ def attach_state(options_get, source: str, source_path: str,
             "maxFilesPerTrigger / maxBytesPerTrigger (or the "
             "source's equivalent) alongside it")
     return PersistedWatermark(str(sd), source, source_path)
+
+
+def fresh_start_floor(options_get, state, loaded, floor):
+    """The initial admission watermark for a BRAND-NEW query, closing
+    the cold-backlog hole: with ``option("assumeFreshStart", "true")``
+    (plus the required ``admissionStateDir``) and NO state file, the
+    watermark primes to ``floor`` (the source's epoch), so even the
+    very first ``latestOffset`` of the query's first run caps — a
+    100 TB initial snapshot/backlog drains in bounded batches from
+    batch zero instead of planning as one batch.
+
+    The two-key interlock makes it safe: every rate-limited run
+    persists at its first ``latestOffset``, so a state file EXISTS
+    for any query that ever ran — its absence plus the user's
+    explicit fresh-start assertion is the only combination that
+    primes low.  A reloaded watermark always wins (restart detected,
+    assertion ignored).  The residual misuse — deleting the state
+    dir while keeping the checkpoint AND passing assumeFreshStart —
+    is documented as the same class of error as deleting half a
+    checkpoint: the state dir's lifecycle is bound to the
+    checkpoint's.  Returns ``loaded`` when present, else ``floor``
+    when the assertion is set, else None (today's uncapped first
+    batch)."""
+    if loaded is not None:
+        return loaded
+    if state is not None and str(
+            options_get("assumeFreshStart") or "false"
+            ).lower() == "true":
+        return floor
+    return None

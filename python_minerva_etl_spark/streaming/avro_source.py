@@ -168,6 +168,11 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
     batch covers up to two caps' worth, never the whole backlog).
     The watermark only ever grows (primed by every offset this reader
     returns or is handed), so a capped stream keeps exactly-once.
+    ``option("assumeFreshStart", "true")`` (requires the state dir)
+    additionally primes the epoch watermark when NO state file
+    exists, so a brand-new query's cold backlog drains capped from
+    its very first offset — the state file is the restart detector,
+    making the assertion safe (admission.fresh_start_floor).
     ``Trigger.AvailableNow`` latches a single target up front and
     is therefore uncapped end-to-end; use a processing-time trigger
     when admission control matters."""
@@ -192,12 +197,18 @@ class _AvroStreamReader(DataSourceStreamReader, _AvroPlanMixin):
         # restarts so even the FIRST batch of a restarted query is
         # capped (without it, the restart backlog plans as one
         # uncapped batch — the documented API limitation).
-        from .admission import attach_state
+        # option("assumeFreshStart", "true") additionally primes the
+        # epoch watermark ("") on a brand-new query (no state file),
+        # capping even the first run's cold backlog — see
+        # admission.fresh_start_floor for the safety interlock.
+        from .admission import attach_state, fresh_start_floor
+        opt = lambda n: _opt(options, n)  # noqa: E731
         self._wm_state = attach_state(
-            lambda n: _opt(options, n), "minerva_avro", self.path,
+            opt, "minerva_avro", self.path,
             self.max_files is not None or self.max_bytes is not None)
-        self._hw_seen: str | None = (
-            self._wm_state.load() if self._wm_state else None)
+        loaded = self._wm_state.load() if self._wm_state else None
+        self._hw_seen: str | None = fresh_start_floor(
+            opt, self._wm_state, loaded, "")
 
     def _prime(self, *hws) -> None:
         known = [h for h in hws if h]

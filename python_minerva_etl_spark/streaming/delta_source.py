@@ -638,11 +638,19 @@ class _StreamReader(DataSourceStreamReader):
             raise ValueError(
                 "minerva_delta: maxFilesPerTrigger must be a "
                 f"positive integer, got {mft!r}")
-        from .admission import attach_state
+        # option("assumeFreshStart", "true") additionally primes the
+        # epoch watermark (startingVersion - 1, else -1) on a
+        # brand-new query (no state file), capping even the first
+        # run's cold snapshot — admission.fresh_start_floor.
+        from .admission import attach_state, fresh_start_floor
+        opt = lambda n: _opt(options, n)  # noqa: E731
         self._wm_state = attach_state(
-            lambda n: _opt(options, n), "minerva_delta", self.path,
+            opt, "minerva_delta", self.path,
             self.max_files is not None)
-        loaded = (self._wm_state.load() if self._wm_state else None)
+        loaded = fresh_start_floor(
+            opt, self._wm_state,
+            self._wm_state.load() if self._wm_state else None,
+            (self.starting - 1) if self.starting is not None else -1)
         # rate-limit watermark (last version this reader returned)
         self._v_seen: int | None = (
             int(loaded) if loaded is not None else None)

@@ -723,11 +723,20 @@ class _IceStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "minerva_iceberg: streaming-max-files-per-micro-"
                 f"batch must be a positive integer, got {mfb!r}")
-        from .admission import attach_state
+        # option("assumeFreshStart", "true") additionally primes the
+        # epoch watermark (fromSnapshotId, else -1 = whole history)
+        # on a brand-new query (no state file), capping even the
+        # first run's cold history — admission.fresh_start_floor.
+        from .admission import attach_state, fresh_start_floor
+        opt = lambda n: _opt(options, n)  # noqa: E731
         self._wm_state = attach_state(
-            lambda n: _opt(options, n), "minerva_iceberg",
+            opt, "minerva_iceberg",
             self.path, self.max_files is not None)
-        loaded = (self._wm_state.load() if self._wm_state else None)
+        loaded = fresh_start_floor(
+            opt, self._wm_state,
+            self._wm_state.load() if self._wm_state else None,
+            self.from_snapshot if self.from_snapshot is not None
+            else -1)
         # rate-limit watermark (last snapshot id this reader
         # returned); persisted ids are valid chain anchors because
         # they were once latestOffset returns of this same query

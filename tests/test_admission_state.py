@@ -252,3 +252,76 @@ def test_avro_live_restart_every_batch_capped(av_spark, tmp_path):
         assert sizes and max(sizes) <= 10 and len(sizes) >= 5
     finally:
         q.stop()
+
+
+def test_assume_fresh_start_caps_cold_backlog(av_spark, tmp_path):
+    """assumeFreshStart + admissionStateDir: a BRAND-NEW query's very
+    first latestOffset caps over a pre-existing backlog; a restart
+    (state file present) ignores the assertion and resumes from the
+    persisted watermark — never regressing."""
+    from python_minerva_etl_spark.streaming.avro_source import (
+        _AvroStreamReader)
+
+    p = str(tmp_path / "av")
+    sd = str(tmp_path / "state")
+    for i in range(6):
+        _write(av_spark, p, i * 10, (i + 1) * 10,
+               name=f"part-{i:03d}.avro")
+
+    r = _AvroStreamReader({"path": p, "maxFilesPerTrigger": "2",
+                           "admissionStateDir": sd,
+                           "assumeFreshStart": "true"})
+    # cold 6-file backlog drains capped from the FIRST offset
+    assert r.latestOffset() == {"n": 2, "hw": "part-001.avro"}
+    assert r.latestOffset() == {"n": 4, "hw": "part-003.avro"}
+
+    # restart with the assertion still set: the state file wins —
+    # the watermark resumes at part-003, no epoch regression
+    r2 = _AvroStreamReader({"path": p, "maxFilesPerTrigger": "2",
+                            "admissionStateDir": sd,
+                            "assumeFreshStart": "true"})
+    assert r2.latestOffset() == {"n": 6, "hw": "part-005.avro"}
+
+    # the assertion without a state dir is refused loudly
+    import pytest
+    with pytest.raises(ValueError, match="assumeFreshStart"):
+        _AvroStreamReader({"path": p, "maxFilesPerTrigger": "2",
+                           "assumeFreshStart": "true"})
+
+
+def test_assume_fresh_start_delta_and_iceberg(spark, tmp_path):
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+    from python_minerva_etl_spark.storage.iceberg import IcebergTable
+    from python_minerva_etl_spark.storage.iceberg_write import (
+        write_iceberg)
+    from python_minerva_etl_spark.streaming.delta_source import (
+        _StreamReader)
+    from python_minerva_etl_spark.streaming.iceberg_source import (
+        _IceStreamReader)
+
+    p = str(tmp_path / "t")
+    dt = DeltaTable(p)
+    for i in range(3):
+        dt.write(spark, spark.range(i * 10, i * 10 + 2)
+                 .toDF("id").coalesce(1))
+    r = _StreamReader({"path": p, "maxFilesPerTrigger": "1",
+                       "admissionStateDir": str(tmp_path / "sd"),
+                       "assumeFreshStart": "true"})
+    # cold history drains one commit per trigger from offset ONE
+    assert r.latestOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 1}
+    assert r.latestOffset() == {"version": 2}
+
+    p2 = str(tmp_path / "ice")
+    ids = []
+    for i in range(3):
+        write_iceberg(spark, spark.range(i * 10, i * 10 + 2)
+                      .toDF("id").coalesce(1), p2)
+        ids.append(IcebergTable(p2).metadata()["current-snapshot-id"])
+    r2 = _IceStreamReader(
+        {"path": p2, "streaming-max-files-per-micro-batch": "1",
+         "admissionStateDir": str(tmp_path / "sd2"),
+         "assumeFreshStart": "true"})
+    assert r2.latestOffset() == {"snapshot": ids[0]}
+    assert r2.latestOffset() == {"snapshot": ids[1]}
+    assert r2.latestOffset() == {"snapshot": ids[2]}
