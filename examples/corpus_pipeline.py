@@ -5,7 +5,10 @@ toy scale (the per-stage operators are individually oracle-verified
 by the declared-query catalog; this script shows how they chain).
 
   1. filter funnel    — cheap scan-local quality gates (length,
-                        repetition, boilerplate heuristics)
+                        repetition, boilerplate heuristics) plus the
+                        two canonical public rule sets: Gopher word
+                        rules (Rae et al. 2021) and C4 page rules
+                        (Raffel et al. 2020) — all one scan
   2. exact dedup      — content-hash, keep canonical
   3. near dedup       — MinHash+LSH candidates, exact Jaccard verify,
                         connected components, keep cluster canonical
@@ -15,6 +18,8 @@ by the declared-query catalog; this script shows how they chain).
   7. epoch planning   — capped whole-epoch upsampling of small sources
   8. packing          — hash-sharded first-fit into token budgets
   9. split + shuffle  — deterministic md5 train/holdout + order salt
+ 10. DSIR selection   — importance-resample toward a target domain
+                        (Xie et al. 2023; scan-local scoring)
 
 Run: python examples/corpus_pipeline.py  [sf_dir]
 """
@@ -39,10 +44,20 @@ def run(spark, sf_dir: str) -> dict:
     emb = load_table(spark, sf_dir, "embeddings")
     counts = {"raw": docs.count()}
 
-    # 1. cheap gates first — they delete the most bytes per CPU cycle
-    gated = docs.filter(
-        (X.token_count_ws() >= F.lit(5))
-        & (F.length("text") >= F.lit(20)))
+    # 1. cheap gates first — they delete the most bytes per CPU
+    # cycle.  The Gopher word rules and C4 page rules ride the SAME
+    # scan (every rule is a scan-local expression; at 100 TB this
+    # whole step is one pass, no shuffle).
+    gated = (docs
+             .select("*", *X.gopher_word_rules(min_words=5),
+                     *X.c4_page_rules())
+             .filter(F.col("mean_len_ok") & F.col("alpha_ok")
+                     & F.col("word_count_ok") & F.col("lorem_ok")
+                     & F.col("brace_ok") & F.col("blocklist_ok")
+                     & (F.length("text") >= F.lit(20)))
+             .drop("word_count_ok", "mean_len_ok", "alpha_ok",
+                   "symbol_ok", "stopword_ok", "sentences_ok",
+                   "lorem_ok", "brace_ok", "blocklist_ok"))
     counts["gated"] = gated.count()
 
     # 2. exact dedup (hash-agg, one shuffle)
@@ -91,6 +106,15 @@ def run(spark, sf_dir: str) -> dict:
         sampled, "doc_id"), "doc_id", train_frac=0.9)
     counts["train"] = final.filter("split = 'train'").count()
     counts["holdout"] = final.filter("split = 'holdout'").count()
+
+    # 10. DSIR: importance-resample the train split toward a target
+    # domain (here: the corpus' English subset) — the weight table
+    # collapses to 1024 rows map-side and rides the scoring scan as
+    # a literal array; selection is a distributed TopK
+    train = final.filter("split = 'train'")
+    counts["dsir_selected"] = X.dsir_select(
+        train, None, k=min(100, counts["train"]),
+        target_where="lang = 'en'").count()
     return counts
 
 
