@@ -632,3 +632,24 @@ def test_max_pairs_per_doc_output_guard(spark):
 
     with pytest.raises(ValueError, match="max_pairs_per_doc"):
         near_dup_pairs_exact(docs, 0.9, max_pairs_per_doc=0)
+
+
+def test_cap_pairs_adds_exactly_one_exchange(spark):
+    """The output guard must cost ONE window exchange over the final
+    pair set — never a second similarity pass or extra scans."""
+    from python_minerva_etl_spark.ext.dedup import near_dup_pairs_exact
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def shape(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return p.count("Scan parquet"), p.count("Exchange")
+
+    s0, e0 = shape(near_dup_pairs_exact(docs, 0.9))
+    s1, e1 = shape(near_dup_pairs_exact(docs, 0.9,
+                                        max_pairs_per_doc=3))
+    assert s1 == s0                  # no extra scan
+    # at most the cap's own window shuffle — and in the real plan
+    # it's ZERO: the verify join already hash-partitions on doc_a,
+    # so EnsureRequirements satisfies the window with a sort alone
+    assert e0 <= e1 <= e0 + 1

@@ -469,3 +469,15 @@ def test_c4_rules_line_and_page_semantics(spark):
 
     r3 = got[3]
     assert not r3.blocklist_ok and r3.lorem_ok and r3.brace_ok
+
+
+def test_c4_rules_plan_is_one_scan_one_exchange(spark):
+    """The C4 declared query must stay scan-local: one parquet scan,
+    one shuffle (the synthesized-page groupBy) — the 100 TB shape."""
+    from python_minerva_etl_spark.queries.catalog import all_queries
+
+    q = all_queries()["text_c4_rules"]
+    plan = q.spark(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2  # partial+final of ONE shuffle
