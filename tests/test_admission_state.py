@@ -325,3 +325,125 @@ def test_assume_fresh_start_delta_and_iceberg(spark, tmp_path):
     assert r2.latestOffset() == {"snapshot": ids[0]}
     assert r2.latestOffset() == {"snapshot": ids[1]}
     assert r2.latestOffset() == {"snapshot": ids[2]}
+
+
+def test_delta_live_restart_every_batch_capped(spark, tmp_path):
+    """Delta twin of the avro live-restart e2e: a checkpointed query
+    stops, a 4-commit backlog lands, the restarted query drains one
+    commit per micro-batch (including batch zero) with exactly-once
+    output."""
+    import time
+
+    from python_minerva_etl_spark.storage.delta import DeltaTable
+    from python_minerva_etl_spark.streaming.delta_source import (
+        register_delta_source)
+
+    register_delta_source(spark)
+    p = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    sd = str(tmp_path / "state")
+    dt = DeltaTable(p)
+
+    def start():
+        return (spark.readStream.format("minerva_delta")
+                .option("maxFilesPerTrigger", "1")
+                .option("admissionStateDir", sd).load(p)
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="250 milliseconds").start())
+
+    def out_count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    dt.write(spark, spark.range(10).toDF("id").coalesce(1))
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while out_count() < 10:
+            assert time.time() < deadline
+            time.sleep(0.25)
+    finally:
+        q.stop()
+
+    # the query is down; 4 single-file commits land
+    for i in range(1, 5):
+        dt.write(spark, spark.range(i * 10, (i + 1) * 10)
+                 .toDF("id").coalesce(1))
+
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while out_count() < 50:
+            assert time.time() < deadline
+            time.sleep(0.25)
+        got = _rows(spark.read.parquet(out).select("id"))
+        assert got == [(i,) for i in range(50)]
+        sizes = [int(pr["numInputRows"]) for pr in q.recentProgress
+                 if int(pr["numInputRows"]) > 0]
+        # EVERY batch of the restarted run took at most one commit
+        assert sizes and max(sizes) <= 10 and len(sizes) >= 4
+    finally:
+        q.stop()
+
+
+def test_iceberg_live_restart_every_batch_capped(spark, tmp_path):
+    """Iceberg twin: the restarted query drains a 4-snapshot backlog
+    one snapshot per micro-batch, exactly once."""
+    import time
+
+    from python_minerva_etl_spark.streaming.iceberg_source import (
+        register_iceberg_source)
+
+    register_iceberg_source(spark)
+    p = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    sd = str(tmp_path / "state")
+
+    def start():
+        return (spark.readStream.format("minerva_iceberg")
+                .option("streaming-max-files-per-micro-batch", "1")
+                .option("admissionStateDir", sd).load(p)
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="250 milliseconds").start())
+
+    def out_count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    write_iceberg(spark, spark.range(10).toDF("id").coalesce(1), p)
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while out_count() < 10:
+            assert time.time() < deadline
+            time.sleep(0.25)
+    finally:
+        q.stop()
+
+    for i in range(1, 5):
+        write_iceberg(spark, spark.range(i * 10, (i + 1) * 10)
+                      .toDF("id").coalesce(1), p)
+
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while out_count() < 50:
+            assert time.time() < deadline
+            time.sleep(0.25)
+        got = _rows(spark.read.parquet(out).select("id"))
+        assert got == [(i,) for i in range(50)]
+        sizes = [int(pr["numInputRows"]) for pr in q.recentProgress
+                 if int(pr["numInputRows"]) > 0]
+        assert sizes and max(sizes) <= 10 and len(sizes) >= 4
+    finally:
+        q.stop()
