@@ -56,8 +56,10 @@ QUICK_QUERIES = {
     # LLM-pipeline: dedup / similarity / text / multimodal
     "dedup_exact", "dedup_simhash_verified",
     "dedup_minhash_pairs_verified", "sim_topk",
-    "text_token_stats", "text_gopher_quality",
-    "dataset_dsir_select", "mm_decode_png", "mm_decode_wav",
+    "text_token_stats", "text_gopher_quality", "text_c4_rules",
+    "dataset_dsir_select", "dedup_near_pairs_capped",
+    "sink_iceberg_zorder_partitioned",
+    "mm_decode_png", "mm_decode_wav",
 }
 
 # whole fast unit files for INTERNAL (no-declared-query) surfaces
