@@ -529,3 +529,41 @@ def test_maybe_zorder_iceberg_policy(spark, tmp_path):
         target_file_bytes=1 << 62) is not None
     got = sorted(r.v for r in t.read(spark).collect())
     assert got == sorted(list(range(2048)) + list(range(100)))
+
+
+def test_compact_zorder_transformed_partition_spec(spark, tmp_path):
+    """Per-partition Z-order must also hold for TRANSFORMED specs
+    (days(ts)): groups form on the transformed partition value, every
+    rewritten file carries one value, and the table reads back exact
+    with manifest partition summaries intact."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.range(2048).select(
+        (F.col("id") % 32).alias("x"),
+        ((F.col("id") / 32).cast("long") % 32).alias("y"),
+        (F.lit(base) + F.make_interval(
+            days=(F.col("id") % 3).cast("int"))).alias("ts"),
+        F.col("id").alias("v"))
+    write_iceberg(spark, df.repartition(4), p,
+                  partition_by="days(ts)")
+    t = IcebergTable(p)
+    expected = sorted(r.v for r in t.read(spark).collect())
+    total = sum(int(f["file_size_in_bytes"]) for f in
+                t._data_files(t._snapshot(t.metadata(), None))[0])
+    assert compact_iceberg(spark, p, zorder_by=["x", "y"],
+                           target_file_bytes=max(1, total // 8))
+    files, dels = t._data_files(t._snapshot(t.metadata(), None))
+    assert not dels
+    # one transformed partition value per file; all 3 days present
+    days = {f["partition"]["ts_day"] for f in files}
+    assert len(days) == 3
+    got = sorted(r.v for r in t.read(spark).collect())
+    assert got == expected
+    # time-range pruning still works post-rewrite
+    mid = base + datetime.timedelta(days=2)
+    n = t.read(spark, where=[("ts", ">=", mid)]).count()
+    assert n == sum(1 for i in range(2048) if i % 3 == 2)
