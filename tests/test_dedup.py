@@ -653,3 +653,21 @@ def test_cap_pairs_adds_exactly_one_exchange(spark):
     # it's ZERO: the verify join already hash-partitions on doc_a,
     # so EnsureRequirements satisfies the window with a sort alone
     assert e0 <= e1 <= e0 + 1
+
+
+def test_cap_pairs_deterministic_under_repartitioning(spark):
+    """The kept set is a pure function of the data: same capped pairs
+    whatever the input partitioning (desc-strength order with doc_b
+    tiebreak leaves no room for partition-order nondeterminism)."""
+    from python_minerva_etl_spark.ext.dedup import near_dup_pairs_exact
+
+    words = " ".join(f"w{i}" for i in range(30))
+    rows = [(d, words) for d in range(10)]
+    rows += [(d, words.replace(f"w{d % 3}", f"m{d}"))
+             for d in range(10, 16)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(tuple(r) for r in near_dup_pairs_exact(
+        docs.coalesce(1), 0.9, max_pairs_per_doc=2).collect())
+    b = sorted(tuple(r) for r in near_dup_pairs_exact(
+        docs.repartition(13), 0.9, max_pairs_per_doc=2).collect())
+    assert a == b and len(a) > 5
