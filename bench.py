@@ -67,6 +67,10 @@ HEADLINE = [
     # r1-comparable subtotal in PERF.md excludes them
     "text_gopher_ngrams",
     "dataset_dsir_select",
+    # round 10 addition: the C4 cleaning recipe over synthesized
+    # pages (one scan + one shuffle) — tracked from r10 on; excluded
+    # from earlier-round comparable subtotals
+    "text_c4_rules",
 ]
 
 WARMUP_PASSES = 2
