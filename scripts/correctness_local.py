@@ -11,6 +11,7 @@ Queries with no oracle (hash-seeded / approximate ops) get the driver's
 weaker rows-only record: {"no_oracle": true, "spark_rows": n}.
 
 Usage: python scripts/correctness_local.py [out.json]
+       python scripts/correctness_local.py [out.json] --only a,b,c
 """
 
 from __future__ import annotations
@@ -24,7 +25,13 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    out_path = argv[0] if argv else os.path.join(
         REPO, "CORRECTNESS_LOCAL.json")
     sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")
 
@@ -39,6 +46,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     failures = 0
     for name, q in all_queries().items():
+        if only is not None and name not in only:
+            continue
         row: dict = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "spark_rows": None,
                      "oracle_rows": None, "err": None}
