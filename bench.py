@@ -19,6 +19,12 @@ uninterpretable (round-4 verdict).  Each query now runs 2 warmups +
 3 measured passes; ``queries`` reports the per-query MEDIAN and
 ``spread`` the max−min across the measured passes, so a regression
 is only real when it clears the reported spread.
+
+Self-certification: a leading contention gate (synthetic rebaseline
+probe, retry-until-quiet, ``contended`` stamp) refuses to silently
+measure a loaded box, and the attribution repass set is selected
+dynamically from the movers vs the previous committed BENCH instead
+of a static watch list (r10 verdict items 1-2).
 """
 
 from __future__ import annotations
@@ -76,17 +82,25 @@ HEADLINE = [
 WARMUP_PASSES = 2
 MEASURED_PASSES = 3
 
-# Bench-watch: queries that moved beyond spread in a driver run with
-# untouched code.  After the main pass, each is re-measured from
-# scratch LATE in the session; a repass matching the first pass
-# (within spread) pins the figure to the session, not plan drift —
-# read alongside rebaseline_sec / rebaseline_after and the fs probes.
-# r8 set (all restored by the r9 repass) + the r9 verdict's two new
-# movers: win_moving_avg (2.00x its r1 figure) and agg_reagg_avg
-# (+24% r9, 1.52x r1) — both moved with untouched code while the
-# in-run fs probe degraded 532->343 MB/s.
-WATCH = ["join_asof", "join_inner", "dedup_simhash",
-         "text_quality_score", "win_moving_avg", "agg_reagg_avg"]
+# Contention gate (r10 verdict item 1): BENCH_r10 measured a loaded
+# box — its own rebaseline probe read 2.63 s at start vs 0.70 s quiet,
+# and the "regressions" were exactly the first queries in run order —
+# and the harness committed the numbers without flagging them.  The
+# committed quiet-box figure for the synthetic rebaseline job is
+# ~0.7-1.1 s on local[32] (PERF.md); a leading probe above
+# GATE_FACTOR x QUIET_REBASELINE_SEC means the box is busy, so the
+# harness waits and retries (bounded) before measuring anything.  If
+# it never settles, the artifact is stamped contended:true so a
+# BENCH_r*.json is self-certifying instead of silently polluted.
+QUIET_REBASELINE_SEC = 0.70
+GATE_FACTOR = 1.5
+GATE_RETRIES = 8
+GATE_WAIT_SEC = 45
+
+# Repass floor: run-to-run jitter on sub-second queries makes a pure
+# spread test trip on noise; a mover must clear BOTH its spread and
+# this absolute floor before it earns a repass.
+REPASS_FLOOR_SEC = 0.15
 
 
 def _force(df) -> None:
@@ -146,6 +160,46 @@ def _rebaseline(spark) -> float:
     return round(statistics.median(samples), 4)
 
 
+def _prior_bench() -> dict:
+    """The newest committed BENCH_r*.json — the previous round's
+    medians/spreads, used to auto-select the repass set.  The driver
+    wraps this script's JSON line under a ``parsed`` key (next to the
+    raw ``tail``); unwrap it so callers see the bench dict itself."""
+    import glob
+    import re
+    best_rnd, best = -1, {}
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd > best_rnd:
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            if isinstance(data.get("queries"), dict):
+                best, best_rnd = data, rnd
+    return best
+
+
+def _measure(spark, queries, name: str, sf_dir: str):
+    """2 warmups + 3 measured noop-forced passes -> (median, spread)."""
+    q = queries[name]
+    for _ in range(WARMUP_PASSES):
+        _force(q.spark(spark, sf_dir))
+    samples = []
+    for _ in range(MEASURED_PASSES):
+        t0 = time.perf_counter()
+        _force(q.spark(spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    return (round(statistics.median(samples), 4),
+            round(max(samples) - min(samples), 4))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from python_minerva_etl_spark.queries.catalog import all_queries
@@ -160,7 +214,23 @@ def main() -> None:
     queries = all_queries()
 
     probe_before = fs_probe()
+
+    # Contention gate: refuse to measure on a visibly loaded box.
+    gate_probes: list[float] = []
     rebase = _rebaseline(spark)
+    gate_probes.append(rebase)
+    contended = rebase > GATE_FACTOR * QUIET_REBASELINE_SEC
+    for _ in range(GATE_RETRIES):
+        if not contended:
+            break
+        print(f"# contention gate: rebaseline {rebase:.2f}s > "
+              f"{GATE_FACTOR:.1f}x quiet ({QUIET_REBASELINE_SEC}s); "
+              f"waiting {GATE_WAIT_SEC}s", file=sys.stderr)
+        time.sleep(GATE_WAIT_SEC)
+        rebase = _rebaseline(spark)
+        gate_probes.append(rebase)
+        contended = rebase > GATE_FACTOR * QUIET_REBASELINE_SEC
+        probe_before = fs_probe()
 
     # Warmup + measure per query: warmups immediately followed by the
     # measured passes.  Spark's generated-class cache holds only 100
@@ -173,36 +243,39 @@ def main() -> None:
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
-        q = queries[name]
-        for _ in range(WARMUP_PASSES):
-            _force(q.spark(spark, sf_dir))
-        samples = []
-        for _ in range(MEASURED_PASSES):
-            t0 = time.perf_counter()
-            _force(q.spark(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        medians[name] = round(statistics.median(samples), 4)
-        spreads[name] = round(max(samples) - min(samples), 4)
+        medians[name], spreads[name] = _measure(spark, queries, name,
+                                                sf_dir)
 
-    # attribution re-pass: the watch set again, same discipline,
-    # after everything else has run
-    watch_repass: dict[str, float] = {}
-    for name in WATCH:
-        if name not in queries:
+    # Dynamic attribution re-pass (r10 verdict item 2): re-measure,
+    # LATE in the session, every query whose median moved vs the
+    # previous committed BENCH by more than its own spread (either
+    # round's) AND the absolute floor.  r10's static watch list
+    # missed exactly the three biggest movers; selection is now
+    # derived from the measurement itself.  A repass matching the
+    # prior round pins the first figure to transient load; a repass
+    # matching the first pass makes the move real.
+    prior = _prior_bench()
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if prior.get("sf") != sf_val:
+        prior = {}  # cross-sf deltas are meaningless
+    prior_q = prior.get("queries", {})
+    prior_s = prior.get("spread", {})
+    movers: list[str] = []
+    for name in HEADLINE:
+        if name not in prior_q:
             continue
-        q = queries[name]
-        for _ in range(WARMUP_PASSES):
-            _force(q.spark(spark, sf_dir))
-        samples = []
-        for _ in range(MEASURED_PASSES):
-            t0 = time.perf_counter()
-            _force(q.spark(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        watch_repass[name] = round(statistics.median(samples), 4)
+        delta = abs(medians[name] - prior_q[name])
+        tol = max(spreads.get(name, 0.0), prior_s.get(name, 0.0),
+                  REPASS_FLOOR_SEC)
+        if delta > tol:
+            movers.append(name)
+    watch_repass: dict[str, float] = {}
+    for name in movers:
+        watch_repass[name], _ = _measure(spark, queries, name, sf_dir)
     rebase_after = _rebaseline(spark)
 
     total = round(sum(medians.values()), 4)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_query_total_runtime",
         "value": total,
@@ -210,7 +283,7 @@ def main() -> None:
         "queries": medians,
         "spread": spreads,
         "passes": MEASURED_PASSES,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         # environment self-evidence (round-6 verdict item 4): raw-fs
         # throughput bracketing the run + a fixed synthetic
         # compute-shuffle job measured in THIS session.  In-tree
@@ -219,7 +292,17 @@ def main() -> None:
         "fs_probe": {"before": probe_before, "after": fs_probe()},
         "rebaseline_sec": rebase,
         "rebaseline_after": rebase_after,
+        # contention gate: every leading probe taken before the gate
+        # opened (or gave up), plus the final verdict on the box.  A
+        # BENCH with contended:true is evidence of environment, not
+        # of the plans.
+        "rebaseline_gate": [round(g, 4) for g in gate_probes],
+        "contended": bool(contended),
+        # auto-selected movers (delta vs prior BENCH > max(spread,
+        # prior spread, floor)), re-measured late in the session
         "watch_repass": watch_repass,
+        "repass_auto_selected": movers,
+        "prior_bench_total": prior.get("value"),
     }))
     spark.stop()
 

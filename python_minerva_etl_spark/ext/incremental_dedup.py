@@ -66,6 +66,35 @@ def _bands(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         .select("doc", "signature", "bb.band", "bb.bucket"))
 
 
+def compact_state(state: DataFrame,
+                  retain_min_doc: int | None = None) -> DataFrame:
+    """Bound the signature store — without this it grows forever.
+
+    Two compactions a continuous pipeline needs:
+
+    - **Replay idempotence**: at-least-once delivery re-processes a
+      batch whose docs are already in state; the union in
+      :func:`incremental_dedup` would then hold the same ``(doc,
+      signature)`` row twice (signatures are deterministic, so the
+      copies are identical).  Keep one row per doc.
+    - **Retention horizon**: real dedup state is bounded by policy,
+      not storage — dedup against the trailing window of accepted
+      docs and let older fingerprints expire (the same policy
+      Structured Streaming applies to ``dropDuplicatesWithinWatermark``
+      state).  Doc ids are the ingest order in this pipeline
+      (id-ordered batches are the module contract), so the horizon is
+      a minimum doc id; rows below it are dropped and a future
+      near-dup of an expired doc is — by design — accepted again.
+
+    Run this between ingests (or on a maintenance schedule); both
+    steps are one shuffle over STATE, never over the corpus text.
+    """
+    out = state.select(*STATE_COLS).dropDuplicates(["doc"])
+    if retain_min_doc is not None:
+        out = out.filter(F.col("doc") >= F.lit(retain_min_doc))
+    return out
+
+
 def incremental_dedup(state: DataFrame | None, batch: DataFrame,
                       threshold: float = 0.8, num_hashes: int = 64,
                       bands: int = 16, id_col: str = "doc_id",

@@ -4,20 +4,18 @@
 
 Ordering contract: the driver verifies the first 50 catalog entries
 against their DuckDB oracles (CORRECTNESS window).  ``_WINDOW`` below
-rotates every round.  Round 10 leads with the round's NEW queries
-(the dedup output-guard twin ``dedup_near_pairs_capped``; the
-per-partition Iceberg OPTIMIZE ZORDER roundtrip; the C4 cleaning
-recipe ``text_c4_rules``), then the r9 verdict's two bench-watch
-movers for driver-side attribution datapoints, then the surfaces
-the round's code touched (the DSIR <2-token guard; admission-state
-persistence on all three streaming sources), then a 41-entry
-LEAST-RECENTLY-OFFERED rotation picked by
-``scripts/window_ledger.py --stalest`` from the committed
-CORRECTNESS_r* history (WINDOWS.md is the generated ledger —
-every declared query's offer history is now auditable).  Everything
-else — previously driver-verified — sits after it in ``_DEPTH``.
-Both lists are validated against the modules' QUERIES at import time
-— a missing or unknown name raises.
+rotates every round.  Round 11 leads with the r10 verdict's three
+bench movers (``agg_time_1h``/``agg_time_1d``/``rollup_entity`` —
+untouched code, contended-box evidence; a driver-side correctness
+datapoint closes the loop), then the 47-entry LEAST-RECENTLY-OFFERED
+rotation picked by ``scripts/window_ledger.py --stalest`` from the
+committed CORRECTNESS_r* history: every remaining r3/r4-last-offered
+entry (the relational/function spine, the r4 stream parities, the
+span/containment dedups) plus the first r5 one.  After this round no
+declared query's last offer predates r5.  Everything else —
+previously driver-verified — sits after it in ``_DEPTH``.  Both
+lists are validated against the modules' QUERIES at import time — a
+missing or unknown name raises.
 """
 
 from __future__ import annotations
@@ -26,6 +24,59 @@ from .base import DeclaredQuery
 
 # The driver's correctness window.  Keep this at <= 50 entries.
 _WINDOW = [
+    "agg_time_1h",
+    "agg_time_1d",
+    "rollup_entity",
+    "win_delta_prev",
+    "agg_conditional",
+    "agg_distinct_reagg",
+    "agg_navigated_1d",
+    "attr_compact",
+    "cohort_retention",
+    "corpus_quality_prune",
+    "data_quality_report",
+    "dataset_leakage_safe_split",
+    "dataset_pack_sequences",
+    "dedup_containment",
+    "dedup_source_matrix",
+    "dedup_spans",
+    "dn_reparent",
+    "entity_fuzzy_match",
+    "event_transitions",
+    "filter_time_range",
+    "fn_array_ops",
+    "fn_date_bucket_series",
+    "fn_kpi_math",
+    "fn_map_ops",
+    "fn_string_dn",
+    "graph_reach",
+    "join_anti_null_aware",
+    "join_asof_nearest",
+    "join_left",
+    "join_salted_hot_keys",
+    "join_semi",
+    "json_extract",
+    "mm_frame_sample",
+    "notif_escalation",
+    "project_select",
+    "rank_global",
+    "set_except",
+    "set_union",
+    "stream_enrich_parity",
+    "stream_session_parity",
+    "stream_sliding_parity",
+    "text_heavy_hitters",
+    "text_langid_confusion",
+    "text_redact",
+    "topk_worst",
+    "win_counter_rate",
+    "win_fill_forward",
+    "win_rank_topn",
+    "win_time_range_avg",
+    "agg_benford",
+]
+
+_DEPTH = [
     "dedup_near_pairs_capped",
     "sink_iceberg_zorder_partitioned",
     "text_c4_rules",
@@ -41,7 +92,6 @@ _WINDOW = [
     "agg_rollup_sets",
     "agg_string_concat",
     "agg_time_15m",
-    "agg_time_1d",
     "agg_time_1month",
     "agg_time_1w",
     "agg_variance_exact",
@@ -55,7 +105,6 @@ _WINDOW = [
     "win_running_total",
     "text_fingerprint",
     "agg_count_distinct",
-    "agg_time_1h",
     "attr_change_detect",
     "attr_curr",
     "dataset_hash_split",
@@ -76,14 +125,6 @@ _WINDOW = [
     "text_token_stats",
     "trigger_threshold",
     "upsert_last_wins",
-]
-
-# Everything previously driver-verified: every declared query outside
-# the window has at least one green driver row from rounds 1-8.  Same
-# local test rigor (tests/test_oracle_diff.py runs ALL queries), just
-# outside the driver's 50-entry window this round.
-_DEPTH = [
-    "win_delta_prev",
     "source_avro_zstd_roundtrip",
     "stream_iceberg_pruned_delete_parity",
     "text_gopher_ngrams",
@@ -110,7 +151,6 @@ _DEPTH = [
     "cdc_incremental_agg",
     "dedup_minhash_pairs_verified",
     "materialize_incremental",
-    "rollup_entity",
     "skyline_orders",
     "intervals_merge",
     "peak_concurrency",
@@ -129,10 +169,6 @@ _DEPTH = [
     "rolling_active_users",
     "mm_decode_png",
     "mm_decode_wav",
-    "agg_distinct_reagg",
-    "json_extract",
-    "entity_fuzzy_match",
-    "join_anti_null_aware",
     "dedup_simhash",
     "text_hash_embed",
     "dedup_exact",
@@ -176,50 +212,8 @@ _DEPTH = [
     "events_burstiness",
     "order_latency_percentiles",
     "interarrival_percentiles",
-    "agg_benford",
     "report_week_movers",
     "mm_wav_frames",
-    "agg_navigated_1d",
-    "agg_conditional",
-    "project_select",
-    "filter_time_range",
-    "dn_reparent",
-    "fn_map_ops",
-    "join_salted_hot_keys",
-    "join_left",
-    "join_semi",
-    "graph_reach",
-    "join_asof_nearest",
-    "rank_global",
-    "topk_worst",
-    "set_union",
-    "set_except",
-    "fn_date_bucket_series",
-    "fn_string_dn",
-    "fn_kpi_math",
-    "fn_array_ops",
-    "win_fill_forward",
-    "event_transitions",
-    "attr_compact",
-    "win_rank_topn",
-    "win_counter_rate",
-    "win_time_range_avg",
-    "notif_escalation",
-    "cohort_retention",
-    "stream_session_parity",
-    "stream_enrich_parity",
-    "stream_sliding_parity",
-    "data_quality_report",
-    "dedup_source_matrix",
-    "dedup_containment",
-    "dedup_spans",
-    "text_heavy_hitters",
-    "corpus_quality_prune",
-    "text_langid_confusion",
-    "dataset_pack_sequences",
-    "text_redact",
-    "dataset_leakage_safe_split",
-    "mm_frame_sample",
     "agg_approx_distinct",
     "anomaly_prefix_zscore",
     "stream_anomaly_feed",
