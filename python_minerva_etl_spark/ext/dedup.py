@@ -427,6 +427,78 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         max_pairs_per_doc, F.asc("hamming"))
 
 
+def simhash_near_neighbors(docs: DataFrame, max_hamming: int = 3,
+                           neighborhood: int = 4,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           parallelism: int | None = None) -> DataFrame:
+    """CANDIDATE-BOUNDED simhash near-dup pairs: sorted-neighborhood
+    within each pigeonhole band bucket instead of the full
+    within-bucket self-join.
+
+    :func:`simhash_near_pairs` + :func:`_cap_pairs` bounds the
+    OUTPUT, but a clique of C near-copies still costs O(C^2) inside
+    the band join before anything is capped — measured on the 100x
+    fixture (per-replica near-copy cliques): 22.8M candidate pairs,
+    ~160 s capped or not.  For the decision the pairs feed —
+    keep/drop via connected components — the full clique edge set is
+    redundant: any spanning structure yields the same components.
+    So within each (band, piece) bucket, docs are SORTED by id and
+    each doc pairs with its next ``neighborhood`` successors only —
+    ``lead()`` windows, no self-join anywhere — and candidates are
+    O(n x neighborhood x bands) on ANY clique structure.
+
+    Connectivity: an exact-duplicate clique shares one fingerprint,
+    so all members land in the same bucket in every band and the
+    id-sorted chain connects them (neighborhood >= 1 suffices).  For
+    near-copy cliques the chain holds whenever consecutive-by-id
+    members are within ``max_hamming`` (replica corpora; locked by
+    test).  Pathological orderings can split a component — this is
+    the standard sorted-neighborhood trade (Hernandez & Stolfo's
+    merge/purge), bought for a hard candidate bound; raise
+    ``neighborhood`` to harden it.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    Every emitted pair passes the exact popcount filter, so this is
+    a SUBSET of :func:`simhash_near_pairs` — precision 1 vs that
+    surface, recall traded for the bound.
+    """
+    if neighborhood < 1:
+        raise ValueError("neighborhood must be >= 1")
+    bands = max_hamming + 1
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fp = simhash64(docs, id_col, text_col, parallelism=parallelism)
+    pieces = fp.select("doc", "simhash", F.expr(
+        f"explode(transform(sequence(0, {bands - 1}), bi -> "
+        f"struct(bi AS band, shiftright(simhash, bi * {width}) & {mask}"
+        f" AS piece)))").alias("bp")
+    ).select("doc", "simhash", "bp.band", "bp.piece")
+    w = Window.partitionBy("band", "piece").orderBy("doc")
+    nbrs = pieces.select(
+        "doc", "simhash",
+        F.array(*[F.struct(
+            F.lead("doc", s).over(w).alias("doc_b"),
+            F.lead("simhash", s).over(w).alias("fp_b"))
+            for s in range(1, neighborhood + 1)]).alias("nbrs"))
+    hamming = F.bit_count(
+        F.col("simhash").bitwiseXOR(F.col("nb.fp_b"))).cast("bigint")
+    return (nbrs.select("doc", "simhash",
+                        F.explode("nbrs").alias("nb"))
+            .filter(F.col("nb.doc_b").isNotNull())
+            .select(F.col("doc").alias("doc_a"),
+                    F.col("nb.doc_b").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            # a pair adjacent in several bands surfaces once per
+            # band; the output is already candidate-bounded, so one
+            # small exchange dedups it exactly (the scan-local
+            # first-band trick would DROP a pair whose earlier
+            # agreeing band didn't have it within the neighborhood)
+            .groupBy("doc_a", "doc_b").agg(F.min("hamming")
+                                           .alias("hamming")))
+
+
 def simhash_md5(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Cross-engine 64-bit SimHash as TWO 32-bit halves ``(hi, lo)``:

@@ -170,6 +170,7 @@ _DEPTH = [
     "mm_decode_png",
     "mm_decode_wav",
     "dedup_simhash",
+    "dedup_simhash_neighbors",
     "text_hash_embed",
     "dedup_exact",
     "agg_time_sliding",

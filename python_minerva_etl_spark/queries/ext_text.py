@@ -102,6 +102,21 @@ def _dedup_simhash(spark, sf_dir):
         parallelism=spark.sparkContext.defaultParallelism)
 
 
+def _dedup_simhash_neighbors(spark, sf_dir):
+    """EXT-DEDUP (SimHash, candidate-bounded scale twin): sorted-
+    neighborhood within the pigeonhole band buckets — lead() windows,
+    no self-join — so candidates are O(n x W x bands) on ANY clique
+    structure, where the full band join is O(clique^2) BEFORE any
+    output cap (100x fixture: 151.6 s / 22.8M pairs uncapped vs
+    5.7 s here, exponent 1.11 -> 0.15; SCALE_r11_100x.json).
+    Deterministic (id-ordered chains) but a designed subset of the
+    full pair set -> rows-only; subset/precision and clique
+    connectivity are locked by tests/test_dedup.py."""
+    return D.simhash_near_neighbors(
+        t(spark, sf_dir, "documents"), max_hamming=3, neighborhood=4,
+        parallelism=spark.sparkContext.defaultParallelism)
+
+
 def _dedup_minhash_pairs_verified(spark, sf_dir):
     """EXT-DEDUP-NEAR, precision-VERIFIED twin of the rows-only
     `dedup_minhash_pairs` (round-7 verdict #6): the full two-phase
@@ -1295,6 +1310,7 @@ QUERIES = [
     DeclaredQuery("dedup_near_pairs_capped", _dedup_near_pairs_capped, _DEDUP_NEAR_PAIRS_CAPPED_SQL, "EXT-DEDUP-NEAR (max_pairs_per_doc output guard)"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
     DeclaredQuery("dedup_simhash", _dedup_simhash, None, "EXT-DEDUP (SimHash)"),
+    DeclaredQuery("dedup_simhash_neighbors", _dedup_simhash_neighbors, None, "EXT-DEDUP (SimHash, sorted-neighborhood candidate bound)"),
     DeclaredQuery("dedup_minhash_pairs_verified", _dedup_minhash_pairs_verified, _DEDUP_MINHASH_PAIRS_VERIFIED_SQL, "EXT-DEDUP-NEAR (LSH two-phase, precision+recall oracle-verified)"),
     DeclaredQuery("dedup_simhash_verified", _dedup_simhash_verified, _DEDUP_SIMHASH_VERIFIED_SQL, "EXT-DEDUP (SimHash, md5 fingerprints oracle-verified bit-for-bit)"),
     DeclaredQuery("dedup_incremental", _dedup_incremental, None, "EXT-DEDUP (incremental ingest)"),

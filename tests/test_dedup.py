@@ -745,3 +745,62 @@ def test_compact_state_retention_horizon(spark):
     assert {r.doc for r in state.collect()} == {50}
     acc2, _ = incremental_dedup(state, _mk_docs(spark, [(100, text)]))
     assert {r.doc_id for r in acc2.collect()} == {100}
+
+
+def test_simhash_neighbors_subset_and_connectivity(spark):
+    """simhash_near_neighbors: every emitted pair is in the full band-
+    join pair set (precision 1 vs that surface), and on a clique
+    corpus the bounded candidates yield the SAME connected components
+    as the quadratic full pair set."""
+    from python_minerva_etl_spark.ext.clusters import connected_components
+    from python_minerva_etl_spark.ext.dedup import (simhash_near_neighbors,
+                                                    simhash_near_pairs)
+
+    rows = _clique_corpus()
+    docs = _mk_docs(spark, rows)
+    full = simhash_near_pairs(docs, max_hamming=3)
+    nbrs = simhash_near_neighbors(docs, max_hamming=3, neighborhood=2)
+
+    full_set = {(r.doc_a, r.doc_b, r.hamming) for r in full.collect()}
+    nbr_set = {(r.doc_a, r.doc_b, r.hamming) for r in nbrs.collect()}
+    assert nbr_set <= full_set
+    assert nbr_set  # non-trivial
+
+    def comps(pairs):
+        cc = connected_components(pairs)
+        groups = {}
+        for r in cc.collect():
+            groups.setdefault(r.cluster, set()).add(r.doc)
+        return {frozenset(g) for g in groups.values()}
+
+    assert comps(nbrs) == comps(full)
+
+
+def test_simhash_neighbors_candidate_bound(spark):
+    """The whole point: candidates are O(n * neighborhood * bands) on
+    ANY clique structure — a 40-member exact clique emits a bounded
+    chain, not 780 pairs."""
+    from python_minerva_etl_spark.ext.dedup import (simhash_near_neighbors,
+                                                    simhash_near_pairs)
+
+    text = " ".join(f"tok{i}" for i in range(25))
+    docs = _mk_docs(spark, [(i, text) for i in range(1, 41)])
+    full_n = simhash_near_pairs(docs, max_hamming=3).count()
+    assert full_n == 40 * 39 // 2  # quadratic, as expected
+    nb = simhash_near_neighbors(docs, max_hamming=3, neighborhood=2)
+    n = nb.count()
+    assert n <= 40 * 2  # n * W after cross-band dedup
+    # the chain spans the clique: 39 consecutive pairs present
+    got = {(r.doc_a, r.doc_b) for r in nb.collect()}
+    assert {(i, i + 1) for i in range(1, 40)} <= got
+
+
+def test_simhash_neighbors_partitioning_invariant(spark):
+    from python_minerva_etl_spark.ext.dedup import simhash_near_neighbors
+
+    docs = _mk_docs(spark, _clique_corpus())
+    a = sorted(tuple(r) for r in simhash_near_neighbors(
+        docs.coalesce(1), neighborhood=3).collect())
+    b = sorted(tuple(r) for r in simhash_near_neighbors(
+        docs.repartition(13), neighborhood=3).collect())
+    assert a == b and len(a) > 10
