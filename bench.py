@@ -209,7 +209,17 @@ def main() -> None:
     # measured fastest across the headline set — narrower partition
     # counts help the small shuffles but hurt the explode-heavy dedup
     # plans more.
-    spark = get_spark(app_name="minerva-bench")
+    # Codegen-cache headroom (r10 verdict item 8, measured by
+    # scripts/probe_codegen_cache.py): the default 100-entry
+    # generated-class cache can't hold the 23-query headline set's
+    # stages, so a round-robin session re-JITs plans that already ran
+    # — a 9% steady-state tax (26.5 -> 24.3 s/sweep at 4096) that a
+    # real deployment (each plan resident on its own executors) never
+    # pays.  Benching with headroom measures the plans, not the
+    # harness's eviction pattern.
+    spark = get_spark(app_name="minerva-bench",
+                      extra_conf={
+                          "spark.sql.codegen.cache.maxEntries": "4096"})
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 

@@ -277,6 +277,47 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 64,
     )
 
 
+def minhash_lsh_neighbors(docs: DataFrame, num_hashes: int = 64,
+                          bands: int = 16, neighborhood: int = 4,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """CANDIDATE-BOUNDED LSH: sorted-neighborhood within each (band,
+    bucket) instead of the full within-bucket self-join — the MinHash
+    counterpart of :func:`simhash_near_neighbors` (see its docstring
+    for the clique-cost argument; same 100x evidence in
+    SCALE_r11_100x.json).  Docs sort by id inside each bucket and
+    pair with their next ``neighborhood`` successors via ``lead()``
+    windows — no join — so candidates are O(n x W x bands) on ANY
+    clique structure.  Exact-duplicate cliques share one signature
+    (same bucket in every band), so the id-sorted chain connects them
+    for the components/keep-canonical consumers; loosely-connected
+    near-cliques trade recall, tunable via ``neighborhood``."""
+    if neighborhood < 1:
+        raise ValueError("neighborhood must be >= 1")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col)
+    buckets = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("signature",
+                                        bi * rows_per_band + ri + 1)
+                           .cast("string")
+                           for ri in range(rows_per_band)])).alias("bucket"))
+            for bi in range(bands)])).alias("bb")
+    ).select("doc", "bb.band", "bb.bucket")
+    w = Window.partitionBy("band", "bucket").orderBy("doc")
+    nbrs = buckets.select(
+        "doc", F.array(*[F.lead("doc", s).over(w)
+                         for s in range(1, neighborhood + 1)]).alias("nbrs"))
+    return (nbrs.select(F.col("doc").alias("doc_a"),
+                        F.explode("nbrs").alias("doc_b"))
+            .filter(F.col("doc_b").isNotNull())
+            .distinct())
+
+
 def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
                        num_hashes: int = 64, bands: int = 8,
                        id_col: str = "doc_id",
@@ -289,6 +330,15 @@ def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
     ``near_dup_pairs_exact`` minus LSH recall misses (recall measured
     in tests/test_dedup.py)."""
     cand = minhash_lsh_candidates(docs, num_hashes, bands, id_col, text_col)
+    return _cap_pairs(_verify_jaccard(docs, cand, threshold,
+                                      id_col, text_col),
+                      max_pairs_per_doc, F.desc("jaccard"))
+
+
+def _verify_jaccard(docs: DataFrame, cand: DataFrame, threshold: float,
+                    id_col: str, text_col: str) -> DataFrame:
+    """Exact token-Jaccard verification of a (doc_a, doc_b) candidate
+    set — cost linear in |candidates|."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(tokens_col(text_col)).alias("toks"))
@@ -297,11 +347,25 @@ def near_dup_pairs_lsh(docs: DataFrame, threshold: float,
     n_common = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (n_common.cast("double")
            / (F.size("toks_a") + F.size("toks_b") - n_common).cast("double"))
-    return _cap_pairs(
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold),
-        max_pairs_per_doc, F.desc("jaccard"))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def near_dup_pairs_lsh_neighbors(docs: DataFrame, threshold: float,
+                                 num_hashes: int = 64, bands: int = 8,
+                                 neighborhood: int = 4,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """The candidate-bounded two-phase pipeline: sorted-neighborhood
+    LSH candidates (:func:`minhash_lsh_neighbors`) + exact Jaccard
+    verify.  Every emitted pair is a true >= threshold pair
+    (precision 1 vs the exact surface); recall trades the full pair
+    set for an O(n x W x bands) candidate bound that no clique
+    structure can break."""
+    cand = minhash_lsh_neighbors(docs, num_hashes, bands, neighborhood,
+                                 id_col, text_col)
+    return _verify_jaccard(docs, cand, threshold, id_col, text_col)
 
 
 # ------------------------------------------------------------------- SimHash

@@ -92,6 +92,19 @@ def _dedup_minhash_pairs(spark, sf_dir):
                                     num_hashes=64, bands=8)
 
 
+def _dedup_minhash_neighbors(spark, sf_dir):
+    """EXT-DEDUP-NEAR (candidate-bounded scale twin): sorted-
+    neighborhood LSH candidates (lead() chains inside each band
+    bucket, no self-join — O(n x W x bands) on any clique structure)
+    + exact Jaccard verify, so every emitted pair is a true >= 0.9
+    pair.  Deterministic but a designed subset of the full pair set
+    -> rows-only; candidate bound, subset/precision, and clique-
+    connectivity equality locked by tests/test_dedup.py."""
+    return D.near_dup_pairs_lsh_neighbors(
+        t(spark, sf_dir, "documents"), threshold=0.9,
+        num_hashes=64, bands=8, neighborhood=4)
+
+
 def _dedup_simhash(spark, sf_dir):
     """EXT-DEDUP (SimHash): 64-bit fingerprint near-dup pairs within
     Hamming distance 3 via pigeonhole banding.  Rows-only check.
@@ -1309,6 +1322,7 @@ QUERIES = [
     DeclaredQuery("dedup_near_pairs", _dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL, "EXT-DEDUP-NEAR"),
     DeclaredQuery("dedup_near_pairs_capped", _dedup_near_pairs_capped, _DEDUP_NEAR_PAIRS_CAPPED_SQL, "EXT-DEDUP-NEAR (max_pairs_per_doc output guard)"),
     DeclaredQuery("dedup_minhash_pairs", _dedup_minhash_pairs, None, "EXT-DEDUP-NEAR (LSH scale path)"),
+    DeclaredQuery("dedup_minhash_neighbors", _dedup_minhash_neighbors, None, "EXT-DEDUP-NEAR (sorted-neighborhood candidate bound + exact verify)"),
     DeclaredQuery("dedup_simhash", _dedup_simhash, None, "EXT-DEDUP (SimHash)"),
     DeclaredQuery("dedup_simhash_neighbors", _dedup_simhash_neighbors, None, "EXT-DEDUP (SimHash, sorted-neighborhood candidate bound)"),
     DeclaredQuery("dedup_minhash_pairs_verified", _dedup_minhash_pairs_verified, _DEDUP_MINHASH_PAIRS_VERIFIED_SQL, "EXT-DEDUP-NEAR (LSH two-phase, precision+recall oracle-verified)"),

@@ -804,3 +804,39 @@ def test_simhash_neighbors_partitioning_invariant(spark):
     b = sorted(tuple(r) for r in simhash_near_neighbors(
         docs.repartition(13), neighborhood=3).collect())
     assert a == b and len(a) > 10
+
+
+def test_minhash_neighbors_bound_subset_connectivity(spark):
+    """minhash_lsh_neighbors: candidates bounded on a deep clique,
+    verified pairs a subset of the exact >= threshold pair set, and
+    components equal to the full pipeline's on a clique corpus."""
+    from python_minerva_etl_spark.ext.clusters import connected_components
+    from python_minerva_etl_spark.ext.dedup import (
+        minhash_lsh_neighbors, near_dup_pairs_exact,
+        near_dup_pairs_lsh_neighbors)
+
+    # deep exact clique: candidates must stay linear
+    text = " ".join(f"tok{i}" for i in range(25))
+    clique = _mk_docs(spark, [(i, text) for i in range(1, 41)])
+    cand = minhash_lsh_neighbors(clique, bands=8, neighborhood=2)
+    assert cand.count() <= 40 * 2
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert {(i, i + 1) for i in range(1, 40)} <= got  # chain spans it
+
+    # mixed corpus: subset + identical components
+    docs = _mk_docs(spark, _clique_corpus())
+    exact = near_dup_pairs_exact(docs, 0.9)
+    nbrs = near_dup_pairs_lsh_neighbors(docs, 0.9, bands=8,
+                                        neighborhood=2)
+    exact_set = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    nbr_set = {(r.doc_a, r.doc_b) for r in nbrs.collect()}
+    assert nbr_set and nbr_set <= exact_set
+
+    def comps(pairs):
+        cc = connected_components(pairs)
+        groups = {}
+        for r in cc.collect():
+            groups.setdefault(r.cluster, set()).add(r.doc)
+        return {frozenset(g) for g in groups.values()}
+
+    assert comps(nbrs) == comps(exact)
