@@ -91,33 +91,32 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame,
     100 TB the candidate set is ~1/2^planes of the corpus per table —
     partition pruning for vectors.
     """
-    def coeff_fn(t_ix: int, p_ix: int):
-        # deterministic hyperplane: coeff_j = centered hash of
-        # (seed, table, plane, element index) — computed per element
-        def f(_x, i):
-            return (F.xxhash64(F.lit(seed), F.lit(t_ix), F.lit(p_ix), i)
-                    .cast("double") / F.lit(2.0 ** 63))
-        return f
-
     def bucket_expr(prefix: str) -> Column:
+        # One F.expr STRING for the whole table array (the simhash64
+        # lesson): the old Column-lambda construction issued a py4j
+        # round-trip per operator — 64 nested HOF projections took
+        # ~110 s of pure DRIVER time per call (measured sf0.01, r11);
+        # parsing the identical tree from one SQL string is
+        # milliseconds.  Value-identical: same xxhash64 argument
+        # types (int literals, int transform index), same
+        # CAST-to-double / 2^63 centering, same int bit arithmetic.
+        two63 = repr(2.0 ** 63)
+
+        def proj(t_ix: int, p_ix: int) -> str:
+            return (f"aggregate(zip_with(`{prefix}`, "
+                    f"transform(`{prefix}`, (_x, i) -> "
+                    f"CAST(xxhash64({seed}, {t_ix}, {p_ix}, i) AS DOUBLE)"
+                    f" / CAST('{two63}' AS DOUBLE)), "
+                    f"(x, h) -> CAST(x AS DOUBLE) * h), "
+                    f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
         tables = []
         for t_ix in range(num_tables):
-            bits = []
-            for p_ix in range(num_planes):
-                proj = F.aggregate(
-                    F.zip_with(
-                        F.col(prefix),
-                        F.transform(F.col(prefix), coeff_fn(t_ix, p_ix)),
-                        lambda x, h: x.cast("double") * h),
-                    F.lit(0.0), lambda acc, x: acc + x)
-                bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-                            * F.lit(1 << p_ix))
-            code = bits[0]
-            for b in bits[1:]:
-                code = code + b
-            tables.append(F.struct(F.lit(t_ix).alias("tbl"),
-                                   code.alias("bucket")))
-        return F.explode(F.array(*tables))
+            code = " + ".join(
+                f"(IF({proj(t_ix, p_ix)} >= 0, 1, 0) * {1 << p_ix})"
+                for p_ix in range(num_planes))
+            tables.append(f"struct({t_ix} AS tbl, ({code}) AS bucket)")
+        return F.expr(f"explode(array({', '.join(tables)}))")
 
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
