@@ -658,6 +658,49 @@ def simhash_md5_near_pairs(docs: DataFrame, max_hamming: int = 3,
         max_pairs_per_doc, F.asc("hamming"))
 
 
+def simhash_md5_near_neighbors(docs: DataFrame, neighborhood: int = 4,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """ORACLE-VERIFIABLE sorted-neighborhood SimHash: the candidate-
+    bounded chain logic of :func:`simhash_near_neighbors` on the md5
+    fingerprints of :func:`simhash_md5`, so a DuckDB oracle can
+    rebuild the fingerprints, the band pieces, the per-bucket
+    id-ordered chains (rank-difference join ≡ the lead() windows
+    here), and the popcount filter bit-for-bit.  Fixed 4 x 16-bit
+    banding (hamming <= 3).  Output (doc_a, doc_b, hamming), each
+    pair once with its min hamming across agreeing bands."""
+    if neighborhood < 1:
+        raise ValueError("neighborhood must be >= 1")
+    fp = simhash_md5(docs, id_col, text_col)
+    pieces = fp.select("doc", "hi", "lo", F.expr(
+        "explode(array("
+        "struct(0 AS band, lo & 65535 AS piece), "
+        "struct(1 AS band, shiftright(lo, 16) & 65535 AS piece), "
+        "struct(2 AS band, hi & 65535 AS piece), "
+        "struct(3 AS band, shiftright(hi, 16) & 65535 AS piece)))")
+        .alias("bp")
+    ).select("doc", "hi", "lo", "bp.band", "bp.piece")
+    w = Window.partitionBy("band", "piece").orderBy("doc")
+    nbrs = pieces.select(
+        "doc", "hi", "lo",
+        F.array(*[F.struct(
+            F.lead("doc", s).over(w).alias("doc_b"),
+            F.lead("hi", s).over(w).alias("hi_b"),
+            F.lead("lo", s).over(w).alias("lo_b"))
+            for s in range(1, neighborhood + 1)]).alias("nbrs"))
+    hamming = (F.bit_count(F.col("hi").bitwiseXOR(F.col("nb.hi_b")))
+               + F.bit_count(F.col("lo").bitwiseXOR(F.col("nb.lo_b")))
+               ).cast("bigint")
+    return (nbrs.select("doc", "hi", "lo", F.explode("nbrs").alias("nb"))
+            .filter(F.col("nb.doc_b").isNotNull())
+            .select(F.col("doc").alias("doc_a"),
+                    F.col("nb.doc_b").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+            .groupBy("doc_a", "doc_b").agg(F.min("hamming")
+                                           .alias("hamming")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id",
                         text_col: str = "text",

@@ -4,9 +4,10 @@
 
 Ordering contract: the driver verifies the first 50 catalog entries
 against their DuckDB oracles (CORRECTNESS window).  ``_WINDOW`` below
-rotates every round.  Round 11 leads with the round's two NEW
-queries (the sorted-neighborhood candidate-bounded dedup twins,
-rows-only by design), then the r10 verdict's three bench movers
+rotates every round.  Round 11 leads with the round's three NEW
+queries (the sorted-neighborhood candidate-bounded dedup twins —
+two rows-only by design, one md5-based and ORACLE-VERIFIED), then
+the r10 verdict's three bench movers
 (``agg_time_1h``/``agg_time_1d``/``rollup_entity`` — untouched code,
 contended-box evidence; a driver-side correctness datapoint closes
 the loop), then a 45-entry LEAST-RECENTLY-OFFERED rotation picked by
@@ -14,8 +15,9 @@ the loop), then a 45-entry LEAST-RECENTLY-OFFERED rotation picked by
 CORRECTNESS_r* history: the last r3 entry and the r4-last-offered
 spine (relational/functions, the r4 stream parities, the span/
 containment dedups).  After this round every declared query's last
-offer is >= r4, and only two (``data_quality_report``,
-``agg_benford``) predate r5 — they lead the r12 rotation.
+offer is >= r4, and only three (``data_quality_report``,
+``win_time_range_avg``, ``agg_benford``) predate r5 — they lead the
+r12 rotation.
 Everything else — previously driver-verified — sits after it in
 ``_DEPTH``.  Both lists are validated against the modules' QUERIES
 at import time — a missing or unknown name raises.
@@ -29,6 +31,7 @@ from .base import DeclaredQuery
 _WINDOW = [
     "dedup_simhash_neighbors",
     "dedup_minhash_neighbors",
+    "dedup_simhash_neighbors_verified",
     "agg_time_1h",
     "agg_time_1d",
     "rollup_entity",
@@ -76,10 +79,10 @@ _WINDOW = [
     "win_counter_rate",
     "win_fill_forward",
     "win_rank_topn",
-    "win_time_range_avg",
 ]
 
 _DEPTH = [
+    "win_time_range_avg",
     "agg_benford",
     "data_quality_report",
     "dedup_near_pairs_capped",

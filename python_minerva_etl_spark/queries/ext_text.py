@@ -192,6 +192,71 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 """
 
 
+def _dedup_simhash_neighbors_verified(spark, sf_dir):
+    """EXT-DEDUP (SimHash sorted-neighborhood), ORACLE-VERIFIED twin
+    of the rows-only `dedup_simhash_neighbors`: md5 fingerprints, the
+    same 4x16 banding, and the same id-ordered W=4 chains per band
+    bucket — the oracle rebuilds the fingerprints, buckets, RANKS
+    (rank-difference join ≡ the Spark lead() windows), popcount
+    filter, and min-hamming pair dedup independently, so the
+    candidate-bound logic itself is hash-checked, not just
+    shape-checked."""
+    return D.simhash_md5_near_neighbors(t(spark, sf_dir, "documents"),
+                                        neighborhood=4)
+
+
+_DEDUP_SIMHASH_NEIGHBORS_VERIFIED_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+tw AS (
+  SELECT doc_id, tok, COUNT(*) AS w,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+  FROM tok GROUP BY 1, 2
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(w * (2 * ((CASE WHEN b < 32 THEN (h2 >> b)
+                        ELSE (h1 >> (b - 32)) END) & 1) - 1)) AS v
+  FROM tw CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN b >= 32 AND v > 0
+                  THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS hi,
+         SUM(CASE WHEN b < 32 AND v > 0
+                  THEN (1::BIGINT << b) ELSE 0 END) AS lo
+  FROM votes GROUP BY 1
+),
+pieces AS (
+  SELECT doc_id, hi, lo, band,
+         CASE band WHEN 0 THEN lo & 65535
+                   WHEN 1 THEN (lo >> 16) & 65535
+                   WHEN 2 THEN hi & 65535
+                   ELSE (hi >> 16) & 65535 END AS piece
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) b
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY band, piece
+                               ORDER BY doc_id) AS rn
+  FROM pieces
+),
+chains AS (
+  SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+         bit_count(xor(p1.hi, p2.hi))
+           + bit_count(xor(p1.lo, p2.lo)) AS h
+  FROM ranked p1 JOIN ranked p2
+    ON p1.band = p2.band AND p1.piece = p2.piece
+   AND p2.rn > p1.rn AND p2.rn <= p1.rn + 4
+)
+SELECT doc_a, doc_b, CAST(MIN(h) AS BIGINT) AS hamming
+FROM chains WHERE h <= 3 GROUP BY 1, 2
+"""
+
+
 def _dedup_ngram_jaccard(spark, sf_dir):
     """EXT-DEDUP (n-gram): character-3-gram Jaccard >= 0.95 pairs —
     the shingle-level near-dup variant."""
@@ -1327,6 +1392,7 @@ QUERIES = [
     DeclaredQuery("dedup_simhash_neighbors", _dedup_simhash_neighbors, None, "EXT-DEDUP (SimHash, sorted-neighborhood candidate bound)"),
     DeclaredQuery("dedup_minhash_pairs_verified", _dedup_minhash_pairs_verified, _DEDUP_MINHASH_PAIRS_VERIFIED_SQL, "EXT-DEDUP-NEAR (LSH two-phase, precision+recall oracle-verified)"),
     DeclaredQuery("dedup_simhash_verified", _dedup_simhash_verified, _DEDUP_SIMHASH_VERIFIED_SQL, "EXT-DEDUP (SimHash, md5 fingerprints oracle-verified bit-for-bit)"),
+    DeclaredQuery("dedup_simhash_neighbors_verified", _dedup_simhash_neighbors_verified, _DEDUP_SIMHASH_NEIGHBORS_VERIFIED_SQL, "EXT-DEDUP (SimHash sorted-neighborhood, oracle-verified chain logic)"),
     DeclaredQuery("dedup_incremental", _dedup_incremental, None, "EXT-DEDUP (incremental ingest)"),
     DeclaredQuery("dedup_ngram_jaccard", _dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, "EXT-DEDUP (n-gram)"),
     DeclaredQuery("dedup_clusters", _dedup_clusters, _DEDUP_CLUSTERS_SQL, "EXT-DEDUP (connected components)"),
