@@ -77,6 +77,11 @@ HEADLINE = [
     # pages (one scan + one shuffle) — tracked from r10 on; excluded
     # from earlier-round comparable subtotals
     "text_c4_rules",
+    # round 11 addition: the candidate-bounded sorted-neighborhood
+    # simhash (the clique-safe scale path; 100x exponent 0.15 vs the
+    # full band join's 1.11) — tracked from r11 on; excluded from
+    # earlier-round comparable subtotals
+    "dedup_simhash_neighbors",
 ]
 
 WARMUP_PASSES = 2
