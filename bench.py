@@ -191,10 +191,8 @@ def _prior_bench() -> dict:
     return best
 
 
-def _measure(spark, queries, name: str, sf_dir: str):
-    """2 warmups + 3 measured noop-forced passes -> (median, spread)."""
-    q = queries[name]
-    for _ in range(WARMUP_PASSES):
+def _measure_once(spark, q, sf_dir: str, warmups: int):
+    for _ in range(warmups):
         _force(q.spark(spark, sf_dir))
     samples = []
     for _ in range(MEASURED_PASSES):
@@ -203,6 +201,31 @@ def _measure(spark, queries, name: str, sf_dir: str):
         samples.append(time.perf_counter() - t0)
     return (round(statistics.median(samples), 4),
             round(max(samples) - min(samples), 4))
+
+
+# A query whose own passes disagree this much was measured through a
+# load transient (the gate only certifies the START of the run; this
+# box demonstrably gets hammered mid-run too).  One bounded retry
+# after a short settle; keep whichever attempt is tighter.
+NOISY_SPREAD_FRAC = 0.5
+NOISY_SPREAD_FLOOR = 0.3
+NOISY_SETTLE_SEC = 15
+
+
+def _measure(spark, queries, name: str, sf_dir: str,
+             remeasured: list | None = None):
+    """2 warmups + 3 measured noop-forced passes -> (median, spread);
+    one retry if the spread says the passes straddled a transient."""
+    q = queries[name]
+    med, spr = _measure_once(spark, q, sf_dir, WARMUP_PASSES)
+    if spr > max(NOISY_SPREAD_FRAC * med, NOISY_SPREAD_FLOOR):
+        time.sleep(NOISY_SETTLE_SEC)
+        med2, spr2 = _measure_once(spark, q, sf_dir, 0)  # still warm
+        if remeasured is not None:
+            remeasured.append(name)
+        if spr2 < spr:
+            return med2, spr2
+    return med, spr
 
 
 def main() -> None:
@@ -255,11 +278,12 @@ def main() -> None:
     # Per-query warm measurement reflects steady-state executor
     # throughput — on a real cluster each of these plans runs
     # continuously, not round-robin with 16 strangers in one JVM.
+    remeasured_noisy: list[str] = []
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         medians[name], spreads[name] = _measure(spark, queries, name,
-                                                sf_dir)
+                                                sf_dir, remeasured_noisy)
 
     # Dynamic attribution re-pass (r10 verdict item 2): re-measure,
     # LATE in the session, every query whose median moved vs the
@@ -317,6 +341,9 @@ def main() -> None:
         # prior spread, floor)), re-measured late in the session
         "watch_repass": watch_repass,
         "repass_auto_selected": movers,
+        # queries whose first 3 passes straddled a load transient
+        # (excess spread) and earned the bounded settle-and-retry
+        "remeasured_noisy": remeasured_noisy,
         "prior_bench_total": prior.get("value"),
     }))
     spark.stop()
