@@ -98,13 +98,27 @@ def compact_state(state: DataFrame,
 def incremental_dedup(state: DataFrame | None, batch: DataFrame,
                       threshold: float = 0.8, num_hashes: int = 64,
                       bands: int = 16, id_col: str = "doc_id",
-                      text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                      text_col: str = "text",
+                      batch_neighborhood: int | None = None
+                      ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``batch`` against accepted ``state`` (and itself).
 
     Returns ``(accepted, new_state)``: the accepted batch rows (all
     original columns) and the signature state grown by them.  Pass
     ``state=None`` for the first batch.  Persist ``new_state``
     (parquet/SnapTable) between runs; the caller owns storage.
+
+    ``batch_neighborhood=W`` bounds the WITHIN-BATCH candidate join
+    with id-sorted lead() chains per band bucket (the r11
+    sorted-neighborhood pattern — see ``dedup.simhash_near_neighbors``)
+    instead of the full bucket self-join: a batch carrying a deep
+    duplicate clique costs O(n·W·bands), not O(clique²).  For
+    exact-dup cliques the keep set is unchanged (member k's chain
+    predecessor k−1 is a true match, so everyone but the canonical
+    still drops — test-locked); loosely-chained near-cliques trade
+    recall.  ``None`` (default) keeps the full join.  The
+    batch-vs-STATE join is unaffected — it is candidate-bounded by
+    the batch size already.
     """
     sig_new = minhash_signatures(batch, num_hashes, id_col, text_col)
     new_b = _bands(sig_new, num_hashes, bands)
@@ -122,15 +136,31 @@ def incremental_dedup(state: DataFrame | None, batch: DataFrame,
             .select(F.col("n.doc").alias("doc")).distinct())
 
     # within-batch: lower-id batch mate in the same bucket wins
-    dropped_in_batch = (
-        new_b.alias("a")
-        .join(new_b.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.bucket") == F.col("b.bucket"))
-              & (F.col("a.doc") < F.col("b.doc")))
-        .filter(signature_jaccard_est(
-            F.col("a.signature"), F.col("b.signature")) >= threshold)
-        .select(F.col("b.doc").alias("doc")).distinct())
+    if batch_neighborhood is None:
+        dropped_in_batch = (
+            new_b.alias("a")
+            .join(new_b.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.doc") < F.col("b.doc")))
+            .filter(signature_jaccard_est(
+                F.col("a.signature"), F.col("b.signature")) >= threshold)
+            .select(F.col("b.doc").alias("doc")).distinct())
+    else:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("band", "bucket").orderBy("doc")
+        nbrs = new_b.select(
+            "doc", "signature",
+            F.array(*[F.struct(
+                F.lead("doc", s).over(w).alias("doc_b"),
+                F.lead("signature", s).over(w).alias("sig_b"))
+                for s in range(1, batch_neighborhood + 1)]).alias("nbrs"))
+        dropped_in_batch = (
+            nbrs.select("signature", F.explode("nbrs").alias("nb"))
+            .filter(F.col("nb.doc_b").isNotNull())
+            .filter(signature_jaccard_est(
+                F.col("signature"), F.col("nb.sig_b")) >= threshold)
+            .select(F.col("nb.doc_b").alias("doc")).distinct())
 
     dropped = dropped_in_batch if dropped_vs_state is None else \
         dropped_in_batch.unionByName(dropped_vs_state).distinct()

@@ -840,3 +840,26 @@ def test_minhash_neighbors_bound_subset_connectivity(spark):
         return {frozenset(g) for g in groups.values()}
 
     assert comps(nbrs) == comps(exact)
+
+
+def test_incremental_dedup_batch_neighborhood_equivalent_on_cliques(spark):
+    """batch_neighborhood bounds the within-batch join; on exact-dup
+    cliques the keep set (and final state) matches the full-join
+    variant batch for batch."""
+    from python_minerva_etl_spark.ext.incremental_dedup import (
+        compact_state, incremental_dedup)
+
+    rows = _clique_corpus()
+    for kwargs in ({}, {"batch_neighborhood": 2}):
+        state, got = None, set()
+        for lo, hi in ((0, 20), (20, 40), (40, len(rows))):
+            acc, state = incremental_dedup(state, _mk_docs(spark, rows[lo:hi]),
+                                           **kwargs)
+            state = compact_state(state)
+            got |= {r.doc_id for r in acc.collect()}
+        if "batch_neighborhood" in kwargs:
+            assert got == full_got
+            assert state.count() == full_state_n
+        else:
+            full_got, full_state_n = got, state.count()
+    assert len(full_got) == 20
