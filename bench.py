@@ -228,6 +228,24 @@ def _measure(spark, queries, name: str, sf_dir: str,
     return med, spr
 
 
+def _select_movers(medians: dict, spreads: dict, prior: dict) -> list:
+    """A query earns a repass when its median moved vs the prior
+    committed BENCH by more than max(own spread, prior spread,
+    REPASS_FLOOR_SEC).  Pure selection math, unit-tested."""
+    prior_q = prior.get("queries", {})
+    prior_s = prior.get("spread", {})
+    movers = []
+    for name in medians:
+        if name not in prior_q:
+            continue
+        delta = abs(medians[name] - prior_q[name])
+        tol = max(spreads.get(name, 0.0), prior_s.get(name, 0.0),
+                  REPASS_FLOOR_SEC)
+        if delta > tol:
+            movers.append(name)
+    return movers
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from python_minerva_etl_spark.queries.catalog import all_queries
@@ -298,17 +316,7 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     if prior.get("sf") != sf_val:
         prior = {}  # cross-sf deltas are meaningless
-    prior_q = prior.get("queries", {})
-    prior_s = prior.get("spread", {})
-    movers: list[str] = []
-    for name in HEADLINE:
-        if name not in prior_q:
-            continue
-        delta = abs(medians[name] - prior_q[name])
-        tol = max(spreads.get(name, 0.0), prior_s.get(name, 0.0),
-                  REPASS_FLOOR_SEC)
-        if delta > tol:
-            movers.append(name)
+    movers = _select_movers(medians, spreads, prior)
     watch_repass: dict[str, float] = {}
     for name in movers:
         watch_repass[name], _ = _measure(spark, queries, name, sf_dir)

@@ -1,0 +1,77 @@
+"""bench.py harness logic — the perf half of the contract is now
+gated by this code (contention gate, prior-round unwrap, dynamic
+repass selection), so its pure parts are pinned here.  No Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+pytestmark = pytest.mark.quick
+
+
+def test_prior_bench_unwraps_driver_envelope(tmp_path, monkeypatch):
+    """The driver wraps the bench JSON line under 'parsed' (next to
+    the raw 'tail'); _prior_bench must unwrap it and pick the
+    highest round."""
+    inner9 = {"value": 10.0, "sf": 0.1, "queries": {"q": 1.0},
+              "spread": {"q": 0.1}}
+    inner10 = {"value": 12.0, "sf": 0.1, "queries": {"q": 1.5},
+               "spread": {"q": 0.2}}
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "tail": "...", "parsed": inner9}))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(inner10))
+    (tmp_path / "BENCH_r02.json").write_text("{not json")
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    assert bench._prior_bench() == inner10
+
+
+def test_prior_bench_skips_shapeless_files(tmp_path, monkeypatch):
+    """A newest artifact without a queries dict (a failed run) must
+    not shadow an older usable one."""
+    good = {"value": 10.0, "sf": 0.1, "queries": {"q": 1.0},
+            "spread": {}}
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(good))
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"n": 10, "rc": 1, "tail": "crash"}))
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    assert bench._prior_bench() == good
+
+
+def test_select_movers_thresholds():
+    prior = {"queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+             "spread": {"a": 0.05, "b": 0.5, "c": 0.05}}
+    medians = {"a": 1.3,   # delta .3 > max(.05,.05,.15) -> mover
+               "b": 1.3,   # delta .3 < prior spread .5 -> not
+               "c": 1.1,   # delta .1 < floor .15 -> not
+               "d": 1.2,   # delta .2 > floor (no spreads) -> mover
+               "e": 9.9}   # not in prior -> never
+    spreads = {"a": 0.05, "b": 0.05, "c": 0.05, "d": 0.0, "e": 0.0}
+    assert bench._select_movers(medians, spreads, prior) == ["a", "d"]
+
+
+def test_select_movers_own_spread_suppresses():
+    prior = {"queries": {"a": 1.0}, "spread": {"a": 0.05}}
+    assert bench._select_movers({"a": 1.4}, {"a": 0.6}, prior) == []
+
+
+def test_select_movers_empty_prior():
+    assert bench._select_movers({"a": 1.0}, {"a": 0.1}, {}) == []
+
+
+def test_gate_constants_sane():
+    """The gate must trip on the r10 evidence (2.63 s leading probe)
+    and pass the committed quiet range (~0.7-1.0 s)."""
+    thr = bench.GATE_FACTOR * bench.QUIET_REBASELINE_SEC
+    assert 2.63 > thr
+    assert 0.97 < thr < 1.16  # r11's observed pass/retry boundary
