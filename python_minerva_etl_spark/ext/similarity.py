@@ -325,10 +325,17 @@ def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
     (BLAS reassociates the sums) — hence the HOF variant remains the
     oracle-checkable contract and this one is its fast twin (same
     ranking on non-degenerate data; tests/test_similarity.py).
+
+    Each batch emits only its per-query top-k (same (cosine desc,
+    corpus_id asc) tie-break as the final window — top-k distributes
+    over unions, so the result is identical to ranking all n×m scored
+    pairs while the window stage sees n_batches × m × k rows).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    from .ann_arrow import _group_topk
 
     q_rows = (queries.select(F.col(id_col).alias("qid"),
                              F.col(vec_col).alias("qv")).collect())
@@ -349,14 +356,18 @@ def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
             Xn = np.linalg.norm(X, axis=1)
             S = (X @ Q.T) / np.outer(Xn, Qn)                      # (b, m)
             b, m = S.shape
+            qi = np.repeat(np.arange(m, dtype=np.int64), b)
+            ci = np.tile(ids, m)
+            sc = S.T.ravel()
+            keep = q_ids[qi] != ci
+            qi, ci, sc = _group_topk(qi[keep], ci[keep], sc[keep], k)
             yield pd.DataFrame({
-                "query_id": np.repeat(q_ids, b),
-                "corpus_id": np.tile(ids, m),
-                "cosine": S.T.ravel(),
+                "query_id": q_ids[qi],
+                "corpus_id": ci,
+                "cosine": sc,
             })
 
-    scored = (corpus.select(id_col, vec_col).mapInPandas(score, schema)
-              .filter(F.col("query_id") != F.col("corpus_id")))
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -60,12 +60,19 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
 
 def _sim_topk_lsh(spark, sf_dir):
     """EXT-SIM-TOPK (scale path): random-hyperplane LSH buckets →
-    candidate join → exact cosine re-rank.  Deterministic (hash-derived
-    hyperplanes) but approximate → rows-only check."""
+    within-bucket exact cosine → top-k.  r12: execution routed through
+    the Arrow kernel (ext/ann_arrow.lsh_topk_arrow) — same xxhash64
+    hyperplanes and bucket structure as the HOF spec twin
+    (similarity.lsh_bucketed_topk, agreement test-locked), signatures
+    and scoring vectorized (the r11 verdict's constant-factor fix).
+    Deterministic but approximate → rows-only check; recall recorded
+    in SCALE_r12_ann.json."""
+    from ..ext.ann_arrow import lsh_topk_arrow
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(queries, emb, k=5,
-                             num_planes=4, num_tables=16).select(
+    return lsh_topk_arrow(queries, emb, k=5,
+                          num_planes=4, num_tables=16).select(
         "query_id", "corpus_id", "cosine", "rank")
 
 
@@ -94,14 +101,17 @@ def _sim_topk_arrow(spark, sf_dir):
 def _sim_topk_pq(spark, sf_dir):
     """EXT-SIM-TOPK (PQ scale path): product-quantization ADC over the
     compressed corpus (32 sub-spaces × 16 codewords ≈ 16× smaller than
-    the raw vectors), exact re-rank of the ADC top-50 shortlist.
-    Deterministic (hash-seeded codebooks) but approximate → rows-only
-    check; recall measured in tests/test_similarity.py."""
-    from ..ext.similarity import pq_topk
+    the raw vectors), exact re-rank of the ADC top-50 shortlist.  r12:
+    training, encoding and ADC scoring routed through the Arrow kernel
+    (ext/ann_arrow.pq_topk_arrow — same lowest-xxhash64 seeds as the
+    HOF spec twin, numpy Lloyd refinement).  Deterministic but
+    approximate → rows-only check; recall recorded in
+    SCALE_r12_ann.json."""
+    from ..ext.ann_arrow import pq_topk_arrow
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(queries, emb, k=5, rerank=50).select(
+    return pq_topk_arrow(queries, emb, k=5, rerank=50).select(
         "query_id", "corpus_id", "cosine", "rank")
 
 
@@ -141,11 +151,18 @@ def _dedup_embedding_pivot(spark, sf_dir):
 def _dedup_embedding_lsh(spark, sf_dir):
     """EXT-DEDUP (embedding, scale path): the cosine >= 0.4 threshold
     verified only on sign-bucket LSH candidates — never all pairs.
-    Deterministic but approximate (recall misses) → rows-only;
-    recall vs the exact twin measured in tests/test_similarity.py."""
+    r12: signatures + candidate verification routed through Arrow
+    kernels (ext/ann_arrow.cosine_pairs_lsh_arrow — one matmul per
+    batch for codes, rowwise einsum for the verify) around the same
+    (table, bucket) candidate equi-join.  Deterministic but
+    approximate (recall misses) → rows-only; recall/precision vs the
+    exact pivot twin recorded in SCALE_r12_ann.json and test-locked
+    in tests/test_ann_arrow.py."""
+    from ..ext.ann_arrow import cosine_pairs_lsh_arrow
+
     emb = t(spark, sf_dir, "embeddings")
-    return cosine_pairs_lsh(emb, threshold=0.4,
-                            num_planes=4, num_tables=16)
+    return cosine_pairs_lsh_arrow(emb, threshold=0.4,
+                                  num_planes=4, num_tables=16)
 
 
 def _dedup_semantic(spark, sf_dir):
