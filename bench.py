@@ -91,16 +91,13 @@ MEASURED_PASSES = 3
 # box — its own rebaseline probe read 2.63 s at start vs 0.70 s quiet,
 # and the "regressions" were exactly the first queries in run order —
 # and the harness committed the numbers without flagging them.  The
-# committed quiet-box figure for the synthetic rebaseline job is
-# ~0.7-1.1 s on local[32] (PERF.md); a leading probe above
-# GATE_FACTOR x QUIET_REBASELINE_SEC means the box is busy, so the
-# harness waits and retries (bounded) before measuring anything.  If
-# it never settles, the artifact is stamped contended:true so a
-# BENCH_r*.json is self-certifying instead of silently polluted.
-QUIET_REBASELINE_SEC = 0.70
-GATE_FACTOR = 1.5
-GATE_RETRIES = 8
-GATE_WAIT_SEC = 45
+# gate itself lives in benchgate.py since r12 (verdict item 7) so the
+# scripts/ probes share it; constants re-exported for the unit tests.
+from benchgate import (GATE_FACTOR, GATE_RETRIES,  # noqa: E402,F401
+                       GATE_WAIT_SEC, QUIET_REBASELINE_SEC,
+                       contention_gate, fs_probe)
+from benchgate import force as _force  # noqa: E402
+from benchgate import rebaseline as _rebaseline_impl  # noqa: E402
 
 # Repass floor: run-to-run jitter on sub-second queries makes a pure
 # spread test trip on noise; a mover must clear BOTH its spread and
@@ -108,61 +105,9 @@ GATE_WAIT_SEC = 45
 REPASS_FLOOR_SEC = 0.15
 
 
-def _force(df) -> None:
-    """Run the plan to completion, materializing every output column."""
-    df.write.format("noop").mode("overwrite").save()
-
-
-def fs_probe(mb: int = 256) -> dict:
-    """Deterministic raw-filesystem probe (round-6 verdict item 4):
-    sequential write+fsync then page-cache-warm read of a fresh file
-    under the same tmp root the MERGE tables use.  Emitted BEFORE and
-    AFTER the measured passes so every BENCH json carries its own
-    environment evidence — a driver run where the write-path queries
-    rise while both probes match the in-tree figures is a plan
-    regression; one where the probes sag is an environment delta."""
-    import tempfile
-    blob = os.urandom(1 << 20)
-    with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir(),
-                                     delete=False) as fh:
-        path = fh.name
-        t0 = time.perf_counter()
-        for _ in range(mb):
-            fh.write(blob)
-        fh.flush()
-        os.fsync(fh.fileno())
-        t_write = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    with open(path, "rb") as fh:
-        while fh.read(1 << 22):
-            pass
-    t_read = time.perf_counter() - t0
-    os.remove(path)
-    return {"write_MBps": round(mb / t_write, 1),
-            "read_MBps": round(mb / t_read, 1)}
-
-
 def _rebaseline(spark) -> float:
-    """Fixed synthetic Spark job (no table data, no disk): range ->
-    hash-shuffle agg, noop-forced, median of 3.  A same-session
-    compute yardstick: flat rebaseline + risen query = the query;
-    risen rebaseline = the session/machine."""
-    def job():
-        from pyspark.sql import functions as F
-        return (spark.range(20_000_000)
-                .withColumn("k", F.pmod(F.col("id") * 2654435761,
-                                        F.lit(1024)))
-                .groupBy("k")
-                .agg(F.sum("id").alias("s"),
-                     F.avg(F.col("id") % 97).alias("a")))
-    for _ in range(WARMUP_PASSES):
-        _force(job())
-    samples = []
-    for _ in range(MEASURED_PASSES):
-        t0 = time.perf_counter()
-        _force(job())
-        samples.append(time.perf_counter() - t0)
-    return round(statistics.median(samples), 4)
+    """Fixed synthetic compute yardstick — shared impl in benchgate."""
+    return _rebaseline_impl(spark, WARMUP_PASSES, MEASURED_PASSES)
 
 
 def _prior_bench() -> dict:
@@ -215,15 +160,24 @@ NOISY_SETTLE_SEC = 15
 def _measure(spark, queries, name: str, sf_dir: str,
              remeasured: list | None = None):
     """2 warmups + 3 measured noop-forced passes -> (median, spread);
-    one retry if the spread says the passes straddled a transient."""
+    one retry if the spread says the passes straddled a transient.
+    The retry is adopted only when its OWN spread clears the noisy
+    threshold (a retry that merely happened to be tighter while still
+    straddling load must not replace the original median — r11 advice),
+    and the record says which attempt was kept."""
     q = queries[name]
     med, spr = _measure_once(spark, q, sf_dir, WARMUP_PASSES)
     if spr > max(NOISY_SPREAD_FRAC * med, NOISY_SPREAD_FLOOR):
         time.sleep(NOISY_SETTLE_SEC)
         med2, spr2 = _measure_once(spark, q, sf_dir, 0)  # still warm
+        retry_quiet = spr2 <= max(NOISY_SPREAD_FRAC * med2,
+                                  NOISY_SPREAD_FLOOR)
         if remeasured is not None:
-            remeasured.append(name)
-        if spr2 < spr:
+            remeasured.append(
+                {"name": name,
+                 "kept": "retry" if retry_quiet else "first",
+                 "first": [med, spr], "retry": [med2, spr2]})
+        if retry_quiet:
             return med2, spr2
     return med, spr
 
@@ -271,21 +225,12 @@ def main() -> None:
 
     probe_before = fs_probe()
 
-    # Contention gate: refuse to measure on a visibly loaded box.
-    gate_probes: list[float] = []
-    rebase = _rebaseline(spark)
-    gate_probes.append(rebase)
-    contended = rebase > GATE_FACTOR * QUIET_REBASELINE_SEC
-    for _ in range(GATE_RETRIES):
-        if not contended:
-            break
-        print(f"# contention gate: rebaseline {rebase:.2f}s > "
-              f"{GATE_FACTOR:.1f}x quiet ({QUIET_REBASELINE_SEC}s); "
-              f"waiting {GATE_WAIT_SEC}s", file=sys.stderr)
-        time.sleep(GATE_WAIT_SEC)
-        rebase = _rebaseline(spark)
-        gate_probes.append(rebase)
-        contended = rebase > GATE_FACTOR * QUIET_REBASELINE_SEC
+    # Contention gate: refuse to measure on a visibly loaded box
+    # (shared with the scripts/ probes — benchgate.contention_gate).
+    gate = contention_gate(spark)
+    rebase = gate["rebaseline_sec"]
+    contended = gate["contended"]
+    if len(gate["rebaseline_gate"]) > 1:
         probe_before = fs_probe()
 
     # Warmup + measure per query: warmups immediately followed by the
@@ -296,7 +241,7 @@ def main() -> None:
     # Per-query warm measurement reflects steady-state executor
     # throughput — on a real cluster each of these plans runs
     # continuously, not round-robin with 16 strangers in one JVM.
-    remeasured_noisy: list[str] = []
+    remeasured_noisy: list[dict] = []
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -343,14 +288,15 @@ def main() -> None:
         # opened (or gave up), plus the final verdict on the box.  A
         # BENCH with contended:true is evidence of environment, not
         # of the plans.
-        "rebaseline_gate": [round(g, 4) for g in gate_probes],
+        "rebaseline_gate": gate["rebaseline_gate"],
         "contended": bool(contended),
         # auto-selected movers (delta vs prior BENCH > max(spread,
         # prior spread, floor)), re-measured late in the session
         "watch_repass": watch_repass,
         "repass_auto_selected": movers,
         # queries whose first 3 passes straddled a load transient
-        # (excess spread) and earned the bounded settle-and-retry
+        # (excess spread) and earned the bounded settle-and-retry;
+        # each record carries both attempts and which one was kept
         "remeasured_noisy": remeasured_noisy,
         "prior_bench_total": prior.get("value"),
     }))

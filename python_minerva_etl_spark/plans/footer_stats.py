@@ -31,9 +31,14 @@ import os
 
 from ..registry import table_path
 
-# Physical types whose parquet min/max statistics are exact values
-# (BYTE_ARRAY stats may be truncated bounds; refuse those).
-_EXACT_PHYSICAL = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
+# Physical types whose parquet min/max statistics are exact values.
+# BYTE_ARRAY stats may be truncated bounds; FLOAT/DOUBLE min/max can be
+# NaN-contaminated (undefined per spec for files from other writers);
+# INT96 stats are deprecated with incorrect byte-wise ordering — all
+# refused, so those columns take the documented 1-row aggregate
+# fallback.  INT64 covers this repo's timestamps (session.py already
+# forces writes away from INT96).
+_EXACT_PHYSICAL = {"INT32", "INT64", "BOOLEAN"}
 
 
 def _parquet_files(path: str) -> list[str]:

@@ -31,6 +31,11 @@ def main() -> None:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i:i + 2]
+    if only is not None and not argv:
+        raise SystemExit(
+            "--only requires an explicit out.json (refusing to clobber "
+            "the committed full-catalog CORRECTNESS_LOCAL.json with a "
+            "subset record)")
     out_path = argv[0] if argv else os.path.join(
         REPO, "CORRECTNESS_LOCAL.json")
     sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")

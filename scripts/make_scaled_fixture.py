@@ -11,7 +11,7 @@ gets a per-replica suffix token so the 10x corpus is not one giant
 exact-duplicate clique.  Dims that facts reference (customer /
 supplier / part) scale with the facts; region/nation stay fixed.
 
-Usage: python scripts/make_scaled_fixture.py [K] [src_sf_dir] [dst]
+Usage: python scripts/make_scaled_fixture.py [--tables a,b] [K] [src_sf_dir] [dst]
 Defaults: 10 /root/testdata/sf0.1 /tmp/sf1
 """
 
@@ -26,9 +26,15 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1"
+    argv = list(sys.argv[1:])
+    only = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    k = int(argv[0]) if len(argv) > 0 else 10
+    src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    dst = argv[2] if len(argv) > 2 else "/tmp/sf1"
 
     from pyspark.sql import functions as F
 
@@ -70,6 +76,8 @@ def main() -> None:
 
     os.makedirs(dst, exist_ok=True)
     for tbl in TABLES:
+        if only is not None and tbl not in only:
+            continue
         df = load_table(spark, src, tbl)
         cols = offsets[tbl]
         if not cols:

@@ -1,19 +1,32 @@
 #!/usr/bin/env python
-"""Recall@k artifact for the approximate similarity twins (r10
-verdict item 3): the LSH / IVF / PQ / Arrow top-k paths and the
-LSH pair-dedup path are rows-only in the driver (approximate by
-design); this probe records their quality as a NUMBER against the
-exact twin — per-query recall@k for top-k, pair recall for dedup —
-at whatever fixture it's pointed at.
+"""Recall + crossover artifact for the approximate similarity twins.
 
-Top-k oracle: brute-force cosine (the declared exact baseline).
-Pair oracle: cosine_pairs_pivot — the provably-exact pivot-blocked
-epsilon-join (same output as the cross join, no cartesian), which is
-the only exact form that still runs at the 100x fixture.
+r11 exposed two honesty problems this probe now fixes:
 
-Prints one JSON line; merge into SCALE_r{N}_recall.json.
+1. **Baseline inconsistency** (r11 verdict "what's wrong" #2): the
+   old probe timed the exact baseline FIRST in a cold session, so its
+   figure absorbed JVM/codegen warmup (17.4 s on 2,000 vectors vs
+   4.9 s on 200,000).  Now: a contention gate + an explicit warmup
+   query run first, every path reports ``build_sec`` (driver-side
+   plan/training work, incl. index training collects) and
+   ``exec_sec`` (steady-state: the median of 2 post-warm runs of the
+   materializing collect), and the artifact names exactly which
+   function each baseline ran.
+2. **No crossover on record** (verdict "next round" #1): the
+   approximate paths only pay off when query count × corpus size
+   outgrows brute force.  The probe sweeps m (number of queries) and
+   records exact-vs-index timings per m, with recall, so the
+   crossover N is a number, not a claim.
+
+Exact baseline: ``brute_force_topk_arrow`` (the exact Arrow kernel —
+the fastest exact form, so the comparison is honest).  The HOF fold
+twin (``brute_force_topk``, the oracle-checkable spec) is timed once
+at the smallest m for context.
 
 Usage: python scripts/probe_ann_recall.py [sf_dir] [--skip-pairs]
+       [--sweep 10,100,1000] [--out FILE]
+Prints one JSON line (and writes --out if given); merge into
+SCALE_r{N}_ann.json.
 """
 
 from __future__ import annotations
@@ -29,11 +42,9 @@ sys.path.insert(0, REPO)
 K = 5
 
 
-def _topk_sets(df) -> dict:
-    """query_id -> set of corpus ids (collects k rows per query —
-    bounded output, not corpus data)."""
+def _topk_sets(rows) -> dict:
     out: dict = {}
-    for r in df.select("query_id", "corpus_id").collect():
+    for r in rows:
         out.setdefault(r.query_id, set()).add(r.corpus_id)
     return out
 
@@ -44,95 +55,213 @@ def _recall_at_k(exact: dict, approx: dict) -> float:
     return round(hits / want, 4) if want else 1.0
 
 
+def _timed(fn, steady: int = 2):
+    """fn builds-and-returns a DataFrame.  Returns (rows, build_sec,
+    exec_sec): build = DataFrame construction (incl. any training
+    jobs the path runs eagerly), exec = median of ``steady``
+    steady-state collects (the 1st collect is the codegen warm-up and
+    is NOT reported — each bench-grade number must be a warm number)."""
+    t0 = time.perf_counter()
+    df = fn()
+    build = time.perf_counter() - t0
+    df.collect()                                  # codegen warm-up
+    runs = []
+    rows = None
+    for _ in range(steady):
+        t0 = time.perf_counter()
+        rows = df.collect()
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return rows, round(build, 2), round(runs[len(runs) // 2], 2)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip_pairs = "--skip-pairs" in sys.argv
+    sweep = [10]
+    out_path = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--sweep":
+            sweep = [int(x) for x in argv[i + 1].split(",")]
+        if a == "--out":
+            out_path = argv[i + 1]
+    args = [a for a in args
+            if a not in {argv[i + 1] for i, x in enumerate(argv[:-1])
+                         if x in ("--sweep", "--out")}]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
+    import numpy as np
     from pyspark.sql import functions as F
 
+    from benchgate import contention_gate
+    from python_minerva_etl_spark.ext.ann_arrow import (
+        build_ivf_index_arrow, cosine_pairs_lsh_arrow, ivf_topk_arrow,
+        ivf_topk_indexed_arrow, lsh_topk_arrow, pq_topk_arrow,
+        _ivf_centroids_arrow, _pq_codebooks_arrow)
     from python_minerva_etl_spark.ext.similarity import (
-        brute_force_topk, brute_force_topk_arrow, cosine_pairs_lsh,
-        cosine_pairs_pivot, ivf_topk, lsh_bucketed_topk, pq_topk)
+        brute_force_topk, brute_force_topk_arrow, cosine_pairs_pivot)
     from python_minerva_etl_spark.registry import load_table
     from python_minerva_etl_spark.session import get_spark
 
     spark = get_spark(app_name="probe-ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_corpus = emb.count()
-    queries = emb.filter(F.col("vec_id") < 10)
+    gate = contention_gate(spark)
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()                        # also warms the cache
 
-    t0 = time.perf_counter()
-    exact = _topk_sets(brute_force_topk(queries, emb, k=K))
-    exact_sec = round(time.perf_counter() - t0, 2)
-
-    # identical parameterizations to the declared sim_topk_* queries
-    approx_paths = {
-        "sim_topk_lsh": lambda: lsh_bucketed_topk(
-            queries, emb, k=K, num_planes=4, num_tables=16),
-        "sim_topk_ivf": lambda: ivf_topk(
-            queries, emb, k=K, num_cells=8, nprobe=4, lloyd_iters=1),
-        "sim_topk_pq": lambda: pq_topk(queries, emb, k=K, rerank=50),
-        "sim_topk_arrow": lambda: brute_force_topk_arrow(
-            queries, emb, k=K),
+    # index scale knobs grow with the corpus; declared-params entries
+    # keep the catalog parameterization for continuity with r11
+    crossover_params = {
+        "lsh": {"num_planes": 12, "num_tables": 8},
+        "ivf": {"num_cells": max(16, min(256, n_corpus // 800)),
+                "nprobe": 8, "lloyd_iters": 1},
+        "pq": {"m": 32, "ksub": 16, "train_iters": 2, "rerank": 50},
     }
-    topk = {}
-    for name, fn in approx_paths.items():
-        t0 = time.perf_counter()
-        got = _topk_sets(fn())
-        topk[name] = {"recall_at_k": _recall_at_k(exact, got),
-                      "sec": round(time.perf_counter() - t0, 2)}
 
-    # the IVF recall/cost knob: recall grows with probed cells, cost
-    # grows linearly — record the whole curve so the declared query's
-    # nprobe=4 figure has its tuning context on the record
-    ivf_sweep = {}
-    for nprobe in (2, 4, 6, 8):
-        t0 = time.perf_counter()
-        got = _topk_sets(ivf_topk(queries, emb, k=K, num_cells=8,
-                                  nprobe=nprobe, lloyd_iters=1))
-        ivf_sweep[nprobe] = {"recall_at_k": _recall_at_k(exact, got),
-                             "sec": round(time.perf_counter() - t0, 2)}
+    # ---- build-once indexes (priced separately, reused per m) ----
+    t0 = time.perf_counter()
+    cents = _ivf_centroids_arrow(
+        emb, crossover_params["ivf"]["num_cells"],
+        crossover_params["ivf"]["lloyd_iters"], "vec_id", "embedding")
+    ivf_train_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    cbs = _pq_codebooks_arrow(
+        emb, crossover_params["pq"]["m"], crossover_params["pq"]["ksub"],
+        crossover_params["pq"]["train_iters"], "vec_id", "embedding")
+    pq_train_sec = round(time.perf_counter() - t0, 2)
+    # the persisted, hive-partitioned IVF index — the only path that
+    # skips the corpus SCAN too (partition pruning on the probed
+    # cells), i.e. the actual 100 TB query shape
+    import hashlib
+    import tempfile
+    idx_path = os.path.join(
+        tempfile.gettempdir(),
+        "minerva_ivf_probe_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    t0 = time.perf_counter()
+    build_ivf_index_arrow(
+        emb, idx_path, num_cells=crossover_params["ivf"]["num_cells"],
+        lloyd_iters=crossover_params["ivf"]["lloyd_iters"])
+    ivf_index_build_sec = round(time.perf_counter() - t0, 2)
+
+    results: dict = {}
+    for m in sweep:
+        queries = emb.filter(F.col("vec_id") < m)
+        n_q = queries.count()
+
+        ex_rows, ex_build, ex_exec = _timed(
+            lambda: brute_force_topk_arrow(queries, emb, k=K))
+        exact = _topk_sets(ex_rows)
+        entry: dict = {
+            "n_queries": n_q,
+            "exact_arrow": {"build_sec": ex_build,
+                            "exec_sec": ex_exec},
+        }
+        if m == sweep[0]:
+            _, f_build, f_exec = _timed(
+                lambda: brute_force_topk(queries, emb, k=K), steady=1)
+            entry["exact_fold_spec"] = {"build_sec": f_build,
+                                        "exec_sec": f_exec}
+
+        paths = {
+            "lsh_arrow": lambda: lsh_topk_arrow(
+                queries, emb, k=K, **crossover_params["lsh"]),
+            "ivf_arrow_indexed": lambda: ivf_topk_arrow(
+                queries, emb, k=K,
+                nprobe=crossover_params["ivf"]["nprobe"],
+                centroids=np.array(cents)),
+            "pq_arrow_indexed": lambda: pq_topk_arrow(
+                queries, emb, k=K,
+                rerank=crossover_params["pq"]["rerank"],
+                codebooks=cbs),
+            "ivf_indexed_pruned": lambda: ivf_topk_indexed_arrow(
+                spark, queries, idx_path, k=K,
+                nprobe=crossover_params["ivf"]["nprobe"]),
+        }
+        if m <= 10:
+            # declared-catalog parameterizations, for r11 continuity
+            paths["sim_topk_lsh_declared"] = lambda: lsh_topk_arrow(
+                queries, emb, k=K, num_planes=4, num_tables=16)
+            paths["sim_topk_ivf_declared"] = lambda: ivf_topk_arrow(
+                queries, emb, k=K, num_cells=8, nprobe=4,
+                lloyd_iters=1)
+            paths["sim_topk_pq_declared"] = lambda: pq_topk_arrow(
+                queries, emb, k=K, rerank=50)
+        for name, fn in paths.items():
+            rows, build, execs = _timed(fn)
+            entry[name] = {
+                "recall_at_k": _recall_at_k(exact, _topk_sets(rows)),
+                "build_sec": build, "exec_sec": execs}
+        results[f"m={m}"] = entry
+        print(f"# m={m}: exact {ex_exec}s; " + ", ".join(
+            f"{n} {entry[n]['exec_sec']}s r={entry[n]['recall_at_k']}"
+            for n in paths), file=sys.stderr)
 
     pairs = None
     if not skip_pairs:
-        t0 = time.perf_counter()
-        want = {(r.id_a, r.id_b) for r in cosine_pairs_pivot(
-            emb, threshold=0.4).select("id_a", "id_b").collect()}
-        exact_pairs_sec = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        got = {(r.id_a, r.id_b) for r in cosine_pairs_lsh(
-            emb, threshold=0.4, num_planes=4, num_tables=16)
-            .select("id_a", "id_b").collect()}
+        # distributed compare (pair sets can be millions of rows at
+        # the scaled fixtures — never collected): timing by noop-force,
+        # recall/precision by counts + an inner join on the pair key
+        from benchgate import force
+
+        def _timed_force(fn, steady: int = 2):
+            df = fn()
+            force(df)                             # codegen warm-up
+            runs = []
+            for _ in range(steady):
+                t0 = time.perf_counter()
+                force(df)
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            return df, round(runs[len(runs) // 2], 2)
+
+        exact_df, p_exec = _timed_force(
+            lambda: cosine_pairs_pivot(emb, threshold=0.4))
+        lsh_df, l_exec = _timed_force(
+            lambda: cosine_pairs_lsh_arrow(emb, threshold=0.4,
+                                           num_planes=4,
+                                           num_tables=16))
+        n_exact = exact_df.count()
+        n_lsh = lsh_df.count()
+        n_hit = exact_df.select("id_a", "id_b").join(
+            lsh_df.select("id_a", "id_b"), ["id_a", "id_b"]).count()
         pairs = {
-            "exact_pairs": len(want),
-            "lsh_pairs": len(got),
-            "recall": round(len(want & got) / len(want), 4)
-            if want else 1.0,
-            "precision": round(len(want & got) / len(got), 4)
-            if got else 1.0,
-            "exact_sec": exact_pairs_sec,
-            "lsh_sec": round(time.perf_counter() - t0, 2),
+            "exact": "cosine_pairs_pivot (provably exact blocked join)",
+            "exact_pairs": n_exact, "lsh_pairs": n_lsh,
+            "recall": round(n_hit / n_exact, 4) if n_exact else 1.0,
+            "precision": round(n_hit / n_lsh, 4) if n_lsh else 1.0,
+            "exact_exec_sec": p_exec, "lsh_exec_sec": l_exec,
         }
 
-    print(json.dumps({
-        "probe": "ann_recall",
+    doc = {
+        "probe": "ann_recall_and_crossover",
         "sf_dir": sf_dir,
         "corpus_vectors": n_corpus,
         "k": K,
-        "n_queries": len(exact),
-        "exact_topk_sec": exact_sec,
-        "topk": topk,
-        "ivf_nprobe_sweep": ivf_sweep,
-        "dedup_embedding_lsh_vs_pivot_exact": pairs,
-        "params": {"lsh": {"num_planes": 4, "num_tables": 16},
-                   "ivf": {"num_cells": 8, "nprobe": 4,
-                           "lloyd_iters": 1},
-                   "pq": {"rerank": 50},
-                   "pair_threshold": 0.4},
-    }))
+        "baseline_note": (
+            "exact_arrow = brute_force_topk_arrow (exact Arrow kernel,"
+            " per-batch partial top-k) — the fastest exact path, so"
+            " approximate wins are real wins.  exact_fold_spec ="
+            " brute_force_topk (the HOF oracle-checkable spec), for"
+            " context at the smallest m only.  build_sec = DataFrame"
+            " construction incl. eager training jobs; exec_sec ="
+            " median of 2 steady-state collects after a codegen"
+            " warm-up run.  Corpus cached (every path reads the same"
+            " in-memory table)."),
+        "gate": gate,
+        "index_train_sec": {"ivf": ivf_train_sec, "pq": pq_train_sec,
+                            "ivf_persisted_index": ivf_index_build_sec},
+        "params": crossover_params,
+        "sweep": results,
+        "pairs_lsh_vs_pivot_exact": pairs,
+    }
+    line = json.dumps(doc)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=1)
     spark.stop()
 
 

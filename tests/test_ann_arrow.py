@@ -178,3 +178,32 @@ def test_lsh_arrow_matches_hof_twin_topk(spark):
     inter = sum(len(hof[qid] & arrow.get(qid, set())) for qid in hof)
     total = sum(len(v) for v in hof.values())
     assert inter / total >= 0.9, f"{inter}/{total}"
+
+
+def test_ivf_indexed_arrow_matches_and_prunes(spark, tmp_path):
+    """build_ivf_index_arrow + ivf_topk_indexed_arrow: results agree
+    with the direct arrow IVF on the same centroids, and the indexed
+    scan prunes to the probed cell directories (PartitionFilters in
+    the physical plan)."""
+    import re
+
+    from python_minerva_etl_spark.ext.ann_arrow import (
+        build_ivf_index_arrow, ivf_topk_indexed_arrow)
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf_arrow")
+    build_ivf_index_arrow(emb, idx, num_cells=16, lloyd_iters=1)
+    indexed = ivf_topk_indexed_arrow(spark, q, idx, k=5, nprobe=3)
+    direct = ivf_topk_arrow(q, emb, k=5, num_cells=16, nprobe=3,
+                            lloyd_iters=1)
+    pa = {(r.query_id, r.rank): r.corpus_id for r in indexed.collect()}
+    pb = {(r.query_id, r.rank): r.corpus_id for r in direct.collect()}
+    assert pa == pb and len(pa) == 40
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell[^\]]*?"
+                  r"(?: IN \(([^)]*)\)| INSET ([0-9, ]+))", plan)
+    assert m, "probed-cell partition filter missing from the scan"
+    cells = (m.group(1) or m.group(2)).split(",")
+    assert len(cells) < 16, "no cells pruned"

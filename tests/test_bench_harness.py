@@ -75,3 +75,27 @@ def test_gate_constants_sane():
     thr = bench.GATE_FACTOR * bench.QUIET_REBASELINE_SEC
     assert 2.63 > thr
     assert 0.97 < thr < 1.16  # r11's observed pass/retry boundary
+
+
+def test_measure_retry_adopted_only_when_quiet(monkeypatch):
+    """r11 advice: a noisy first attempt earns a retry, but the retry
+    replaces the median only when its OWN spread clears the noisy
+    threshold — a still-noisy-but-tighter retry is discarded (and the
+    record says which attempt was kept)."""
+    attempts = iter([(1.0, 0.9), (1.2, 0.8)])   # both noisy
+    monkeypatch.setattr(bench, "_measure_once",
+                        lambda *a, **k: next(attempts))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    rec: list = []
+    med, spr = bench._measure(None, {"q": object()}, "q", "sf", rec)
+    assert (med, spr) == (1.0, 0.9)             # first kept
+    assert rec == [{"name": "q", "kept": "first",
+                    "first": [1.0, 0.9], "retry": [1.2, 0.8]}]
+
+    attempts = iter([(1.0, 0.9), (0.8, 0.05)])  # retry quiet
+    monkeypatch.setattr(bench, "_measure_once",
+                        lambda *a, **k: next(attempts))
+    rec = []
+    med, spr = bench._measure(None, {"q": object()}, "q", "sf", rec)
+    assert (med, spr) == (0.8, 0.05)            # retry kept
+    assert rec[0]["kept"] == "retry"

@@ -850,16 +850,20 @@ def test_incremental_dedup_batch_neighborhood_equivalent_on_cliques(spark):
         compact_state, incremental_dedup)
 
     rows = _clique_corpus()
-    for kwargs in ({}, {"batch_neighborhood": 2}):
+
+    def run(**kwargs):
         state, got = None, set()
         for lo, hi in ((0, 20), (20, 40), (40, len(rows))):
             acc, state = incremental_dedup(state, _mk_docs(spark, rows[lo:hi]),
                                            **kwargs)
             state = compact_state(state)
             got |= {r.doc_id for r in acc.collect()}
-        if "batch_neighborhood" in kwargs:
-            assert got == full_got
-            assert state.count() == full_state_n
-        else:
-            full_got, full_state_n = got, state.count()
+        return got, state.count()
+
+    # full-join baseline computed (and sanity-asserted) FIRST, so the
+    # comparison can't silently depend on iteration order
+    full_got, full_state_n = run()
     assert len(full_got) == 20
+    bounded_got, bounded_state_n = run(batch_neighborhood=2)
+    assert bounded_got == full_got
+    assert bounded_state_n == full_state_n

@@ -286,3 +286,43 @@ def test_rolling_dau_explodes_pairs_not_facts(spark):
     gen_pos = plan.find("Generate")
     agg_pos = plan.find("HashAggregate")
     assert gen_pos > 0 and agg_pos > 0 and agg_pos < gen_pos
+
+
+def test_rollup_entity_bucketed_has_no_join_exchange(spark):
+    """rollup_entity_bucketed (r12): the fact-fact join must run on
+    the co-bucketed layout with ZERO shuffle Exchange — the only
+    shuffle left in the plan is the 25-group final aggregation, and
+    no exchange partitions on the join key.  The plain rollup_entity
+    keeps its fact shuffle (that's the layout delta being sold)."""
+    import contextlib
+    import io
+    import re
+
+    from python_minerva_etl_spark.queries.catalog import all_queries
+
+    qs = all_queries()
+    # kill auto-broadcast so the fact-fact join can't dodge the test
+    # by broadcasting sf0.01's tiny orders table (the explicit
+    # F.broadcast hints on the dims still apply)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs["rollup_entity_bucketed"].spark(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            qs["rollup_entity"].spark(spark, SF).explain(mode="formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan      # the final groupBy only
+    assert "hashpartitioning(n_name" in plan
+    assert not re.search(r"hashpartitioning\((l_orderkey|o_orderkey)",
+                         plan), plan
+    # contrast: the plain twin shuffles the fact on the join key
+    assert re.search(r"hashpartitioning\((l_orderkey|o_orderkey)",
+                     buf2.getvalue())
