@@ -95,11 +95,47 @@ def compact_state(state: DataFrame,
     return out
 
 
+def _bucket_self_join(b: DataFrame, threshold: float) -> DataFrame:
+    """Exact within-batch drops: full (band, bucket) self-join — a
+    lower-id batch mate in the same bucket wins.  O(sum bucket²)."""
+    return (b.alias("a")
+            .join(b.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.doc") < F.col("b.doc")))
+            .filter(signature_jaccard_est(
+                F.col("a.signature"), F.col("b.signature")) >= threshold)
+            .select(F.col("b.doc").alias("doc")).distinct())
+
+
+def _bucket_chain(b: DataFrame, w_depth: int,
+                  threshold: float) -> DataFrame:
+    """Bounded within-batch drops: each doc checks only its ``w_depth``
+    id-order successors per (band, bucket) via lead() chains (the r11
+    sorted-neighborhood pattern, Hernandez & Stolfo).  O(n·W·bands) on
+    ANY clique structure; trades recall on sparsely-chained buckets
+    (recall curve: SCALE_r12 batch_neighborhood study)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("band", "bucket").orderBy("doc")
+    nbrs = b.select(
+        "doc", "signature",
+        F.array(*[F.struct(
+            F.lead("doc", s).over(w).alias("doc_b"),
+            F.lead("signature", s).over(w).alias("sig_b"))
+            for s in range(1, w_depth + 1)]).alias("nbrs"))
+    return (nbrs.select("signature", F.explode("nbrs").alias("nb"))
+            .filter(F.col("nb.doc_b").isNotNull())
+            .filter(signature_jaccard_est(
+                F.col("signature"), F.col("nb.sig_b")) >= threshold)
+            .select(F.col("nb.doc_b").alias("doc")).distinct())
+
+
 def incremental_dedup(state: DataFrame | None, batch: DataFrame,
                       threshold: float = 0.8, num_hashes: int = 64,
                       bands: int = 16, id_col: str = "doc_id",
                       text_col: str = "text",
-                      batch_neighborhood: int | None = None
+                      batch_neighborhood: int | None = None,
+                      skew_bucket_threshold: int | None = None
                       ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``batch`` against accepted ``state`` (and itself).
 
@@ -119,6 +155,20 @@ def incremental_dedup(state: DataFrame | None, batch: DataFrame,
     recall.  ``None`` (default) keeps the full join.  The
     batch-vs-STATE join is unaffected — it is candidate-bounded by
     the batch size already.
+
+    ``skew_bucket_threshold=S`` is the ADAPTIVE middle ground (the
+    AQE-skew-join idea applied to dedup): buckets with ≤ S batch
+    members keep the exact self-join — so on a batch with no deep
+    bucket the keep set is IDENTICAL to the default, test-locked —
+    and only buckets deeper than S (where the self-join is
+    quadratic) switch to the W-chain (W = ``batch_neighborhood`` or
+    16, the depth the SCALE_r12 study records as keep-set-identical
+    on graded near-cliques in both id orders).  Routing is per
+    (band, bucket): a doc chained in one band is still exactly
+    joined in every un-skewed band, so recall is never below the
+    all-chain path.  Recommended for production ingest: worst-case
+    O(n·S + n·W·bands) instead of O(clique²), exactness preserved
+    everywhere the exact join is affordable.
     """
     sig_new = minhash_signatures(batch, num_hashes, id_col, text_col)
     new_b = _bands(sig_new, num_hashes, bands)
@@ -136,31 +186,28 @@ def incremental_dedup(state: DataFrame | None, batch: DataFrame,
             .select(F.col("n.doc").alias("doc")).distinct())
 
     # within-batch: lower-id batch mate in the same bucket wins
-    if batch_neighborhood is None:
-        dropped_in_batch = (
-            new_b.alias("a")
-            .join(new_b.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.bucket") == F.col("b.bucket"))
-                  & (F.col("a.doc") < F.col("b.doc")))
-            .filter(signature_jaccard_est(
-                F.col("a.signature"), F.col("b.signature")) >= threshold)
-            .select(F.col("b.doc").alias("doc")).distinct())
-    else:
+    if skew_bucket_threshold is not None:
+        # adaptive: exact join where affordable, chain where quadratic.
+        # The bucket-size window shuffles on (band, bucket) — the same
+        # key both downstream paths partition by.
         from pyspark.sql.window import Window
-        w = Window.partitionBy("band", "bucket").orderBy("doc")
-        nbrs = new_b.select(
-            "doc", "signature",
-            F.array(*[F.struct(
-                F.lead("doc", s).over(w).alias("doc_b"),
-                F.lead("signature", s).over(w).alias("sig_b"))
-                for s in range(1, batch_neighborhood + 1)]).alias("nbrs"))
+        sized = new_b.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band",
+                                                        "bucket")))
+        small = sized.filter(
+            F.col("bsz") <= skew_bucket_threshold).drop("bsz")
+        big = sized.filter(
+            F.col("bsz") > skew_bucket_threshold).drop("bsz")
         dropped_in_batch = (
-            nbrs.select("signature", F.explode("nbrs").alias("nb"))
-            .filter(F.col("nb.doc_b").isNotNull())
-            .filter(signature_jaccard_est(
-                F.col("signature"), F.col("nb.sig_b")) >= threshold)
-            .select(F.col("nb.doc_b").alias("doc")).distinct())
+            _bucket_self_join(small, threshold)
+            .unionByName(_bucket_chain(
+                big, batch_neighborhood or 16, threshold))
+            .distinct())
+    elif batch_neighborhood is None:
+        dropped_in_batch = _bucket_self_join(new_b, threshold)
+    else:
+        dropped_in_batch = _bucket_chain(
+            new_b, batch_neighborhood, threshold)
 
     dropped = dropped_in_batch if dropped_vs_state is None else \
         dropped_in_batch.unionByName(dropped_vs_state).distinct()

@@ -867,3 +867,57 @@ def test_incremental_dedup_batch_neighborhood_equivalent_on_cliques(spark):
     bounded_got, bounded_state_n = run(batch_neighborhood=2)
     assert bounded_got == full_got
     assert bounded_state_n == full_state_n
+
+
+def test_incremental_dedup_skew_threshold_identical_when_no_deep_bucket(spark):
+    """skew_bucket_threshold routes every bucket at or under S through
+    the EXACT self-join — with no deep bucket the keep set and state
+    are identical to the default full join (the contract that lets the
+    adaptive mode be recommended as the production setting)."""
+    from python_minerva_etl_spark.ext.incremental_dedup import (
+        compact_state, incremental_dedup)
+
+    rows = _clique_corpus()                      # bucket depth <= 5
+
+    def run(**kwargs):
+        state, got = None, set()
+        for lo, hi in ((0, 20), (20, 40), (40, len(rows))):
+            acc, state = incremental_dedup(
+                state, _mk_docs(spark, rows[lo:hi]), **kwargs)
+            state = compact_state(state)
+            got |= {r.doc_id for r in acc.collect()}
+        return got, state.count()
+
+    full_got, full_state_n = run()
+    assert len(full_got) == 20
+    adaptive_got, adaptive_state_n = run(skew_bucket_threshold=64)
+    assert adaptive_got == full_got
+    assert adaptive_state_n == full_state_n
+
+
+def test_incremental_dedup_skew_threshold_bounds_deep_clique(spark):
+    """A batch carrying one deep exact clique: the clique's buckets
+    exceed S and take the W-chain (exact on cliques — canonical
+    survives), the scattered uniques stay on the exact join; keep set
+    equals the full join's.  Both physical paths must be present in
+    the plan (a lead() window AND a self-join)."""
+    from python_minerva_etl_spark.ext.incremental_dedup import \
+        incremental_dedup
+
+    clique_text = " ".join(f"c{i}" for i in range(15))
+    rows = [(i, clique_text) for i in range(1, 31)] + [
+        (100 + i, f"unique u{i} " + " ".join(f"u{i}w{j}" for j in range(10)))
+        for i in range(10)]
+    batch = _mk_docs(spark, rows)
+
+    full_acc, _ = incremental_dedup(None, batch)
+    full_kept = {r.doc_id for r in full_acc.collect()}
+    assert 1 in full_kept and len(full_kept) == 11  # canonical + uniques
+
+    adaptive_acc, _ = incremental_dedup(None, batch,
+                                        skew_bucket_threshold=8)
+    assert {r.doc_id for r in adaptive_acc.collect()} == full_kept
+
+    plan = adaptive_acc._jdf.queryExecution().toString()
+    assert "lead(" in plan          # chain path engaged (deep buckets)
+    assert "Join" in plan           # exact path engaged (small buckets)
