@@ -49,9 +49,40 @@ def _topk_sets(rows) -> dict:
     return out
 
 
-def _recall_at_k(exact: dict, approx: dict) -> float:
+def _recall_ids(exact: dict, approx: dict) -> float:
+    """Strict id-set overlap.  MISLEADING on replica fixtures: exact
+    ties (cosine 1.0 cliques) order by last-ulp BLAS reassociation
+    noise, which differs between the exact and approximate blockings,
+    so equally-good answers read as misses.  Kept for the record."""
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     want = sum(len(exact[q]) for q in exact)
+    return round(hits / want, 4) if want else 1.0
+
+
+def _kth_scores(rows) -> dict:
+    """Per query: the k-th (lowest) cosine of the exact top-k."""
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r.query_id, []).append(r.cosine)
+    return {q: min(v) for q, v in by.items()}
+
+
+def _recall_score(exact_rows, approx_rows, eps: float = 1e-9) -> float:
+    """Tie-robust recall@k (the standard ANN-benchmark definition):
+    an approximate result counts as a hit iff its cosine is >= the
+    exact k-th score - eps, i.e. it is AS GOOD AS an exact answer —
+    id identity is not required among equal-scored ties."""
+    kth = _kth_scores(exact_rows)
+    want_by: dict = {}
+    for r in exact_rows:
+        want_by[r.query_id] = want_by.get(r.query_id, 0) + 1
+    hits_by: dict = {}
+    for r in approx_rows:
+        q = r.query_id
+        if q in kth and r.cosine >= kth[q] - eps:
+            hits_by[q] = hits_by.get(q, 0) + 1
+    hits = sum(min(hits_by.get(q, 0), n) for q, n in want_by.items())
+    want = sum(want_by.values())
     return round(hits / want, 4) if want else 1.0
 
 
@@ -201,7 +232,8 @@ def main() -> None:
         for name, fn in paths.items():
             rows, build, execs, runs = _timed(fn, steady=steady)
             entry[name] = {
-                "recall_at_k": _recall_at_k(exact, _topk_sets(rows)),
+                "recall_at_k": _recall_score(ex_rows, rows),
+                "recall_ids": _recall_ids(exact, _topk_sets(rows)),
                 "build_sec": build, "exec_sec": execs, "runs": runs}
         results[f"m={m}"] = entry
         print(f"# m={m}: exact {ex_exec}s; " + ", ".join(
@@ -264,7 +296,12 @@ def main() -> None:
             "  Corpus cached (every path reads the same in-memory"
             " table); pq_arrow re-encodes corpus codes per run (the"
             " unindexed API), ivf_indexed_pruned re-reads the"
-            " persisted index per run (the real query shape)."),
+            " persisted index per run (the real query shape)."
+            "  recall_at_k is tie-robust (hit = approx cosine >="
+            " exact k-th score - 1e-9, the ANN-benchmark standard"
+            " - on replica fixtures exact ties order by last-ulp"
+            " BLAS noise, so id-set overlap under-reads);"
+            " recall_ids is the strict id-set overlap."),
         "gate": gate,
         "index_train_sec": {"ivf": ivf_train_sec, "pq": pq_train_sec,
                             "ivf_persisted_index": ivf_index_build_sec},
