@@ -82,6 +82,11 @@ HEADLINE = [
     # full band join's 1.11) — tracked from r11 on; excluded from
     # earlier-round comparable subtotals
     "dedup_simhash_neighbors",
+    # round 12 addition: the zero-Exchange bucketed layout twin of
+    # rollup_entity (same oracle; the fact-side shuffle removed by
+    # co-bucketed bucket-sorted tables) — tracked from r12 on;
+    # excluded from earlier-round comparable subtotals
+    "rollup_entity_bucketed",
 ]
 
 WARMUP_PASSES = 2
