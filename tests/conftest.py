@@ -74,6 +74,35 @@ QUICK_TESTS = {
     "test_oracle_diff.py::test_catalog_names_match_local_artifact",
 }
 
+# Wall-clock-bound e2e (r11 verdict item 8): every test that measured
+# >= ~30 s in the r12 full-suite duration pass (/tmp durations,
+# recorded in ROUND12_NOTES.md) — live streaming restarts with real
+# micro-batch waits, offset-walk sweeps, the all-queries smoke, and
+# the multi-batch dedup equivalence properties.  `-m "not slow"`
+# keeps full coverage of every operator family (each slow test has a
+# faster sibling in the same module); `-m quick` remains the ~3-min
+# judge subset.
+SLOW_TESTS = {
+    "test_oracle_diff.py::test_all_queries_run_at_smoke_scale",
+    "test_oracle_diff.py::test_declared_query_matches_oracle[stream_join_parity]",
+    "test_dedup.py::test_incremental_dedup_five_batches_equals_one_shot",
+    "test_dedup.py::test_incremental_dedup_batch_neighborhood_equivalent_on_cliques",
+    "test_avro_source.py::test_max_files_per_trigger_offset_walk",
+    "test_avro_source.py::test_max_bytes_per_trigger_offset_walk",
+    "test_avro_source.py::test_stream_offsets_name_range_semantics",
+    "test_text_pipeline.py::test_corpus_pipeline_example_runs",
+    "test_oracle_diff.py::test_declared_query_matches_oracle[dedup_keep_canonical]",
+    "test_admission_state.py::test_avro_live_restart_every_batch_capped",
+    "test_admission_state.py::test_avro_restart_first_offset_capped",
+    "test_admission_state.py::test_assume_fresh_start_caps_cold_backlog",
+    "test_oracle_diff.py::test_declared_query_matches_oracle[dedup_clusters]",
+    "test_cli_instance.py::test_cli_load_materialize_notify",
+    "test_oracle_diff.py::test_declared_query_matches_oracle[dataset_leakage_safe_split]",
+    "test_oracle_diff.py::test_declared_query_matches_oracle[dedup_incremental]",
+    "test_iceberg_maintenance.py::test_policy_cadence_bounds_delete_files",
+    "test_catalog_schema.py::test_output_schema_is_driver_sortable[stream_join_parity]",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
@@ -86,3 +115,5 @@ def pytest_collection_modifyitems(config, items):
                      and param.rstrip("]") in QUICK_QUERIES)
         if quick:
             item.add_marker(pytest.mark.quick)
+        if short in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
