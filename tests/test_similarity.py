@@ -213,3 +213,27 @@ def test_pivot_pairs_exact_and_blocked(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_arrow_tie_break_on_replica_cliques(spark):
+    """The argpartition batch top-k must resolve exact cosine ties the
+    same way the spec does — (cosine desc, corpus_id asc) — even when
+    a replica clique is bigger than k and spans Arrow batches."""
+    from python_minerva_etl_spark.ext.similarity import \
+        brute_force_topk_arrow
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    other = [4.0, -3.0, 2.0, -1.0]
+    rows = ([(i, base) for i in range(30)]            # clique, ids 0-29
+            + [(100 + i, other) for i in range(10)])
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1000, base)], "vec_id long, embedding array<double>")
+
+    for parts in (1, 7):
+        got = (brute_force_topk_arrow(
+            queries, corpus.repartition(parts), k=5)
+            .orderBy("rank").collect())
+        assert [r.corpus_id for r in got] == [0, 1, 2, 3, 4], parts
+        assert all(abs(r.cosine - 1.0) < 1e-12 for r in got)
