@@ -155,25 +155,37 @@ def _measure_once(spark, q, sf_dir: str, warmups: int):
 
 # A query whose own passes disagree this much was measured through a
 # load transient (the gate only certifies the START of the run; this
-# box demonstrably gets hammered mid-run too).  One bounded retry
-# after a short settle; keep whichever attempt is tighter.
+# box demonstrably gets hammered mid-run too).  Bounded retry; keep
+# the retry only when its own spread is quiet.
 NOISY_SPREAD_FRAC = 0.5
 NOISY_SPREAD_FLOOR = 0.3
-NOISY_SETTLE_SEC = 15
+
+
+def _regate(spark) -> dict:
+    """Re-run the contention gate mid-run.  r12: both of this round's
+    first bench attempts started quiet and were then hit by multi-
+    minute hypervisor-steal waves mid-run (dedup_simhash 21 s ± 16 s
+    with a 0.79 s quiet repass); the old fixed 15 s settle could not
+    outlast them, so a noisy query now waits for the same
+    retry-until-quiet gate the run start uses before its re-measure."""
+    return contention_gate(spark)
 
 
 def _measure(spark, queries, name: str, sf_dir: str,
              remeasured: list | None = None):
     """2 warmups + 3 measured noop-forced passes -> (median, spread);
     one retry if the spread says the passes straddled a transient.
-    The retry is adopted only when its OWN spread clears the noisy
-    threshold (a retry that merely happened to be tighter while still
-    straddling load must not replace the original median — r11 advice),
-    and the record says which attempt was kept."""
+    Before the retry the harness re-gates (waits, bounded, until the
+    synthetic rebaseline reads quiet again) instead of a fixed 15 s
+    settle.  The retry is adopted only when its OWN spread clears the
+    noisy threshold (a retry that merely happened to be tighter while
+    still straddling load must not replace the original median — r11
+    advice), and the record says which attempt was kept plus the gate
+    probes it waited through."""
     q = queries[name]
     med, spr = _measure_once(spark, q, sf_dir, WARMUP_PASSES)
     if spr > max(NOISY_SPREAD_FRAC * med, NOISY_SPREAD_FLOOR):
-        time.sleep(NOISY_SETTLE_SEC)
+        gate = _regate(spark)
         med2, spr2 = _measure_once(spark, q, sf_dir, 0)  # still warm
         retry_quiet = spr2 <= max(NOISY_SPREAD_FRAC * med2,
                                   NOISY_SPREAD_FLOOR)
@@ -181,7 +193,8 @@ def _measure(spark, queries, name: str, sf_dir: str,
             remeasured.append(
                 {"name": name,
                  "kept": "retry" if retry_quiet else "first",
-                 "first": [med, spr], "retry": [med2, spr2]})
+                 "first": [med, spr], "retry": [med2, spr2],
+                 "regate": gate["rebaseline_gate"]})
         if retry_quiet:
             return med2, spr2
     return med, spr

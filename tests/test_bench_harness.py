@@ -85,12 +85,16 @@ def test_measure_retry_adopted_only_when_quiet(monkeypatch):
     attempts = iter([(1.0, 0.9), (1.2, 0.8)])   # both noisy
     monkeypatch.setattr(bench, "_measure_once",
                         lambda *a, **k: next(attempts))
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "_regate",
+                        lambda spark: {"rebaseline_gate": [2.1, 0.8],
+                                       "contended": False,
+                                       "rebaseline_sec": 0.8})
     rec: list = []
     med, spr = bench._measure(None, {"q": object()}, "q", "sf", rec)
     assert (med, spr) == (1.0, 0.9)             # first kept
     assert rec == [{"name": "q", "kept": "first",
-                    "first": [1.0, 0.9], "retry": [1.2, 0.8]}]
+                    "first": [1.0, 0.9], "retry": [1.2, 0.8],
+                    "regate": [2.1, 0.8]}]
 
     attempts = iter([(1.0, 0.9), (0.8, 0.05)])  # retry quiet
     monkeypatch.setattr(bench, "_measure_once",
