@@ -171,33 +171,50 @@ def _regate(spark) -> dict:
     return contention_gate(spark)
 
 
+NOISY_MAX_RETRIES = 3
+
+
+def _is_quiet(med: float, spr: float) -> bool:
+    return spr <= max(NOISY_SPREAD_FRAC * med, NOISY_SPREAD_FLOOR)
+
+
 def _measure(spark, queries, name: str, sf_dir: str,
              remeasured: list | None = None):
-    """2 warmups + 3 measured noop-forced passes -> (median, spread);
-    one retry if the spread says the passes straddled a transient.
-    Before the retry the harness re-gates (waits, bounded, until the
-    synthetic rebaseline reads quiet again) instead of a fixed 15 s
-    settle.  The retry is adopted only when its OWN spread clears the
-    noisy threshold (a retry that merely happened to be tighter while
-    still straddling load must not replace the original median — r11
-    advice), and the record says which attempt was kept plus the gate
-    probes it waited through."""
+    """2 warmups + 3 measured noop-forced passes -> (median, spread).
+    A noisy attempt (spread over the threshold — the passes straddled
+    a load transient) earns up to NOISY_MAX_RETRIES gated retries:
+    each retry waits behind the retry-until-quiet rebaseline gate
+    first (r12: a single retry after a fixed settle lost to this
+    box's multi-minute steal waves — the retry itself landed in the
+    next wave).  The FIRST attempt whose own spread is quiet wins; if
+    none is, the tightest attempt is kept and the record shows every
+    attempt + the gate probes between them, so the artifact carries
+    the evidence that the figure was measured through load."""
     q = queries[name]
     med, spr = _measure_once(spark, q, sf_dir, WARMUP_PASSES)
-    if spr > max(NOISY_SPREAD_FRAC * med, NOISY_SPREAD_FLOOR):
+    if _is_quiet(med, spr):
+        return med, spr
+    attempts = [[med, spr]]
+    regates = []
+    kept = None
+    for _ in range(NOISY_MAX_RETRIES):
         gate = _regate(spark)
+        regates.append(gate["rebaseline_gate"])
         med2, spr2 = _measure_once(spark, q, sf_dir, 0)  # still warm
-        retry_quiet = spr2 <= max(NOISY_SPREAD_FRAC * med2,
-                                  NOISY_SPREAD_FLOOR)
-        if remeasured is not None:
-            remeasured.append(
-                {"name": name,
-                 "kept": "retry" if retry_quiet else "first",
-                 "first": [med, spr], "retry": [med2, spr2],
-                 "regate": gate["rebaseline_gate"]})
-        if retry_quiet:
-            return med2, spr2
-    return med, spr
+        attempts.append([med2, spr2])
+        if _is_quiet(med2, spr2):
+            kept = len(attempts) - 1
+            break
+    if kept is None:  # nothing quiet: keep the tightest attempt
+        kept = min(range(len(attempts)), key=lambda i: attempts[i][1])
+    if remeasured is not None:
+        remeasured.append({"name": name,
+                           "kept": f"attempt{kept}",
+                           "attempts": attempts,
+                           "quiet": kept is not None
+                           and _is_quiet(*attempts[kept]),
+                           "regates": regates})
+    return tuple(attempts[kept])
 
 
 def _select_movers(medians: dict, spreads: dict, prior: dict) -> list:

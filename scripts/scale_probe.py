@@ -21,9 +21,9 @@ sys.path.insert(0, REPO)
 WARMUP, MEASURED = 1, 3
 
 # a probe pass whose spread exceeds this fraction of its median was
-# measured through a load transient; it earns one settle-and-retry
+# measured through a load transient; it earns one gate-and-retry
 # (kept only if the retry's own spread is quiet) — bench.py discipline
-NOISY_FRAC, NOISY_FLOOR, SETTLE_SEC = 0.3, 0.2, 15
+NOISY_FRAC, NOISY_FLOOR = 0.3, 0.2
 
 
 def _measure_once(q, spark, sf_dir, warmups):
@@ -44,7 +44,11 @@ def _measure_once(q, spark, sf_dir, warmups):
 def measure(q, spark, sf_dir):
     med, spr = _measure_once(q, spark, sf_dir, WARMUP)
     if spr > max(NOISY_FRAC * med, NOISY_FLOOR):
-        time.sleep(SETTLE_SEC)
+        # bench.py r12 discipline: a fixed settle cannot outlast the
+        # multi-minute steal waves this box sees — wait behind the
+        # retry-until-quiet rebaseline gate before the re-measure
+        from benchgate import contention_gate
+        contention_gate(spark)
         med2, spr2 = _measure_once(q, spark, sf_dir, 0)
         if spr2 <= max(NOISY_FRAC * med2, NOISY_FLOOR):
             return med2, spr2

@@ -78,28 +78,42 @@ def test_gate_constants_sane():
 
 
 def test_measure_retry_adopted_only_when_quiet(monkeypatch):
-    """r11 advice: a noisy first attempt earns a retry, but the retry
-    replaces the median only when its OWN spread clears the noisy
-    threshold — a still-noisy-but-tighter retry is discarded (and the
-    record says which attempt was kept)."""
-    attempts = iter([(1.0, 0.9), (1.2, 0.8)])   # both noisy
-    monkeypatch.setattr(bench, "_measure_once",
-                        lambda *a, **k: next(attempts))
+    """r11 advice + r12 hardening: a noisy first attempt earns gated
+    retries; the first attempt whose OWN spread clears the noisy
+    threshold wins.  If every attempt is noisy the tightest one is
+    kept and the record marks the figure as measured through load."""
     monkeypatch.setattr(bench, "_regate",
                         lambda spark: {"rebaseline_gate": [2.1, 0.8],
                                        "contended": False,
                                        "rebaseline_sec": 0.8})
+
+    # all noisy -> tightest kept, quiet=False, all attempts on record
+    attempts = iter([(1.0, 0.9), (1.2, 0.8), (1.4, 0.85), (1.1, 0.9)])
+    monkeypatch.setattr(bench, "_measure_once",
+                        lambda *a, **k: next(attempts))
     rec: list = []
     med, spr = bench._measure(None, {"q": object()}, "q", "sf", rec)
-    assert (med, spr) == (1.0, 0.9)             # first kept
-    assert rec == [{"name": "q", "kept": "first",
-                    "first": [1.0, 0.9], "retry": [1.2, 0.8],
-                    "regate": [2.1, 0.8]}]
+    assert (med, spr) == (1.2, 0.8)             # tightest spread
+    assert rec[0]["kept"] == "attempt1"
+    assert rec[0]["quiet"] is False
+    assert len(rec[0]["attempts"]) == 1 + bench.NOISY_MAX_RETRIES
+    assert rec[0]["regates"] == [[2.1, 0.8]] * bench.NOISY_MAX_RETRIES
 
-    attempts = iter([(1.0, 0.9), (0.8, 0.05)])  # retry quiet
+    # second retry quiet -> adopted, no further retries
+    attempts = iter([(1.0, 0.9), (1.2, 0.8), (0.8, 0.05)])
     monkeypatch.setattr(bench, "_measure_once",
                         lambda *a, **k: next(attempts))
     rec = []
     med, spr = bench._measure(None, {"q": object()}, "q", "sf", rec)
-    assert (med, spr) == (0.8, 0.05)            # retry kept
-    assert rec[0]["kept"] == "retry"
+    assert (med, spr) == (0.8, 0.05)
+    assert rec[0]["kept"] == "attempt2"
+    assert rec[0]["quiet"] is True
+    assert len(rec[0]["attempts"]) == 3
+
+    # quiet first attempt -> no retry, no record
+    monkeypatch.setattr(bench, "_measure_once",
+                        lambda *a, **k: (1.0, 0.1))
+    rec = []
+    assert bench._measure(None, {"q": object()}, "q", "sf", rec) == \
+        (1.0, 0.1)
+    assert rec == []
