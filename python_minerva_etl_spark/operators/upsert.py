@@ -27,15 +27,33 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+
+def argmax_resolve(df: DataFrame, key: list[str],
+                   order_cols: list[str]) -> DataFrame:
+    """Keep the row with the largest ``order_cols`` tuple per key, as
+    ONE hash aggregation (``max_by`` over a struct) instead of a window
+    ``row_number``: the aggregate gets partial (map-side) reduction and
+    needs no sort, where the window shuffles every duplicate row and
+    sorts each partition.  Semantics match ``row_number() ... ORDER BY
+    cols DESC == 1`` exactly: a NULL inside the ordering struct sorts
+    lowest (= NULLS LAST under DESC), ties pick an arbitrary row (both
+    forms do; callers pass a unique sequence for determinism), and an
+    all-NULL ordering tuple still keeps one row (the struct itself is
+    never NULL, so ``max_by`` cannot drop the group)."""
+    others = [c for c in df.columns if c not in key]
+    row = F.max_by(F.struct(*[F.col(c) for c in others]),
+                   F.struct(*[F.col(c) for c in order_cols]))
+    picked = df.groupBy(*key).agg(row.alias("__r"))
+    return picked.select(*[
+        F.col(c) if c in key else F.col("__r").getField(c).alias(c)
+        for c in df.columns])
 
 
 def dedup_last_wins(df: DataFrame, key: list[str], seq_col: str) -> DataFrame:
     """Keep the highest-``seq_col`` row per key (deterministic: seq must
     be unique per key, e.g. a batch sequence number or load id)."""
-    w = Window.partitionBy(*key).orderBy(F.desc(seq_col))
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    return argmax_resolve(df, key, [seq_col])
 
 
 def upsert_parquet(spark: SparkSession, batch: DataFrame, path: str,
@@ -72,9 +90,8 @@ def upsert_parquet(spark: SparkSession, batch: DataFrame, path: str,
         existing = existing.filter(F.col(partition_col).isin(parts))
     combined = existing.withColumn("__src", F.lit(0)).unionByName(
         batch.withColumn("__src", F.lit(1)), allowMissingColumns=True)
-    w = Window.partitionBy(*key).orderBy(F.desc("__src"), F.desc(seq_col))
-    resolved = (combined.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+    resolved = argmax_resolve(combined, key,
+                              ["__src", seq_col]).drop("__src")
 
     staging = f"{path}.__staging__{uuid.uuid4().hex[:8]}"
     try:

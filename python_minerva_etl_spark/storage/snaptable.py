@@ -458,9 +458,10 @@ class SnapTable:
         if self._txn_seen(txn, self.latest_version()):
             return self.latest_version()
         if self.latest_version() is None:
-            w = Window.partitionBy(*key).orderBy(F.desc(seq_col))
-            resolved = (batch.withColumn("__rn", F.row_number().over(w))
-                        .filter(F.col("__rn") == 1).drop("__rn"))
+            # argmax resolve: hash aggregate (map-side partials, no
+            # sort) instead of a window row_number — same semantics
+            from ..operators.upsert import argmax_resolve
+            resolved = argmax_resolve(batch, key, [seq_col])
             return self.append(spark, resolved, key, txn=txn)
 
         env_row = batch.select(
@@ -483,10 +484,9 @@ class SnapTable:
                 allowMissingColumns=True)
         else:
             combined = batch.withColumn("__src", F.lit(1))
-        w = Window.partitionBy(*key).orderBy(F.desc("__src"),
-                                             F.desc(seq_col))
-        resolved = (combined.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+        from ..operators.upsert import argmax_resolve
+        resolved = argmax_resolve(combined, key,
+                                  ["__src", seq_col]).drop("__src")
         new = self._write_data(resolved, key)
 
         del carried  # recomputed from the current snapshot each attempt
