@@ -19,7 +19,37 @@ thousands of buckets; N must match across tables meant to co-join).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def derive_num_buckets(path: str, target_bytes: int = 16 << 20,
+                       floor: int = 16, cap: int = 4096) -> int:
+    """Scale-adaptive bucket count from the source's on-disk bytes:
+    next power of two of size/target, clamped to [floor, cap].  A
+    constant bucket count is tuned for exactly one scale — 16 buckets
+    that are fine at sf0.1 cap the 100x join at 16-way parallelism
+    (measured: the bucketed rollup LOST to the shuffled plan there,
+    14.7 vs 12.8 s, because 16 tasks ran on 32 cores with no AQE
+    split).  Power of two keeps co-join compatibility stepwise (equal
+    counts still required across co-bucketed tables — derive from the
+    same driving table).  ``target_bytes`` is compressed parquet per
+    bucket; at 100 TB and the 128 MB guide target this lands in the
+    tens of thousands of buckets, as the module docstring prescribes.
+    """
+    size = 0
+    if os.path.isfile(path):
+        size = os.path.getsize(path)
+    else:
+        for root, _dirs, files in os.walk(path):
+            size += sum(os.path.getsize(os.path.join(root, f))
+                        for f in files if not f.startswith((".", "_")))
+    if size <= 0:
+        return floor
+    raw = max(1, math.ceil(size / target_bytes))
+    return max(floor, min(cap, 1 << math.ceil(math.log2(raw))))
 
 
 def write_bucketed(df: DataFrame, table: str, keys: list[str],

@@ -261,7 +261,8 @@ def _rollup_entity_bucketed(spark, sf_dir):
     the zero-Exchange plan is asserted in tests/test_plans.py."""
     import hashlib
 
-    from ..operators.bucketing import read_bucketed, write_bucketed
+    from ..operators.bucketing import (derive_num_buckets, read_bucketed,
+                                       write_bucketed)
 
     # md5 (not hash(): per-process salted) so re-runs against the
     # same fixture REUSE the layout within a session — the build-once
@@ -270,6 +271,9 @@ def _rollup_entity_bucketed(spark, sf_dir):
     # a stale location is cleared before rebuilding.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     li_t, ord_t = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    # scale-adaptive count from the driving (larger) table; both
+    # sides must share it for the zero-Exchange co-join
+    nb = derive_num_buckets(os.path.join(sf_dir, "lineitem.parquet"))
 
     def _ensure(table, df, keys, sort_cols):
         if spark.catalog.tableExists(table):
@@ -280,7 +284,7 @@ def _rollup_entity_bucketed(spark, sf_dir):
         loc = os.path.join(wh, table.lower())
         if os.path.exists(loc):
             shutil.rmtree(loc)
-        write_bucketed(df, table, keys, 16, sort_cols=sort_cols)
+        write_bucketed(df, table, keys, nb, sort_cols=sort_cols)
 
     _ensure(li_t, t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"),

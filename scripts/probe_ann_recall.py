@@ -24,9 +24,19 @@ twin (``brute_force_topk``, the oracle-checkable spec) is timed once
 at the smallest m for context.
 
 Usage: python scripts/probe_ann_recall.py [sf_dir] [--skip-pairs]
+       [--pairs-only] [--pairs-threshold 0.4]
+       [--pairs-truth pivot|exactdup]
        [--sweep 10,100,1000] [--out FILE]
 Prints one JSON line (and writes --out if given); merge into
 SCALE_r{N}_ann.json.
+
+``--pairs-threshold`` matters at the replica fixtures: the exact
+pivot blocking is built for NEAR-DUP radii (each vector replicates
+into ~1-3 cells); at the sf0.1 corpus-tail threshold 0.4 the radius
+2r ≈ 2.2 exceeds typical inter-point distances, every vector lands in
+every cell, and the "blocked" join degenerates to all-pairs — at 200k
+vectors that filled 78 GB of shuffle spill.  Probe scaled fixtures at
+0.95 (the dedup use case, where cliques are exact-duplicate replicas).
 """
 
 from __future__ import annotations
@@ -114,6 +124,14 @@ def _timed(fn, steady: int = 2):
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip_pairs = "--skip-pairs" in sys.argv
+    pairs_only = "--pairs-only" in sys.argv
+    pair_threshold = 0.4
+    pairs_truth = "pivot"
+    # candidate volume per (table, bucket) is ~ (n / 2^planes)^2, so
+    # planes must grow with log2(n) — the declared sf0.1 setting is
+    # 4 planes x 16 tables; pass --pairs-planes ~log2(n/50) at scaled
+    # fixtures
+    pairs_planes, pairs_tables = 4, 16
     sweep = [10]
     steady = 2
     out_path = None
@@ -125,9 +143,21 @@ def main() -> None:
             out_path = argv[i + 1]
         if a == "--steady":
             steady = int(argv[i + 1])
+        if a == "--pairs-threshold":
+            pair_threshold = float(argv[i + 1])
+        if a == "--pairs-truth":
+            pairs_truth = argv[i + 1]
+        if a == "--pairs-planes":
+            pairs_planes = int(argv[i + 1])
+        if a == "--pairs-tables":
+            pairs_tables = int(argv[i + 1])
     args = [a for a in args
             if a not in {argv[i + 1] for i, x in enumerate(argv[:-1])
-                         if x in ("--sweep", "--out", "--steady")}]
+                         if x in ("--sweep", "--out", "--steady",
+                                  "--pairs-threshold", "--pairs-truth",
+                                  "--pairs-planes", "--pairs-tables")}]
+    if pairs_only:
+        sweep = []
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     import numpy as np
@@ -160,30 +190,36 @@ def main() -> None:
     }
 
     # ---- build-once indexes (priced separately, reused per m) ----
-    t0 = time.perf_counter()
-    cents = _ivf_centroids_arrow(
-        emb, crossover_params["ivf"]["num_cells"],
-        crossover_params["ivf"]["lloyd_iters"], "vec_id", "embedding")
-    ivf_train_sec = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    cbs = _pq_codebooks_arrow(
-        emb, crossover_params["pq"]["m"], crossover_params["pq"]["ksub"],
-        crossover_params["pq"]["train_iters"], "vec_id", "embedding")
-    pq_train_sec = round(time.perf_counter() - t0, 2)
-    # the persisted, hive-partitioned IVF index — the only path that
-    # skips the corpus SCAN too (partition pruning on the probed
-    # cells), i.e. the actual 100 TB query shape
-    import hashlib
-    import tempfile
-    idx_path = os.path.join(
-        tempfile.gettempdir(),
-        "minerva_ivf_probe_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    t0 = time.perf_counter()
-    build_ivf_index_arrow(
-        emb, idx_path, num_cells=crossover_params["ivf"]["num_cells"],
-        lloyd_iters=crossover_params["ivf"]["lloyd_iters"])
-    ivf_index_build_sec = round(time.perf_counter() - t0, 2)
+    ivf_train_sec = pq_train_sec = ivf_index_build_sec = None
+    cents = cbs = idx_path = None
+    if sweep:
+        t0 = time.perf_counter()
+        cents = _ivf_centroids_arrow(
+            emb, crossover_params["ivf"]["num_cells"],
+            crossover_params["ivf"]["lloyd_iters"], "vec_id",
+            "embedding")
+        ivf_train_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cbs = _pq_codebooks_arrow(
+            emb, crossover_params["pq"]["m"],
+            crossover_params["pq"]["ksub"],
+            crossover_params["pq"]["train_iters"], "vec_id", "embedding")
+        pq_train_sec = round(time.perf_counter() - t0, 2)
+        # the persisted, hive-partitioned IVF index — the only path
+        # that skips the corpus SCAN too (partition pruning on the
+        # probed cells), i.e. the actual 100 TB query shape
+        import hashlib
+        import tempfile
+        idx_path = os.path.join(
+            tempfile.gettempdir(),
+            "minerva_ivf_probe_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+        t0 = time.perf_counter()
+        build_ivf_index_arrow(
+            emb, idx_path,
+            num_cells=crossover_params["ivf"]["num_cells"],
+            lloyd_iters=crossover_params["ivf"]["lloyd_iters"])
+        ivf_index_build_sec = round(time.perf_counter() - t0, 2)
 
     results: dict = {}
     for m in sweep:
@@ -258,23 +294,92 @@ def main() -> None:
             runs.sort()
             return df, round(runs[len(runs) // 2], 2)
 
-        exact_df, p_exec = _timed_force(
-            lambda: cosine_pairs_pivot(emb, threshold=0.4))
         lsh_df, l_exec = _timed_force(
-            lambda: cosine_pairs_lsh_arrow(emb, threshold=0.4,
-                                           num_planes=4,
-                                           num_tables=16))
-        n_exact = exact_df.count()
+            lambda: cosine_pairs_lsh_arrow(emb,
+                                           threshold=pair_threshold,
+                                           num_planes=pairs_planes,
+                                           num_tables=pairs_tables))
         n_lsh = lsh_df.count()
-        n_hit = exact_df.select("id_a", "id_b").join(
-            lsh_df.select("id_a", "id_b"), ["id_a", "id_b"]).count()
-        pairs = {
-            "exact": "cosine_pairs_pivot (provably exact blocked join)",
-            "exact_pairs": n_exact, "lsh_pairs": n_lsh,
-            "recall": round(n_hit / n_exact, 4) if n_exact else 1.0,
-            "precision": round(n_hit / n_lsh, 4) if n_lsh else 1.0,
-            "exact_exec_sec": p_exec, "lsh_exec_sec": l_exec,
-        }
+        if pairs_truth == "exactdup":
+            # Replica fixtures: a DataFrame exact pair join is
+            # INFEASIBLE here and that is the finding, not a bug —
+            # the pivot blocking prunes by triangle inequality, but a
+            # uniform random corpus has all inter-point distances
+            # within the 2r margin of each other, so every vector
+            # replicates into every cell and the "blocked" join
+            # degenerates to all-pairs (measured: >50 GB shuffle
+            # spill at 200k vectors before being killed).  Ground
+            # truth instead comes from problem knowledge the planner
+            # does not have: replicas are BIT-IDENTICAL vectors, and
+            # the base corpus' max non-self cosine is far below the
+            # near-dup threshold — asserted below on the distinct
+            # set — so the true pair set at τ is EXACTLY the
+            # identical-vector cliques.
+            gmap = emb.select(
+                F.col("vec_id").alias("gid"),
+                F.xxhash64(F.col("embedding").cast("array<double>"))
+                .alias("g"))
+            reps = gmap.groupBy("g").count()
+            distinct_rows = (emb.withColumn(
+                "g", F.xxhash64(F.col("embedding")
+                                .cast("array<double>")))
+                .dropDuplicates(["g"]).select("embedding").collect())
+            assert len(distinct_rows) <= 50_000, "distinct set too big"
+            D = np.array([list(r[0]) for r in distinct_rows])
+            Dn = np.linalg.norm(D, axis=1)
+            Dn[Dn == 0] = 1.0
+            S = (D @ D.T) / np.outer(Dn, Dn)
+            np.fill_diagonal(S, -1.0)
+            max_distinct_cos = float(S.max())
+            assert max_distinct_cos < pair_threshold, (
+                f"exactdup truth premise violated: {max_distinct_cos}")
+            n_exact = int(reps.selectExpr(
+                "sum(count * (count - 1) / 2)").collect()[0][0] or 0)
+            a = gmap.select(F.col("gid").alias("id_a"),
+                            F.col("g").alias("g_a"))
+            b = gmap.select(F.col("gid").alias("id_b"),
+                            F.col("g").alias("g_b"))
+            n_hit = (lsh_df.select("id_a", "id_b")
+                     .join(a, "id_a").join(b, "id_b")
+                     .filter(F.col("g_a") == F.col("g_b")).count())
+            pairs = {
+                "threshold": pair_threshold,
+                "num_planes": pairs_planes, "num_tables": pairs_tables,
+                "exact": ("analytic ground truth: identical-vector"
+                          " cliques (replica fixture); premise"
+                          " max distinct-pair cosine"
+                          f" {max_distinct_cos:.4f} < τ asserted."
+                          "  A DataFrame exact pair join is"
+                          " infeasible at this scale: pivot blocking"
+                          " degenerates to all-pairs on a uniform"
+                          " corpus (every inter-point distance within"
+                          " the 2r margin) — >50 GB spill at 200k"
+                          " before kill.  That infeasibility is the"
+                          " crossover evidence."),
+                "exact_pairs": n_exact, "lsh_pairs": n_lsh,
+                "recall": round(n_hit / n_exact, 4) if n_exact else 1.0,
+                "precision": round(n_hit / n_lsh, 4) if n_lsh else 1.0,
+                "exact_exec_sec": None, "lsh_exec_sec": l_exec,
+                "max_distinct_cosine": round(max_distinct_cos, 4),
+            }
+        else:
+            exact_df, p_exec = _timed_force(
+                lambda: cosine_pairs_pivot(emb,
+                                           threshold=pair_threshold))
+            n_exact = exact_df.count()
+            n_hit = exact_df.select("id_a", "id_b").join(
+                lsh_df.select("id_a", "id_b"),
+                ["id_a", "id_b"]).count()
+            pairs = {
+                "threshold": pair_threshold,
+                "num_planes": pairs_planes, "num_tables": pairs_tables,
+                "exact": ("cosine_pairs_pivot (provably exact blocked"
+                          " join)"),
+                "exact_pairs": n_exact, "lsh_pairs": n_lsh,
+                "recall": round(n_hit / n_exact, 4) if n_exact else 1.0,
+                "precision": round(n_hit / n_lsh, 4) if n_lsh else 1.0,
+                "exact_exec_sec": p_exec, "lsh_exec_sec": l_exec,
+            }
 
     doc = {
         "probe": "ann_recall_and_crossover",

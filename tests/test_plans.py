@@ -326,3 +326,32 @@ def test_rollup_entity_bucketed_has_no_join_exchange(spark):
     # contrast: the plain twin shuffles the fact on the join key
     assert re.search(r"hashpartitioning\((l_orderkey|o_orderkey)",
                      buf2.getvalue())
+
+
+def test_derive_num_buckets_scale_adaptive(tmp_path):
+    """Bucket count derives from source bytes: floor at small inputs
+    (sf0.1 keeps the 16-bucket layout), grows as a power of two with
+    size, capped — a constant count tuned for one scale caps join
+    parallelism at every other scale (measured 14.7 vs 12.8 s at 100x
+    with 16 buckets on 32 cores)."""
+    from python_minerva_etl_spark.operators.bucketing import (
+        derive_num_buckets)
+
+    f = tmp_path / "small.parquet"
+    f.write_bytes(b"x" * 1024)
+    assert derive_num_buckets(str(f)) == 16             # floor
+    assert derive_num_buckets(str(tmp_path / "nope")) == 16
+
+    target = 16 << 20
+    g = tmp_path / "big.parquet"
+    g.write_bytes(b"")
+    os = __import__("os")
+    os.truncate(g, 40 * target)                         # sparse 640 MB
+    assert derive_num_buckets(str(g)) == 64             # next pow2(40)
+    assert derive_num_buckets(str(g), cap=32) == 32     # cap wins
+    # directory form sums the files
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    os.truncate(d / "a.parquet", 40 * target)
+    assert derive_num_buckets(str(d)) == 64
