@@ -32,15 +32,20 @@ from pyspark.sql import functions as F
 def argmax_resolve(df: DataFrame, key: list[str],
                    order_cols: list[str]) -> DataFrame:
     """Keep the row with the largest ``order_cols`` tuple per key, as
-    ONE hash aggregation (``max_by`` over a struct) instead of a window
-    ``row_number``: the aggregate gets partial (map-side) reduction and
-    needs no sort, where the window shuffles every duplicate row and
-    sorts each partition.  Semantics match ``row_number() ... ORDER BY
-    cols DESC == 1`` exactly: a NULL inside the ordering struct sorts
-    lowest (= NULLS LAST under DESC), ties pick an arbitrary row (both
-    forms do; callers pass a unique sequence for determinism), and an
-    all-NULL ordering tuple still keeps one row (the struct itself is
-    never NULL, so ``max_by`` cannot drop the group)."""
+    ONE aggregation (``max_by`` over a struct) instead of a window
+    ``row_number``: the aggregate gets partial (map-side) reduction,
+    so the exchange carries one row per key per map task instead of
+    every duplicate — the window shuffles ALL rows, then sorts.  (The
+    struct-typed buffer makes Spark plan SortAggregate rather than
+    HashAggregate, so a local sort by grouping key remains on each
+    side; the shuffled-bytes reduction is the win, and the measured
+    sf0.1 medians improved too: upsert_last_wins 0.61 -> ~0.5 s.)
+    Semantics match ``row_number() ... ORDER BY cols DESC == 1``
+    exactly: a NULL inside the ordering struct sorts lowest (= NULLS
+    LAST under DESC), ties pick an arbitrary row (both forms do;
+    callers pass a unique sequence for determinism), and an all-NULL
+    ordering tuple still keeps one row (the struct itself is never
+    NULL, so ``max_by`` cannot drop the group)."""
     others = [c for c in df.columns if c not in key]
     row = F.max_by(F.struct(*[F.col(c) for c in others]),
                    F.struct(*[F.col(c) for c in order_cols]))
