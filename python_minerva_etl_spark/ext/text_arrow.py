@@ -1,0 +1,265 @@
+"""Arrow/Python kernels for the per-document text statistics whose
+JVM form is a chain of higher-order-function folds.
+
+Why this module exists (optimization guide §4.1/§4.2): Spark's
+array higher-order functions (``aggregate``, ``transform``,
+``array_sort`` with a lambda) are CodegenFallback expressions — every
+element step is an interpreted expression-tree walk with boxed
+intermediates.  The Gopher n-gram quintuple walks each document ~6
+times (3 gram builds + sorts + folds, one struct sort, one interval
+fold), which measured ~10 µs per token at sf0.1 — and, worse, the
+fixture is a single parquet row group, so the whole corpus ran as ONE
+scan task on one core.  A ``mapInPandas`` kernel does the same exact
+integer arithmetic in a tight Python loop over hash tables (Counter),
+~0.1 µs per gram op, and the explicit round-robin repartition ahead
+of it spreads documents over every core — the shuffle moves only the
+pruned (lang, text) columns.
+
+Exactness contract: every number these kernels emit is an INTEGER
+computed by the same rules as the ext/text.py fold expressions
+(token = split on single space; gram joined by one space; winner tie
+breaks to the lexicographically smallest gram — valid UTF-8 compares
+identically as Python code points and UTF8String bytes; coverage
+unions token positions, chars counted once).  Agreement with the JVM
+fold helpers is locked per-document by tests/test_text_arrow.py, and
+the declared query result is oracle-checked as before.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gopher_quintuple(text: str) -> tuple[int, int, int, int, int]:
+    """(token_chars, top2, top3, top4, dup5_coverage) for one
+    document — the exact integer semantics of ``token_chars``,
+    ``top_ngram_chars(2..4)`` and ``with_dup_ngram_coverage(n=5)``.
+    A NULL text contributes zeros (the fold form yields NULLs there,
+    which the downstream SUM likewise ignores)."""
+    if text is None:
+        return (0, 0, 0, 0, 0)
+    toks = text.lower().split(' ')
+    tc = sum(map(len, toks))
+    nt = len(toks)
+    tops = []
+    for n in (2, 3, 4):
+        if nt < n:
+            tops.append(0)
+            continue
+        cnt = Counter(' '.join(toks[i:i + n]) for i in range(nt - n + 1))
+        best_c, best_g = 0, ''
+        for g, c in cnt.items():
+            if c > best_c or (c == best_c and g < best_g):
+                best_c, best_g = c, g
+        # count x token-chars of the winning gram (n-1 separators off)
+        tops.append(best_c * (len(best_g) - (n - 1)))
+    if nt < 5:
+        return (tc, tops[0], tops[1], tops[2], 0)
+    grams5 = [' '.join(toks[i:i + 5]) for i in range(nt - 4)]
+    c5 = Counter(grams5)
+    cover_end, chars = -1, 0
+    for s, g in enumerate(grams5):
+        if c5[g] < 2:
+            continue
+        lo = max(s, cover_end + 1)
+        hi = s + 4
+        for j in range(lo, hi + 1):
+            chars += len(toks[j])
+        if hi > cover_end:
+            cover_end = hi
+    return (tc, tops[0], tops[1], tops[2], chars)
+
+
+def _spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IF the scan under-parallelizes the
+    session (the sf fixtures are single-row-group files — one task no
+    matter how many cores).  Scale-adaptive, not a constant: when the
+    input already carries >= defaultParallelism partitions (any real
+    100 TB table), this is a no-op — no extra Exchange, the kernel
+    runs scan-local.  When it does fire, the shuffle moves only the
+    columns already pruned by the caller."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def gopher_ngram_doc_stats(docs: DataFrame,
+                           text_col: str = "text",
+                           lang_col: str = "lang") -> DataFrame:
+    """Per-document Gopher n-gram quintuple as a ``mapInPandas``
+    kernel: returns ``(lang, tc, t2, t3, t4, d5)`` — one row per
+    input document, all-bigint, ready for the corpus ratio-of-sums
+    aggregation.  Only (lang, text) cross the Python boundary."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    pruned = _spread_for_cpu(docs.select(F.col(lang_col).alias("lang"),
+                                         F.col(text_col).alias("text")))
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = [gopher_quintuple(t) for t in pdf["text"]]
+            out = pd.DataFrame(rows,
+                               columns=["tc", "t2", "t3", "t4", "d5"])
+            out.insert(0, "lang", pdf["lang"].values)
+            yield out
+
+    return pruned.mapInPandas(
+        compute,
+        "lang string, tc long, t2 long, t3 long, t4 long, d5 long")
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def bigram_buckets(text: str, n_buckets: int) -> list[int]:
+    """Hashed-bigram feature buckets for one document — the exact
+    integer semantics of ext/text.py ``_bigram_bucket_sql``: first 8
+    hex digits of md5(tok_i + ' ' + tok_{i+1}) as an int, mod B.
+    md5 runs over the UTF-8 bytes, matching Spark's ``md5(string)``.
+    Documents with <2 tokens (or NULL text) have no bigrams."""
+    if text is None:
+        return []
+    toks = text.lower().split(' ')
+    md5 = hashlib.md5
+    return [int(md5(f"{toks[i]} {toks[i + 1]}".encode()
+                    ).hexdigest()[:8], 16) % n_buckets
+            for i in range(len(toks) - 1)]
+
+
+def dsir_bucket_counts_arrow(raw: DataFrame, n_buckets: int,
+                             text_col: str = "text",
+                             target_where: str | None = None
+                             ) -> DataFrame:
+    """The DSIR weight pass's corpus scan as an Arrow kernel:
+    per-batch ``numpy.bincount`` histograms of the hashed-bigram
+    buckets (raw count + conditional target count), pre-aggregated
+    BEFORE the exchange — each task ships at most ``n_buckets`` rows
+    instead of one row per bigram (guide §2.3 'aggregate before you
+    shuffle'; the JVM form explodes every bigram through an
+    interpreted md5-in-``transform`` lambda first).  Returns
+    ``(bucket, cr, ct)`` aggregated — plug into the same floor-ratio
+    select as the JVM path for bit-identical weights."""
+    import numpy as np  # noqa: F401 (executor-side)
+
+    cols = [F.col(text_col).alias("__text")]
+    # evaluate the target predicate as a Spark SQL expression BEFORE
+    # the kernel so its semantics stay engine-defined
+    cols.append(F.expr(target_where).alias("__t") if target_where
+                else F.lit(False).alias("__t"))
+    pruned = _spread_for_cpu(raw.select(*cols))
+
+    def compute(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        # accumulate across ALL batches of the task, yield once —
+        # each task ships at most n_buckets rows into the exchange
+        cr = np.zeros(n_buckets, dtype=np.int64)
+        ct = np.zeros(n_buckets, dtype=np.int64)
+        for pdf in batches:
+            for text, is_t in zip(pdf["__text"], pdf["__t"]):
+                b = bigram_buckets(text, n_buckets)
+                if not b:
+                    continue
+                h = np.bincount(b, minlength=n_buckets)
+                cr += h
+                if is_t:
+                    ct += h
+        nz = np.flatnonzero(cr)
+        yield pd.DataFrame({"bucket": nz.astype(np.int64),
+                            "cr": cr[nz], "ct": ct[nz]})
+
+    per_task = pruned.mapInPandas(
+        compute, "bucket long, cr long, ct long")
+    return per_task.groupBy("bucket").agg(
+        F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+
+
+def _floor_ratio_weights(counts_rows, n_buckets: int,
+                         scale: int) -> list[int]:
+    """Driver-side twin of the Spark weight expression
+    ``floor(scale * (ct+1) / (cr+1))``: Spark multiplies exact
+    bigints, casts both sides to double and floors the IEEE
+    quotient.  Both operands here are < 2^53 (scale*(ct+1) tops out
+    around 1e6 * corpus bigrams), so Python's int/int true division
+    is the same correctly-rounded double — bit-identical weights
+    (locked against ``dsir_weights`` by tests/test_text_arrow.py)."""
+    import math
+
+    cr = [0] * n_buckets
+    ct = [0] * n_buckets
+    for r in counts_rows:
+        cr[r["bucket"]] = int(r["cr"])
+        ct[r["bucket"]] = int(r["ct"])
+    return [int(math.floor((scale * (ct[i] + 1)) / (cr[i] + 1)))
+            for i in range(n_buckets)]
+
+
+def dsir_weights_arrow(raw: DataFrame, n_buckets: int = 1024,
+                       scale: int = 1_000_000,
+                       text_col: str = "text",
+                       target_where: str | None = None) -> DataFrame:
+    """``ext.text.dsir_weights`` with the corpus pass through the
+    Arrow kernel and the bounded floor-ratio computed driver-side
+    (``_floor_ratio_weights`` — bit-identical, and it saves the
+    range-join's broadcast job; the counts aggregate is <= n_buckets
+    rows by construction)."""
+    spark = raw.sparkSession
+    counts = dsir_bucket_counts_arrow(raw, n_buckets, text_col,
+                                      target_where).collect()
+    warr = _floor_ratio_weights(counts, n_buckets, scale)
+    return spark.createDataFrame(
+        [(i, warr[i]) for i in range(n_buckets)], "bucket long, w long")
+
+
+def dsir_select_arrow(docs: DataFrame, k: int,
+                      n_buckets: int = 1024,
+                      id_col: str = "doc_id",
+                      text_col: str = "text",
+                      target_where: str | None = None,
+                      carry_cols: list[str] | None = None) -> DataFrame:
+    """``ext.text.dsir_select`` (target_where form) with both corpus
+    passes through Arrow kernels; only ``[*carry_cols, text]`` cross
+    the Python boundary.  Output: ``(*carry_cols, n_bigrams,
+    imp_mass, importance, rank)`` — the importance division and the
+    TopK stay in Spark, so the doubles and the ordering are the same
+    expressions as the JVM path."""
+    carry = list(carry_cols or [id_col])
+    # one weights job: kernel histograms -> <=n_buckets-row aggregate
+    # -> driver floor-ratio (bit-identical to the Spark expression)
+    counts = dsir_bucket_counts_arrow(docs, n_buckets, text_col,
+                                      target_where).collect()
+    warr = _floor_ratio_weights(counts, n_buckets, 1_000_000)
+
+    pruned = _spread_for_cpu(docs.select(*carry, text_col))
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            mass, nbi = [], []
+            for text in pdf[text_col]:
+                b = bigram_buckets(text, n_buckets)
+                nbi.append(len(b))
+                mass.append(sum(warr[x] for x in b))
+            out = pdf[carry].copy()
+            out["n_bigrams"] = pd.Series(nbi, dtype="int64")
+            out["imp_mass"] = pd.Series(mass, dtype="int64")
+            yield out[out["n_bigrams"] >= 1]
+
+    schema_prefix = ", ".join(
+        f"{c} {docs.schema[c].dataType.simpleString()}" for c in carry)
+    scored = pruned.mapInPandas(
+        compute, f"{schema_prefix}, n_bigrams long, imp_mass long"
+    ).withColumn("importance",
+                 F.col("imp_mass").cast("double")
+                 / F.col("n_bigrams").cast("double"))
+    top = scored.orderBy(F.desc("importance"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("importance"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

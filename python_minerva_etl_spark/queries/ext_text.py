@@ -1793,27 +1793,17 @@ def _text_gopher_ngrams(spark, sf_dir):
     n-gram half: per-language ratio-of-sums of top-2/3/4-gram
     character numerators and duplicate-5-gram character COVERAGE
     (overlap-aware union — characters never counted twice).  Every
-    per-document numerator is an exact integer from scan-local fold
-    expressions (ext/text.py — no shuffle, no UDF, no explode), so
-    the corpus aggregate is one hash-exact groupBy; the two
-    fractions divide exact bigints as doubles (IEEE-identical
-    across engines)."""
-    from ..ext.text import (token_chars, top_ngram_chars,
-                            with_dup_ngram_coverage)
+    per-document numerator is an exact integer; since r12 they come
+    from the Arrow kernel (ext/text_arrow.py) instead of the JVM
+    fold expressions — the folds are CodegenFallback (interpreted
+    per element) and the single-row-group fixture ran them as ONE
+    scan task; the kernel does the same integer arithmetic in
+    hash-table passes on every core.  The corpus aggregate stays one
+    hash-exact groupBy; the two fractions divide exact bigints as
+    doubles (IEEE-identical across engines)."""
+    from ..ext.text_arrow import gopher_ngram_doc_stats
 
-    docs = (t(spark, sf_dir, "documents")
-            .withColumn("__toks",
-                        F.expr("split(lower(text), ' ')")))
-    # one bound token array feeds every op: expressions inside HOF
-    # lambdas re-evaluate per ELEMENT, so an inline split would
-    # re-tokenize each doc per gram (measured 4x on this query)
-    per = with_dup_ngram_coverage(docs, 5, toks_col="__toks").select(
-        "lang",
-        token_chars(toks_col="__toks").alias("tc"),
-        top_ngram_chars(2, toks_col="__toks").alias("t2"),
-        top_ngram_chars(3, toks_col="__toks").alias("t3"),
-        top_ngram_chars(4, toks_col="__toks").alias("t4"),
-        F.col("dup5gram_chars").alias("d5"))
+    per = gopher_ngram_doc_stats(t(spark, sf_dir, "documents"))
     g = per.groupBy("lang").agg(
         F.sum("tc").alias("token_chars"),
         F.sum("t2").alias("top2_chars"),
@@ -2163,15 +2153,22 @@ def _dataset_dsir_select(spark, sf_dir):
     2023) — select the 200 raw documents whose hashed-bigram
     feature distribution looks most like the TARGET domain (here:
     the English-labeled subset).  Weights are the log-free
-    integer-scaled bucket ratios (ext/text.py dsir_weights — exact
-    bigints, hash-stable); the corpus scoring pass is scan-local
-    (the 1024 weights ride along as a literal array, no join), and
-    selection is a distributed TopK, never a global window."""
-    from ..ext.text import dsir_select
+    integer-scaled bucket ratios — exact bigints, hash-stable; since
+    r12 both corpus passes run through the Arrow kernels
+    (ext/text_arrow.py): the bucket histogram is a per-batch
+    ``bincount`` pre-aggregated before the exchange and the scoring
+    pass hashes bigrams in Python instead of an interpreted
+    md5-in-``transform`` fold (and parallelizes past the fixture's
+    single row group).  The floor-ratio weights, the importance
+    division and the distributed TopK stay the same Spark
+    expressions, so every number is bit-identical to the JVM path
+    (locked by tests/test_text_arrow.py)."""
+    from ..ext.text_arrow import dsir_select_arrow
 
     docs = t(spark, sf_dir, "documents")
-    return (dsir_select(docs, None, 200,
-                        target_where="lang = 'en'")
+    return (dsir_select_arrow(docs, 200,
+                              target_where="lang = 'en'",
+                              carry_cols=["doc_id", "lang"])
             .select("doc_id", "lang", "n_bigrams", "imp_mass",
                     "importance",
                     F.col("rank").cast("bigint").alias("rank")))

@@ -1,0 +1,142 @@
+"""The Arrow Gopher n-gram kernel must agree per-document with the
+JVM fold helpers it replaced in the declared query (r12 optimization:
+the folds are interpreted CodegenFallback expressions; the kernel is
+the same exact integer arithmetic in Python hash tables)."""
+
+import pytest
+
+from python_minerva_etl_spark.ext.text_arrow import (
+    gopher_ngram_doc_stats, gopher_quintuple)
+
+# every edge the fold helpers' own tests pin, plus separator and
+# empty-token shapes (split(' ') keeps empty strings)
+DOCS = [
+    (1, "en", "a b a b c"),
+    (2, "en", "x x x x"),
+    (3, "de", "solo"),
+    (4, "de", "p q r s"),
+    (5, "fr", "bb c bb c a d a d"),          # count-2 tie -> lex smallest
+    (6, "fr", "m n m n o m n"),
+    (7, "en", ""),                            # one empty token
+    (8, "en", "a  b   c"),                    # runs of spaces -> empties
+    (9, "de", "w v w v w v w v w v"),         # heavy 5-gram overlap
+    (10, "fr", "Aa BB Aa BB Aa BB"),          # case folding
+]
+
+
+def test_gopher_quintuple_matches_jvm_folds(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.ext.text import (
+        token_chars, top_ngram_chars, with_dup_ngram_coverage)
+
+    df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string") \
+        .withColumn("__toks", F.expr("split(lower(text), ' ')"))
+    jvm = {r.doc_id: (r.tc, r.t2, r.t3, r.t4, r.d5)
+           for r in with_dup_ngram_coverage(df, 5, toks_col="__toks")
+           .select("doc_id",
+                   token_chars(toks_col="__toks").alias("tc"),
+                   top_ngram_chars(2, toks_col="__toks").alias("t2"),
+                   top_ngram_chars(3, toks_col="__toks").alias("t3"),
+                   top_ngram_chars(4, toks_col="__toks").alias("t4"),
+                   F.col("dup5gram_chars").alias("d5")).collect()}
+    for doc_id, _, text in DOCS:
+        assert gopher_quintuple(text) == jvm[doc_id], (doc_id, text)
+
+
+def test_gopher_doc_stats_dataframe_shape(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+    out = gopher_ngram_doc_stats(df)
+    assert out.columns == ["lang", "tc", "t2", "t3", "t4", "d5"]
+    rows = out.collect()
+    assert len(rows) == len(DOCS)
+    # per-lang sums match a driver-side reduce of the pure function
+    want = {}
+    for _, lang, text in DOCS:
+        q = gopher_quintuple(text)
+        acc = want.setdefault(lang, [0] * 5)
+        for i in range(5):
+            acc[i] += q[i]
+    got = {}
+    for r in rows:
+        acc = got.setdefault(r.lang, [0] * 5)
+        for i, c in enumerate(("tc", "t2", "t3", "t4", "d5")):
+            acc[i] += r[c]
+    assert got == want
+
+
+def test_dsir_arrow_matches_jvm_path(spark):
+    """dsir_weights_arrow / dsir_select_arrow must reproduce the JVM
+    explode+fold path bit-for-bit on the fixture corpus (weights,
+    masses, importance doubles and the rank order)."""
+    from python_minerva_etl_spark.ext.text import dsir_select, dsir_weights
+    from python_minerva_etl_spark.ext.text_arrow import (
+        dsir_select_arrow, dsir_weights_arrow)
+    from python_minerva_etl_spark.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    nb = 256
+    w_jvm = {r.bucket: r.w for r in dsir_weights(
+        docs, None, n_buckets=nb, target_where="lang = 'en'").collect()}
+    w_arr = {r.bucket: r.w for r in dsir_weights_arrow(
+        docs, n_buckets=nb, target_where="lang = 'en'").collect()}
+    assert w_arr == w_jvm
+    sel_jvm = [(r.doc_id, r.n_bigrams, r.imp_mass, r.importance, r.rank)
+               for r in dsir_select(docs, None, 25, n_buckets=nb,
+                                    target_where="lang = 'en'")
+               .select("doc_id", "n_bigrams", "imp_mass", "importance",
+                       "rank").collect()]
+    sel_arr = [(r.doc_id, r.n_bigrams, r.imp_mass, r.importance, r.rank)
+               for r in dsir_select_arrow(docs, 25, n_buckets=nb,
+                                          target_where="lang = 'en'",
+                                          carry_cols=["doc_id"])
+               .select("doc_id", "n_bigrams", "imp_mass", "importance",
+                       "rank").collect()]
+    assert sorted(sel_arr) == sorted(sel_jvm)
+
+
+def test_bigram_buckets_edge_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.ext.text_arrow import bigram_buckets
+
+    texts = ["a b", "", "solo", "x  y", "Aa BB cC", "a b c d e"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string") \
+        .withColumn("__tk", F.expr("split(lower(text), ' ')")) \
+        .filter(F.expr("size(__tk)") >= 2)
+    from python_minerva_etl_spark.ext.text import _bigram_bucket_sql
+    jvm = {r.text: r.b for r in df.select(
+        "text", F.expr(
+            "transform(sequence(1, size(__tk) - 1), "
+            f"i -> {_bigram_bucket_sql('__tk', 'i', 64)})").alias("b"))
+        .collect()}
+    for t in texts:
+        mine = bigram_buckets(t, 64)
+        want = jvm.get(t, [])
+        assert mine == list(want), t
+
+
+def test_gopher_quintuple_on_fixture_corpus(spark):
+    """Spot-check the kernel against the fold helpers on real fixture
+    documents (the sf0.01 corpus), not just the synthetic edges."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.ext.text import (
+        token_chars, top_ngram_chars, with_dup_ngram_coverage)
+    from python_minerva_etl_spark.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents") \
+        .limit(120).withColumn("__toks", F.expr("split(lower(text), ' ')"))
+    jvm = {r.doc_id: (r.tc, r.t2, r.t3, r.t4, r.d5)
+           for r in with_dup_ngram_coverage(docs, 5, toks_col="__toks")
+           .select("doc_id",
+                   token_chars(toks_col="__toks").alias("tc"),
+                   top_ngram_chars(2, toks_col="__toks").alias("t2"),
+                   top_ngram_chars(3, toks_col="__toks").alias("t3"),
+                   top_ngram_chars(4, toks_col="__toks").alias("t4"),
+                   F.col("dup5gram_chars").alias("d5")).collect()}
+    texts = {r.doc_id: r.text
+             for r in docs.select("doc_id", "text").collect()}
+    assert len(texts) == 120
+    for doc_id, text in texts.items():
+        assert gopher_quintuple(text) == jvm[doc_id], doc_id
