@@ -673,11 +673,26 @@ def pq_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
             recon_n = np.sqrt(recon_sq)
             recon_n[recon_n == 0] = 1.0
             nq = len(q_ids)
-            # accumulate in (nq, b) orientation: one contiguous-row
-            # gather per subspace, no per-subspace transpose copy
-            adc = np.zeros((nq, X.shape[0]))
-            for s in range(m_sub):
-                adc += LUT[:, s, :][:, codes[:, s]]
+            # accumulate in (nq, b) orientation, cache-blocked: the
+            # naive loop streams the full (nq, b) matrix through
+            # memory once PER SUBSPACE (m_sub passes — measured 6.7 s
+            # per 10k batch at nq=1000); a ~2 MB column slab stays
+            # L2-resident across all subspace additions (0.84 s,
+            # 8x).  Within each element the additions still run in
+            # ascending-s order, so the result is BIT-IDENTICAL to
+            # the unblocked loop (asserted in tests/test_ann_arrow).
+            bsz = X.shape[0]
+            adc = np.empty((nq, bsz))
+            luts = [np.ascontiguousarray(LUT[:, s, :])
+                    for s in range(m_sub)]
+            chunk = max(1, (1 << 21) // (nq * 8))
+            for j0 in range(0, bsz, chunk):
+                j1 = min(j0 + chunk, bsz)
+                slab = np.zeros((nq, j1 - j0))
+                cj = codes[j0:j1]
+                for s in range(m_sub):
+                    slab += luts[s][:, cj[:, s]]
+                adc[:, j0:j1] = slab
             adc /= np.outer(Qn, recon_n)
             adc[q_ids[:, None] == ids[None, :]] = -np.inf   # self
             qi, rows, sc = _matrix_topk(adc, ids, shortlist)

@@ -207,3 +207,28 @@ def test_ivf_indexed_arrow_matches_and_prunes(spark, tmp_path):
     assert m, "probed-cell partition filter missing from the scan"
     cells = (m.group(1) or m.group(2)).split(",")
     assert len(cells) < 16, "no cells pruned"
+
+
+def test_blocked_adc_accumulation_bit_identical():
+    """The cache-blocked ADC gather in pq_topk_arrow must reproduce
+    the naive per-subspace accumulation bit-for-bit (same ascending-s
+    addition order per element, only the traversal is blocked)."""
+    rng = np.random.default_rng(42)
+    for nq, b in ((1, 7), (10, 2000), (257, 1000)):
+        m_sub, ksub = 8, 16
+        LUT = rng.standard_normal((nq, m_sub, ksub))
+        codes = rng.integers(0, ksub, size=(b, m_sub))
+        naive = np.zeros((nq, b))
+        for s in range(m_sub):
+            naive += LUT[:, s, :][:, codes[:, s]]
+        blocked = np.empty((nq, b))
+        luts = [np.ascontiguousarray(LUT[:, s, :]) for s in range(m_sub)]
+        chunk = max(1, (1 << 21) // (nq * 8))
+        for j0 in range(0, b, chunk):
+            j1 = min(j0 + chunk, b)
+            slab = np.zeros((nq, j1 - j0))
+            cj = codes[j0:j1]
+            for s in range(m_sub):
+                slab += luts[s][:, cj[:, s]]
+            blocked[:, j0:j1] = slab
+        assert np.array_equal(naive, blocked)
