@@ -186,11 +186,12 @@ def _floor_ratio_weights(counts_rows, n_buckets: int,
                          scale: int) -> list[int]:
     """Driver-side twin of the Spark weight expression
     ``floor(scale * (ct+1) / (cr+1))``: Spark multiplies exact
-    bigints, casts both sides to double and floors the IEEE
-    quotient.  Both operands here are < 2^53 (scale*(ct+1) tops out
-    around 1e6 * corpus bigrams), so Python's int/int true division
-    is the same correctly-rounded double — bit-identical weights
-    (locked against ``dsir_weights`` by tests/test_text_arrow.py)."""
+    bigints, casts EACH side to double, divides, floors.  The
+    ``float()`` conversions below replicate those casts exactly —
+    including the (cosmically large) corpora where ``scale*(ct+1)``
+    exceeds 2^53 and the cast itself rounds, which Python's exact
+    int/int division would NOT reproduce.  Bit-identical weights
+    locked against ``dsir_weights`` by tests/test_text_arrow.py."""
     import math
 
     cr = [0] * n_buckets
@@ -198,7 +199,8 @@ def _floor_ratio_weights(counts_rows, n_buckets: int,
     for r in counts_rows:
         cr[r["bucket"]] = int(r["cr"])
         ct[r["bucket"]] = int(r["ct"])
-    return [int(math.floor((scale * (ct[i] + 1)) / (cr[i] + 1)))
+    return [int(math.floor(float(scale * (ct[i] + 1))
+                           / float(cr[i] + 1)))
             for i in range(n_buckets)]
 
 
