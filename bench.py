@@ -235,6 +235,25 @@ def _select_movers(medians: dict, spreads: dict, prior: dict) -> list:
     return movers
 
 
+def _compact_line(total: float, medians: dict, spreads: dict,
+                  sf_val, contended: bool) -> dict:
+    """The ONE printed JSON line: bounded contract fields only
+    (metric/value/unit/queries/spread/passes/sf/contended — ~60 bytes
+    per query), so the driver's tail capture can never truncate it the
+    way the r11 line (with embedded retry/gate evidence) was.  All
+    unbounded evidence goes to the BENCH_evidence.json sidecar."""
+    return {
+        "metric": "headline_query_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "spread": spreads,
+        "passes": MEASURED_PASSES,
+        "sf": sf_val,
+        "contended": contended,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from python_minerva_etl_spark.queries.catalog import all_queries
@@ -303,14 +322,15 @@ def main() -> None:
     rebase_after = _rebaseline(spark)
 
     total = round(sum(medians.values()), 4)
-    print(json.dumps({
-        "metric": "headline_query_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "queries": medians,
-        "spread": spreads,
-        "passes": MEASURED_PASSES,
-        "sf": sf_val,
+    # r12 verdict item 2: the one printed line outgrew the driver's
+    # tail capture (BENCH_r11.json was truncated at the HEAD of the
+    # line, nulling every prev_sec in PERF_r12).  The line now carries
+    # only the bounded contract fields — metric/value/unit/queries/
+    # spread/passes/sf/contended (~1.6 KB at 30 queries) — and ALL
+    # unbounded evidence (gate probes, fs probes, repass medians,
+    # per-attempt noisy-retry records) goes to a sidecar next to the
+    # repo artifacts, committed each round as BENCH_evidence.json.
+    evidence = {
         # environment self-evidence (round-6 verdict item 4): raw-fs
         # throughput bracketing the run + a fixed synthetic
         # compute-shuffle job measured in THIS session.  In-tree
@@ -334,7 +354,23 @@ def main() -> None:
         # each record carries both attempts and which one was kept
         "remeasured_noisy": remeasured_noisy,
         "prior_bench_total": prior.get("value"),
-    }))
+        "total": total,
+        "queries": medians,
+        "spread": spreads,
+        "sf": sf_val,
+    }
+    evidence_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_EVIDENCE",
+        os.path.join(REPO, "BENCH_evidence.json"))
+    try:
+        with open(evidence_path, "w") as fh:
+            json.dump(evidence, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # never fail the bench over the sidecar
+        print(f"# bench: could not write {evidence_path}: {exc}",
+              file=sys.stderr)
+    print(json.dumps(_compact_line(total, medians, spreads, sf_val,
+                                   bool(contended))))
     spark.stop()
 
 

@@ -28,6 +28,7 @@ the declared query result is oracle-checked as before.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections import Counter
 from typing import Iterator
 
@@ -35,14 +36,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def gopher_quintuple(text: str) -> tuple[int, int, int, int, int]:
+def gopher_quintuple(text: str | None) -> tuple:
     """(token_chars, top2, top3, top4, dup5_coverage) for one
     document — the exact integer semantics of ``token_chars``,
     ``top_ngram_chars(2..4)`` and ``with_dup_ngram_coverage(n=5)``.
-    A NULL text contributes zeros (the fold form yields NULLs there,
-    which the downstream SUM likewise ignores)."""
+    A NULL text yields all-NULL, exactly like the JVM fold
+    expressions (``size(NULL)`` is NULL post-Spark-3.0), so the
+    downstream SUM ignores it and a language whose documents are ALL
+    NULL aggregates to NULL — not 0 — on both paths."""
     if text is None:
-        return (0, 0, 0, 0, 0)
+        return (None, None, None, None, None)
     toks = text.lower().split(' ')
     tc = sum(map(len, toks))
     nt = len(toks)
@@ -75,17 +78,73 @@ def gopher_quintuple(text: str) -> tuple[int, int, int, int, int]:
     return (tc, tops[0], tops[1], tops[2], chars)
 
 
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A byte-size Spark conf value ("128m", "1g", or plain bytes)."""
+    try:
+        v = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20),
+                   ("g", 1 << 30), ("t", 1 << 40)):
+        if v.endswith(suf + "b"):
+            v, mult = v[:-2], m
+            break
+        if v.endswith(suf):
+            v, mult = v[:-1], m
+            break
+    if mult == 1 and v.endswith("b") and v[:-1].isdigit():
+        v = v[:-1]
+    try:
+        return int(float(v) * mult)
+    except ValueError:
+        return default
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimated scan-task count from the file-source metadata:
+    ``max(n_files, ceil(total_bytes / maxPartitionBytes))``.  Avoids
+    ``df.rdd`` (which forces a driver-side plan-to-RDD conversion per
+    call and is unavailable on Spark Connect).  None when the plan is
+    not file-backed (in-memory test frames) or sizes can't be read."""
+    from urllib.parse import urlparse
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return None
+    max_bytes = _bytes_conf(df.sparkSession,
+                            "spark.sql.files.maxPartitionBytes",
+                            128 << 20)
+    return max(len(files), -(-total // max(max_bytes, 1)))
+
+
 def _spread_for_cpu(df: DataFrame) -> DataFrame:
     """Round-robin repartition IF the scan under-parallelizes the
     session (the sf fixtures are single-row-group files — one task no
     matter how many cores).  Scale-adaptive, not a constant: when the
-    input already carries >= defaultParallelism partitions (any real
+    input already carries >= defaultParallelism splits (any real
     100 TB table), this is a no-op — no extra Exchange, the kernel
     runs scan-local.  When it does fire, the shuffle moves only the
-    columns already pruned by the caller."""
+    columns already pruned by the caller.  The split count comes from
+    file-source metadata (no ``df.rdd`` plan conversion); non-file
+    plans fall back to the RDD partition count."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_splits(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
 
@@ -106,8 +165,11 @@ def gopher_ngram_doc_stats(docs: DataFrame,
         import pandas as pd
         for pdf in batches:
             rows = [gopher_quintuple(t) for t in pdf["text"]]
+            # nullable Int64: a NULL-text document's all-NULL row
+            # survives to the SUM exactly like the JVM fold NULLs
             out = pd.DataFrame(rows,
-                               columns=["tc", "t2", "t3", "t4", "d5"])
+                               columns=["tc", "t2", "t3", "t4", "d5"]
+                               ).astype("Int64")
             out.insert(0, "lang", pdf["lang"].values)
             yield out
 
@@ -234,6 +296,8 @@ def dsir_select_arrow(docs: DataFrame, k: int,
     TopK stay in Spark, so the doubles and the ordering are the same
     expressions as the JVM path."""
     carry = list(carry_cols or [id_col])
+    if id_col not in carry:  # needed for the deterministic tie-break
+        carry = [id_col, *carry]
     # one weights job: kernel histograms -> <=n_buckets-row aggregate
     # -> driver floor-ratio (bit-identical to the Spark expression)
     counts = dsir_bucket_counts_arrow(docs, n_buckets, text_col,

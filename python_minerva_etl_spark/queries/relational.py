@@ -282,6 +282,12 @@ def _rollup_entity_bucketed(spark, sf_dir):
         from urllib.parse import urlparse
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         loc = os.path.join(wh, table.lower())
+        # hard guard: never rmtree outside the session warehouse root
+        if os.path.realpath(loc) == os.path.realpath(wh) or \
+                not os.path.realpath(loc).startswith(
+                    os.path.realpath(wh) + os.sep):
+            raise RuntimeError(
+                f"refusing to clear {loc!r}: not under warehouse {wh!r}")
         if os.path.exists(loc):
             shutil.rmtree(loc)
         write_bucketed(df, table, keys, nb, sort_cols=sort_cols)

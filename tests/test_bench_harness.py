@@ -69,6 +69,20 @@ def test_select_movers_empty_prior():
     assert bench._select_movers({"a": 1.0}, {"a": 0.1}, {}) == []
 
 
+def test_compact_line_bounded_and_contractual():
+    """r12 verdict item 2: the printed line must stay under ~4 KB at
+    30 queries (the r11 line with embedded retry evidence outgrew the
+    driver's tail capture and was truncated, nulling every prev_sec
+    in PERF_r12) and must keep the driver-contract fields."""
+    meds = {f"query_name_{i:02d}": round(0.1234 + i, 4)
+            for i in range(30)}
+    sprs = {k: 0.1234 for k in meds}
+    line = bench._compact_line(12.3456, meds, sprs, 0.1, False)
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(line)
+    assert line["queries"] == meds
+    assert len(json.dumps(line)) < 4096
+
+
 def test_gate_constants_sane():
     """The gate must trip on the r10 evidence (2.63 s leading probe)
     and pass the committed quiet range (~0.7-1.0 s)."""

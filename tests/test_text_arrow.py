@@ -21,6 +21,7 @@ DOCS = [
     (8, "en", "a  b   c"),                    # runs of spaces -> empties
     (9, "de", "w v w v w v w v w v"),         # heavy 5-gram overlap
     (10, "fr", "Aa BB Aa BB Aa BB"),          # case folding
+    (11, "en", None),                         # NULL text -> all-NULL row
 ]
 
 
@@ -50,18 +51,19 @@ def test_gopher_doc_stats_dataframe_shape(spark):
     assert out.columns == ["lang", "tc", "t2", "t3", "t4", "d5"]
     rows = out.collect()
     assert len(rows) == len(DOCS)
-    # per-lang sums match a driver-side reduce of the pure function
+    # per-lang sums match a driver-side reduce of the pure function;
+    # NULL contributions are skipped exactly like SQL SUM
     want = {}
     for _, lang, text in DOCS:
         q = gopher_quintuple(text)
         acc = want.setdefault(lang, [0] * 5)
         for i in range(5):
-            acc[i] += q[i]
+            acc[i] += q[i] if q[i] is not None else 0
     got = {}
     for r in rows:
         acc = got.setdefault(r.lang, [0] * 5)
         for i, c in enumerate(("tc", "t2", "t3", "t4", "d5")):
-            acc[i] += r[c]
+            acc[i] += r[c] if r[c] is not None else 0
     assert got == want
 
 
