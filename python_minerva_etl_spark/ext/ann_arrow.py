@@ -643,22 +643,36 @@ def pq_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
                   m: int = 32, ksub: int = 16, train_iters: int = 2,
                   rerank: int | None = None,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  codebooks: np.ndarray | None = None) -> DataFrame:
+                  codebooks: np.ndarray | None = None,
+                  adc_dtype=None) -> DataFrame:
     """PQ/ADC top-k (Jegou et al., TPAMI 2011), Arrow-vectorized:
     encoding is m small matmuls per batch, ADC scoring is a gathered
     LUT sum, and the optional exact re-rank of the per-query ADC
     top-``rerank`` shortlist computes the true cosine IN the kernel
     (the raw batch is still in memory) — no second corpus pass.
-    Pass ``codebooks`` to reuse a trained quantizer (build-once)."""
+    Pass ``codebooks`` to reuse a trained quantizer (build-once).
+
+    ``adc_dtype``: accumulator/LUT dtype for the ADC gather-sum.
+    The default float64 is BIT-PRESERVING and is what the declared
+    query uses.  ``numpy.float32`` halves the memory traffic of the
+    dominant gather loop (the ADC sum is bandwidth-bound — r12
+    cache-blocking evidence) at ~1e-7 relative score error; rankings
+    can differ at near-ties, so it is an opt-in for deployments that
+    re-rank anyway (``rerank``'s exact cosine is computed in float64
+    either way).  Codes are gathered through a uint8 view when
+    ``ksub <= 256`` — index dtype only, always bit-identical."""
     CB = (codebooks if codebooks is not None
           else _pq_codebooks_arrow(corpus, m, ksub, train_iters,
                                    id_col, vec_col))
-    m_sub, _, dsub = CB.shape
+    m_sub, n_codes, dsub = CB.shape
     q_ids, Q = _collect_queries(queries, id_col, vec_col)
     Qn = np.linalg.norm(Q, axis=1)
     # per-query LUT: (n_q, m_sub, ksub) dot(q_sub, codeword)
     LUT = np.stack([Q[:, s * dsub:(s + 1) * dsub] @ CB[s].T
                     for s in range(m_sub)], axis=1)
+    acc_dt = np.dtype(adc_dtype if adc_dtype is not None
+                      else np.float64)
+    code_dt = np.uint8 if n_codes <= 256 else np.int64
     shortlist = max(rerank, k) if rerank is not None else k
 
     schema = ("query_id long, corpus_id long, adc double, "
@@ -683,13 +697,14 @@ def pq_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
             # the unblocked loop (asserted in tests/test_ann_arrow).
             bsz = X.shape[0]
             adc = np.empty((nq, bsz))
-            luts = [np.ascontiguousarray(LUT[:, s, :])
+            luts = [np.ascontiguousarray(LUT[:, s, :].astype(acc_dt))
                     for s in range(m_sub)]
-            chunk = max(1, (1 << 21) // (nq * 8))
+            cod = codes.astype(code_dt)
+            chunk = max(1, (1 << 21) // (nq * acc_dt.itemsize))
             for j0 in range(0, bsz, chunk):
                 j1 = min(j0 + chunk, bsz)
-                slab = np.zeros((nq, j1 - j0))
-                cj = codes[j0:j1]
+                slab = np.zeros((nq, j1 - j0), dtype=acc_dt)
+                cj = cod[j0:j1]
                 for s in range(m_sub):
                     slab += luts[s][:, cj[:, s]]
                 adc[:, j0:j1] = slab

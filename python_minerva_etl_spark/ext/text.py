@@ -55,11 +55,29 @@ def token_count_bpe(text_col: str = "text") -> Column:
 
 
 def stopword_hits(lang: str, text_col: str = "text") -> Column:
-    """Occurrence count (not distinct) of the profile words."""
-    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
-    return F.expr(
-        f"size(filter(split(lower({text_col}), ' '), x -> x IN ({words})))"
-    ).cast("bigint")
+    """Occurrence count (not distinct) of the profile words.
+
+    One ``regexp_count`` pass per document instead of the previous
+    ``size(filter(split(...), x -> x IN (...)))``: the HOF filter is
+    CodegenFallback, which both interprets the per-token IN walk AND
+    ejects the WHOLE enclosing Project from whole-stage codegen
+    (r13 plan dumps).  Equivalence with the token form: tokens are
+    maximal runs between single spaces, so padding the lowered text
+    with one space on each side makes every token space-delimited;
+    the pattern consumes ``" word"`` and asserts the trailing
+    delimiter with a lookahead, so adjacent stopwords ("of the") both
+    count; Java regex backtracks through the alternation, so prefix
+    words ("a" vs "and") resolve by the lookahead, not by order.
+    NULLs: concat propagates NULL and regexp_count(NULL) is NULL,
+    matching size(NULL) (post-3.0).  Locked token-vs-regex by
+    tests/test_text_pipeline.py."""
+    import re as _re
+
+    words = "|".join(_re.escape(w) for w in LANG_PROFILES[lang])
+    pat = f" (?:{words})(?= )"
+    return F.regexp_count(
+        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" ")),
+        F.lit(pat)).cast("bigint")
 
 
 def langid_scores(text_col: str = "text") -> list[Column]:
@@ -81,8 +99,11 @@ def langid_pred() -> Column:
 
 
 def punct_count(text_col: str = "text") -> Column:
-    return F.length(
-        F.regexp_replace(F.col(text_col), r"[^.,!?;:]", "")).cast("bigint")
+    # regexp_count of the punctuation class == length of the text
+    # with every non-punctuation char removed (single-char matches
+    # can't overlap), without materializing the stripped string
+    return F.regexp_count(
+        F.col(text_col), F.lit(r"[.,!?;:]")).cast("bigint")
 
 
 def quality_score(text_col: str = "text") -> Column:
@@ -812,10 +833,14 @@ C4_BLOCKLIST: tuple[str, ...] = ("nsfw", "xxx")
 def _c4_keep_line_sql(line_var: str) -> str:
     """C4's line filter for one line expression: ends in a terminal
     punctuation mark, has >= 5 words, and does not mention
-    'javascript' (case-insensitive)."""
+    'javascript' (case-insensitive).  The word count is a
+    ``regexp_count`` of the space runs (tokens = runs + 1 on a
+    trimmed line — exact also for the empty line: split('') is ['']
+    = 0 runs + 1), which avoids building a token array per line
+    inside the (interpreted) HOF lambda."""
     terms = ", ".join(f"'{c}'" for c in _C4_TERMINAL)
     return (f"right(rtrim({line_var}), 1) IN ({terms}) "
-            f"AND size(split(trim({line_var}), ' +')) >= 5 "
+            f"AND regexp_count(trim({line_var}), ' +') >= 4 "
             f"AND NOT contains(lower({line_var}), 'javascript')")
 
 
@@ -834,6 +859,49 @@ def c4_line_stats(text_col: str = "text") -> list[Column]:
                "(a, l) -> a + length(l))").alias("kept_chars"),
         F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
     ]
+
+
+def c4_line_stats_fused(df: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """:func:`c4_line_stats` with the line filter evaluated ONCE.
+
+    The column-list form evaluates the ``filter(...)`` HOF three
+    times per document (kept_lines, the kept_chars fold, clean_text)
+    — HOFs are CodegenFallback, so the enclosing Project is fully
+    interpreted and there is no subexpression elimination (r12 plan
+    dumps show three copies of the filter).  Here ``clean_text`` is
+    materialized in its own projection (CollapseProject does not
+    inline a non-cheap alias referenced more than once) and the
+    counters are derived arithmetically, exactly:
+
+    - kept lines are never empty (the terminal-punctuation rule
+      needs a non-space char) and never contain a newline (lines
+      come from splitting on newline), so
+      ``kept_lines = regexp_count(clean, newline) + 1`` when clean
+      is non-empty, else 0;
+    - the join adds ``kept_lines - 1`` separators, so
+      ``kept_chars = length(clean) - max(kept_lines - 1, 0)``;
+    - ``n_lines = regexp_count(page, newline) + 1`` (split always
+      yields runs+1 pieces, also for the empty page).
+
+    Appends the same four columns with the same types as
+    :func:`c4_line_stats`; results are identical (locked by
+    tests/test_text_pipeline.py)."""
+    lines = f"split({text_col}, '\\n')"
+    kept = f"filter({lines}, l -> {_c4_keep_line_sql('l')})"
+    d = df.withColumn("clean_text",
+                      F.expr(f"array_join({kept}, '\\n')"))
+    kl = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+        F.regexp_count(F.col("clean_text"), F.lit("\n")) + 1
+    ).cast("bigint")
+    return d.select(
+        *df.columns,
+        (F.regexp_count(F.col(text_col), F.lit("\n")) + 1)
+        .cast("bigint").alias("n_lines"),
+        kl.alias("kept_lines"),
+        (F.length("clean_text").cast("bigint")
+         - F.greatest(kl - 1, F.lit(0))).alias("kept_chars"),
+        "clean_text")
 
 
 def c4_page_rules(text_col: str = "text",

@@ -101,12 +101,11 @@ def _bytes_conf(spark, key: str, default: int) -> int:
         return default
 
 
-def _estimated_scan_splits(df: DataFrame) -> int | None:
-    """Estimated scan-task count from the file-source metadata:
-    ``max(n_files, ceil(total_bytes / maxPartitionBytes))``.  Avoids
-    ``df.rdd`` (which forces a driver-side plan-to-RDD conversion per
-    call and is unavailable on Spark Connect).  None when the plan is
-    not file-backed (in-memory test frames) or sizes can't be read."""
+def _input_files_and_bytes(df: DataFrame):
+    """(n_files, total_bytes) of the file sources backing the plan,
+    or None when it is not local-file-backed (in-memory test frames)
+    or sizes can't be read.  Avoids ``df.rdd`` (driver-side
+    plan-to-RDD conversion per call; unavailable on Spark Connect)."""
     from urllib.parse import urlparse
     try:
         files = df.inputFiles()
@@ -123,10 +122,25 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
             total += os.path.getsize(p.path)
         except OSError:
             return None
+    return len(files), total
+
+
+def _estimated_input_bytes(df: DataFrame) -> int | None:
+    fb = _input_files_and_bytes(df)
+    return None if fb is None else fb[1]
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimated scan-task count from the file-source metadata:
+    ``max(n_files, ceil(total_bytes / maxPartitionBytes))``."""
+    fb = _input_files_and_bytes(df)
+    if fb is None:
+        return None
+    n_files, total = fb
     max_bytes = _bytes_conf(df.sparkSession,
                             "spark.sql.files.maxPartitionBytes",
                             128 << 20)
-    return max(len(files), -(-total // max(max_bytes, 1)))
+    return max(n_files, -(-total // max(max_bytes, 1)))
 
 
 def _spread_for_cpu(df: DataFrame) -> DataFrame:
@@ -176,6 +190,169 @@ def gopher_ngram_doc_stats(docs: DataFrame,
     return pruned.mapInPandas(
         compute,
         "lang string, tc long, t2 long, t3 long, t4 long, d5 long")
+
+
+# ------------------------------------------------- per-doc text counts
+
+
+def bpe_ish_count_np(np, cp, lens):
+    """Vectorized BPE-ish token count over a batch laid out as one
+    code-point array ``cp`` (documents joined by single spaces) with
+    per-document code-point ``lens``.  Exactly
+    ``regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')``:
+    the pattern's matches tile every non-whitespace position, so the
+    count is (letter-run starts) + (digit-run starts) + (chars that
+    are neither alnum nor ``\\s``).  Java's Pattern is code-point
+    based (surrogate pairs match as ONE ``[^...]``), and so is this —
+    one UTF-32 code point per element; the ASCII classes are the
+    pattern's own, ``\\s`` = [ \\t\\n\\x0B\\f\\r].  The space joiner
+    is whitespace: it breaks runs at document boundaries and adds no
+    match, so per-document sums via ``reduceat`` are exact.  Locked
+    per-document against the JVM regexp by tests/test_text_arrow.py.
+    """
+    let = ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122))
+    dig = (cp >= 48) & (cp <= 57)
+    ws = (cp == 32) | ((cp >= 9) & (cp <= 13))
+    other = ~(let | dig | ws)
+    ind = ((let & ~np.concatenate(([False], let[:-1])))
+           | (dig & ~np.concatenate(([False], dig[:-1])))
+           | other).astype(np.int64)
+    starts = np.concatenate(([0], (lens + 1).cumsum()[:-1]))
+    if not cp.size:
+        return np.zeros(len(lens), dtype=np.int64)
+    return np.add.reduceat(np.concatenate((ind, [0])),
+                           np.minimum(starts, ind.size))
+
+
+# Crossover for the text-counts kernel, overridable per session via
+# spark.minerva.text.kernelMinInputBytes.  Measured on the 100x
+# fixture (150 MB): the JVM BPE-ish regexp costs ~28 ms/MB of text,
+# the kernel ~8 ms/MB plus a ~0.3-0.4 s fixed Python-stage cost per
+# job — the curves cross near 16 MB.  Below the threshold the same
+# counts come from the (bit-identical, test-locked) JVM expressions,
+# so tiny inputs keep their sub-second latency; any real corpus runs
+# the kernel.  Same result either way — this is an execution
+# strategy, not a semantic switch.
+TEXT_KERNEL_MIN_INPUT_BYTES = 16 << 20
+
+
+def text_counts_arrow(docs: DataFrame,
+                      text_col: str = "text",
+                      carry_cols: list[str] | None = None,
+                      passthrough: list | None = None,
+                      min_bytes: int | None = None) -> DataFrame:
+    """Per-document (n_tokens_ws, n_tokens_bpe, n_punct, n_chars) as
+    ONE vectorized ``mapInPandas`` kernel — the JVM expressions are
+    exact but regex-engine bound: ``regexp_count`` of the BPE-ish
+    alternation alone measured 4.25 s of text_quality_score's 5.4 s
+    at the 100x fixture (the scan is the cost — a marker-replace
+    rewrite that avoids match materialization measured no better).
+    The kernel classifies UTF-32 code points with numpy masks over
+    the whole Arrow batch (documents joined by one space, per-doc
+    sums via ``reduceat``) — 3.4x on the same fixture, bit-exact
+    per document (tests/test_text_arrow.py):
+
+    - ``n_tokens_ws``  = size(split(lower(text), ' ')) = #spaces + 1
+      (split keeps empty pieces; lower() never changes a space);
+    - ``n_tokens_bpe`` = the BPE-ish regexp_count (see
+      :func:`bpe_ish_count_np`);
+    - ``n_punct``      = regexp_count(text, '[.,!?;:]') = #chars in
+      the class (single-char matches cannot overlap);
+    - ``n_chars``      = length(text) (code points — Spark length()
+      on STRING counts code points, not bytes or UTF-16 units).
+
+    NULL text yields NULL in every count, like the JVM expressions.
+    ``passthrough`` columns (pyspark Columns or names) are computed
+    scan-side BEFORE the kernel and carried through unchanged —
+    e.g. a stopword count that stays a JVM regexp.
+
+    Below ``min_bytes`` of input (default
+    ``TEXT_KERNEL_MIN_INPUT_BYTES``, conf-overridable) the counts
+    come from the equivalent JVM expressions instead — the kernel's
+    fixed Python-stage cost only pays for itself past the measured
+    crossover; results are identical on both paths (test-locked)."""
+    import numpy as np  # noqa: F401 (executor-side)
+
+    carry = list(carry_cols or [])
+    pt = list(passthrough or [])
+    pt_names = []
+    sel = [F.col(c) for c in carry]
+    for c in pt:
+        col = F.col(c) if isinstance(c, str) else c
+        sel.append(col)
+    pruned0 = docs.select(*sel, F.col(text_col).alias("__text"))
+    pt_names = [c for c in pruned0.columns
+                if c not in carry and c != "__text"]
+
+    if min_bytes is None:
+        min_bytes = _bytes_conf(docs.sparkSession,
+                                "spark.minerva.text.kernelMinInputBytes",
+                                TEXT_KERNEL_MIN_INPUT_BYTES)
+    size = _estimated_input_bytes(docs)
+    if size is not None and size < min_bytes:
+        BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+        return pruned0.select(
+            *carry, *pt_names,
+            F.size(F.split(F.lower("__text"), " ")).cast("bigint")
+            .alias("n_tokens_ws"),
+            F.regexp_count("__text", F.lit(BPE)).cast("bigint")
+            .alias("n_tokens_bpe"),
+            F.regexp_count("__text", F.lit(r"[.,!?;:]")).cast("bigint")
+            .alias("n_punct"),
+            F.length("__text").cast("bigint").alias("n_chars"))
+    pruned = _spread_for_cpu(pruned0)
+
+    PUNCT = (46, 44, 33, 63, 59, 58)  # . , ! ? ; :
+
+    def compute(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            texts = pdf["__text"]
+            isnull = texts.isna().to_numpy()
+            tl = [("" if n else t) for t, n in zip(texts, isnull)]
+            lens = np.fromiter((len(t) for t in tl), dtype=np.int64,
+                               count=len(tl))
+            cp = np.frombuffer(" ".join(tl).encode("utf-32-le"),
+                               dtype=np.uint32)
+            starts = np.concatenate(([0], (lens + 1).cumsum()[:-1]))
+
+            def seg_count(mask):
+                if not cp.size:
+                    return np.zeros(len(tl), dtype=np.int64)
+                m = mask.astype(np.int64)
+                # the reduceat segment for doc i spans its chars PLUS
+                # the joiner space after it; zero the joiners so a
+                # space-counting mask never sees them
+                m[starts[1:] - 1] = 0
+                return np.add.reduceat(
+                    np.concatenate((m, [0])),
+                    np.minimum(starts, m.size))
+
+            n_ws = seg_count(cp == 32) + 1
+            punct_mask = np.isin(cp, PUNCT)
+            n_punct = seg_count(punct_mask)
+            n_bpe = bpe_ish_count_np(np, cp, lens)
+            out = pdf[carry + pt_names].copy()
+
+            def col(vals):
+                return pd.array(
+                    [None if n else int(v)
+                     for v, n in zip(vals, isnull)], dtype="Int64")
+            out["n_tokens_ws"] = col(n_ws)
+            out["n_tokens_bpe"] = col(n_bpe)
+            out["n_punct"] = col(n_punct)
+            out["n_chars"] = col(lens)
+            yield out
+
+    prefix = ", ".join(
+        f"{c} {pruned0.schema[c].dataType.simpleString()}"
+        for c in carry + pt_names)
+    prefix = prefix + ", " if prefix else ""
+    return pruned.mapInPandas(
+        compute,
+        f"{prefix}n_tokens_ws long, n_tokens_bpe long, "
+        "n_punct long, n_chars long")
 
 
 # --------------------------------------------------------------- DSIR

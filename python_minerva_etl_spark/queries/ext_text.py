@@ -375,16 +375,28 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 
 def _text_token_stats(spark, sf_dir):
     """EXT-TEXT-STATS: per-language corpus statistics (docs, token
-    totals — whitespace and BPE-ish — distinct vocabulary)."""
+    totals — whitespace and BPE-ish — distinct vocabulary).
+
+    r13: the two per-document token counts come from the vectorized
+    Arrow kernel (ext/text_arrow.text_counts_arrow) — the JVM
+    ``regexp_count`` of the BPE-ish alternation alone was 4.25 s of
+    this query's 5.4 s at the 100x fixture (regex-engine scan
+    bound); the kernel is bit-exact per document (test-locked) and
+    3.4x.  The distinct-vocabulary pass stays the JVM explode +
+    two-level distinct aggregate; the per-lang sums are the same
+    exact integers, so the result is unchanged (same oracle)."""
+    from ..ext.text_arrow import text_counts_arrow
+
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     vocab = toks.groupBy("lang").agg(
         F.countDistinct("tok").alias("distinct_tokens"))
-    stats = docs.groupBy("lang").agg(
+    per = text_counts_arrow(docs, carry_cols=["lang"])
+    stats = per.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(X.token_count_ws()).cast("bigint").alias("total_tokens_ws"),
-        F.sum(X.token_count_bpe_ish()).cast("bigint").alias("total_tokens_bpe"),
+        F.sum("n_tokens_ws").cast("bigint").alias("total_tokens_ws"),
+        F.sum("n_tokens_bpe").cast("bigint").alias("total_tokens_bpe"),
     )
     return stats.join(vocab, "lang")
 
@@ -413,14 +425,38 @@ FROM stats JOIN vocab ON stats.lang = vocab.lang
 
 def _text_quality_score(spark, sf_dir):
     """EXT-TEXT quality scoring: length/punctuation/stopword features
-    combined into a pretraining-filter score (C4/Gopher-style rules)."""
+    combined into a pretraining-filter score (C4/Gopher-style rules).
+
+    r13: the three per-document counts come from the vectorized
+    Arrow kernel (ext/text_arrow.text_counts_arrow — the BPE-ish
+    ``regexp_count`` alone was ~80% of this query's 100x cost);
+    the stopword count stays a JVM regexp computed scan-side and
+    passed through the kernel, and the quality formula is the SAME
+    double expression over the same exact integers — IEEE-identical,
+    same oracle."""
+    from ..ext.text_arrow import text_counts_arrow
+
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
+    d = text_counts_arrow(
+        docs, carry_cols=["doc_id"],
+        passthrough=[X.stopword_hits("en").alias("__stop")])
+    n_tok = F.col("n_tokens_ws").cast("double")
+    stop_ratio = F.col("__stop").cast("double") / n_tok
+    punct_ratio = F.col("n_punct").cast("double") / \
+        F.col("n_chars").cast("double")
+    len_score = F.least(n_tok / F.lit(32.0), F.lit(1.0))
+    quality = (F.lit(0.5) * len_score
+               + F.lit(0.3) * F.least(stop_ratio * F.lit(4.0),
+                                      F.lit(1.0))
+               + F.lit(0.2) * (F.lit(1.0)
+                               - F.least(punct_ratio * F.lit(10.0),
+                                         F.lit(1.0))))
+    return d.select(
         "doc_id",
-        X.token_count_ws().alias("n_tokens"),
-        X.token_count_bpe_ish().alias("n_tokens_bpe"),
-        X.punct_count().alias("n_punct"),
-        X.quality_score().alias("quality"),
+        F.col("n_tokens_ws").alias("n_tokens"),
+        "n_tokens_bpe",
+        "n_punct",
+        quality.alias("quality"),
     )
 
 
@@ -2079,11 +2115,19 @@ def _text_c4_rules(spark, sf_dir):
     with exact retained-line/char counters plus the page-level
     booleans (>= 3 sentences on the RETAINED text, no lorem ipsum,
     no curly brace, no blocklist hit) and the cleaned page itself —
-    all scan-local expressions (ext/text.py c4_line_stats /
+    all scan-local expressions (ext/text.py c4_line_stats_fused /
     c4_page_rules), one pass over the pages, hash-exact down to the
     rebuilt clean_text string.  Pages are synthesized
-    deterministically from the fixture corpus (``_C4_ENRICH``)."""
-    from ..ext.text import c4_line_stats, c4_page_rules
+    deterministically from the fixture corpus (``_C4_ENRICH``).
+
+    r13: the line filter is evaluated ONCE per page
+    (c4_line_stats_fused — the column form ran the interpreted HOF
+    three times), the page assembly uses ``sort_array`` (native
+    struct ordering; ``array_sort``'s default comparator is an
+    interpreted lambda per comparison) + lambda-free struct-field
+    extraction, and the line word count is a regexp_count.  Results
+    identical; same oracle."""
+    from ..ext.text import c4_line_stats_fused, c4_page_rules
 
     docs = t(spark, sf_dir, "documents")
     pages = (docs
@@ -2092,12 +2136,14 @@ def _text_c4_rules(spark, sf_dir):
                               F.expr(_C4_ENRICH).alias("l"))
                      .alias("s"))
              .groupBy("source", "b")
-             .agg(F.array_sort(F.collect_list("s")).alias("a"))
+             # sort_array = natural (struct-ordinal) ascending order,
+             # identical to array_sort's default comparator on the
+             # null-free collect_list; a.l extracts the line field
+             # without a per-element lambda
+             .agg(F.sort_array(F.collect_list("s")).alias("a"))
              .select("source", "b", F.concat_ws(
-                 "\n", F.expr("transform(a, x -> x.l)"))
-                 .alias("page")))
-    d = pages.select("source", "b", "page",
-                     *c4_line_stats("page"))
+                 "\n", F.col("a.l")).alias("page")))
+    d = c4_line_stats_fused(pages, "page")
     return d.select(
         "source", "b", "n_lines", "kept_lines", "kept_chars",
         *c4_page_rules("page", clean_col="clean_text"),

@@ -145,6 +145,24 @@ def test_pq_arrow_recall_and_rerank(spark):
     assert all(c == 5 for c in counts.values())
 
 
+def test_pq_adc_float32_option_close_and_default_unchanged(spark):
+    """r13: adc_dtype=float32 halves the gather-sum's memory traffic;
+    its scores must sit within float32 rounding of the default
+    float64 path, and the DEFAULT path must be byte-for-byte the old
+    behavior (the declared query's rows cannot move)."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    f64 = {(r.query_id, r.corpus_id): r.cosine
+           for r in pq_topk_arrow(q, emb, k=5).collect()}
+    f32 = {(r.query_id, r.corpus_id): r.cosine
+           for r in pq_topk_arrow(q, emb, k=5,
+                                  adc_dtype=np.float32).collect()}
+    # same candidates on this well-separated fixture, scores close
+    assert set(f64) == set(f32)
+    for key, v in f64.items():
+        assert abs(v - f32[key]) <= 1e-5 * max(1.0, abs(v)), key
+
+
 def test_pairs_lsh_arrow_precision_and_recall(spark):
     """Every emitted pair is exactly verified against the threshold
     (precision 1.0 up to BLAS-vs-fold last-ulp differences at the

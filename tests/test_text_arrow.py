@@ -118,6 +118,66 @@ def test_bigram_buckets_edge_shapes(spark):
         assert mine == list(want), t
 
 
+def test_text_counts_arrow_matches_jvm_exprs(spark):
+    """r13: the vectorized per-doc counts (ws tokens, BPE-ish tokens,
+    punct, chars) must equal the JVM expressions on every edge shape:
+    unicode (incl. a surrogate-pair emoji — Java Pattern and Python
+    both match it as ONE code point), tabs/newlines (Java \\s), runs
+    of spaces, empties, NULL text, digits glued to letters."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.ext.text_arrow import text_counts_arrow
+
+    texts = [None, "", " ", "  ", "a", "ab12cd", "1a2b3",
+             "héllo wörld", "的是 不了", "emoji \U0001F600 here",
+             "tab\tsep\nnewline\x0b\f\r", "a.b,c!d?e;f:g", "...",
+             "a  b   c", " lead trail ", "a1 2b", "-x- @# 12ab!"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    jvm = {r.doc_id: (r.a, r.b, r.c, r.d) for r in df.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("a"),
+        F.regexp_count("text", F.lit(BPE)).cast("bigint").alias("b"),
+        F.regexp_count("text", F.lit(r"[.,!?;:]")).cast("bigint")
+        .alias("c"),
+        F.length("text").cast("bigint").alias("d")).collect()}
+    # post-3.0 size(NULL) is NULL on the non-legacy default
+    jvm = {k: tuple(None if x == -1 else x for x in v)
+           for k, v in jvm.items()}
+    got = {r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe, r.n_punct,
+                      r.n_chars)
+           for r in text_counts_arrow(
+               df, carry_cols=["doc_id"]).collect()}
+    assert got == jvm
+
+    # fixture sample, plus passthrough column survives unchanged
+    from python_minerva_etl_spark.ext.text import stopword_hits
+    from python_minerva_etl_spark.registry import load_table
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents") \
+        .limit(150)
+    jvm2 = {r.doc_id: (r.a, r.b, r.s) for r in docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("a"),
+        F.regexp_count("text", F.lit(BPE)).cast("bigint").alias("b"),
+        stopword_hits("en").alias("s")).collect()}
+    got2 = {r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe, r["__stop"])
+            for r in text_counts_arrow(
+                docs, carry_cols=["doc_id"],
+                passthrough=[stopword_hits("en").alias("__stop")],
+                min_bytes=0)  # force the kernel past the crossover
+            .collect()}
+    assert got2 == jvm2
+    # below the crossover the JVM-expression path returns the same
+    # schema and values
+    low = {r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe, r["__stop"])
+           for r in text_counts_arrow(
+               docs, carry_cols=["doc_id"],
+               passthrough=[stopword_hits("en").alias("__stop")],
+               min_bytes=1 << 40).collect()}
+    assert low == jvm2
+
+
 def test_gopher_quintuple_on_fixture_corpus(spark):
     """Spot-check the kernel against the fold helpers on real fixture
     documents (the sf0.01 corpus), not just the synthetic edges."""

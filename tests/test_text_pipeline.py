@@ -471,6 +471,83 @@ def test_c4_rules_line_and_page_semantics(spark):
     assert not r3.blocklist_ok and r3.lorem_ok and r3.brace_ok
 
 
+def test_c4_fused_matches_column_form(spark):
+    """r13: c4_line_stats_fused (single filter evaluation, derived
+    counters) must agree with the c4_line_stats column form on every
+    edge shape: empty page, nothing kept, everything kept, trailing
+    spaces before the terminal mark, empty lines, multi-space word
+    gaps, exactly-4 vs exactly-5 words, quote terminals."""
+    from python_minerva_etl_spark.ext.text import (c4_line_stats,
+                                                   c4_line_stats_fused)
+
+    pages = [
+        "",
+        "nothing to keep here",
+        "one two three four five.\nsix seven eight nine ten!",
+        "ends with spaces after mark.   \nanother good one here ok?",
+        "\n\n\n",
+        "gap  between   words is still five.",      # multi-space gaps
+        "just four words here.",                    # 4 words: drop
+        'quote "terminal works with five words."',
+        "mentions javascript with five words here.",
+        "MENTIONS JAVASCRIPT WITH FIVE WORDS HERE.",
+        "one two three four five.\nshort.\nsix seven eight nine ten?",
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)],
+                               "doc_id long, text string")
+    cols = ["doc_id", "n_lines", "kept_lines", "kept_chars",
+            "clean_text"]
+    col_form = {r.doc_id: tuple(r)[1:] for r in df.select(
+        "doc_id", "text", *c4_line_stats()).select(*cols).collect()}
+    fused = {r.doc_id: tuple(r)[1:]
+             for r in c4_line_stats_fused(df).select(*cols).collect()}
+    assert fused == col_form
+
+
+def test_stopword_hits_regex_matches_token_form(spark):
+    """r13: stopword_hits is one regexp_count pass; it must agree
+    with the split+filter token form on every boundary shape —
+    adjacent stopwords, prefix words, runs of spaces, leading and
+    trailing spaces, case folding, NULL, and the zh profile."""
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.ext.text import (LANG_PROFILES,
+                                                   stopword_hits)
+
+    texts = [None, "", " ", "the", "the the", "of the", "a", "and",
+             "than the theory", "value valued value", "the  a",
+             " the ", "THE A Of", "a a a", "x the y", "the-a of,",
+             "的 是 人人 的", "end the", "the end"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def token_form(lang):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        return F.expr("size(filter(split(lower(text), ' '), "
+                      f"x -> x IN ({words})))").cast("bigint")
+
+    for lang in LANG_PROFILES:
+        got = df.select(F.col("text"),
+                        stopword_hits(lang).alias("re_n"),
+                        token_form(lang).alias("tok_n")).collect()
+        for r in got:
+            assert r.re_n == r.tok_n, (lang, r.text, r.re_n, r.tok_n)
+
+
+def test_punct_count_matches_replace_form(spark):
+    from pyspark.sql import functions as F
+
+    from python_minerva_etl_spark.ext.text import punct_count
+
+    texts = [None, "", "no punct", ".,!?;:", "a.b,c!d?e;f:g",
+             "...", "a. b? c!"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    old = F.length(
+        F.regexp_replace(F.col("text"), r"[^.,!?;:]", "")).cast("bigint")
+    for r in df.select(punct_count().alias("n"),
+                       old.alias("o")).collect():
+        assert r.n == r.o
+
+
 def test_c4_rules_plan_is_one_scan_one_exchange(spark):
     """The C4 declared query must stay scan-local: one parquet scan,
     one shuffle (the synthesized-page groupBy) — the 100 TB shape."""
