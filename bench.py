@@ -87,6 +87,12 @@ HEADLINE = [
     # co-bucketed bucket-sorted tables) — tracked from r12 on;
     # excluded from earlier-round comparable subtotals
     "rollup_entity_bucketed",
+    # round 13 addition: the bucketed twin of join_inner (same
+    # oracle; in the cluster regime where customer outgrows every
+    # broadcast the co-bucketed layout removes both join shuffles —
+    # scripts/probe_bucketed_regime.py) — tracked from r13 on;
+    # excluded from earlier-round comparable subtotals
+    "join_inner_bucketed",
 ]
 
 WARMUP_PASSES = 2

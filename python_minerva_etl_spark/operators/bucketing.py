@@ -52,6 +52,33 @@ def derive_num_buckets(path: str, target_bytes: int = 16 << 20,
     return max(floor, min(cap, 1 << math.ceil(math.log2(raw))))
 
 
+def ensure_bucketed_table(spark: SparkSession, table: str,
+                          df: DataFrame, keys: list[str],
+                          num_buckets: int,
+                          sort_cols: list[str] | None = None) -> None:
+    """Build ``table`` from ``df`` bucketed on ``keys`` unless the
+    session catalog already has it (build-once-per-session: re-runs
+    against the same fixture reuse the layout; the bench's warmups
+    pay the build).  A fresh session's in-memory catalog cannot see a
+    managed LOCATION left by a prior session, so a stale location is
+    cleared first — guarded to never delete outside the session
+    warehouse root."""
+    if spark.catalog.tableExists(table):
+        return
+    import shutil
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, table.lower())
+    real_loc, real_wh = os.path.realpath(loc), os.path.realpath(wh)
+    if real_loc == real_wh or \
+            not real_loc.startswith(real_wh + os.sep):
+        raise RuntimeError(
+            f"refusing to clear {loc!r}: not under warehouse {wh!r}")
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    write_bucketed(df, table, keys, num_buckets, sort_cols=sort_cols)
+
+
 def write_bucketed(df: DataFrame, table: str, keys: list[str],
                    num_buckets: int, sort_cols: list[str] | None = None,
                    path: str | None = None, mode: str = "overwrite") -> None:

@@ -161,6 +161,48 @@ GROUP BY 1
 """
 
 
+def _join_inner_bucketed(spark, sf_dir):
+    """OP-JOIN-EQ, bucketed-layout twin of join_inner (r12 verdict
+    item 3): orders and customer are written once per session as
+    co-bucketed, bucket-sorted tables on the customer key, so in the
+    sort-merge regime (customer too large to broadcast — the 100 TB
+    shape, where the declared query's broadcast hint would OOM) the
+    join runs with ZERO exchange and zero sort; only the 5-group
+    final aggregate shuffles.  The same custkey layout serves the
+    whole customer-join family (join_left / join_semi / join_anti
+    share the key pair).  Layout-only change: same oracle SQL as
+    join_inner; join_inner itself stays in the bench unchanged."""
+    import hashlib
+
+    from ..operators.bucketing import (derive_num_buckets,
+                                       ensure_bucketed_table,
+                                       read_bucketed)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ord_t, cust_t = f"b_orders_cust_{tag}", f"b_customer_{tag}"
+    nb = derive_num_buckets(os.path.join(sf_dir, "orders.parquet"))
+
+    ensure_bucketed_table(
+        spark, ord_t, t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"),
+        ["o_custkey"], nb, ["o_custkey"])
+    ensure_bucketed_table(
+        spark, cust_t, t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"),
+        ["c_custkey"], nb, ["c_custkey"])
+    orders = read_bucketed(spark, ord_t)
+    cust = read_bucketed(spark, cust_t)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double").alias("sum_price"),
+        )
+    )
+
+
 def _join_left(spark, sf_dir):
     """OP-JOIN-LEFT: keep entities with no fact rows (count = 0)."""
     cust = t(spark, sf_dir, "customer")
@@ -261,42 +303,27 @@ def _rollup_entity_bucketed(spark, sf_dir):
     the zero-Exchange plan is asserted in tests/test_plans.py."""
     import hashlib
 
-    from ..operators.bucketing import (derive_num_buckets, read_bucketed,
-                                       write_bucketed)
+    from ..operators.bucketing import (derive_num_buckets,
+                                       ensure_bucketed_table,
+                                       read_bucketed)
 
     # md5 (not hash(): per-process salted) so re-runs against the
     # same fixture REUSE the layout within a session — the build-once
-    # contract.  A fresh session's (in-memory) catalog won't know a
-    # table whose managed LOCATION survived from a prior session, so
-    # a stale location is cleared before rebuilding.
+    # contract (ensure_bucketed_table).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     li_t, ord_t = f"b_lineitem_{tag}", f"b_orders_{tag}"
     # scale-adaptive count from the driving (larger) table; both
     # sides must share it for the zero-Exchange co-join
     nb = derive_num_buckets(os.path.join(sf_dir, "lineitem.parquet"))
 
-    def _ensure(table, df, keys, sort_cols):
-        if spark.catalog.tableExists(table):
-            return
-        import shutil
-        from urllib.parse import urlparse
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        loc = os.path.join(wh, table.lower())
-        # hard guard: never rmtree outside the session warehouse root
-        if os.path.realpath(loc) == os.path.realpath(wh) or \
-                not os.path.realpath(loc).startswith(
-                    os.path.realpath(wh) + os.sep):
-            raise RuntimeError(
-                f"refusing to clear {loc!r}: not under warehouse {wh!r}")
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
-        write_bucketed(df, table, keys, nb, sort_cols=sort_cols)
-
-    _ensure(li_t, t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"),
-        ["l_orderkey"], ["l_orderkey"])
-    _ensure(ord_t, t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"), ["o_orderkey"], ["o_orderkey"])
+    ensure_bucketed_table(
+        spark, li_t, t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"),
+        ["l_orderkey"], nb, ["l_orderkey"])
+    ensure_bucketed_table(
+        spark, ord_t, t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"),
+        ["o_orderkey"], nb, ["o_orderkey"])
     li = read_bucketed(spark, li_t)
     orders = read_bucketed(spark, ord_t)
     cust = t(spark, sf_dir, "customer")
@@ -855,6 +882,7 @@ QUERIES = [
     DeclaredQuery("join_anti", _join_anti, _JOIN_ANTI_SQL, "OP-JOIN-ANTI"),
     DeclaredQuery("rollup_entity", _rollup_entity, _ROLLUP_ENTITY_SQL, "OP-JOIN-REL/OP-AGG-ENTITY"),
     DeclaredQuery("rollup_entity_bucketed", _rollup_entity_bucketed, _ROLLUP_ENTITY_SQL, "OP-JOIN-REL (bucketed zero-Exchange layout twin)"),
+    DeclaredQuery("join_inner_bucketed", _join_inner_bucketed, _JOIN_INNER_SQL, "OP-JOIN-EQ (bucketed zero-Exchange layout twin)"),
     DeclaredQuery("sort_report", _sort_report, _SORT_REPORT_SQL, "OP-SORT"),
     DeclaredQuery("topk_worst", _topk_worst, _TOPK_WORST_SQL, "OP-LIMIT/TOPK"),
     DeclaredQuery("set_union", _set_union, _SET_UNION_SQL, "OP-UNION"),

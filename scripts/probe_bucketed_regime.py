@@ -50,12 +50,49 @@ def main() -> None:
     gate = contention_gate(spark)
 
     qs = all_queries()
+
+    def join_inner_nohint(spark_, sf_):
+        """join_inner WITHOUT its broadcast hint — the plan the
+        cluster regime actually runs when the customer side outgrows
+        the broadcast threshold (the declared query's hint pins BHJ
+        at any size, which at 100 TB is an OOM, not a plan).  Probe
+        yardstick only; the declared query is unchanged."""
+        from pyspark.sql import functions as F
+
+        from python_minerva_etl_spark.registry import load_table
+        orders = load_table(spark_, sf_, "orders")
+        cust = load_table(spark_, sf_, "customer")
+        return (orders.join(cust, orders.o_custkey == cust.c_custkey,
+                            "inner")
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                     .cast("double").alias("sum_price")))
+
+    class _Synth:
+        def __init__(self, fn):
+            self.spark = fn
+
+    # rollup pair: 8 MB threshold (facts too big to broadcast, dims
+    # still broadcast — the r12 cluster-shape comparison, unchanged).
+    # join_inner pair: broadcast DISABLED — the 100x customer replica
+    # still compresses under 8 MB, but the cluster regime this twin
+    # exists for is "customer outgrew every broadcast", so the probe
+    # simulates exactly that (threshold is a runtime conf).
+    probe_set = [
+        ("rollup_entity", qs["rollup_entity"], str(8 << 20)),
+        ("rollup_entity_bucketed", qs["rollup_entity_bucketed"],
+         str(8 << 20)),
+        ("join_inner_nohint_smj", _Synth(join_inner_nohint), "-1"),
+        ("join_inner_bucketed", qs["join_inner_bucketed"], "-1"),
+    ]
     doc: dict = {"probe": "bucketed_rollup_smj_regime",
                  "scaled": sf_dir, "gate": gate,
-                 "autoBroadcastJoinThreshold": "8m",
+                 "autoBroadcastJoinThreshold":
+                     {"rollup_pair": "8m", "join_pair": "-1"},
                  "queries": {}}
-    for name in ("rollup_entity", "rollup_entity_bucketed"):
-        q = qs[name]
+    for name, q, thresh in probe_set:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sparkContext.setJobDescription(f"smj-regime: {name}")
 
         def force():
