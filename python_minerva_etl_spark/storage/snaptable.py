@@ -366,10 +366,42 @@ class SnapTable:
 
     # ---------------- write ----------------
 
+    def _records_per_file_cap(self, spark: SparkSession) -> int | None:
+        """r12 verdict item 9 (guide §6 output sizing): derive a
+        ``maxRecordsPerFile`` cap from the PUBLISHED footer stats —
+        bytes/row over the latest manifest's entries against a target
+        file size (``spark.minerva.snaptable.targetFileBytes``,
+        default 128 MB) — so a skewed shuffle partition cannot write
+        one multi-GB file.  First write (no stats yet) and
+        empty-table edges return None (no cap).  The cap only SPLITS
+        oversized partitions; small-file coalescing stays AQE's job.
+        """
+        v = self.latest_version()
+        if v is None:
+            return None
+        entries = self.files(v)
+        rows = sum(e["rows"] for e in entries)
+        byts = sum(e["bytes"] for e in entries)
+        if rows <= 0 or byts <= 0:
+            return None
+        try:
+            target = int(spark.conf.get(
+                "spark.minerva.snaptable.targetFileBytes",
+                str(128 << 20)))
+        except Exception:
+            target = 128 << 20
+        if target <= 0:      # explicit off-switch
+            return None
+        return max(1, int(target * rows / byts))
+
     def _write_data(self, df: DataFrame, key: list[str]) -> list[dict]:
         cdir = f"c-{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.path, "data", cdir)
-        df.write.mode("error").parquet(full)
+        writer = df.write.mode("error")
+        cap = self._records_per_file_cap(df.sparkSession)
+        if cap:
+            writer = writer.option("maxRecordsPerFile", cap)
+        writer.parquet(full)
         paths = sorted(glob.glob(os.path.join(full, "*.parquet")))
         meta = _collect_file_meta(df.sparkSession, paths, key)
         entries = []
