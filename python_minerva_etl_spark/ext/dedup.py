@@ -476,12 +476,17 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     # a pair agreeing on several bands would hit once per band; emit it
     # only from the FIRST agreeing band — a scan-local filter, so no
     # dedup shuffle at all (the old .distinct() was the plan's last
-    # exchange).  band 0 has no earlier bands; sequence() descends for
-    # stop < start, hence the explicit guard.
-    first_band_only = F.expr(
-        f"band = 0 OR size(filter(sequence(0, CAST(band AS INT) - 1), "
-        f"k -> (shiftright(fp_a, k * {width}) & {mask}) = "
-        f"(shiftright(fp_b, k * {width}) & {mask}))) = 0")
+    # exchange).  r13: unrolled to a plain conjunction — "∀ earlier
+    # band k < band: pieces differ" (vacuously true for band 0) —
+    # because the previous filter(sequence(...)) HOF is
+    # CodegenFallback and ran INTERPRETED once per candidate pair,
+    # which at the 100x fixture is tens of millions of evaluations
+    # on the join output.  Same boolean, bands-1 integer compares,
+    # whole-stage codegen.
+    first_band_only = F.expr(" AND ".join(
+        f"(band <= {k} OR (shiftright(fp_a, {k * width}) & {mask}) != "
+        f"(shiftright(fp_b, {k * width}) & {mask}))"
+        for k in range(bands - 1)) or "true")
     hamming = F.bit_count(
         F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
     return _cap_pairs(
@@ -639,15 +644,16 @@ def simhash_md5_near_pairs(docs: DataFrame, max_hamming: int = 3,
                 F.col("b.hi").alias("hi_b"), F.col("b.lo").alias("lo_b"),
                 F.col("a.band").alias("band")))
     # emit each pair from its FIRST agreeing band only (scan-local —
-    # no dedup shuffle), mirroring simhash_near_pairs
-    bands_expr = ("array(lo_a & 65535, shiftright(lo_a, 16) & 65535, "
-                  "hi_a & 65535, shiftright(hi_a, 16) & 65535)",
-                  "array(lo_b & 65535, shiftright(lo_b, 16) & 65535, "
-                  "hi_b & 65535, shiftright(hi_b, 16) & 65535)")
-    first_band_only = F.expr(
-        f"band = 0 OR size(filter(sequence(0, CAST(band AS INT) - 1), "
-        f"k -> element_at({bands_expr[0]}, k + 1) = "
-        f"element_at({bands_expr[1]}, k + 1))) = 0")
+    # no dedup shuffle), mirroring simhash_near_pairs.  r13: unrolled
+    # conjunction instead of the interpreted filter(sequence(...))
+    # HOF (CodegenFallback, ran per candidate pair) — same boolean.
+    pieces_a = ("lo_a & 65535", "shiftright(lo_a, 16) & 65535",
+                "hi_a & 65535")
+    pieces_b = ("lo_b & 65535", "shiftright(lo_b, 16) & 65535",
+                "hi_b & 65535")
+    first_band_only = F.expr(" AND ".join(
+        f"(band <= {k} OR ({pa}) != ({pb}))"
+        for k, (pa, pb) in enumerate(zip(pieces_a, pieces_b))))
     hamming = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
                ).cast("bigint")
