@@ -2125,9 +2125,13 @@ def _text_c4_rules(spark, sf_dir):
     three times), the page assembly uses ``sort_array`` (native
     struct ordering; ``array_sort``'s default comparator is an
     interpreted lambda per comparison) + lambda-free struct-field
-    extraction, and the line word count is a regexp_count.  Results
-    identical; same oracle."""
-    from ..ext.text import c4_line_stats_fused, c4_page_rules
+    extraction, and the line word count is a regexp_count.  Past the
+    text-kernel crossover the filter + page rules run as ONE Python
+    pass (ext/text_arrow.c4_rules_kernel — the per-line predicate is
+    interpreted inside the HOF lambda and was the remaining 0.69 s
+    of the 1.73 s 100x row); below it the fused JVM form runs, and
+    both paths are result-identical (test-locked).  Same oracle."""
+    from ..ext.text_arrow import c4_rules_kernel
 
     docs = t(spark, sf_dir, "documents")
     pages = (docs
@@ -2143,11 +2147,7 @@ def _text_c4_rules(spark, sf_dir):
              .agg(F.sort_array(F.collect_list("s")).alias("a"))
              .select("source", "b", F.concat_ws(
                  "\n", F.col("a.l")).alias("page")))
-    d = c4_line_stats_fused(pages, "page")
-    return d.select(
-        "source", "b", "n_lines", "kept_lines", "kept_chars",
-        *c4_page_rules("page", clean_col="clean_text"),
-        "clean_text")
+    return c4_rules_kernel(pages, "page", carry_cols=["source", "b"])
 
 
 _TEXT_C4_RULES_SQL = f"""

@@ -178,6 +178,64 @@ def test_text_counts_arrow_matches_jvm_exprs(spark):
     assert low == jvm2
 
 
+def test_c4_rules_kernel_matches_fused_jvm(spark):
+    """r13: the C4 kernel path (past the crossover) must reproduce
+    the fused JVM form on every edge shape — down to the rebuilt
+    clean_text string — and the below-crossover path IS the fused
+    JVM form."""
+    from python_minerva_etl_spark.ext.text_arrow import c4_rules_kernel
+
+    pages = [
+        None, "", "nothing to keep here",
+        "one two three four five.\nsix seven eight nine ten!",
+        "ends with spaces after mark.   \nanother good one here ok?",
+        "\n\n\n", "gap  between   words is still five.",
+        "just four words here.",
+        'quote "terminal works with five words."',
+        "mentions javascript with five words here.",
+        "MENTIONS JAVASCRIPT WITH FIVE WORDS HERE.",
+        "a { code block } lorem ipsum here.\nshort.\nsix sev en eig ht?",
+        "NSFW page with five words here.",
+        "unicode héllo wörld counts five wörds.",
+        "sentence one. two? three! four.",
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)],
+                               "doc_id long, page string")
+    cols = ["doc_id", "n_lines", "kept_lines", "kept_chars",
+            "sentences_ok", "lorem_ok", "brace_ok", "blocklist_ok",
+            "clean_text"]
+    jvm = {r.doc_id: tuple(r)[1:] for r in c4_rules_kernel(
+        df, "page", carry_cols=["doc_id"],
+        min_bytes=1 << 40).select(*cols).collect()}
+    knl = {r.doc_id: tuple(r)[1:] for r in c4_rules_kernel(
+        df, "page", carry_cols=["doc_id"],
+        min_bytes=0).select(*cols).collect()}
+    assert knl == jvm
+
+    # and on real fixture pages (the declared query's own assembly)
+    from python_minerva_etl_spark.queries.ext_text import _C4_ENRICH
+    from python_minerva_etl_spark.registry import load_table
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    from pyspark.sql import functions as F
+    pg = (docs.select("source", (F.col("doc_id") % 16).alias("b"),
+                      F.struct("doc_id",
+                               F.expr(_C4_ENRICH).alias("l")).alias("s"))
+          .groupBy("source", "b")
+          .agg(F.sort_array(F.collect_list("s")).alias("a"))
+          .select("source", "b",
+                  F.concat_ws("\n", F.col("a.l")).alias("page")))
+    cols2 = ["source", "b", "n_lines", "kept_lines", "kept_chars",
+             "sentences_ok", "lorem_ok", "brace_ok", "blocklist_ok",
+             "clean_text"]
+    jvm2 = sorted(tuple(r) for r in c4_rules_kernel(
+        pg, "page", carry_cols=["source", "b"],
+        min_bytes=1 << 40).select(*cols2).collect())
+    knl2 = sorted(tuple(r) for r in c4_rules_kernel(
+        pg, "page", carry_cols=["source", "b"],
+        min_bytes=0).select(*cols2).collect())
+    assert knl2 == jvm2
+
+
 def test_gopher_quintuple_on_fixture_corpus(spark):
     """Spot-check the kernel against the fold helpers on real fixture
     documents (the sf0.01 corpus), not just the synthetic edges."""
